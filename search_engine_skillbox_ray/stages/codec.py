@@ -1,0 +1,171 @@
+"""Compressed posting-list codec: delta + varbyte, block-max metadata.
+
+Replaces the reference's exploded one-row-per-(page, lemma) MySQL table
+(/root/reference/src/main/java/searchengine/model/IndexEntity.java:7-25,
+written at utils/PageIndexingUtils.java:128-159) with immutable compressed
+segments:
+
+* docIDs sorted ascending, delta-encoded (first gap = docID itself),
+  varbyte (LEB128: 7 bits/byte, MSB set = continuation);
+* term frequencies varbyte-encoded in the same order;
+* per 128-doc block: last docID, max tf, and byte offsets into both
+  streams so a block can be decoded (or skipped) independently —
+  the block-max metadata consumed by WAND-style pruning.
+
+All encode/decode paths are numpy-vectorized (no per-int Python loop):
+encode computes per-value byte widths with 9 range compares and scatters
+7-bit groups in <=10 vector passes; decode classifies terminal bytes and
+ORs 7-bit contributions per group with ``np.bitwise_or.at``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+_THRESHOLDS = [1 << (7 * k) for k in range(1, 10)]  # 2^7 .. 2^63
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a non-negative integer array (vectorized)."""
+    v = np.asarray(values)
+    if v.size == 0:
+        return b""
+    if v.min() < 0:
+        raise ValueError("varbyte_encode requires non-negative values")
+    v = v.astype(np.uint64, copy=False)
+    nb = np.ones(v.shape, dtype=np.int64)
+    for t in _THRESHOLDS:
+        nb += v >= np.uint64(t)
+    ends = np.cumsum(nb)
+    starts = ends - nb
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    max_nb = int(nb.max())
+    for k in range(max_nb):
+        mask = nb > k
+        pos = starts[mask] + k
+        byte = (v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
+        cont = (nb[mask] > k + 1).astype(np.uint8) << 7
+        out[pos] = byte.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def varbyte_decode(buf: bytes | memoryview, offset: int = 0, count: int | None = None) -> np.ndarray:
+    """Decode LEB128 back to uint64; optionally only ``count`` values
+    starting at byte ``offset`` (block-skip path)."""
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    if offset:
+        arr = arr[offset:]
+    if arr.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    terminal = (arr & 0x80) == 0
+    if count is not None:
+        term_pos = np.flatnonzero(terminal)
+        if count > term_pos.size:
+            raise ValueError("not enough encoded values")
+        arr = arr[: term_pos[count - 1] + 1] if count else arr[:0]
+        terminal = terminal[: arr.size]
+    n = int(terminal.sum())
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    # group index per byte: number of terminals strictly before it
+    group_idx = np.concatenate(([0], np.cumsum(terminal[:-1])))
+    term_pos = np.flatnonzero(terminal)
+    starts = np.concatenate(([0], term_pos[:-1] + 1))
+    shift = (np.arange(arr.size) - starts[group_idx]).astype(np.uint64) * np.uint64(7)
+    contrib = (arr & 0x7F).astype(np.uint64) << shift
+    values = np.zeros(n, dtype=np.uint64)
+    np.bitwise_or.at(values, group_idx, contrib)
+    return values
+
+
+def encode_posting_list(doc_ids: np.ndarray, tfs: np.ndarray, block_size: int = BLOCK_SIZE) -> dict:
+    """Encode one term's postings. ``doc_ids`` int64 ascending-sortable,
+    ``tfs`` positive ints aligned with ``doc_ids`` (pre-sort not required).
+
+    Returns the segment-row payload (see ``POSTING_FIELDS``).
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    order = np.argsort(doc_ids, kind="stable")
+    doc_ids = doc_ids[order]
+    tfs = tfs[order]
+    if doc_ids.size and np.any(doc_ids[:-1] == doc_ids[1:]):
+        raise ValueError("duplicate docID in posting list")
+
+    gaps = np.empty_like(doc_ids, dtype=np.uint64)
+    if doc_ids.size:
+        gaps[0] = np.uint64(doc_ids[0])
+        np.subtract(doc_ids[1:].astype(np.uint64), doc_ids[:-1].astype(np.uint64), out=gaps[1:])
+
+    n = doc_ids.size
+    block_last: list[int] = []
+    block_max_tf: list[int] = []
+    gap_off: list[int] = []
+    tf_off: list[int] = []
+    gap_parts: list[bytes] = []
+    tf_parts: list[bytes] = []
+    goff = toff = 0
+    for s in range(0, n, block_size):
+        e = min(n, s + block_size)
+        gap_off.append(goff)
+        tf_off.append(toff)
+        gp = varbyte_encode(gaps[s:e])
+        tp = varbyte_encode(tfs[s:e])
+        gap_parts.append(gp)
+        tf_parts.append(tp)
+        goff += len(gp)
+        toff += len(tp)
+        block_last.append(int(doc_ids[e - 1]))
+        block_max_tf.append(int(tfs[s:e].max()))
+    return {
+        "df": int(n),
+        "cf": int(tfs.sum()) if n else 0,
+        "doc_gaps": b"".join(gap_parts),
+        "tf_bytes": b"".join(tf_parts),
+        "block_last_doc": block_last,
+        "block_max_tf": block_max_tf,
+        "block_gap_offset": gap_off,
+        "block_tf_offset": tf_off,
+    }
+
+
+def decode_posting_list(row: dict) -> tuple[np.ndarray, np.ndarray]:
+    """Full decode → (doc_ids int64 ascending, tfs int64)."""
+    df = int(row["df"])
+    gaps = varbyte_decode(row["doc_gaps"], count=df)
+    tfs = varbyte_decode(row["tf_bytes"], count=df).astype(np.int64)
+    doc_ids = np.cumsum(gaps, dtype=np.uint64).astype(np.int64)
+    return doc_ids, tfs
+
+
+def decode_block(row: dict, block: int, block_size: int = BLOCK_SIZE) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a single block independently (WAND skip path)."""
+    df = int(row["df"])
+    n_blocks = len(row["block_last_doc"])
+    if not 0 <= block < n_blocks:
+        raise IndexError(block)
+    count = min(block_size, df - block * block_size)
+    gaps = varbyte_decode(row["doc_gaps"], offset=int(row["block_gap_offset"][block]), count=count)
+    tfs = varbyte_decode(row["tf_bytes"], offset=int(row["block_tf_offset"][block]), count=count)
+    base = np.uint64(row["block_last_doc"][block - 1]) if block > 0 else np.uint64(0)
+    doc_ids = (base + np.cumsum(gaps, dtype=np.uint64)).astype(np.int64)
+    return doc_ids, tfs.astype(np.int64)
+
+
+def merge_posting_payloads(payloads: list[dict], block_size: int = BLOCK_SIZE) -> dict:
+    """Merge salted partial posting lists for one (site, term).
+
+    Each docID appears in exactly one partial (salt = hash(docID) % S), so
+    the merge is decode → concat → re-encode; deterministic for any
+    arrival order of the partials.
+    """
+    docs_parts, tf_parts = [], []
+    for p in payloads:
+        d, t = decode_posting_list(p)
+        docs_parts.append(d)
+        tf_parts.append(t)
+    doc_ids = np.concatenate(docs_parts) if docs_parts else np.empty(0, np.int64)
+    tfs = np.concatenate(tf_parts) if tf_parts else np.empty(0, np.int64)
+    return encode_posting_list(doc_ids, tfs, block_size=block_size)

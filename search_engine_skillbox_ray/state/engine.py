@@ -1,0 +1,371 @@
+"""Query engine: segment-backed TF-IDF / BM25 top-k retrieval (ST5).
+
+Re-implements the reference search flow
+(/root/reference/src/main/java/searchengine/service/SearchServiceImpl.java:25-71)
+against immutable posting segments instead of 4 MySQL round-trips:
+
+* query lemmas (M9, :73-79) → per-term segment lookup (bucket hash →
+  Parquet predicate read, cached) replaces ``findPageLemmaTfByLemmas``
+  (repository/IndexRepository.java:26-35);
+* idf = ln((N+1)/(df+1)) (:129-137), score = Σ tf·idf accumulated in
+  float64 and cast to float32 per page (:139-160, float cast :146) —
+  exact parity math; ``scorer="bm25"`` generalizes with (k1, b), of
+  which the reference formula is the k1→∞, b=0 degenerate case;
+* retrieval is DISJUNCTIVE (OR) like the reference (any page containing
+  ≥1 query lemma is scored, J4 note in SURVEY §2.4); ``mode="and"``
+  adds conjunctive semantics via sorted-array intersection;
+* sort: score desc; the reference's tie order is UNSPECIFIED (HashMap
+  iteration feeding the sort, :51) — documented deviation: we break
+  ties deterministically by (score desc, doc_id asc); rank parity is
+  asserted up to tie groups;
+* pagination (:162-166): from=max(0,offset), to=min(total,
+  offset+max(1,limit)) — including the quirk that offset>total raised
+  in ``subList`` and was swallowed by the catch-all into
+  ``result:false`` (:68-70);
+* decoration: hydrate top-k docs by docID (semi-join via Parquet
+  predicate read — J1), title M10, uri M11, snippet M12 (snippet words
+  prefer raw query tokens M8 over lemmas, :195-207), then the
+  ``site=""`` response quirk (:61-65).
+
+This is the single-query latency path — no Dataset job per query; batch
+evaluation over query sets runs these calls inside ``map_batches``
+(QueryActor pool below), which is how the engine serves at cluster scale:
+each actor memory-maps/caches segment metadata once (``__init__``) and
+answers many queries (``__call__``).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..functions.snippets import extract_title, generate_snippet
+from ..functions.tokenize import query_lemmas, query_tokens
+from ..functions.urls import normalize_url
+from ..stages.codec import decode_posting_list
+from ..stages.tokenizer import term_bucket
+
+
+class SearchEngine:
+    """Facade over one built index directory (SURVEY §2.11 API surface)."""
+
+    def __init__(
+        self,
+        index_dir: str | Path,
+        *,
+        mode: str = "or",
+        scorer: str = "tfidf",
+        k1: float = 1.2,
+        b: float = 0.75,
+        strict_parity: bool = True,
+    ) -> None:
+        self.index_dir = Path(index_dir)
+        self.mode = mode
+        self.scorer = scorer
+        self.k1 = float(k1)
+        self.b = float(b)
+        self.strict_parity = strict_parity
+        self.stats = json.loads((self.index_dir / "stats.json").read_text())
+        self.n_buckets = int(self.stats["n_buckets"])
+        self.sites = {int(s["site_id"]): s for s in self.stats["sites"]}
+        self._site_by_url = {
+            normalize_url(s["url"]): int(s["site_id"]) for s in self.stats["sites"]
+        }
+        self._term_cache: dict[str, list[dict]] = {}
+        self._doclen: tuple[np.ndarray, np.ndarray] | None = None
+        self._docs_dataset = None
+
+    # ---------------- segment access ----------------------------------
+    def _bucket_path(self, bucket: int) -> Path:
+        return self.index_dir / "postings" / f"bucket={bucket:05d}.parquet"
+
+    def _load_terms(self, terms: list[str]) -> None:
+        missing = [t for t in terms if t not in self._term_cache]
+        if not missing:
+            return
+        by_bucket: dict[int, list[str]] = {}
+        for t, bkt in zip(missing, term_bucket(missing, self.n_buckets)):
+            by_bucket.setdefault(int(bkt), []).append(t)
+        for bkt, ts in by_bucket.items():
+            path = self._bucket_path(bkt)
+            rows_by_term: dict[str, list[dict]] = {t: [] for t in ts}
+            if path.exists():
+                tbl = pq.read_table(path, filters=[("term", "in", ts)])
+                for row in tbl.to_pylist():
+                    rows_by_term[row["term"]].append(row)
+            self._term_cache.update(rows_by_term)
+
+    def term_postings(
+        self, term: str, site_id: int | None = None
+    ) -> tuple[np.ndarray, np.ndarray, int]:
+        """(doc_ids asc, tfs, df) for a term, optionally site-scoped.
+        Global postings merge the per-site lists (docIDs are globally
+        unique and sites partition the docs, so concat+sort is exact)."""
+        self._load_terms([term])
+        rows = self._term_cache.get(term, [])
+        if site_id is not None:
+            rows = [r for r in rows if int(r["site_id"]) == site_id]
+        if not rows:
+            return np.empty(0, np.int64), np.empty(0, np.int64), 0
+        parts = [decode_posting_list(r) for r in rows]
+        if len(parts) == 1:
+            d, t = parts[0]
+        else:
+            d = np.concatenate([p[0] for p in parts])
+            t = np.concatenate([p[1] for p in parts])
+            order = np.argsort(d, kind="stable")
+            d, t = d[order], t[order]
+        return d, t, int(d.size)
+
+    # ---------------- scoring -----------------------------------------
+    def _resolve_site(self, site: str | None) -> tuple[int | None, bool]:
+        """→ (site_id, known). Unknown site behaves like an empty scope."""
+        if site is None or not site.strip():
+            return None, True
+        sid = self._site_by_url.get(normalize_url(site))
+        return sid, sid is not None
+
+    def _total_pages(self, site_id: int | None, site_known: bool) -> int:
+        if not site_known:
+            return 0
+        if site_id is None:
+            return int(self.stats["n_docs_indexed"])
+        ss = self.stats["site_stats"].get(str(site_id)) or self.stats["site_stats"].get(site_id)
+        return int(ss["n_docs_indexed"]) if ss else 0
+
+    def _doc_len_lookup(self, doc_ids: np.ndarray) -> np.ndarray:
+        """doc_len per docID for BM25 (sandbox: one in-memory sorted array;
+        scale path: per-shard doc-len arrays held by the query actors)."""
+        if self._doclen is None:
+            tbl = pq.read_table(self.index_dir / "docs", columns=["doc_id", "doc_len"])
+            ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+            lens = tbl["doc_len"].to_numpy(zero_copy_only=False).astype(np.float64)
+            order = np.argsort(ids)
+            self._doclen = (ids[order], lens[order])
+        ids, lens = self._doclen
+        idx = np.searchsorted(ids, doc_ids)
+        idx = np.clip(idx, 0, len(ids) - 1)
+        out = lens[idx]
+        out[ids[idx] != doc_ids] = 0.0
+        return out
+
+    def search_scores(
+        self, query: str, site: str | None = None
+    ) -> tuple[np.ndarray, np.ndarray, list[str]]:
+        """Full scored candidate list (pre-pagination): (doc_ids, scores
+        float32, lemmas). Empty arrays when nothing matches."""
+        lemmas = query_lemmas(query)
+        if not lemmas:
+            return np.empty(0, np.int64), np.empty(0, np.float32), lemmas
+        site_id, known = self._resolve_site(site)
+        n_total = self._total_pages(site_id, known)
+        if n_total <= 0:
+            return np.empty(0, np.int64), np.empty(0, np.float32), lemmas
+
+        per_term = [self.term_postings(t, site_id) for t in lemmas]
+        dfs = {t: p[2] for t, p in zip(lemmas, per_term)}
+        idf = {
+            t: math.log((n_total + 1) / (dfs[t] + 1)) for t in lemmas
+        }  # A4, SearchServiceImpl.java:129-137
+
+        non_empty = [(t, d, tf) for t, (d, tf, _) in zip(lemmas, per_term) if d.size]
+        if not non_empty:
+            return np.empty(0, np.int64), np.empty(0, np.float32), lemmas
+
+        if self.mode == "and":
+            inter = non_empty[0][1]
+            if len(non_empty) < len(lemmas):
+                inter = inter[:0]  # a lemma with no postings empties the AND
+            for _, d, _ in non_empty[1:]:
+                inter = _intersect_sorted(inter, d)
+            if inter.size == 0:
+                return np.empty(0, np.int64), np.empty(0, np.float32), lemmas
+            keep_docs = inter
+        else:
+            keep_docs = None
+
+        all_docs = np.concatenate([d for _, d, _ in non_empty])
+        uniq, inverse = np.unique(all_docs, return_inverse=True)
+        scores = np.zeros(uniq.size, dtype=np.float64)
+        if self.scorer == "bm25":
+            avgdl = max(1.0, self.stats["sum_doc_len"] / max(1, self.stats["n_docs_indexed"]))
+            pos = 0
+            for t, d, tf in non_empty:
+                dl = self._doc_len_lookup(d)
+                denom = tf + self.k1 * (1.0 - self.b + self.b * dl / avgdl)
+                w = idf[t] * (tf * (self.k1 + 1.0)) / denom
+                np.add.at(scores, inverse[pos: pos + d.size], w)
+                pos += d.size
+        else:
+            pos = 0
+            for t, d, tf in non_empty:
+                np.add.at(scores, inverse[pos: pos + d.size], tf.astype(np.float64) * idf[t])
+                pos += d.size
+
+        if keep_docs is not None:
+            mask = np.isin(uniq, keep_docs, assume_unique=True)
+            uniq, scores = uniq[mask], scores[mask]
+
+        scores32 = scores.astype(np.float32)  # float cast, :146
+        # deterministic (score desc, doc_id asc) — documented tie deviation
+        order = np.lexsort((uniq, -scores32))
+        return uniq[order], scores32[order], lemmas
+
+    # ---------------- public API --------------------------------------
+    def search(
+        self, query: str | None, site: str | None = None, offset: int = 0, limit: int = 10
+    ) -> dict:
+        """Full SearchResponse dict shaped like dto/search/SearchResponse.java."""
+        try:
+            if query is None or not query.strip():
+                return {"result": False, "count": 0, "data": []}
+            lemmas = query_lemmas(query)
+            if not lemmas:
+                return {"result": True, "count": 0, "data": []}
+            doc_ids, scores, _ = self.search_scores(query, site)
+            total = int(doc_ids.size)
+            if total == 0:
+                return {"result": True, "count": 0, "data": []}
+            start = max(0, offset)
+            end = min(total, offset + max(1, limit))
+            if start > end:
+                # reference: List.subList(from>to) threw inside the catch-all
+                return {"result": False, "count": 0, "data": []}
+            page_ids = doc_ids[start:end]
+            page_scores = scores[start:end]
+            docs = self._hydrate(page_ids)
+            qtokens = query_tokens(query)
+            snippet_words = qtokens if qtokens else lemmas
+            data = []
+            for did, sc in zip(page_ids.tolist(), page_scores.tolist()):
+                row = docs.get(did)
+                if row is None:
+                    continue
+                site_info = self.sites.get(int(row["site_id"]), {"url": "", "name": ""})
+                from ..functions.urls import build_full_url
+
+                item = {
+                    "site": "" if self.strict_parity else site_info["url"],
+                    "siteName": site_info["name"],
+                    "uri": build_full_url(site_info["url"], row["path"]),
+                    "title": extract_title(row["text"], row["path"]),
+                    "snippet": generate_snippet(row["text"], snippet_words),
+                    "relevance": float(np.float32(sc)),
+                }
+                data.append(item)
+            return {"result": True, "count": total, "data": data}
+        except Exception:
+            return {"result": False, "count": 0, "data": []}  # catch-all, :68-70
+
+    def _hydrate(self, doc_ids: np.ndarray) -> dict[int, dict]:
+        """J1 semi-join: top-k docs by id via Parquet predicate read."""
+        if doc_ids.size == 0:
+            return {}
+        import pyarrow.dataset as pads
+
+        if self._docs_dataset is None:
+            self._docs_dataset = pads.dataset(self.index_dir / "docs", format="parquet")
+        tbl = self._docs_dataset.to_table(
+            columns=["doc_id", "site_id", "path", "text"],
+            filter=pads.field("doc_id").isin(pa.array(doc_ids)),
+        )
+        return {int(r["doc_id"]): r for r in tbl.to_pylist()}
+
+    def statistics(self) -> dict:
+        """A7 (service/StatisticsServiceImpl.java:24-86) over stats.json +
+        segment metadata; lemma counts = distinct (site, term) rows."""
+        lemma_by_site: dict[int, int] = {}
+        postings_dir = self.index_dir / "postings"
+        for f in sorted(postings_dir.glob("bucket=*.parquet")):
+            tbl = pq.read_table(f, columns=["site_id"])
+            for sid, cnt in zip(*np.unique(tbl["site_id"].to_numpy(zero_copy_only=False), return_counts=True)):
+                lemma_by_site[int(sid)] = lemma_by_site.get(int(sid), 0) + int(cnt)
+        detailed = []
+        for sid, s in sorted(self.sites.items()):
+            ss = self.stats["site_stats"].get(str(sid)) or self.stats["site_stats"].get(sid) or {}
+            detailed.append(
+                {
+                    "url": s["url"],
+                    "name": s["name"],
+                    "status": "INDEXED",
+                    "statusTime": None,
+                    "error": None,
+                    "pages": int(ss.get("n_docs", 0)),
+                    "lemmas": lemma_by_site.get(sid, 0),
+                }
+            )
+        return {
+            "result": True,
+            "statistics": {
+                "total": {
+                    "sites": len(self.sites),
+                    "pages": sum(d["pages"] for d in detailed),
+                    "lemmas": sum(d["lemmas"] for d in detailed),
+                    "indexing": False,
+                },
+                "detailed": detailed,
+            },
+        }
+
+
+def _intersect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Sorted-array intersection (galloping via searchsorted)."""
+    if a.size == 0 or b.size == 0:
+        return a[:0]
+    if a.size > b.size:
+        a, b = b, a
+    idx = np.searchsorted(b, a)
+    idx_clipped = np.clip(idx, 0, b.size - 1)
+    return a[b[idx_clipped] == a]
+
+
+class QueryActorPool:
+    """ST5 query-serving actor pool: each actor holds a SearchEngine with
+    warm segment caches; queries round-robin across the pool. This is the
+    multi-node serving shape (segment cache per node); tested single-node.
+    """
+
+    def __init__(self, index_dir: str, n_actors: int = 4, **engine_kwargs) -> None:
+        import ray
+
+        @ray.remote(num_cpus=1)
+        class _QueryActor:
+            def __init__(self, index_dir: str, kw: dict) -> None:
+                self.engine = SearchEngine(index_dir, **kw)
+
+            def search(self, query: str, site=None, offset: int = 0, limit: int = 10) -> dict:
+                return self.engine.search(query, site=site, offset=offset, limit=limit)
+
+            def warm(self, queries: list[str]) -> int:
+                for q in queries:
+                    self.engine.search(q)
+                return len(queries)
+
+        self._actors = [_QueryActor.remote(index_dir, engine_kwargs) for _ in range(n_actors)]
+        self._next = 0
+
+    def search(self, query: str, **kw):
+        import ray
+
+        actor = self._actors[self._next % len(self._actors)]
+        self._next += 1
+        return ray.get(actor.search.remote(query, **kw))
+
+    def warm(self, queries: list[str]) -> None:
+        import ray
+
+        ray.get([a.warm.remote(queries) for a in self._actors])
+
+    def search_many(self, queries: list[tuple[str, dict]]) -> list[dict]:
+        import ray
+
+        refs = []
+        for i, (q, kw) in enumerate(queries):
+            refs.append(self._actors[i % len(self._actors)].search.remote(q, **kw))
+        return ray.get(refs)

@@ -1,0 +1,180 @@
+"""Rank parity vs the pure-Python oracle + build pipeline semantics
+(SURVEY §5.5): the Ray-built index must reproduce SearchServiceImpl's
+scores exactly (float32), with ties compared as sets."""
+
+import numpy as np
+import pytest
+
+import search_engine_skillbox_ray as ses
+from search_engine_skillbox_ray.pipelines.build import BuildConfig, build_index_from_pages
+from search_engine_skillbox_ray.sources.fixtures import generate_pages_table
+from search_engine_skillbox_ray.sources.pages import derive_sites
+
+from .oracle import OracleIndex
+
+N_PAGES = 400
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    tbl = generate_pages_table(N_PAGES, n_sites=3, seed=11, dup_fraction=0.08)
+    pages = rd.from_arrow(tbl)
+    sites = derive_sites(pages)
+    idx = tmp_path_factory.mktemp("idx")
+    cfg = BuildConfig(
+        n_buckets=5,
+        # force the salting path at tiny scale so merge is exercised
+        heavy_df_threshold=20,
+        salt_target=20,
+        sample_fraction=1.0,
+        sample_max_docs=10_000,
+        tokenize_concurrency=(1, 2),
+        prep_concurrency=(1, 2),
+    )
+    res = build_index_from_pages(pages, idx, sites, cfg, input_token="parity-test")
+    eng = ses.SearchEngine(str(idx))
+
+    # oracle over the keep-latest deduped corpus (what the index holds)
+    from search_engine_skillbox_ray.functions.urls import extract_path, normalize_url
+
+    rows = {}
+    for r in tbl.to_pylist():  # later warc_ts wins (rows are ts-ordered)
+        nu = normalize_url(r["url"])
+        site = next(s["url"] for s in sites if nu.startswith(normalize_url(s["url"])))
+        key = (site, extract_path(r["url"], site))
+        prev = rows.get(key)
+        if prev is None or r["warc_ts"] >= prev["warc_ts"]:
+            rows[key] = {**r, "site": site}
+    from search_engine_skillbox_ray.stages.tokenizer import assign_doc_ids
+
+    urls = [normalize_url(r["url"]) for r in rows.values()]
+    doc_ids = assign_doc_ids(urls)
+    docs = [
+        {"doc_id": int(d), "site": r["site"], "text": r["text"]}
+        for d, r in zip(doc_ids, rows.values())
+    ]
+    oracle = OracleIndex(docs)
+    return res, eng, oracle, sites
+
+
+QUERIES = [
+    "баработа вер",  # likely tail terms
+    "ba",  # maybe absent (too short to be a vocab word? included anyway)
+    "data absentwordxyz",
+    "num 42 x9y",  # digits dropped by lemmatizer
+    "Привет мир",
+    "one two three",
+]
+
+
+def _head_terms(oracle, k=4):
+    return sorted(oracle.tf, key=lambda t: len(oracle.tf[t]), reverse=True)[:k]
+
+
+def test_corpus_sizes_match(built):
+    res, eng, oracle, _ = built
+    assert res.n_docs == len(oracle.doc_site)
+    assert eng.stats["n_docs_indexed"] == len(oracle.indexed_docs)
+
+
+def test_salting_was_exercised(built):
+    res, eng, oracle, _ = built
+    import json
+    from pathlib import Path
+
+    manifest = json.loads((Path(res.index_dir) / "manifest.json").read_text())
+    assert manifest["heavy_terms"], "expected salted head terms in this fixture"
+
+
+def test_rank_parity_or_semantics(built):
+    _, eng, oracle, sites = built
+    head = _head_terms(oracle)
+    queries = QUERIES + [
+        " ".join(head[:2]),
+        " ".join(head[:4]),
+        head[0] + " " + "rareabsent",
+    ]
+    for q in queries:
+        doc_ids, scores, _ = eng.search_scores(q)
+        expected, _n = oracle.search(q)
+        got = dict(zip(doc_ids.tolist(), scores.tolist()))
+        assert set(got) == set(expected), f"doc set mismatch for {q!r}"
+        for d in expected:
+            assert got[d] == pytest.approx(expected[d], abs=0.0), (q, d)
+        # ranking: scores must be non-increasing
+        assert all(scores[i] >= scores[i + 1] for i in range(len(scores) - 1))
+
+
+def test_rank_parity_site_scoped(built):
+    _, eng, oracle, sites = built
+    head = _head_terms(oracle)
+    q = " ".join(head[:2])
+    for s in sites:
+        doc_ids, scores, _ = eng.search_scores(q, site=s["url"])
+        expected, _ = oracle.search(q, site=s["url"])
+        got = dict(zip(doc_ids.tolist(), scores.tolist()))
+        assert set(got) == set(expected)
+        for d in expected:
+            assert got[d] == pytest.approx(expected[d], abs=0.0)
+
+
+def test_and_mode_is_intersection(built):
+    res, eng, oracle, _ = built
+    head = _head_terms(oracle)
+    q = " ".join(head[:2])
+    eng_and = ses.SearchEngine(res.index_dir, mode="and")
+    d_or, _, _ = eng.search_scores(q)
+    d_and, s_and, _ = eng_and.search_scores(q)
+    inter = set(oracle.tf[head[0]]) & set(oracle.tf[head[1]])
+    assert set(d_and.tolist()) == inter
+    assert set(d_and.tolist()) <= set(d_or.tolist())
+
+
+def test_search_response_shape_and_quirks(built):
+    _, eng, oracle, _ = built
+    head = _head_terms(oracle)
+    r = eng.search(head[0], limit=3)
+    assert r["result"] is True and r["count"] >= 3
+    item = r["data"][0]
+    assert set(item) == {"site", "siteName", "uri", "title", "snippet", "relevance"}
+    assert item["site"] == ""  # SearchServiceImpl.java:61-65 quirk
+    assert item["uri"].startswith("https://")
+    # blank query → result false (:29-31)
+    assert eng.search("   ") == {"result": False, "count": 0, "data": []}
+    # no lemmas (digits only) → result true, empty (:33-36)
+    assert eng.search("42 77") == {"result": True, "count": 0, "data": []}
+    # limit floor of 1 (:164)
+    r1 = eng.search(head[0], limit=0)
+    assert len(r1["data"]) == 1
+    # offset beyond result size → subList throw → catch-all false (:162-166, :68-70)
+    assert eng.search(head[0], offset=10_000)["result"] is False
+    # unknown site scope → N=0 → true empty (:40-42)
+    assert eng.search(head[0], site="https://nosuch.example") == {
+        "result": True,
+        "count": 0,
+        "data": [],
+    }
+
+
+def test_bm25_mode_runs_and_ranks(built):
+    res, eng, oracle, _ = built
+    b = ses.SearchEngine(res.index_dir, scorer="bm25")
+    head = _head_terms(oracle)
+    d, s, _ = b.search_scores(" ".join(head[:2]))
+    assert d.size > 0
+    assert all(s[i] >= s[i + 1] for i in range(len(s) - 1))
+
+
+def test_statistics_counts(built):
+    _, eng, oracle, sites = built
+    st = eng.statistics()["statistics"]
+    assert st["total"]["sites"] == len(sites)
+    assert st["total"]["pages"] == len(oracle.doc_site)
+    # lemma rows = Σ_site distinct terms on that site
+    per_site = {}
+    for t, posting in oracle.tf.items():
+        for d in posting:
+            per_site.setdefault(oracle.doc_site[d], set()).add(t)
+    assert st["total"]["lemmas"] == sum(len(v) for v in per_site.values())

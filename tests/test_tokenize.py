@@ -1,0 +1,68 @@
+"""Tokenizer parity with MorphologyServiceImpl (SURVEY §5.2) and the
+Arrow-kernel path equivalence (the pipeline must match the scalar path)."""
+
+import pyarrow as pa
+
+from search_engine_skillbox_ray.functions.tokenize import (
+    query_lemmas,
+    query_tokens,
+    term_frequencies,
+    tokenize,
+)
+from search_engine_skillbox_ray.stages.tokenizer import token_counts, token_lists
+
+CASES = [
+    # Java: text.toLowerCase().split("\\P{L}+"), blanks dropped, dups kept
+    ("Hello World", ["hello", "world"]),
+    ("Hello, world!", ["hello", "world"]),
+    ("a1b2c", ["a", "b", "c"]),  # digits are separators
+    ("2024 год", ["год"]),
+    ("ПрИвЕт МиР", ["привет", "мир"]),
+    ("word word word", ["word", "word", "word"]),  # duplicates kept
+    ("...leading", ["leading"]),
+    ("trailing...", ["trailing"]),
+    ("", []),
+    ("   ", []),
+    ("12345", []),
+    ("under_score", ["under", "score"]),  # _ is a non-letter
+    ("mixedТекстlatin", ["mixedтекстlatin"]),  # no script splitting
+    ("don't", ["don", "t"]),
+]
+
+
+def test_tokenize_cases():
+    for text, expected in CASES:
+        assert tokenize(text) == expected, text
+
+
+def test_arrow_kernel_parity():
+    """RE2 [^\\p{L}]+ split path must equal the scalar path."""
+    texts = [c[0] for c in CASES] + ["Ещё один ТЕСТ 42 here"]
+    arr = pa.array(texts, pa.string())
+    lists = token_lists(arr)
+    for text, toks in zip(texts, lists.to_pylist()):
+        assert [t for t in toks if t] == tokenize(text), text
+
+
+def test_token_counts():
+    texts = [c[0] for c in CASES]
+    counts = token_counts(pa.array(texts, pa.string()))
+    assert list(counts) == [len(tokenize(t)) for t in texts]
+
+
+def test_term_frequencies():
+    assert term_frequencies(tokenize("a b a c a b")) == {"a": 3, "b": 2, "c": 1}
+
+
+def test_query_lemmas_distinct_ordered():
+    # M9: distinct preserving first occurrence (SearchServiceImpl.java:73-79)
+    assert query_lemmas("Data data MERGE data") == ["data", "merge"]
+    assert query_lemmas("") == []
+    assert query_lemmas("42 77") == []
+
+
+def test_query_tokens_keep_digits():
+    # M8 keeps digits, unlike the lemmatizer (SearchServiceImpl.java:187-193)
+    assert query_tokens("win 42 times!") == ["win", "42", "times"]
+    assert query_tokens("x-9,y") == ["x9y"]
+    assert query_tokens("   ") == []
