@@ -1,0 +1,213 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two paths over ``embeddings(vec_id, embedding: list<float>, label)``:
+
+* ``brute_force_topk`` — the exact baseline: the query matrix is
+  broadcast once (``ray.put``), every batch computes a float64 cosine
+  matmul against it and emits only its per-batch top-k rows, the tiny
+  partial-top-k union is reduced at the end. The corpus streams; only
+  q×k rows per batch leave the tasks.
+* ``lsh_topk`` — the scale path: random-hyperplane signature buckets
+  (multi-probe over all single-bit flips) restrict the scan to
+  candidate buckets; exact cosine re-rank inside. Recall/latency trades
+  on (n_planes, n_probes); recall is measured against the brute-force
+  baseline in tests.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+
+def _cosine_topk_block(
+    vecs: np.ndarray, ids: np.ndarray, queries: np.ndarray, k: int
+) -> list[tuple[int, int, float]]:
+    """→ [(query_id, vec_id, sim)] of the block's per-query top-k (f64)."""
+    vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-300)
+    qn = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-300)
+    sims = qn @ vn.T  # (Q, N)
+    out = []
+    kk = min(k, sims.shape[1])
+    for qi in range(sims.shape[0]):
+        row = sims[qi]
+        # deterministic tie-break (sim desc, vec_id asc)
+        idx = np.lexsort((ids, -row))[:kk]
+        for j in idx:
+            out.append((qi, int(ids[j]), float(row[j])))
+    return out
+
+
+class BruteForceTopK:
+    """map_batches actor: holds the broadcast query matrix; emits the
+    batch-local top-k per query."""
+
+    def __init__(self, queries_ref, k: int, id_col: str = "vec_id", vec_col: str = "embedding") -> None:
+        ref = queries_ref[0] if isinstance(queries_ref, (list, tuple)) else queries_ref
+        self.queries = np.asarray(ray.get(ref) if not isinstance(ref, np.ndarray) else ref, dtype=np.float64)
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        vecs = np.asarray(batch.column(self.vec_col).to_pylist(), dtype=np.float64)
+        rows = _cosine_topk_block(vecs, ids, self.queries, self.k)
+        return pa.table(
+            {
+                "query_id": pa.array([r[0] for r in rows], pa.int32()),
+                "vec_id": pa.array([r[1] for r in rows], pa.int64()),
+                "cosine": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        )
+
+
+def _final_topk(partials: rd.Dataset, k: int) -> "pa.Table":
+    """Reduce the per-batch partial top-k union (q×k×n_blocks rows —
+    small) to the global per-query top-k with deterministic ties."""
+    tbl = partials.to_arrow_refs()
+    tables = [ray.get(r) for r in tbl]
+    big = pa.concat_tables([t for t in tables if len(t)]) if tables else None
+    if big is None or len(big) == 0:
+        return pa.table(
+            {"query_id": pa.array([], pa.int32()), "rank": pa.array([], pa.int32()),
+             "vec_id": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())}
+        )
+    q = big["query_id"].to_numpy(zero_copy_only=False)
+    v = big["vec_id"].to_numpy(zero_copy_only=False)
+    c = big["cosine"].to_numpy(zero_copy_only=False)
+    out = {"query_id": [], "rank": [], "vec_id": [], "cosine": []}
+    for qi in np.unique(q):
+        m = q == qi
+        order = np.lexsort((v[m], -c[m]))[:k]
+        for rank, j in enumerate(order):
+            out["query_id"].append(int(qi))
+            out["rank"].append(rank)
+            out["vec_id"].append(int(v[m][j]))
+            out["cosine"].append(round(float(c[m][j]), 6))
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"], pa.int32()),
+            "rank": pa.array(out["rank"], pa.int32()),
+            "vec_id": pa.array(out["vec_id"], pa.int64()),
+            "cosine": pa.array(out["cosine"], pa.float64()),
+        }
+    )
+
+
+def brute_force_topk(
+    embeddings: rd.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency=(1, 8),
+) -> pa.Table:
+    """Exact cosine top-k → (query_id, rank, vec_id, cosine[r6])."""
+    qref = [ray.put(np.asarray(queries, dtype=np.float64))]
+    partials = embeddings.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs={"queries_ref": qref, "k": k, "id_col": id_col, "vec_col": vec_col},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=concurrency,
+    )
+    return _final_topk(partials, k)
+
+
+def _plane_signatures(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    signs = (vecs @ planes) > 0
+    keys = np.zeros(len(vecs), dtype=np.int64)
+    for p in range(planes.shape[1]):
+        keys |= signs[:, p].astype(np.int64) << p
+    return keys
+
+
+def lsh_topk(
+    embeddings: rd.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    n_planes: int = 8,
+    n_probes: int = 9,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """LSH-bucketed ANN: scan only buckets matching the query signature
+    or one bit-flip away (multi-probe), exact re-rank inside.
+
+    → (query_id, rank, vec_id, cosine[r6]). Partitioning assumption:
+    bucket key is the ONE shuffle key; at cluster scale the bucketed
+    table is written partitioned by key and probed per query."""
+    queries = np.asarray(queries, dtype=np.float64)
+    dim = queries.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+
+    qsigs = _plane_signatures(queries, planes)
+    probe_sets: list[set[int]] = []
+    for s in qsigs:
+        # multi-probe: exact signature, then 1-bit flips, then 2-bit flips
+        probes = {int(s)}
+        for bit in range(n_planes):
+            if len(probes) >= n_probes:
+                break
+            probes.add(int(s) ^ (1 << bit))
+        for b1 in range(n_planes):
+            for b2 in range(b1 + 1, n_planes):
+                if len(probes) >= n_probes:
+                    break
+                probes.add(int(s) ^ (1 << b1) ^ (1 << b2))
+        probe_sets.append(probes)
+    wanted = sorted(set().union(*probe_sets)) if probe_sets else []
+    wanted_arr = pa.array(wanted, pa.int64())
+    qref = [ray.put(queries)]
+
+    def probe_batch(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        if not len(vecs):
+            return pa.table({"query_id": pa.array([], pa.int32()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        keys = _plane_signatures(vecs, planes)
+        mask = pc.is_in(pa.array(keys), value_set=wanted_arr).to_numpy(zero_copy_only=False)
+        if not mask.any():
+            return pa.table({"query_id": pa.array([], pa.int32()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)[mask]
+        sub = vecs[mask]
+        keys = keys[mask]
+        qmat = ray.get(qref[0])
+        rows = []
+        vn = sub / np.maximum(np.linalg.norm(sub, axis=1, keepdims=True), 1e-300)
+        qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-300)
+        sims = qn @ vn.T
+        for qi, probes in enumerate(probe_sets):
+            cand = np.fromiter((kk in probes for kk in keys), dtype=bool, count=len(keys))
+            if not cand.any():
+                continue
+            row = sims[qi][cand]
+            cids = ids[cand]
+            idx = np.lexsort((cids, -row))[: min(k, row.size)]
+            for j in idx:
+                rows.append((qi, int(cids[j]), float(row[j])))
+        return pa.table(
+            {
+                "query_id": pa.array([r[0] for r in rows], pa.int32()),
+                "vec_id": pa.array([r[1] for r in rows], pa.int64()),
+                "cosine": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        )
+
+    partials = embeddings.map_batches(probe_batch, batch_format="pyarrow", batch_size=4096)
+    return _final_topk(partials, k)

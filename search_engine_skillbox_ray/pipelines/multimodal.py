@@ -1,0 +1,181 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with a
+``media_type`` and metadata; decode / feature-extract / resize /
+frame-sample are actor-pool ``map_batches`` stages. The decode libraries
+(PIL/ffmpeg/librosa) are NOT in this container, so the codec boundary is
+STUBBED exactly as the task prescribes: if a real library import fails,
+the stage either raises ``NotImplementedError`` (strict mode) or runs a
+deterministic fake decoder over a self-describing fixture byte format —
+while all the Ray-side plumbing (schema, batch sizing for large binary
+rows, actor signature, output layout) is real and tested.
+
+Fixture byte format (deterministic, produced by ``make_media_table``):
+  magic ``SESM`` | u8 kind (0=image,1=audio,2=video) | u16 w | u16 h |
+  u16 channels/frames | payload bytes (seeded).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("media_type", pa.string()),  # "image" | "audio" | "video"
+        ("payload", pa.binary()),
+        ("source_url", pa.string()),
+    ]
+)
+
+_MAGIC = b"SESM"
+_KINDS = {"image": 0, "audio": 1, "video": 2}
+_KINDS_INV = {v: k for k, v in _KINDS.items()}
+
+
+def make_media_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic fake media fixture rows (see module docstring)."""
+    rng = np.random.default_rng(seed)
+    ids, kinds, payloads, urls = [], [], [], []
+    for i in range(n):
+        kind = int(rng.integers(0, 3))
+        w = int(rng.integers(8, 64))
+        h = int(rng.integers(8, 64))
+        c = int(rng.integers(1, 5)) if kind != 2 else int(rng.integers(2, 12))
+        body = rng.integers(0, 256, size=w * h, dtype=np.uint8).tobytes()
+        payloads.append(_MAGIC + struct.pack("<BHHH", kind, w, h, c) + body)
+        ids.append(i)
+        kinds.append(_KINDS_INV[kind])
+        urls.append(f"https://media.example/{i}")
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "media_type": pa.array(kinds, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "source_url": pa.array(urls, pa.string()),
+        }
+    )
+
+
+def _parse_header(buf: bytes) -> tuple[int, int, int, int, bytes]:
+    if not buf.startswith(_MAGIC):
+        raise ValueError("not a SESM fixture payload")
+    kind, w, h, c = struct.unpack("<BHHH", buf[4:11])
+    return kind, w, h, c, buf[11:]
+
+
+class DecodeMedia:
+    """Actor-pool decode stage.
+
+    strict=True → require the real decoder (PIL for images) and raise
+    ``NotImplementedError`` when absent (this container). strict=False →
+    deterministic fake decode of the fixture format. Output: typed
+    metadata + a small feature vector (byte-histogram projection), the
+    layout a real embedding model would produce.
+
+    Scale note: binary rows are large → callers must pass a SMALL
+    ``batch_size`` (default 32 here) so batch × concurrency fits the
+    worker heap; this is the knob, not block size.
+    """
+
+    def __init__(self, strict: bool = False, feature_dim: int = 16) -> None:
+        self.feature_dim = feature_dim
+        self.pil = None
+        try:  # the real path, absent in this container
+            from PIL import Image  # noqa: F401
+
+            self.pil = Image
+        except ImportError:
+            if strict:
+                raise NotImplementedError(
+                    "real media decoding requires PIL/ffmpeg, not available in this environment"
+                )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        metas = {"media_id": [], "media_type": [], "width": [], "height": [],
+                 "n_channels": [], "n_bytes": [], "feature": []}
+        for mid, mtype, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("media_type").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            kind, w, h, c, body = _parse_header(payload)
+            arr = np.frombuffer(body, dtype=np.uint8)
+            hist = np.bincount(arr % self.feature_dim, minlength=self.feature_dim).astype(np.float64)
+            feat = hist / max(1.0, hist.sum())
+            metas["media_id"].append(mid)
+            metas["media_type"].append(mtype)
+            metas["width"].append(w)
+            metas["height"].append(h)
+            metas["n_channels"].append(c)
+            metas["n_bytes"].append(len(payload))
+            metas["feature"].append(np.round(feat, 6).tolist())
+        return pa.table(
+            {
+                "media_id": pa.array(metas["media_id"], pa.int64()),
+                "media_type": pa.array(metas["media_type"], pa.string()),
+                "width": pa.array(metas["width"], pa.int32()),
+                "height": pa.array(metas["height"], pa.int32()),
+                "n_channels": pa.array(metas["n_channels"], pa.int32()),
+                "n_bytes": pa.array(metas["n_bytes"], pa.int64()),
+                "feature": pa.array(metas["feature"], pa.list_(pa.float64())),
+            }
+        )
+
+
+class FrameSample:
+    """Video frame-sampling stage: keep every k-th 'frame' (fixed-size
+    chunks of the payload in the fixture format). Real path would call
+    ffmpeg; plumbing (explode one row per sampled frame) is real."""
+
+    def __init__(self, every_k: int = 2, frame_bytes: int = 64) -> None:
+        self.every_k = every_k
+        self.frame_bytes = frame_bytes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"media_id": [], "frame_idx": [], "frame": []}
+        for mid, mtype, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("media_type").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            if mtype != "video":
+                continue
+            _, _, _, _, body = _parse_header(payload)
+            n_frames = max(1, len(body) // self.frame_bytes)
+            for f in range(0, n_frames, self.every_k):
+                out["media_id"].append(mid)
+                out["frame_idx"].append(f)
+                out["frame"].append(body[f * self.frame_bytes: (f + 1) * self.frame_bytes])
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], pa.int64()),
+                "frame_idx": pa.array(out["frame_idx"], pa.int32()),
+                "frame": pa.array(out["frame"], pa.binary()),
+            }
+        )
+
+
+def decode_media_ds(media: rd.Dataset, *, strict: bool = False, concurrency=(1, 4)) -> rd.Dataset:
+    return media.map_batches(
+        DecodeMedia,
+        fn_constructor_kwargs={"strict": strict},
+        batch_format="pyarrow",
+        batch_size=32,  # small: binary payload rows
+        concurrency=concurrency,
+    )
+
+
+def frame_sample_ds(media: rd.Dataset, every_k: int = 2, concurrency=(1, 4)) -> rd.Dataset:
+    return media.map_batches(
+        FrameSample,
+        fn_constructor_kwargs={"every_k": every_k},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=concurrency,
+    )

@@ -64,6 +64,7 @@ class SearchEngine:
         k1: float = 1.2,
         b: float = 0.75,
         strict_parity: bool = True,
+        float32_scores: bool = True,
     ) -> None:
         self.index_dir = Path(index_dir)
         self.mode = mode
@@ -71,6 +72,10 @@ class SearchEngine:
         self.k1 = float(k1)
         self.b = float(b)
         self.strict_parity = strict_parity
+        # float32_scores=True is the reference-parity float cast
+        # (SearchServiceImpl.java:146); False keeps float64 for oracle-SQL
+        # comparable outputs.
+        self.float32_scores = float32_scores
         self.stats = json.loads((self.index_dir / "stats.json").read_text())
         self.n_buckets = int(self.stats["n_buckets"])
         self.sites = {int(s["site_id"]): s for s in self.stats["sites"]}
@@ -212,10 +217,10 @@ class SearchEngine:
             mask = np.isin(uniq, keep_docs, assume_unique=True)
             uniq, scores = uniq[mask], scores[mask]
 
-        scores32 = scores.astype(np.float32)  # float cast, :146
+        out_scores = scores.astype(np.float32) if self.float32_scores else scores  # float cast, :146
         # deterministic (score desc, doc_id asc) — documented tie deviation
-        order = np.lexsort((uniq, -scores32))
-        return uniq[order], scores32[order], lemmas
+        order = np.lexsort((uniq, -out_scores))
+        return uniq[order], out_scores[order], lemmas
 
     # ---------------- public API --------------------------------------
     def search(

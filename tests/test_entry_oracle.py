@@ -1,0 +1,100 @@
+"""Mini-driver harness: run every ``queries()`` entry at sf0.001 and
+compare against ``oracle_sql()`` via DuckDB the way the driver does —
+row count, schema (column names/dtypes), order-insensitive values."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _to_pandas(result):
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    if isinstance(result, rd.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = np.round(df[c].astype(np.float64), 6)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype(np.int64)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+@pytest.fixture(scope="module")
+def entry_mod(ray_session):
+    import importlib
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    return importlib.import_module("__ray_entry__")
+
+
+def test_entry_smoke(entry_mod):
+    out = entry_mod.entry()
+    df = _to_pandas(out)
+    assert df is not None and len(df) >= 0
+    if len(df):
+        assert {"uri", "title", "snippet", "relevance"} <= set(df.columns)
+
+
+def test_oracle_keys_subset(entry_mod):
+    qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(os_) >= 15  # broad oracle coverage
+
+
+@pytest.mark.parametrize("name", [
+    "doc_term_tf", "term_df", "term_cf", "corpus_stats", "term_idf",
+    "search_disjunctive", "search_conjunctive", "search_site_scoped",
+    "search_bm25", "search_count", "stats_by_source", "dedup_exact",
+    "token_count", "quality", "fingerprint", "ann_cosine_topk",
+    "events_window", "sessionize", "docs_with_source_stats",
+])
+def test_query_matches_oracle(entry_mod, con, name):
+    ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
+    ora_df = _normalize(con.execute(entry_mod.oracle_sql()[name]).fetchdf())
+    assert list(ray_df.columns) == list(ora_df.columns), (
+        f"{name} columns {list(ray_df.columns)} != {list(ora_df.columns)}"
+    )
+    assert len(ray_df) == len(ora_df), f"{name} rows {len(ray_df)} != {len(ora_df)}"
+    for c in ray_df.columns:
+        a, b = ray_df[c].to_numpy(), ora_df[c].to_numpy()
+        if a.dtype.kind == "f":
+            assert np.allclose(a, b, atol=1e-6, rtol=0, equal_nan=True), f"{name}.{c}"
+        else:
+            assert (a == b).all(), f"{name}.{c}"
+
+
+@pytest.mark.parametrize("name", [
+    "langid", "minhash_pairs", "simhash", "ngram_jaccard_pairs",
+    "embedding_near_pairs", "ann_lsh_topk", "media_decode", "media_frames",
+])
+def test_rows_only_queries_run(entry_mod, name):
+    df = _to_pandas(entry_mod.queries()[name](SF_DIR))
+    assert df is not None
+    assert len(df) >= 0

@@ -1,0 +1,200 @@
+"""Training-data pipeline operators: dedup suite, text stats, ANN,
+windowed aggregates, multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def dup_docs(ray_session):
+    """Documents with planted exact and near duplicates."""
+    import ray.data as rd
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = []
+    for i in range(40):
+        # letters-only variation: digits are stripped by the tokenizer (M2)
+        tag = "".join(chr(97 + int(c)) for c in str(i))
+        rows.append(
+            {"doc_id": i, "text": f"unique {tag} document about topic {tag} {tag}x with distinct {tag} words"}
+        )
+    rows.append({"doc_id": 100, "text": base})
+    rows.append({"doc_id": 101, "text": base})  # exact dup
+    rows.append({"doc_id": 102, "text": base + " tail"})  # near dup
+    rows.append({"doc_id": 103, "text": "completely different content about ray data pipelines"})
+    return rd.from_items(rows)
+
+
+def test_exact_dedup(dup_docs):
+    from search_engine_skillbox_ray.pipelines.dedup import exact_dedup
+
+    out = exact_dedup(dup_docs).to_pandas()
+    assert len(out) == 43  # 44 docs, one exact pair collapsed
+    winners = set(out["doc_id"])
+    assert 100 in winners and 101 not in winners
+    assert out.loc[out["doc_id"] == 100, "n_copies"].iloc[0] == 2
+
+
+def test_minhash_lsh_finds_near_dups(dup_docs):
+    from search_engine_skillbox_ray.pipelines.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(dup_docs, threshold=0.5).to_pandas()
+    got = {tuple(sorted(p)) for p in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (100, 101) in got  # exact dup certainly caught
+    # no false positives among the unique docs
+    uniq_pairs = [p for p in got if p[0] < 100 and p[1] < 100]
+    assert not uniq_pairs
+
+
+def test_simhash_near_pairs(dup_docs):
+    from search_engine_skillbox_ray.pipelines.dedup import simhash_ds, simhash_near_pairs
+
+    fp = simhash_ds(dup_docs).to_pandas()
+    assert len(fp) == 44
+    by_id = dict(zip(fp["doc_id"], fp["simhash"]))
+    assert by_id[100] == by_id[101]  # identical text → identical simhash
+    pairs = simhash_near_pairs(dup_docs, max_hamming=3).to_pandas()
+    got = {tuple(sorted(p)) for p in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (100, 101) in got
+
+
+def test_ngram_jaccard(dup_docs):
+    from search_engine_skillbox_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(dup_docs, threshold=0.5).to_pandas()
+    got = {tuple(sorted(p)): j for p, j in
+           zip(zip(pairs["doc_a"], pairs["doc_b"]), pairs["jaccard"])}
+    assert got.get((100, 101)) == 1.0
+    assert (100, 102) in got  # near dup shares most 3-grams
+
+
+def test_embedding_near_pairs(ray_session):
+    import ray.data as rd
+    from search_engine_skillbox_ray.pipelines.dedup import embedding_near_pairs
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((50, 16))
+    vecs[10] = vecs[20] * 1.5 + rng.standard_normal(16) * 1e-4  # planted near-dup
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(50), pa.int64()),
+                "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float64())),
+            }
+        )
+    )
+    pairs = embedding_near_pairs(ds, threshold=0.99).to_pandas()
+    got = {tuple(sorted(p)) for p in zip(pairs["vec_a"], pairs["vec_b"])}
+    assert (10, 20) in got
+
+
+def test_textstats(docs_ds):
+    from search_engine_skillbox_ray.functions.tokenize import tokenize
+    from search_engine_skillbox_ray.pipelines.textstats import (
+        fingerprints_ds,
+        langid_ds,
+        quality_ds,
+        token_counts_ds,
+    )
+
+    sample = docs_ds.take(5)
+    tc = token_counts_ds(docs_ds).to_pandas().set_index("doc_id")
+    for row in sample:
+        assert tc.loc[row["doc_id"], "n_tokens"] == len(tokenize(row["text"]))
+
+    q = quality_ds(docs_ds).to_pandas()
+    assert (q["n_unique_terms"] <= q["n_tokens"]).all()
+    assert (q["text_len"] > 0).all()
+
+    fp = fingerprints_ds(docs_ds).to_pandas()
+    assert fp["fingerprint"].str.len().eq(32).all()
+
+    li = langid_ds(docs_ds).to_pandas()
+    assert set(li.columns) == {"doc_id", "pred_lang", "confidence"}
+    assert len(li) == docs_ds.count()
+
+
+def test_ann_brute_force_and_lsh_recall(ray_session):
+    import ray.data as rd
+    from search_engine_skillbox_ray.pipelines.ann import brute_force_topk, lsh_topk
+
+    emb = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    vecs = np.asarray(emb.take(5))
+    queries = np.asarray([r["embedding"] for r in emb.take(5)], dtype=np.float64)
+
+    exact = brute_force_topk(emb, queries, k=10).to_pandas()
+    assert len(exact) == 50
+    # query vector present in the corpus → its own id is rank 0 with cos≈1
+    for qi in range(5):
+        top = exact[(exact["query_id"] == qi) & (exact["rank"] == 0)]
+        assert top["cosine"].iloc[0] == pytest.approx(1.0, abs=1e-6)
+
+    approx = lsh_topk(emb, queries, k=10, n_planes=4, n_probes=11)
+    ap = approx.to_pandas()
+    # recall@10 vs exact baseline
+    recalls = []
+    for qi in range(5):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(ap[ap["query_id"] == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.5, recalls
+
+
+def test_tumbling_window_and_sessions(ray_session):
+    import ray.data as rd
+    from search_engine_skillbox_ray.pipelines.windows import sessionize, tumbling_window
+
+    ev = rd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    win = tumbling_window(ev, window_s=3600).to_pandas()
+    assert win["n_events"].sum() == ev.count()
+    assert (win["window_start"] % 3600 == 0).all()
+
+    sess = sessionize(ev, gap_s=1800).to_pandas()
+    assert sess["n_events"].sum() == ev.count()
+    assert (sess["n_sessions"] >= 1).all()
+    assert (sess["n_sessions"] <= sess["n_events"]).all()
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data as rd
+    from search_engine_skillbox_ray.pipelines.multimodal import (
+        DecodeMedia,
+        decode_media_ds,
+        frame_sample_ds,
+        make_media_table,
+    )
+
+    tbl = make_media_table(30, seed=9)
+    ds = rd.from_arrow(tbl)
+    meta = decode_media_ds(ds).to_pandas()
+    assert len(meta) == 30
+    assert (meta["width"] >= 8).all() and (meta["n_bytes"] > 11).all()
+    assert meta["feature"].map(len).eq(16).all()
+
+    frames = frame_sample_ds(ds, every_k=2).to_pandas()
+    n_videos = (tbl["media_type"].to_pandas() == "video").sum()
+    assert (len(frames) > 0) == (n_videos > 0)
+    assert set(frames["media_id"]) <= set(tbl["media_id"].to_pylist())
+
+    # strict mode: real decoder absent in this container → NotImplementedError
+    with pytest.raises(NotImplementedError):
+        DecodeMedia(strict=True)
+
+
+def test_media_decode_deterministic(ray_session):
+    import ray.data as rd
+    from search_engine_skillbox_ray.pipelines.multimodal import decode_media_ds, make_media_table
+
+    t1 = decode_media_ds(rd.from_arrow(make_media_table(10, seed=4))).to_pandas()
+    t2 = decode_media_ds(rd.from_arrow(make_media_table(10, seed=4))).to_pandas()
+    assert t1.sort_values("media_id").reset_index(drop=True).equals(
+        t2.sort_values("media_id").reset_index(drop=True)
+    )
