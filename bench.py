@@ -1,0 +1,247 @@
+"""Benchmark harness: headline index-build throughput + query latency.
+
+Usage:
+  python bench.py                 # one JSON line: headline + per-query secs
+  python bench.py --scaling       # same job at 8 and 32 CPUs (fresh
+                                  # processes), prints both + efficiency
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS
+(default 32), SES_BENCH_PAGES (default 24000 synthetic pages).
+
+The headline pipeline is the engine's real workload shape: synthetic
+Common-Crawl-style pages (seeded, cached in /tmp) → HTML extraction →
+keep-latest dedup → tokenize/explode → salted groupby → compressed
+segments. Query latency is measured over a warm engine (segment caches
+primed), p50/p95 over a mixed head/tail query set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("SES_BENCH_PAGES", "24000"))
+N_SITES = 4
+PAGES_SEED = 42
+
+
+def _init_ray() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=N_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+
+def bench_index_build_pages() -> dict:
+    """Headline: full pages→index build; fresh index dir every run."""
+    import ray.data as rd
+
+    import search_engine_skillbox_ray as ses
+    from search_engine_skillbox_ray.sources.fixtures import write_pages_parquet
+    from search_engine_skillbox_ray.sources.pages import derive_sites
+
+    pages_dir = write_pages_parquet(
+        f"/tmp/ses_bench_pages_{N_PAGES}", N_PAGES, n_sites=N_SITES, seed=PAGES_SEED, shard_rows=2000
+    )
+    # warm the OS page cache so both parallelism levels measure compute
+    for f in sorted(os.listdir(pages_dir)):
+        if f.endswith(".parquet"):
+            with open(os.path.join(pages_dir, f), "rb") as fh:
+                fh.read()
+
+    idx_dir = f"/tmp/ses_bench_idx_{N_CPUS}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    pages = rd.read_parquet(str(pages_dir))
+    sites = derive_sites(pages)
+    cfg = ses.BuildConfig(
+        n_buckets=max(32, 2 * N_CPUS),
+        tokenize_concurrency=(1, N_CPUS),
+        prep_concurrency=(1, N_CPUS),
+    )
+    t0 = time.perf_counter()
+    res = ses.build_index_from_pages(
+        rd.read_parquet(str(pages_dir)), idx_dir, sites, cfg, input_token=f"bench-{N_PAGES}"
+    )
+    dt = time.perf_counter() - t0
+    total_bytes = sum(
+        os.path.getsize(os.path.join(pages_dir, f))
+        for f in os.listdir(pages_dir)
+        if f.endswith(".parquet")
+    )
+    return {
+        "seconds": dt,
+        "n_docs": res.n_docs,
+        "docs_per_sec": res.n_docs / dt,
+        "input_mb": total_bytes / 1e6,
+        "n_postings": res.n_postings,
+        "index_dir": idx_dir,
+    }
+
+
+def bench_query_latency(idx_dir: str, n_queries: int = 200) -> dict:
+    """p50/p95 over a warm engine; head, tail and multi-term queries."""
+    import numpy as np
+
+    from search_engine_skillbox_ray.state.engine import SearchEngine
+
+    eng = SearchEngine(idx_dir)
+    import glob
+
+    import pyarrow.parquet as pq
+
+    terms: list[tuple[str, int]] = []
+    for f in sorted(glob.glob(f"{idx_dir}/postings/*.parquet"))[:4]:
+        t = pq.read_table(f, columns=["term", "df"])
+        terms.extend(zip(t["term"].to_pylist(), t["df"].to_pylist()))
+    terms.sort(key=lambda x: -x[1])
+    head = [t for t, _ in terms[:20]]
+    tail = [t for t, _ in terms[-200:]]
+    rng = np.random.default_rng(7)
+    qset = []
+    for i in range(n_queries):
+        kind = i % 4
+        if kind == 0:
+            qset.append(str(rng.choice(head)))
+        elif kind == 1:
+            qset.append(str(rng.choice(tail)))
+        elif kind == 2:
+            qset.append(f"{rng.choice(head)} {rng.choice(tail)}")
+        else:
+            qset.append(f"{rng.choice(head)} {rng.choice(head)} {rng.choice(tail)}")
+    for q in qset[:20]:  # warm segment caches
+        eng.search(q, limit=10)
+    lat = []
+    for q in qset:
+        t0 = time.perf_counter()
+        eng.search(q, limit=10)
+        lat.append(time.perf_counter() - t0)
+    lat.sort()
+    return {
+        "p50_ms": 1000 * statistics.median(lat),
+        "p95_ms": 1000 * lat[int(0.95 * len(lat))],
+        "n_queries": len(lat),
+    }
+
+
+def bench_sf_queries() -> dict:
+    """Per-operator timings over the $GRAFT_SF_DIR testdata tables."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entry
+
+    chosen = [
+        "doc_term_tf",
+        "term_df",
+        "search_disjunctive",
+        "search_bm25",
+        "dedup_exact",
+        "minhash_pairs",
+        "simhash",
+        "ann_cosine_topk",
+        "ann_lsh_topk",
+        "events_window",
+        "sessionize",
+        "quality",
+        "langid",
+    ]
+    qs = entry.queries()
+    out: dict[str, float] = {}
+    # prime the shared documents index once (outside per-query timings the
+    # first search query would otherwise pay the build)
+    t0 = time.perf_counter()
+    entry._index_dir(SF_DIR)
+    out["index_build_documents"] = round(time.perf_counter() - t0, 3)
+    for name in chosen:
+        t0 = time.perf_counter()
+        res = qs[name](SF_DIR)
+        # consume lazily-built datasets so we time execution, not graph build
+        import ray.data as rd
+
+        if isinstance(res, rd.Dataset):
+            res.count()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def run_once() -> dict:
+    _init_ray()
+    headline = bench_index_build_pages()
+    qlat = bench_query_latency(headline["index_dir"])
+    queries = bench_sf_queries()
+    queries["query_p50_ms"] = round(qlat["p50_ms"], 3)
+    queries["query_p95_ms"] = round(qlat["p95_ms"], 3)
+    result = {
+        "metric": "index_build_seconds_pages_corpus",
+        "value": round(headline["seconds"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": N_CPUS,
+        "n_pages": N_PAGES,
+        "docs_per_sec": round(headline["docs_per_sec"], 1),
+        "input_mb": round(headline["input_mb"], 1),
+        "query_p50_ms": round(qlat["p50_ms"], 3),
+        "query_p95_ms": round(qlat["p95_ms"], 3),
+    }
+    import ray
+
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same job at 8 and 32 CPUs in fresh processes (BASELINE.md protocol)."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "docs_per_sec_lo": r_lo["docs_per_sec"],
+        "docs_per_sec_hi": r_hi["docs_per_sec"],
+        "query_p50_ms_lo": r_lo["query_p50_ms"],
+        "query_p50_ms_hi": r_hi["query_p50_ms"],
+        "scaling_efficiency": round(eff, 3),
+        "n_pages": N_PAGES,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_once()))

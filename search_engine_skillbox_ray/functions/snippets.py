@@ -32,6 +32,8 @@ MAX_SNIPPET_LENGTH = 300
 
 # Java \s without UNICODE_CHARACTER_CLASS: ASCII whitespace only.
 _JAVA_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
+# chars whose presence forces the full Jsoup-semantics re-parse
+_NEEDS_REPARSE_RE = re.compile("[<>& ​­]")
 _ASCII_WORD = frozenset("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_")
 
 
@@ -102,7 +104,14 @@ def generate_snippet(content: str | None, query_words: list[str] | None) -> str:
     """M12: first-occurrence windows for up to two query words."""
     if content is None or not content.strip():
         return ""
-    text = extract_text(content)
+    # Jsoup.parse(content).text() is a whitespace no-op on plain text —
+    # skip the full HTML re-parse unless markup/entities/special
+    # whitespace could change the bytes (the stored content is already
+    # extracted text, so this is the hot path at result decoration).
+    if _NEEDS_REPARSE_RE.search(content) is None:
+        text = content
+    else:
+        text = extract_text(content)
     text = _java_trim(_JAVA_WS_RE.sub(" ", text))
     lower = text.lower()
 

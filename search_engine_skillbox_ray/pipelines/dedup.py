@@ -49,20 +49,35 @@ def exact_dedup(documents: rd.Dataset, text_col: str = "text", id_col: str = "do
     """→ (doc_id, n_copies): the surviving (minimum) doc_id per distinct
     content, with its duplicate count. D1-exact semantics generalized
     from the reference's (site,path) upsert dedup."""
+    from ..stages.grouping import bucketed_group_apply
+
     hashed = documents.map_batches(
         lambda b: _content_hash_stage(b, text_col, id_col), batch_format="pyarrow"
     )
 
-    def keep_min(group: pa.Table) -> pa.Table:
-        ids = group.column(id_col).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                id_col: pa.array([int(ids.min())], pa.int64()),
-                "n_copies": pa.array([len(ids)], pa.int64()),
-            }
+    def keep_min_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            bucket.groupby("content_hash", sort=False)[id_col]
+            .agg(["min", "size"])
+            .reset_index(drop=True)
+            .rename(columns={"min": id_col, "size": "n_copies"})
         )
+        out[id_col] = out[id_col].astype("int64")
+        out["n_copies"] = out["n_copies"].astype("int64")
+        return out
 
-    return hashed.groupby("content_hash").map_groups(keep_min, batch_format="pyarrow")
+    return bucketed_group_apply(hashed, ["content_hash"], keep_min_bucket, n_buckets=64)
+
+
+
+def _dedup_pair_rows(pairs: rd.Dataset, cols: list[str]) -> rd.Dataset:
+    """Same pair can surface from several LSH bands/buckets — keep one.
+    Hash-bucketed + vectorized drop_duplicates (no per-pair groups)."""
+    from ..stages.grouping import bucketed_group_apply
+
+    return bucketed_group_apply(
+        pairs, cols, lambda b: b.drop_duplicates(cols), n_buckets=32
+    )
 
 
 # ------------------------------------------------------------- minhash
@@ -157,38 +172,33 @@ def minhash_lsh_pairs(
 
     exploded = sigs.map_batches(explode_with_sig, batch_format="pyarrow")
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
-        if len(ids) < 2:
-            return pa.table(
-                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-                 "est_jaccard": pa.array([], pa.float64())}
-            )
-        sig = np.asarray(group.column("signature").to_pylist(), dtype=np.int64)
-        order = np.argsort(ids)
-        ids, sig = ids[order], sig[order]
+    def bucket_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
         a_out, b_out, j_out = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] == ids[j]:
-                    continue
-                est = float((sig[i] == sig[j]).mean())
-                if est >= threshold:
-                    a_out.append(int(ids[i]))
-                    b_out.append(int(ids[j]))
-                    j_out.append(round(est, 6))
-        return pa.table(
-            {"doc_a": pa.array(a_out, pa.int64()), "doc_b": pa.array(b_out, pa.int64()),
-             "est_jaccard": pa.array(j_out, pa.float64())}
+        for _, grp in bucket.groupby(["band_id", "band_hash"], sort=False):
+            if len(grp) < 2:
+                continue
+            ids = grp["doc_id"].to_numpy(np.int64)
+            sig = np.asarray(list(grp["signature"]), dtype=np.int64)
+            order = np.argsort(ids)
+            ids, sig = ids[order], sig[order]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    if ids[i] == ids[j]:
+                        continue
+                    est = float((sig[i] == sig[j]).mean())
+                    if est >= threshold:
+                        a_out.append(int(ids[i]))
+                        b_out.append(int(ids[j]))
+                        j_out.append(round(est, 6))
+        return pd.DataFrame(
+            {"doc_a": np.array(a_out, np.int64), "doc_b": np.array(b_out, np.int64),
+             "est_jaccard": np.array(j_out, np.float64)}
         )
 
-    pairs = exploded.groupby(["band_id", "band_hash"]).map_groups(bucket_pairs, batch_format="pyarrow")
+    from ..stages.grouping import bucketed_group_apply
 
-    # same pair can surface from multiple bands → dedup
-    def dedup_pairs(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
-
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(dedup_pairs, batch_format="pyarrow")
+    pairs = bucketed_group_apply(exploded, ["band_id", "band_hash"], bucket_pairs, n_buckets=32)
+    return _dedup_pair_rows(pairs, ["doc_a", "doc_b"])
 
 
 # -------------------------------------------------------------- simhash
@@ -248,30 +258,33 @@ def simhash_near_pairs(documents: rd.Dataset, max_hamming: int = 3) -> rd.Datase
 
     exploded = sh.map_batches(explode_bands, batch_format="pyarrow")
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
-        hs = group.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
-        order = np.argsort(ids)
-        ids, hs = ids[order], hs[order]
+    def bucket_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
         a_out, b_out, d_out = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] == ids[j]:
-                    continue
-                d = int(bin(int(hs[i]) ^ int(hs[j])).count("1"))
-                if d <= max_hamming:
-                    a_out.append(int(ids[i]))
-                    b_out.append(int(ids[j]))
-                    d_out.append(d)
-        return pa.table(
-            {"doc_a": pa.array(a_out, pa.int64()), "doc_b": pa.array(b_out, pa.int64()),
-             "hamming": pa.array(d_out, pa.int64())}
+        for _, grp in bucket.groupby(["band_id", "band_val"], sort=False):
+            if len(grp) < 2:
+                continue
+            ids = grp["doc_id"].to_numpy(np.int64)
+            hs = grp["simhash"].to_numpy(np.int64).astype(np.uint64)
+            order = np.argsort(ids)
+            ids, hs = ids[order], hs[order]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    if ids[i] == ids[j]:
+                        continue
+                    d = int(bin(int(hs[i]) ^ int(hs[j])).count("1"))
+                    if d <= max_hamming:
+                        a_out.append(int(ids[i]))
+                        b_out.append(int(ids[j]))
+                        d_out.append(d)
+        return pd.DataFrame(
+            {"doc_a": np.array(a_out, np.int64), "doc_b": np.array(b_out, np.int64),
+             "hamming": np.array(d_out, np.int64)}
         )
 
-    pairs = exploded.groupby(["band_id", "band_val"]).map_groups(bucket_pairs, batch_format="pyarrow")
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    from ..stages.grouping import bucketed_group_apply
+
+    pairs = bucketed_group_apply(exploded, ["band_id", "band_val"], bucket_pairs, n_buckets=32)
+    return _dedup_pair_rows(pairs, ["doc_a", "doc_b"])
 
 
 # ------------------------------------------------------ n-gram jaccard
@@ -316,31 +329,34 @@ def ngram_jaccard_pairs(
 
     exploded = documents.map_batches(to_ngrams, batch_format="pyarrow")
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
-        grams = group.column("grams").to_pylist()
-        order = np.argsort(ids)
+    def bucket_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
         a_out, b_out, j_out = [], [], []
-        for x in range(len(order)):
-            for y in range(x + 1, len(order)):
-                i, j = order[x], order[y]
-                if ids[i] == ids[j]:
-                    continue
-                s1, s2 = set(grams[i]), set(grams[j])
-                jac = len(s1 & s2) / len(s1 | s2) if (s1 or s2) else 0.0
-                if jac >= threshold:
-                    a_out.append(int(ids[i]))
-                    b_out.append(int(ids[j]))
-                    j_out.append(round(jac, 6))
-        return pa.table(
-            {"doc_a": pa.array(a_out, pa.int64()), "doc_b": pa.array(b_out, pa.int64()),
-             "jaccard": pa.array(j_out, pa.float64())}
+        for _, grp in bucket.groupby("bucket", sort=False):
+            if len(grp) < 2:
+                continue
+            ids = grp["doc_id"].to_numpy(np.int64)
+            grams = list(grp["grams"])
+            order = np.argsort(ids)
+            for x in range(len(order)):
+                for y in range(x + 1, len(order)):
+                    i, j = order[x], order[y]
+                    if ids[i] == ids[j]:
+                        continue
+                    s1, s2 = set(grams[i]), set(grams[j])
+                    jac = len(s1 & s2) / len(s1 | s2) if (s1 or s2) else 0.0
+                    if jac >= threshold:
+                        a_out.append(int(ids[i]))
+                        b_out.append(int(ids[j]))
+                        j_out.append(round(jac, 6))
+        return pd.DataFrame(
+            {"doc_a": np.array(a_out, np.int64), "doc_b": np.array(b_out, np.int64),
+             "jaccard": np.array(j_out, np.float64)}
         )
 
-    pairs = exploded.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    from ..stages.grouping import bucketed_group_apply
+
+    pairs = bucketed_group_apply(exploded, ["bucket"], bucket_pairs, n_buckets=32)
+    return _dedup_pair_rows(pairs, ["doc_a", "doc_b"])
 
 
 # ------------------------------------------- embedding cosine near-dup
@@ -379,14 +395,16 @@ def embedding_near_pairs(
 
     bucketed = embeddings.map_batches(bucketize, batch_format="pyarrow")
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = group.column(id_col).to_numpy(zero_copy_only=False)
-        vecs = np.asarray(group.column(vec_col).to_pylist(), dtype=np.float64)
-        norms = group.column("norm").to_numpy(zero_copy_only=False)
-        order = np.argsort(ids)
-        ids, vecs, norms = ids[order], vecs[order], norms[order]
+    def bucket_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
         a_out, b_out, c_out = [], [], []
-        if len(ids) >= 2:
+        for _, grp in bucket.groupby("bucket", sort=False):
+            if len(grp) < 2:
+                continue
+            ids = grp[id_col].to_numpy(np.int64)
+            vecs = np.asarray(list(grp[vec_col]), dtype=np.float64)
+            norms = grp["norm"].to_numpy(np.float64)
+            order = np.argsort(ids)
+            ids, vecs, norms = ids[order], vecs[order], norms[order]
             sims = (vecs @ vecs.T) / np.maximum(np.outer(norms, norms), 1e-300)
             ii, jj = np.triu_indices(len(ids), k=1)
             good = sims[ii, jj] >= threshold
@@ -394,12 +412,12 @@ def embedding_near_pairs(
                 a_out.append(int(ids[i]))
                 b_out.append(int(ids[j]))
                 c_out.append(round(float(s), 6))
-        return pa.table(
-            {"vec_a": pa.array(a_out, pa.int64()), "vec_b": pa.array(b_out, pa.int64()),
-             "cosine": pa.array(c_out, pa.float64())}
+        return pd.DataFrame(
+            {"vec_a": np.array(a_out, np.int64), "vec_b": np.array(b_out, np.int64),
+             "cosine": np.array(c_out, np.float64)}
         )
 
-    pairs = bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
-    return pairs.groupby(["vec_a", "vec_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    from ..stages.grouping import bucketed_group_apply
+
+    pairs = bucketed_group_apply(bucketed, ["bucket"], bucket_pairs, n_buckets=32)
+    return _dedup_pair_rows(pairs, ["vec_a", "vec_b"])

@@ -122,13 +122,17 @@ class PreparePages:
         return pa.table(cols)
 
 
-def _keep_latest(group: pa.Table) -> pa.Table:
-    df = group.to_pandas()
-    if "warc_ts" in df.columns:
-        df = df.sort_values(["warc_ts", "url"], ascending=[False, True], kind="mergesort")
-    else:
-        df = df.sort_values(["url"], kind="mergesort")
-    return pa.Table.from_pandas(df.head(1), preserve_index=False)
+def _keep_latest_bucket(bucket: "pd.DataFrame") -> "pd.DataFrame":
+    """Vectorized keep-latest over a whole hash bucket of (site, path)
+    keys: sort (warc_ts desc, url asc) then drop_duplicates keeps the
+    winner per key — one pandas call for thousands of keys."""
+    import pandas as pd  # noqa: F401
+
+    by = ["warc_ts", "url"] if "warc_ts" in bucket.columns else ["url"]
+    asc = [False, True] if "warc_ts" in bucket.columns else [True]
+    return bucket.sort_values(by, ascending=asc, kind="mergesort").drop_duplicates(
+        ["site_id", "path"], keep="first"
+    )
 
 
 def finalize_docs(batch: pa.Table) -> pa.Table:
@@ -162,6 +166,8 @@ def prepare_docs(
     concurrency: int | tuple[int, int] = (1, 8),
 ) -> rd.Dataset:
     """pages → docs Dataset (see module docstring). Lazy / streaming."""
+    from ..stages.grouping import bucketed_group_apply
+
     sites_ref = ray.put(sites)
     ds = pages.map_batches(
         PreparePages,
@@ -171,7 +177,7 @@ def prepare_docs(
         concurrency=concurrency,
     )
     if dedup:
-        ds = ds.groupby(["site_id", "path"]).map_groups(_keep_latest, batch_format="pyarrow")
+        ds = bucketed_group_apply(ds, ["site_id", "path"], _keep_latest_bucket, n_buckets=64)
     return ds.map_batches(finalize_docs, batch_format="pyarrow")
 
 

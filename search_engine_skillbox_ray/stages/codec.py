@@ -154,6 +154,90 @@ def decode_block(row: dict, block: int, block_size: int = BLOCK_SIZE) -> tuple[n
     return doc_ids, tfs.astype(np.int64)
 
 
+def encode_posting_lists_bulk(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    lengths: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+) -> list[dict]:
+    """Encode MANY posting lists in one vectorized pass.
+
+    ``doc_ids``/``tfs`` are the concatenation of all lists, sorted by
+    (list, doc_id); ``lengths`` gives each list's length. Produces
+    byte-identical payloads to per-list ``encode_posting_list`` (varbyte
+    is per-value, so per-block encoding concatenates to the same bytes)
+    while replacing the per-term Python loop with whole-array numpy:
+    the encode stage's hot path (SURVEY §7.1.5).
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    lengths = np.asarray(lengths, dtype=np.int64)
+    n = doc_ids.size
+    if n == 0:
+        return []
+    ends = np.cumsum(lengths)
+    starts = ends - lengths
+    if int(ends[-1]) != n:
+        raise ValueError("lengths do not sum to array size")
+
+    # per-list delta gaps; first element of each list keeps its docID
+    gaps = np.empty(n, dtype=np.uint64)
+    gaps[1:] = doc_ids[1:].astype(np.uint64) - doc_ids[:-1].astype(np.uint64)
+    gaps[starts] = doc_ids[starts].astype(np.uint64)
+    # duplicate/unsorted detection: within-list gap of 0 or negative
+    inner = np.ones(n, dtype=bool)
+    inner[starts] = False
+    if np.any(doc_ids[1:][inner[1:]] <= doc_ids[:-1][inner[1:]]):
+        raise ValueError("docIDs not strictly increasing within a posting list")
+
+    # whole-array varbyte with per-value byte width bookkeeping
+    nb_g = np.ones(n, dtype=np.int64)
+    nb_t = np.ones(n, dtype=np.int64)
+    utfs = tfs.astype(np.uint64)
+    for t in _THRESHOLDS:
+        nb_g += gaps >= np.uint64(t)
+        nb_t += utfs >= np.uint64(t)
+    gbuf = _vb_fill(gaps, nb_g)
+    tbuf = _vb_fill(utfs, nb_t)
+    cum_g = np.concatenate(([0], np.cumsum(nb_g)))
+    cum_t = np.concatenate(([0], np.cumsum(nb_t)))
+
+    # per-list block metadata
+    out: list[dict] = []
+    cf_all = np.add.reduceat(tfs, starts)
+    for li in range(lengths.size):
+        s, e = int(starts[li]), int(ends[li])
+        ln = e - s
+        bstarts = np.arange(s, e, block_size)
+        bends = np.minimum(bstarts + block_size, e)
+        out.append(
+            {
+                "df": ln,
+                "cf": int(cf_all[li]),
+                "doc_gaps": gbuf[cum_g[s]: cum_g[e]].tobytes(),
+                "tf_bytes": tbuf[cum_t[s]: cum_t[e]].tobytes(),
+                "block_last_doc": doc_ids[bends - 1].tolist(),
+                "block_max_tf": np.maximum.reduceat(tfs[s:e], bstarts - s).tolist(),
+                "block_gap_offset": (cum_g[bstarts] - cum_g[s]).tolist(),
+                "block_tf_offset": (cum_t[bstarts] - cum_t[s]).tolist(),
+            }
+        )
+    return out
+
+
+def _vb_fill(v: np.ndarray, nb: np.ndarray) -> np.ndarray:
+    ends = np.cumsum(nb)
+    starts = ends - nb
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    for k in range(int(nb.max())):
+        mask = nb > k
+        pos = starts[mask] + k
+        byte = (v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
+        cont = (nb[mask] > k + 1).astype(np.uint8) << 7
+        out[pos] = byte.astype(np.uint8) | cont
+    return out
+
+
 def merge_posting_payloads(payloads: list[dict], block_size: int = BLOCK_SIZE) -> dict:
     """Merge salted partial posting lists for one (site, term).
 

@@ -33,7 +33,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from .codec import BLOCK_SIZE, encode_posting_list, merge_posting_payloads
+from .codec import BLOCK_SIZE, encode_posting_lists_bulk, merge_posting_payloads
 
 SEGMENT_SCHEMA = pa.schema(
     [
@@ -60,25 +60,36 @@ def _rows_to_table(rows: dict[str, list]) -> pa.Table:
 
 
 def encode_partial_group(group: pa.Table) -> pa.Table:
-    """map_groups body over groupby(bucket, salt): encode each
-    (site_id, term) run into one partial-segment row."""
+    """map_groups body over groupby(bucket, salt): encode every
+    (site_id, term) run into partial-segment rows in ONE vectorized pass
+    (sort by (term, site_id, doc_id) → run-length boundaries → bulk
+    varbyte; no per-term Python loop)."""
     if not len(group):
         return _rows_to_table({n: [] for n in SEGMENT_SCHEMA.names})
     df = group.select(["bucket", "salt", "site_id", "term", "doc_id", "tf"]).to_pandas()
     bucket = int(df["bucket"].iloc[0])
     salt = int(df["salt"].iloc[0])
+    df = df.sort_values(["term", "site_id", "doc_id"], kind="mergesort")
+    terms = df["term"].to_numpy()
+    site_ids = df["site_id"].to_numpy(np.int32)
+    doc_ids = df["doc_id"].to_numpy(np.int64)
+    tfs = df["tf"].to_numpy(np.int64)
+
+    new_run = np.ones(len(df), dtype=bool)
+    new_run[1:] = (terms[1:] != terms[:-1]) | (site_ids[1:] != site_ids[:-1])
+    run_starts = np.flatnonzero(new_run)
+    run_ends = np.append(run_starts[1:], len(df))
+    lengths = run_ends - run_starts
+
+    payloads = encode_posting_lists_bulk(doc_ids, tfs, lengths, block_size=BLOCK_SIZE)
     rows: dict[str, list] = {n: [] for n in SEGMENT_SCHEMA.names}
-    for (site_id, term), sub in df.groupby(["site_id", "term"], sort=False):
-        payload = encode_posting_list(
-            sub["doc_id"].to_numpy(np.int64), sub["tf"].to_numpy(np.int64), block_size=BLOCK_SIZE
-        )
-        rows["bucket"].append(bucket)
-        rows["site_id"].append(int(site_id))
-        rows["term"].append(term)
-        rows["salt"].append(salt)
-        for k in ("df", "cf", "doc_gaps", "tf_bytes", "block_last_doc",
-                  "block_max_tf", "block_gap_offset", "block_tf_offset"):
-            rows[k].append(payload[k])
+    rows["bucket"] = [bucket] * len(payloads)
+    rows["salt"] = [salt] * len(payloads)
+    rows["site_id"] = site_ids[run_starts].tolist()
+    rows["term"] = terms[run_starts].tolist()
+    for k in ("df", "cf", "doc_gaps", "tf_bytes", "block_last_doc",
+              "block_max_tf", "block_gap_offset", "block_tf_offset"):
+        rows[k] = [p[k] for p in payloads]
     return _rows_to_table(rows)
 
 
@@ -99,30 +110,46 @@ class BucketSegmentWriter:
             return pa.table({"bucket": pa.array([], pa.int32()),
                              "n_terms": pa.array([], pa.int64()),
                              "n_postings": pa.array([], pa.int64())})
-        gdf = group.to_pandas()
-        bucket = int(gdf["bucket"].iloc[0])
-
-        merged: dict[str, list] = {n: [] for n in SEGMENT_SCHEMA.names}
+        bucket = int(group.column("bucket")[0].as_py())
         # deterministic order regardless of partial arrival order; term-major
         # so Parquet row-group stats prune term lookups at query time
-        gdf = gdf.sort_values(["term", "site_id", "salt"], kind="mergesort")
-        for (term, site_id), sub in gdf.groupby(["term", "site_id"], sort=True):
-            if len(sub) == 1:
-                payload = {k: sub[k].iloc[0] for k in (
-                    "df", "cf", "doc_gaps", "tf_bytes", "block_last_doc",
-                    "block_max_tf", "block_gap_offset", "block_tf_offset")}
-                payload = {k: (list(v) if isinstance(v, np.ndarray) else v) for k, v in payload.items()}
-            else:
-                payload = merge_posting_payloads(sub.to_dict("records"), block_size=BLOCK_SIZE)
-            merged["bucket"].append(bucket)
-            merged["site_id"].append(int(site_id))
-            merged["term"].append(term)
-            merged["salt"].append(-1)  # merged segment: salt retired
-            for k in ("df", "cf", "doc_gaps", "tf_bytes", "block_last_doc",
-                      "block_max_tf", "block_gap_offset", "block_tf_offset"):
-                merged[k].append(payload[k])
+        group = group.sort_by(
+            [("term", "ascending"), ("site_id", "ascending"), ("salt", "ascending")]
+        )
+        terms = np.asarray(group.column("term").to_pylist(), dtype=object)
+        site_ids = group.column("site_id").to_numpy(zero_copy_only=False)
+        n = len(group)
+        new_run = np.ones(n, dtype=bool)
+        new_run[1:] = (terms[1:] != terms[:-1]) | (site_ids[1:] != site_ids[:-1])
+        run_starts = np.flatnonzero(new_run)
+        run_lens = np.diff(np.append(run_starts, n))
 
-        table = _rows_to_table(merged)
+        if (run_lens == 1).all():
+            # fast path: nothing was salted — partials ARE the segments
+            table = group.drop_columns(["salt"]).add_column(
+                3, "salt", pa.array(np.full(n, -1, dtype=np.int32))
+            )
+            table = table.select(SEGMENT_SCHEMA.names)
+        else:
+            keep_mask = np.zeros(n, dtype=bool)
+            keep_mask[run_starts[run_lens == 1]] = True
+            passthrough = group.filter(pa.array(keep_mask))
+            rows = passthrough.to_pydict()
+            salted_idx = run_starts[run_lens > 1]
+            salted_lens = run_lens[run_lens > 1]
+            gl = group.to_pylist()
+            for s, ln in zip(salted_idx, salted_lens):
+                payload = merge_posting_payloads(gl[s: s + ln], block_size=BLOCK_SIZE)
+                rows["bucket"].append(bucket)
+                rows["site_id"].append(int(site_ids[s]))
+                rows["term"].append(terms[s])
+                rows["salt"].append(-1)
+                for k in ("df", "cf", "doc_gaps", "tf_bytes", "block_last_doc",
+                          "block_max_tf", "block_gap_offset", "block_tf_offset"):
+                    rows[k].append(payload[k])
+            rows["salt"] = [-1] * len(rows["salt"])
+            table = _rows_to_table(rows)
+            table = table.sort_by([("term", "ascending"), ("site_id", "ascending")])
         n_postings = int(pa.compute.sum(table["df"]).as_py() or 0)
         final = self.postings_dir / f"bucket={bucket:05d}.parquet"
         tmp = self.postings_dir / f"bucket={bucket:05d}.parquet.tmp"

@@ -83,6 +83,13 @@ class SearchEngine:
             normalize_url(s["url"]): int(s["site_id"]) for s in self.stats["sites"]
         }
         self._term_cache: dict[str, list[dict]] = {}
+        self._bucket_cache: dict[int, dict[str, list[dict]]] = {}
+        # cache whole decoded buckets (one parquet read amortized over all
+        # its terms). At cluster scale each query actor caches only the
+        # buckets it serves; bound with max_cached_buckets.
+        self.cache_buckets = True
+        self.max_cached_buckets = 4096
+        self._decoded: dict[tuple[str, int | None], tuple[np.ndarray, np.ndarray, int]] = {}
         self._doclen: tuple[np.ndarray, np.ndarray] | None = None
         self._docs_dataset = None
 
@@ -98,26 +105,45 @@ class SearchEngine:
         for t, bkt in zip(missing, term_bucket(missing, self.n_buckets)):
             by_bucket.setdefault(int(bkt), []).append(t)
         for bkt, ts in by_bucket.items():
-            path = self._bucket_path(bkt)
-            rows_by_term: dict[str, list[dict]] = {t: [] for t in ts}
-            if path.exists():
-                tbl = pq.read_table(path, filters=[("term", "in", ts)])
-                for row in tbl.to_pylist():
-                    rows_by_term[row["term"]].append(row)
-            self._term_cache.update(rows_by_term)
+            if self.cache_buckets:
+                if bkt not in self._bucket_cache:
+                    if len(self._bucket_cache) >= self.max_cached_buckets:
+                        self._bucket_cache.pop(next(iter(self._bucket_cache)))
+                    bucket_rows: dict[str, list[dict]] = {}
+                    path = self._bucket_path(bkt)
+                    if path.exists():
+                        for row in pq.read_table(path).to_pylist():
+                            bucket_rows.setdefault(row["term"], []).append(row)
+                    self._bucket_cache[bkt] = bucket_rows
+                cached = self._bucket_cache[bkt]
+                self._term_cache.update({t: cached.get(t, []) for t in ts})
+            else:
+                path = self._bucket_path(bkt)
+                rows_by_term: dict[str, list[dict]] = {t: [] for t in ts}
+                if path.exists():
+                    tbl = pq.read_table(path, filters=[("term", "in", ts)])
+                    for row in tbl.to_pylist():
+                        rows_by_term[row["term"]].append(row)
+                self._term_cache.update(rows_by_term)
 
     def term_postings(
         self, term: str, site_id: int | None = None
     ) -> tuple[np.ndarray, np.ndarray, int]:
         """(doc_ids asc, tfs, df) for a term, optionally site-scoped.
         Global postings merge the per-site lists (docIDs are globally
-        unique and sites partition the docs, so concat+sort is exact)."""
+        unique and sites partition the docs, so concat+sort is exact).
+        Decoded lists are cached per (term, site)."""
+        key = (term, site_id)
+        if key in self._decoded:
+            return self._decoded[key]
         self._load_terms([term])
         rows = self._term_cache.get(term, [])
         if site_id is not None:
             rows = [r for r in rows if int(r["site_id"]) == site_id]
         if not rows:
-            return np.empty(0, np.int64), np.empty(0, np.int64), 0
+            out = (np.empty(0, np.int64), np.empty(0, np.int64), 0)
+            self._decoded[key] = out
+            return out
         parts = [decode_posting_list(r) for r in rows]
         if len(parts) == 1:
             d, t = parts[0]
@@ -126,7 +152,9 @@ class SearchEngine:
             t = np.concatenate([p[1] for p in parts])
             order = np.argsort(d, kind="stable")
             d, t = d[order], t[order]
-        return d, t, int(d.size)
+        out = (d, t, int(d.size))
+        self._decoded[key] = out
+        return out
 
     # ---------------- scoring -----------------------------------------
     def _resolve_site(self, site: str | None) -> tuple[int | None, bool]:
@@ -269,18 +297,50 @@ class SearchEngine:
             return {"result": False, "count": 0, "data": []}  # catch-all, :68-70
 
     def _hydrate(self, doc_ids: np.ndarray) -> dict[int, dict]:
-        """J1 semi-join: top-k docs by id via Parquet predicate read."""
+        """J1 semi-join: top-k docs by id.
+
+        Default: one-time load of the doc store into sorted arrays
+        (docID-binary-searched per query — single-node latency path; at
+        cluster scale each query actor holds only its shard, or set
+        ``docs_in_memory=False`` for the Parquet predicate-read path).
+        """
         if doc_ids.size == 0:
             return {}
-        import pyarrow.dataset as pads
+        if not getattr(self, "docs_in_memory", True):
+            import pyarrow.dataset as pads
 
+            if self._docs_dataset is None:
+                self._docs_dataset = pads.dataset(self.index_dir / "docs", format="parquet")
+            tbl = self._docs_dataset.to_table(
+                columns=["doc_id", "site_id", "path", "text"],
+                filter=pads.field("doc_id").isin(pa.array(doc_ids)),
+            )
+            return {int(r["doc_id"]): r for r in tbl.to_pylist()}
         if self._docs_dataset is None:
-            self._docs_dataset = pads.dataset(self.index_dir / "docs", format="parquet")
-        tbl = self._docs_dataset.to_table(
-            columns=["doc_id", "site_id", "path", "text"],
-            filter=pads.field("doc_id").isin(pa.array(doc_ids)),
-        )
-        return {int(r["doc_id"]): r for r in tbl.to_pylist()}
+            tbl = pq.read_table(
+                self.index_dir / "docs", columns=["doc_id", "site_id", "path", "text"]
+            )
+            ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+            order = np.argsort(ids)
+            self._docs_dataset = (
+                ids[order],
+                tbl["site_id"].to_numpy(zero_copy_only=False)[order],
+                tbl["path"].to_pandas().to_numpy()[order],
+                tbl["text"].to_pandas().to_numpy()[order],
+            )
+        ids, sids, paths, texts = self._docs_dataset
+        idx = np.searchsorted(ids, doc_ids)
+        idx = np.clip(idx, 0, len(ids) - 1)
+        out = {}
+        for want, j in zip(doc_ids.tolist(), idx.tolist()):
+            if ids[j] == want:
+                out[int(want)] = {
+                    "doc_id": int(want),
+                    "site_id": int(sids[j]),
+                    "path": paths[j],
+                    "text": texts[j],
+                }
+        return out
 
     def statistics(self) -> dict:
         """A7 (service/StatisticsServiceImpl.java:24-86) over stats.json +
