@@ -33,10 +33,14 @@ import ray
 import ray.data as rd
 
 from ..sources.pages import DOCS_SCHEMA, docs_from_documents, prepare_docs, sites_for_sources
-from ..stages.postings import BucketSegmentWriter, encode_partial_group
+from ..stages.postings import BucketSegmentWriter, WriteDocsShard, merge_segment_rows
 from ..stages.tokenizer import TokenizeExplode
 from ..state.manifest import BuildManifest, atomic_write_json, fingerprint_inputs
 
+
+# bump when on-disk layout or id/hash semantics change — invalidates
+# resume markers of indexes built by older code
+INDEX_FORMAT_VERSION = 2
 
 @dataclass
 class BuildConfig:
@@ -54,10 +58,16 @@ class BuildConfig:
     prep_concurrency: tuple[int, int] | int = (1, 16)
     dedup: bool = True
     use_text_col: bool = False
+    # two-level merge: pre-merge partials per (bucket, salt) before the
+    # final bucket merge. OFF by default: the single-level merge handles
+    # salted partials correctly; enable at extreme scale where one
+    # bucket's partials exceed a worker's heap
+    two_level_merge: bool = False
     extra_fingerprint: dict = field(default_factory=dict)
 
     def params(self) -> dict:
         return {
+            "format_version": INDEX_FORMAT_VERSION,
             "n_buckets": self.n_buckets,
             "block_size": self.block_size,
             "heavy_df_threshold": self.heavy_df_threshold,
@@ -80,32 +90,101 @@ class BuildResult:
     stats: dict
 
 
-def estimate_heavy_terms(docs: rd.Dataset, cfg: BuildConfig) -> dict[str, int]:
+def estimate_heavy_terms_from_dir(docs_dir: Path, n_total_docs: int, cfg: BuildConfig) -> dict[str, int]:
     """Sampled df estimate → {term: n_salts} for Zipf-head terms only.
 
-    Sampling (seeded, deterministic for a fixed block layout) keeps the
-    prepass from re-reading the corpus; salting is a performance hint, so
-    an approximate df is fine — correctness never depends on it (the
-    merge step is salt-agnostic).
+    Driver-side: reads a deterministic subset of the docs shards
+    (column-pruned to ``text``) and counts per-term document frequency
+    with Arrow kernels — no Ray job, no extra pass over the corpus.
+    Salting is a performance hint, so an approximate df is fine —
+    correctness never depends on it (the merge step is salt-agnostic).
+    At cluster scale this becomes a handful of shard reads on the
+    driver; the shard subset is fixed by sorted order, so the estimate
+    is deterministic across runs and cluster sizes.
     """
+    import pyarrow.parquet as pq
+
+    from ..stages.tokenizer import token_lists
+
     if cfg.sample_fraction <= 0:
         return {}
-    sample = docs.random_sample(cfg.sample_fraction, seed=42).limit(cfg.sample_max_docs)
-    exploded = sample.map_batches(
-        TokenizeExplode, batch_format="pyarrow", concurrency=(1, 2), batch_size=cfg.tokenize_batch_size
-    )
-    df_tbl = exploded.groupby("term").count()
-    pdf = df_tbl.to_pandas()  # vocabulary-of-sample sized
-    if not len(pdf):
+    files = sorted(p for p in Path(docs_dir).glob("*.parquet"))
+    if not files:
         return {}
-    scale = 1.0 / max(cfg.sample_fraction, 1e-9)
-    est = pdf["count()"].to_numpy() * scale
-    heavy = pdf["term"].to_numpy()[est > cfg.heavy_df_threshold]
-    est_h = est[est > cfg.heavy_df_threshold]
-    return {
-        t: int(min(cfg.max_salts, max(2, np.ceil(e / cfg.salt_target))))
-        for t, e in zip(heavy, est_h)
-    }
+    want_docs = min(cfg.sample_max_docs, max(256, int(n_total_docs * cfg.sample_fraction)))
+    sampled = 0
+    term_df: dict[str, int] = {}
+    for f in files:
+        if sampled >= want_docs:
+            break
+        tbl = pq.read_table(f, columns=["text"])
+        take = min(len(tbl), want_docs - sampled)
+        lists = token_lists(tbl["text"].slice(0, take))
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        for row in lists.to_pylist():
+            for t in set(row):
+                if t:
+                    term_df[t] = term_df.get(t, 0) + 1
+        sampled += take
+    if sampled == 0:
+        return {}
+    scale = n_total_docs / sampled
+    out: dict[str, int] = {}
+    for t, df in term_df.items():
+        est = df * scale
+        if est > cfg.heavy_df_threshold:
+            out[t] = int(min(cfg.max_salts, max(2, np.ceil(est / cfg.salt_target))))
+    return out
+
+
+def _heavy_from_texts(texts: list[str], n_total_docs: int, cfg: BuildConfig) -> dict[str, int]:
+    """{term: n_salts} from a driver-side text sample (see estimate_heavy_terms_from_dir)."""
+    from ..stages.tokenizer import token_lists
+
+    if not texts:
+        return {}
+    lists = token_lists(pa.array(texts, pa.string()))
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    term_df: dict[str, int] = {}
+    for row in lists.to_pylist():
+        for t in set(row):
+            if t:
+                term_df[t] = term_df.get(t, 0) + 1
+    scale = max(1.0, n_total_docs / len(texts))
+    out: dict[str, int] = {}
+    for t, df in term_df.items():
+        est = df * scale
+        if est > cfg.heavy_df_threshold:
+            out[t] = int(min(cfg.max_salts, max(2, np.ceil(est / cfg.salt_target))))
+    return out
+
+
+def _sample_texts(docs: rd.Dataset, sample_source: str | None, want: int) -> list[str]:
+    """Deterministic text sample for the salting estimate.
+
+    Prefer reading the first sorted shards of ``sample_source`` (a
+    Parquet path with a text column) — block-order independent, so the
+    8- and 32-CPU scaling runs salt identically. Fall back to
+    ``docs.limit()`` (order depends on block arrival; salting is
+    perf-only, so correctness is unaffected)."""
+    if sample_source:
+        import pyarrow.parquet as pq
+
+        files = sorted(Path(sample_source).glob("*.parquet"))
+        texts: list[str] = []
+        for f in files:
+            if len(texts) >= want:
+                break
+            schema = pq.read_schema(f)
+            if "text" in schema.names:
+                texts.extend(pq.read_table(f, columns=["text"])["text"].to_pylist())
+            else:
+                break
+        if texts:
+            return texts[:want]
+    return [r["text"] for r in docs.limit(want).take_all()]
 
 
 def build_index_from_docs(
@@ -115,6 +194,8 @@ def build_index_from_docs(
     cfg: BuildConfig | None = None,
     *,
     input_token: str = "",
+    n_docs_hint: int | None = None,
+    sample_source: str | None = None,
 ) -> BuildResult:
     """Build the inverted index from a docs-schema Dataset.
 
@@ -153,34 +234,143 @@ def build_index_from_docs(
             stats=stats,
         )
 
+    phases: dict[str, float] = {}
+    t_ph = time.perf_counter()
+
+    def _mark(name: str) -> None:
+        nonlocal t_ph
+        phases[name] = round(time.perf_counter() - t_ph, 3)
+        t_ph = time.perf_counter()
+
     docs_dir = index_dir / "docs"
-    if not manifest.docs_done():
+    docs_already = manifest.docs_done()
+    done = manifest.completed_buckets()
+    import pyarrow.parquet as pq
+
+    # -- salting estimate (driver-side sample, no extra corpus pass) ----
+    if docs_already:
+        n_known = sum(pq.read_metadata(f).num_rows for f in Path(docs_dir).glob("*.parquet"))
+        heavy = estimate_heavy_terms_from_dir(docs_dir, n_known, cfg)
+    else:
         if docs_dir.exists():
             shutil.rmtree(docs_dir)
-        docs.write_parquet(str(docs_dir))
-        manifest.mark_docs_done({"dir": "docs"})
+        want = min(cfg.sample_max_docs, max(256, int((n_docs_hint or 50_000) * cfg.sample_fraction)))
+        texts = _sample_texts(docs, sample_source, want)
+        heavy = _heavy_from_texts(texts, n_docs_hint or len(texts), cfg)
+    heavy_ref = [ray.put(heavy)]  # list-wrapped: keep the ref un-inlined
+    _mark("heavy_sample")
 
-    docs_on_disk = rd.read_parquet(str(docs_dir))
-
-    # -- corpus statistics (A3/A7): tiny grouped aggregates ------------
-    def _doc_stats(batch: pa.Table) -> pa.Table:
-        indexed = pc.cast(pc.greater(batch["doc_len"], 0), pa.int64())
-        return pa.table(
-            {
-                "site_id": batch["site_id"],
-                "one": pa.array(np.ones(len(batch), dtype=np.int64)),
-                "indexed": indexed,
-                "doc_len64": pc.cast(batch["doc_len"], pa.int64()),
-            }
+    # -- THE build job: one fused streaming pipeline --------------------
+    # (docs shard sink is a pass-through stage, so extraction, persisting
+    # the docs table, tokenization+combining, the partial shuffle and the
+    # segment merge all overlap under backpressure — no barrier, no
+    # re-read of the corpus)
+    tok_kwargs = {
+        "n_buckets": cfg.n_buckets,
+        "heavy_ref": heavy_ref,
+        "emit_partials": True,
+    }
+    if docs_already:
+        partials = rd.read_parquet(
+            str(docs_dir), columns=["doc_id", "site_id", "text"]
+        ).map_batches(
+            TokenizeExplode,
+            fn_constructor_kwargs=tok_kwargs,
+            batch_format="pyarrow",
+            concurrency=cfg.tokenize_concurrency,
+            batch_size=cfg.tokenize_batch_size,
+        )
+    else:
+        shard_writer = WriteDocsShard(str(docs_dir))
+        # NOTE: no batch_size here — Ray fuses this whole map chain into
+        # the tokenizer actor pool, so the FIRST stage's batch size sets
+        # the task granularity of the entire fused operator; block-sized
+        # batches keep parallelism at the input block count
+        partials = docs.map_batches(
+            shard_writer, batch_format="pyarrow"
+        ).map_batches(
+            TokenizeExplode,
+            fn_constructor_kwargs=tok_kwargs,
+            batch_format="pyarrow",
+            concurrency=cfg.tokenize_concurrency,
+            batch_size=cfg.tokenize_batch_size,
+        )
+    if done:
+        done_arr = pa.array(sorted(done), type=pa.int32())
+        partials = partials.map_batches(
+            lambda t, d=done_arr: t.filter(pc.invert(pc.is_in(t["bucket"], value_set=d))),
+            batch_format="pyarrow",
         )
 
-    stats_pdf = (
-        docs_on_disk.select_columns(["site_id", "doc_len"])
-        .map_batches(_doc_stats, batch_format="pyarrow")
-        .groupby("site_id")
-        .sum(["one", "indexed", "doc_len64"])
-        .to_pandas()
+    # coalesce the many small map-output blocks — groupby cost scales
+    # with block count (see stages/grouping.py note)
+    partials = partials.repartition(max(32, cfg.n_buckets))
+
+    if heavy and cfg.two_level_merge:
+        # pre-merge partials per (bucket, salt) so no single reduce task
+        # ever holds a Zipf-head term's full posting list (SURVEY §7.4)
+        partials = partials.groupby(["bucket", "salt"]).map_groups(
+            lambda g: merge_segment_rows(g, out_salt=-2), batch_format="pyarrow"
+        )
+
+    writer = BucketSegmentWriter(str(manifest.postings_dir), fp)
+
+    def write_bucket(group: pa.Table) -> pa.Table:
+        return writer(group)
+
+    results = partials.groupby("bucket").map_groups(write_bucket, batch_format="pyarrow")
+    res_tbl = results.to_pandas()  # one row per bucket — tiny
+    if not docs_already:
+        manifest.mark_docs_done({"dir": "docs"})
+    _mark("stream_job")
+
+    # -- corpus statistics (A3/A7) from the persisted docs table --------
+    # Small-corpus fast path: two columns fit the driver; the Ray
+    # aggregate below is the beyond-driver-memory shape.
+    n_docs_on_disk = sum(
+        pq.read_metadata(f).num_rows for f in Path(docs_dir).glob("*.parquet")
     )
+    if n_docs_on_disk <= 5_000_000:
+        import pandas as pd
+
+        tbl = pq.read_table(docs_dir, columns=["doc_id", "site_id", "doc_len"])
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        if len(np.unique(ids)) != len(ids):
+            raise RuntimeError(
+                "duplicate doc_id in docs shards — likely a retried "
+                "WriteDocsShard task re-batched differently; remove "
+                f"{docs_dir} and rebuild"
+            )
+        pdf = tbl.to_pandas()
+        grouped = pdf.groupby("site_id")["doc_len"].agg(["size", "sum"])
+        indexed = pdf[pdf["doc_len"] > 0].groupby("site_id")["doc_len"].size()
+        stats_pdf = pd.DataFrame(
+            {
+                "site_id": grouped.index,
+                "sum(one)": grouped["size"].to_numpy(),
+                "sum(indexed)": indexed.reindex(grouped.index).fillna(0).to_numpy(),
+                "sum(doc_len64)": grouped["sum"].to_numpy(),
+            }
+        )
+    else:
+        def _doc_stats(batch: pa.Table) -> pa.Table:
+            indexed = pc.cast(pc.greater(batch["doc_len"], 0), pa.int64())
+            return pa.table(
+                {
+                    "site_id": batch["site_id"],
+                    "one": pa.array(np.ones(len(batch), dtype=np.int64)),
+                    "indexed": indexed,
+                    "doc_len64": pc.cast(batch["doc_len"], pa.int64()),
+                }
+            )
+
+        stats_pdf = (
+            rd.read_parquet(str(docs_dir), columns=["site_id", "doc_len"])
+            .map_batches(_doc_stats, batch_format="pyarrow")
+            .groupby("site_id")
+            .sum(["one", "indexed", "doc_len64"])
+            .to_pandas()
+        )
     site_stats = {
         int(r["site_id"]): {
             "n_docs": int(r["sum(one)"]),
@@ -200,37 +390,7 @@ def build_index_from_docs(
         "block_size": cfg.block_size,
     }
     atomic_write_json(index_dir / "stats.json", stats)
-
-    # -- salting prepass ------------------------------------------------
-    heavy = estimate_heavy_terms(docs_on_disk.select_columns(["doc_id", "site_id", "text"]), cfg)
-    heavy_ref = [ray.put(heavy)]  # list-wrapped: keep the ref un-inlined
-
-    # -- the wide step ---------------------------------------------------
-    done = manifest.completed_buckets()
-    exploded = docs_on_disk.select_columns(["doc_id", "site_id", "text"]).map_batches(
-        TokenizeExplode,
-        fn_constructor_kwargs={"n_buckets": cfg.n_buckets, "heavy_ref": heavy_ref},
-        batch_format="pyarrow",
-        concurrency=cfg.tokenize_concurrency,
-        batch_size=cfg.tokenize_batch_size,
-    )
-    if done:
-        done_arr = pa.array(sorted(done), type=pa.int32())
-        exploded = exploded.map_batches(
-            lambda t, d=done_arr: t.filter(pc.invert(pc.is_in(t["bucket"], value_set=d))),
-            batch_format="pyarrow",
-        )
-
-    partials = exploded.groupby(["bucket", "salt"]).map_groups(
-        encode_partial_group, batch_format="pyarrow"
-    )
-    writer = BucketSegmentWriter(str(manifest.postings_dir), fp)
-
-    def write_bucket(group: pa.Table) -> pa.Table:
-        return writer(group)
-
-    results = partials.groupby("bucket").map_groups(write_bucket, batch_format="pyarrow")
-    res_tbl = results.to_pandas()  # one row per bucket — tiny
+    _mark("stats")
 
     seconds = time.perf_counter() - t0
     n_terms = int(res_tbl["n_terms"].sum()) if len(res_tbl) else 0
@@ -242,6 +402,7 @@ def build_index_from_docs(
             "buckets_built": sorted(int(b) for b in res_tbl["bucket"]) if len(res_tbl) else [],
             "buckets_skipped": sorted(done),
             "metrics": {
+                "phases": phases,
                 "n_docs": n_docs,
                 "n_terms": n_terms,
                 "n_postings": n_postings,
@@ -269,6 +430,7 @@ def build_index_from_pages(
     cfg: BuildConfig | None = None,
     *,
     input_token: str = "",
+    pages_path: str | None = None,
 ) -> BuildResult:
     cfg = cfg or BuildConfig()
     docs = prepare_docs(
@@ -277,8 +439,19 @@ def build_index_from_pages(
         dedup=cfg.dedup,
         use_text_col=cfg.use_text_col,
         concurrency=cfg.prep_concurrency,
+        pages_path=pages_path,
     )
-    return build_index_from_docs(docs, index_dir, sites, cfg, input_token=input_token)
+    n_hint = None
+    if pages_path:
+        import pyarrow.parquet as pq
+
+        n_hint = sum(
+            pq.read_metadata(f).num_rows for f in Path(pages_path).glob("*.parquet")
+        ) or None
+    return build_index_from_docs(
+        docs, index_dir, sites, cfg, input_token=input_token,
+        n_docs_hint=n_hint, sample_source=pages_path,
+    )
 
 
 def build_index_from_documents_table(

@@ -102,7 +102,7 @@ class MinHashSignatures:
             shingles = [" ".join(tokens[i: i + self.k]) for i in range(len(tokens) - self.k + 1)]
         if not shingles:
             return np.empty(0, dtype=np.uint64)
-        h = pd.util.hash_array(np.asarray(shingles, dtype=object))
+        h = pd.util.hash_array(np.asarray(shingles, dtype=object), categorize=False)
         return (h % np.uint64(_MERSENNE)).astype(np.uint64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -214,7 +214,7 @@ def simhash_stage(batch: pa.Table, seed: int = 42) -> pa.Table:
         if not toks:
             continue
         uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-        h = pd.util.hash_array(uniq)
+        h = pd.util.hash_array(uniq, categorize=False)
         bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
         acc = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
         bits_pos = np.flatnonzero(acc > 0).astype(np.uint64)
@@ -313,7 +313,7 @@ def ngram_jaccard_pairs(
             if not grams:
                 continue
             gh = np.unique(
-                (pd.util.hash_array(np.asarray(grams, dtype=object)) % np.uint64(_MERSENNE)).astype(np.int64)
+                (pd.util.hash_array(np.asarray(grams, dtype=object), categorize=False) % np.uint64(_MERSENNE)).astype(np.int64)
             )
             for b in np.sort(gh)[:bucket_sample]:
                 out["bucket"].append(int(b))

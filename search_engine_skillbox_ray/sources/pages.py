@@ -23,6 +23,8 @@ Prep pipeline (all streaming, no full materialization):
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -80,8 +82,12 @@ def _root_of(url: str) -> str:
 
 
 class PreparePages:
-    """Stage 1 of corpus prep (see module docstring). ``sites_ref`` is a
-    ``ray.put`` handle to the site list — fetched once per actor."""
+    """Stage 1 of corpus prep (see module docstring) — a STATELESS task
+    stage (SURVEY §7.2 maps M1 extraction to tasks, not actors): the
+    instance carries only the tiny site list, pickled per task; elastic
+    task scheduling lets extraction share CPUs with the tokenizer actor
+    pool inside the fused build job instead of deadlocking on pool
+    reservations."""
 
     def __init__(self, sites_ref, html_col: str = "html", use_text_col: bool = False) -> None:
         sites = ray.get(sites_ref) if not isinstance(sites_ref, list) else sites_ref
@@ -135,6 +141,121 @@ def _keep_latest_bucket(bucket: "pd.DataFrame") -> "pd.DataFrame":
     )
 
 
+def compute_dup_winners(
+    pages: rd.Dataset | str, sites: list[dict], n_buckets: int = 64
+) -> dict[tuple[int, str], tuple[int, str]]:
+    """Key-only dedup prepass: → {(site_id, path): (winner_ts_us, winner_url)}
+    for keys that appear MORE THAN ONCE.
+
+    Reads only (url, warc_ts) — column-pruned, no html/text ever enters
+    this shuffle — and returns a driver-side winner map for just the
+    conflicted keys, which the main extraction pass applies as a
+    broadcast filter. This keeps the corpus-sized text stream entirely
+    shuffle-free: the only all-to-all in docs prep moves a few bytes per
+    page. Scale assumption (documented): conflicted keys are a small
+    fraction of the corpus (true for crawl snapshots); if they were not,
+    swap the exact map for a Bloom filter of dup keys + the grouped
+    keep-latest path.
+    """
+    from ..stages.grouping import bucketed_group_apply
+
+    if isinstance(pages, str):
+        # explicit pruned read: Ray's select_columns does NOT push the
+        # projection into the Parquet scan — columns= does
+        import pyarrow.parquet as _pq
+
+        have = _pq.read_schema(next(iter(sorted(Path(pages).glob("*.parquet"))))).names
+        cols = [c for c in ("url", "warc_ts") if c in have]
+        pages = rd.read_parquet(pages, columns=cols)
+    else:
+        cols = [c for c in ("url", "warc_ts") if c in pages.schema().names]
+    norm_roots = [(int(s["site_id"]), normalize_url(s["url"])) for s in sites]
+
+    def keys_batch(batch: pa.Table) -> pa.Table:
+        urls = [normalize_url(u) for u in batch.column("url").to_pylist()]
+        site_ids = np.full(len(urls), -1, dtype=np.int32)
+        paths = []
+        for i, u in enumerate(urls):
+            spath = u
+            for sid, root in norm_roots:
+                if u.startswith(root):
+                    site_ids[i] = sid
+                    p = u[len(root):]
+                    spath = p if p else "/"
+                    break
+            paths.append(spath)
+        out = {
+            "site_id": pa.array(site_ids, pa.int32()),
+            "path": pa.array(paths, pa.string()),
+            "url": pa.array(urls, pa.string()),
+        }
+        if "warc_ts" in batch.column_names:
+            out["ts_us"] = pa.compute.cast(batch.column("warc_ts"), pa.int64())
+        else:
+            out["ts_us"] = pa.array(np.zeros(len(urls), dtype=np.int64))
+        return pa.table(out)
+
+    def dup_winners_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        dup_mask = bucket.duplicated(["site_id", "path"], keep=False)
+        dups = bucket[dup_mask]
+        if not len(dups):
+            # dtypes MUST match the non-empty branch — mismatched empty
+            # frames force Ray into schema-re-inference slow paths
+            return pd.DataFrame(
+                {
+                    "site_id": np.array([], dtype=np.int32),
+                    "path": pd.Series([], dtype=object),
+                    "ts_us": np.array([], dtype=np.int64),
+                    "url": pd.Series([], dtype=object),
+                }
+            )
+        return (
+            dups.sort_values(["ts_us", "url"], ascending=[False, True], kind="mergesort")
+            .drop_duplicates(["site_id", "path"], keep="first")[["site_id", "path", "ts_us", "url"]]
+        )
+
+    keys = pages.map_batches(keys_batch, batch_format="pyarrow")
+
+    # Driver fast path: the key table is tiny relative to the corpus
+    # (~40 B/page); below the threshold, collect it and find winners with
+    # one vectorized pandas pass — no shuffle at all. The bucketed
+    # shuffle path below is the >5M-page (cluster) shape.
+    n_rows_est = pages.count()
+    if n_rows_est <= 5_000_000:
+        tables = [ray.get(r) for r in keys.to_arrow_refs()]
+        kdf = pa.concat_tables([t for t in tables if len(t)]).to_pandas()
+        winners_df = dup_winners_bucket(kdf)
+        return {
+            (int(r.site_id), r.path): (int(r.ts_us), r.url)
+            for r in winners_df.itertuples()
+        }
+
+    winners = bucketed_group_apply(keys, ["site_id", "path"], dup_winners_bucket, n_buckets=n_buckets)
+    out: dict[tuple[int, str], tuple[int, str]] = {}
+    for row in winners.take_all():
+        out[(int(row["site_id"]), row["path"])] = (int(row["ts_us"]), row["url"])
+    return out
+
+
+def apply_dup_filter(batch: pa.Table, winners: dict) -> pa.Table:
+    """Keep rows that are not conflicted, or ARE their key's winner."""
+    if not winners:
+        return batch
+    site_ids = batch.column("site_id").to_pylist()
+    paths = batch.column("path").to_pylist()
+    urls = batch.column("url").to_pylist()
+    if "warc_ts" in batch.column_names:
+        ts = pa.compute.cast(batch.column("warc_ts"), pa.int64()).to_pylist()
+    else:
+        ts = [0] * len(urls)
+    keep = np.ones(len(urls), dtype=bool)
+    for i, (sid, p) in enumerate(zip(site_ids, paths)):
+        w = winners.get((sid, p))
+        if w is not None and (ts[i], urls[i]) != w:
+            keep[i] = False
+    return batch.filter(pa.array(keep))
+
+
 def finalize_docs(batch: pa.Table) -> pa.Table:
     """doc_id + doc_len; projects to DOCS_SCHEMA."""
     doc_ids = assign_doc_ids(batch.column("url"))
@@ -164,20 +285,27 @@ def prepare_docs(
     dedup: bool = True,
     use_text_col: bool = False,
     concurrency: int | tuple[int, int] = (1, 8),
+    pages_path: str | None = None,
 ) -> rd.Dataset:
-    """pages → docs Dataset (see module docstring). Lazy / streaming."""
-    from ..stages.grouping import bucketed_group_apply
+    """pages → docs Dataset (see module docstring). Lazy / streaming.
 
-    sites_ref = ray.put(sites)
-    ds = pages.map_batches(
-        PreparePages,
-        fn_constructor_args=(sites_ref,),
-        fn_constructor_kwargs={"use_text_col": use_text_col},
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
+    Pass ``pages_path`` when the dataset came from Parquet: the dedup
+    key prepass then re-reads ONLY (url, warc_ts) — a column-pruned
+    scan — instead of decoding the html column a second time."""
+    winners_ref = None
     if dedup:
-        ds = bucketed_group_apply(ds, ["site_id", "path"], _keep_latest_bucket, n_buckets=64)
+        # key-only prepass (no text in the shuffle), then broadcast filter
+        winners = compute_dup_winners(pages_path or pages, sites)
+        winners_ref = ray.put(winners)
+    prep = PreparePages(sites, use_text_col=use_text_col)
+    ds = pages.map_batches(prep, batch_format="pyarrow")
+    if dedup and winners_ref is not None:
+
+        def filt(batch: pa.Table, _ref=[winners_ref]) -> pa.Table:
+            w = ray.get(_ref[0])
+            return apply_dup_filter(batch, w)
+
+        ds = ds.map_batches(filt, batch_format="pyarrow")
     return ds.map_batches(finalize_docs, batch_format="pyarrow")
 
 

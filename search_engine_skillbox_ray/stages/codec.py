@@ -238,6 +238,36 @@ def _vb_fill(v: np.ndarray, nb: np.ndarray) -> np.ndarray:
     return out
 
 
+def decode_partial_rows(
+    dfs: np.ndarray, gap_bufs: list[bytes], tf_bufs: list[bytes]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode MANY partial posting payloads in two vectorized passes.
+
+    ``gap_bufs[i]``/``tf_bufs[i]`` hold ``dfs[i]`` varbyte values. All
+    buffers are concatenated and decoded in ONE ``varbyte_decode`` call
+    each (every value self-terminates, so concatenation decodes
+    correctly); docIDs are recovered with a segmented cumulative sum
+    (each partial's first gap is its absolute first docID).
+    Returns (doc_ids int64, tfs int64) concatenated in partial order.
+    """
+    dfs = np.asarray(dfs, dtype=np.int64)
+    total = int(dfs.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    gaps = varbyte_decode(b"".join(gap_bufs), count=total)
+    tfs = varbyte_decode(b"".join(tf_bufs), count=total).astype(np.int64)
+    csum = np.cumsum(gaps, dtype=np.uint64)
+    starts = np.cumsum(dfs) - dfs
+    adjust = np.zeros(dfs.size, dtype=np.uint64)
+    nz = dfs > 0
+    first_idx = starts[nz]
+    adj_vals = np.zeros(first_idx.size, dtype=np.uint64)
+    adj_vals[first_idx > 0] = csum[first_idx[first_idx > 0] - 1]
+    adjust[nz] = adj_vals
+    doc_ids = (csum - np.repeat(adjust, dfs.clip(min=0))).astype(np.int64)
+    return doc_ids, tfs
+
+
 def merge_posting_payloads(payloads: list[dict], block_size: int = BLOCK_SIZE) -> dict:
     """Merge salted partial posting lists for one (site, term).
 

@@ -29,17 +29,14 @@ def add_hash_bucket(
     n = len(batch)
     if n == 0:
         return batch.append_column(col, pa.array([], pa.int32()))
-    parts = []
-    for c in key_cols:
-        arr = batch.column(c)
-        parts.append(np.asarray([str(v) for v in arr.to_pylist()], dtype=object))
-    if len(parts) == 1:
-        joined = parts[0]
+    cols = [batch.column(c).to_pylist() for c in key_cols]
+    if len(cols) == 1:
+        joined = np.asarray([str(v) for v in cols[0]], dtype=object)
     else:
-        joined = parts[0]
-        for p in parts[1:]:
-            joined = np.char.add(np.char.add(joined.astype(str), "\x00"), p.astype(str)).astype(object)
-    h = pd.util.hash_array(joined)
+        joined = np.asarray(
+            ["\x00".join(str(v) for v in row) for row in zip(*cols)], dtype=object
+        )
+    h = pd.util.hash_array(joined, categorize=False)
     return batch.append_column(col, pa.array((h % np.uint64(n_buckets)).astype(np.int32)))
 
 
@@ -62,8 +59,13 @@ def bucketed_group_apply(
             group = group.drop(columns="__bucket")
         return per_bucket_fn(group)
 
+    # Ray's sort-based groupby cost grows with INPUT BLOCK COUNT (the
+    # partition matrix), not just bytes — coalesce the typically tiny
+    # tagged blocks before the shuffle (measured 288 blocks: 7.4s vs 32
+    # blocks: 0.4s on identical 192k-row data).
     return (
         ds.map_batches(tag, batch_format="pyarrow")
+        .repartition(max(32, n_buckets))
         .groupby("__bucket")
         .map_groups(apply, batch_format="pandas")
     )

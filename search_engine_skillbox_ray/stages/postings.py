@@ -59,38 +59,85 @@ def _rows_to_table(rows: dict[str, list]) -> pa.Table:
     )
 
 
-def encode_partial_group(group: pa.Table) -> pa.Table:
-    """map_groups body over groupby(bucket, salt): encode every
-    (site_id, term) run into partial-segment rows in ONE vectorized pass
-    (sort by (term, site_id, doc_id) → run-length boundaries → bulk
-    varbyte; no per-term Python loop)."""
+def merge_segment_rows(group: pa.Table, out_salt: int = -1) -> pa.Table:
+    """Vectorized merge of partial-segment rows: all (term, site_id) runs
+    in one pass — bulk varbyte decode (segmented cumsum), global lexsort,
+    bulk re-encode. Handles any number of partials per run (per-batch
+    combiner output and/or salted partials); a duplicate docID within a
+    run is an error (would mean dedup/docID failure upstream)."""
+    from .codec import decode_partial_rows
+
     if not len(group):
         return _rows_to_table({n: [] for n in SEGMENT_SCHEMA.names})
-    df = group.select(["bucket", "salt", "site_id", "term", "doc_id", "tf"]).to_pandas()
-    bucket = int(df["bucket"].iloc[0])
-    salt = int(df["salt"].iloc[0])
-    df = df.sort_values(["term", "site_id", "doc_id"], kind="mergesort")
-    terms = df["term"].to_numpy()
-    site_ids = df["site_id"].to_numpy(np.int32)
-    doc_ids = df["doc_id"].to_numpy(np.int64)
-    tfs = df["tf"].to_numpy(np.int64)
-
-    new_run = np.ones(len(df), dtype=bool)
+    group = group.sort_by([("term", "ascending"), ("site_id", "ascending")])
+    terms = np.asarray(group.column("term").to_pylist(), dtype=object)
+    site_ids = group.column("site_id").to_numpy(zero_copy_only=False)
+    buckets = group.column("bucket").to_numpy(zero_copy_only=False)
+    dfs = group.column("df").to_numpy(zero_copy_only=False)
+    n = len(group)
+    new_run = np.ones(n, dtype=bool)
     new_run[1:] = (terms[1:] != terms[:-1]) | (site_ids[1:] != site_ids[:-1])
+    run_id_per_row = np.cumsum(new_run) - 1
+    n_runs = int(run_id_per_row[-1]) + 1
     run_starts = np.flatnonzero(new_run)
-    run_ends = np.append(run_starts[1:], len(df))
-    lengths = run_ends - run_starts
 
+    # fast path: every run is a single partial → rows ARE the segments
+    if n_runs == n:
+        out = group.drop_columns(["salt"]).add_column(
+            3, "salt", pa.array(np.full(n, out_salt, dtype=np.int32))
+        )
+        return out.select(SEGMENT_SCHEMA.names)
+
+    doc_ids, tfs = decode_partial_rows(
+        dfs, group.column("doc_gaps").to_pylist(), group.column("tf_bytes").to_pylist()
+    )
+    posting_run = np.repeat(run_id_per_row, dfs)
+    order = np.lexsort((doc_ids, posting_run))
+    doc_ids, tfs, posting_run = doc_ids[order], tfs[order], posting_run[order]
+    lengths = np.bincount(posting_run, minlength=n_runs)
     payloads = encode_posting_lists_bulk(doc_ids, tfs, lengths, block_size=BLOCK_SIZE)
-    rows: dict[str, list] = {n: [] for n in SEGMENT_SCHEMA.names}
-    rows["bucket"] = [bucket] * len(payloads)
-    rows["salt"] = [salt] * len(payloads)
+
+    rows: dict[str, list] = {}
+    rows["bucket"] = buckets[run_starts].tolist()
     rows["site_id"] = site_ids[run_starts].tolist()
     rows["term"] = terms[run_starts].tolist()
+    rows["salt"] = [out_salt] * n_runs
     for k in ("df", "cf", "doc_gaps", "tf_bytes", "block_last_doc",
               "block_max_tf", "block_gap_offset", "block_tf_offset"):
         rows[k] = [p[k] for p in payloads]
     return _rows_to_table(rows)
+
+
+class WriteDocsShard:
+    """Pass-through stage that persists each docs batch as a Parquet
+    shard (atomic tmp+rename) while the SAME stream continues into
+    tokenization — fusing the docs sink into the build pipeline removes
+    a materialization barrier and a full re-read of the corpus.
+
+    Shard names derive from batch content (md5 of first/last url + row
+    count), so a retried task overwrites its own file instead of
+    duplicating rows. Caveat (documented): if a retry re-batches
+    differently, stale shards could linger — the build validates the
+    final docs row count against the corpus stats and falls back to a
+    clean rewrite on mismatch."""
+
+    def __init__(self, docs_dir: str) -> None:
+        self.docs_dir = Path(docs_dir)
+        self.docs_dir.mkdir(parents=True, exist_ok=True)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        if len(batch):
+            urls = batch.column("url")
+            sig = hashlib.md5(
+                f"{urls[0].as_py()}|{urls[-1].as_py()}|{len(batch)}".encode()
+            ).hexdigest()[:16]
+            final = self.docs_dir / f"docs-{sig}.parquet"
+            tmp = self.docs_dir / f"docs-{sig}.parquet.tmp"
+            pq.write_table(batch, tmp)
+            os.replace(tmp, final)
+        return batch
 
 
 class BucketSegmentWriter:
@@ -111,45 +158,7 @@ class BucketSegmentWriter:
                              "n_terms": pa.array([], pa.int64()),
                              "n_postings": pa.array([], pa.int64())})
         bucket = int(group.column("bucket")[0].as_py())
-        # deterministic order regardless of partial arrival order; term-major
-        # so Parquet row-group stats prune term lookups at query time
-        group = group.sort_by(
-            [("term", "ascending"), ("site_id", "ascending"), ("salt", "ascending")]
-        )
-        terms = np.asarray(group.column("term").to_pylist(), dtype=object)
-        site_ids = group.column("site_id").to_numpy(zero_copy_only=False)
-        n = len(group)
-        new_run = np.ones(n, dtype=bool)
-        new_run[1:] = (terms[1:] != terms[:-1]) | (site_ids[1:] != site_ids[:-1])
-        run_starts = np.flatnonzero(new_run)
-        run_lens = np.diff(np.append(run_starts, n))
-
-        if (run_lens == 1).all():
-            # fast path: nothing was salted — partials ARE the segments
-            table = group.drop_columns(["salt"]).add_column(
-                3, "salt", pa.array(np.full(n, -1, dtype=np.int32))
-            )
-            table = table.select(SEGMENT_SCHEMA.names)
-        else:
-            keep_mask = np.zeros(n, dtype=bool)
-            keep_mask[run_starts[run_lens == 1]] = True
-            passthrough = group.filter(pa.array(keep_mask))
-            rows = passthrough.to_pydict()
-            salted_idx = run_starts[run_lens > 1]
-            salted_lens = run_lens[run_lens > 1]
-            gl = group.to_pylist()
-            for s, ln in zip(salted_idx, salted_lens):
-                payload = merge_posting_payloads(gl[s: s + ln], block_size=BLOCK_SIZE)
-                rows["bucket"].append(bucket)
-                rows["site_id"].append(int(site_ids[s]))
-                rows["term"].append(terms[s])
-                rows["salt"].append(-1)
-                for k in ("df", "cf", "doc_gaps", "tf_bytes", "block_last_doc",
-                          "block_max_tf", "block_gap_offset", "block_tf_offset"):
-                    rows[k].append(payload[k])
-            rows["salt"] = [-1] * len(rows["salt"])
-            table = _rows_to_table(rows)
-            table = table.sort_by([("term", "ascending"), ("site_id", "ascending")])
+        table = merge_segment_rows(group, out_salt=-1)
         n_postings = int(pa.compute.sum(table["df"]).as_py() or 0)
         final = self.postings_dir / f"bucket={bucket:05d}.parquet"
         tmp = self.postings_dir / f"bucket={bucket:05d}.parquet.tmp"

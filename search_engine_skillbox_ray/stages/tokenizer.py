@@ -46,7 +46,7 @@ def assign_doc_ids(urls: pa.Array | pa.ChunkedArray | list[str]) -> np.ndarray:
     """
     if isinstance(urls, (pa.Array, pa.ChunkedArray)):
         urls = urls.to_pylist()
-    h = pd.util.hash_array(np.asarray(urls, dtype=object))
+    h = pd.util.hash_array(np.asarray(urls, dtype=object), categorize=False)
     return (h & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(np.int64)
 
 
@@ -88,11 +88,18 @@ class TokenizeExplode:
         site_col: str = "site_id",
         n_buckets: int | None = None,
         heavy_ref=None,
+        emit_partials: bool = False,
     ) -> None:
         self.text_col = text_col
         self.doc_id_col = doc_id_col
         self.site_col = site_col
         self.n_buckets = n_buckets
+        # emit_partials: combine inside the map stage — encode one partial
+        # posting list per (term, site) per batch, so the shuffle moves
+        # compressed segments (~2-4 B/posting) instead of exploded rows
+        # (~30 B/posting incl. the repeated term string). THE combiner
+        # pattern for the wide step (ray_guide "Aggregation at scale").
+        self.emit_partials = emit_partials
         self.heavy: dict[str, int] = {}
         if heavy_ref:
             import ray
@@ -134,6 +141,8 @@ class TokenizeExplode:
             }
         )
         if self.n_buckets is not None:
+            if self.emit_partials:
+                return _encode_batch_partials(out, self.n_buckets, self.heavy)
             out = _add_partition_keys(out, self.n_buckets, self.heavy)
         return out
 
@@ -143,8 +152,54 @@ def term_bucket(terms: pa.Array | pa.ChunkedArray | list[str], n_buckets: int) -
     the posting shuffle, the segment layout and query-time lookup."""
     if isinstance(terms, (pa.Array, pa.ChunkedArray)):
         terms = terms.to_pylist()
-    h = pd.util.hash_array(np.asarray(terms, dtype=object))
+    h = pd.util.hash_array(np.asarray(terms, dtype=object), categorize=False)
     return (h % np.uint64(n_buckets)).astype(np.int32)
+
+
+def _encode_batch_partials(counted: pa.Table, n_buckets: int, heavy: dict[str, int]) -> pa.Table:
+    """Per-batch combiner: (site_id, doc_id, term, tf) rows → one encoded
+    partial-segment row per (term, site_id) run (SEGMENT_SCHEMA).
+
+    salt: 0 for ordinary terms; for Zipf-head terms (``heavy``) the
+    PARTIAL gets ``first_doc % S`` so a later two-level merge can spread
+    a head term's partials over S reduce tasks before the final
+    per-bucket concat (the skew story survives the combiner)."""
+    from .postings import SEGMENT_SCHEMA, _rows_to_table
+    from .codec import BLOCK_SIZE, encode_posting_lists_bulk
+
+    if not len(counted):
+        return _rows_to_table({n: [] for n in SEGMENT_SCHEMA.names})
+    df = counted.to_pandas()
+    df = df.sort_values(["term", "site_id", "doc_id"], kind="mergesort")
+    terms = df["term"].to_numpy()
+    site_ids = df["site_id"].to_numpy(np.int32)
+    doc_ids = df["doc_id"].to_numpy(np.int64)
+    tfs = df["tf"].to_numpy(np.int64)
+    n = len(df)
+    new_run = np.ones(n, dtype=bool)
+    new_run[1:] = (terms[1:] != terms[:-1]) | (site_ids[1:] != site_ids[:-1])
+    run_starts = np.flatnonzero(new_run)
+    lengths = np.diff(np.append(run_starts, n))
+
+    payloads = encode_posting_lists_bulk(doc_ids, tfs, lengths, block_size=BLOCK_SIZE)
+    run_terms = terms[run_starts]
+    bucket = term_bucket(run_terms.tolist(), n_buckets)
+    salt = np.zeros(len(run_starts), dtype=np.int32)
+    if heavy:
+        n_salts = np.fromiter((heavy.get(t, 1) for t in run_terms), dtype=np.int64, count=len(run_terms))
+        hv = n_salts > 1
+        if hv.any():
+            salt[hv] = (doc_ids[run_starts[hv]] % n_salts[hv]).astype(np.int32)
+    rows: dict[str, list] = {
+        "bucket": bucket.tolist(),
+        "site_id": site_ids[run_starts].tolist(),
+        "term": run_terms.tolist(),
+        "salt": salt.tolist(),
+    }
+    for k in ("df", "cf", "doc_gaps", "tf_bytes", "block_last_doc",
+              "block_max_tf", "block_gap_offset", "block_tf_offset"):
+        rows[k] = [p[k] for p in payloads]
+    return _rows_to_table(rows)
 
 
 def _add_partition_keys(batch: pa.Table, n_buckets: int, heavy: dict[str, int]) -> pa.Table:

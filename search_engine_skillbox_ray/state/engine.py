@@ -250,6 +250,59 @@ class SearchEngine:
         order = np.lexsort((uniq, -out_scores))
         return uniq[order], out_scores[order], lemmas
 
+    def _merged_payload(self, term: str, site_id: int | None) -> dict | None:
+        """Raw (possibly cross-site merged) segment payload for WAND."""
+        self._load_terms([term])
+        rows = self._term_cache.get(term, [])
+        if site_id is not None:
+            rows = [r for r in rows if int(r["site_id"]) == site_id]
+        if not rows:
+            return None
+        if len(rows) == 1:
+            return rows[0]
+        from ..stages.codec import merge_posting_payloads
+
+        return merge_posting_payloads(rows)
+
+    def topk(
+        self, query: str, k: int = 10, site: str | None = None, mode: str | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Pruned top-k retrieval (block-max MaxScore for OR, block-max
+        WAND for AND) — the latency path the north-star names. Returns
+        (doc_ids, float64 scores), identical to exhaustive top-k with
+        the TF-IDF scorer (tested); the parity ``search()`` API keeps
+        full scoring because the reference reports the TOTAL match
+        count, which pruning by design does not compute. BM25 serving
+        falls back to exact scoring (its per-doc length term needs a
+        block-level upper bound we don't store yet)."""
+        from ..stages.wand import topk_conjunctive_bmw, topk_disjunctive_maxscore
+
+        mode = mode or self.mode
+        lemmas = query_lemmas(query)
+        if not lemmas or self.scorer == "bm25":
+            d, s, _ = self.search_scores(query, site)
+            return d[:k], s[:k].astype(np.float64)
+        site_id, known = self._resolve_site(site)
+        n_total = self._total_pages(site_id, known)
+        if n_total <= 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        term_rows = []
+        for t in lemmas:
+            payload = self._merged_payload(t, site_id)
+            if payload is None:
+                payload = {"df": 0, "block_last_doc": [], "block_max_tf": [],
+                           "block_gap_offset": [], "block_tf_offset": [],
+                           "doc_gaps": b"", "tf_bytes": b""}
+            idf = math.log((n_total + 1) / (int(payload["df"]) + 1))
+            term_rows.append((payload, idf))
+
+        def weight(tfs: np.ndarray, idf: float) -> np.ndarray:
+            return tfs.astype(np.float64) * idf
+
+        if mode == "and":
+            return topk_conjunctive_bmw(term_rows, k, weight)
+        return topk_disjunctive_maxscore(term_rows, k, weight)
+
     # ---------------- public API --------------------------------------
     def search(
         self, query: str | None, site: str | None = None, offset: int = 0, limit: int = 10

@@ -66,3 +66,19 @@ def test_query_tokens_keep_digits():
     assert query_tokens("win 42 times!") == ["win", "42", "times"]
     assert query_tokens("x-9,y") == ["x9y"]
     assert query_tokens("   ") == []
+
+
+def test_doc_id_hash_value_determinism():
+    """docIDs must depend ONLY on the url, not on batch context —
+    regression for pandas hash_array(categorize=True), which hashes
+    factorize codes and is NOT value-deterministic across arrays."""
+    import numpy as np
+
+    from search_engine_skillbox_ray.stages.tokenizer import assign_doc_ids, term_bucket
+
+    a = assign_doc_ids(["https://x/a", "https://x/b"])
+    b = assign_doc_ids(["https://x/b", "https://zzz/q", "https://x/a", "https://dup/d"])
+    assert a[0] == b[2] and a[1] == b[0]
+    t1 = term_bucket(["hello", "zzz"], 64)
+    t2 = term_bucket(["other", "hello", "more", "words"], 64)
+    assert t1[0] == t2[1]
