@@ -92,6 +92,38 @@ class SearchEngine:
         self._decoded: dict[tuple[str, int | None], tuple[np.ndarray, np.ndarray, int]] = {}
         self._doclen: tuple[np.ndarray, np.ndarray] | None = None
         self._docs_dataset = None
+        self._load_update_log()
+
+    def _load_update_log(self) -> None:
+        """Tombstones + delta postings/docs from the single-page re-index
+        path (state/updater.py). Deltas overlay the immutable base:
+        base postings are filtered by tombstone, then delta lists merge
+        in; delta doc rows shadow base rows at hydration."""
+        from .manifest import read_json
+
+        self._tombstones = np.array(
+            sorted((read_json(self.index_dir / "tombstones.json") or {}).get("doc_ids", [])),
+            dtype=np.int64,
+        )
+        self._delta_terms: dict[tuple[str, int], list[dict]] = {}
+        self._delta_docs: dict[int, dict] = {}
+        dp = self.index_dir / "postings_delta"
+        if dp.exists():
+            for f in sorted(dp.glob("doc-*.parquet")):
+                for row in pq.read_table(f).to_pylist():
+                    self._delta_terms.setdefault(
+                        (row["term"], int(row["site_id"])), []
+                    ).append(row)
+        for f in sorted(self.index_dir.glob("docs/delta-*.parquet")):
+            for row in pq.read_table(f).to_pylist():
+                self._delta_docs[int(row["doc_id"])] = row
+
+    def reload_updates(self) -> None:
+        """Refresh tombstones/deltas after an IndexUpdater mutation."""
+        self.stats = json.loads((self.index_dir / "stats.json").read_text())
+        self._decoded.clear()
+        self._doclen = None
+        self._load_update_log()
 
     # ---------------- segment access ----------------------------------
     def _bucket_path(self, bucket: int) -> Path:
@@ -140,16 +172,33 @@ class SearchEngine:
         rows = self._term_cache.get(term, [])
         if site_id is not None:
             rows = [r for r in rows if int(r["site_id"]) == site_id]
-        if not rows:
+        delta_rows: list[dict] = []
+        if self._delta_terms:
+            if site_id is None:
+                for (t_, _sid), rws in self._delta_terms.items():
+                    if t_ == term:
+                        delta_rows.extend(rws)
+            else:
+                delta_rows = self._delta_terms.get((term, site_id), [])
+        if not rows and not delta_rows:
             out = (np.empty(0, np.int64), np.empty(0, np.int64), 0)
             self._decoded[key] = out
             return out
         parts = [decode_posting_list(r) for r in rows]
-        if len(parts) == 1:
-            d, t = parts[0]
+        if parts:
+            d = np.concatenate([p[0] for p in parts]) if len(parts) > 1 else parts[0][0]
+            t = np.concatenate([p[1] for p in parts]) if len(parts) > 1 else parts[0][1]
         else:
-            d = np.concatenate([p[0] for p in parts])
-            t = np.concatenate([p[1] for p in parts])
+            d = np.empty(0, np.int64)
+            t = np.empty(0, np.int64)
+        if self._tombstones.size and d.size:
+            keep = ~np.isin(d, self._tombstones)
+            d, t = d[keep], t[keep]
+        if delta_rows:
+            dparts = [decode_posting_list(r) for r in delta_rows]
+            d = np.concatenate([d] + [p[0] for p in dparts])
+            t = np.concatenate([t] + [p[1] for p in dparts])
+        if len(parts) > 1 or delta_rows or (self._tombstones.size and rows):
             order = np.argsort(d, kind="stable")
             d, t = d[order], t[order]
         out = (d, t, int(d.size))
@@ -186,6 +235,11 @@ class SearchEngine:
         idx = np.clip(idx, 0, len(ids) - 1)
         out = lens[idx]
         out[ids[idx] != doc_ids] = 0.0
+        if self._delta_docs:
+            for i, d in enumerate(doc_ids.tolist()):
+                delta = self._delta_docs.get(int(d))
+                if delta is not None:
+                    out[i] = float(delta["doc_len"])
         return out
 
     def search_scores(
@@ -386,7 +440,10 @@ class SearchEngine:
         idx = np.clip(idx, 0, len(ids) - 1)
         out = {}
         for want, j in zip(doc_ids.tolist(), idx.tolist()):
-            if ids[j] == want:
+            delta = self._delta_docs.get(int(want))
+            if delta is not None:  # delta rows shadow base rows
+                out[int(want)] = delta
+            elif ids[j] == want:
                 out[int(want)] = {
                     "doc_id": int(want),
                     "site_id": int(sids[j]),
