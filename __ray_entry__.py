@@ -343,6 +343,28 @@ def q_media_frames(sf_dir: str):
     return frame_sample_ds(rd.from_arrow(make_media_table(200, seed=13)), every_k=2)
 
 
+
+
+def q_search_pruned_topk(sf_dir: str):
+    """Block-max MaxScore pruned top-10 — identical to exhaustive top-k."""
+    eng = _engine(sf_dir, float32_scores=False)
+    d, s = eng.topk(SEARCH_QUERY, k=10)
+    return pd.DataFrame({"doc_id": d.astype(np.int64), "score": np.round(s, 6)})
+
+
+def q_batch_search(sf_dir: str):
+    """Dataset-native batch query evaluation (warm engine actor pool)."""
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.state.engine import batch_search
+
+    idx = _index_dir(sf_dir)
+    queries_ds = rd.from_items(
+        [{"query": q} for q in ["merge batch", "fast", "hash join", "absentzz", "scan column fast"]]
+    )
+    return batch_search(queries_ds, idx, concurrency=(1, 2))
+
+
 # ------------------------------------------------------------ contract
 def entry() -> Any:
     """Flagship: build the index over sf0.001 documents, run the search
@@ -393,6 +415,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_with_source_stats": q_docs_with_source_stats,
         "media_decode": q_media_decode,
         "media_frames": q_media_frames,
+        "search_pruned_topk": q_search_pruned_topk,
+        "batch_search": q_batch_search,
     }
 
 
@@ -436,6 +460,9 @@ FROM tok CROSS JOIN n GROUP BY term, n.n
 """,
         "search_disjunctive": tfidf_scores
         + "SELECT doc_id, ROUND(score, 6) AS score FROM scores",
+        "search_pruned_topk": tfidf_scores
+        + """SELECT doc_id, ROUND(score, 6) AS score FROM scores
+QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 10""",
         "search_conjunctive": tfidf_scores
         + f"""
 SELECT s.doc_id, ROUND(s.score, 6) AS score FROM scores s

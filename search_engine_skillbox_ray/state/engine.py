@@ -500,6 +500,43 @@ def _intersect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return a[b[idx_clipped] == a]
 
 
+class BatchSearcher:
+    """``map_batches`` stage for BATCH query evaluation: each actor holds a
+    warm SearchEngine (segment caches amortized across batches) and scores
+    a column of query strings — the Dataset-native way to run a query SET,
+    complementing the single-query latency path."""
+
+    def __init__(self, index_dir: str, mode: str = "or", float32_scores: bool = False) -> None:
+        self.engine = SearchEngine(index_dir, mode=mode, float32_scores=float32_scores)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"query": [], "n_matched": [], "top_doc_id": [], "top_score": []}
+        for q in batch.column("query").to_pylist():
+            d, s, _ = self.engine.search_scores(q)
+            out["query"].append(q)
+            out["n_matched"].append(int(d.size))
+            out["top_doc_id"].append(int(d[0]) if d.size else -1)
+            out["top_score"].append(round(float(s[0]), 6) if d.size else 0.0)
+        return pa.table(
+            {
+                "query": pa.array(out["query"], pa.string()),
+                "n_matched": pa.array(out["n_matched"], pa.int64()),
+                "top_doc_id": pa.array(out["top_doc_id"], pa.int64()),
+                "top_score": pa.array(out["top_score"], pa.float64()),
+            }
+        )
+
+
+def batch_search(queries_ds, index_dir: str, concurrency=(1, 4)):
+    """Evaluate a Dataset of query strings against a built index."""
+    return queries_ds.map_batches(
+        BatchSearcher,
+        fn_constructor_kwargs={"index_dir": str(index_dir)},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
 class QueryActorPool:
     """ST5 query-serving actor pool: each actor holds a SearchEngine with
     warm segment caches; queries round-robin across the pool. This is the

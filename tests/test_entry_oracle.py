@@ -74,6 +74,7 @@ def test_oracle_keys_subset(entry_mod):
     "search_bm25", "search_count", "stats_by_source", "dedup_exact",
     "token_count", "quality", "fingerprint", "ann_cosine_topk",
     "events_window", "sessionize", "docs_with_source_stats",
+    "search_pruned_topk",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
@@ -93,6 +94,7 @@ def test_query_matches_oracle(entry_mod, con, name):
 @pytest.mark.parametrize("name", [
     "langid", "minhash_pairs", "simhash", "ngram_jaccard_pairs",
     "embedding_near_pairs", "ann_lsh_topk", "media_decode", "media_frames",
+    "batch_search",
 ])
 def test_rows_only_queries_run(entry_mod, name):
     df = _to_pandas(entry_mod.queries()[name](SF_DIR))

@@ -66,6 +66,36 @@ GOLDEN = [
     ("<body>\n  trimmed  \n</body>", "trimmed"),
     # textarea preserves whitespace and IS included (rcdata text node)
     ("<body><textarea>a  b</textarea></body>", "a  b"),
+    # deeply nested blocks: one space per boundary run
+    ("<body><div><div><div>deep</div></div></div>tail</body>", "deep tail"),
+    # definition lists and blockquote are block-level
+    ("<body><dl><dt>term</dt><dd>def</dd></dl></body>", "term def"),
+    ("<body>a<blockquote>quoted</blockquote>b</body>", "a quoted b"),
+    # hr contributes only a boundary
+    ("<body>a<hr>b</body>", "a b"),
+    # numeric + hex character references
+    ("<body>&#x41;&#66;&#1087;</body>", "ABп"),
+    # entity for nbsp at string edges trims away
+    ("<body>&nbsp;edge&nbsp;</body>", "edge"),
+    # mixed inline/block alternation
+    # p tail: next sibling is an Element, not a TextNode → no space
+    ("<body><span>a</span><p>b</p><span>c</span></body>", "a bc"),
+    # li nested lists
+    ("<body><ul><li>a<ul><li>b</li></ul></li><li>c</li></ul></body>", "a b c"),
+    # tag soup: unclosed tags don't break accumulation
+    ("<body><p>open<p>next<div>x</body>", "open next x"),
+    # attributes containing angle-ish content
+    ('<body><img src="x.png" alt="ignored text">after</body>', "after"),
+    # table with caption and headers
+    ("<body><table><caption>cap</caption><tr><th>h</th></tr><tr><td>v</td></tr></table></body>", "cap h v"),
+    # empty inline elements contribute nothing
+    ("<body>a<b></b><i></i>b</body>", "ab"),
+    # whitespace-only text between blocks collapses into the boundary
+    ("<body><p>a</p>   \n  <p>b</p></body>", "a b"),
+    # uppercase tags are normalized by the parser
+    ("<BODY><P>Caps</P><DIV>tags</DIV></BODY>", "Caps tags"),
+    # br at string start produces no leading space
+    ("<body><br>lead</body>", "lead"),
 ]
 
 
