@@ -49,9 +49,19 @@ DOCS_SCHEMA = pa.schema(
 )
 
 
-def read_pages(path: str, columns: list[str] | None = None) -> rd.Dataset:
-    """Column-pruned Parquet read of the pages corpus."""
-    return rd.read_parquet(path, columns=columns)
+def read_pages(path: str, columns: list[str] | None = None, fmt: str = "parquet") -> rd.Dataset:
+    """Read the pages corpus; Parquet (column-pruned) is the primary
+    format per BASELINE input_hint, JSONL/CSV accepted for interop
+    (their readers cannot prune columns — project after the read)."""
+    if fmt == "parquet":
+        return rd.read_parquet(path, columns=columns)
+    if fmt in ("json", "jsonl"):
+        ds = rd.read_json(path)
+    elif fmt == "csv":
+        ds = rd.read_csv(path)
+    else:
+        raise ValueError(f"unsupported pages format: {fmt}")
+    return ds.select_columns(columns) if columns else ds
 
 
 def derive_sites(pages: rd.Dataset) -> list[dict]:
@@ -286,6 +296,7 @@ def prepare_docs(
     use_text_col: bool = False,
     concurrency: int | tuple[int, int] = (1, 8),
     pages_path: str | None = None,
+    drop_unmatched: bool = True,
 ) -> rd.Dataset:
     """pages → docs Dataset (see module docstring). Lazy / streaming.
 
@@ -299,6 +310,15 @@ def prepare_docs(
         winners_ref = ray.put(winners)
     prep = PreparePages(sites, use_text_col=use_text_col)
     ds = pages.map_batches(prep, batch_format="pyarrow")
+    if drop_unmatched:
+        # reference crawler never indexes pages outside the configured
+        # sites (IndexingServiceImpl.java:183-195 url-prefix match)
+        import pyarrow.compute as _pc
+
+        ds = ds.map_batches(
+            lambda t: t.filter(_pc.greater_equal(t["site_id"], 0)),
+            batch_format="pyarrow",
+        )
     if dedup and winners_ref is not None:
 
         def filt(batch: pa.Table, _ref=[winners_ref]) -> pa.Table:

@@ -97,3 +97,56 @@ def test_snippet_blank():
 def test_snippet_duplicate_words_deduped():
     s = generate_snippet("only one window here", ["window", "Window", " window "])
     assert s.count("<b>window</b>") == 1
+
+
+def test_extract_links_m7_semantics():
+    # UrlUtils.java:62-107: skip empty/javascript:/mailto:/#, absolutize,
+    # normalize, in-site filter, dedup (first occurrence)
+    from search_engine_skillbox_ray.functions.links import extract_links
+
+    html = """
+    <body>
+      <a href="/p/1">one</a>
+      <a href="p/2#frag">two</a>
+      <a href="https://www.site0.example/p/3/">three-www-slash</a>
+      <a href="https://other.example/x">external</a>
+      <a href="javascript:void(0)">js</a>
+      <a href="mailto:a@b.c">mail</a>
+      <a href="#">hash</a>
+      <a href="">empty</a>
+      <a href="/p/1">dup</a>
+    </body>"""
+    links = extract_links(html, "https://site0.example/start", "https://site0.example")
+    assert links == [
+        "https://site0.example/p/1",
+        "https://site0.example/p/2",
+        "https://site0.example/p/3",
+    ]
+
+
+def test_extract_links_ds(ray_session):
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.functions.links import extract_links_ds
+    from search_engine_skillbox_ray.sources.fixtures import generate_pages_table
+    from search_engine_skillbox_ray.sources.pages import derive_sites
+
+    import pyarrow as pa
+
+    tbl = pa.table(
+        {
+            "url": ["https://site0.example/a", "https://site0.example/b"],
+            "html": [
+                b'<body><a href="/b">b</a><a href="https://ext.example/x">out</a></body>',
+                b'<body><a href="/a">a</a><a href="/a#top">same</a></body>',
+            ],
+        }
+    )
+    pages = rd.from_arrow(tbl)
+    sites = derive_sites(pages)
+    graph = extract_links_ds(pages, sites).to_pandas()
+    got = {tuple(r) for r in graph[["src_url", "dst_url"]].itertuples(index=False)}
+    assert got == {
+        ("https://site0.example/a", "https://site0.example/b"),
+        ("https://site0.example/b", "https://site0.example/a"),
+    }
