@@ -321,6 +321,13 @@ def build_index_from_docs(
     results = partials.groupby("bucket").map_groups(write_bucket, batch_format="pyarrow")
     res_tbl = results.to_pandas()  # one row per bucket — tiny
     if not docs_already:
+        docs_dir.mkdir(parents=True, exist_ok=True)
+        if not any(docs_dir.glob("*.parquet")):
+            # empty corpus: persist an empty docs shard so the stats
+            # pass and the query engine have a readable table
+            from ..sources.pages import DOCS_SCHEMA
+
+            pq.write_table(DOCS_SCHEMA.empty_table(), docs_dir / "docs-empty.parquet")
         manifest.mark_docs_done({"dir": "docs"})
     _mark("stream_job")
 

@@ -232,8 +232,10 @@ def compute_dup_winners(
     # shuffle path below is the >5M-page (cluster) shape.
     n_rows_est = pages.count()
     if n_rows_est <= 5_000_000:
-        tables = [ray.get(r) for r in keys.to_arrow_refs()]
-        kdf = pa.concat_tables([t for t in tables if len(t)]).to_pandas()
+        tables = [t for t in (ray.get(r) for r in keys.to_arrow_refs()) if len(t)]
+        if not tables:
+            return {}
+        kdf = pa.concat_tables(tables).to_pandas()
         winners_df = dup_winners_bucket(kdf)
         return {
             (int(r.site_id), r.path): (int(r.ts_us), r.url)

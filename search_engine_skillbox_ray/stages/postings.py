@@ -160,6 +160,10 @@ class BucketSegmentWriter:
         bucket = int(group.column("bucket")[0].as_py())
         table = merge_segment_rows(group, out_salt=-1)
         n_postings = int(pa.compute.sum(table["df"]).as_py() or 0)
+        sids, cnts = np.unique(
+            table["site_id"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        lemmas_by_site = {int(s): int(c) for s, c in zip(sids, cnts)}
         final = self.postings_dir / f"bucket={bucket:05d}.parquet"
         tmp = self.postings_dir / f"bucket={bucket:05d}.parquet.tmp"
         pq.write_table(table, tmp, row_group_size=4096)
@@ -172,6 +176,7 @@ class BucketSegmentWriter:
                 "file": final.name,
                 "n_terms": len(table),
                 "n_postings": n_postings,
+                "lemmas_by_site": lemmas_by_site,
             },
         )
         return pa.table(

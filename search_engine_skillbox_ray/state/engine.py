@@ -455,12 +455,22 @@ class SearchEngine:
     def statistics(self) -> dict:
         """A7 (service/StatisticsServiceImpl.java:24-86) over stats.json +
         segment metadata; lemma counts = distinct (site, term) rows."""
+        from .manifest import read_json
+
         lemma_by_site: dict[int, int] = {}
         postings_dir = self.index_dir / "postings"
-        for f in sorted(postings_dir.glob("bucket=*.parquet")):
-            tbl = pq.read_table(f, columns=["site_id"])
-            for sid, cnt in zip(*np.unique(tbl["site_id"].to_numpy(zero_copy_only=False), return_counts=True)):
-                lemma_by_site[int(sid)] = lemma_by_site.get(int(sid), 0) + int(cnt)
+        markers = sorted(postings_dir.glob("bucket=*.done.json"))
+        marker_counts = [read_json(m) for m in markers]
+        if marker_counts and all(m and "lemmas_by_site" in m for m in marker_counts):
+            # per-site counts recorded at segment-write time — no scan
+            for m in marker_counts:
+                for sid, cnt in m["lemmas_by_site"].items():
+                    lemma_by_site[int(sid)] = lemma_by_site.get(int(sid), 0) + int(cnt)
+        else:  # older index: scan segment metadata columns
+            for f in sorted(postings_dir.glob("bucket=*.parquet")):
+                tbl = pq.read_table(f, columns=["site_id"])
+                for sid, cnt in zip(*np.unique(tbl["site_id"].to_numpy(zero_copy_only=False), return_counts=True)):
+                    lemma_by_site[int(sid)] = lemma_by_site.get(int(sid), 0) + int(cnt)
         detailed = []
         for sid, s in sorted(self.sites.items()):
             ss = self.stats["site_stats"].get(str(sid)) or self.stats["site_stats"].get(sid) or {}

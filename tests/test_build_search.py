@@ -178,3 +178,25 @@ def test_statistics_counts(built):
         for d in posting:
             per_site.setdefault(oracle.doc_site[d], set()).add(t)
     assert st["total"]["lemmas"] == sum(len(v) for v in per_site.values())
+
+
+def test_empty_corpus_builds_and_searches(ray_session, tmp_path):
+    """A build over zero matching pages must produce a queryable (empty)
+    index, not crash — the N=0 search path returns true/empty (A3)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    pages = rd.from_arrow(
+        pa.table({"url": pa.array([], pa.string()), "html": pa.array([], pa.binary())})
+    )
+    sites = [{"site_id": 0, "url": "https://empty.example", "name": "Empty"}]
+    res = build_index_from_pages(
+        pages, tmp_path / "idx", sites,
+        BuildConfig(n_buckets=2, sample_fraction=0, tokenize_concurrency=(1, 2)),
+        input_token="empty",
+    )
+    assert res.n_docs == 0
+    eng = ses.SearchEngine(str(tmp_path / "idx"))
+    assert eng.search("anything") == {"result": True, "count": 0, "data": []}
+    assert eng.statistics()["statistics"]["total"]["pages"] == 0

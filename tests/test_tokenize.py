@@ -82,3 +82,26 @@ def test_doc_id_hash_value_determinism():
     t1 = term_bucket(["hello", "zzz"], 64)
     t2 = term_bucket(["other", "hello", "more", "words"], 64)
     assert t1[0] == t2[1]
+
+
+def test_arrow_vs_python_tokenizer_property():
+    """Property-style: RE2 kernel path ≡ Python re path over random
+    strings from the supported alphabets (letters Latin+Cyrillic, digits,
+    punctuation, whitespace)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alphabet = st.sampled_from(list("abcXYZйцуЁёÄöß0123456789 .,-_!?/\t\n'\"«»"))
+
+    @given(st.lists(st.text(alphabet=alphabet, max_size=40), min_size=1, max_size=20))
+    @settings(max_examples=60, deadline=None)
+    def check(texts):
+        arr = pa.array(texts, pa.string())
+        lists = token_lists(arr)
+        for text, toks in zip(texts, lists.to_pylist()):
+            assert [t for t in toks if t] == tokenize(text), repr(text)
+
+    check()
