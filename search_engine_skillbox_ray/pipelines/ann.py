@@ -16,8 +16,6 @@ Two paths over ``embeddings(vec_id, embedding: list<float>, label)``:
 
 from __future__ import annotations
 
-import heapq
-
 import numpy as np
 import pyarrow as pa
 

@@ -29,11 +29,10 @@ import os
 from pathlib import Path
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from .codec import BLOCK_SIZE, encode_posting_lists_bulk, merge_posting_payloads
+from .codec import BLOCK_SIZE, encode_posting_lists_bulk
 
 SEGMENT_SCHEMA = pa.schema(
     [

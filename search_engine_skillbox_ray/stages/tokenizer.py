@@ -169,17 +169,30 @@ def _encode_batch_partials(counted: pa.Table, n_buckets: int, heavy: dict[str, i
 
     if not len(counted):
         return _rows_to_table({n: [] for n in SEGMENT_SCHEMA.names})
-    df = counted.to_pandas()
-    df = df.sort_values(["term", "site_id", "doc_id"], kind="mergesort")
-    terms = df["term"].to_numpy()
-    site_ids = df["site_id"].to_numpy(np.int32)
-    doc_ids = df["doc_id"].to_numpy(np.int64)
-    tfs = df["tf"].to_numpy(np.int64)
-    n = len(df)
+    # group rows into (term, site) runs without a string sort: Arrow
+    # dictionary-encode gives integer term codes (C++), then one numpy
+    # lexsort — run ORDER within the batch is irrelevant (the bucket
+    # merge re-sorts terms), only contiguity matters
+    term_col = counted.column("term")
+    if isinstance(term_col, pa.ChunkedArray):
+        term_col = term_col.combine_chunks()
+    dict_arr = term_col.dictionary_encode()
+    codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dictionary = np.asarray(dict_arr.dictionary.to_pylist(), dtype=object)
+    site_all = counted.column("site_id").to_numpy(zero_copy_only=False)
+    doc_all = counted.column("doc_id").to_numpy(zero_copy_only=False)
+    tf_all = counted.column("tf").to_numpy(zero_copy_only=False)
+    order = np.lexsort((doc_all, site_all, codes))
+    codes = codes[order]
+    site_ids = site_all[order].astype(np.int32)
+    doc_ids = doc_all[order].astype(np.int64)
+    tfs = tf_all[order].astype(np.int64)
+    n = codes.size
     new_run = np.ones(n, dtype=bool)
-    new_run[1:] = (terms[1:] != terms[:-1]) | (site_ids[1:] != site_ids[:-1])
+    new_run[1:] = (codes[1:] != codes[:-1]) | (site_ids[1:] != site_ids[:-1])
     run_starts = np.flatnonzero(new_run)
     lengths = np.diff(np.append(run_starts, n))
+    terms = dictionary[codes]
 
     payloads = encode_posting_lists_bulk(doc_ids, tfs, lengths, block_size=BLOCK_SIZE)
     run_terms = terms[run_starts]

@@ -34,7 +34,7 @@ from typing import Callable
 
 import numpy as np
 
-from .codec import BLOCK_SIZE, decode_block
+from .codec import decode_block
 
 
 class _TermCursor:
