@@ -38,19 +38,19 @@ from .codec import decode_block
 
 
 class _TermCursor:
-    __slots__ = ("row", "idf", "n_blocks", "block", "docs", "tfs", "pos", "weight_fn", "max_weight")
+    __slots__ = ("row", "idf", "n_blocks", "block", "docs", "tfs", "pos", "bound_fn", "max_weight")
 
-    def __init__(self, row: dict, idf: float, weight_fn: Callable[[np.ndarray, float], np.ndarray]):
+    def __init__(self, row: dict, idf: float, bound_fn: Callable[[np.ndarray, float], np.ndarray]):
         self.row = row
         self.idf = idf
-        self.weight_fn = weight_fn
+        self.bound_fn = bound_fn
         self.n_blocks = len(row["block_last_doc"])
         self.block = -1
         self.docs = np.empty(0, np.int64)
         self.tfs = np.empty(0, np.int64)
         self.pos = 0
         self.max_weight = float(
-            np.max(weight_fn(np.asarray(row["block_max_tf"], dtype=np.int64), idf))
+            np.max(bound_fn(np.asarray(row["block_max_tf"], dtype=np.int64), idf))
         ) if self.n_blocks else 0.0
 
     def _load_block(self, b: int) -> None:
@@ -71,7 +71,7 @@ class _TermCursor:
         return lo
 
     def block_max_weight(self, b: int) -> float:
-        return float(self.weight_fn(np.asarray([self.row["block_max_tf"][b]], np.int64), self.idf)[0])
+        return float(self.bound_fn(np.asarray([self.row["block_max_tf"][b]], np.int64), self.idf)[0])
 
     def seek(self, doc: int) -> tuple[int, int] | None:
         """Advance to first posting with docID >= doc → (docID, tf)."""
@@ -112,12 +112,19 @@ def _finalize(heap: list) -> tuple[np.ndarray, np.ndarray]:
 def topk_conjunctive_bmw(
     term_rows: list[tuple[dict, float]],
     k: int,
-    weight_fn: Callable[[np.ndarray, float], np.ndarray],
+    weight_fn: Callable[..., np.ndarray],
+    bound_fn: Callable[[np.ndarray, float], np.ndarray] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """AND-mode block-max WAND. ``term_rows`` = [(payload_row, idf)]."""
+    """AND-mode block-max WAND. ``term_rows`` = [(payload_row, idf)].
+
+    ``weight_fn(tfs, idf, doc_ids)`` is the exact per-posting score;
+    ``bound_fn(tfs, idf)`` a doc-independent upper bound (defaults to
+    weight_fn without docs — correct for TF-IDF; BM25 passes its
+    dl→0 bound)."""
+    bound_fn = bound_fn or (lambda tfs, idf: weight_fn(tfs, idf, None))
     if not term_rows or any(r["df"] == 0 for r, _ in term_rows):
         return np.empty(0, np.int64), np.empty(0, np.float64)
-    cursors = [_TermCursor(r, idf, weight_fn) for r, idf in term_rows]
+    cursors = [_TermCursor(r, idf, bound_fn) for r, idf in term_rows]
     heap: list = []
     doc = 0
     while True:
@@ -147,7 +154,10 @@ def topk_conjunctive_bmw(
             score = 0.0
             for c in cursors:
                 s = c.seek(max_doc)
-                score += float(weight_fn(np.asarray([s[1]], np.int64), c.idf)[0])
+                score += float(
+                    weight_fn(np.asarray([s[1]], np.int64), c.idf,
+                              np.asarray([max_doc], np.int64))[0]
+                )
             _topk_push(heap, k, score, max_doc)
         doc = max_doc + 1
 
@@ -155,7 +165,8 @@ def topk_conjunctive_bmw(
 def topk_disjunctive_maxscore(
     term_rows: list[tuple[dict, float]],
     k: int,
-    weight_fn: Callable[[np.ndarray, float], np.ndarray],
+    weight_fn: Callable[..., np.ndarray],
+    bound_fn: Callable[[np.ndarray, float], np.ndarray] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """OR-mode MaxScore with block-max probes.
 
@@ -163,11 +174,12 @@ def topk_disjunctive_maxscore(
     max_weight can't alone reach the threshold become non-essential —
     they are only PROBED at candidate docIDs (block-skipped), never
     iterated. Exact same top-k as exhaustive OR scoring."""
+    bound_fn = bound_fn or (lambda tfs, idf: weight_fn(tfs, idf, None))
     rows = [(r, idf) for r, idf in term_rows if r["df"] > 0]
     if not rows:
         return np.empty(0, np.int64), np.empty(0, np.float64)
     cursors = sorted(
-        (_TermCursor(r, idf, weight_fn) for r, idf in rows), key=lambda c: c.max_weight
+        (_TermCursor(r, idf, bound_fn) for r, idf in rows), key=lambda c: c.max_weight
     )
     # prefix sums of max weights (ascending order)
     prefix = np.cumsum([c.max_weight for c in cursors])
@@ -195,10 +207,11 @@ def topk_disjunctive_maxscore(
         # score candidate: essential terms at cand + probe non-essential,
         # aborting early when the remaining upper bound can't reach
         score = 0.0
+        cand_arr = np.asarray([cand], np.int64)
         for ci in range(first_essential, n):
             p = positions[ci]
             if p is not None and p[0] == cand:
-                score += float(weight_fn(np.asarray([p[1]], np.int64), cursors[ci].idf)[0])
+                score += float(weight_fn(np.asarray([p[1]], np.int64), cursors[ci].idf, cand_arr)[0])
         for ci in range(first_essential - 1, -1, -1):
             # upper bound with remaining non-essential terms
             if score + prefix[ci] < threshold:
@@ -206,7 +219,7 @@ def topk_disjunctive_maxscore(
                 break
             p = cursors[ci].seek(cand)
             if p is not None and p[0] == cand:
-                score += float(weight_fn(np.asarray([p[1]], np.int64), cursors[ci].idf)[0])
+                score += float(weight_fn(np.asarray([p[1]], np.int64), cursors[ci].idf, cand_arr)[0])
         if score is not None:
             _topk_push(heap, k, score, cand)
         # advance essential cursors sitting on cand

@@ -332,9 +332,8 @@ class SearchEngine:
 
         mode = mode or self.mode
         lemmas = query_lemmas(query)
-        if not lemmas or self.scorer == "bm25":
-            d, s, _ = self.search_scores(query, site)
-            return d[:k], s[:k].astype(np.float64)
+        if not lemmas:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
         site_id, known = self._resolve_site(site)
         n_total = self._total_pages(site_id, known)
         if n_total <= 0:
@@ -349,12 +348,30 @@ class SearchEngine:
             idf = math.log((n_total + 1) / (int(payload["df"]) + 1))
             term_rows.append((payload, idf))
 
-        def weight(tfs: np.ndarray, idf: float) -> np.ndarray:
-            return tfs.astype(np.float64) * idf
+        if self.scorer == "bm25":
+            k1, b = self.k1, self.b
+            avgdl = max(1.0, self.stats["sum_doc_len"] / max(1, self.stats["n_docs_indexed"]))
+
+            def weight(tfs: np.ndarray, idf: float, doc_ids=None) -> np.ndarray:
+                tf = tfs.astype(np.float64)
+                dl = self._doc_len_lookup(np.asarray(doc_ids, np.int64)) if doc_ids is not None else 0.0
+                return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+            def bound(tfs: np.ndarray, idf: float) -> np.ndarray:
+                # dl → 0 upper bound: valid for every document length
+                tf = tfs.astype(np.float64)
+                return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b))
+
+        else:
+
+            def weight(tfs: np.ndarray, idf: float, doc_ids=None) -> np.ndarray:
+                return tfs.astype(np.float64) * idf
+
+            bound = None
 
         if mode == "and":
-            return topk_conjunctive_bmw(term_rows, k, weight)
-        return topk_disjunctive_maxscore(term_rows, k, weight)
+            return topk_conjunctive_bmw(term_rows, k, weight, bound)
+        return topk_disjunctive_maxscore(term_rows, k, weight, bound)
 
     # ---------------- public API --------------------------------------
     def search(

@@ -10,7 +10,7 @@ from search_engine_skillbox_ray.stages.wand import (
 )
 
 
-def tfidf_weight(tfs: np.ndarray, idf: float) -> np.ndarray:
+def tfidf_weight(tfs: np.ndarray, idf: float, doc_ids=None) -> np.ndarray:
     return tfs.astype(np.float64) * idf
 
 
@@ -133,3 +133,34 @@ def test_engine_topk_matches_search_scores(ray_session, tmp_path):
             d_exa, s_exa, _ = eng_and.search_scores(q, site)
             d_pra, s_pra = eng_and.topk(q, k=10, site=site)
             assert d_pra.tolist() == d_exa[:10].tolist(), (q, site, "and")
+
+
+def test_engine_topk_bm25_pruned_matches_exact(ray_session, tmp_path):
+    """BM25 pruned top-k (dl→0 block-max bound) == exhaustive BM25 top-k."""
+    import ray.data as rd
+
+    import search_engine_skillbox_ray as ses
+    from search_engine_skillbox_ray.pipelines.build import BuildConfig, build_index_from_pages
+    from search_engine_skillbox_ray.sources.fixtures import generate_pages_table
+    from search_engine_skillbox_ray.sources.pages import derive_sites
+
+    tbl = generate_pages_table(200, n_sites=2, seed=23)
+    pages = rd.from_arrow(tbl)
+    sites = derive_sites(pages)
+    idx = tmp_path / "idx"
+    build_index_from_pages(pages, idx, sites,
+        BuildConfig(n_buckets=4, sample_fraction=0, tokenize_concurrency=(1, 2)),
+        input_token="bm25-wand")
+    eng = ses.SearchEngine(str(idx), scorer="bm25", float32_scores=False)
+    import glob
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(sorted(glob.glob(f"{idx}/postings/*.parquet"))[0], columns=["term", "df"])
+    terms = sorted(t.to_pylist(), key=lambda r: -r["df"])
+    for q in [terms[0]["term"], f"{terms[0]['term']} {terms[3]['term']}",
+              f"{terms[1]['term']} {terms[2]['term']} {terms[-1]['term']}"]:
+        d_ex, s_ex, _ = eng.search_scores(q)
+        d_pr, s_pr = eng.topk(q, k=10)
+        assert d_pr.tolist() == d_ex[:10].tolist(), q
+        assert np.allclose(s_pr, s_ex[:10], rtol=1e-12)
