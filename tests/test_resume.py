@@ -95,3 +95,43 @@ def test_manifest_records_lineage(pages_and_sites, tmp_path):
     assert mf["metrics"]["n_docs"] > 0 and mf["metrics"]["n_postings"] > 0
     marker = json.loads((idx / "postings" / "bucket=00000.done.json").read_text())
     assert {"fingerprint", "bucket", "file", "n_terms", "n_postings"} <= set(marker)
+
+
+def test_two_level_merge_identical_segments(ray_session, tmp_path):
+    """Extreme Zipf head (a term in EVERY doc): the salted two-level merge
+    must produce byte-identical segments to the single-level merge."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    n = 300
+    rows = {
+        "url": [f"https://s.example/p/{i}" for i in range(n)],
+        "html": [
+            f"<body>everydoc shared{i % 7} unique{i} word{i % 31}</body>".encode()
+            for i in range(n)
+        ],
+    }
+    pages_tbl = pa.table(rows)
+    sites = derive_sites(rd.from_arrow(pages_tbl))
+
+    def cfg(two_level):
+        return BuildConfig(
+            n_buckets=4, heavy_df_threshold=10, salt_target=10, max_salts=8,
+            sample_fraction=1.0, sample_max_docs=10_000,
+            tokenize_concurrency=(1, 2), two_level_merge=two_level,
+        )
+
+    idx1, idx2 = tmp_path / "one", tmp_path / "two"
+    build_index_from_pages(rd.from_arrow(pages_tbl), idx1, sites, cfg(False), input_token="t1")
+    build_index_from_pages(rd.from_arrow(pages_tbl), idx2, sites, cfg(True), input_token="t1")
+
+    import json
+    mf = json.loads((idx2 / "manifest.json").read_text())
+    assert mf["heavy_terms"], "head term should be salted"
+    h1, h2 = _file_hashes(idx1), _file_hashes(idx2)
+    assert h1 == h2
+
+    eng = ses.SearchEngine(str(idx2))
+    d, s, _ = eng.search_scores("everydoc")
+    assert d.size == n  # the head term matches every doc
