@@ -365,6 +365,22 @@ def q_batch_search(sf_dir: str):
     return batch_search(queries_ds, idx, concurrency=(1, 2))
 
 
+
+
+def q_link_graph(sf_dir: str):
+    """M7 link extraction over a deterministic synthetic pages fixture:
+    in-site (src_url, dst_url) edges."""
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.functions.links import extract_links_ds
+    from search_engine_skillbox_ray.sources.fixtures import generate_pages_table
+    from search_engine_skillbox_ray.sources.pages import derive_sites
+
+    pages = rd.from_arrow(generate_pages_table(300, n_sites=2, seed=13))
+    sites = derive_sites(pages)
+    return extract_links_ds(pages, sites)
+
+
 # ------------------------------------------------------------ contract
 def entry() -> Any:
     """Flagship: build the index over sf0.001 documents, run the search
@@ -417,6 +433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": q_media_frames,
         "search_pruned_topk": q_search_pruned_topk,
         "batch_search": q_batch_search,
+        "link_graph": q_link_graph,
     }
 
 

@@ -137,6 +137,13 @@ def generate_pages_table(
         elif deco == 1:
             body = body + "<style>.x{display:none}</style>"
         expected = " ".join(" ".join(p.split()) for p in paras)
+        # in-site nav links → a non-trivial link graph for M7 operators
+        nav_parts = []
+        if i > 0:
+            nav_parts.append(f'<a href="/p/{path_offset + i - 1}">prev</a>')
+        nav_parts.append(f'<a href="/p/{path_offset + i + 1}">next</a>')
+        body = body + '<div class="nav">' + " ".join(nav_parts) + "</div>"
+        expected = expected + (" prev next" if i > 0 else " next")
         lang = "ru" if rng.random() < 0.3 else "en"
         html = f"<html><head><title>page {i}</title></head><body>{body}</body></html>"
         add(url, html, expected, lang)
