@@ -238,6 +238,25 @@ def _vb_fill(v: np.ndarray, nb: np.ndarray) -> np.ndarray:
     return out
 
 
+def concat_binary_column(col) -> memoryview:
+    """Zero-copy concatenation of a pyarrow binary column's values.
+
+    A BinaryArray's data buffer already holds every row's bytes
+    back-to-back in row order — slice it once instead of materializing
+    per-row Python ``bytes`` and joining (the hot path of the segment
+    merge)."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        raise ValueError("binary column with nulls")
+    offsets = np.frombuffer(col.buffers()[1], dtype=np.int32)
+    start = int(offsets[col.offset])
+    end = int(offsets[col.offset + len(col)])
+    return memoryview(col.buffers()[2])[start:end]
+
+
 def decode_partial_rows(
     dfs: np.ndarray, gap_bufs: list[bytes], tf_bufs: list[bytes]
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -254,8 +273,10 @@ def decode_partial_rows(
     total = int(dfs.sum())
     if total == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    gaps = varbyte_decode(b"".join(gap_bufs), count=total)
-    tfs = varbyte_decode(b"".join(tf_bufs), count=total).astype(np.int64)
+    gcat = gap_bufs if isinstance(gap_bufs, (bytes, memoryview)) else b"".join(gap_bufs)
+    tcat = tf_bufs if isinstance(tf_bufs, (bytes, memoryview)) else b"".join(tf_bufs)
+    gaps = varbyte_decode(gcat, count=total)
+    tfs = varbyte_decode(tcat, count=total).astype(np.int64)
     csum = np.cumsum(gaps, dtype=np.uint64)
     starts = np.cumsum(dfs) - dfs
     adjust = np.zeros(dfs.size, dtype=np.uint64)

@@ -87,8 +87,12 @@ def merge_segment_rows(group: pa.Table, out_salt: int = -1) -> pa.Table:
         )
         return out.select(SEGMENT_SCHEMA.names)
 
+    from .codec import concat_binary_column
+
     doc_ids, tfs = decode_partial_rows(
-        dfs, group.column("doc_gaps").to_pylist(), group.column("tf_bytes").to_pylist()
+        dfs,
+        concat_binary_column(group.column("doc_gaps")),
+        concat_binary_column(group.column("tf_bytes")),
     )
     posting_run = np.repeat(run_id_per_row, dfs)
     order = np.lexsort((doc_ids, posting_run))
