@@ -198,3 +198,19 @@ def test_media_decode_deterministic(ray_session):
     assert t1.sort_values("media_id").reset_index(drop=True).equals(
         t2.sort_values("media_id").reset_index(drop=True)
     )
+
+
+def test_minhash_and_simhash_deterministic_across_runs(dup_docs):
+    """LSH signatures/pairs must be identical run-to-run (fixed seeds,
+    value-deterministic hashing)."""
+    from search_engine_skillbox_ray.pipelines.dedup import minhash_lsh_pairs, simhash_ds
+
+    p1 = minhash_lsh_pairs(dup_docs, threshold=0.5).to_pandas()
+    p2 = minhash_lsh_pairs(dup_docs, threshold=0.5).to_pandas()
+    key = ["doc_a", "doc_b"]
+    assert p1.sort_values(key).reset_index(drop=True).equals(
+        p2.sort_values(key).reset_index(drop=True)
+    )
+    s1 = simhash_ds(dup_docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    s2 = simhash_ds(dup_docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert s1.equals(s2)

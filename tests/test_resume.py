@@ -135,3 +135,50 @@ def test_two_level_merge_identical_segments(ray_session, tmp_path):
     eng = ses.SearchEngine(str(idx2))
     d, s, _ = eng.search_scores("everydoc")
     assert d.size == n  # the head term matches every doc
+
+
+def test_build_from_jsonl_source(ray_session, tmp_path):
+    """Interop: the same build over a JSONL pages export (S1 source
+    flexibility) produces a working index."""
+    import base64
+    import json as _json
+
+    from search_engine_skillbox_ray.sources.pages import read_pages
+
+    rows = [
+        {"url": f"https://j.example/p/{i}",
+         "html": f"<body>jsondoc number{i} shared words</body>"}
+        for i in range(30)
+    ]
+    src = tmp_path / "pages.jsonl"
+    src.write_text("\n".join(_json.dumps(r) for r in rows))
+    pages = read_pages(str(src), fmt="json")
+    sites = derive_sites(pages)
+    idx = tmp_path / "idx"
+    build_index_from_pages(
+        pages, idx, sites,
+        BuildConfig(n_buckets=2, sample_fraction=0, tokenize_concurrency=(1, 2)),
+        input_token="jsonl",
+    )
+    eng = ses.SearchEngine(str(idx))
+    assert eng.search_scores("jsondoc")[0].size == 30
+
+
+def test_build_deterministic_across_parallelism(pages_and_sites, tmp_path):
+    """Segment bytes must not depend on execution parallelism or batch
+    boundaries (SURVEY §7.4 'determinism under parallelism')."""
+    pages, sites = pages_and_sites
+    a, b = tmp_path / "a", tmp_path / "b"
+    build_index_from_pages(
+        pages, a, sites,
+        BuildConfig(n_buckets=6, sample_fraction=0, tokenize_concurrency=1,
+                    tokenize_batch_size=32),
+        input_token="det",
+    )
+    build_index_from_pages(
+        pages, b, sites,
+        BuildConfig(n_buckets=6, sample_fraction=0, tokenize_concurrency=(1, 4),
+                    tokenize_batch_size=512),
+        input_token="det",
+    )
+    assert _file_hashes(a) == _file_hashes(b)
