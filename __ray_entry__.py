@@ -291,6 +291,13 @@ def q_ann_lsh_topk(sf_dir: str):
     )
 
 
+
+def q_ann_ivf_topk(sf_dir: str):
+    from search_engine_skillbox_ray.pipelines.ann import ivf_topk
+
+    return ivf_topk(_embeddings(sf_dir), _query_vectors(sf_dir), k=ANN_K, n_lists=8, n_probe=4)
+
+
 def q_events_window(sf_dir: str):
     from search_engine_skillbox_ray.pipelines.windows import tumbling_window
 
@@ -434,6 +441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_pruned_topk": q_search_pruned_topk,
         "batch_search": q_batch_search,
         "link_graph": q_link_graph,
+        "ann_ivf_topk": q_ann_ivf_topk,
     }
 
 

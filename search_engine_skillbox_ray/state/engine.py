@@ -64,6 +64,7 @@ class SearchEngine:
         b: float = 0.75,
         strict_parity: bool = True,
         float32_scores: bool = True,
+        docs_in_memory: bool = True,
     ) -> None:
         self.index_dir = Path(index_dir)
         self.mode = mode
@@ -91,6 +92,9 @@ class SearchEngine:
         self._decoded: dict[tuple[str, int | None], tuple[np.ndarray, np.ndarray, int]] = {}
         self._doclen: tuple[np.ndarray, np.ndarray] | None = None
         self._docs_dataset = None
+        # docs_in_memory=False → hydrate via Parquet predicate reads
+        # (memory-light serving, e.g. many pool actors on one node)
+        self.docs_in_memory = docs_in_memory
         self._load_update_log()
 
     def _load_update_log(self) -> None:

@@ -94,7 +94,7 @@ def test_query_matches_oracle(entry_mod, con, name):
 @pytest.mark.parametrize("name", [
     "langid", "minhash_pairs", "simhash", "ngram_jaccard_pairs",
     "embedding_near_pairs", "ann_lsh_topk", "media_decode", "media_frames",
-    "batch_search", "link_graph",
+    "batch_search", "link_graph", "ann_ivf_topk",
 ])
 def test_rows_only_queries_run(entry_mod, name):
     df = _to_pandas(entry_mod.queries()[name](SF_DIR))

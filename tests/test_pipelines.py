@@ -214,3 +214,25 @@ def test_minhash_and_simhash_deterministic_across_runs(dup_docs):
     s1 = simhash_ds(dup_docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
     s2 = simhash_ds(dup_docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert s1.equals(s2)
+
+
+def test_ann_ivf_recall(ray_session):
+    import ray.data as rd
+    from search_engine_skillbox_ray.pipelines.ann import brute_force_topk, ivf_topk
+
+    emb = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = np.asarray(
+        [r["embedding"] for r in sorted(emb.take(8), key=lambda r: r["vec_id"])[:5]],
+        dtype=np.float64,
+    )
+    exact = brute_force_topk(emb, queries, k=10).to_pandas()
+    approx = ivf_topk(emb, queries, k=10, n_lists=8, n_probe=4).to_pandas()
+    recalls = []
+    for qi in range(5):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6, recalls
+    # determinism across runs (seeded training sample + kmeans)
+    again = ivf_topk(emb, queries, k=10, n_lists=8, n_probe=4).to_pandas()
+    assert approx.equals(again)
