@@ -22,6 +22,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from ..functions.vectors import embedding_vectors
+
 
 def _cosine_topk_block(
     vecs: np.ndarray, ids: np.ndarray, queries: np.ndarray, k: int
@@ -54,7 +56,7 @@ class BruteForceTopK:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
-        vecs = np.asarray(batch.column(self.vec_col).to_pylist(), dtype=np.float64)
+        vecs = embedding_vectors(batch.column(self.vec_col))
         rows = _cosine_topk_block(vecs, ids, self.queries, self.k)
         return pa.table(
             {
@@ -178,7 +180,7 @@ def ivf_topk(
     def probe_batch(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        vecs = embedding_vectors(batch.column(vec_col))
         empty = pa.table({"query_id": pa.array([], pa.int32()),
                           "vec_id": pa.array([], pa.int64()),
                           "cosine": pa.array([], pa.float64())})
@@ -263,7 +265,7 @@ def lsh_topk(
     def probe_batch(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        vecs = embedding_vectors(batch.column(vec_col))
         if not len(vecs):
             return pa.table({"query_id": pa.array([], pa.int32()),
                              "vec_id": pa.array([], pa.int64()),

@@ -187,6 +187,22 @@ def _sample_texts(docs: rd.Dataset, sample_source: str | None, want: int) -> lis
     return [r["text"] for r in docs.limit(want).take_all()]
 
 
+def _discover_input_files(*candidates: str | None) -> list[str]:
+    """Best-effort input file list for the resume fingerprint: the
+    parquet files under the first candidate that is an existing path."""
+    for c in candidates:
+        if not c:
+            continue
+        p = Path(c)
+        if p.is_dir():
+            files = sorted(str(f) for f in p.glob("*.parquet"))
+            if files:
+                return files
+        elif p.is_file():
+            return [str(p)]
+    return []
+
+
 def build_index_from_docs(
     docs: rd.Dataset,
     index_dir: str | Path,
@@ -196,18 +212,24 @@ def build_index_from_docs(
     input_token: str = "",
     n_docs_hint: int | None = None,
     sample_source: str | None = None,
+    input_files: list[str | Path] | None = None,
 ) -> BuildResult:
     """Build the inverted index from a docs-schema Dataset.
 
     ``input_token`` feeds the resume fingerprint — pass something that
     identifies the input (e.g. the source parquet path); builds with a
     different token invalidate each other's partition markers.
+    ``input_files`` (or, when absent, the parquet files found under
+    ``sample_source``/``input_token`` if either is a path) are hashed by
+    (path, size, mtime) so CHANGED source data invalidates stale resume
+    markers instead of silently reusing them.
     """
     cfg = cfg or BuildConfig()
     t0 = time.perf_counter()
     index_dir = Path(index_dir)
     index_dir.mkdir(parents=True, exist_ok=True)
-    fp = fingerprint_inputs([], {"input": input_token, **cfg.params()})
+    fp_files = [str(f) for f in (input_files or _discover_input_files(sample_source, input_token))]
+    fp = fingerprint_inputs(fp_files, {"input": input_token, **cfg.params()})
     manifest = BuildManifest(index_dir, fp)
 
     # Fast path: everything already built for this fingerprint → no Ray
@@ -472,4 +494,10 @@ def build_index_from_documents_table(
     sources = sorted(documents.unique("source"))
     sites = sites_for_sources(sources)
     docs = docs_from_documents(documents, sources)
-    return build_index_from_docs(docs, index_dir, sites, cfg, input_token=input_token)
+    # fingerprint exactly the documents table when input_token is its dir
+    in_files = None
+    if input_token and (Path(input_token) / "documents.parquet").is_file():
+        in_files = [str(Path(input_token) / "documents.parquet")]
+    return build_index_from_docs(
+        docs, index_dir, sites, cfg, input_token=input_token, input_files=in_files
+    )

@@ -5,15 +5,29 @@ Scale shapes (100 TB framing):
 * exact — hash the content in a map_batches pass, shuffle only
   (hash, doc_id); survivors = min doc_id per hash. Text never enters
   the exchange.
-* MinHash-LSH — shingle→signature per batch (vectorized universal
-  hashing), explode to (band_id, band_hash, doc_id) rows, ONE groupby
-  on the band key; candidate pairs verified by signature-estimated
-  Jaccard. No pairwise pass outside LSH buckets.
-* SimHash — 64-bit weighted fingerprint per doc; near-dup candidates
-  via 4×16-bit band blocking (Hamming ≤ 3 ⇒ some band equal).
-* n-gram Jaccard — exact verify of candidate pairs inside buckets.
+* MinHash-LSH — signatures per batch (fully vectorized: flat token
+  hashing + segmented ``np.minimum.reduceat``), explode to SLIM
+  (band_id, band_hash, doc_id) rows — signatures do NOT ride the
+  exchange — one groupby on the band key emits candidate pairs, which a
+  verify stage checks against a broadcast signature side table
+  (``ray.put`` once; at cluster scale this broadcast becomes a
+  hash-join of candidates ⨝ signatures on doc_id). No pairwise pass
+  outside LSH buckets.
+* SimHash — 64-bit weighted fingerprint per doc (vectorized per-bit
+  ``bincount``); near-dup candidates via 4×16-bit band blocking
+  (Hamming ≤ 3 ⇒ some band equal — complete by pigeonhole).
+* n-gram Jaccard — candidates from shared min-gram buckets carrying
+  ONLY (gram_bucket, doc_id); exact Jaccard verified by re-deriving the
+  gram sets of just the referenced docs (a second, candidate-pruned
+  pass — candidates are rare, so the pass is cheap; the cluster
+  alternative is a hash-join on doc_id).
 * embedding-cosine — random-hyperplane LSH bucketing, exact cosine
-  verify within buckets.
+  verify within buckets (vectors are the verify payload, so they ride
+  the one bucket shuffle).
+
+All term/gram hashing goes through ``functions.hashing`` (md5-derived),
+so every signature and pair set is bit-reproducible in DuckDB SQL — the
+driver oracle checks these operators hard, not rows-only.
 All emit candidate-pair / survivor tables, never materialize the corpus.
 """
 
@@ -25,11 +39,31 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
 import ray.data as rd
 
-from ..stages.tokenizer import token_lists
+from ..functions.hashing import (
+    MERSENNE61,
+    TokenHasher,
+    flat_nonempty_tokens,
+    gram_hashes,
+    joined_fallback_hash,
+)
 
-_MERSENNE = (1 << 61) - 1
+_MERSENNE = MERSENNE61
+
+# band-key multipliers (collision ⇒ a spurious CANDIDATE, killed by the
+# signature verify — never a wrong pair)
+_BAND_KS = (
+    0x9E3779B97F4A7C15,
+    0xC2B2AE3D27D4EB4F,
+    0x165667B19E3779F9,
+    0x27D4EB2F165667C5,
+    0x85EBCA77C2B2AE63,
+    0x2545F4914F6CDD1D,
+    0xFF51AFD7ED558CCD,
+    0xC4CEB9FE1A85EC53,
+)
 
 
 # ---------------------------------------------------------------- exact
@@ -68,7 +102,6 @@ def exact_dedup(documents: rd.Dataset, text_col: str = "text", id_col: str = "do
     return bucketed_group_apply(hashed, ["content_hash"], keep_min_bucket, n_buckets=64)
 
 
-
 def _dedup_pair_rows(pairs: rd.Dataset, cols: list[str]) -> rd.Dataset:
     """Same pair can surface from several LSH bands/buckets — keep one.
     Hash-bucketed + vectorized drop_duplicates (no per-pair groups)."""
@@ -81,11 +114,23 @@ def _dedup_pair_rows(pairs: rd.Dataset, cols: list[str]) -> rd.Dataset:
 
 # ------------------------------------------------------------- minhash
 class MinHashSignatures:
-    """Actor stage: text → MinHash signature over word shingles.
+    """Actor stage: text → MinHash signature over word 3-shingles.
 
-    Universal hashing h_i(x) = (a_i·x + b_i) mod p over 61-bit shingle
-    hashes; (a, b) drawn once per actor from a fixed seed so signatures
-    are deterministic across runs and cluster sizes."""
+    Universal hashing h_i(x) = ((a_i·x mod 2^64) + b_i) mod 2^64 mod p
+    over 61-bit shingle hashes; (a, b) drawn once per actor from a fixed
+    seed so signatures are deterministic across runs and cluster sizes.
+    Shingle hashes are md5-derived (functions/hashing.py) — the whole
+    signature is reproducible in DuckDB SQL for the driver oracle.
+
+    Fully vectorized: per batch, ONE flat token-hash pass (md5 cached
+    per distinct token across batches), one k-gram combine, then per
+    perm-chunk ``(a·x+b) % p`` over all shingles with a segmented
+    ``np.minimum.reduceat`` per doc. Docs with 0 < tokens < k fall back
+    to the joined-string hash; empty docs keep the int64 -1 sentinel
+    signature.
+    """
+
+    PERM_CHUNK = 16
 
     def __init__(self, num_perm: int = 64, shingle_k: int = 3, seed: int = 42) -> None:
         rng = np.random.default_rng(seed)
@@ -93,33 +138,171 @@ class MinHashSignatures:
         self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
         self.num_perm = num_perm
         self.k = shingle_k
+        self.hasher = TokenHasher()
 
-    def _shingle_hashes(self, tokens: list[str]) -> np.ndarray:
-        if len(tokens) < self.k:
-            shingles = [" ".join(tokens)] if tokens else []
-        else:
-            shingles = [" ".join(tokens[i: i + self.k]) for i in range(len(tokens) - self.k + 1)]
-        if not shingles:
-            return np.empty(0, dtype=np.uint64)
-        h = pd.util.hash_array(np.asarray(shingles, dtype=object), categorize=False)
-        return (h % np.uint64(_MERSENNE)).astype(np.uint64)
+    @classmethod
+    def perm_constants(cls, num_perm: int = 64, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+        rng = np.random.default_rng(seed)
+        a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        return a, b
+
+    def _doc_shingles(self, batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        """→ (shingle hashes mod p, parent doc index), including the
+        short-doc fallback shingles."""
+        toks, parents, counts = flat_nonempty_tokens(batch.column("text"))
+        h = self.hasher.hash_tokens(toks)
+        grams, gparents = gram_hashes(h, counts, k=self.k)
+        short = np.flatnonzero((counts > 0) & (counts < self.k))
+        if short.size:
+            tok_list = toks.to_pylist()
+            starts = np.cumsum(counts) - counts
+            extra = np.fromiter(
+                (
+                    joined_fallback_hash(tok_list[int(starts[i]): int(starts[i] + counts[i])])
+                    for i in short
+                ),
+                dtype=np.uint64,
+                count=short.size,
+            )
+            grams = np.concatenate([grams, extra])
+            gparents = np.concatenate([gparents, short])
+            order = np.argsort(gparents, kind="stable")
+            grams, gparents = grams[order], gparents[order]
+        return grams, gparents
+
+    def signature_matrix(self, batch: pa.Table) -> np.ndarray:
+        """(n_rows, num_perm) uint64; uint64-max rows for empty docs."""
+        n = len(batch)
+        sigs = np.full((n, self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+        grams, gparents = self._doc_shingles(batch)
+        if grams.size == 0:
+            return sigs
+        seg_starts = np.flatnonzero(np.diff(gparents, prepend=-1))
+        seg_docs = gparents[seg_starts]
+        for c0 in range(0, self.num_perm, self.PERM_CHUNK):
+            a = self.a[c0: c0 + self.PERM_CHUNK, None]
+            b = self.b[c0: c0 + self.PERM_CHUNK, None]
+            vals = (a * grams[None, :] + b) % np.uint64(_MERSENNE)
+            mins = np.minimum.reduceat(vals, seg_starts, axis=1)
+            sigs[seg_docs, c0: c0 + self.PERM_CHUNK] = mins.T
+        return sigs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        lists = token_lists(batch.column("text"))
-        if isinstance(lists, pa.ChunkedArray):
-            lists = lists.combine_chunks()
-        sigs = np.full((len(batch), self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
-        for i, row in enumerate(lists.to_pylist()):
-            x = self._shingle_hashes([t for t in row if t])
-            if x.size == 0:
-                continue
-            # (P, S) = a[:,None]*x[None,:] + b → min over shingles
-            vals = (self.a[:, None] * x[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
-            sigs[i] = vals.min(axis=1)
+        sigs = self.signature_matrix(batch)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
                 "signature": pa.array(list(sigs.astype(np.int64)), type=pa.list_(pa.int64())),
+            }
+        )
+
+
+def minhash_signatures_ds(
+    documents: rd.Dataset, *, num_perm: int = 64, shingle_k: int = 3, seed: int = 42
+) -> rd.Dataset:
+    """→ exploded (doc_id, perm, sig) rows — the oracle-checkable view
+    of the signature matrix (scalar columns hash-compare robustly)."""
+    sigs = documents.map_batches(
+        MinHashSignatures,
+        fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k, "seed": seed},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        mat = np.asarray(batch.column("signature").to_pylist(), dtype=np.int64)
+        n, p = mat.shape if mat.ndim == 2 else (0, num_perm)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, p), pa.int64()),
+                "perm": pa.array(np.tile(np.arange(p, dtype=np.int64), n), pa.int64()),
+                "sig": pa.array(mat.reshape(-1), pa.int64()),
+            }
+        )
+
+    return sigs.map_batches(explode, batch_format="pyarrow")
+
+
+def _band_keys(mat: np.ndarray, bands: int) -> np.ndarray:
+    """(n, bands) int64 band keys from a (n, P) uint64 signature matrix
+    — arithmetic combine, vectorized (no per-row hashing)."""
+    n, p = mat.shape
+    rpb = p // bands
+    ks = np.array([_BAND_KS[j % len(_BAND_KS)] for j in range(rpb)], dtype=np.uint64)
+    bh = (mat.reshape(n, bands, rpb) * ks[None, None, :]).sum(axis=2, dtype=np.uint64)
+    return (bh & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(np.int64)
+
+
+def _collect_signatures(sigs_ds: rd.Dataset) -> tuple[np.ndarray, np.ndarray]:
+    """Signature side table → (sorted doc_ids, matrix aligned to them).
+    Driver-resident: ~(8 + 8·num_perm) bytes/doc. Cluster scale: keep it
+    a Dataset and hash-join candidates on doc_id instead."""
+    ids_parts, mat_parts = [], []
+    for ref in sigs_ds.to_arrow_refs():
+        t = ray.get(ref)
+        if not len(t):
+            continue
+        ids_parts.append(t.column("doc_id").to_numpy(zero_copy_only=False))
+        mat_parts.append(np.asarray(t.column("signature").to_pylist(), dtype=np.int64))
+    if not ids_parts:
+        return np.empty(0, np.int64), np.empty((0, 0), np.int64)
+    ids = np.concatenate(ids_parts)
+    mat = np.concatenate(mat_parts)
+    order = np.argsort(ids)
+    return ids[order], mat[order]
+
+
+def _candidate_pairs_from_bands(exploded: rd.Dataset, key_cols: list[str]) -> rd.Dataset:
+    """groupby the band key → all unordered doc pairs per group."""
+    from ..stages.grouping import bucketed_group_apply
+
+    def bucket_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        a_out: list[np.ndarray] = []
+        b_out: list[np.ndarray] = []
+        for _, grp in bucket.groupby(key_cols, sort=False):
+            if len(grp) < 2:
+                continue
+            ids = np.unique(grp["doc_id"].to_numpy(np.int64))
+            if ids.size < 2:
+                continue
+            ii, jj = np.triu_indices(ids.size, k=1)
+            a_out.append(ids[ii])
+            b_out.append(ids[jj])
+        if not a_out:
+            return pd.DataFrame(
+                {"doc_a": np.array([], np.int64), "doc_b": np.array([], np.int64)}
+            )
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(a_out), "doc_b": np.concatenate(b_out)}
+        )
+
+    pairs = bucketed_group_apply(exploded, key_cols, bucket_pairs, n_buckets=32)
+    return _dedup_pair_rows(pairs, ["doc_a", "doc_b"])
+
+
+class _VerifyMinhashPairs:
+    """map_batches actor over candidate pairs: look both signatures up
+    in the broadcast side table, keep est_jaccard ≥ threshold."""
+
+    def __init__(self, sig_ref, threshold: float) -> None:
+        ref = sig_ref[0] if isinstance(sig_ref, (list, tuple)) else sig_ref
+        self.ids, self.mat = ray.get(ref)
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        ia = np.searchsorted(self.ids, a)
+        ib = np.searchsorted(self.ids, b)
+        est = (self.mat[ia] == self.mat[ib]).mean(axis=1)
+        keep = est >= self.threshold
+        return pa.table(
+            {
+                "doc_a": pa.array(a[keep], pa.int64()),
+                "doc_b": pa.array(b[keep], pa.int64()),
+                "est_jaccard": pa.array(np.round(est[keep], 6), pa.float64()),
             }
         )
 
@@ -133,109 +316,89 @@ def minhash_lsh_pairs(
     threshold: float = 0.6,
     seed: int = 42,
 ) -> rd.Dataset:
-    """→ candidate near-duplicate pairs (doc_a < doc_b, est_jaccard ≥
-    threshold), estimated from signature agreement. Pipeline:
-    signatures (actor pool) → band explode → groupby(band) → pairs →
-    signature-verify (the signatures travel with the rows, no second
-    corpus pass)."""
-    rows_per_band = num_perm // bands
-    sigs = documents.map_batches(
+    """→ near-duplicate pairs (doc_a < doc_b, est_jaccard ≥ threshold),
+    estimated from signature agreement. Pipeline: signatures (actor
+    pool) → SLIM band rows (band_id, band_hash, doc_id) → groupby(band)
+    → candidate pairs → verify against the broadcast signature table.
+    The 64-perm signatures never enter the band exchange."""
+    sigs_ds = documents.map_batches(
         MinHashSignatures,
         fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k, "seed": seed},
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
-
-    def explode_with_sig(batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        sig_rows = batch.column("signature").to_pylist()
-        n = len(doc_ids)
-        cols = {"band_id": [], "band_hash": [], "doc_id": [], "signature": []}
-        for i in range(n):
-            row = np.asarray(sig_rows[i], dtype=np.int64)
-            for b in range(bands):
-                seg = row[b * rows_per_band: (b + 1) * rows_per_band]
-                bh = int.from_bytes(hashlib.md5(seg.tobytes()).digest()[:8], "little") >> 1
-                cols["band_id"].append(b)
-                cols["band_hash"].append(bh)
-                cols["doc_id"].append(int(doc_ids[i]))
-                cols["signature"].append(sig_rows[i])
-        return pa.table(
+    ids, mat = _collect_signatures(sigs_ds)
+    if ids.size == 0:
+        return rd.from_arrow(
+            pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+                      "est_jaccard": pa.array([], pa.float64())})
+        )
+    keys = _band_keys(mat.view(np.uint64), bands)
+    n = ids.size
+    exploded = rd.from_arrow(
+        pa.table(
             {
-                "band_id": pa.array(cols["band_id"], pa.int32()),
-                "band_hash": pa.array(cols["band_hash"], pa.int64()),
-                "doc_id": pa.array(cols["doc_id"], pa.int64()),
-                "signature": pa.array(cols["signature"], pa.list_(pa.int64())),
+                "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n), pa.int32()),
+                "band_hash": pa.array(keys.reshape(-1), pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, bands), pa.int64()),
             }
         )
-
-    exploded = sigs.map_batches(explode_with_sig, batch_format="pyarrow")
-
-    def bucket_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
-        a_out, b_out, j_out = [], [], []
-        for _, grp in bucket.groupby(["band_id", "band_hash"], sort=False):
-            if len(grp) < 2:
-                continue
-            ids = grp["doc_id"].to_numpy(np.int64)
-            sig = np.asarray(list(grp["signature"]), dtype=np.int64)
-            order = np.argsort(ids)
-            ids, sig = ids[order], sig[order]
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    if ids[i] == ids[j]:
-                        continue
-                    est = float((sig[i] == sig[j]).mean())
-                    if est >= threshold:
-                        a_out.append(int(ids[i]))
-                        b_out.append(int(ids[j]))
-                        j_out.append(round(est, 6))
-        return pd.DataFrame(
-            {"doc_a": np.array(a_out, np.int64), "doc_b": np.array(b_out, np.int64),
-             "est_jaccard": np.array(j_out, np.float64)}
-        )
-
-    from ..stages.grouping import bucketed_group_apply
-
-    pairs = bucketed_group_apply(exploded, ["band_id", "band_hash"], bucket_pairs, n_buckets=32)
-    return _dedup_pair_rows(pairs, ["doc_a", "doc_b"])
-
-
-# -------------------------------------------------------------- simhash
-def simhash_stage(batch: pa.Table, seed: int = 42) -> pa.Table:
-    """64-bit SimHash per doc: sign-sum of term-hash bit vectors weighted
-    by tf. Deterministic (pd.util.hash_array term hashing)."""
-    lists = token_lists(batch.column("text"))
-    if isinstance(lists, pa.ChunkedArray):
-        lists = lists.combine_chunks()
-    out = np.zeros(len(batch), dtype=np.uint64)
-    for i, row in enumerate(lists.to_pylist()):
-        toks = [t for t in row if t]
-        if not toks:
-            continue
-        uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-        h = pd.util.hash_array(uniq, categorize=False)
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-        acc = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
-        bits_pos = np.flatnonzero(acc > 0).astype(np.uint64)
-        val = np.uint64(0)
-        for bpos in bits_pos:
-            val |= np.uint64(1) << bpos
-        out[i] = val
-    return pa.table(
-        {
-            "doc_id": batch.column("doc_id"),
-            "simhash": pa.array(out.astype(np.int64) & np.int64(0x7FFF_FFFF_FFFF_FFFF), type=pa.int64()),
-        }
+    )
+    cand = _candidate_pairs_from_bands(exploded, ["band_id", "band_hash"])
+    sig_ref = [ray.put((ids, mat))]
+    return cand.map_batches(
+        _VerifyMinhashPairs,
+        fn_constructor_kwargs={"sig_ref": sig_ref, "threshold": threshold},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
     )
 
 
-def simhash_ds(documents: rd.Dataset) -> rd.Dataset:
-    return documents.map_batches(simhash_stage, batch_format="pyarrow")
+# -------------------------------------------------------------- simhash
+class SimHash:
+    """Actor stage: 64-bit SimHash per doc — sign-sum of md5-derived
+    term-hash bit vectors weighted by tf, vectorized as one per-bit
+    ``np.bincount`` over token instances (sum over instances of ±1 ==
+    sum over terms of ±tf). Bit 63 is masked so values stay positive
+    int64; identical in DuckDB SQL for the oracle."""
+
+    def __init__(self) -> None:
+        self.hasher = TokenHasher()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        toks, parents, _counts = flat_nonempty_tokens(batch.column("text"))
+        out = np.zeros(n, dtype=np.int64)
+        if len(toks):
+            h = self.hasher.hash_tokens(toks)
+            val = np.zeros(n, dtype=np.int64)
+            for bit in range(63):
+                sign = (((h >> np.uint64(bit)) & np.uint64(1)).astype(np.int64) * 2) - 1
+                acc = np.bincount(parents, weights=sign, minlength=n)
+                val |= (acc > 0).astype(np.int64) << bit
+            out = val
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "simhash": pa.array(out, type=pa.int64()),
+            }
+        )
+
+
+def simhash_stage(batch: pa.Table, seed: int = 42) -> pa.Table:
+    """Function form of :class:`SimHash` (kept for API compatibility)."""
+    return SimHash()(batch)
+
+
+def simhash_ds(documents: rd.Dataset, concurrency=(1, 8)) -> rd.Dataset:
+    return documents.map_batches(SimHash, batch_format="pyarrow", concurrency=concurrency)
 
 
 def simhash_near_pairs(documents: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming, found via
-    4×16-bit band blocking (pigeonhole: ≤3 differing bits ⇒ ≥1 equal band)."""
+    4×16-bit band blocking (pigeonhole: ≤3 differing bits ⇒ ≥1 equal
+    band — the blocking is recall-COMPLETE, so the result equals the
+    exact all-pairs Hamming filter and is oracle-checkable)."""
     sh = simhash_ds(documents)
 
     def explode_bands(batch: pa.Table) -> pa.Table:
@@ -266,18 +429,25 @@ def simhash_near_pairs(documents: rd.Dataset, max_hamming: int = 3) -> rd.Datase
             hs = grp["simhash"].to_numpy(np.int64).astype(np.uint64)
             order = np.argsort(ids)
             ids, hs = ids[order], hs[order]
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    if ids[i] == ids[j]:
-                        continue
-                    d = int(bin(int(hs[i]) ^ int(hs[j])).count("1"))
-                    if d <= max_hamming:
-                        a_out.append(int(ids[i]))
-                        b_out.append(int(ids[j]))
-                        d_out.append(d)
+            ii, jj = np.triu_indices(len(ids), k=1)
+            x = hs[ii] ^ hs[jj]
+            # vectorized popcount (SWAR)
+            x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+            x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+            x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+            d = ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+            good = (d <= max_hamming) & (ids[ii] != ids[jj])
+            a_out.append(ids[ii][good])
+            b_out.append(ids[jj][good])
+            d_out.append(d[good])
+        if not a_out:
+            return pd.DataFrame(
+                {"doc_a": np.array([], np.int64), "doc_b": np.array([], np.int64),
+                 "hamming": np.array([], np.int64)}
+            )
         return pd.DataFrame(
-            {"doc_a": np.array(a_out, np.int64), "doc_b": np.array(b_out, np.int64),
-             "hamming": np.array(d_out, np.int64)}
+            {"doc_a": np.concatenate(a_out), "doc_b": np.concatenate(b_out),
+             "hamming": np.concatenate(d_out)}
         )
 
     from ..stages.grouping import bucketed_group_apply
@@ -287,78 +457,137 @@ def simhash_near_pairs(documents: rd.Dataset, max_hamming: int = 3) -> rd.Datase
 
 
 # ------------------------------------------------------ n-gram jaccard
+class _NgramBuckets:
+    """Per-doc gram-hash sets → SLIM candidate rows (bucket, doc_id):
+    each doc keys on its ``bucket_sample`` smallest distinct gram hashes
+    (a deterministic 'cheap LSH'). Gram sets do NOT ride the exchange."""
+
+    def __init__(self, n: int, bucket_sample: int) -> None:
+        self.n = n
+        self.bucket_sample = bucket_sample
+        self.hasher = TokenHasher()
+
+    def doc_gram_sets(self, batch: pa.Table) -> list[np.ndarray]:
+        toks, parents, counts = flat_nonempty_tokens(batch.column("text"))
+        h = self.hasher.hash_tokens(toks)
+        grams, gparents = gram_hashes(h, counts, k=self.n)
+        out: list[np.ndarray] = [np.empty(0, np.int64)] * len(batch)
+        if grams.size:
+            seg_starts = np.flatnonzero(np.diff(gparents, prepend=-1))
+            seg_ends = np.append(seg_starts[1:], grams.size)
+            for s, e in zip(seg_starts, seg_ends):
+                out[int(gparents[s])] = np.unique(grams[s:e].astype(np.int64))
+        # short docs: single joined-string gram
+        short = np.flatnonzero((counts > 0) & (counts < self.n))
+        if short.size:
+            tok_list = toks.to_pylist()
+            starts = np.cumsum(counts) - counts
+            for i in short:
+                g = joined_fallback_hash(tok_list[int(starts[i]): int(starts[i] + counts[i])])
+                out[int(i)] = np.array([g], dtype=np.int64)
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sets = self.doc_gram_sets(batch)
+        bucket_out, doc_out = [], []
+        for i, gh in enumerate(sets):
+            if not gh.size:
+                continue
+            mins = gh[: self.bucket_sample]  # np.unique output is sorted
+            bucket_out.append(mins)
+            doc_out.append(np.full(mins.size, ids[i], dtype=np.int64))
+        if not bucket_out:
+            return pa.table(
+                {"bucket": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "bucket": pa.array(np.concatenate(bucket_out), pa.int64()),
+                "doc_id": pa.array(np.concatenate(doc_out), pa.int64()),
+            }
+        )
+
+
 def ngram_jaccard_pairs(
     documents: rd.Dataset, *, n: int = 3, threshold: float = 0.5, bucket_sample: int = 4
 ) -> rd.Dataset:
     """Exact word-n-gram Jaccard near-dup pairs. Candidates come from
-    shared MIN-n-gram buckets (each doc keys on its ``bucket_sample``
-    smallest n-gram hashes — a deterministic 'cheap LSH'); exact Jaccard
-    is verified inside the bucket from the n-gram hash sets carried on
-    the rows."""
+    shared MIN-n-gram buckets; the exchange carries ONLY (bucket,
+    doc_id). Exact Jaccard is then verified by re-deriving gram sets for
+    just the docs referenced by candidates (a candidate-pruned second
+    pass over ``documents`` — cheap because candidates are rare; the
+    cluster-scale alternative is a hash-join of pair halves ⨝ gram sets
+    on doc_id)."""
+    stage = {"n": n, "bucket_sample": bucket_sample}
+    bucketed = documents.map_batches(
+        _NgramBuckets, fn_constructor_kwargs=stage, batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    cand = _candidate_pairs_from_bands(bucketed, ["bucket"])
+    cand_parts = [t for t in (ray.get(r) for r in cand.to_arrow_refs()) if len(t)]
+    empty = pa.table(
+        {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+         "jaccard": pa.array([], pa.float64())}
+    )
+    if not cand_parts:
+        return rd.from_arrow(empty)
+    cand_tbl = pa.concat_tables(cand_parts)
+    a = cand_tbl.column("doc_a").to_numpy(zero_copy_only=False)
+    b = cand_tbl.column("doc_b").to_numpy(zero_copy_only=False)
+    referenced = np.unique(np.concatenate([a, b]))
+    ref_set_ref = [ray.put(referenced)]
 
-    def to_ngrams(batch: pa.Table) -> pa.Table:
-        lists = token_lists(batch.column("text"))
-        if isinstance(lists, pa.ChunkedArray):
-            lists = lists.combine_chunks()
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        out = {"bucket": [], "doc_id": [], "grams": []}
-        for i, row in enumerate(lists.to_pylist()):
-            toks = [t for t in row if t]
-            grams = (
-                [" ".join(toks[k: k + n]) for k in range(len(toks) - n + 1)]
-                if len(toks) >= n
-                else ([" ".join(toks)] if toks else [])
+    helper = _NgramBuckets(n, bucket_sample)
+
+    def gather_sets(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ref = ray.get(ref_set_ref[0])
+        mask = pc.is_in(batch.column("doc_id"), value_set=pa.array(ref))
+        sub = batch.filter(mask)
+        if not len(sub):
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "grams": pa.array([], pa.list_(pa.int64()))}
             )
-            if not grams:
-                continue
-            gh = np.unique(
-                (pd.util.hash_array(np.asarray(grams, dtype=object), categorize=False) % np.uint64(_MERSENNE)).astype(np.int64)
-            )
-            for b in np.sort(gh)[:bucket_sample]:
-                out["bucket"].append(int(b))
-                out["doc_id"].append(int(ids[i]))
-                out["grams"].append(gh.tolist())
+        sets = helper.doc_gram_sets(sub)
         return pa.table(
             {
-                "bucket": pa.array(out["bucket"], pa.int64()),
-                "doc_id": pa.array(out["doc_id"], pa.int64()),
-                "grams": pa.array(out["grams"], pa.list_(pa.int64())),
+                "doc_id": sub.column("doc_id"),
+                "grams": pa.array([s.tolist() for s in sets], pa.list_(pa.int64())),
             }
         )
 
-    exploded = documents.map_batches(to_ngrams, batch_format="pyarrow")
-
-    def bucket_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
-        a_out, b_out, j_out = [], [], []
-        for _, grp in bucket.groupby("bucket", sort=False):
-            if len(grp) < 2:
-                continue
-            ids = grp["doc_id"].to_numpy(np.int64)
-            grams = list(grp["grams"])
-            order = np.argsort(ids)
-            for x in range(len(order)):
-                for y in range(x + 1, len(order)):
-                    i, j = order[x], order[y]
-                    if ids[i] == ids[j]:
-                        continue
-                    s1, s2 = set(grams[i]), set(grams[j])
-                    jac = len(s1 & s2) / len(s1 | s2) if (s1 or s2) else 0.0
-                    if jac >= threshold:
-                        a_out.append(int(ids[i]))
-                        b_out.append(int(ids[j]))
-                        j_out.append(round(jac, 6))
-        return pd.DataFrame(
-            {"doc_a": np.array(a_out, np.int64), "doc_b": np.array(b_out, np.int64),
-             "jaccard": np.array(j_out, np.float64)}
+    gram_rows = documents.map_batches(gather_sets, batch_format="pyarrow")
+    sets_by_doc: dict[int, set] = {}
+    for ref in gram_rows.to_arrow_refs():
+        t = ray.get(ref)
+        for did, gs in zip(t.column("doc_id").to_pylist(), t.column("grams").to_pylist()):
+            sets_by_doc[int(did)] = set(gs)
+    a_out, b_out, j_out = [], [], []
+    for da, db in zip(a.tolist(), b.tolist()):
+        s1 = sets_by_doc.get(da, set())
+        s2 = sets_by_doc.get(db, set())
+        jac = len(s1 & s2) / len(s1 | s2) if (s1 or s2) else 0.0
+        if jac >= threshold:
+            a_out.append(da)
+            b_out.append(db)
+            j_out.append(round(jac, 6))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array(a_out, pa.int64()),
+                "doc_b": pa.array(b_out, pa.int64()),
+                "jaccard": pa.array(j_out, pa.float64()),
+            }
         )
-
-    from ..stages.grouping import bucketed_group_apply
-
-    pairs = bucketed_group_apply(exploded, ["bucket"], bucket_pairs, n_buckets=32)
-    return _dedup_pair_rows(pairs, ["doc_a", "doc_b"])
+    )
 
 
 # ------------------------------------------- embedding cosine near-dup
+from ..functions.vectors import embedding_vectors  # noqa: E402 (re-export)
+
+
 def embedding_near_pairs(
     embeddings: rd.Dataset,
     *,
@@ -368,13 +597,14 @@ def embedding_near_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> rd.Dataset:
-    """Embedding near-duplicate pairs (cosine ≥ threshold) via
-    random-hyperplane LSH bucketing + exact in-bucket verify (float64).
-    High thresholds ⇒ near-identical sign patterns ⇒ same bucket with
-    high probability; n_planes trades recall vs bucket size."""
+    """Embedding near-duplicate pairs (cosine ≥ threshold, compared on
+    the 6-decimal-rounded value so the SQL oracle agrees bit-for-bit)
+    via random-hyperplane LSH bucketing + exact in-bucket verify
+    (float64). n_planes trades recall vs bucket size: high thresholds ⇒
+    near-identical sign patterns ⇒ same bucket with high probability."""
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        vecs = embedding_vectors(batch.column(vec_col))
         dim = vecs.shape[1] if vecs.ndim == 2 else 0
         rng = np.random.default_rng(seed)  # same planes every batch
         planes = rng.standard_normal((dim, n_planes))
@@ -406,11 +636,12 @@ def embedding_near_pairs(
             ids, vecs, norms = ids[order], vecs[order], norms[order]
             sims = (vecs @ vecs.T) / np.maximum(np.outer(norms, norms), 1e-300)
             ii, jj = np.triu_indices(len(ids), k=1)
-            good = sims[ii, jj] >= threshold
-            for i, j, s in zip(ii[good], jj[good], sims[ii, jj][good]):
+            simr = np.round(sims[ii, jj], 6)
+            good = simr >= threshold
+            for i, j, s in zip(ii[good], jj[good], simr[good]):
                 a_out.append(int(ids[i]))
                 b_out.append(int(ids[j]))
-                c_out.append(round(float(s), 6))
+                c_out.append(float(s))
         return pd.DataFrame(
             {"vec_a": np.array(a_out, np.int64), "vec_b": np.array(b_out, np.int64),
              "cosine": np.array(c_out, np.float64)}

@@ -140,22 +140,35 @@ class PreparePages:
 
 def _keep_latest_bucket(bucket: "pd.DataFrame") -> "pd.DataFrame":
     """Vectorized keep-latest over a whole hash bucket of (site, path)
-    keys: sort (warc_ts desc, url asc) then drop_duplicates keeps the
-    winner per key — one pandas call for thousands of keys."""
-    import pandas as pd  # noqa: F401
+    keys: sort (warc_ts desc, url asc, content-fp desc) then
+    drop_duplicates keeps EXACTLY ONE winner per key — the content
+    fingerprint breaks exact (ts, url) ties deterministically (the
+    reference's upsert also keeps a single row per key,
+    model/PageEntity.java:8-9)."""
+    import hashlib
 
-    by = ["warc_ts", "url"] if "warc_ts" in bucket.columns else ["url"]
-    asc = [False, True] if "warc_ts" in bucket.columns else [True]
-    return bucket.sort_values(by, ascending=asc, kind="mergesort").drop_duplicates(
-        ["site_id", "path"], keep="first"
+    b = bucket.copy()
+    b["__fp"] = [
+        hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in b["text"]
+    ] if "text" in b.columns else ""
+    by = (["warc_ts"] if "warc_ts" in b.columns else []) + ["url", "__fp"]
+    asc = ([False] if "warc_ts" in b.columns else []) + [True, False]
+    return (
+        b.sort_values(by, ascending=asc, kind="mergesort")
+        .drop_duplicates(["site_id", "path"], keep="first")
+        .drop(columns="__fp")
     )
 
 
 def compute_dup_winners(
     pages: rd.Dataset | str, sites: list[dict], n_buckets: int = 64
-) -> dict[tuple[int, str], tuple[int, str]]:
-    """Key-only dedup prepass: → {(site_id, path): (winner_ts_us, winner_url)}
-    for keys that appear MORE THAN ONCE.
+) -> tuple[dict[tuple[int, str], tuple[int, str]], dict[tuple[int, str], list[str]]]:
+    """Key-only dedup prepass: → (winners, tied) where ``winners`` maps
+    {(site_id, path): (winner_ts_us, winner_url)} for keys that appear
+    MORE THAN ONCE, and ``tied`` maps the (rare) keys whose winner tuple
+    itself occurs on MULTIPLE input rows (byte-equal url + warc_ts — an
+    exact-duplicate crawl artifact) to the raw input urls of those rows,
+    so the caller can resolve them to exactly one surviving row.
 
     Reads only (url, warc_ts) — column-pruned, no html/text ever enters
     this shuffle — and returns a driver-side winner map for just the
@@ -198,6 +211,7 @@ def compute_dup_winners(
             "site_id": pa.array(site_ids, pa.int32()),
             "path": pa.array(paths, pa.string()),
             "url": pa.array(urls, pa.string()),
+            "raw_url": batch.column("url"),
         }
         if "warc_ts" in batch.column_names:
             out["ts_us"] = pa.compute.cast(batch.column("warc_ts"), pa.int64())
@@ -205,7 +219,11 @@ def compute_dup_winners(
             out["ts_us"] = pa.array(np.zeros(len(urls), dtype=np.int64))
         return pa.table(out)
 
+    _W_COLS = ["site_id", "path", "ts_us", "url", "raw_url"]
+
     def dup_winners_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        """One row per input row that EQUALS its conflicted key's winner
+        tuple — usually one per key; >1 signals an exact-duplicate tie."""
         dup_mask = bucket.duplicated(["site_id", "path"], keep=False)
         dups = bucket[dup_mask]
         if not len(dups):
@@ -217,12 +235,24 @@ def compute_dup_winners(
                     "path": pd.Series([], dtype=object),
                     "ts_us": np.array([], dtype=np.int64),
                     "url": pd.Series([], dtype=object),
+                    "raw_url": pd.Series([], dtype=object),
                 }
             )
-        return (
+        w = (
             dups.sort_values(["ts_us", "url"], ascending=[False, True], kind="mergesort")
             .drop_duplicates(["site_id", "path"], keep="first")[["site_id", "path", "ts_us", "url"]]
         )
+        return dups.merge(w, on=["site_id", "path", "ts_us", "url"], how="inner")[_W_COLS]
+
+    def _collect(winners_df: pd.DataFrame):
+        winners: dict[tuple[int, str], tuple[int, str]] = {}
+        tied: dict[tuple[int, str], list[str]] = {}
+        for (sid, p), grp in winners_df.groupby(["site_id", "path"], sort=False):
+            key = (int(sid), p)
+            winners[key] = (int(grp["ts_us"].iloc[0]), grp["url"].iloc[0])
+            if len(grp) > 1:
+                tied[key] = sorted(set(grp["raw_url"]))
+        return winners, tied
 
     keys = pages.map_batches(keys_batch, batch_format="pyarrow")
 
@@ -234,23 +264,21 @@ def compute_dup_winners(
     if n_rows_est <= 5_000_000:
         tables = [t for t in (ray.get(r) for r in keys.to_arrow_refs()) if len(t)]
         if not tables:
-            return {}
+            return {}, {}
         kdf = pa.concat_tables(tables).to_pandas()
-        winners_df = dup_winners_bucket(kdf)
-        return {
-            (int(r.site_id), r.path): (int(r.ts_us), r.url)
-            for r in winners_df.itertuples()
-        }
+        return _collect(dup_winners_bucket(kdf))
 
-    winners = bucketed_group_apply(keys, ["site_id", "path"], dup_winners_bucket, n_buckets=n_buckets)
-    out: dict[tuple[int, str], tuple[int, str]] = {}
-    for row in winners.take_all():
-        out[(int(row["site_id"]), row["path"])] = (int(row["ts_us"]), row["url"])
-    return out
+    winners_ds = bucketed_group_apply(keys, ["site_id", "path"], dup_winners_bucket, n_buckets=n_buckets)
+    wdf = pd.DataFrame(winners_ds.take_all())
+    if not len(wdf):
+        return {}, {}
+    return _collect(wdf)
 
 
-def apply_dup_filter(batch: pa.Table, winners: dict) -> pa.Table:
-    """Keep rows that are not conflicted, or ARE their key's winner."""
+def apply_dup_filter(batch: pa.Table, winners: dict, drop_keys: frozenset = frozenset()) -> pa.Table:
+    """Keep rows that are not conflicted, or ARE their key's winner.
+    Keys in ``drop_keys`` (exact-duplicate ties, resolved to a single
+    driver-injected row by ``prepare_docs``) are dropped entirely."""
     if not winners:
         return batch
     site_ids = batch.column("site_id").to_pylist()
@@ -263,9 +291,51 @@ def apply_dup_filter(batch: pa.Table, winners: dict) -> pa.Table:
     keep = np.ones(len(urls), dtype=bool)
     for i, (sid, p) in enumerate(zip(site_ids, paths)):
         w = winners.get((sid, p))
-        if w is not None and (ts[i], urls[i]) != w:
+        if w is not None and ((sid, p) in drop_keys or (ts[i], urls[i]) != w):
             keep[i] = False
     return batch.filter(pa.array(keep))
+
+
+def resolve_tied_rows(
+    pages_path: str,
+    winners: dict,
+    tied: dict,
+    sites: list[dict],
+    *,
+    use_text_col: bool = False,
+) -> pa.Table:
+    """Targeted resolution of exact-duplicate ties: predicate-read ONLY
+    the tied keys' raw urls from the source Parquet (row-group pruned —
+    a few rows, never a corpus scan), prepare them, and keep exactly one
+    row per key, deterministically (content-fingerprint tiebreak; tied
+    instances are usually byte-identical, making any choice identical).
+    Returns a prepared-schema table for ``prepare_docs`` to union in."""
+    import hashlib
+
+    import pyarrow.dataset as pads
+
+    raw_urls = sorted({u for urls in tied.values() for u in urls})
+    dset = pads.dataset(pages_path, format="parquet")
+    tbl = dset.to_table(filter=pads.field("url").isin(raw_urls))
+    prepared = PreparePages(sites, use_text_col=use_text_col)(tbl)
+    sids = prepared.column("site_id").to_pylist()
+    paths = prepared.column("path").to_pylist()
+    urls = prepared.column("url").to_pylist()
+    texts = prepared.column("text").to_pylist()
+    if "warc_ts" in prepared.column_names:
+        ts = pa.compute.cast(prepared.column("warc_ts"), pa.int64()).to_pylist()
+    else:
+        ts = [0] * len(urls)
+    best: dict[tuple[int, str], tuple[str, int]] = {}  # key -> (fp, row_idx)
+    for i, (sid, p) in enumerate(zip(sids, paths)):
+        key = (int(sid), p)
+        if key not in tied or winners.get(key) != (ts[i], urls[i]):
+            continue
+        fp = hashlib.md5((texts[i] or "").encode("utf-8")).hexdigest()
+        if key not in best or fp > best[key][0]:
+            best[key] = (fp, i)
+    idx = sorted(i for _, i in best.values())
+    return prepared.take(idx)
 
 
 def finalize_docs(batch: pa.Table) -> pa.Table:
@@ -306,9 +376,26 @@ def prepare_docs(
     key prepass then re-reads ONLY (url, warc_ts) — a column-pruned
     scan — instead of decoding the html column a second time."""
     winners_ref = None
+    injected: pa.Table | None = None
+    grouped_fallback = False
+    drop_keys: frozenset = frozenset()
     if dedup:
         # key-only prepass (no text in the shuffle), then broadcast filter
-        winners = compute_dup_winners(pages_path or pages, sites)
+        winners, tied = compute_dup_winners(pages_path or pages, sites)
+        if tied:
+            if pages_path:
+                # exact-duplicate (url, warc_ts) ties: resolve each to ONE
+                # row via a targeted predicate read; the streamed instances
+                # are all dropped and the resolved row is unioned in
+                injected = resolve_tied_rows(
+                    pages_path, winners, tied, sites, use_text_col=use_text_col
+                )
+                drop_keys = frozenset(tied)
+            else:
+                # no re-readable source → correctness fallback: grouped
+                # keep-latest dedup (text enters this shuffle; ties are a
+                # crawl artifact, so this path is rare)
+                grouped_fallback = True
         winners_ref = ray.put(winners)
     prep = PreparePages(sites, use_text_col=use_text_col)
     ds = pages.map_batches(prep, batch_format="pyarrow")
@@ -321,13 +408,23 @@ def prepare_docs(
             lambda t: t.filter(_pc.greater_equal(t["site_id"], 0)),
             batch_format="pyarrow",
         )
-    if dedup and winners_ref is not None:
+    if dedup and grouped_fallback:
+        from ..stages.grouping import bucketed_group_apply
 
-        def filt(batch: pa.Table, _ref=[winners_ref]) -> pa.Table:
+        ds = bucketed_group_apply(ds, ["site_id", "path"], _keep_latest_bucket, n_buckets=64)
+    elif dedup and winners_ref is not None:
+
+        def filt(batch: pa.Table, _ref=[winners_ref], _drop=drop_keys) -> pa.Table:
             w = ray.get(_ref[0])
-            return apply_dup_filter(batch, w)
+            return apply_dup_filter(batch, w, _drop)
 
         ds = ds.map_batches(filt, batch_format="pyarrow")
+        if injected is not None and len(injected):
+            if drop_unmatched:
+                import pyarrow.compute as _pc2
+
+                injected = injected.filter(_pc2.greater_equal(injected["site_id"], 0))
+            ds = ds.union(rd.from_arrow(injected))
     return ds.map_batches(finalize_docs, batch_format="pyarrow")
 
 

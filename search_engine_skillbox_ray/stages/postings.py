@@ -178,6 +178,9 @@ class BucketSegmentWriter:
                 "bucket": bucket,
                 "file": final.name,
                 "n_terms": len(table),
+                # terms hash to exactly one bucket, so per-bucket distinct
+                # counts SUM to the global vocabulary size — no scan needed
+                "n_unique_terms": len(set(table["term"].to_pylist())),
                 "n_postings": n_postings,
                 "lemmas_by_site": lemmas_by_site,
             },

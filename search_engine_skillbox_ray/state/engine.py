@@ -308,7 +308,20 @@ class SearchEngine:
         return uniq[order], out_scores[order], lemmas
 
     def _merged_payload(self, term: str, site_id: int | None) -> dict | None:
-        """Raw (possibly cross-site merged) segment payload for WAND."""
+        """Raw (possibly cross-site merged) segment payload for WAND.
+
+        When the update log is non-empty (tombstones / delta postings
+        from single-page re-index), the payload is re-encoded from the
+        overlaid ``term_postings`` arrays so the pruned path serves the
+        same live posting set as exhaustive ``search_scores`` — base
+        segments alone would resurrect deleted docs and miss deltas."""
+        if self._tombstones.size or self._delta_terms:
+            from ..stages.codec import encode_posting_list
+
+            d, tf, df = self.term_postings(term, site_id)
+            if df == 0:
+                return None
+            return encode_posting_list(d, tf)
         self._load_terms([term])
         rows = self._term_cache.get(term, [])
         if site_id is not None:
@@ -329,9 +342,9 @@ class SearchEngine:
         (doc_ids, float64 scores), identical to exhaustive top-k with
         the TF-IDF scorer (tested); the parity ``search()`` API keeps
         full scoring because the reference reports the TOTAL match
-        count, which pruning by design does not compute. BM25 serving
-        falls back to exact scoring (its per-doc length term needs a
-        block-level upper bound we don't store yet)."""
+        count, which pruning by design does not compute. BM25 is served
+        pruned too, using the dl→0 block upper bound (valid for every
+        document length; exact per-doc lengths re-score survivors)."""
         from ..stages.wand import topk_conjunctive_bmw, topk_disjunctive_maxscore
 
         mode = mode or self.mode
@@ -472,35 +485,87 @@ class SearchEngine:
                 }
         return out
 
+    def _live_lemmas_by_site(self) -> dict[int, int]:
+        """Exact per-site distinct-(site,term) counts with the update log
+        overlaid: a base (site,term) row is live iff its posting list
+        minus tombstones is non-empty; delta terms add rows not already
+        live. Sandbox loops the buckets driver-side; at cluster scale
+        this maps over buckets as Ray tasks (same shape as compaction)."""
+        from ..stages.codec import decode_partial_rows
+
+        live: set[tuple[int, str]] = set()
+        postings_dir = self.index_dir / "postings"
+        for f in sorted(postings_dir.glob("bucket=*.parquet")):
+            tbl = pq.read_table(f, columns=["site_id", "term", "df", "doc_gaps", "tf_bytes"])
+            if not len(tbl):
+                continue
+            sids = tbl["site_id"].to_numpy(zero_copy_only=False)
+            terms = tbl["term"].to_pylist()
+            dfs = tbl["df"].to_numpy(zero_copy_only=False)
+            if self._tombstones.size:
+                from ..stages.codec import concat_binary_column
+
+                doc_ids, _ = decode_partial_rows(
+                    dfs,
+                    concat_binary_column(tbl["doc_gaps"]),
+                    concat_binary_column(tbl["tf_bytes"]),
+                )
+                dead = np.isin(doc_ids, self._tombstones)
+                run_id = np.repeat(np.arange(len(tbl)), dfs)
+                killed = np.bincount(run_id, weights=dead, minlength=len(tbl))
+                alive = dfs - killed.astype(np.int64)
+            else:
+                alive = dfs
+            for sid, term, a in zip(sids, terms, alive):
+                if a > 0:
+                    live.add((int(sid), term))
+        for (term, sid) in self._delta_terms:
+            live.add((int(sid), term))
+        out: dict[int, int] = {}
+        for sid, _ in live:
+            out[sid] = out.get(sid, 0) + 1
+        return out
+
     def statistics(self) -> dict:
         """A7 (service/StatisticsServiceImpl.java:24-86) over stats.json +
-        segment metadata; lemma counts = distinct (site, term) rows."""
+        segment metadata; lemma counts = distinct (site, term) rows.
+        Site status/status_time/last_error come from site_status.json
+        when a SearchEngineService lifecycle has written one (reference
+        semantics: model/SiteEntity.java:11-29, transitions at
+        service/IndexingServiceImpl.java:264-284)."""
         from .manifest import read_json
 
         lemma_by_site: dict[int, int] = {}
         postings_dir = self.index_dir / "postings"
-        markers = sorted(postings_dir.glob("bucket=*.done.json"))
-        marker_counts = [read_json(m) for m in markers]
-        if marker_counts and all(m and "lemmas_by_site" in m for m in marker_counts):
-            # per-site counts recorded at segment-write time — no scan
-            for m in marker_counts:
-                for sid, cnt in m["lemmas_by_site"].items():
-                    lemma_by_site[int(sid)] = lemma_by_site.get(int(sid), 0) + int(cnt)
-        else:  # older index: scan segment metadata columns
-            for f in sorted(postings_dir.glob("bucket=*.parquet")):
-                tbl = pq.read_table(f, columns=["site_id"])
-                for sid, cnt in zip(*np.unique(tbl["site_id"].to_numpy(zero_copy_only=False), return_counts=True)):
-                    lemma_by_site[int(sid)] = lemma_by_site.get(int(sid), 0) + int(cnt)
+        if self._tombstones.size or self._delta_terms:
+            # pending single-page updates: markers are stale until
+            # compact() — compute live counts with the overlay
+            lemma_by_site = self._live_lemmas_by_site()
+        else:
+            markers = sorted(postings_dir.glob("bucket=*.done.json"))
+            marker_counts = [read_json(m) for m in markers]
+            if marker_counts and all(m and "lemmas_by_site" in m for m in marker_counts):
+                # per-site counts recorded at segment-write time — no scan
+                for m in marker_counts:
+                    for sid, cnt in m["lemmas_by_site"].items():
+                        lemma_by_site[int(sid)] = lemma_by_site.get(int(sid), 0) + int(cnt)
+            else:  # older index: scan segment metadata columns
+                for f in sorted(postings_dir.glob("bucket=*.parquet")):
+                    tbl = pq.read_table(f, columns=["site_id"])
+                    for sid, cnt in zip(*np.unique(tbl["site_id"].to_numpy(zero_copy_only=False), return_counts=True)):
+                        lemma_by_site[int(sid)] = lemma_by_site.get(int(sid), 0) + int(cnt)
+        status_by_site = (read_json(self.index_dir / "site_status.json") or {}).get("sites", {})
         detailed = []
         for sid, s in sorted(self.sites.items()):
             ss = self.stats["site_stats"].get(str(sid)) or self.stats["site_stats"].get(sid) or {}
+            st = status_by_site.get(str(sid)) or status_by_site.get(sid) or {}
             detailed.append(
                 {
                     "url": s["url"],
                     "name": s["name"],
-                    "status": "INDEXED",
-                    "statusTime": None,
-                    "error": None,
+                    "status": st.get("status", "INDEXED"),
+                    "statusTime": st.get("status_time"),
+                    "error": st.get("last_error"),
                     "pages": int(ss.get("n_docs", 0)),
                     "lemmas": lemma_by_site.get(sid, 0),
                 }
@@ -512,7 +577,7 @@ class SearchEngine:
                     "sites": len(self.sites),
                     "pages": sum(d["pages"] for d in detailed),
                     "lemmas": sum(d["lemmas"] for d in detailed),
-                    "indexing": False,
+                    "indexing": any(d["status"] == "INDEXING" for d in detailed),
                 },
                 "detailed": detailed,
             },
@@ -575,6 +640,11 @@ class QueryActorPool:
 
     def __init__(self, index_dir: str, n_actors: int = 4, **engine_kwargs) -> None:
         import ray
+
+        # memory-light serving by default: N pool actors must not each
+        # load the whole doc store — hydration goes through Parquet
+        # predicate reads; pass docs_in_memory=True to opt back in
+        engine_kwargs.setdefault("docs_in_memory", False)
 
         @ray.remote(num_cpus=1)
         class _QueryActor:

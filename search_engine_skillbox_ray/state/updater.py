@@ -199,6 +199,36 @@ class IndexUpdater:
             return {"result": False, "error": f"Internal error: {ex}"}
 
     # ------------------------------------------------------------------
+    def _refresh_bucket_marker(self, bkt: int, table: pa.Table) -> None:
+        """Rewrite the bucket's lineage marker after compaction so
+        ``statistics()`` (which sums marker counts) stays consistent.
+        The build fingerprint is preserved (existing marker, else
+        manifest.json) — a delta-created bucket belongs to the same
+        build lineage as its siblings."""
+        marker = self.index_dir / "postings" / f"bucket={bkt:05d}.done.json"
+        existing = read_json(marker) or {}
+        fp = existing.get("fingerprint")
+        if fp is None:
+            mf = read_json(self.index_dir / "manifest.json") or {}
+            fp = mf.get("fingerprint", "delta")
+        sids, cnts = np.unique(
+            table["site_id"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        n_postings = int(pa.compute.sum(table["df"]).as_py() or 0)
+        terms = table["term"].to_pylist()
+        atomic_write_json(
+            marker,
+            {
+                "fingerprint": fp,
+                "bucket": bkt,
+                "file": f"bucket={bkt:05d}.parquet",
+                "n_terms": len(table),
+                "n_unique_terms": len(set(terms)),
+                "n_postings": n_postings,
+                "lemmas_by_site": {int(s): int(c) for s, c in zip(sids, cnts)},
+            },
+        )
+
     def compact(self) -> dict:
         """Fold delta postings into the base segments and purge
         tombstoned docIDs from base posting lists. Per-bucket vectorized
@@ -225,12 +255,8 @@ class IndexUpdater:
 
         postings_dir = self.index_dir / "postings"
         touched = 0
-        for seg_file in sorted(postings_dir.glob("bucket=*.parquet")):
-            bkt = int(seg_file.stem.split("=")[1])
-            base = pq.read_table(seg_file)
-            deltas = by_bucket.pop(bkt, [])
-            if not deltas and not tombs:
-                continue
+
+        def _rewrite_bucket(bkt: int, base: pa.Table | None, deltas: list[pa.Table]) -> None:
             out_rows: dict[str, list] = {n: [] for n in SEGMENT_SCHEMA.names}
 
             def _add(r: dict, d: np.ndarray, tf: np.ndarray) -> None:
@@ -245,20 +271,37 @@ class IndexUpdater:
                           "block_max_tf", "block_gap_offset", "block_tf_offset"):
                     out_rows[k].append(payload[k])
 
-            for r in base.to_pylist():  # tombstones filter BASE lists only
-                d, tf = decode_posting_list(r)
-                if tomb_arr.size:
-                    keep = ~np.isin(d, tomb_arr)
-                    d, tf = d[keep], tf[keep]
-                _add(r, d, tf)
+            if base is not None:
+                for r in base.to_pylist():  # tombstones filter BASE lists only
+                    d, tf = decode_posting_list(r)
+                    if tomb_arr.size:
+                        keep = ~np.isin(d, tomb_arr)
+                        d, tf = d[keep], tf[keep]
+                    _add(r, d, tf)
             for part in deltas:  # delta lists are live as-is
                 for r in part.to_pylist():
                     d, tf = decode_posting_list(r)
                     _add(r, d, tf)
             rebuilt = merge_segment_rows(_rows_to_table(out_rows), out_salt=-1)
+            seg_file = postings_dir / f"bucket={bkt:05d}.parquet"
             tmpf = seg_file.with_suffix(".parquet.tmp")
             pq.write_table(rebuilt, tmpf, row_group_size=4096)
             os.replace(tmpf, seg_file)
+            self._refresh_bucket_marker(bkt, rebuilt)
+
+        for seg_file in sorted(postings_dir.glob("bucket=*.parquet")):
+            bkt = int(seg_file.stem.split("=")[1])
+            deltas = by_bucket.pop(bkt, [])
+            if not deltas and not tombs:
+                continue
+            _rewrite_bucket(bkt, pq.read_table(seg_file), deltas)
+            touched += 1
+
+        # delta-only buckets: terms hashing to a bucket that had no base
+        # segment get a NEW segment file — without this, their postings
+        # would be silently dropped when the delta log is cleared below
+        for bkt, deltas in sorted(by_bucket.items()):
+            _rewrite_bucket(bkt, None, deltas)
             touched += 1
 
         # ids folded in from deltas are live again in BASE — lift their

@@ -1,0 +1,85 @@
+"""Persisted partitioned ANN index: build-once layout, probe-only reads,
+parity with the scan-based operators (SURVEY training-data extensions;
+the round-1 gap: every ANN call re-scanned and re-signed the corpus)."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def emb(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    rows = emb.filter(expr="vec_id < 5").take_all()
+    rows.sort(key=lambda r: r["vec_id"])
+    return np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+
+
+def test_lsh_index_matches_scan_operator(emb, queries, tmp_path_factory):
+    from search_engine_skillbox_ray.pipelines.ann import lsh_topk
+    from search_engine_skillbox_ray.pipelines.ann_index import AnnIndex, build_lsh_index
+
+    d = tmp_path_factory.mktemp("lsh_idx")
+    mf = build_lsh_index(emb, d, n_planes=4, seed=42, input_token="t")
+    assert mf["n_vectors"] == emb.count()
+
+    idx = AnnIndex(d)
+    got = idx.topk(queries, k=10, n_probes=11).to_pandas()
+    want = lsh_topk(emb, queries, k=10, n_planes=4, n_probes=11).to_pandas()
+    # identical semantics: same probe rule, same rerank, same ties
+    assert got.values.tolist() == want.values.tolist()
+
+
+def test_lsh_index_reads_only_probed_partitions(emb, queries, tmp_path_factory):
+    from search_engine_skillbox_ray.pipelines.ann_index import AnnIndex, build_lsh_index
+
+    d = tmp_path_factory.mktemp("lsh_idx2")
+    build_lsh_index(emb, d, n_planes=4, seed=42, input_token="t")
+    idx = AnnIndex(d)
+    one = queries[:1]
+    idx.topk(one, k=10, n_probes=3)
+    assert 0 < len(idx.last_files_read) <= 3, idx.last_files_read
+    total = len(list(d.glob("bucket=*.parquet")))
+    assert total > 3  # pruning is real, not reading-everything
+
+
+def test_lsh_index_rebuild_short_circuits(emb, tmp_path_factory):
+    from search_engine_skillbox_ray.pipelines.ann_index import build_lsh_index
+
+    d = tmp_path_factory.mktemp("lsh_idx3")
+    m1 = build_lsh_index(emb, d, n_planes=4, seed=42, input_token="t")
+    files = sorted(d.glob("bucket=*.parquet"))
+    mtimes = [f.stat().st_mtime_ns for f in files]
+    m2 = build_lsh_index(emb, d, n_planes=4, seed=42, input_token="t")
+    assert m2["fingerprint"] == m1["fingerprint"]
+    assert [f.stat().st_mtime_ns for f in files] == mtimes, "rebuild rewrote partitions"
+
+
+def test_ivf_index_recall_and_pruning(emb, queries, tmp_path_factory):
+    from search_engine_skillbox_ray.pipelines.ann import brute_force_topk
+    from search_engine_skillbox_ray.pipelines.ann_index import AnnIndex, build_ivf_index
+
+    d = tmp_path_factory.mktemp("ivf_idx")
+    mf = build_ivf_index(emb, d, n_lists=8, seed=42, input_token="t")
+    assert mf["n_vectors"] == emb.count()
+    idx = AnnIndex(d)
+    got = idx.topk(queries, k=10, n_probe=4).to_pandas()
+    assert len(idx.last_files_read) <= 8  # union over 5 queries, ≤ n_lists
+    idx.topk(queries[:1], k=10, n_probe=2)
+    assert len(idx.last_files_read) <= 2
+
+    exact = brute_force_topk(emb, queries, k=10).to_pandas()
+    recalls = []
+    for qi in range(len(queries)):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(got[got["query_id"] == qi]["vec_id"])
+        recalls.append(len(e & a) / max(1, len(e)))
+    assert np.mean(recalls) >= 0.5, recalls
+
+    got2 = idx.topk(queries, k=10, n_probe=4).to_pandas()
+    assert got.values.tolist() == got2.values.tolist()  # deterministic

@@ -141,3 +141,129 @@ def test_service_facade_lifecycle(ray_session, tmp_path):
     assert resp["count"] == 1
     # outside config (IndexingServiceImpl.java:168-173)
     assert svc.index_page("https://elsewhere.example/z", text="x")["result"] is False
+
+
+def _empty_bucket_term(idx: str, n_buckets: int) -> str:
+    """A nonsense term whose bucket has NO base segment file."""
+    from pathlib import Path
+
+    from search_engine_skillbox_ray.stages.tokenizer import term_bucket
+
+    existing = {
+        int(f.stem.split("=")[1])
+        for f in Path(idx, "postings").glob("bucket=*.parquet")
+    }
+    for i in range(500):
+        cand = f"xqzw{'abcdefghij'[i % 10] * (i // 10 + 1)}"
+        if int(term_bucket([cand], n_buckets)[0]) not in existing:
+            return cand
+    raise AssertionError("no empty bucket available — shrink the fixture corpus")
+
+
+def test_compact_preserves_delta_only_buckets(ray_session, tmp_path):
+    """A term hashing to a bucket WITHOUT a base segment must survive
+    compaction (regression: deltas for absent buckets were dropped
+    while their delta files were unlinked — silent data loss)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    # tiny vocabulary so most of the 16 buckets have NO base segment
+    tbl = pa.table(
+        {
+            "url": pa.array([f"https://s.example/p/{i}" for i in range(6)], pa.string()),
+            "warc_ts": pa.array([None] * 6, pa.timestamp("us")),
+            "html": pa.array([b""] * 6, pa.binary()),
+            "text": pa.array(["alpha beta"] * 6, pa.string()),
+            "lang": pa.array(["en"] * 6, pa.string()),
+        }
+    )
+    pages = rd.from_arrow(tbl)
+    sites = derive_sites(pages)
+    idx = tmp_path / "idx"
+    build_index_from_pages(
+        pages, idx, sites,
+        BuildConfig(
+            n_buckets=16, sample_fraction=0, tokenize_concurrency=(1, 2),
+            use_text_col=True, dedup=False,
+        ),
+        input_token="delta-only-bucket",
+    )
+    term = _empty_bucket_term(str(idx), 16)
+    upd = IndexUpdater(str(idx))
+    assert upd.index_page(f"{sites[0]['url']}/delta/only", text=f"{term} words")["result"]
+
+    eng = ses.SearchEngine(str(idx))
+    assert eng.search_scores(term)[0].size == 1  # via delta overlay
+    r = upd.compact()
+    assert r["result"] is True
+    eng2 = ses.SearchEngine(str(idx))
+    assert not eng2._delta_terms
+    assert eng2.search_scores(term)[0].size == 1  # now from base segments
+
+
+def test_topk_sees_tombstones_and_deltas(built):
+    """Pruned topk() must not serve deleted docs nor miss delta postings
+    (regression: _merged_payload read base segments only)."""
+    idx, sites = built
+    upd = IndexUpdater(idx)
+    url = f"{sites[0]['url']}/prune/check"
+    upd.index_page(url, text="alphaprune betaprune")
+    eng = ses.SearchEngine(idx)
+    d1, _ = eng.topk("alphaprune", k=5)
+    assert d1.size == 1
+    # replace the doc: old term disappears, new term appears
+    upd.index_page(url, text="gammaprune only now")
+    eng.reload_updates()
+    d2, _ = eng.topk("alphaprune", k=5)
+    assert d2.size == 0, "topk served a deleted doc"
+    d3, _ = eng.topk("gammaprune", k=5)
+    assert d3.size == 1
+
+
+def test_statistics_overlay_pending_updates(built):
+    """statistics() lemma/page counts stay consistent through
+    index_page → compact (regression: marker counts drifted)."""
+    idx, sites = built
+    upd = IndexUpdater(idx)
+    url = f"{sites[0]['url']}/stats/overlay"
+    upd.index_page(url, text="uniquestatword another word")
+
+    eng = ses.SearchEngine(idx)
+    st_before = eng.statistics()["statistics"]["total"]
+    upd.compact()
+    eng2 = ses.SearchEngine(idx)
+    st_after = eng2.statistics()["statistics"]["total"]
+    assert st_before["pages"] == st_after["pages"]
+    assert st_before["lemmas"] == st_after["lemmas"]
+
+
+def test_service_status_lifecycle(ray_session, tmp_path):
+    """SiteEntity.status/status_time/last_error semantics
+    (IndexingServiceImpl.java:264-284, stop :116-135)."""
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.state.service import (
+        STOPPED_BY_USER,
+        SearchEngineService,
+    )
+
+    tbl = generate_pages_table(60, n_sites=2, seed=51)
+    pages = rd.from_arrow(tbl)
+    sites = derive_sites(pages)
+    svc = SearchEngineService(
+        tmp_path / "idx", sites,
+        BuildConfig(n_buckets=4, sample_fraction=0, tokenize_concurrency=(1, 2)),
+    )
+    assert svc.start_indexing(pages, input_token="status")["result"] is True
+    det = svc.statistics()["statistics"]["detailed"]
+    assert all(d["status"] == "INDEXED" for d in det)
+    assert all(d["statusTime"] is not None for d in det)
+    assert all(d["error"] is None for d in det)
+
+    # simulate a stop during a run: INDEXING sites -> FAILED + message
+    svc._running = True
+    svc._set_status("INDEXING")
+    assert svc.stop_indexing()["result"] is True
+    det2 = svc.statistics()["statistics"]["detailed"]
+    assert all(d["status"] == "FAILED" for d in det2)
+    assert all(d["error"] == STOPPED_BY_USER for d in det2)
