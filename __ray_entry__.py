@@ -33,6 +33,15 @@ SEARCH_SITE_SOURCE = "src3"
 BM25_K1, BM25_B = 1.2, 0.75
 ANN_K, ANN_NQ = 10, 5
 
+# near-dup / LSH constants — shared verbatim between the Ray queries and
+# the DuckDB oracles (functions/hashing.py documents the SQL equivalence)
+MINHASH_PERM, MINHASH_BANDS, MINHASH_SEED, MINHASH_THRESHOLD = 64, 16, 42, 0.5
+NGRAM_N, NGRAM_SAMPLE, NGRAM_THRESHOLD = 3, 4, 0.5
+EMB_PLANES, EMB_SEED, EMB_THRESHOLD = 4, 42, 0.35
+LSH_PLANES, LSH_PROBES = 4, 11
+SIMHASH_MAX_HAMMING = 3
+BATCH_QUERIES = ["merge batch", "fast", "hash join", "absentzz", "scan column fast"]
+
 # Tokenizer as SQL (RE2 on both sides — pyarrow split_pattern_regex and
 # DuckDB regexp_split_to_array share \p{L} semantics).
 _TOK = (
@@ -140,15 +149,24 @@ def q_corpus_stats(sf_dir: str):
     import json
     from pathlib import Path
 
+    from search_engine_skillbox_ray.state.manifest import read_json
+
     idx = _index_dir(sf_dir)
     stats = json.loads((Path(idx) / "stats.json").read_text())
-    n_terms = 0
-    import pyarrow.parquet as pq
+    # terms hash to exactly ONE bucket, so summing per-bucket distinct
+    # counts from the lineage markers gives the global vocabulary size
+    # without touching segment data (the scale-safe shape; the scan
+    # below is the legacy-marker fallback)
+    markers = [read_json(m) for m in sorted(Path(idx, "postings").glob("bucket=*.done.json"))]
+    if markers and all(m and "n_unique_terms" in m for m in markers):
+        n_terms = sum(int(m["n_unique_terms"]) for m in markers)
+    else:
+        import pyarrow.parquet as pq
 
-    seen = set()
-    for f in sorted(Path(idx, "postings").glob("bucket=*.parquet")):
-        seen.update(pq.read_table(f, columns=["term"])["term"].to_pylist())
-    n_terms = len(seen)
+        seen = set()
+        for f in sorted(Path(idx, "postings").glob("bucket=*.parquet")):
+            seen.update(pq.read_table(f, columns=["term"])["term"].to_pylist())
+        n_terms = len(seen)
     return pd.DataFrame(
         {
             "n_docs": [int(stats["n_docs"])],
@@ -256,7 +274,18 @@ def q_langid(sf_dir: str):
 def q_minhash_pairs(sf_dir: str):
     from search_engine_skillbox_ray.pipelines.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_documents(sf_dir), threshold=0.5)
+    return minhash_lsh_pairs(
+        _documents(sf_dir), num_perm=MINHASH_PERM, bands=MINHASH_BANDS,
+        threshold=MINHASH_THRESHOLD, seed=MINHASH_SEED,
+    )
+
+
+def q_minhash_sigs(sf_dir: str):
+    from search_engine_skillbox_ray.pipelines.dedup import minhash_signatures_ds
+
+    return minhash_signatures_ds(
+        _documents(sf_dir), num_perm=MINHASH_PERM, seed=MINHASH_SEED
+    )
 
 
 def q_simhash(sf_dir: str):
@@ -265,16 +294,28 @@ def q_simhash(sf_dir: str):
     return simhash_ds(_documents(sf_dir))
 
 
+def q_simhash_near_pairs(sf_dir: str):
+    from search_engine_skillbox_ray.pipelines.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_documents(sf_dir), max_hamming=SIMHASH_MAX_HAMMING)
+
+
 def q_ngram_jaccard_pairs(sf_dir: str):
     from search_engine_skillbox_ray.pipelines.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_documents(sf_dir), threshold=0.5)
+    return ngram_jaccard_pairs(
+        _documents(sf_dir), n=NGRAM_N, threshold=NGRAM_THRESHOLD,
+        bucket_sample=NGRAM_SAMPLE,
+    )
 
 
 def q_embedding_near_pairs(sf_dir: str):
     from search_engine_skillbox_ray.pipelines.dedup import embedding_near_pairs
 
-    return embedding_near_pairs(_embeddings(sf_dir), threshold=0.95)
+    return embedding_near_pairs(
+        _embeddings(sf_dir), threshold=EMB_THRESHOLD, n_planes=EMB_PLANES,
+        seed=EMB_SEED,
+    )
 
 
 def q_ann_cosine_topk(sf_dir: str):
@@ -284,18 +325,31 @@ def q_ann_cosine_topk(sf_dir: str):
 
 
 def q_ann_lsh_topk(sf_dir: str):
-    from search_engine_skillbox_ray.pipelines.ann import lsh_topk
+    """LSH ANN over the PERSISTED bucket-partitioned index: built once
+    (manifest-cached), each query call reads only its probed partition
+    files — the 100 TB serving shape. Identical results to the scan
+    operator ``ann.lsh_topk`` (same probe rule; pytest-pinned)."""
+    from search_engine_skillbox_ray.pipelines.ann_index import AnnIndex, build_lsh_index
 
-    return lsh_topk(
-        _embeddings(sf_dir), _query_vectors(sf_dir), k=ANN_K, n_planes=4, n_probes=11
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/ses_ann_lsh_{tag}"
+    build_lsh_index(
+        _embeddings(sf_dir), d, n_planes=LSH_PLANES, seed=42, input_token=sf_dir
     )
-
+    return AnnIndex(d).topk(_query_vectors(sf_dir), k=ANN_K, n_probes=LSH_PROBES)
 
 
 def q_ann_ivf_topk(sf_dir: str):
-    from search_engine_skillbox_ray.pipelines.ann import ivf_topk
+    """IVF ANN over the PERSISTED list-partitioned index (k-means trained
+    once at build; queries probe n_probe lists)."""
+    from search_engine_skillbox_ray.pipelines.ann_index import AnnIndex, build_ivf_index
 
-    return ivf_topk(_embeddings(sf_dir), _query_vectors(sf_dir), k=ANN_K, n_lists=8, n_probe=4)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/ses_ann_ivf_{tag}"
+    build_ivf_index(
+        _embeddings(sf_dir), d, n_lists=8, seed=42, input_token=sf_dir
+    )
+    return AnnIndex(d).topk(_query_vectors(sf_dir), k=ANN_K, n_probe=4)
 
 
 def q_events_window(sf_dir: str):
@@ -366,9 +420,7 @@ def q_batch_search(sf_dir: str):
     from search_engine_skillbox_ray.state.engine import batch_search
 
     idx = _index_dir(sf_dir)
-    queries_ds = rd.from_items(
-        [{"query": q} for q in ["merge batch", "fast", "hash join", "absentzz", "scan column fast"]]
-    )
+    queries_ds = rd.from_items([{"query": q} for q in BATCH_QUERIES])
     return batch_search(queries_ds, idx, concurrency=(1, 2))
 
 
@@ -428,7 +480,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": q_fingerprint,
         "langid": q_langid,
         "minhash_pairs": q_minhash_pairs,
+        "minhash_sigs": q_minhash_sigs,
         "simhash": q_simhash,
+        "simhash_near_pairs": q_simhash_near_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_near_pairs": q_embedding_near_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -448,6 +502,161 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def _terms_values() -> str:
     terms = SEARCH_QUERY.split()
     return ", ".join(f"('{t}')" for t in terms)
+
+
+# ------------------------------------------------------ near-dup oracles
+# The md5-derived hashing scheme (functions/hashing.py) is replicated in
+# SQL: md5_number_lower == md5_u64; uint64 wrap-around == mod 2^64 via
+# HUGEINT; the SAME constants appear on both sides. These are HARD
+# oracles: signature values, candidate sets and verified pairs must
+# hash-match bit-for-bit.
+_M64 = 1 << 64
+
+
+def _hash_consts():
+    from search_engine_skillbox_ray.functions.hashing import K1, K2, K3, MERSENNE61
+
+    return K1, K2, K3, MERSENNE61
+
+
+def _shingles_cte() -> str:
+    """CTE chain: documents → ordered token md5s → 3-gram combined
+    hashes mod p (one row per shingle), incl. the <3-token fallback."""
+    K1, K2, K3, P = _hash_consts()
+    return f"""
+tl AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}]+'),
+       x -> x <> '') AS toks FROM documents),
+hl AS (SELECT doc_id, len(toks) AS n,
+       list_transform(toks, t -> md5_number_lower(t)) AS hs,
+       array_to_string(toks, ' ') AS joined FROM tl),
+sh AS (SELECT doc_id, unnest(CASE
+    WHEN n >= 3 THEN list_transform(range(1, n - 1), i ->
+      ((((CAST(hs[i] AS HUGEINT) * {K1}) % {_M64})
+      + ((CAST(hs[i+1] AS HUGEINT) * {K2}) % {_M64})
+      + ((CAST(hs[i+2] AS HUGEINT) * {K3}) % {_M64})) % {_M64}) % {P})
+    WHEN n > 0 THEN [CAST(md5_number_lower(joined) % {P} AS HUGEINT)]
+    ELSE CAST([] AS HUGEINT[]) END) AS x FROM hl)"""
+
+
+def _perm_values() -> str:
+    from search_engine_skillbox_ray.pipelines.dedup import MinHashSignatures
+
+    a, b = MinHashSignatures.perm_constants(MINHASH_PERM, MINHASH_SEED)
+    return ", ".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(MINHASH_PERM))
+
+
+def _sigs_cte() -> str:
+    """… → per-(doc, perm) MinHash signature values; -1 for empty docs."""
+    _, _, _, P = _hash_consts()
+    return f"""
+perms(perm, a, b) AS (VALUES {_perm_values()}),
+permmins AS (SELECT sh.doc_id, p.perm,
+    min(((((CAST(p.a AS HUGEINT) * sh.x) % {_M64}) + p.b) % {_M64}) % {P}) AS sig
+  FROM sh, perms p GROUP BY sh.doc_id, p.perm),
+sigs AS (SELECT d.doc_id, p.perm, CAST(COALESCE(m.sig, -1) AS BIGINT) AS sig
+  FROM documents d CROSS JOIN perms p
+  LEFT JOIN permmins m ON m.doc_id = d.doc_id AND m.perm = p.perm)"""
+
+
+def _simhash_cte() -> str:
+    return """
+tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text),
+        '[^\\p{L}]+'), x -> x <> '')) AS term FROM documents),
+th AS (SELECT doc_id, md5_number_lower(term) AS h FROM tok),
+bits AS (SELECT unnest(range(0, 63)) AS bit),
+acc AS (SELECT th.doc_id, b.bit,
+        SUM(CASE WHEN (th.h >> CAST(b.bit AS UBIGINT)) & CAST(1 AS UBIGINT)
+                      = CAST(1 AS UBIGINT) THEN 1 ELSE -1 END) AS s
+        FROM th, bits b GROUP BY th.doc_id, b.bit),
+sv AS (SELECT doc_id, SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit)
+                          ELSE 0 END) AS v FROM acc GROUP BY doc_id),
+simh AS (SELECT d.doc_id, CAST(COALESCE(sv.v, 0) AS BIGINT) AS simhash
+         FROM documents d LEFT JOIN sv ON sv.doc_id = d.doc_id)"""
+
+
+def _plane_values(n_planes: int, seed: int, dim: int = 64) -> str:
+    """The seeded hyperplanes as SQL VALUES — same numpy stream as the
+    engine's bucketize/signature stages."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+    rows = []
+    for p in range(n_planes):
+        vec = ", ".join(repr(float(v)) for v in planes[:, p])
+        rows.append(f"({p}, [{vec}]::DOUBLE[])")
+    return ", ".join(rows)
+
+
+def _emb_sig_cte(n_planes: int, seed: int) -> str:
+    return f"""
+planes(p, w) AS (VALUES {_plane_values(n_planes, seed)}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+esig AS (SELECT e.vec_id,
+        SUM(CASE WHEN list_dot_product(e.v, p.w) > 0
+            THEN (CAST(1 AS BIGINT) << p.p) ELSE 0 END) AS bucket
+        FROM e, planes p GROUP BY e.vec_id)"""
+
+
+def _lsh_probe_masks(n_planes: int, n_probes: int) -> list[int]:
+    """Probe set = {sig ^ m}: exact, 1-bit, then 2-bit flips until
+    n_probes — mirrors ann.lsh_topk's construction exactly."""
+    masks = [0]
+    for bit in range(n_planes):
+        if len(masks) >= n_probes:
+            break
+        masks.append(1 << bit)
+    for b1 in range(n_planes):
+        for b2 in range(b1 + 1, n_planes):
+            if len(masks) >= n_probes:
+                break
+            masks.append((1 << b1) | (1 << b2))
+    return masks[:n_probes]
+
+
+def _batch_query_values() -> tuple[str, str]:
+    """(qs VALUES, (query, term) VALUES) for the batch-search oracle —
+    per-query ordered-distinct lemmas, M2 semantics."""
+    from search_engine_skillbox_ray.functions.tokenize import query_lemmas
+
+    qs = ", ".join(f"('{q}')" for q in BATCH_QUERIES)
+    qt = ", ".join(
+        f"('{q}', '{t}')" for q in BATCH_QUERIES for t in query_lemmas(q)
+    )
+    return qs, qt
+
+
+def _langid_values() -> str:
+    from search_engine_skillbox_ray.pipelines.textstats import _LANG_STOPWORDS
+
+    rows = []
+    for prio, (lang, words) in enumerate(_LANG_STOPWORDS.items()):
+        for w in sorted(words):
+            rows.append(f"('{lang}', {prio}, '{w}')")
+    return ", ".join(rows)
+
+
+def _link_graph_values() -> str:
+    """Expected in-site edges of the deterministic link fixture, derived
+    STRUCTURALLY from the generator's url plan (first occurrence of each
+    /p/<i> page links prev/next; edge-case pages and keep-latest dup
+    rows carry no nav) — independent of the HTML parser under test."""
+    from search_engine_skillbox_ray.sources.fixtures import generate_pages_table
+
+    tbl = generate_pages_table(300, n_sites=2, seed=13)
+    seen: set[str] = set()
+    rows = []
+    for u in tbl["url"].to_pylist():
+        nu = u.split("#")[0].replace("://www.", "://")
+        if nu.endswith("/"):
+            nu = nu[:-1]
+        if "/p/" not in nu or nu in seen:
+            continue
+        seen.add(nu)
+        base, idx = nu.rsplit("/p/", 1)
+        i = int(idx)
+        if i > 0:
+            rows.append(f"('{nu}', '{base}/p/{i - 1}')")
+        rows.append(f"('{nu}', '{base}/p/{i + 1}')")
+    return ", ".join(rows)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -601,5 +810,121 @@ SELECT d.doc_id, d.source, c.n_docs_in_source
 FROM documents d
 JOIN (SELECT source, count(*)::BIGINT AS n_docs_in_source FROM documents GROUP BY source) c
   ON d.source = c.source
+""",
+        "minhash_sigs": f"""
+WITH {_shingles_cte()}, {_sigs_cte()}
+SELECT doc_id, perm::BIGINT AS perm, sig FROM sigs
+""",
+        "minhash_pairs": f"""
+WITH {_shingles_cte()}, {_sigs_cte()},
+bands AS (
+  SELECT doc_id, perm // {MINHASH_PERM // MINHASH_BANDS} AS band_id,
+         string_agg(CAST(sig AS VARCHAR), ',' ORDER BY perm) AS band_key
+  FROM sigs GROUP BY doc_id, band_id),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         avg(CASE WHEN sa.sig = sb.sig THEN 1.0 ELSE 0.0 END) AS est_jaccard
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.perm = sa.perm
+  GROUP BY c.doc_a, c.doc_b)
+SELECT doc_a, doc_b, ROUND(est_jaccard, 6) AS est_jaccard
+FROM est WHERE est_jaccard >= {MINHASH_THRESHOLD}
+""",
+        "simhash": f"""
+WITH {_simhash_cte()}
+SELECT doc_id, simhash FROM simh
+""",
+        "simhash_near_pairs": f"""
+WITH {_simhash_cte()}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(CAST(a.simhash AS UBIGINT), CAST(b.simhash AS UBIGINT))) AS BIGINT) AS hamming
+FROM simh a JOIN simh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(CAST(a.simhash AS UBIGINT), CAST(b.simhash AS UBIGINT))) <= {SIMHASH_MAX_HAMMING}
+""",
+        "ngram_jaccard_pairs": f"""
+WITH {_shingles_cte()},
+g AS (SELECT DISTINCT doc_id, CAST(x AS BIGINT) AS gh FROM sh),
+gmins AS (SELECT doc_id, gh FROM (
+  SELECT doc_id, gh, row_number() OVER (PARTITION BY doc_id ORDER BY gh) AS rn FROM g)
+  WHERE rn <= {NGRAM_SAMPLE}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM gmins a JOIN gmins b ON a.gh = b.gh AND a.doc_id < b.doc_id),
+sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+ints AS (SELECT c.doc_a, c.doc_b, count(*) AS isz
+  FROM cand c JOIN g x ON x.doc_id = c.doc_a
+  JOIN g y ON y.doc_id = c.doc_b AND y.gh = x.gh
+  GROUP BY c.doc_a, c.doc_b),
+jac AS (SELECT i.doc_a, i.doc_b,
+        CAST(i.isz AS DOUBLE) / (sa.sz + sb.sz - i.isz) AS j
+  FROM ints i JOIN sz sa ON sa.doc_id = i.doc_a JOIN sz sb ON sb.doc_id = i.doc_b)
+SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM jac WHERE j >= {NGRAM_THRESHOLD}
+""",
+        "embedding_near_pairs": f"""
+WITH {_emb_sig_cte(EMB_PLANES, EMB_SEED)},
+c AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM esig a JOIN esig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+s AS (SELECT c.vec_a, c.vec_b,
+      ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+      FROM c JOIN e ea ON ea.vec_id = c.vec_a JOIN e eb ON eb.vec_id = c.vec_b)
+SELECT vec_a, vec_b, cosine FROM s WHERE cosine >= {EMB_THRESHOLD}
+""",
+        "ann_lsh_topk": f"""
+WITH {_emb_sig_cte(LSH_PLANES, 42)},
+q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < {ANN_NQ}),
+qs AS (SELECT q.query_id, s.bucket AS qsig FROM q JOIN esig s ON s.vec_id = q.query_id),
+masks(m) AS (VALUES {", ".join(f"({m})" for m in _lsh_probe_masks(LSH_PLANES, LSH_PROBES))}),
+probes AS (SELECT DISTINCT query_id, xor(qsig, m) AS bucket FROM qs, masks),
+cand AS (SELECT p.query_id, s.vec_id FROM probes p JOIN esig s ON s.bucket = p.bucket),
+sc AS (SELECT c.query_id, c.vec_id, list_cosine_similarity(eq.v, ev.v) AS cos
+       FROM cand c JOIN e ev ON ev.vec_id = c.vec_id JOIN e eq ON eq.vec_id = c.query_id)
+SELECT CAST(query_id AS INTEGER) AS query_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) - 1 AS INTEGER) AS rank,
+       vec_id, ROUND(cos, 6) AS cosine
+FROM sc QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) <= {ANN_K}
+""",
+        "batch_search": f"""
+WITH tf AS ({_TF}),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+qs(query) AS (VALUES {_batch_query_values()[0]}),
+qt(query, term) AS (VALUES {_batch_query_values()[1]}),
+df AS (SELECT qt.query, qt.term, count(DISTINCT tf.doc_id)::BIGINT AS df
+       FROM qt LEFT JOIN tf ON tf.term = qt.term GROUP BY qt.query, qt.term),
+scores AS (
+  SELECT df.query, tf.doc_id, SUM(tf.tf * ln((n.n + 1.0) / (df.df + 1.0))) AS score
+  FROM df JOIN tf ON tf.term = df.term CROSS JOIN n
+  GROUP BY df.query, tf.doc_id),
+top AS (SELECT query, doc_id, score,
+        row_number() OVER (PARTITION BY query ORDER BY score DESC, doc_id) AS rn,
+        count(*) OVER (PARTITION BY query) AS n_matched
+        FROM scores)
+SELECT q.query,
+       COALESCE(t.n_matched, 0)::BIGINT AS n_matched,
+       COALESCE(t.doc_id, -1)::BIGINT AS top_doc_id,
+       COALESCE(ROUND(t.score, 6), 0.0)::DOUBLE AS top_score
+FROM qs q LEFT JOIN top t ON t.query = q.query AND t.rn = 1
+""",
+        "langid": f"""
+WITH tok AS ({_TOK}),
+tot AS (SELECT doc_id, count(*)::BIGINT AS total FROM tok GROUP BY doc_id),
+sw(lang, prio, word) AS (VALUES {_langid_values()}),
+hits AS (SELECT t.doc_id, s.lang, s.prio, count(*)::BIGINT AS hits
+         FROM tok t JOIN sw s ON s.word = t.term GROUP BY t.doc_id, s.lang, s.prio),
+best AS (SELECT doc_id, lang, hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, prio ASC) AS rn
+         FROM hits)
+SELECT d.doc_id,
+       COALESCE(b.lang, 'unknown') AS pred_lang,
+       COALESCE(ROUND(CAST(b.hits AS DOUBLE) / tot.total, 6), 0.0) AS confidence
+FROM documents d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.doc_id = d.doc_id
+LEFT JOIN tot ON tot.doc_id = d.doc_id
+""",
+        "link_graph": f"""
+SELECT * FROM (VALUES {_link_graph_values()}) AS t(src_url, dst_url)
 """,
     }

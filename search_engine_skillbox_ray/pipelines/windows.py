@@ -76,23 +76,37 @@ def sessionize(
 ) -> rd.Dataset:
     """→ (user_id, n_sessions, n_events): gap-based sessions per user.
 
-    Ordering assumption: each user's events fit one group and are
-    sorted by ts inside ``map_groups`` — the partition key is the user,
-    which is the only key this operator ever shuffles on.
+    Shuffles on a HASH BUCKET of the user (stages/grouping.py doctrine),
+    then handles every user in the bucket with ONE vectorized pass —
+    sort by (user, ts), session starts where the user changes or the
+    gap exceeds the threshold, two bincounts. No per-user Python
+    dispatch. Partitioning assumption: one user's events co-locate (the
+    bucket key is a function of the user only).
     """
+    from ..stages.grouping import bucketed_group_apply
 
-    def per_user(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(ts_col, kind="mergesort")
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        if not len(bucket):
+            return pd.DataFrame(
+                {user_col: pd.Series([], dtype=bucket[user_col].dtype if user_col in bucket else object),
+                 "n_sessions": np.array([], np.int64), "n_events": np.array([], np.int64)}
+            )
+        g = bucket.sort_values([user_col, ts_col], kind="mergesort")
+        users = g[user_col].to_numpy()
         ts = g[ts_col].astype("int64").to_numpy()  # microseconds — exact gap compare
-        if len(ts) == 0:
-            return pd.DataFrame({user_col: [], "n_sessions": [], "n_events": []})
-        new_session = np.concatenate(([True], np.diff(ts) > gap_s * 1_000_000))
+        new_user = np.concatenate(([True], users[1:] != users[:-1]))
+        gap = np.concatenate(([True], np.diff(ts) > gap_s * 1_000_000))
+        new_session = new_user | gap
+        uidx = np.cumsum(new_user) - 1
+        n_users = int(uidx[-1]) + 1
+        n_sessions = np.bincount(uidx, weights=new_session, minlength=n_users).astype(np.int64)
+        n_events = np.bincount(uidx, minlength=n_users).astype(np.int64)
         return pd.DataFrame(
             {
-                user_col: [g[user_col].iloc[0]],
-                "n_sessions": [int(new_session.sum())],
-                "n_events": [len(ts)],
+                user_col: users[new_user],
+                "n_sessions": n_sessions,
+                "n_events": n_events,
             }
         )
 
-    return events.groupby(user_col).map_groups(per_user, batch_format="pandas")
+    return bucketed_group_apply(events, [user_col], per_bucket, n_buckets=32)

@@ -22,21 +22,44 @@ import pyarrow as pa
 import ray.data as rd
 
 
+_MIX_KS = (
+    0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+    0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63, 0xFF51AFD7ED558CCD,
+)
+
+
 def add_hash_bucket(
     batch: pa.Table, key_cols: list[str], n_buckets: int, col: str = "__bucket"
 ) -> pa.Table:
-    """Stable hash bucket over the concatenated key columns."""
+    """Stable hash bucket over the key columns — fully vectorized.
+
+    All-integer keys mix arithmetically in numpy (no Python objects at
+    all); string-bearing keys cast+join with Arrow kernels and hash with
+    pandas' C string hasher. The bucket only needs to be deterministic
+    WITHIN a run (it is transient shuffle routing), but both paths are
+    in fact stable across runs and cluster sizes."""
+    import pyarrow.compute as pc
+
     n = len(batch)
     if n == 0:
         return batch.append_column(col, pa.array([], pa.int32()))
-    cols = [batch.column(c).to_pylist() for c in key_cols]
-    if len(cols) == 1:
-        joined = np.asarray([str(v) for v in cols[0]], dtype=object)
+    cols = [batch.column(c) for c in key_cols]
+    if all(pa.types.is_integer(c.type) for c in cols):
+        h = np.zeros(n, dtype=np.uint64)
+        for i, c in enumerate(cols):
+            v = c.to_numpy(zero_copy_only=False).astype(np.uint64)
+            k = np.uint64(_MIX_KS[i % len(_MIX_KS)])
+            v = (v ^ (v >> np.uint64(33))) * k  # uint64 wrap
+            h = (h * np.uint64(0x100000001B3)) ^ v
+        h ^= h >> np.uint64(29)
     else:
-        joined = np.asarray(
-            ["\x00".join(str(v) for v in row) for row in zip(*cols)], dtype=object
+        parts = [pc.cast(c, pa.string()) for c in cols]
+        joined = parts[0] if len(parts) == 1 else pc.binary_join_element_wise(
+            *parts, "\x00"
         )
-    h = pd.util.hash_array(joined, categorize=False)
+        if isinstance(joined, pa.ChunkedArray):
+            joined = joined.combine_chunks()
+        h = pd.util.hash_array(joined.to_pandas().to_numpy(), categorize=False)
     return batch.append_column(col, pa.array((h % np.uint64(n_buckets)).astype(np.int32)))
 
 

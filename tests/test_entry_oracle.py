@@ -75,6 +75,11 @@ def test_oracle_keys_subset(entry_mod):
     "token_count", "quality", "fingerprint", "ann_cosine_topk",
     "events_window", "sessionize", "docs_with_source_stats",
     "search_pruned_topk",
+    # hard oracles for the (previously rows-only) near-dup / LSH / batch
+    # operators — md5-derived hashing is replicated in SQL bit-for-bit
+    "minhash_sigs", "minhash_pairs", "simhash", "simhash_near_pairs",
+    "ngram_jaccard_pairs", "embedding_near_pairs", "ann_lsh_topk",
+    "batch_search", "langid", "link_graph",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
@@ -92,9 +97,7 @@ def test_query_matches_oracle(entry_mod, con, name):
 
 
 @pytest.mark.parametrize("name", [
-    "langid", "minhash_pairs", "simhash", "ngram_jaccard_pairs",
-    "embedding_near_pairs", "ann_lsh_topk", "media_decode", "media_frames",
-    "batch_search", "link_graph", "ann_ivf_topk",
+    "media_decode", "media_frames", "ann_ivf_topk",
 ])
 def test_rows_only_queries_run(entry_mod, name):
     df = _to_pandas(entry_mod.queries()[name](SF_DIR))
