@@ -63,6 +63,13 @@ class BuildConfig:
     # salted partials correctly; enable at extreme scale where one
     # bucket's partials exceed a worker's heap
     two_level_merge: bool = False
+    # coalesce map-output blocks before the groupby shuffle. None (the
+    # measured default) skips the extra all-to-all barrier — at 192k
+    # pages / 16 CPUs the repartition COST ~14s of wall against a
+    # sort-groupby that handles ~150 map blocks fine. Set an int when
+    # the map stage emits thousands of tiny blocks (sort's partition
+    # matrix grows with input block count)
+    coalesce_blocks: int | None = None  # 0 → auto (max(32, n_buckets))
     extra_fingerprint: dict = field(default_factory=dict)
 
     def params(self) -> dict:
@@ -184,6 +191,8 @@ def _sample_texts(docs: rd.Dataset, sample_source: str | None, want: int) -> lis
                 break
         if texts:
             return texts[:want]
+    if docs is None:
+        return []
     return [r["text"] for r in docs.limit(want).take_all()]
 
 
@@ -213,6 +222,7 @@ def build_index_from_docs(
     n_docs_hint: int | None = None,
     sample_source: str | None = None,
     input_files: list[str | Path] | None = None,
+    heavy_precomputed: dict[str, int] | None = None,
 ) -> BuildResult:
     """Build the inverted index from a docs-schema Dataset.
 
@@ -270,7 +280,11 @@ def build_index_from_docs(
     import pyarrow.parquet as pq
 
     # -- salting estimate (driver-side sample, no extra corpus pass) ----
-    if docs_already:
+    if heavy_precomputed is not None:
+        heavy = heavy_precomputed
+        if not docs_already and docs_dir.exists():
+            shutil.rmtree(docs_dir)
+    elif docs_already:
         n_known = sum(pq.read_metadata(f).num_rows for f in Path(docs_dir).glob("*.parquet"))
         heavy = estimate_heavy_terms_from_dir(docs_dir, n_known, cfg)
     else:
@@ -326,7 +340,9 @@ def build_index_from_docs(
 
     # coalesce the many small map-output blocks — groupby cost scales
     # with block count (see stages/grouping.py note)
-    partials = partials.repartition(max(32, cfg.n_buckets))
+    if cfg.coalesce_blocks is not None:
+        n_coal = cfg.coalesce_blocks or max(32, cfg.n_buckets)
+        partials = partials.repartition(n_coal)
 
     if heavy and cfg.two_level_merge:
         # pre-merge partials per (bucket, salt) so no single reduce task
@@ -342,6 +358,10 @@ def build_index_from_docs(
 
     results = partials.groupby("bucket").map_groups(write_bucket, batch_format="pyarrow")
     res_tbl = results.to_pandas()  # one row per bucket — tiny
+    try:
+        stream_stats = results.stats()
+    except Exception:
+        stream_stats = ""
     if not docs_already:
         docs_dir.mkdir(parents=True, exist_ok=True)
         if not any(docs_dir.glob("*.parquet")):
@@ -359,7 +379,9 @@ def build_index_from_docs(
     n_docs_on_disk = sum(
         pq.read_metadata(f).num_rows for f in Path(docs_dir).glob("*.parquet")
     )
-    if n_docs_on_disk <= 5_000_000:
+    from ..config import DRIVER_FASTPATH_ROWS
+
+    if n_docs_on_disk <= DRIVER_FASTPATH_ROWS:
         import pandas as pd
 
         tbl = pq.read_table(docs_dir, columns=["doc_id", "site_id", "doc_len"])
@@ -432,6 +454,7 @@ def build_index_from_docs(
             "buckets_skipped": sorted(done),
             "metrics": {
                 "phases": phases,
+                "stream_stats": stream_stats,
                 "n_docs": n_docs,
                 "n_terms": n_terms,
                 "n_postings": n_postings,
@@ -462,6 +485,29 @@ def build_index_from_pages(
     pages_path: str | None = None,
 ) -> BuildResult:
     cfg = cfg or BuildConfig()
+    n_hint = None
+    if pages_path:
+        import pyarrow.parquet as pq
+
+        n_hint = sum(
+            pq.read_metadata(f).num_rows for f in Path(pages_path).glob("*.parquet")
+        ) or None
+
+    # overlap the two serial driver prefixes: the Zipf-head sampling
+    # estimate runs as a Ray task WHILE the dedup key prepass scans —
+    # neither blocks the other (both are seconds of pure-serial time
+    # that otherwise subtract from scaling efficiency)
+    heavy_future = None
+    if pages_path and cfg.sample_fraction > 0:
+        want = min(cfg.sample_max_docs, max(256, int((n_hint or 50_000) * cfg.sample_fraction)))
+
+        @ray.remote(num_cpus=1)
+        def _heavy_task(src: str, want_docs: int, n_total: int, cfg_: BuildConfig) -> dict:
+            texts = _sample_texts(None, src, want_docs)
+            return _heavy_from_texts(texts, n_total, cfg_)
+
+        heavy_future = _heavy_task.remote(pages_path, want, n_hint or want, cfg)
+
     docs = prepare_docs(
         pages,
         sites,
@@ -470,16 +516,10 @@ def build_index_from_pages(
         concurrency=cfg.prep_concurrency,
         pages_path=pages_path,
     )
-    n_hint = None
-    if pages_path:
-        import pyarrow.parquet as pq
-
-        n_hint = sum(
-            pq.read_metadata(f).num_rows for f in Path(pages_path).glob("*.parquet")
-        ) or None
     return build_index_from_docs(
         docs, index_dir, sites, cfg, input_token=input_token,
         n_docs_hint=n_hint, sample_source=pages_path,
+        heavy_precomputed=ray.get(heavy_future) if heavy_future is not None else None,
     )
 
 

@@ -257,11 +257,14 @@ def compute_dup_winners(
     keys = pages.map_batches(keys_batch, batch_format="pyarrow")
 
     # Driver fast path: the key table is tiny relative to the corpus
-    # (~40 B/page); below the threshold, collect it and find winners with
-    # one vectorized pandas pass — no shuffle at all. The bucketed
-    # shuffle path below is the >5M-page (cluster) shape.
+    # (~40 B/page); below the memory-scaled threshold (config.py),
+    # collect it and find winners with one vectorized pandas pass — no
+    # shuffle at all. The bucketed shuffle path below is the cluster
+    # shape.
+    from ..config import DRIVER_FASTPATH_ROWS
+
     n_rows_est = pages.count()
-    if n_rows_est <= 5_000_000:
+    if n_rows_est <= DRIVER_FASTPATH_ROWS:
         tables = [t for t in (ray.get(r) for r in keys.to_arrow_refs()) if len(t)]
         if not tables:
             return {}, {}
