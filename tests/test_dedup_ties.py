@@ -51,10 +51,11 @@ def test_winner_prepass_reports_ties(ray_session, tmp_path):
     tbl = _pages_with_exact_dups()
     pages = rd.from_arrow(tbl)
     sites = derive_sites(pages)
-    winners, tied = compute_dup_winners(pages, sites)
+    winners, tied, urls = compute_dup_winners(pages, sites)
     assert (0, "/a") in winners and (0, "/b") in winners
     assert list(tied) == [(0, "/a")]
     assert tied[(0, "/a")] == ["https://s.example/a"]
+    assert urls == ["https://s.example/a", "https://s.example/b", "https://s.example/c"]
 
 
 @pytest.mark.parametrize("with_path", [True, False])
