@@ -334,7 +334,8 @@ def q_ann_lsh_topk(sf_dir: str):
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     d = f"/tmp/ses_ann_lsh_{tag}"
     build_lsh_index(
-        _embeddings(sf_dir), d, n_planes=LSH_PLANES, seed=42, input_token=sf_dir
+        _embeddings(sf_dir), d, n_planes=LSH_PLANES, seed=42, input_token=sf_dir,
+        input_files=[f"{sf_dir}/embeddings.parquet"],
     )
     return AnnIndex(d).topk(_query_vectors(sf_dir), k=ANN_K, n_probes=LSH_PROBES)
 
@@ -347,7 +348,8 @@ def q_ann_ivf_topk(sf_dir: str):
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     d = f"/tmp/ses_ann_ivf_{tag}"
     build_ivf_index(
-        _embeddings(sf_dir), d, n_lists=8, seed=42, input_token=sf_dir
+        _embeddings(sf_dir), d, n_lists=8, seed=42, input_token=sf_dir,
+        input_files=[f"{sf_dir}/embeddings.parquet"],
     )
     return AnnIndex(d).topk(_query_vectors(sf_dir), k=ANN_K, n_probe=4)
 

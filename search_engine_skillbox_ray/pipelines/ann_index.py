@@ -69,13 +69,15 @@ def build_lsh_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     input_token: str = "",
+    input_files: list[str] | None = None,
 ) -> dict:
     """Write the hyperplane-bucketed layout once; resumable (manifest
-    fingerprint short-circuits an identical rebuild)."""
+    fingerprint short-circuits an identical rebuild; ``input_files``
+    stats invalidate it when the source data changes)."""
     index_dir = Path(index_dir)
     index_dir.mkdir(parents=True, exist_ok=True)
     params = {"kind": "lsh", "n_planes": n_planes, "seed": seed, "input": input_token}
-    fp = fingerprint_inputs([], params)
+    fp = fingerprint_inputs(input_files or [], params)
     mf = read_json(index_dir / "ann_manifest.json")
     if mf and mf.get("fingerprint") == fp:
         return mf
@@ -127,6 +129,7 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     input_token: str = "",
+    input_files: list[str] | None = None,
 ) -> dict:
     """Train the coarse quantizer once (seeded sample), persist the
     centroids + one partition per inverted list."""
@@ -136,7 +139,7 @@ def build_ivf_index(
         "kind": "ivf", "n_lists": n_lists, "train_sample": train_sample,
         "seed": seed, "input": input_token,
     }
-    fp = fingerprint_inputs([], params)
+    fp = fingerprint_inputs(input_files or [], params)
     mf = read_json(index_dir / "ann_manifest.json")
     if mf and mf.get("fingerprint") == fp:
         return mf

@@ -54,7 +54,9 @@ class BuildConfig:
     sample_fraction: float = 0.02
     sample_max_docs: int = 20_000
     tokenize_concurrency: tuple[int, int] | int = (1, 16)
-    tokenize_batch_size: int = 1024
+    # larger combiner batches → longer (term, site) runs → fewer partial
+    # rows in the shuffle (~30% lighter exchange at 2k-row input blocks)
+    tokenize_batch_size: int = 4096
     prep_concurrency: tuple[int, int] | int = (1, 16)
     dedup: bool = True
     use_text_col: bool = False

@@ -80,13 +80,8 @@ def merge_segment_rows(group: pa.Table, out_salt: int = -1) -> pa.Table:
     n_runs = int(run_id_per_row[-1]) + 1
     run_starts = np.flatnonzero(new_run)
 
-    # fast path: every run is a single partial → rows ARE the segments
-    if n_runs == n:
-        out = group.drop_columns(["salt"]).add_column(
-            3, "salt", pa.array(np.full(n, out_salt, dtype=np.int32))
-        )
-        return out.select(SEGMENT_SCHEMA.names)
-
+    # (no single-partial shortcut: partial rows ship WITHOUT block-max
+    # metadata — the merge always re-encodes, which also re-blocks)
     from .codec import concat_binary_column
 
     doc_ids, tfs = decode_partial_rows(

@@ -223,9 +223,13 @@ def _encode_batch_partials(counted: pa.Table, n_buckets: int, heavy: dict[str, i
         "term": run_terms.tolist(),
         "salt": salt.tolist(),
     }
-    for k in ("df", "cf", "doc_gaps", "tf_bytes", "block_last_doc",
-              "block_max_tf", "block_gap_offset", "block_tf_offset"):
+    for k in ("df", "cf", "doc_gaps", "tf_bytes"):
         rows[k] = [p[k] for p in payloads]
+    # block-max metadata is RECOMPUTED by the bucket merge — shipping it
+    # with every partial only fattens the shuffle; emit empty lists
+    empty: list = [[]] * len(payloads)
+    for k in ("block_last_doc", "block_max_tf", "block_gap_offset", "block_tf_offset"):
+        rows[k] = empty
     return _rows_to_table(rows)
 
 
