@@ -225,7 +225,7 @@ def build_index_from_docs(
     sample_source: str | None = None,
     input_files: list[str | Path] | None = None,
     heavy_precomputed: dict[str, int] | None = None,
-    stats_extra: dict | None = None,
+    stats_extra=None,
 ) -> BuildResult:
     """Build the inverted index from a docs-schema Dataset.
 
@@ -442,7 +442,7 @@ def build_index_from_docs(
         "sum_doc_len": sum(s["sum_doc_len"] for s in site_stats.values()),
         "n_buckets": cfg.n_buckets,
         "block_size": cfg.block_size,
-        **(stats_extra or {}),
+        **((stats_extra() if callable(stats_extra) else stats_extra) or {}),
     }
     atomic_write_json(index_dir / "stats.json", stats)
     _mark("stats")
@@ -522,6 +522,52 @@ def build_index_from_pages(
         pages_path=pages_path,
         meta_out=meta,
     )
+
+    if "prepass_refs" in meta:
+        # overlapped prepass: the scheme/next-id metadata resolves AFTER
+        # the stream job (by which point the prepass finished long ago)
+        fut_small, fut_urls = meta.pop("prepass_refs")
+
+        def _resolve_extra() -> dict:
+            urls_arr = ray.get(fut_urls)
+            if urls_arr is None:
+                return {"doc_id_scheme": "hash"}
+            return {"doc_id_scheme": "dense", "next_doc_id": len(urls_arr)}
+
+        res = build_index_from_docs(
+            docs, index_dir, sites, cfg, input_token=input_token,
+            n_docs_hint=n_hint, sample_source=pages_path,
+            heavy_precomputed=ray.get(heavy_future) if heavy_future is not None else None,
+            stats_extra=_resolve_extra,
+        )
+        # exact-duplicate ties were dropped in-stream; re-add exactly one
+        # resolved row per tied key through the delta path (rare — crawl
+        # artifacts; deterministic content-fingerprint winner)
+        winners, tied = ray.get(fut_small)
+        if tied and res.n_buckets_built > 0:
+            from ..sources.pages import resolve_tied_rows
+            from ..state.updater import IndexUpdater
+
+            rows = resolve_tied_rows(
+                pages_path, winners, tied, sites, use_text_col=cfg.use_text_col
+            )
+            upd = IndexUpdater(index_dir)
+            order = sorted(range(len(rows)), key=lambda i: rows.column("url")[i].as_py())
+            for i in order:
+                upd.index_page(
+                    rows.column("url")[i].as_py(), text=rows.column("text")[i].as_py()
+                )
+            upd.compact()
+            stats = json.loads((Path(index_dir) / "stats.json").read_text())
+            res = BuildResult(
+                index_dir=res.index_dir, n_docs=int(stats["n_docs"]),
+                n_postings=res.n_postings, n_terms=res.n_terms,
+                n_buckets_built=res.n_buckets_built,
+                n_buckets_skipped=res.n_buckets_skipped,
+                seconds=res.seconds, stats=stats,
+            )
+        return res
+
     return build_index_from_docs(
         docs, index_dir, sites, cfg, input_token=input_token,
         n_docs_hint=n_hint, sample_source=pages_path,

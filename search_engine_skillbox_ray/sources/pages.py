@@ -167,6 +167,97 @@ def _keep_latest_bucket(bucket: "pd.DataFrame") -> "pd.DataFrame":
     )
 
 
+
+def _keys_table(batch: pa.Table, norm_roots: list[tuple[int, str]]) -> pa.Table:
+    """(site_id, path, url, raw_url, ts_us) key rows for the dedup
+    prepass — shared by the Ray-Data and plain-pyarrow scanners."""
+    urls = [normalize_url(u) for u in batch.column("url").to_pylist()]
+    site_ids = np.full(len(urls), -1, dtype=np.int32)
+    paths = []
+    for i, u in enumerate(urls):
+        spath = u
+        for sid, root in norm_roots:
+            if u.startswith(root):
+                site_ids[i] = sid
+                p = u[len(root):]
+                spath = p if p else "/"
+                break
+        paths.append(spath)
+    out = {
+        "site_id": pa.array(site_ids, pa.int32()),
+        "path": pa.array(paths, pa.string()),
+        "url": pa.array(urls, pa.string()),
+        "raw_url": batch.column("url"),
+    }
+    if "warc_ts" in batch.column_names:
+        out["ts_us"] = pa.compute.cast(batch.column("warc_ts"), pa.int64())
+    else:
+        out["ts_us"] = pa.array(np.zeros(len(urls), dtype=np.int64))
+    return pa.table(out)
+
+
+_W_COLS = ["site_id", "path", "ts_us", "url", "raw_url"]
+
+
+def _dup_winners_frame(bucket: pd.DataFrame) -> pd.DataFrame:
+    """One row per input row that EQUALS its conflicted key's winner
+    tuple — usually one per key; >1 signals an exact-duplicate tie."""
+    dup_mask = bucket.duplicated(["site_id", "path"], keep=False)
+    dups = bucket[dup_mask]
+    if not len(dups):
+        # dtypes MUST match the non-empty branch — mismatched empty
+        # frames force Ray into schema-re-inference slow paths
+        return pd.DataFrame(
+            {
+                "site_id": np.array([], dtype=np.int32),
+                "path": pd.Series([], dtype=object),
+                "ts_us": np.array([], dtype=np.int64),
+                "url": pd.Series([], dtype=object),
+                "raw_url": pd.Series([], dtype=object),
+            }
+        )
+    w = (
+        dups.sort_values(["ts_us", "url"], ascending=[False, True], kind="mergesort")
+        .drop_duplicates(["site_id", "path"], keep="first")[["site_id", "path", "ts_us", "url"]]
+    )
+    return dups.merge(w, on=["site_id", "path", "ts_us", "url"], how="inner")[_W_COLS]
+
+
+def _collect_winners(winners_df: pd.DataFrame):
+    winners: dict[tuple[int, str], tuple[int, str]] = {}
+    tied: dict[tuple[int, str], list[str]] = {}
+    for (sid, p), grp in winners_df.groupby(["site_id", "path"], sort=False):
+        key = (int(sid), p)
+        winners[key] = (int(grp["ts_us"].iloc[0]), grp["url"].iloc[0])
+        if len(grp) > 1:
+            tied[key] = sorted(set(grp["raw_url"]))
+    return winners, tied
+
+
+def compute_dup_winners_arrow(pages_path: str, sites: list[dict]):
+    """Plain-pyarrow dedup/dense-id prepass over a Parquet directory —
+    NO nested Ray Data job, so it can run inside a Ray task concurrently
+    with the main stream without competing for executor slots (two
+    concurrent Ray Data jobs with fixed actor pools can starve each
+    other). Column-pruned (url, warc_ts); threaded file reads.
+    → (winners, tied, sorted distinct normalized urls)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyarrow.parquet as _pq
+
+    files = sorted(Path(pages_path).glob("*.parquet"))
+    have = _pq.read_schema(files[0]).names
+    cols = [c for c in ("url", "warc_ts") if c in have]
+    norm_roots = [(int(s["site_id"]), normalize_url(s["url"])) for s in sites]
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        tables = list(ex.map(lambda f: _pq.read_table(f, columns=cols), files))
+    keys = _keys_table(pa.concat_tables(tables), norm_roots)
+    kdf = keys.to_pandas()
+    urls = sorted(kdf["url"].unique())
+    winners, tied = _collect_winners(_dup_winners_frame(kdf))
+    return winners, tied, urls
+
+
 def compute_dup_winners(
     pages: rd.Dataset | str, sites: list[dict], n_buckets: int = 64
 ) -> tuple[dict, dict, list[str] | None]:
@@ -204,67 +295,9 @@ def compute_dup_winners(
         cols = [c for c in ("url", "warc_ts") if c in pages.schema().names]
     norm_roots = [(int(s["site_id"]), normalize_url(s["url"])) for s in sites]
 
-    def keys_batch(batch: pa.Table) -> pa.Table:
-        urls = [normalize_url(u) for u in batch.column("url").to_pylist()]
-        site_ids = np.full(len(urls), -1, dtype=np.int32)
-        paths = []
-        for i, u in enumerate(urls):
-            spath = u
-            for sid, root in norm_roots:
-                if u.startswith(root):
-                    site_ids[i] = sid
-                    p = u[len(root):]
-                    spath = p if p else "/"
-                    break
-            paths.append(spath)
-        out = {
-            "site_id": pa.array(site_ids, pa.int32()),
-            "path": pa.array(paths, pa.string()),
-            "url": pa.array(urls, pa.string()),
-            "raw_url": batch.column("url"),
-        }
-        if "warc_ts" in batch.column_names:
-            out["ts_us"] = pa.compute.cast(batch.column("warc_ts"), pa.int64())
-        else:
-            out["ts_us"] = pa.array(np.zeros(len(urls), dtype=np.int64))
-        return pa.table(out)
-
-    _W_COLS = ["site_id", "path", "ts_us", "url", "raw_url"]
-
-    def dup_winners_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
-        """One row per input row that EQUALS its conflicted key's winner
-        tuple — usually one per key; >1 signals an exact-duplicate tie."""
-        dup_mask = bucket.duplicated(["site_id", "path"], keep=False)
-        dups = bucket[dup_mask]
-        if not len(dups):
-            # dtypes MUST match the non-empty branch — mismatched empty
-            # frames force Ray into schema-re-inference slow paths
-            return pd.DataFrame(
-                {
-                    "site_id": np.array([], dtype=np.int32),
-                    "path": pd.Series([], dtype=object),
-                    "ts_us": np.array([], dtype=np.int64),
-                    "url": pd.Series([], dtype=object),
-                    "raw_url": pd.Series([], dtype=object),
-                }
-            )
-        w = (
-            dups.sort_values(["ts_us", "url"], ascending=[False, True], kind="mergesort")
-            .drop_duplicates(["site_id", "path"], keep="first")[["site_id", "path", "ts_us", "url"]]
-        )
-        return dups.merge(w, on=["site_id", "path", "ts_us", "url"], how="inner")[_W_COLS]
-
-    def _collect(winners_df: pd.DataFrame):
-        winners: dict[tuple[int, str], tuple[int, str]] = {}
-        tied: dict[tuple[int, str], list[str]] = {}
-        for (sid, p), grp in winners_df.groupby(["site_id", "path"], sort=False):
-            key = (int(sid), p)
-            winners[key] = (int(grp["ts_us"].iloc[0]), grp["url"].iloc[0])
-            if len(grp) > 1:
-                tied[key] = sorted(set(grp["raw_url"]))
-        return winners, tied
-
-    keys = pages.map_batches(keys_batch, batch_format="pyarrow")
+    keys = pages.map_batches(
+        lambda b, _r=norm_roots: _keys_table(b, _r), batch_format="pyarrow"
+    )
 
     # Driver fast path: the key table is tiny relative to the corpus
     # (~40 B/page); below the memory-scaled threshold (config.py),
@@ -280,14 +313,14 @@ def compute_dup_winners(
             return {}, {}, []
         kdf = pa.concat_tables(tables).to_pandas()
         urls = sorted(kdf["url"].unique())
-        winners, tied = _collect(dup_winners_bucket(kdf))
+        winners, tied = _collect_winners(_dup_winners_frame(kdf))
         return winners, tied, urls
 
-    winners_ds = bucketed_group_apply(keys, ["site_id", "path"], dup_winners_bucket, n_buckets=n_buckets)
+    winners_ds = bucketed_group_apply(keys, ["site_id", "path"], _dup_winners_frame, n_buckets=n_buckets)
     wdf = pd.DataFrame(winners_ds.take_all())
     if not len(wdf):
         return {}, {}, None
-    winners, tied = _collect(wdf)
+    winners, tied = _collect_winners(wdf)
     return winners, tied, None
 
 
@@ -354,10 +387,20 @@ def resolve_tied_rows(
     return prepared.take(idx)
 
 
-def finalize_docs(batch: pa.Table, id_map: dict[str, int] | None = None) -> pa.Table:
-    """doc_id + doc_len; projects to DOCS_SCHEMA. ``id_map`` (dense
-    url→id, broadcast) when available, else deterministic url-hash."""
-    if id_map is not None:
+def finalize_docs(batch: pa.Table, id_map=None) -> pa.Table:
+    """doc_id + doc_len; projects to DOCS_SCHEMA. ``id_map`` is the
+    broadcast SORTED distinct-url Arrow array (dense id == position,
+    resolved with the vectorized ``index_in`` kernel) or a plain
+    url→id dict; None → deterministic url-hash fallback."""
+    import pyarrow.compute as pc
+
+    if isinstance(id_map, (pa.Array, pa.ChunkedArray)):
+        idx = pc.index_in(batch.column("url"), value_set=id_map)
+        if idx.null_count:
+            raise RuntimeError("url missing from the dense docID map — "
+                               "prepass and stream disagree on normalization")
+        doc_ids = pc.cast(idx, pa.int64())
+    elif id_map is not None:
         doc_ids = np.fromiter(
             (id_map[u] for u in batch.column("url").to_pylist()),
             dtype=np.int64, count=len(batch),
@@ -370,9 +413,11 @@ def finalize_docs(batch: pa.Table, id_map: dict[str, int] | None = None) -> pa.T
         if "lang" in batch.column_names
         else pa.array([""] * len(batch), type=pa.string())
     )
+    if not isinstance(doc_ids, (pa.Array, pa.ChunkedArray)):
+        doc_ids = pa.array(doc_ids, type=pa.int64())
     return pa.table(
         {
-            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "doc_id": doc_ids,
             "site_id": batch.column("site_id"),
             "url": batch.column("url"),
             "path": batch.column("path"),
@@ -381,6 +426,17 @@ def finalize_docs(batch: pa.Table, id_map: dict[str, int] | None = None) -> pa.T
             "lang": lang,
         }
     )
+
+
+@ray.remote(num_cpus=1, num_returns=2)
+def _prepass_remote(pages_path: str, sites: list[dict]):
+    """The dedup/dense-id prepass as a Ray task so it OVERLAPS the main
+    stream job (its result is consumed lazily inside the filter and
+    finalize stages): → ((winners, tied), sorted-url Arrow array).
+    Plain-pyarrow scan — a nested Ray Data job here would contend with
+    the main stream's fixed actor pool for executor slots."""
+    winners, tied, urls = compute_dup_winners_arrow(pages_path, sites)
+    return (winners, tied), pa.array(urls, pa.string())
 
 
 def prepare_docs(
@@ -394,12 +450,27 @@ def prepare_docs(
     drop_unmatched: bool = True,
     dense_ids: bool = True,
     meta_out: dict | None = None,
+    async_prepass: bool = True,
 ) -> rd.Dataset:
     """pages → docs Dataset (see module docstring). Lazy / streaming.
 
     Pass ``pages_path`` when the dataset came from Parquet: the dedup
     key prepass then re-reads ONLY (url, warc_ts) — a column-pruned
     scan — instead of decoding the html column a second time."""
+    if dedup and dense_ids and pages_path and async_prepass:
+        import pyarrow.parquet as _pq
+
+        from ..config import DRIVER_FASTPATH_ROWS
+
+        n_rows = sum(
+            _pq.read_metadata(f).num_rows for f in sorted(Path(pages_path).glob("*.parquet"))
+        )
+        if n_rows <= DRIVER_FASTPATH_ROWS:
+            return _prepare_docs_async(
+                pages, sites, pages_path,
+                use_text_col=use_text_col, drop_unmatched=drop_unmatched,
+                meta_out=meta_out,
+            )
     winners_ref = None
     injected: pa.Table | None = None
     grouped_fallback = False
@@ -427,13 +498,13 @@ def prepare_docs(
         distinct_urls = _collect_distinct_urls(pages_path or pages)
     id_map_ref = None
     if dense_ids and distinct_urls is not None:
-        from ..stages.tokenizer import dense_doc_id_map
-
-        id_map = dense_doc_id_map(distinct_urls)
-        id_map_ref = ray.put(id_map)
+        # broadcast the SORTED url array (zero-copy Arrow through the
+        # object store); dense id == position — looked up per batch
+        # with pc.index_in (C kernel), no python dict to unpickle
+        id_map_ref = ray.put(pa.array(distinct_urls, pa.string()))
         if meta_out is not None:
             meta_out["doc_id_scheme"] = "dense"
-            meta_out["next_doc_id"] = len(id_map)
+            meta_out["next_doc_id"] = len(distinct_urls)
     elif meta_out is not None:
         meta_out["doc_id_scheme"] = "hash"
     prep = PreparePages(sites, use_text_col=use_text_col)
@@ -471,6 +542,48 @@ def prepare_docs(
 
         return ds.map_batches(fin, batch_format="pyarrow")
     return ds.map_batches(finalize_docs, batch_format="pyarrow")
+
+
+def _prepare_docs_async(
+    pages: rd.Dataset,
+    sites: list[dict],
+    pages_path: str,
+    *,
+    use_text_col: bool,
+    drop_unmatched: bool,
+    meta_out: dict | None,
+) -> rd.Dataset:
+    """prepare_docs with the prepass OVERLAPPED: the key scan runs as a
+    Ray task while extraction streams; the filter / finalize stages
+    block on its (tiny) result only when their first batch arrives —
+    by which point it is long done. Exact-duplicate TIES are dropped
+    in-stream and re-indexed post-build through the delta path
+    (build_index_from_pages), so no graph surgery depends on the
+    prepass outcome."""
+    fut_small, fut_urls = _prepass_remote.remote(pages_path, sites)
+    if meta_out is not None:
+        meta_out["prepass_refs"] = (fut_small, fut_urls)
+
+    prep = PreparePages(sites, use_text_col=use_text_col)
+    ds = pages.map_batches(prep, batch_format="pyarrow")
+    if drop_unmatched:
+        import pyarrow.compute as _pc
+
+        ds = ds.map_batches(
+            lambda t: t.filter(_pc.greater_equal(t["site_id"], 0)),
+            batch_format="pyarrow",
+        )
+
+    def filt(batch: pa.Table, _f=[fut_small]) -> pa.Table:
+        winners, tied = ray.get(_f[0])
+        return apply_dup_filter(batch, winners, frozenset(tied))
+
+    def fin(batch: pa.Table, _f=[fut_urls]) -> pa.Table:
+        return finalize_docs(batch, ray.get(_f[0]))
+
+    return ds.map_batches(filt, batch_format="pyarrow").map_batches(
+        fin, batch_format="pyarrow"
+    )
 
 
 def _collect_distinct_urls(pages: rd.Dataset | str) -> list[str] | None:
