@@ -1,12 +1,15 @@
 """Benchmark harness: headline index-build throughput + query latency.
 
 Usage:
-  python bench.py                 # one JSON line: headline + per-query secs
-  python bench.py --scaling       # same job at 8 and 32 CPUs (fresh
-                                  # processes), prints both + efficiency
+  python bench.py                  # one JSON line: headline + per-query secs
+  python bench.py --scaling        # same job at N and 4N CPUs (fresh
+                                   # processes; default 4→16), efficiency
+  python bench.py --scaling-repeat # N consecutive pairs → SCALING.json
+                                   # (floor/median; steal-gated retries)
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS
-(default 32), SES_BENCH_PAGES (default 24000 synthetic pages).
+(default 32), SES_BENCH_PAGES (default 192000 synthetic pages; scaling
+pairs use 4x), SES_SCALING_LO/HI, SES_BENCH_IDX_BASE.
 
 The headline pipeline is the engine's real workload shape: synthetic
 Common-Crawl-style pages (seeded, cached in /tmp) → HTML extraction →
@@ -280,16 +283,17 @@ def run_scaling() -> dict:
 
     def run(ncpu: int) -> dict:
         # scaling pairs run a LARGER corpus than the headline (default
-        # 2x): at 192k pages the 16-CPU build finishes in <50 s and
-        # fixed per-session costs (actor-pool imports, shuffle
-        # scheduling) eat ~20% of it, understating steady-state scaling;
-        # the low level must stay >=60 s per BASELINE.md protocol either
-        # way. Identical input at both levels, as required.
+        # 4x): the 16-CPU build carries ~8 s of fixed per-session cost
+        # (actor-pool imports, shuffle scheduling) regardless of data
+        # size — at 192k pages that's ~25% of the run and understates
+        # steady-state scaling; at 768k it's ~10%. The low level must
+        # stay >=60 s per BASELINE.md protocol either way. Identical
+        # input at both levels, as required.
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             SES_BENCH_HEADLINE_ONLY="1",
-            SES_BENCH_PAGES=os.environ.get("SES_SCALING_PAGES", str(2 * N_PAGES)),
+            SES_BENCH_PAGES=os.environ.get("SES_SCALING_PAGES", str(4 * N_PAGES)),
         )
         # write the scaling runs' index to tmpfs when available: the
         # criterion measures CPU scaling of the engine, and on a single
@@ -309,17 +313,22 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def run_clean(ncpu: int, max_tries: int = 3, steal_gate: float = 2.0) -> dict:
+    def run_clean(ncpu: int, max_tries: int = 4, job_steal_gate: float = 3.0) -> dict:
         """Retry a level whose run interval saw hypervisor CPU steal
-        above ``steal_gate`` % of host capacity (shared-VM noise: bursts
-        up to ~40%% of the job's CPUs were measured; they are host
-        neighbors, not the engine). The least-stolen attempt wins."""
+        above ``job_steal_gate`` % of the JOB's CPUs (host steal scaled
+        by host_cpus/ncpu — shared-VM noise: bursts up to ~40% of a
+        job's CPUs were measured; they are host neighbors, not the
+        engine). The least-stolen attempt wins."""
+        host_cpus = os.cpu_count() or 32
         best = None
         for _ in range(max_tries):
             r = run(ncpu)
-            if best is None or r.get("host_steal_pct", 0) < best.get("host_steal_pct", 0):
+            r["job_steal_pct"] = round(
+                r.get("host_steal_pct", 0.0) * host_cpus / ncpu, 2
+            )
+            if best is None or r["job_steal_pct"] < best["job_steal_pct"]:
                 best = r
-            if r.get("host_steal_pct", 0) <= steal_gate:
+            if r["job_steal_pct"] <= job_steal_gate:
                 return r
             os.sync()
             time.sleep(15)
@@ -345,6 +354,8 @@ def run_scaling() -> dict:
         "docs_per_sec_hi": r_hi["docs_per_sec"],
         "steal_pct_lo": r_lo.get("host_steal_pct", 0.0),
         "steal_pct_hi": r_hi.get("host_steal_pct", 0.0),
+        "job_steal_pct_lo": r_lo.get("job_steal_pct", 0.0),
+        "job_steal_pct_hi": r_hi.get("job_steal_pct", 0.0),
         "scaling_efficiency": round(eff, 3),
         "n_pages": N_PAGES,
     }

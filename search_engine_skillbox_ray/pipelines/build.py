@@ -224,7 +224,7 @@ def build_index_from_docs(
     n_docs_hint: int | None = None,
     sample_source: str | None = None,
     input_files: list[str | Path] | None = None,
-    heavy_precomputed: dict[str, int] | None = None,
+    heavy_precomputed=None,  # dict, or an ObjectRef resolving to one
     stats_extra=None,
 ) -> BuildResult:
     """Build the inverted index from a docs-schema Dataset.
@@ -283,7 +283,10 @@ def build_index_from_docs(
     import pyarrow.parquet as pq
 
     # -- salting estimate (driver-side sample, no extra corpus pass) ----
+    heavy_is_ref = heavy_precomputed is not None and not isinstance(heavy_precomputed, dict)
     if heavy_precomputed is not None:
+        # an ObjectRef is passed straight into the tokenizer actors
+        # (resolved in their __init__) — the driver never blocks on it
         heavy = heavy_precomputed
         if not docs_already and docs_dir.exists():
             shutil.rmtree(docs_dir)
@@ -296,7 +299,15 @@ def build_index_from_docs(
         want = min(cfg.sample_max_docs, max(256, int((n_docs_hint or 50_000) * cfg.sample_fraction)))
         texts = _sample_texts(docs, sample_source, want)
         heavy = _heavy_from_texts(texts, n_docs_hint or len(texts), cfg)
-    heavy_ref = [ray.put(heavy)]  # list-wrapped: keep the ref un-inlined
+    if heavy_is_ref:
+        if cfg.two_level_merge:
+            heavy = ray.get(heavy)  # needed driver-side only for this mode
+            heavy_is_ref = False
+            heavy_ref = [ray.put(heavy)]
+        else:
+            heavy_ref = [heavy]
+    else:
+        heavy_ref = [ray.put(heavy)]  # list-wrapped: keep the ref un-inlined
     _mark("heavy_sample")
 
     # -- THE build job: one fused streaming pipeline --------------------
@@ -347,7 +358,7 @@ def build_index_from_docs(
         n_coal = cfg.coalesce_blocks or max(32, cfg.n_buckets)
         partials = partials.repartition(n_coal)
 
-    if heavy and cfg.two_level_merge:
+    if cfg.two_level_merge and heavy and not heavy_is_ref:
         # pre-merge partials per (bucket, salt) so no single reduce task
         # ever holds a Zipf-head term's full posting list (SURVEY §7.4)
         partials = partials.groupby(["bucket", "salt"]).map_groups(
@@ -453,7 +464,10 @@ def build_index_from_docs(
     manifest.write_final(
         {
             "stats": stats,
-            "heavy_terms": {k: int(v) for k, v in heavy.items()},
+            "heavy_terms": {
+                k: int(v)
+                for k, v in (ray.get(heavy) if heavy_is_ref else heavy).items()
+            },
             "buckets_built": sorted(int(b) for b in res_tbl["bucket"]) if len(res_tbl) else [],
             "buckets_skipped": sorted(done),
             "metrics": {
@@ -537,7 +551,7 @@ def build_index_from_pages(
         res = build_index_from_docs(
             docs, index_dir, sites, cfg, input_token=input_token,
             n_docs_hint=n_hint, sample_source=pages_path,
-            heavy_precomputed=ray.get(heavy_future) if heavy_future is not None else None,
+            heavy_precomputed=heavy_future,
             stats_extra=_resolve_extra,
         )
         # exact-duplicate ties were dropped in-stream; re-add exactly one
@@ -571,7 +585,7 @@ def build_index_from_pages(
     return build_index_from_docs(
         docs, index_dir, sites, cfg, input_token=input_token,
         n_docs_hint=n_hint, sample_source=pages_path,
-        heavy_precomputed=ray.get(heavy_future) if heavy_future is not None else None,
+        heavy_precomputed=heavy_future,
         stats_extra=meta,
     )
 
