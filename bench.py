@@ -357,7 +357,7 @@ def run_scaling() -> dict:
         "job_steal_pct_lo": r_lo.get("job_steal_pct", 0.0),
         "job_steal_pct_hi": r_hi.get("job_steal_pct", 0.0),
         "scaling_efficiency": round(eff, 3),
-        "n_pages": N_PAGES,
+        "n_pages": r_lo.get("n_pages", N_PAGES),
     }
 
 
