@@ -442,6 +442,52 @@ def q_link_graph(sf_dir: str):
     return extract_links_ds(pages, sites)
 
 
+def q_streaming_ingest(sf_dir: str):
+    """LSM micro-batch ingestion end-to-end: build the index over the
+    EVEN-doc_id half of documents, stream the ODD half in via
+    ``IndexUpdater.index_pages`` (one delta segment, distributed
+    tokenize + kill-map upsert), then dump the engine's live
+    (doc_id, term, tf) view — which must equal SQL term frequencies
+    over the WHOLE table (the ``doc_term_tf`` oracle)."""
+    import shutil
+
+    import search_engine_skillbox_ray as ses
+    from search_engine_skillbox_ray.sources.pages import (
+        docs_from_documents,
+        sites_for_sources,
+    )
+
+    docs = _documents(sf_dir)
+    sources = _sources(sf_dir)  # FULL source list: both halves share site_ids
+    def _parity(p: int):
+        return lambda t: t.filter(
+            pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), p)
+        )
+
+    even = docs.map_batches(_parity(0), batch_format="pyarrow")
+    odd = docs.map_batches(_parity(1), batch_format="pyarrow")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    idx = f"/tmp/ses_ingest_idx_{tag}"
+    shutil.rmtree(idx, ignore_errors=True)  # ingestion mutates: fresh per run
+    ses.build_index_from_docs(
+        docs_from_documents(even, sources), idx, sites_for_sources(sources),
+        ses.BuildConfig(n_buckets=8), input_token=f"{sf_dir}-even-half",
+    )
+    r = ses.IndexUpdater(idx).index_pages(docs_from_documents(odd, sources))
+    assert r["result"], r
+    eng = ses.SearchEngine(idx)
+    dump = eng.dump_doc_term_tf()
+    hyd = eng._hydrate(np.unique(dump["doc_id"].to_numpy(zero_copy_only=False)))
+    orig = {k: int(v["path"].rsplit("/", 1)[1]) for k, v in hyd.items()}
+    doc_ids = np.fromiter(
+        (orig[int(d)] for d in dump["doc_id"].to_pylist()),
+        dtype=np.int64, count=len(dump),
+    )
+    return pa.table(
+        {"doc_id": pa.array(doc_ids), "term": dump["term"], "tf": dump["tf"]}
+    )
+
+
 # ------------------------------------------------------------ contract
 def entry() -> Any:
     """Flagship: build the index over sf0.001 documents, run the search
@@ -498,6 +544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "batch_search": q_batch_search,
         "link_graph": q_link_graph,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "streaming_ingest": q_streaming_ingest,
     }
 
 
@@ -680,6 +727,9 @@ scores AS (
 """
     return {
         "doc_term_tf": _TF,
+        # streaming ingest must converge to the same live view as a
+        # from-scratch index over the whole table → same tf oracle
+        "streaming_ingest": _TF,
         "term_df": f"SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM ({_TOK}) GROUP BY term",
         "term_cf": f"SELECT term, count(*)::BIGINT AS cf FROM ({_TOK}) GROUP BY term",
         "corpus_stats": f"""

@@ -23,6 +23,8 @@ from .pipelines.build import (  # noqa: F401
     build_index_from_pages,
 )
 from .state.engine import QueryActorPool, SearchEngine  # noqa: F401
+from .state.service import SearchEngineService  # noqa: F401
+from .state.updater import IndexUpdater  # noqa: F401
 
 __all__ = [
     "BuildConfig",
@@ -32,4 +34,6 @@ __all__ = [
     "build_index_from_pages",
     "SearchEngine",
     "QueryActorPool",
+    "SearchEngineService",
+    "IndexUpdater",
 ]

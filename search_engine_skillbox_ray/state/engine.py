@@ -98,34 +98,66 @@ class SearchEngine:
         self._load_update_log()
 
     def _load_update_log(self) -> None:
-        """Tombstones + delta postings/docs from the single-page re-index
-        path (state/updater.py). Deltas overlay the immutable base:
-        base postings are filtered by tombstone, then delta lists merge
-        in; delta doc rows shadow base rows at hydration."""
+        """Tombstones + kill map + delta postings/docs from the update
+        paths (state/updater.py: single-page ``index_page`` and
+        micro-batch ``index_pages``). Deltas overlay the immutable base:
+        base postings are filtered by tombstone; per-doc delta lists are
+        always live; micro-batch SEGMENT lists (seq from filename) are
+        filtered by the kill map (doc dead in seq s iff kill[doc] > s);
+        delta doc rows shadow base rows at hydration, newest seq last."""
         from .manifest import read_json
 
-        self._tombstones = np.array(
-            sorted((read_json(self.index_dir / "tombstones.json") or {}).get("doc_ids", [])),
-            dtype=np.int64,
-        )
-        self._delta_terms: dict[tuple[str, int], list[dict]] = {}
+        log = read_json(self.index_dir / "tombstones.json") or {}
+        self._tombstones = np.array(sorted(log.get("doc_ids", [])), dtype=np.int64)
+        self._kill: dict[int, int] = {
+            int(k): int(v) for k, v in (log.get("kill") or {}).items()
+        }
+        self._dead_by_seq: dict[int, np.ndarray] = {}
+        # values are (seq, row): seq=None → per-doc delta, always live
+        self._delta_terms: dict[tuple[str, int], list[tuple[int | None, dict]]] = {}
         self._delta_docs: dict[int, dict] = {}
         dp = self.index_dir / "postings_delta"
         if dp.exists():
+            for f in sorted(dp.glob("seg-*.parquet")):
+                seq = int(f.name.split("-")[1])
+                for row in pq.read_table(f).to_pylist():
+                    self._delta_terms.setdefault(
+                        (row["term"], int(row["site_id"])), []
+                    ).append((seq, row))
             for f in sorted(dp.glob("doc-*.parquet")):
                 for row in pq.read_table(f).to_pylist():
                     self._delta_terms.setdefault(
                         (row["term"], int(row["site_id"])), []
-                    ).append(row)
-        for f in sorted(self.index_dir.glob("docs/delta-*.parquet")):
+                    ).append((None, row))
+        # seq-ascending then per-doc: newest version shadows older ones
+        for f in sorted(self.index_dir.glob("docs/delta-seg-*.parquet")):
+            for row in pq.read_table(f).to_pylist():
+                self._delta_docs[int(row["doc_id"])] = row
+        for f in sorted(self.index_dir.glob("docs/delta-[0-9]*.parquet")):
             for row in pq.read_table(f).to_pylist():
                 self._delta_docs[int(row["doc_id"])] = row
 
+    def _dead_docs_for_seq(self, seq: int) -> np.ndarray:
+        """Sorted docIDs whose postings are dead in a delta segment of
+        this sequence number (kill[doc] > seq)."""
+        got = self._dead_by_seq.get(seq)
+        if got is None:
+            got = np.array(
+                sorted(d for d, v in self._kill.items() if v > seq), np.int64
+            )
+            self._dead_by_seq[seq] = got
+        return got
+
     def reload_updates(self) -> None:
-        """Refresh tombstones/deltas after an IndexUpdater mutation."""
+        """Refresh tombstones/deltas after an IndexUpdater mutation.
+        Base-segment caches drop too: ``compact()`` rewrites segment
+        files in place, and delta doc rows invalidate the doc store."""
         self.stats = json.loads((self.index_dir / "stats.json").read_text())
         self._decoded.clear()
         self._doclen = None
+        self._docs_dataset = None
+        self._term_cache.clear()
+        self._bucket_cache.clear()
         self._load_update_log()
 
     # ---------------- segment access ----------------------------------
@@ -175,7 +207,7 @@ class SearchEngine:
         rows = self._term_cache.get(term, [])
         if site_id is not None:
             rows = [r for r in rows if int(r["site_id"]) == site_id]
-        delta_rows: list[dict] = []
+        delta_rows: list[tuple[int | None, dict]] = []
         if self._delta_terms:
             if site_id is None:
                 for (t_, _sid), rws in self._delta_terms.items():
@@ -198,7 +230,15 @@ class SearchEngine:
             keep = ~np.isin(d, self._tombstones)
             d, t = d[keep], t[keep]
         if delta_rows:
-            dparts = [decode_posting_list(r) for r in delta_rows]
+            dparts = []
+            for seq, r in delta_rows:
+                dd, tt = decode_posting_list(r)
+                if seq is not None and self._kill and dd.size:
+                    dead = self._dead_docs_for_seq(seq)
+                    if dead.size:
+                        keep_m = ~np.isin(dd, dead)
+                        dd, tt = dd[keep_m], tt[keep_m]
+                dparts.append((dd, tt))
             d = np.concatenate([d] + [p[0] for p in dparts])
             t = np.concatenate([t] + [p[1] for p in dparts])
         if len(parts) > 1 or delta_rows or (self._tombstones.size and rows):
@@ -224,11 +264,26 @@ class SearchEngine:
         ss = self.stats["site_stats"].get(str(site_id)) or self.stats["site_stats"].get(site_id)
         return int(ss["n_docs_indexed"]) if ss else 0
 
+    def _docs_files(self) -> list[str]:
+        """Committed doc-store files only — base shards + delta layers.
+        Explicit list so in-flight ``tmp-`` parts from a concurrent
+        ``index_pages`` (or crash leftovers) are never read."""
+        d = self.index_dir / "docs"
+        return [
+            str(f)
+            for pat in ("docs-*.parquet", "delta-seg-*.parquet", "delta-[0-9]*.parquet")
+            for f in sorted(d.glob(pat))
+        ]
+
     def _doc_len_lookup(self, doc_ids: np.ndarray) -> np.ndarray:
         """doc_len per docID for BM25 (sandbox: one in-memory sorted array;
         scale path: per-shard doc-len arrays held by the query actors)."""
         if self._doclen is None:
-            tbl = pq.read_table(self.index_dir / "docs", columns=["doc_id", "doc_len"])
+            import pyarrow.dataset as pads
+
+            tbl = pads.dataset(self._docs_files(), format="parquet").to_table(
+                columns=["doc_id", "doc_len"]
+            )
             ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
             lens = tbl["doc_len"].to_numpy(zero_copy_only=False).astype(np.float64)
             order = np.argsort(ids)
@@ -450,15 +505,22 @@ class SearchEngine:
             import pyarrow.dataset as pads
 
             if self._docs_dataset is None:
-                self._docs_dataset = pads.dataset(self.index_dir / "docs", format="parquet")
+                self._docs_dataset = pads.dataset(self._docs_files(), format="parquet")
             tbl = self._docs_dataset.to_table(
                 columns=["doc_id", "site_id", "path", "text"],
                 filter=pads.field("doc_id").isin(pa.array(doc_ids)),
             )
-            return {int(r["doc_id"]): r for r in tbl.to_pylist()}
+            out = {int(r["doc_id"]): r for r in tbl.to_pylist()}
+            for did in doc_ids.tolist():  # delta rows shadow base rows
+                delta = self._delta_docs.get(int(did))
+                if delta is not None:
+                    out[int(did)] = delta
+            return out
         if self._docs_dataset is None:
-            tbl = pq.read_table(
-                self.index_dir / "docs", columns=["doc_id", "site_id", "path", "text"]
+            import pyarrow.dataset as pads
+
+            tbl = pads.dataset(self._docs_files(), format="parquet").to_table(
+                columns=["doc_id", "site_id", "path", "text"]
             )
             ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
             order = np.argsort(ids)
@@ -484,6 +546,44 @@ class SearchEngine:
                     "text": texts[j],
                 }
         return out
+
+    def dump_doc_term_tf(self) -> "pa.Table":
+        """Full LIVE (doc_id, term, tf) view of the index — base segments
+        overlaid with tombstones, the kill map and every delta layer —
+        as one Arrow table. A parity/debug surface (the driver's
+        ``streaming_ingest`` oracle checks it against SQL over the whole
+        corpus); sized for one bucket set in memory. The cluster shape
+        is the same loop mapped over buckets as Ray tasks."""
+        terms: set[str] = set()
+        for f in sorted((self.index_dir / "postings").glob("bucket=*.parquet")):
+            terms.update(pq.read_table(f, columns=["term"])["term"].to_pylist())
+        terms.update(t for (t, _s) in self._delta_terms)
+        ids: list[np.ndarray] = []
+        tfs: list[np.ndarray] = []
+        out_terms: list[str] = []
+        counts: list[int] = []
+        for t in sorted(terms):
+            d, tf, df = self.term_postings(t, None)
+            if df == 0:
+                continue
+            ids.append(d)
+            tfs.append(tf)
+            out_terms.append(t)
+            counts.append(int(df))
+        if not ids:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "term": pa.array([], pa.string()),
+                 "tf": pa.array([], pa.int64())}
+            )
+        term_col = np.repeat(np.asarray(out_terms, dtype=object), counts)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(ids), pa.int64()),
+                "term": pa.array(term_col, pa.string()),
+                "tf": pa.array(np.concatenate(tfs).astype(np.int64), pa.int64()),
+            }
+        )
 
     def _live_lemmas_by_site(self) -> dict[int, int]:
         """Exact per-site distinct-(site,term) counts with the update log
@@ -520,7 +620,11 @@ class SearchEngine:
                 if a > 0:
                     live.add((int(sid), term))
         for (term, sid) in self._delta_terms:
-            live.add((int(sid), term))
+            # kill-filtered liveness: a fully-killed delta term (its docs
+            # all re-replaced later) must not count
+            _d, _t, df = self.term_postings(term, int(sid))
+            if df > 0:
+                live.add((int(sid), term))
         out: dict[int, int] = {}
         for sid, _ in live:
             out[sid] = out.get(sid, 0) + 1

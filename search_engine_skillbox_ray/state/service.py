@@ -113,6 +113,21 @@ class SearchEngineService:
             self._engine.reload_updates()
         return resp
 
+    def index_pages(self, pages, **kw) -> dict:
+        """Micro-batch streaming ingestion: upsert a Dataset/table of
+        pages as one LSM delta segment (state/updater.py docstring)."""
+        resp = IndexUpdater(self.index_dir).index_pages(pages, **kw)
+        if resp.get("result") and self._engine is not None:
+            self._engine.reload_updates()
+        return resp
+
+    def compact(self) -> dict:
+        """Fold delta segments + tombstones into the base segments."""
+        resp = IndexUpdater(self.index_dir).compact()
+        if self._engine is not None:
+            self._engine.reload_updates()
+        return resp
+
     # ------------------------------------------------------------------
     def _eng(self) -> SearchEngine:
         if self._engine is None:
