@@ -185,6 +185,26 @@ def bench_query_latency(idx_dir: str, n_queries: int = 200) -> dict:
     }
 
 
+def bench_streaming_ingest(idx_dir: str, n_pages: int = 8000) -> dict:
+    """Micro-batch streaming-ingest throughput: upsert a fresh page slice
+    into the just-built index as one LSM delta segment (distributed
+    tokenize + kill-map resolve + segment write + commit)."""
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.sources.fixtures import generate_pages_table
+    from search_engine_skillbox_ray.state.updater import IndexUpdater
+
+    tbl = generate_pages_table(
+        n_pages, n_sites=N_SITES, seed=97, dup_fraction=0,
+        path_offset=10_000_000, mean_words=MEAN_WORDS,
+    )
+    t0 = time.perf_counter()
+    r = IndexUpdater(idx_dir).index_pages(rd.from_arrow(tbl), batch_size=1024)
+    dt = time.perf_counter() - t0
+    n = int(r.get("n_pages", 0))
+    return {"seconds": dt, "docs_per_sec": n / dt if dt > 0 else 0.0, "n_pages": n}
+
+
 def bench_sf_queries() -> dict:
     """Per-operator timings over the $GRAFT_SF_DIR testdata tables."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -249,9 +269,13 @@ def run_once() -> dict:
             "host_steal_pct": headline.get("host_steal_pct", 0.0),
         }
     qlat = bench_query_latency(headline["index_dir"])
+    # ingest AFTER latency so the latency numbers stay base-segment
+    # comparable across rounds; the ingest mutates the bench index
+    ingest = bench_streaming_ingest(headline["index_dir"])
     queries = bench_sf_queries()
     queries["query_p50_ms"] = round(qlat["p50_ms"], 3)
     queries["query_p95_ms"] = round(qlat["p95_ms"], 3)
+    queries["streaming_ingest"] = round(ingest["seconds"], 3)
     result = {
         "metric": "index_build_seconds_pages_corpus",
         "value": round(headline["seconds"], 3),
@@ -264,6 +288,7 @@ def run_once() -> dict:
         "input_mb": round(headline["input_mb"], 1),
         "query_p50_ms": round(qlat["p50_ms"], 3),
         "query_p95_ms": round(qlat["p95_ms"], 3),
+        "ingest_docs_per_sec": round(ingest["docs_per_sec"], 1),
     }
     import ray
 

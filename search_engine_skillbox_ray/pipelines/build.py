@@ -277,6 +277,16 @@ def build_index_from_docs(
         phases[name] = round(time.perf_counter() - t_ph, 3)
         t_ph = time.perf_counter()
 
+    # An actual (re)build supersedes any update log from a previous
+    # index lifetime: stale tombstones / kill map / delta segments must
+    # not overlay the fresh segments (docIDs may even be reassigned).
+    # The fast path above returns BEFORE this, so "already built, then
+    # mutated" indexes keep their updates.
+    if (index_dir / "tombstones.json").exists():
+        (index_dir / "tombstones.json").unlink()
+    if (index_dir / "postings_delta").exists():
+        shutil.rmtree(index_dir / "postings_delta")
+
     docs_dir = index_dir / "docs"
     docs_already = manifest.docs_done()
     done = manifest.completed_buckets()

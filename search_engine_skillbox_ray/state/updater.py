@@ -587,6 +587,13 @@ class IndexUpdater:
         query-path tombstone filter becomes a no-op."""
         import pyarrow.compute as pc
 
+        # sweep orphan tmp- parts from ingest jobs that died before
+        # commit (never renamed live, so never visible — just disk junk)
+        for d, pat in ((self.delta_postings_dir, "tmp-seg-*"),
+                       (self.delta_docs_dir, "tmp-delta-seg-*")):
+            for f in d.glob(pat):
+                f.unlink(missing_ok=True)
+
         tombs = self._tombstones()
         kill = self._kill_map()
         tomb_arr = np.array(sorted(tombs), dtype=np.int64)

@@ -198,6 +198,30 @@ def test_service_facade_and_statistics(base):
     assert svc.search("serviceingest")["count"] == 2
 
 
+def test_rebuild_clears_update_log(base):
+    """A from-scratch rebuild over a mutated index dir must not overlay
+    the PREVIOUS lifetime's tombstones/delta segments onto the fresh
+    segments (docIDs get reassigned — stale deltas would corrupt)."""
+    import ray.data as rd
+
+    idx, sites, tbl, tmp_path = base
+    upd = IndexUpdater(idx)
+    assert upd.index_pages([{"url": f"{sites[0]['url']}/stale/1", "text": "staleword here"}])["result"]
+    assert upd.index_page(f"{sites[0]['url']}/stale/2", text="otherstale word")["result"]
+
+    tbl2 = generate_pages_table(60, n_sites=2, seed=77, dup_fraction=0)
+    pages = rd.from_arrow(tbl2)
+    build_index_from_pages(
+        pages, idx, derive_sites(pages), BuildConfig(**CFG), input_token="rebuild-v2"
+    )
+    eng = ses.SearchEngine(idx)
+    assert eng._tombstones.size == 0 and not eng._delta_terms and not eng._kill
+    assert eng.search_scores("staleword")[0].size == 0
+    # fresh index matches a clean-dir build of the same table
+    ridx, _ = _build(tmp_path, tbl2, "clean-v2")
+    assert _live_tf(eng) == _live_tf(ses.SearchEngine(ridx))
+
+
 def test_bm25_doc_len_after_ingest(base):
     """BM25 uses delta doc lengths: a replaced doc's new (shorter) length
     must flow into the score, not the stale base length."""
