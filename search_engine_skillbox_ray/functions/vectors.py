@@ -22,3 +22,14 @@ def embedding_vectors(col) -> np.ndarray:
     flat = col.flatten().to_numpy(zero_copy_only=False)
     dim = flat.size // n
     return flat.reshape(n, dim).astype(np.float64)
+
+
+def int_list_matrix(col, width: int) -> np.ndarray:
+    """Fixed-width list<int64> column (e.g. minhash signatures) →
+    (n, width) int64 matrix via the same zero-copy flatten path."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return np.empty((0, width), np.int64)
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(-1, width).astype(np.int64, copy=False)

@@ -211,9 +211,11 @@ def minhash_signatures_ds(
     )
 
     def explode(batch: pa.Table) -> pa.Table:
+        from ..functions.vectors import int_list_matrix
+
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        mat = np.asarray(batch.column("signature").to_pylist(), dtype=np.int64)
-        n, p = mat.shape if mat.ndim == 2 else (0, num_perm)
+        mat = int_list_matrix(batch.column("signature"), num_perm)
+        n, p = mat.shape
         return pa.table(
             {
                 "doc_id": pa.array(np.repeat(ids, p), pa.int64()),
@@ -245,7 +247,11 @@ def _collect_signatures(sigs_ds: rd.Dataset) -> tuple[np.ndarray, np.ndarray]:
         if not len(t):
             continue
         ids_parts.append(t.column("doc_id").to_numpy(zero_copy_only=False))
-        mat_parts.append(np.asarray(t.column("signature").to_pylist(), dtype=np.int64))
+        from ..functions.vectors import int_list_matrix
+
+        sig0 = t.column("signature")
+        width = len(sig0[0].as_py()) if len(t) else 0
+        mat_parts.append(int_list_matrix(sig0, width))
     if not ids_parts:
         return np.empty(0, np.int64), np.empty((0, 0), np.int64)
     ids = np.concatenate(ids_parts)
