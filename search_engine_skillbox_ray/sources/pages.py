@@ -19,13 +19,17 @@ Prep pipeline (all streaming, no full materialization):
    replaces the in-memory visited set; ties broken (warc_ts desc,
    url asc) for determinism;
 3. docID assignment + doc_len (token count). docIDs are DENSE
-   (sorted distinct normalized urls → 0..N-1, broadcast map) whenever
-   the url set fits the driver fast path — dense ids shrink posting
-   delta gaps to ~log2(N/df) bits (vs ~45+ for 63-bit hash ids, ~3
-   varbyte bytes per posting) and speed decode proportionally. Above
-   the threshold the deterministic url-hash scheme is the fallback
-   (cluster path for a joinable id map: hash-join once Ray Data grows
-   one; the hash scheme stays correct at any scale).
+   (sorted distinct normalized urls → 0..N-1) at ANY scale — dense ids
+   shrink posting delta gaps to ~log2(N/df) bits (vs ~45+ for 63-bit
+   hash ids, ~3 varbyte bytes per posting) and speed decode
+   proportionally. Below the driver fast-path threshold the sorted url
+   array is broadcast and resolved per batch with ``pc.index_in``;
+   above it ``build_dense_id_map`` computes the same ranks distributed
+   (key-only shuffle + per-block offsets, driver holds one int per
+   block) and ``Dataset.join`` hash-joins them onto the stream —
+   byte-identical segments either way (tested). The deterministic
+   url-hash scheme remains as an opt-in (``dense_ids_distributed=
+   False``) when the extra join exchange is unwanted.
 """
 
 from __future__ import annotations
@@ -390,11 +394,15 @@ def resolve_tied_rows(
 def finalize_docs(batch: pa.Table, id_map=None) -> pa.Table:
     """doc_id + doc_len; projects to DOCS_SCHEMA. ``id_map`` is the
     broadcast SORTED distinct-url Arrow array (dense id == position,
-    resolved with the vectorized ``index_in`` kernel) or a plain
-    url→id dict; None → deterministic url-hash fallback."""
+    resolved with the vectorized ``index_in`` kernel), a plain
+    url→id dict, or the string ``"joined"`` (doc_id already present on
+    the batch — the distributed hash-join path); None → deterministic
+    url-hash fallback."""
     import pyarrow.compute as pc
 
-    if isinstance(id_map, (pa.Array, pa.ChunkedArray)):
+    if isinstance(id_map, str) and id_map == "joined":
+        doc_ids = pc.cast(batch.column("doc_id"), pa.int64())
+    elif isinstance(id_map, (pa.Array, pa.ChunkedArray)):
         idx = pc.index_in(batch.column("url"), value_set=id_map)
         if idx.null_count:
             raise RuntimeError("url missing from the dense docID map — "
@@ -451,12 +459,22 @@ def prepare_docs(
     dense_ids: bool = True,
     meta_out: dict | None = None,
     async_prepass: bool = True,
+    dense_ids_distributed: bool = True,
+    join_partitions: int | None = None,
 ) -> rd.Dataset:
     """pages → docs Dataset (see module docstring). Lazy / streaming.
 
     Pass ``pages_path`` when the dataset came from Parquet: the dedup
     key prepass then re-reads ONLY (url, warc_ts) — a column-pruned
-    scan — instead of decoding the html column a second time."""
+    scan — instead of decoding the html column a second time.
+
+    Dense docIDs above the driver fast-path threshold take the
+    DISTRIBUTED path (``dense_ids_distributed``): a sorted-rank id map
+    built with one key-only shuffle (``build_dense_id_map``) hash-joined
+    onto the docs stream (``Dataset.join``, ``join_partitions``
+    exchange partitions). Ids are identical to the fast path's, at any
+    corpus size; set ``dense_ids_distributed=False`` to fall back to
+    63-bit url-hash ids instead (no join shuffle of the text stream)."""
     if dedup and dense_ids and pages_path and async_prepass:
         import pyarrow.parquet as _pq
 
@@ -497,6 +515,15 @@ def prepare_docs(
     if dense_ids and distinct_urls is None:
         distinct_urls = _collect_distinct_urls(pages_path or pages)
     id_map_ref = None
+    id_map_ds = None
+    if dense_ids and distinct_urls is None and dense_ids_distributed:
+        # above the driver threshold: distributed sorted-rank id map,
+        # hash-joined onto the stream below (cluster-scale dense ids)
+        id_map_ds, n_urls = build_dense_id_map(pages_path or pages)
+        if meta_out is not None:
+            meta_out["doc_id_scheme"] = "dense"
+            meta_out["next_doc_id"] = n_urls
+            meta_out["dense_id_path"] = "distributed"
     if dense_ids and distinct_urls is not None:
         # broadcast the SORTED url array (zero-copy Arrow through the
         # object store); dense id == position — looked up per batch
@@ -505,7 +532,7 @@ def prepare_docs(
         if meta_out is not None:
             meta_out["doc_id_scheme"] = "dense"
             meta_out["next_doc_id"] = len(distinct_urls)
-    elif meta_out is not None:
+    elif meta_out is not None and id_map_ds is None:
         meta_out["doc_id_scheme"] = "hash"
     prep = PreparePages(sites, use_text_col=use_text_col)
     ds = pages.map_batches(prep, batch_format="pyarrow")
@@ -541,6 +568,27 @@ def prepare_docs(
             return finalize_docs(batch, ray.get(_ref[0]))
 
         return ds.map_batches(fin, batch_format="pyarrow")
+    if id_map_ds is not None:
+        # hash-partitioned exchange co-locating each doc row with its
+        # (url, doc_id) map row — the one extra all-to-all that buys
+        # 10× smaller posting segments above driver-map scale.
+        # Aggregator sizing: Ray starts min(num_partitions, 64) shuffle
+        # aggregator ACTORS up front; unsized they can demand more CPUs
+        # than the cluster has and deadlock against the build's actor
+        # pool, so cap partitions at the CPU count and the pool's total
+        # reservation at ~half the cluster (callers override
+        # join_partitions at real cluster scale).
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        n_part = join_partitions or max(2, min(64, cpus))
+        agg_cpus = max(0.25, min(1.0, (cpus / 2) / n_part))
+        joined = ds.join(
+            id_map_ds, join_type="inner", num_partitions=n_part,
+            on=("url",),
+            aggregator_ray_remote_args={"num_cpus": agg_cpus},
+        )
+        return joined.map_batches(
+            lambda b: finalize_docs(b, "joined"), batch_format="pyarrow"
+        )
     return ds.map_batches(finalize_docs, batch_format="pyarrow")
 
 
@@ -608,6 +656,74 @@ def _collect_distinct_urls(pages: rd.Dataset | str) -> list[str] | None:
     for ref in pages.map_batches(norm, batch_format="pyarrow").to_arrow_refs():
         out.update(ray.get(ref).column("url").to_pylist())
     return sorted(out)
+
+
+@ray.remote(num_cpus=0.25)
+def _block_nrows(tbl: pa.Table) -> int:
+    return tbl.num_rows
+
+
+@ray.remote(num_cpus=0.5)
+def _assign_block_ranks(tbl: pa.Table, offset: int) -> pa.Table:
+    """Rank block rows: doc_id = global offset + local position (the
+    block arrives already sorted by url from the range shuffle)."""
+    return pa.table(
+        {
+            "url": tbl.column("url"),
+            "doc_id": pa.array(offset + np.arange(tbl.num_rows, dtype=np.int64)),
+        }
+    )
+
+
+def build_dense_id_map(pages: rd.Dataset | str) -> tuple[rd.Dataset, int]:
+    """Distributed dense docID assignment — the cluster-scale shape
+    (no driver-resident url set, any corpus size):
+
+    1. normalized-url keys (column-pruned read — ~40 B/page enters the
+       exchange, never html/text);
+    2. ``groupby(url).count()`` → distinct urls (one hash shuffle);
+    3. ``sort(url)`` → range-partitioned blocks in global sorted order;
+    4. the driver collects ONE row-count per block (ints, not urls),
+       prefix-sums them into block offsets, and one Ray task per block
+       assigns ``doc_id = offset + local position``.
+
+    → ((url, doc_id) Dataset — hash-joinable against the docs stream —
+    and the total distinct-url count). doc_ids are IDENTICAL to the
+    driver fast path's sorted-rank ids, so segments built either way
+    are byte-identical (tested)."""
+    if isinstance(pages, str):
+        import pyarrow.parquet as _pq
+
+        have = _pq.read_schema(next(iter(sorted(Path(pages).glob("*.parquet"))))).names
+        pages = rd.read_parquet(pages, columns=[c for c in ("url",) if c in have])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"url": pa.array(
+                [normalize_url(u) for u in batch.column("url").to_pylist()],
+                pa.string(),
+            )}
+        )
+
+    distinct = (
+        pages.map_batches(norm, batch_format="pyarrow")
+        .groupby("url")
+        .count()
+        .sort("url")
+    )
+    refs = distinct.to_arrow_refs()
+    lens = ray.get([_block_nrows.remote(r) for r in refs])
+    total = int(sum(lens))
+    if total == 0:
+        empty = pa.table({"url": pa.array([], pa.string()), "doc_id": pa.array([], pa.int64())})
+        return rd.from_arrow(empty), 0
+    offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    blocks = [
+        _assign_block_ranks.remote(r, int(off))
+        for r, off, n in zip(refs, offsets, lens)
+        if n > 0
+    ]
+    return rd.from_arrow_refs(blocks), total
 
 
 def docs_from_documents(documents: rd.Dataset, sources: list[str]) -> rd.Dataset:
