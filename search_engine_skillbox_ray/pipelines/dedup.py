@@ -260,22 +260,43 @@ def _collect_signatures(sigs_ds: rd.Dataset) -> tuple[np.ndarray, np.ndarray]:
     return ids[order], mat[order]
 
 
-def _candidate_pairs_from_bands(exploded: rd.Dataset, key_cols: list[str]) -> rd.Dataset:
-    """groupby the band key → all unordered doc pairs per group."""
+def _candidate_pairs_from_bands(
+    exploded: rd.Dataset, key_cols: list[str], first_band_ref=None
+) -> rd.Dataset:
+    """groupby the band key → all unordered doc pairs per group.
+
+    With ``first_band_ref`` — a list-wrapped ``ray.put`` of
+    ``(sorted doc_ids, per-doc band-key matrix)`` — a pair is emitted
+    ONLY from its FIRST colliding band (no lower band key matches), so
+    the output is globally duplicate-free after ONE exchange: the
+    second dedup shuffle disappears. ``key_cols[0]`` must then be the
+    band index. Without it, pairs repeat across bands and a second
+    bucketed pass dedups them."""
     from ..stages.grouping import bucketed_group_apply
 
     def bucket_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        side = ray.get(first_band_ref[0]) if first_band_ref is not None else None
         a_out: list[np.ndarray] = []
         b_out: list[np.ndarray] = []
-        for _, grp in bucket.groupby(key_cols, sort=False):
+        for key, grp in bucket.groupby(key_cols, sort=False):
             if len(grp) < 2:
                 continue
             ids = np.unique(grp["doc_id"].to_numpy(np.int64))
             if ids.size < 2:
                 continue
             ii, jj = np.triu_indices(ids.size, k=1)
-            a_out.append(ids[ii])
-            b_out.append(ids[jj])
+            a, b = ids[ii], ids[jj]
+            if side is not None:
+                g = int(key[0] if isinstance(key, tuple) else key)
+                if g > 0:
+                    sids, kmat = side
+                    ka = kmat[np.searchsorted(sids, a), :g]
+                    kb = kmat[np.searchsorted(sids, b), :g]
+                    keep = ~np.any(ka == kb, axis=1)
+                    a, b = a[keep], b[keep]
+            if a.size:
+                a_out.append(a)
+                b_out.append(b)
         if not a_out:
             return pd.DataFrame(
                 {"doc_a": np.array([], np.int64), "doc_b": np.array([], np.int64)}
@@ -285,6 +306,8 @@ def _candidate_pairs_from_bands(exploded: rd.Dataset, key_cols: list[str]) -> rd
         )
 
     pairs = bucketed_group_apply(exploded, key_cols, bucket_pairs, n_buckets=32)
+    if first_band_ref is not None:
+        return pairs
     return _dedup_pair_rows(pairs, ["doc_a", "doc_b"])
 
 
@@ -350,7 +373,9 @@ def minhash_lsh_pairs(
             }
         )
     )
-    cand = _candidate_pairs_from_bands(exploded, ["band_id", "band_hash"])
+    cand = _candidate_pairs_from_bands(
+        exploded, ["band_id", "band_hash"], first_band_ref=[ray.put((ids, keys))]
+    )
     sig_ref = [ray.put((ids, mat))]
     return cand.map_batches(
         _VerifyMinhashPairs,
@@ -428,7 +453,7 @@ def simhash_near_pairs(documents: rd.Dataset, max_hamming: int = 3) -> rd.Datase
 
     def bucket_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
         a_out, b_out, d_out = [], [], []
-        for _, grp in bucket.groupby(["band_id", "band_val"], sort=False):
+        for (g, _v), grp in bucket.groupby(["band_id", "band_val"], sort=False):
             if len(grp) < 2:
                 continue
             ids = grp["doc_id"].to_numpy(np.int64)
@@ -436,13 +461,20 @@ def simhash_near_pairs(documents: rd.Dataset, max_hamming: int = 3) -> rd.Datase
             order = np.argsort(ids)
             ids, hs = ids[order], hs[order]
             ii, jj = np.triu_indices(len(ids), k=1)
-            x = hs[ii] ^ hs[jj]
+            xor = hs[ii] ^ hs[jj]
+            # first-colliding-band rule: a pair that ALSO matches on a
+            # lower band is emitted there, not here — globally unique
+            # pairs from a single exchange (no second dedup shuffle)
+            good = ids[ii] != ids[jj]
+            for j in range(int(g)):
+                good &= ((xor >> np.uint64(16 * j)) & np.uint64(0xFFFF)) != 0
             # vectorized popcount (SWAR)
+            x = xor
             x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
             x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
             x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
             d = ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
-            good = (d <= max_hamming) & (ids[ii] != ids[jj])
+            good &= d <= max_hamming
             a_out.append(ids[ii][good])
             b_out.append(ids[jj][good])
             d_out.append(d[good])
@@ -458,8 +490,7 @@ def simhash_near_pairs(documents: rd.Dataset, max_hamming: int = 3) -> rd.Datase
 
     from ..stages.grouping import bucketed_group_apply
 
-    pairs = bucketed_group_apply(exploded, ["band_id", "band_val"], bucket_pairs, n_buckets=32)
-    return _dedup_pair_rows(pairs, ["doc_a", "doc_b"])
+    return bucketed_group_apply(exploded, ["band_id", "band_val"], bucket_pairs, n_buckets=32)
 
 
 # ------------------------------------------------------ n-gram jaccard
@@ -530,12 +561,68 @@ def ngram_jaccard_pairs(
         _NgramBuckets, fn_constructor_kwargs=stage, batch_format="pyarrow",
         concurrency=(1, 8),
     )
-    cand = _candidate_pairs_from_bands(bucketed, ["bucket"])
-    cand_parts = [t for t in (ray.get(r) for r in cand.to_arrow_refs()) if len(t)]
     empty = pa.table(
         {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
          "jaccard": pa.array([], pa.float64())}
     )
+    # Collect the SLIM (bucket, doc_id) rows once (≤ bucket_sample·16 B
+    # per doc — the same driver-side contract as the minhash signature
+    # side table; cluster shape: keep them a Dataset and hash-join).
+    # They feed BOTH the pair exchange and the per-doc min-bucket side
+    # table that makes pairs globally unique in one exchange.
+    bparts = [t for t in (ray.get(r) for r in bucketed.to_arrow_refs()) if len(t)]
+    if not bparts:
+        return rd.from_arrow(empty)
+    btbl = pa.concat_tables(bparts)
+    bdocs = btbl.column("doc_id").to_numpy(zero_copy_only=False)
+    bvals = btbl.column("bucket").to_numpy(zero_copy_only=False)
+    order = np.argsort(bdocs, kind="stable")  # per-doc runs stay ascending
+    sdocs, svals = bdocs[order], bvals[order]
+    uniq_ids, starts = np.unique(sdocs, return_index=True)
+    ends = np.append(starts[1:], sdocs.size)
+    # gram hashes are mod-Mersenne61 (non-negative) → -1 pads safely
+    mins_mat = np.full((uniq_ids.size, bucket_sample), -1, dtype=np.int64)
+    for r, (s, e) in enumerate(zip(starts, ends)):
+        mins_mat[r, : e - s] = svals[s:e]
+    mins_ref = [ray.put((uniq_ids, mins_mat))]
+
+    def bucket_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        """Pairs per shared min-gram bucket, emitted ONLY when that
+        bucket is the SMALLEST gram hash the two docs share — each pair
+        surfaces from exactly one bucket (no second dedup exchange)."""
+        sids, mm = ray.get(mins_ref[0])
+        a_out, b_out = [], []
+        for v, grp in bucket.groupby("bucket", sort=False):
+            if len(grp) < 2:
+                continue
+            ids = np.unique(grp["doc_id"].to_numpy(np.int64))
+            if ids.size < 2:
+                continue
+            ii, jj = np.triu_indices(ids.size, k=1)
+            pa_ids, pb_ids = ids[ii], ids[jj]
+            ma = mm[np.searchsorted(sids, pa_ids)]
+            mb = mm[np.searchsorted(sids, pb_ids)]
+            eq = (ma[:, :, None] == mb[:, None, :]) & (ma[:, :, None] >= 0)
+            vals = np.where(eq, np.broadcast_to(ma[:, :, None], eq.shape), np.iinfo(np.int64).max)
+            common_min = vals.min(axis=(1, 2))
+            keep = common_min == int(v)
+            if keep.any():
+                a_out.append(pa_ids[keep])
+                b_out.append(pb_ids[keep])
+        if not a_out:
+            return pd.DataFrame(
+                {"doc_a": np.array([], np.int64), "doc_b": np.array([], np.int64)}
+            )
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(a_out), "doc_b": np.concatenate(b_out)}
+        )
+
+    from ..stages.grouping import bucketed_group_apply
+
+    cand = bucketed_group_apply(
+        rd.from_arrow(btbl), ["bucket"], bucket_pairs, n_buckets=32
+    )
+    cand_parts = [t for t in (ray.get(r) for r in cand.to_arrow_refs()) if len(t)]
     if not cand_parts:
         return rd.from_arrow(empty)
     cand_tbl = pa.concat_tables(cand_parts)
@@ -655,5 +742,6 @@ def embedding_near_pairs(
 
     from ..stages.grouping import bucketed_group_apply
 
-    pairs = bucketed_group_apply(bucketed, ["bucket"], bucket_pairs, n_buckets=32)
-    return _dedup_pair_rows(pairs, ["vec_a", "vec_b"])
+    # each vector lands in exactly ONE hyperplane bucket, so a pair can
+    # only surface once — no cross-band duplicates, no dedup exchange
+    return bucketed_group_apply(bucketed, ["bucket"], bucket_pairs, n_buckets=32)

@@ -236,3 +236,25 @@ def test_ann_ivf_recall(ray_session):
     # determinism across runs (seeded training sample + kmeans)
     again = ivf_topk(emb, queries, k=10, n_lists=8, n_probe=4).to_pandas()
     assert approx.equals(again)
+
+
+def test_near_dup_pairs_globally_unique(dup_docs):
+    """The single-exchange candidate generators (first-colliding-band /
+    smallest-common-bucket rules) must emit every pair EXACTLY once —
+    they replaced an explicit cross-band dedup shuffle."""
+    from search_engine_skillbox_ray.pipelines.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_near_pairs,
+    )
+
+    for maker, cols in (
+        (lambda d: minhash_lsh_pairs(d, threshold=0.0), ("doc_a", "doc_b")),
+        (lambda d: simhash_near_pairs(d, max_hamming=40), ("doc_a", "doc_b")),
+        (lambda d: ngram_jaccard_pairs(d, threshold=0.0), ("doc_a", "doc_b")),
+    ):
+        df = maker(dup_docs).to_pandas()
+        assert len(df), "low thresholds must surface candidate pairs"
+        keys = list(zip(df[cols[0]], df[cols[1]]))
+        assert len(keys) == len(set(keys))
+        assert all(a < b for a, b in keys)
