@@ -261,7 +261,7 @@ def _collect_signatures(sigs_ds: rd.Dataset) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _candidate_pairs_from_bands(
-    exploded: rd.Dataset, key_cols: list[str], first_band_ref=None
+    exploded: "rd.Dataset | pa.Table", key_cols: list[str], first_band_ref=None
 ) -> rd.Dataset:
     """groupby the band key → all unordered doc pairs per group.
 
@@ -271,7 +271,12 @@ def _candidate_pairs_from_bands(
     the output is globally duplicate-free after ONE exchange: the
     second dedup shuffle disappears. ``key_cols[0]`` must then be the
     band index. Without it, pairs repeat across bands and a second
-    bucketed pass dedups them."""
+    bucketed pass dedups them.
+
+    A driver-resident band table (``pa.Table``) below the fast-path
+    threshold is paired in ONE local pandas pass — band rows are
+    ~16 B/doc·bands, so the threshold covers large corpora; above it
+    (or for a lazy Dataset) the bucketed exchange is the shape."""
     from ..stages.grouping import bucketed_group_apply
 
     def bucket_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
@@ -304,6 +309,16 @@ def _candidate_pairs_from_bands(
         return pd.DataFrame(
             {"doc_a": np.concatenate(a_out), "doc_b": np.concatenate(b_out)}
         )
+
+    if isinstance(exploded, pa.Table):
+        from ..config import DRIVER_FASTPATH_ROWS
+
+        if len(exploded) <= DRIVER_FASTPATH_ROWS:
+            out = bucket_pairs(exploded.to_pandas())
+            if first_band_ref is None:
+                out = out.drop_duplicates(["doc_a", "doc_b"])
+            return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
+        exploded = rd.from_arrow(exploded)
 
     pairs = bucketed_group_apply(exploded, key_cols, bucket_pairs, n_buckets=32)
     if first_band_ref is not None:
@@ -364,14 +379,12 @@ def minhash_lsh_pairs(
         )
     keys = _band_keys(mat.view(np.uint64), bands)
     n = ids.size
-    exploded = rd.from_arrow(
-        pa.table(
-            {
-                "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n), pa.int32()),
-                "band_hash": pa.array(keys.reshape(-1), pa.int64()),
-                "doc_id": pa.array(np.repeat(ids, bands), pa.int64()),
-            }
-        )
+    exploded = pa.table(
+        {
+            "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n), pa.int32()),
+            "band_hash": pa.array(keys.reshape(-1), pa.int64()),
+            "doc_id": pa.array(np.repeat(ids, bands), pa.int64()),
+        }
     )
     cand = _candidate_pairs_from_bands(
         exploded, ["band_id", "band_hash"], first_band_ref=[ray.put((ids, keys))]
@@ -429,7 +442,11 @@ def simhash_near_pairs(documents: rd.Dataset, max_hamming: int = 3) -> rd.Datase
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming, found via
     4×16-bit band blocking (pigeonhole: ≤3 differing bits ⇒ ≥1 equal
     band — the blocking is recall-COMPLETE, so the result equals the
-    exact all-pairs Hamming filter and is oracle-checkable)."""
+    exact all-pairs Hamming filter and is oracle-checkable).
+
+    Fingerprints are 16 B/doc, so below the fast-path threshold they are
+    collected once and paired in one local pass; above it the banded
+    exchange runs over the SAME materialized blocks (no recompute)."""
     sh = simhash_ds(documents)
 
     def explode_bands(batch: pa.Table) -> pa.Table:
@@ -448,8 +465,6 @@ def simhash_near_pairs(documents: rd.Dataset, max_hamming: int = 3) -> rd.Datase
                 "simhash": pa.array(np.repeat(hs.astype(np.int64), 4), type=pa.int64()),
             }
         )
-
-    exploded = sh.map_batches(explode_bands, batch_format="pyarrow")
 
     def bucket_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
         a_out, b_out, d_out = [], [], []
@@ -488,8 +503,22 @@ def simhash_near_pairs(documents: rd.Dataset, max_hamming: int = 3) -> rd.Datase
              "hamming": np.concatenate(d_out)}
         )
 
+    from ..config import DRIVER_FASTPATH_ROWS
     from ..stages.grouping import bucketed_group_apply
 
+    empty = pd.DataFrame(
+        {"doc_a": np.array([], np.int64), "doc_b": np.array([], np.int64),
+         "hamming": np.array([], np.int64)}
+    )
+    refs = sh.to_arrow_refs()
+    if not refs:
+        return rd.from_arrow(pa.Table.from_pandas(empty, preserve_index=False))
+    fp_tables = ray.get(refs)
+    if sum(len(t) for t in fp_tables) <= DRIVER_FASTPATH_ROWS:
+        tbl = pa.concat_tables(fp_tables)
+        out = bucket_pairs(explode_bands(tbl).to_pandas()) if len(tbl) else empty
+        return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
+    exploded = rd.from_arrow_refs(refs).map_batches(explode_bands, batch_format="pyarrow")
     return bucketed_group_apply(exploded, ["band_id", "band_val"], bucket_pairs, n_buckets=32)
 
 
@@ -617,15 +646,22 @@ def ngram_jaccard_pairs(
             {"doc_a": np.concatenate(a_out), "doc_b": np.concatenate(b_out)}
         )
 
+    from ..config import DRIVER_FASTPATH_ROWS
     from ..stages.grouping import bucketed_group_apply
 
-    cand = bucketed_group_apply(
-        rd.from_arrow(btbl), ["bucket"], bucket_pairs, n_buckets=32
-    )
-    cand_parts = [t for t in (ray.get(r) for r in cand.to_arrow_refs()) if len(t)]
-    if not cand_parts:
+    if len(btbl) <= DRIVER_FASTPATH_ROWS:
+        # band table already driver-resident → one local pandas pass
+        cand_tbl = pa.Table.from_pandas(
+            bucket_pairs(btbl.to_pandas()), preserve_index=False
+        )
+    else:
+        cand = bucketed_group_apply(
+            rd.from_arrow(btbl), ["bucket"], bucket_pairs, n_buckets=32
+        )
+        cand_parts = [t for t in (ray.get(r) for r in cand.to_arrow_refs()) if len(t)]
+        cand_tbl = pa.concat_tables(cand_parts) if cand_parts else None
+    if cand_tbl is None or not len(cand_tbl):
         return rd.from_arrow(empty)
-    cand_tbl = pa.concat_tables(cand_parts)
     a = cand_tbl.column("doc_a").to_numpy(zero_copy_only=False)
     b = cand_tbl.column("doc_b").to_numpy(zero_copy_only=False)
     referenced = np.unique(np.concatenate([a, b]))
