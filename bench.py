@@ -289,6 +289,9 @@ def run_once() -> dict:
         "query_p50_ms": round(qlat["p50_ms"], 3),
         "query_p95_ms": round(qlat["p95_ms"], 3),
         "ingest_docs_per_sec": round(ingest["docs_per_sec"], 1),
+        # hypervisor steal over the headline build — attributes shared-VM
+        # noise (identical runs measured 26.6 s vs 44.6 s minutes apart)
+        "host_steal_pct": headline.get("host_steal_pct", 0.0),
     }
     import ray
 
