@@ -22,8 +22,8 @@ against immutable posting segments instead of 4 MySQL round-trips:
   offset+max(1,limit)) — including the quirk that offset>total raised
   in ``subList`` and was swallowed by the catch-all into
   ``result:false`` (:68-70);
-* decoration: hydrate top-k docs by docID (semi-join via Parquet
-  predicate read — J1), title M10, uri M11, snippet M12 (snippet words
+* decoration: hydrate top-k docs by docID (semi-join via the doc
+  locator's targeted row-group reads — J1), title M10, uri M11, snippet M12 (snippet words
   prefer raw query tokens M8 over lemmas, :195-207), then the
   ``site=""`` response quirk (:61-65).
 
@@ -92,8 +92,9 @@ class SearchEngine:
         self._decoded: dict[tuple[str, int | None], tuple[np.ndarray, np.ndarray, int]] = {}
         self._doclen: tuple[np.ndarray, np.ndarray] | None = None
         self._docs_dataset = None
-        # docs_in_memory=False → hydrate via Parquet predicate reads
-        # (memory-light serving, e.g. many pool actors on one node)
+        self._docs_locator = None
+        # docs_in_memory=False → hydrate via the doc locator (targeted
+        # row-group reads; memory-light serving, e.g. many pool actors)
         self.docs_in_memory = docs_in_memory
         self._load_update_log()
 
@@ -156,6 +157,7 @@ class SearchEngine:
         self._decoded.clear()
         self._doclen = None
         self._docs_dataset = None
+        self._docs_locator = None
         self._term_cache.clear()
         self._bucket_cache.clear()
         self._load_update_log()
@@ -497,25 +499,12 @@ class SearchEngine:
         Default: one-time load of the doc store into sorted arrays
         (docID-binary-searched per query — single-node latency path; at
         cluster scale each query actor holds only its shard, or set
-        ``docs_in_memory=False`` for the Parquet predicate-read path).
+        ``docs_in_memory=False`` for the doc-locator row-group path).
         """
         if doc_ids.size == 0:
             return {}
         if not getattr(self, "docs_in_memory", True):
-            import pyarrow.dataset as pads
-
-            if self._docs_dataset is None:
-                self._docs_dataset = pads.dataset(self._docs_files(), format="parquet")
-            tbl = self._docs_dataset.to_table(
-                columns=["doc_id", "site_id", "path", "text"],
-                filter=pads.field("doc_id").isin(pa.array(doc_ids)),
-            )
-            out = {int(r["doc_id"]): r for r in tbl.to_pylist()}
-            for did in doc_ids.tolist():  # delta rows shadow base rows
-                delta = self._delta_docs.get(int(did))
-                if delta is not None:
-                    out[int(did)] = delta
-            return out
+            return self._hydrate_located(doc_ids)
         if self._docs_dataset is None:
             import pyarrow.dataset as pads
 
@@ -545,6 +534,91 @@ class SearchEngine:
                     "path": paths[j],
                     "text": texts[j],
                 }
+        return out
+
+    def _doc_locator(self):
+        """Lazy (sorted doc_id → shard file, row group, local row) index
+        over the BASE docs shards, built from the doc_id columns only
+        (~24 B/doc). The streaming build assigns dense ids per batch, so
+        every shard's (min, max) id range spans most of the corpus and
+        Parquet predicate pushdown cannot prune files or row groups — a
+        whole-store decode per query (measured ~1 s at 192k docs vs ~4 ms
+        in-memory). The locator instead maps each requested id straight
+        to its row group, so hydration decodes only the groups holding
+        the top-k hits. At cluster scale each query actor holds the
+        locator for ITS shard subset; delta docs overlay from
+        ``_delta_docs`` as everywhere else."""
+        if self._docs_locator is None:
+            files = [
+                str(f) for f in sorted((self.index_dir / "docs").glob("docs-*.parquet"))
+            ]
+            ids_p, fi_p, gi_p, rl_p = [], [], [], []
+            for fi, f in enumerate(files):
+                md = pq.read_metadata(f)
+                n = md.num_rows
+                if n == 0:
+                    continue
+                ids = pq.read_table(f, columns=["doc_id"])["doc_id"].to_numpy(
+                    zero_copy_only=False
+                )
+                sizes = np.array(
+                    [md.row_group(g).num_rows for g in range(md.num_row_groups)],
+                    dtype=np.int64,
+                )
+                gidx = np.repeat(np.arange(sizes.size, dtype=np.int32), sizes)
+                starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+                ids_p.append(ids)
+                fi_p.append(np.full(n, fi, dtype=np.int32))
+                gi_p.append(gidx)
+                rl_p.append(np.arange(n, dtype=np.int64) - starts[gidx])
+            if not ids_p:
+                self._docs_locator = (
+                    np.empty(0, np.int64), np.empty(0, np.int32),
+                    np.empty(0, np.int32), np.empty(0, np.int64), files,
+                )
+            else:
+                ids = np.concatenate(ids_p)
+                order = np.argsort(ids, kind="stable")
+                self._docs_locator = (
+                    ids[order],
+                    np.concatenate(fi_p)[order],
+                    np.concatenate(gi_p)[order],
+                    np.concatenate(rl_p)[order],
+                    files,
+                )
+        return self._docs_locator
+
+    def _hydrate_located(self, doc_ids: np.ndarray) -> dict[int, dict]:
+        """Memory-light hydration: locate each id's row group, decode
+        only those groups (grouped per file, one read per group)."""
+        out: dict[int, dict] = {}
+        want: list[int] = []
+        for did in doc_ids.tolist():
+            delta = self._delta_docs.get(int(did))
+            if delta is not None:
+                out[int(did)] = delta
+            else:
+                want.append(int(did))
+        if not want:
+            return out
+        ids_s, fidx, gidx, rloc, files = self._doc_locator()
+        if not ids_s.size:
+            return out
+        w = np.asarray(sorted(set(want)), dtype=np.int64)
+        pos = np.searchsorted(ids_s, w)
+        ok = (pos < ids_s.size) & (ids_s[np.minimum(pos, ids_s.size - 1)] == w)
+        pos, w = pos[ok], w[ok]
+        by_group: dict[tuple[int, int], list[tuple[int, int]]] = {}
+        for p, did in zip(pos.tolist(), w.tolist()):
+            by_group.setdefault((int(fidx[p]), int(gidx[p])), []).append(
+                (int(rloc[p]), did)
+            )
+        cols = ["doc_id", "site_id", "path", "text"]
+        for (fi, g), rows in by_group.items():
+            tbl = pq.ParquetFile(files[fi]).read_row_group(g, columns=cols)
+            taken = tbl.take(pa.array([r for r, _ in rows], pa.int64()))
+            for r in taken.to_pylist():
+                out[int(r["doc_id"])] = r
         return out
 
     def dump_doc_term_tf(self) -> "pa.Table":
@@ -747,7 +821,7 @@ class QueryActorPool:
 
         # memory-light serving by default: N pool actors must not each
         # load the whole doc store — hydration goes through Parquet
-        # predicate reads; pass docs_in_memory=True to opt back in
+        # locator row-group reads; pass docs_in_memory=True to opt back in
         engine_kwargs.setdefault("docs_in_memory", False)
 
         @ray.remote(num_cpus=1)

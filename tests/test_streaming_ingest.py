@@ -234,3 +234,39 @@ def test_bm25_doc_len_after_ingest(base):
     assert d.size == 1
     dl = eng._doc_len_lookup(d)
     assert dl[0] == 1.0
+
+
+def test_memory_light_hydrate_matches_in_memory_and_survives_compact(base):
+    """The doc locator (targeted row-group reads) must return exactly the
+    in-memory store's rows, and must be rebuilt after compact() rewrites
+    the base shards (reload_updates drops it)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    idx, sites, tbl, tmp_path = base
+    seg = sorted(glob.glob(f"{idx}/postings/bucket=*.parquet"))[0]
+    terms = pq.read_table(seg, columns=["term", "df"])
+    qterms = [
+        t for t, _ in sorted(
+            zip(terms["term"].to_pylist(), terms["df"].to_pylist()),
+            key=lambda x: -x[1],
+        )[:5]
+    ]
+    light = ses.SearchEngine(idx, docs_in_memory=False)
+    heavy = ses.SearchEngine(idx, docs_in_memory=True)
+    for q in qterms:
+        assert light.search(q, limit=10) == heavy.search(q, limit=10)
+
+    upd = IndexUpdater(idx)
+    url = tbl["url"][7].as_py()
+    assert upd.index_pages([{"url": url, "text": "compactprobe fresh body"}])["result"]
+    upd.compact()
+    light.reload_updates()
+    heavy.reload_updates()
+    resp = light.search("compactprobe")
+    assert resp["count"] == 1 and "compactprobe" in resp["data"][0]["snippet"].replace(
+        "<b>", ""
+    ).replace("</b>", "")
+    for q in qterms:
+        assert light.search(q, limit=10) == heavy.search(q, limit=10)
