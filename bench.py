@@ -178,9 +178,22 @@ def bench_query_latency(idx_dir: str, n_queries: int = 200) -> dict:
         eng.search(q, limit=10)
         lat.append(time.perf_counter() - t0)
     lat.sort()
+    # memory-light serving (QueryActorPool default): doc-locator
+    # row-group hydration instead of the in-memory doc store
+    light = SearchEngine(idx_dir, docs_in_memory=False)
+    for q in qset[:20]:
+        light.search(q, limit=10)
+    llat = []
+    for q in qset:
+        t0 = time.perf_counter()
+        light.search(q, limit=10)
+        llat.append(time.perf_counter() - t0)
+    llat.sort()
     return {
         "p50_ms": 1000 * statistics.median(lat),
         "p95_ms": 1000 * lat[int(0.95 * len(lat))],
+        "light_p50_ms": 1000 * statistics.median(llat),
+        "light_p95_ms": 1000 * llat[int(0.95 * len(llat))],
         "n_queries": len(lat),
     }
 
@@ -275,6 +288,8 @@ def run_once() -> dict:
     queries = bench_sf_queries()
     queries["query_p50_ms"] = round(qlat["p50_ms"], 3)
     queries["query_p95_ms"] = round(qlat["p95_ms"], 3)
+    queries["query_light_p50_ms"] = round(qlat["light_p50_ms"], 3)
+    queries["query_light_p95_ms"] = round(qlat["light_p95_ms"], 3)
     queries["streaming_ingest"] = round(ingest["seconds"], 3)
     result = {
         "metric": "index_build_seconds_pages_corpus",
