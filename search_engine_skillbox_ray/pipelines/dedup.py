@@ -48,6 +48,7 @@ from ..functions.hashing import (
     flat_nonempty_tokens,
     gram_hashes,
     joined_fallback_hash,
+    mod_mersenne61,
 )
 
 _MERSENNE = MERSENNE61
@@ -183,7 +184,7 @@ class MinHashSignatures:
         for c0 in range(0, self.num_perm, self.PERM_CHUNK):
             a = self.a[c0: c0 + self.PERM_CHUNK, None]
             b = self.b[c0: c0 + self.PERM_CHUNK, None]
-            vals = (a * grams[None, :] + b) % np.uint64(_MERSENNE)
+            vals = mod_mersenne61(a * grams[None, :] + b)
             mins = np.minimum.reduceat(vals, seg_starts, axis=1)
             sigs[seg_docs, c0: c0 + self.PERM_CHUNK] = mins.T
         return sigs

@@ -105,3 +105,29 @@ def test_arrow_vs_python_tokenizer_property():
             assert [t for t in toks if t] == tokenize(text), repr(text)
 
     check()
+
+
+def test_mod_mersenne61_equals_modulo_property():
+    """The division-free Mersenne reduction must be bit-identical to
+    uint64 ``%`` over the full value range (oracle SQL depends on it)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from search_engine_skillbox_ray.functions.hashing import MERSENNE61, mod_mersenne61
+
+    m = np.uint64(MERSENNE61)
+    edges = np.array(
+        [0, 1, MERSENNE61 - 1, MERSENNE61, MERSENNE61 + 1,
+         2**61, 2**62, 2**63, 2**64 - 1],
+        dtype=np.uint64,
+    )
+    assert (mod_mersenne61(edges) == edges % m).all()
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), min_size=1, max_size=64))
+    def check(vals):
+        x = np.array(vals, dtype=np.uint64)
+        assert (mod_mersenne61(x) == x % m).all()
+
+    check()
