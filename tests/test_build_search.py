@@ -203,3 +203,18 @@ def test_empty_corpus_builds_and_searches(ray_session, tmp_path):
     eng = ses.SearchEngine(str(tmp_path / "idx"))
     assert eng.search("anything") == {"result": True, "count": 0, "data": []}
     assert eng.statistics()["statistics"]["total"]["pages"] == 0
+
+
+def test_query_actor_pool_matches_engine(built):
+    """QueryActorPool (ST5 serving shape, memory-light by default) must
+    return exactly the single-engine responses, for both the round-robin
+    search() and the fan-out search_many()."""
+    res, eng, oracle, sites = built
+    pool = ses.QueryActorPool(str(eng.index_dir), n_actors=2)
+    terms = sorted(oracle.tf, key=lambda t: len(oracle.tf[t]), reverse=True)[:4]
+    queries = terms + [f"{terms[0]} {terms[1]}"]
+    for q in queries:
+        assert pool.search(q, limit=5) == eng.search(q, limit=5)
+    many = pool.search_many([(q, {"limit": 3}) for q in queries])
+    for q, got in zip(queries, many):
+        assert got == eng.search(q, limit=3)
