@@ -360,6 +360,12 @@ def q_events_window(sf_dir: str):
     return tumbling_window(_events(sf_dir), window_s=3600)
 
 
+def q_events_hopping(sf_dir: str):
+    from search_engine_skillbox_ray.pipelines.windows import hopping_window
+
+    return hopping_window(_events(sf_dir), window_s=3600, hop_s=900)
+
+
 def q_sessionize(sf_dir: str):
     from search_engine_skillbox_ray.pipelines.windows import sessionize
 
@@ -536,6 +542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "events_window": q_events_window,
+        "events_hopping": q_events_hopping,
         "sessionize": q_sessionize,
         "docs_with_source_stats": q_docs_with_source_stats,
         "media_decode": q_media_decode,
@@ -846,6 +853,14 @@ SELECT event_type,
        count(*)::BIGINT AS n_events,
        ROUND(sum(value), 6) AS sum_value
 FROM events GROUP BY event_type, window_start
+""",
+        "events_hopping": """
+SELECT e.event_type,
+       ((epoch_us(e.ts) // 900000000) - r.i) * 900 AS window_start,
+       count(*)::BIGINT AS n_events,
+       ROUND(sum(e.value), 6) AS sum_value
+FROM events e CROSS JOIN (SELECT unnest(range(0, 4)) AS i) r
+GROUP BY e.event_type, window_start
 """,
         "sessionize": """
 WITH o AS (

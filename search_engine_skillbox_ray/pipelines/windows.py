@@ -68,6 +68,71 @@ def tumbling_window(
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def hopping_window(
+    events: rd.Dataset,
+    window_s: int = 3600,
+    hop_s: int = 900,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> rd.Dataset:
+    """→ (key, window_start:int64 epoch-seconds, n_events, sum_value[r6])
+    over OVERLAPPING (sliding/hopping) windows of ``window_s`` seconds
+    advancing every ``hop_s`` (must divide window_s) — each event counts
+    in ``window_s // hop_s`` windows.
+
+    Same shuffle-minimizing shape as :func:`tumbling_window`: the
+    window-membership EXPLOSION happens inside ``map_batches`` and is
+    immediately pre-aggregated to (key, window_start) partials, so the
+    exchange moves at most keys × windows rows per batch, never
+    event × membership rows. Window starts may precede the first event
+    (standard hopping semantics: every window containing the event)."""
+    if window_s % hop_s != 0:
+        raise ValueError("window_s must be a multiple of hop_s")
+    k = window_s // hop_s
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        epoch_us = pc.cast(batch.column(ts_col), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        base = epoch_us // (hop_s * 1_000_000)  # floor (ts are post-epoch)
+        offs = np.arange(k, dtype=np.int64)
+        starts = ((base[:, None] - offs[None, :]) * hop_s).reshape(-1)
+        keys = batch.column(key_col)
+        vals = pc.cast(batch.column(value_col), pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        t = pa.table(
+            {
+                key_col: keys.take(pa.array(np.repeat(np.arange(n), k))),
+                "window_start": pa.array(starts),
+                "n": pa.array(np.ones(n * k, dtype=np.int64)),
+                "v": pa.array(np.repeat(vals, k)),
+            }
+        )
+        return t.group_by([key_col, "window_start"]).aggregate(
+            [("n", "sum"), ("v", "sum")]
+        ).rename_columns([key_col, "window_start", "n", "v"])
+
+    partials = events.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby([key_col, "window_start"]).sum(["n", "v"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key_col: batch.column(key_col),
+                "window_start": batch.column("window_start"),
+                "n_events": pc.cast(batch.column("sum(n)"), pa.int64()),
+                "sum_value": pa.array(
+                    np.round(batch.column("sum(v)").to_numpy(zero_copy_only=False), 6)
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def sessionize(
     events: rd.Dataset,
     gap_s: int = 1800,

@@ -73,7 +73,7 @@ def test_oracle_keys_subset(entry_mod):
     "search_disjunctive", "search_conjunctive", "search_site_scoped",
     "search_bm25", "search_count", "stats_by_source", "dedup_exact",
     "token_count", "quality", "fingerprint", "ann_cosine_topk",
-    "events_window", "sessionize", "docs_with_source_stats",
+    "events_window", "events_hopping", "sessionize", "docs_with_source_stats",
     "search_pruned_topk",
     # hard oracles for the (previously rows-only) near-dup / LSH / batch
     # operators — md5-derived hashing is replicated in SQL bit-for-bit

@@ -258,3 +258,47 @@ def test_near_dup_pairs_globally_unique(dup_docs):
         keys = list(zip(df[cols[0]], df[cols[1]]))
         assert len(keys) == len(set(keys))
         assert all(a < b for a, b in keys)
+
+
+def test_hopping_window_matches_pandas_reference(ray_session):
+    """Hopping windows: each event lands in window_s/hop_s windows; the
+    partial-agg explosion must reproduce a brute-force reference."""
+    import pandas as pd
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.windows import hopping_window
+
+    rng = np.random.default_rng(5)
+    n = 500
+    ts = np.sort(rng.integers(0, 10**7, n)) * 1_000_000  # microseconds
+    rows = pa.table(
+        {
+            "ts": pa.array(ts).cast(pa.timestamp("us")),
+            "event_type": pa.array(rng.choice(["a", "b"], n)),
+            "value": pa.array(np.round(rng.random(n) * 10, 2)),
+        }
+    )
+    out = hopping_window(
+        rd.from_arrow(rows), window_s=3600, hop_s=900
+    ).to_pandas().sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+    ref: dict[tuple[str, int], list[float]] = {}
+    for t, k, v in zip(ts.tolist(), rows["event_type"].to_pylist(), rows["value"].to_pylist()):
+        base = t // (900 * 1_000_000)
+        for i in range(4):
+            ref.setdefault((k, (base - i) * 900), []).append(v)
+    exp = pd.DataFrame(
+        [
+            {"event_type": k, "window_start": w, "n_events": len(vs),
+             "sum_value": round(sum(vs), 6)}
+            for (k, w), vs in ref.items()
+        ]
+    ).sort_values(["event_type", "window_start"]).reset_index(drop=True)
+    assert len(out) == len(exp)
+    assert (out["event_type"] == exp["event_type"]).all()
+    assert (out["window_start"].to_numpy() == exp["window_start"].to_numpy()).all()
+    assert (out["n_events"].to_numpy() == exp["n_events"].to_numpy()).all()
+    assert np.allclose(out["sum_value"], exp["sum_value"], atol=1e-6)
+
+    with pytest.raises(ValueError):
+        hopping_window(rd.from_arrow(rows), window_s=3600, hop_s=1000)
