@@ -271,6 +271,15 @@ def q_langid(sf_dir: str):
     return langid_ds(_documents(sf_dir))
 
 
+def q_hll_distinct_tokens(sf_dir: str):
+    from search_engine_skillbox_ray.pipelines.textstats import hll_distinct_tokens
+
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    return hll_distinct_tokens(docs, precision=12)
+
+
 def q_minhash_pairs(sf_dir: str):
     from search_engine_skillbox_ray.pipelines.dedup import minhash_lsh_pairs
 
@@ -533,6 +542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": q_quality,
         "fingerprint": q_fingerprint,
         "langid": q_langid,
+        "hll_distinct_tokens": q_hll_distinct_tokens,
         "minhash_pairs": q_minhash_pairs,
         "minhash_sigs": q_minhash_sigs,
         "simhash": q_simhash,
@@ -834,6 +844,34 @@ FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
         "fingerprint": """
 SELECT doc_id, md5(array_to_string(list_filter(regexp_split_to_array(lower(text),
        '[^\\p{L}]+'), x -> x <> ''), ' ')) AS fingerprint FROM documents
+""",
+        # HyperLogLog p=12 over md5 token hashes — registers AND estimate
+        # are deterministic, so even the approximate sketch hash-compares.
+        # rho = leading-zero run of the low 52 bits + 1 (bin() length ==
+        # integer bit_length); the 2^-rho sum is carried as an exact
+        # integer Σ 2^(53-rho) so the double rounding matches numpy.
+        "hll_distinct_tokens": """
+WITH tok AS (SELECT source, unnest(list_filter(regexp_split_to_array(lower(text),
+             '[^\\p{L}]+'), x -> x <> '')) AS t FROM documents),
+h AS (SELECT source, md5_number_lower(t) AS hv FROM tok),
+rr AS (SELECT source, CAST(hv >> 52 AS BIGINT) AS register,
+              CAST(hv & ((1::HUGEINT << 52) - 1) AS BIGINT) AS w FROM h),
+reg AS (SELECT source, register,
+               max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS rho
+        FROM rr GROUP BY source, register),
+agg AS (SELECT source, count(*) AS n_set,
+               sum(1::HUGEINT << (53 - rho)) AS s_set
+        FROM reg GROUP BY source),
+est AS (SELECT source, n_set,
+               (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+                 * CAST(1::HUGEINT << 53 AS DOUBLE)
+                 / CAST(s_set + (4096 - n_set) * (1::HUGEINT << 53) AS DOUBLE) AS e_raw,
+               4096 - n_set AS zeros
+        FROM agg)
+SELECT source, n_set::BIGINT AS registers_set,
+       ROUND(CASE WHEN e_raw <= 2.5 * 4096.0 AND zeros > 0
+                  THEN 4096.0 * ln(4096.0 / zeros) ELSE e_raw END, 6) AS hll_distinct
+FROM est
 """,
         "ann_cosine_topk": f"""
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < {ANN_NQ}),

@@ -135,3 +135,110 @@ def fingerprints_ds(documents: rd.Dataset) -> rd.Dataset:
 
 def langid_ds(documents: rd.Dataset, concurrency=(1, 4)) -> rd.Dataset:
     return documents.map_batches(LangId, batch_format="pyarrow", concurrency=concurrency)
+
+
+class HllPartial:
+    """Actor-pool HyperLogLog partial stage: per batch, M2-tokenize,
+    md5-hash tokens (cached per actor via TokenHasher), split each hash
+    into (register = top ``precision`` bits, rho = leading-zero run of
+    the remaining bits + 1), and pre-aggregate max(rho) per
+    (key, register) — the shuffle moves at most keys × 2^precision rows
+    per batch, never token rows. rho via ``np.frexp`` (exact integer
+    bit-length below 2^53 — float log2 mis-floors near powers of two)."""
+
+    def __init__(self, precision: int = 12, key_col: str = "source", text_col: str = "text") -> None:
+        from ..functions.hashing import TokenHasher
+
+        if not 4 <= precision <= 16:
+            raise ValueError("precision must be in [4, 16]")
+        self.p = precision
+        self.key_col = key_col
+        self.text_col = text_col
+        self.hasher = TokenHasher()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import flat_nonempty_tokens
+
+        p = self.p
+        field = 64 - p
+        toks, parents, _counts = flat_nonempty_tokens(batch.column(self.text_col))
+        if not len(toks):
+            return pa.table(
+                {
+                    self.key_col: pa.array([], batch.column(self.key_col).type),
+                    "register": pa.array([], pa.int64()),
+                    "rho": pa.array([], pa.int64()),
+                }
+            )
+        h = self.hasher.hash_tokens(toks)
+        reg = (h >> np.uint64(field)).astype(np.int64)
+        w = h & np.uint64((1 << field) - 1)
+        _, exp = np.frexp(w.astype(np.float64))  # exact bit_length (w < 2^53)
+        rho = (field + 1 - exp).astype(np.int64)
+        rho[w == 0] = field + 1
+        t = pa.table(
+            {
+                self.key_col: batch.column(self.key_col).take(pa.array(parents)),
+                "register": pa.array(reg),
+                "rho": pa.array(rho),
+            }
+        )
+        return t.group_by([self.key_col, "register"]).aggregate(
+            [("rho", "max")]
+        ).rename_columns([self.key_col, "register", "rho"])
+
+
+def hll_distinct_tokens(
+    documents: rd.Dataset,
+    precision: int = 12,
+    key_col: str = "source",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Approximate distinct-token count per key — a HyperLogLog sketch
+    whose registers are a DETERMINISTIC function of the token set
+    (md5-derived hashing), so registers AND estimate are replicated
+    bit-for-bit by a DuckDB SQL oracle (the rare honest way to
+    oracle-check an approximate sketch).
+
+    → (key, registers_set:int64, hll_distinct:float64 r6). Estimate is
+    the classic HLL formula with the linear-counting small-range
+    correction; the 2^-rho sum is carried as an exact INTEGER
+    (Σ 2^(field+1-rho), fits well under 2^(field+1+precision)) so both
+    sides round to double identically. No large-range correction: with
+    64-bit hashes collisions are negligible at any realistic scale."""
+    import math
+
+    if not 4 <= precision <= 16:
+        raise ValueError("precision must be in [4, 16]")
+    m = 1 << precision
+    field = 64 - precision
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+
+    partials = documents.map_batches(
+        HllPartial,
+        fn_constructor_kwargs={"precision": precision, "key_col": key_col, "text_col": text_col},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    regs = partials.groupby([key_col, "register"]).max("rho")
+
+    def finish(group: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        key = group[key_col].iloc[0]
+        rhos = group["max(rho)"].to_numpy(np.int64)
+        n_set = int(len(rhos))
+        s = int(sum(1 << (field + 1 - int(r)) for r in rhos))
+        s += (m - n_set) * (1 << (field + 1))  # untouched registers: rho=0
+        e_raw = alpha * m * m * float(1 << (field + 1)) / float(s)
+        zeros = m - n_set
+        if e_raw <= 2.5 * m and zeros > 0:
+            est = m * math.log(m / zeros)
+        else:
+            est = e_raw
+        return pd.DataFrame(
+            {key_col: [key], "registers_set": np.array([n_set], np.int64),
+             "hll_distinct": np.array([round(est, 6)], np.float64)}
+        )
+
+    return regs.groupby(key_col).map_groups(finish, batch_format="pandas")

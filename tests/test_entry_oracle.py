@@ -80,6 +80,7 @@ def test_oracle_keys_subset(entry_mod):
     "minhash_sigs", "minhash_pairs", "simhash", "simhash_near_pairs",
     "ngram_jaccard_pairs", "embedding_near_pairs", "ann_lsh_topk",
     "batch_search", "langid", "link_graph", "streaming_ingest",
+    "hll_distinct_tokens",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))

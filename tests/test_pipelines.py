@@ -302,3 +302,37 @@ def test_hopping_window_matches_pandas_reference(ray_session):
 
     with pytest.raises(ValueError):
         hopping_window(rd.from_arrow(rows), window_s=3600, hop_s=1000)
+
+
+def test_hll_distinct_tokens_accuracy_and_determinism(ray_session):
+    """HLL sketch: estimate within the expected ~1.04/sqrt(m) band of the
+    true distinct count, deterministic across runs, and exact under the
+    linear-counting branch for tiny cardinalities."""
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.textstats import hll_distinct_tokens
+
+    rng = np.random.default_rng(9)
+    # letters-only vocab: the M2 tokenizer strips digits
+    import itertools, string
+    vocab = ["".join(c) for c in itertools.islice(
+        itertools.product(string.ascii_lowercase, repeat=4), 8000)]
+    rows = []
+    for d in range(60):
+        words = rng.choice(vocab, size=400)
+        rows.append({"source": "big", "text": " ".join(words)})
+    rows.append({"source": "tiny", "text": "alpha beta gamma alpha"})
+    ds = rd.from_items(rows)
+
+    out = hll_distinct_tokens(ds, precision=12).to_pandas().set_index("source")
+    true_big = len({w for r in rows[:-1] for w in r["text"].split()})
+    assert true_big > 5000
+    est = out.loc["big", "hll_distinct"]
+    assert abs(est / true_big - 1) < 0.05  # 3σ ≈ 0.049 at m=4096
+    # tiny cardinality hits the linear-counting branch → near-exact
+    assert abs(out.loc["tiny", "hll_distinct"] - 3) < 0.01
+    out2 = hll_distinct_tokens(rd.from_items(rows), precision=12).to_pandas().set_index("source")
+    assert (out2["hll_distinct"] == out["hll_distinct"]).all()
+
+    with pytest.raises(ValueError):
+        hll_distinct_tokens(ds, precision=2)
