@@ -238,9 +238,11 @@ def bench_sf_queries() -> dict:
         "ann_lsh_topk",
         "ann_ivf_topk",
         "events_window",
+        "events_hopping",
         "sessionize",
         "quality",
         "langid",
+        "hll_distinct_tokens",
         "batch_search",
     ]
     qs = entry.queries()
