@@ -8,19 +8,24 @@ Scale shapes (100 TB framing):
 * MinHash-LSH — signatures per batch (fully vectorized: flat token
   hashing + segmented ``np.minimum.reduceat``), explode to SLIM
   (band_id, band_hash, doc_id) rows — signatures do NOT ride the
-  exchange — one groupby on the band key emits candidate pairs, which a
-  verify stage checks against a broadcast signature side table
-  (``ray.put`` once; at cluster scale this broadcast becomes a
-  hash-join of candidates ⨝ signatures on doc_id). No pairwise pass
-  outside LSH buckets.
+  exchange — one groupby on the band key emits candidate pairs. The
+  verify is gated on ``DRIVER_FASTPATH_ROWS``: below it a broadcast
+  signature side table (``ray.put`` once), above it the signatures stay
+  a Dataset and candidates hash-join ⨝ signatures on doc_a/doc_b
+  (``Dataset.join``) — nothing corpus-sized touches the driver. No
+  pairwise pass outside LSH buckets. Both paths emit the identical
+  pair set.
 * SimHash — 64-bit weighted fingerprint per doc (vectorized per-bit
   ``bincount``); near-dup candidates via 4×16-bit band blocking
-  (Hamming ≤ 3 ⇒ some band equal — complete by pigeonhole).
+  (Hamming ≤ 3 ⇒ some band equal — complete by pigeonhole). The
+  local-vs-banded-exchange choice probes the row COUNT from block
+  metadata; fingerprint blocks reach the driver only on the fast path.
 * n-gram Jaccard — candidates from shared min-gram buckets carrying
   ONLY (gram_bucket, doc_id); exact Jaccard verified by re-deriving the
   gram sets of just the referenced docs (a second, candidate-pruned
-  pass — candidates are rare, so the pass is cheap; the cluster
-  alternative is a hash-join on doc_id).
+  pass — candidates are rare, so the pass is cheap). Same gate: above
+  ``DRIVER_FASTPATH_ROWS`` pair halves hash-join ⨝ gram sets on doc_id
+  and the sorted gram arrays intersect inside the workers.
 * embedding-cosine — random-hyperplane LSH bucketing, exact cosine
   verify within buckets (vectors are the verify payload, so they ride
   the one bucket shuffle).
@@ -352,6 +357,101 @@ class _VerifyMinhashPairs:
         )
 
 
+_EMPTY_MINHASH_PAIRS = pa.table(
+    {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+     "est_jaccard": pa.array([], pa.float64())}
+)
+
+
+def _minhash_pairs_distributed(
+    sigs_ds: rd.Dataset, *, num_perm: int, bands: int, threshold: float
+) -> rd.Dataset:
+    """Cluster-scale MinHash-LSH pair path — NO corpus-sized driver
+    state. Signatures stay a (materialized) Dataset: band keys explode
+    per batch to SLIM (band_id, band_hash, doc_id) rows, one bucketed
+    exchange emits per-band candidate pairs, a second slim exchange
+    dedups them (the fast path's first-colliding-band rule needs the
+    per-doc band matrix as a side table, so at this scale the explicit
+    pair dedup replaces it — same pair SET), and the verify hash-joins
+    candidates ⨝ signatures on doc_a then doc_b (``Dataset.join``,
+    Ray 2.49 hash-partitioned). Only pair-sized tables ever reach the
+    driver."""
+    from ..functions.vectors import int_list_matrix
+    from ..stages.grouping import sized_join
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        mat = int_list_matrix(batch.column("signature"), num_perm)
+        keys = _band_keys(np.ascontiguousarray(mat).view(np.uint64), bands)
+        n = ids.size
+        return pa.table(
+            {
+                "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n), pa.int32()),
+                "band_hash": pa.array(keys.reshape(-1), pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, bands), pa.int64()),
+            }
+        )
+
+    exploded = sigs_ds.map_batches(explode, batch_format="pyarrow")
+    cand = _candidate_pairs_from_bands(exploded, ["band_id", "band_hash"]).materialize()
+    if cand.count() == 0:
+        return rd.from_arrow(_EMPTY_MINHASH_PAIRS)
+
+    sig_width = num_perm * 8
+
+    def pack(id_name: str, sig_name: str):
+        # Arrow's hash join rejects list<> payload columns — pack the
+        # signature as fixed_size_binary (num_perm little-endian u64s),
+        # built zero-copy from the matrix bytes.
+        def r(batch: pa.Table) -> pa.Table:
+            mat = int_list_matrix(batch.column("signature"), num_perm)
+            buf = np.ascontiguousarray(mat).astype("<u8").tobytes()
+            arr = pa.Array.from_buffers(
+                pa.binary(sig_width), len(batch), [None, pa.py_buffer(buf)]
+            )
+            return pa.table({id_name: batch.column("doc_id"), sig_name: arr})
+
+        return r
+
+    def unpack(col) -> np.ndarray:
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        return np.frombuffer(
+            arr.buffers()[1], dtype="<u8", count=len(arr) * num_perm,
+            offset=arr.offset * sig_width,
+        ).reshape(len(arr), num_perm)
+
+    # materialize between the two joins: the intermediate is PAIR-sized
+    # (cheap), and two concurrent join topologies could otherwise
+    # deadlock on aggregator-actor CPU reservations in a small cluster
+    joined = sized_join(
+        cand, sigs_ds.map_batches(pack("doc_a", "sig_a"), batch_format="pyarrow"),
+        ("doc_a",),
+    ).materialize()
+    joined = sized_join(
+        joined, sigs_ds.map_batches(pack("doc_b", "sig_b"), batch_format="pyarrow"),
+        ("doc_b",),
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return _EMPTY_MINHASH_PAIRS
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        ma = unpack(batch.column("sig_a"))
+        mb = unpack(batch.column("sig_b"))
+        est = (ma == mb).mean(axis=1)
+        keep = est >= threshold
+        return pa.table(
+            {
+                "doc_a": pa.array(a[keep], pa.int64()),
+                "doc_b": pa.array(b[keep], pa.int64()),
+                "est_jaccard": pa.array(np.round(est[keep], 6), pa.float64()),
+            }
+        )
+
+    return joined.map_batches(verify, batch_format="pyarrow")
+
+
 def minhash_lsh_pairs(
     documents: rd.Dataset,
     *,
@@ -364,20 +464,33 @@ def minhash_lsh_pairs(
     """→ near-duplicate pairs (doc_a < doc_b, est_jaccard ≥ threshold),
     estimated from signature agreement. Pipeline: signatures (actor
     pool) → SLIM band rows (band_id, band_hash, doc_id) → groupby(band)
-    → candidate pairs → verify against the broadcast signature table.
-    The 64-perm signatures never enter the band exchange."""
+    → candidate pairs → signature verify. The 64-perm signatures never
+    enter the band exchange.
+
+    Below ``DRIVER_FASTPATH_ROWS`` docs the signature matrix
+    (~(8+8·num_perm) B/doc) is collected once on the driver: band keys +
+    the first-colliding-band rule make pairs globally unique after ONE
+    exchange, and the verify reads a broadcast side table. Above it —
+    cluster scale — nothing corpus-sized leaves the workers: see
+    :func:`_minhash_pairs_distributed` (band explode → pair dedup →
+    candidates ⨝ signatures hash-join). Both paths produce the
+    identical pair set (regression-tested)."""
+    from ..config import DRIVER_FASTPATH_ROWS
+
     sigs_ds = documents.map_batches(
         MinHashSignatures,
         fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k, "seed": seed},
         batch_format="pyarrow",
         concurrency=(1, 8),
-    )
-    ids, mat = _collect_signatures(sigs_ds)
-    if ids.size == 0:
-        return rd.from_arrow(
-            pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-                      "est_jaccard": pa.array([], pa.float64())})
+    ).materialize()
+    n_docs = sigs_ds.count()
+    if n_docs == 0:
+        return rd.from_arrow(_EMPTY_MINHASH_PAIRS)
+    if n_docs > DRIVER_FASTPATH_ROWS:
+        return _minhash_pairs_distributed(
+            sigs_ds, num_perm=num_perm, bands=bands, threshold=threshold
         )
+    ids, mat = _collect_signatures(sigs_ds)
     keys = _band_keys(mat.view(np.uint64), bands)
     n = ids.size
     exploded = pa.table(
@@ -474,8 +587,12 @@ def simhash_near_pairs(documents: rd.Dataset, max_hamming: int = 3) -> rd.Datase
                 continue
             ids = grp["doc_id"].to_numpy(np.int64)
             hs = grp["simhash"].to_numpy(np.int64).astype(np.uint64)
-            order = np.argsort(ids)
-            ids, hs = ids[order], hs[order]
+            # unique-ify ids (a duplicated doc_id row in the input must
+            # not yield duplicate pairs — matches the minhash path)
+            ids, first = np.unique(ids, return_index=True)
+            hs = hs[first]
+            if ids.size < 2:
+                continue
             ii, jj = np.triu_indices(len(ids), k=1)
             xor = hs[ii] ^ hs[jj]
             # first-colliding-band rule: a pair that ALSO matches on a
@@ -511,15 +628,17 @@ def simhash_near_pairs(documents: rd.Dataset, max_hamming: int = 3) -> rd.Datase
         {"doc_a": np.array([], np.int64), "doc_b": np.array([], np.int64),
          "hamming": np.array([], np.int64)}
     )
-    refs = sh.to_arrow_refs()
-    if not refs:
+    # size probe from block METADATA (materialize + count), not ray.get:
+    # above the threshold no fingerprint block ever reaches the driver
+    sh = sh.materialize()
+    n_docs = sh.count()
+    if n_docs == 0:
         return rd.from_arrow(pa.Table.from_pandas(empty, preserve_index=False))
-    fp_tables = ray.get(refs)
-    if sum(len(t) for t in fp_tables) <= DRIVER_FASTPATH_ROWS:
-        tbl = pa.concat_tables(fp_tables)
+    if n_docs <= DRIVER_FASTPATH_ROWS:
+        tbl = pa.concat_tables(ray.get(sh.to_arrow_refs()))
         out = bucket_pairs(explode_bands(tbl).to_pandas()) if len(tbl) else empty
         return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
-    exploded = rd.from_arrow_refs(refs).map_batches(explode_bands, batch_format="pyarrow")
+    exploded = sh.map_batches(explode_bands, batch_format="pyarrow")
     return bucketed_group_apply(exploded, ["band_id", "band_val"], bucket_pairs, n_buckets=32)
 
 
@@ -576,6 +695,141 @@ class _NgramBuckets:
         )
 
 
+_EMPTY_NGRAM_PAIRS = pa.table(
+    {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+     "jaccard": pa.array([], pa.float64())}
+)
+
+
+def _ngram_pairs_distributed(
+    documents: rd.Dataset,
+    bucketed: rd.Dataset,
+    *,
+    n: int,
+    bucket_sample: int,
+    threshold: float,
+) -> rd.Dataset:
+    """Cluster-scale n-gram Jaccard pair path — NO corpus-sized driver
+    state. The (bucket, doc_id) rows stay a Dataset: one bucketed
+    exchange emits per-bucket candidate pairs, a second slim exchange
+    dedups pairs that share several min-gram buckets (the fast path's
+    min-common-bucket rule needs a per-doc side table, so the explicit
+    dedup replaces it — same pair SET). The exact-Jaccard verify then
+    hash-joins candidate halves ⨝ per-doc gram sets on doc_id
+    (``Dataset.join``) and intersects the two SORTED gram arrays per
+    pair inside the workers. Gram rows are gathered only for docs
+    referenced by candidates (broadcast of a candidate-sized id set —
+    bounded by the pair table, never the corpus)."""
+    from ..stages.grouping import bucketed_group_apply, sized_join
+
+    def bucket_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        a_out, b_out = [], []
+        for _v, grp in bucket.groupby("bucket", sort=False):
+            if len(grp) < 2:
+                continue
+            ids = np.unique(grp["doc_id"].to_numpy(np.int64))
+            if ids.size < 2:
+                continue
+            ii, jj = np.triu_indices(ids.size, k=1)
+            a_out.append(ids[ii])
+            b_out.append(ids[jj])
+        if not a_out:
+            return pd.DataFrame(
+                {"doc_a": np.array([], np.int64), "doc_b": np.array([], np.int64)}
+            )
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(a_out), "doc_b": np.concatenate(b_out)}
+        )
+
+    cand = bucketed_group_apply(bucketed, ["bucket"], bucket_pairs, n_buckets=32)
+    cand = _dedup_pair_rows(cand, ["doc_a", "doc_b"]).materialize()
+    if cand.count() == 0:
+        return rd.from_arrow(_EMPTY_NGRAM_PAIRS)
+
+    # referenced doc ids — candidate-pair-sized, safe to broadcast
+    ref_ids: list[np.ndarray] = []
+    for t in ray.get(cand.to_arrow_refs()):
+        if len(t):
+            ref_ids.append(t.column("doc_a").to_numpy(zero_copy_only=False))
+            ref_ids.append(t.column("doc_b").to_numpy(zero_copy_only=False))
+    referenced = np.unique(np.concatenate(ref_ids))
+    ref_set_ref = [ray.put(pa.array(referenced, pa.int64()))]
+    helper = _NgramBuckets(n, bucket_sample)
+
+    def gather_sets(batch: pa.Table) -> pa.Table:
+        # grams packed as binary (little-endian i64s): Arrow's hash join
+        # rejects list<> payload columns
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(batch.column("doc_id"), value_set=ray.get(ref_set_ref[0]))
+        sub = batch.filter(mask)
+        if not len(sub):
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "grams": pa.array([], pa.binary())}
+            )
+        sets = helper.doc_gram_sets(sub)  # sorted unique per doc
+        return pa.table(
+            {
+                "doc_id": sub.column("doc_id"),
+                "grams": pa.array(
+                    [s.astype("<i8").tobytes() for s in sets], pa.binary()
+                ),
+            }
+        )
+
+    # materialized: candidate-pruned (small), and BOTH joins read it —
+    # unmaterialized each join would re-run the corpus-wide gather pass
+    gram_rows = documents.map_batches(gather_sets, batch_format="pyarrow").materialize()
+
+    def rename(id_name: str, gram_name: str):
+        def r(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {id_name: batch.column("doc_id"), gram_name: batch.column("grams")}
+            )
+
+        return r
+
+    # pair-sized intermediate materialized between the joins (same
+    # aggregator-reservation rationale as the minhash path)
+    joined = sized_join(
+        cand, gram_rows.map_batches(rename("doc_a", "grams_a"), batch_format="pyarrow"),
+        ("doc_a",),
+    ).materialize()
+    joined = sized_join(
+        joined, gram_rows.map_batches(rename("doc_b", "grams_b"), batch_format="pyarrow"),
+        ("doc_b",),
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return _EMPTY_NGRAM_PAIRS
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        ga = batch.column("grams_a").to_pylist()
+        gb = batch.column("grams_b").to_pylist()
+        a_out, b_out, j_out = [], [], []
+        for da, db, s1, s2 in zip(a.tolist(), b.tolist(), ga, gb):
+            x = np.frombuffer(s1, "<i8")
+            y = np.frombuffer(s2, "<i8")
+            inter = np.intersect1d(x, y, assume_unique=True).size
+            union = x.size + y.size - inter
+            jac = inter / union if union else 0.0
+            if jac >= threshold:
+                a_out.append(da)
+                b_out.append(db)
+                j_out.append(round(jac, 6))
+        return pa.table(
+            {
+                "doc_a": pa.array(a_out, pa.int64()),
+                "doc_b": pa.array(b_out, pa.int64()),
+                "jaccard": pa.array(j_out, pa.float64()),
+            }
+        )
+
+    return joined.map_batches(verify, batch_format="pyarrow")
+
+
 def ngram_jaccard_pairs(
     documents: rd.Dataset, *, n: int = 3, threshold: float = 0.5, bucket_sample: int = 4
 ) -> rd.Dataset:
@@ -583,23 +837,35 @@ def ngram_jaccard_pairs(
     shared MIN-n-gram buckets; the exchange carries ONLY (bucket,
     doc_id). Exact Jaccard is then verified by re-deriving gram sets for
     just the docs referenced by candidates (a candidate-pruned second
-    pass over ``documents`` — cheap because candidates are rare; the
-    cluster-scale alternative is a hash-join of pair halves ⨝ gram sets
-    on doc_id)."""
+    pass over ``documents`` — cheap because candidates are rare).
+
+    Below ``DRIVER_FASTPATH_ROWS`` bucket rows (≤ bucket_sample·16 B per
+    doc) the slim rows are collected once on the driver, the
+    min-common-bucket rule makes pairs unique without a dedup exchange,
+    and the verify reads locally gathered gram sets. Above it — cluster
+    scale — see :func:`_ngram_pairs_distributed` (bucket exchange →
+    pair dedup → pair halves ⨝ gram sets hash-join); both paths produce
+    the identical pair set (regression-tested)."""
+    from ..config import DRIVER_FASTPATH_ROWS as _FASTPATH_GATE
+
     stage = {"n": n, "bucket_sample": bucket_sample}
     bucketed = documents.map_batches(
         _NgramBuckets, fn_constructor_kwargs=stage, batch_format="pyarrow",
         concurrency=(1, 8),
-    )
-    empty = pa.table(
-        {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-         "jaccard": pa.array([], pa.float64())}
-    )
+    ).materialize()
+    empty = _EMPTY_NGRAM_PAIRS
+    n_bucket_rows = bucketed.count()
+    if n_bucket_rows == 0:
+        return rd.from_arrow(empty)
+    if n_bucket_rows > _FASTPATH_GATE:
+        return _ngram_pairs_distributed(
+            documents, bucketed, n=n, bucket_sample=bucket_sample, threshold=threshold
+        )
     # Collect the SLIM (bucket, doc_id) rows once (≤ bucket_sample·16 B
     # per doc — the same driver-side contract as the minhash signature
-    # side table; cluster shape: keep them a Dataset and hash-join).
-    # They feed BOTH the pair exchange and the per-doc min-bucket side
-    # table that makes pairs globally unique in one exchange.
+    # side table). They feed BOTH the pair exchange and the per-doc
+    # min-bucket side table that makes pairs globally unique in one
+    # exchange.
     bparts = [t for t in (ray.get(r) for r in bucketed.to_arrow_refs()) if len(t)]
     if not bparts:
         return rd.from_arrow(empty)

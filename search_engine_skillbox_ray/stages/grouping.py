@@ -63,6 +63,35 @@ def add_hash_bucket(
     return batch.append_column(col, pa.array((h % np.uint64(n_buckets)).astype(np.int32)))
 
 
+def sized_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: tuple,
+    *,
+    join_type: str = "inner",
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """``Dataset.join`` with the aggregator sizing this engine uses for
+    every hash exchange (see ``sources/pages.py`` dense-id join): Ray
+    starts ``min(num_partitions, 64)`` shuffle aggregator ACTORS up
+    front; unsized they can demand more CPUs than the cluster has and
+    deadlock against running actor pools, so partitions are capped at
+    the CPU count and the pool's total reservation at ~half the
+    cluster. ``num_partitions`` is the cluster-scale knob."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_part = num_partitions or max(2, min(64, cpus))
+    agg_cpus = max(0.25, min(1.0, (cpus / 2) / n_part))
+    return left.join(
+        right,
+        join_type=join_type,
+        num_partitions=n_part,
+        on=on,
+        aggregator_ray_remote_args={"num_cpus": agg_cpus},
+    )
+
+
 def bucketed_group_apply(
     ds: rd.Dataset,
     key_cols: list[str],

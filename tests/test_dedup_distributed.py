@@ -1,0 +1,100 @@
+"""Distributed (cluster-scale) near-dup verify paths.
+
+Above ``DRIVER_FASTPATH_ROWS`` the MinHash-LSH and n-gram Jaccard
+pipelines must NOT collect corpus-sized side tables on the driver:
+signatures / gram sets stay Datasets and candidates hash-join against
+them (``Dataset.join``). SimHash's local-vs-exchange probe must decide
+from block metadata. All three distributed paths are forced here with
+a zeroed threshold and must produce the IDENTICAL result set as the
+driver fast path.
+"""
+
+import numpy as np
+import pytest
+import ray.data as rd
+
+from search_engine_skillbox_ray import config
+from search_engine_skillbox_ray.pipelines.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session):
+    """Synthetic docs with planted exact/near/far duplicates across
+    multiple blocks (override_num_blocks>1 so joins/exchanges see a
+    real multi-block layout)."""
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i:03d}" for i in range(120)]
+    rows = []
+    for i in range(80):
+        words = rng.choice(vocab, size=30, replace=True).tolist()
+        rows.append({"doc_id": i, "text": " ".join(words)})
+        if i % 5 == 0:  # exact dup
+            rows.append({"doc_id": 1000 + i, "text": " ".join(words)})
+        if i % 7 == 0:  # near dup: one word appended
+            rows.append({"doc_id": 2000 + i, "text": " ".join(words) + " tail"})
+    rows.append({"doc_id": 3000, "text": ""})  # empty doc
+    rows.append({"doc_id": 3001, "text": "ab cd"})  # shorter than shingle k
+    rows.append({"doc_id": 3002, "text": "ab cd"})  # its exact dup
+    return rd.from_items(rows).repartition(6)
+
+
+def _pair_frame(ds, cols):
+    df = ds.to_pandas()
+    return (
+        df[list(cols)]
+        .sort_values(list(cols[:2]))
+        .reset_index(drop=True)
+    )
+
+
+def test_minhash_distributed_matches_fastpath(corpus, monkeypatch):
+    fast = _pair_frame(
+        minhash_lsh_pairs(corpus, threshold=0.4), ("doc_a", "doc_b", "est_jaccard")
+    )
+    monkeypatch.setattr(config, "DRIVER_FASTPATH_ROWS", 0)
+    dist = _pair_frame(
+        minhash_lsh_pairs(corpus, threshold=0.4), ("doc_a", "doc_b", "est_jaccard")
+    )
+    assert len(fast) > 0
+    assert fast.equals(dist)
+
+
+def test_ngram_distributed_matches_fastpath(corpus, monkeypatch):
+    fast = _pair_frame(
+        ngram_jaccard_pairs(corpus, threshold=0.4), ("doc_a", "doc_b", "jaccard")
+    )
+    monkeypatch.setattr(config, "DRIVER_FASTPATH_ROWS", 0)
+    dist = _pair_frame(
+        ngram_jaccard_pairs(corpus, threshold=0.4), ("doc_a", "doc_b", "jaccard")
+    )
+    assert len(fast) > 0
+    assert fast.equals(dist)
+
+
+def test_simhash_distributed_matches_fastpath(corpus, monkeypatch):
+    fast = _pair_frame(
+        simhash_near_pairs(corpus, max_hamming=3), ("doc_a", "doc_b", "hamming")
+    )
+    monkeypatch.setattr(config, "DRIVER_FASTPATH_ROWS", 0)
+    dist = _pair_frame(
+        simhash_near_pairs(corpus, max_hamming=3), ("doc_a", "doc_b", "hamming")
+    )
+    assert len(fast) > 0
+    assert fast.equals(dist)
+
+
+def test_simhash_duplicate_doc_id_rows_absorbed(ray_session):
+    """A duplicated doc_id row must not yield duplicate or self pairs
+    (documented unique-doc_id hardening)."""
+    rows = [
+        {"doc_id": 1, "text": "alpha beta gamma delta"},
+        {"doc_id": 1, "text": "alpha beta gamma delta"},
+        {"doc_id": 2, "text": "alpha beta gamma delta"},
+    ]
+    out = simhash_near_pairs(rd.from_items(rows), max_hamming=3).to_pandas()
+    assert len(out) == 1
+    assert (int(out["doc_a"][0]), int(out["doc_b"][0])) == (1, 2)
