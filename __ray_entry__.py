@@ -2,10 +2,11 @@
 
 ``entry()`` runs the flagship crawl-corpus→index→search pipeline on
 sf0.001. ``queries()`` exposes one callable per implemented operator
-(SURVEY §2 + the training-data extensions); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for every SQL-expressible one (non-SQL ops —
-LSH/minhash/simhash candidates, language ID, media decode — are
-rows-only checks by design).
+(SURVEY §2 + the training-data extensions); ``oracle_sql()`` gives a
+DuckDB-equivalent for EVERY query — near-dup/LSH via the md5-derived
+hashing replicated in SQL, IVF ANN via the deterministic centroids as
+VALUES, media decode/frames via rows derived structurally from the
+fixture byte format.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ``ray.init()`` / ``ray.shutdown()``.
@@ -39,7 +40,13 @@ MINHASH_PERM, MINHASH_BANDS, MINHASH_SEED, MINHASH_THRESHOLD = 64, 16, 42, 0.5
 NGRAM_N, NGRAM_SAMPLE, NGRAM_THRESHOLD = 3, 4, 0.5
 EMB_PLANES, EMB_SEED, EMB_THRESHOLD = 4, 42, 0.35
 LSH_PLANES, LSH_PROBES = 4, 11
+IVF_LISTS, IVF_PROBE, IVF_TRAIN = 8, 4, 2048
 SIMHASH_MAX_HAMMING = 3
+MEDIA_N, MEDIA_SEED, MEDIA_FEAT_DIM, MEDIA_FRAME_BYTES, MEDIA_EVERY_K = 200, 13, 16, 64, 2
+# the driver runs oracle SQL at sf0.01; the one data-dependent oracle
+# constant (IVF centroids) is derived from this dir — tests override it
+ORACLE_SF_ENV = "SES_ORACLE_SF_DIR"
+_DEFAULT_ORACLE_SF = "/root/testdata/sf0.01"
 BATCH_QUERIES = ["merge batch", "fast", "hash join", "absentzz", "scan column fast"]
 
 # Tokenizer as SQL (RE2 on both sides — pyarrow split_pattern_regex and
@@ -351,16 +358,19 @@ def q_ann_lsh_topk(sf_dir: str):
 
 def q_ann_ivf_topk(sf_dir: str):
     """IVF ANN over the PERSISTED list-partitioned index (k-means trained
-    once at build; queries probe n_probe lists)."""
+    once at build on the deterministic min-vec_id sample; queries probe
+    n_probe lists). Hard oracle: the same centroids as SQL VALUES +
+    argmin-list assignment + probe + cosine re-rank mirrored in DuckDB."""
     from search_engine_skillbox_ray.pipelines.ann_index import AnnIndex, build_ivf_index
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     d = f"/tmp/ses_ann_ivf_{tag}"
     build_ivf_index(
-        _embeddings(sf_dir), d, n_lists=8, seed=42, input_token=sf_dir,
+        _embeddings(sf_dir), d, n_lists=IVF_LISTS, train_sample=IVF_TRAIN,
+        seed=42, input_token=sf_dir,
         input_files=[f"{sf_dir}/embeddings.parquet"],
     )
-    return AnnIndex(d).topk(_query_vectors(sf_dir), k=ANN_K, n_probe=4)
+    return AnnIndex(d).topk(_query_vectors(sf_dir), k=ANN_K, n_probe=IVF_PROBE)
 
 
 def q_events_window(sf_dir: str):
@@ -405,20 +415,66 @@ def q_docs_with_source_stats(sf_dir: str):
 
 
 def q_media_decode(sf_dir: str):
-    """Multimodal plumbing demo over the deterministic media fixture."""
+    """Multimodal plumbing over the deterministic media fixture. The
+    16-dim feature list is pinned through one scalar weighted checksum
+    (Σ feature[i]·(i+1), rounded 6) so the driver's value-hash compare
+    works on scalar columns; the oracle derives the expected rows
+    independently from the documented SESM byte format."""
     import ray.data as rd
 
     from search_engine_skillbox_ray.pipelines.multimodal import decode_media_ds, make_media_table
 
-    return decode_media_ds(rd.from_arrow(make_media_table(200, seed=13)))
+    ds = decode_media_ds(rd.from_arrow(make_media_table(MEDIA_N, seed=MEDIA_SEED)))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        w = np.arange(1, MEDIA_FEAT_DIM + 1, dtype=np.float64)
+        chk = np.array(
+            [
+                float(np.round((np.asarray(row, np.float64) * w).sum(), 6))
+                for row in batch.column("feature").to_pylist()
+            ],
+            np.float64,
+        )
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "media_type": batch.column("media_type"),
+                "width": batch.column("width"),
+                "height": batch.column("height"),
+                "n_channels": batch.column("n_channels"),
+                "n_bytes": batch.column("n_bytes"),
+                "feature_chk": pa.array(chk, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(fin, batch_format="pyarrow")
 
 
 def q_media_frames(sf_dir: str):
+    """Frame sampling over the fixture; frame payloads pinned by md5 so
+    the compare stays on scalar columns."""
     import ray.data as rd
 
     from search_engine_skillbox_ray.pipelines.multimodal import frame_sample_ds, make_media_table
 
-    return frame_sample_ds(rd.from_arrow(make_media_table(200, seed=13)), every_k=2)
+    ds = frame_sample_ds(
+        rd.from_arrow(make_media_table(MEDIA_N, seed=MEDIA_SEED)), every_k=MEDIA_EVERY_K
+    )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        frames = batch.column("frame").to_pylist()
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "frame_idx": batch.column("frame_idx"),
+                "frame_md5": pa.array(
+                    [hashlib.md5(f).hexdigest() for f in frames], pa.string()
+                ),
+                "frame_len": pa.array([len(f) for f in frames], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fin, batch_format="pyarrow")
 
 
 
@@ -722,6 +778,64 @@ def _link_graph_values() -> str:
         if i > 0:
             rows.append(f"('{nu}', '{base}/p/{i - 1}')")
         rows.append(f"('{nu}', '{base}/p/{i + 1}')")
+    return ", ".join(rows)
+
+
+def _media_values() -> tuple[str, str]:
+    """Expected decode/frame rows derived INDEPENDENTLY from the
+    documented SESM fixture byte format (a struct parse + numpy
+    histogram here — NOT the DecodeMedia/FrameSample stages under
+    test), emitted as (decode VALUES, frames VALUES)."""
+    import struct as _struct
+
+    from search_engine_skillbox_ray.pipelines.multimodal import make_media_table
+
+    tbl = make_media_table(MEDIA_N, seed=MEDIA_SEED)
+    w = np.arange(1, MEDIA_FEAT_DIM + 1, dtype=np.float64)
+    dec, frm = [], []
+    for mid, mtype, payload in zip(
+        tbl["media_id"].to_pylist(),
+        tbl["media_type"].to_pylist(),
+        tbl["payload"].to_pylist(),
+    ):
+        _kind, wdt, hgt, chan = _struct.unpack("<BHHH", payload[4:11])
+        body = payload[11:]
+        arr = np.frombuffer(body, np.uint8)
+        hist = np.bincount(arr % MEDIA_FEAT_DIM, minlength=MEDIA_FEAT_DIM).astype(np.float64)
+        feat = np.round(hist / max(1.0, hist.sum()), 6)
+        chk = float(np.round((feat * w).sum(), 6))
+        dec.append(f"({mid}, '{mtype}', {wdt}, {hgt}, {chan}, {len(payload)}, {chk!r})")
+        if mtype == "video":
+            n_frames = max(1, len(body) // MEDIA_FRAME_BYTES)
+            for f in range(0, n_frames, MEDIA_EVERY_K):
+                fb = body[f * MEDIA_FRAME_BYTES: (f + 1) * MEDIA_FRAME_BYTES]
+                frm.append(f"({mid}, {f}, '{hashlib.md5(fb).hexdigest()}', {len(fb)})")
+    return ", ".join(dec), ", ".join(frm)
+
+
+def _ivf_centroid_values() -> str:
+    """The persisted IVF centroids as SQL VALUES. Training is fully
+    deterministic (min-vec_id sample + seeded k-means), so recomputing
+    it here reproduces bit-for-bit the centroids the persisted index
+    trained over the driver's sf dir (default sf0.01;
+    ``SES_ORACLE_SF_DIR`` points the derivation elsewhere in tests)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from search_engine_skillbox_ray.functions.vectors import embedding_vectors
+    from search_engine_skillbox_ray.pipelines.ann import _kmeans_lite
+
+    sf = os.environ.get(ORACLE_SF_ENV, _DEFAULT_ORACLE_SF)
+    tbl = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = tbl["vec_id"].to_numpy()
+    order = np.argsort(ids, kind="stable")[:IVF_TRAIN]
+    sample = embedding_vectors(tbl["embedding"].combine_chunks().take(pa.array(order)))
+    cents = _kmeans_lite(sample, IVF_LISTS, seed=42)
+    rows = []
+    for ci in range(len(cents)):
+        vec = ", ".join(repr(float(v)) for v in cents[ci])
+        rows.append(f"({ci}, [{vec}]::DOUBLE[])")
     return ", ".join(rows)
 
 
@@ -1031,5 +1145,41 @@ LEFT JOIN tot ON tot.doc_id = d.doc_id
 """,
         "link_graph": f"""
 SELECT * FROM (VALUES {_link_graph_values()}) AS t(src_url, dst_url)
+""",
+        "ann_ivf_topk": f"""
+WITH cent(c, w) AS (VALUES {_ivf_centroid_values()}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+d AS (SELECT e.vec_id, c.c, list_distance(e.v, c.w) AS dist FROM e, cent c),
+assign AS (SELECT vec_id, c AS lst FROM (
+  SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn FROM d)
+  WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < {ANN_NQ}),
+qd AS (SELECT q.query_id, c.c, list_distance(q.v, c.w) AS dist FROM q, cent c),
+probes AS (SELECT query_id, c FROM (
+  SELECT query_id, c, row_number() OVER (PARTITION BY query_id ORDER BY dist, c) AS rn FROM qd)
+  WHERE rn <= {IVF_PROBE}),
+cand AS (SELECT p.query_id, a.vec_id FROM probes p JOIN assign a ON a.lst = p.c),
+sc AS (SELECT c.query_id, c.vec_id, list_cosine_similarity(eq.v, ev.v) AS cos
+       FROM cand c JOIN e ev ON ev.vec_id = c.vec_id JOIN e eq ON eq.vec_id = c.query_id)
+SELECT CAST(query_id AS INTEGER) AS query_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) - 1 AS INTEGER) AS rank,
+       vec_id, ROUND(cos, 6) AS cosine
+FROM sc QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) <= {ANN_K}
+""",
+        "media_decode": f"""
+SELECT CAST(media_id AS BIGINT) AS media_id, media_type,
+       CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+       CAST(n_channels AS INTEGER) AS n_channels,
+       CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(feature_chk AS DOUBLE) AS feature_chk
+FROM (VALUES {_media_values()[0]})
+  AS t(media_id, media_type, width, height, n_channels, n_bytes, feature_chk)
+""",
+        "media_frames": f"""
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       frame_md5, CAST(frame_len AS BIGINT) AS frame_len
+FROM (VALUES {_media_values()[1]})
+  AS t(media_id, frame_idx, frame_md5, frame_len)
 """,
     }

@@ -129,6 +129,50 @@ def _plane_signatures(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return keys
 
 
+def deterministic_train_vectors(
+    embeddings: rd.Dataset,
+    train_sample: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """The ``train_sample`` vectors with the SMALLEST ids, in ascending
+    id order — reproducible across block arrival order and cluster
+    sizes (a plain ``limit().take_all()`` is not: it keeps whichever
+    blocks finish first). Per-block bottom-k inside ``map_batches``,
+    then an incremental driver merge that never holds more than
+    ``2·train_sample`` rows."""
+
+    def bottomk(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if ids.size > train_sample:
+            idx = np.sort(np.argpartition(ids, train_sample - 1)[:train_sample])
+            batch = batch.take(pa.array(idx))
+        return pa.table(
+            {id_col: batch.column(id_col), vec_col: batch.column(vec_col)}
+        )
+
+    best_ids = np.empty(0, np.int64)
+    best_vecs: np.ndarray | None = None
+    slim = embeddings.map_batches(bottomk, batch_format="pyarrow")
+    for ref in slim.to_arrow_refs():
+        t = ray.get(ref)
+        if not len(t):
+            continue
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        vecs = embedding_vectors(t.column(vec_col))
+        if best_vecs is None:
+            all_ids, all_vecs = ids, vecs
+        else:
+            all_ids = np.concatenate([best_ids, ids])
+            all_vecs = np.concatenate([best_vecs, vecs])
+        order = np.argsort(all_ids, kind="stable")[:train_sample]
+        best_ids, best_vecs = all_ids[order], all_vecs[order]
+    if best_vecs is None:
+        return np.empty((0, 0), np.float64)
+    return best_vecs
+
+
 def _kmeans_lite(sample: np.ndarray, k: int, iters: int = 8, seed: int = 42) -> np.ndarray:
     """Seeded mini k-means for IVF coarse quantization (numpy only)."""
     rng = np.random.default_rng(seed)
@@ -164,15 +208,17 @@ def ivf_topk(
     and queries read only their probed partitions. Recall is tested
     against the brute-force baseline."""
     queries = np.asarray(queries, dtype=np.float64)
-    sample_rows = embeddings.limit(train_sample).take_all()
-    sample = np.asarray([r[vec_col] for r in sample_rows], dtype=np.float64)
+    sample = deterministic_train_vectors(
+        embeddings, train_sample, id_col=id_col, vec_col=vec_col
+    )
     cents = _kmeans_lite(sample, n_lists, seed=seed)
     cents_ref = [ray.put(cents)]
     qref = [ray.put(queries)]
 
-    # per-query probed list ids
+    # per-query probed list ids (stable sort: distance ties resolve to
+    # the smallest list id — mirrored by the SQL oracle's ORDER BY)
     qd = ((queries[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-    probe_lists = np.argsort(qd, axis=1)[:, : min(n_probe, len(cents))]
+    probe_lists = np.argsort(qd, axis=1, kind="stable")[:, : min(n_probe, len(cents))]
     probe_sets = [set(row.tolist()) for row in probe_lists]
     wanted = sorted(set().union(*probe_sets)) if probe_sets else []
     wanted_arr = pa.array(wanted, pa.int64())

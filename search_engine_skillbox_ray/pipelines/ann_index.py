@@ -38,7 +38,17 @@ import ray.data as rd
 
 from ..functions.vectors import embedding_vectors
 from ..state.manifest import atomic_write_json, fingerprint_inputs, read_json
-from .ann import _kmeans_lite, _plane_signatures
+from .ann import _kmeans_lite, _plane_signatures, deterministic_train_vectors
+
+
+def _clear_stale_partitions(index_dir: Path, key_col: str) -> None:
+    """A rebuild (fingerprint mismatch) rewrites every live partition,
+    but a partition whose key gets NO vectors under the new parameters
+    would otherwise linger from the old layout and pollute probes."""
+    for f in index_dir.glob(f"{key_col}=*.parquet"):
+        f.unlink()
+    for f in index_dir.glob(f"{key_col}=*.parquet.tmp"):
+        f.unlink()
 
 
 def _partition_writer(index_dir: Path, key_col: str):
@@ -81,6 +91,7 @@ def build_lsh_index(
     mf = read_json(index_dir / "ann_manifest.json")
     if mf and mf.get("fingerprint") == fp:
         return mf
+    _clear_stale_partitions(index_dir, "bucket")
 
     def tag(batch: pa.Table) -> pa.Table:
         vecs = embedding_vectors(batch.column(vec_col))
@@ -138,14 +149,20 @@ def build_ivf_index(
     params = {
         "kind": "ivf", "n_lists": n_lists, "train_sample": train_sample,
         "seed": seed, "input": input_token,
+        # training sample = the train_sample SMALLEST vec_ids (block-order
+        # independent; a limit().take_all() sample was only as reproducible
+        # as Ray's scheduling)
+        "train_order": "min_vec_id",
     }
     fp = fingerprint_inputs(input_files or [], params)
     mf = read_json(index_dir / "ann_manifest.json")
     if mf and mf.get("fingerprint") == fp:
         return mf
+    _clear_stale_partitions(index_dir, "list")
 
-    sample_rows = embeddings.limit(train_sample).take_all()
-    sample = np.asarray([r[vec_col] for r in sample_rows], dtype=np.float64)
+    sample = deterministic_train_vectors(
+        embeddings, train_sample, id_col=id_col, vec_col=vec_col
+    )
     cents = _kmeans_lite(sample, n_lists, seed=seed)
     np.save(index_dir / "centroids.npy", cents)
 
@@ -243,7 +260,9 @@ class AnnIndex:
             key_of_row = "bucket"
         else:
             qd = ((queries[:, None, :] - self.cents[None, :, :]) ** 2).sum(axis=2)
-            probe_lists = np.argsort(qd, axis=1)[:, : min(n_probe, len(self.cents))]
+            # stable: distance ties resolve to the smallest list id
+            # (mirrored by the SQL oracle's ORDER BY dist, list)
+            probe_lists = np.argsort(qd, axis=1, kind="stable")[:, : min(n_probe, len(self.cents))]
             probe_sets = [set(row.tolist()) for row in probe_lists]
             wanted = sorted(set().union(*probe_sets)) if probe_sets else []
             part = self._read_partitions("list", wanted)
