@@ -264,9 +264,42 @@ def bench_sf_queries() -> dict:
     return out
 
 
+def bench_index_build_pages_gated() -> dict:
+    """Headline with the SAME steal-gated retry the scaling protocol
+    has: re-run when the build interval saw hypervisor steal above the
+    gate (as % of the job's CPUs), keep the least-stolen attempt.
+    Round 2's one-shot headline recorded 21.9% steal and buried a ~2×
+    clean-CPU win in hypervisor noise — gating makes the cross-round
+    BENCH comparison signal."""
+    max_tries = int(os.environ.get("SES_BENCH_HEADLINE_TRIES", "3"))
+    gate = float(os.environ.get("SES_BENCH_STEAL_GATE", "3.0"))
+    host_cpus = os.cpu_count() or 32
+    best = None
+    tries = 0
+    for _ in range(max_tries):
+        tries += 1
+        r = bench_index_build_pages()
+        r["job_steal_pct"] = round(
+            r.get("host_steal_pct", 0.0) * host_cpus / N_CPUS, 2
+        )
+        if best is None or r["job_steal_pct"] < best["job_steal_pct"]:
+            best = r
+        if r["job_steal_pct"] <= gate:
+            break
+        os.sync()
+        time.sleep(15)
+    best["headline_attempts"] = tries
+    return best
+
+
 def run_once() -> dict:
     _init_ray()
-    headline = bench_index_build_pages()
+    if os.environ.get("SES_BENCH_HEADLINE_ONLY"):
+        # scaling children stay single-shot: the PARENT protocol gates
+        # and retries whole child runs
+        headline = bench_index_build_pages()
+    else:
+        headline = bench_index_build_pages_gated()
     if os.environ.get("SES_BENCH_HEADLINE_ONLY"):
         import ray
 
@@ -307,8 +340,11 @@ def run_once() -> dict:
         "query_p95_ms": round(qlat["p95_ms"], 3),
         "ingest_docs_per_sec": round(ingest["docs_per_sec"], 1),
         # hypervisor steal over the headline build — attributes shared-VM
-        # noise (identical runs measured 26.6 s vs 44.6 s minutes apart)
+        # noise (identical runs measured 26.6 s vs 44.6 s minutes apart);
+        # the kept attempt is the least-stolen of headline_attempts runs
         "host_steal_pct": headline.get("host_steal_pct", 0.0),
+        "job_steal_pct": headline.get("job_steal_pct", 0.0),
+        "headline_attempts": headline.get("headline_attempts", 1),
     }
     import ray
 

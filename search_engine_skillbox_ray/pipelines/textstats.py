@@ -88,35 +88,40 @@ def fingerprint_stage(batch: pa.Table, text_col: str = "text", id_col: str = "do
 
 class LangId:
     """Actor-pool language-ID stage: stopword-hit scoring over the M2
-    token stream. Wordlists compiled once per actor (__init__), batches
-    scored vectorized-per-doc (__call__)."""
+    token stream. Wordlists become Arrow value sets once per actor
+    (__init__); scoring is ONE ``pc.is_in`` C-kernel pass over the flat
+    token array per language + ``np.bincount`` over the parent index —
+    no per-doc (let alone per-token) Python in the hot path."""
 
     def __init__(self) -> None:
         self.langs = list(_LANG_STOPWORDS)
-        self.tables = [_LANG_STOPWORDS[lg] for lg in self.langs]
+        self.value_sets = [
+            pa.array(sorted(_LANG_STOPWORDS[lg]), pa.string()) for lg in self.langs
+        ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        toks, _ = _tokens_per_row(batch, "text")
-        preds, confs = [], []
-        for t in toks:
-            if not t:
-                preds.append("unknown")
-                confs.append(0.0)
-                continue
-            hits = [sum(1 for w in t if w in tbl) for tbl in self.tables]
-            best = int(np.argmax(hits))
-            total = len(t)
-            if hits[best] == 0:
-                preds.append("unknown")
-                confs.append(0.0)
-            else:
-                preds.append(self.langs[best])
-                confs.append(round(hits[best] / total, 6))
+        from ..functions.hashing import flat_nonempty_tokens
+
+        n = len(batch)
+        toks, parents, counts = flat_nonempty_tokens(batch.column("text"))
+        hits = np.zeros((len(self.langs), n), dtype=np.int64)
+        if len(toks):
+            for li, vs in enumerate(self.value_sets):
+                mask = pc.is_in(toks, value_set=vs).to_numpy(zero_copy_only=False)
+                if mask.any():
+                    hits[li] = np.bincount(parents[mask], minlength=n)
+        best = hits.argmax(axis=0)  # ties → lowest language index
+        best_hits = hits[best, np.arange(n)]
+        known = best_hits > 0
+        preds = np.where(known, np.asarray(self.langs, dtype=object)[best], "unknown")
+        conf = np.where(
+            known, np.round(best_hits / np.maximum(counts, 1), 6), 0.0
+        )
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "pred_lang": pa.array(preds, type=pa.string()),
-                "confidence": pa.array(confs, type=pa.float64()),
+                "pred_lang": pa.array(preds.tolist(), type=pa.string()),
+                "confidence": pa.array(conf, type=pa.float64()),
             }
         )
 
@@ -143,8 +148,9 @@ class HllPartial:
     into (register = top ``precision`` bits, rho = leading-zero run of
     the remaining bits + 1), and pre-aggregate max(rho) per
     (key, register) — the shuffle moves at most keys × 2^precision rows
-    per batch, never token rows. rho via ``np.frexp`` (exact integer
-    bit-length below 2^53 — float log2 mis-floors near powers of two)."""
+    per batch, never token rows. rho from an exact integer bit length
+    (frexp per 32-bit half — a single float64 frexp is only exact below
+    2^53, which precision ≤ 10 exceeds)."""
 
     def __init__(self, precision: int = 12, key_col: str = "source", text_col: str = "text") -> None:
         from ..functions.hashing import TokenHasher
@@ -173,9 +179,16 @@ class HllPartial:
         h = self.hasher.hash_tokens(toks)
         reg = (h >> np.uint64(field)).astype(np.int64)
         w = h & np.uint64((1 << field) - 1)
-        _, exp = np.frexp(w.astype(np.float64))  # exact bit_length (w < 2^53)
-        rho = (field + 1 - exp).astype(np.int64)
-        rho[w == 0] = field + 1
+        # exact integer bit_length via two 32-bit halves: frexp on a
+        # float64 is only exact below 2^53, and with precision ≤ 10 the
+        # field is ≥ 54 bits — a w just under a power of two would
+        # round UP and understate rho
+        hi = (w >> np.uint64(32)).astype(np.float64)
+        lo = (w & np.uint64(0xFFFFFFFF)).astype(np.float64)
+        _, ehi = np.frexp(hi)
+        _, elo = np.frexp(lo)
+        bl = np.where(hi > 0, ehi + 32, elo)  # bit_length(w); 0 for w == 0
+        rho = (field + 1 - bl).astype(np.int64)
         t = pa.table(
             {
                 self.key_col: batch.column(self.key_col).take(pa.array(parents)),

@@ -102,6 +102,43 @@ def _root_of(url: str) -> str:
     return u.split("/", 1)[0]
 
 
+def match_site_prefixes(
+    url_arr: pa.Array, norm_roots: list[tuple[int, str]]
+) -> tuple[np.ndarray, np.ndarray]:
+    """→ (site_ids:int32, matched-root length:int32) — the FIRST root in
+    list order that string-prefixes each url (the reference's url-prefix
+    match, IndexingServiceImpl.java:183-195). One Arrow ``starts_with``
+    C-kernel pass per root over the whole batch (early exit once all
+    urls are assigned) replaces the per-url Python loop with its
+    O(sites) inner scan — the build's hottest Python loop at a
+    multi-thousand-root corpus."""
+    import pyarrow.compute as pc
+
+    n = len(url_arr)
+    ids = np.full(n, -1, dtype=np.int32)
+    root_len = np.zeros(n, dtype=np.int32)
+    unassigned = np.ones(n, dtype=bool)
+    for sid, root in norm_roots:
+        if not unassigned.any():
+            break
+        m = pc.starts_with(url_arr, pattern=root).to_numpy(zero_copy_only=False)
+        take = m & unassigned
+        if take.any():
+            ids[take] = sid
+            root_len[take] = len(root)
+            unassigned[take] = False
+    return ids, root_len
+
+
+def _paths_from_roots(urls: list[str], root_len: np.ndarray) -> list[str]:
+    """Matched rows keep the suffix after the root ('/' when empty);
+    unmatched rows (root_len 0) keep the whole url — same contract as
+    the old per-url scan."""
+    return [
+        (u[k:] or "/") if k else u for u, k in zip(urls, root_len.tolist())
+    ]
+
+
 class PreparePages:
     """Stage 1 of corpus prep (see module docstring) — a STATELESS task
     stage (SURVEY §7.2 maps M1 extraction to tasks, not actors): the
@@ -119,18 +156,11 @@ class PreparePages:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = [normalize_url(u) for u in batch.column("url").to_pylist()]
-        site_ids = np.full(len(urls), -1, dtype=np.int32)
-        paths = []
-        for i, u in enumerate(urls):
-            sid, spath = -1, u
-            for j, root in enumerate(self.site_urls):
-                if u.startswith(root):
-                    sid = self.site_ids[j]
-                    p = u[len(root):]
-                    spath = p if p else "/"
-                    break
-            site_ids[i] = sid
-            paths.append(spath)
+        site_ids, root_len = match_site_prefixes(
+            pa.array(urls, pa.string()),
+            list(zip(self.site_ids, self.site_urls)),
+        )
+        paths = _paths_from_roots(urls, root_len)
 
         if self.use_text_col and "text" in batch.column_names:
             texts = batch.column("text").to_pylist()
@@ -176,17 +206,8 @@ def _keys_table(batch: pa.Table, norm_roots: list[tuple[int, str]]) -> pa.Table:
     """(site_id, path, url, raw_url, ts_us) key rows for the dedup
     prepass — shared by the Ray-Data and plain-pyarrow scanners."""
     urls = [normalize_url(u) for u in batch.column("url").to_pylist()]
-    site_ids = np.full(len(urls), -1, dtype=np.int32)
-    paths = []
-    for i, u in enumerate(urls):
-        spath = u
-        for sid, root in norm_roots:
-            if u.startswith(root):
-                site_ids[i] = sid
-                p = u[len(root):]
-                spath = p if p else "/"
-                break
-        paths.append(spath)
+    site_ids, root_len = match_site_prefixes(pa.array(urls, pa.string()), norm_roots)
+    paths = _paths_from_roots(urls, root_len)
     out = {
         "site_id": pa.array(site_ids, pa.int32()),
         "path": pa.array(paths, pa.string()),
@@ -402,6 +423,12 @@ def finalize_docs(batch: pa.Table, id_map=None) -> pa.Table:
 
     if isinstance(id_map, str) and id_map == "joined":
         doc_ids = pc.cast(batch.column("doc_id"), pa.int64())
+        if doc_ids.null_count:
+            # the distributed path joins LEFT OUTER so a doc row whose
+            # url is absent from the id map fails LOUD here, exactly
+            # like the broadcast fast path below — not silent data loss
+            raise RuntimeError("url missing from the dense docID map — "
+                               "prepass and stream disagree on normalization")
     elif isinstance(id_map, (pa.Array, pa.ChunkedArray)):
         idx = pc.index_in(batch.column("url"), value_set=id_map)
         if idx.null_count:
@@ -581,8 +608,12 @@ def prepare_docs(
         cpus = int(ray.cluster_resources().get("CPU", 8))
         n_part = join_partitions or max(2, min(64, cpus))
         agg_cpus = max(0.25, min(1.0, (cpus / 2) / n_part))
+        # LEFT OUTER, not inner: an inner join would silently DROP a doc
+        # row whose url is missing from the id map; finalize_docs raises
+        # on the resulting null doc_id instead (fail-loud invariant of
+        # the broadcast fast path preserved)
         joined = ds.join(
-            id_map_ds, join_type="inner", num_partitions=n_part,
+            id_map_ds, join_type="left_outer", num_partitions=n_part,
             on=("url",),
             aggregator_ray_remote_args={"num_cpus": agg_cpus},
         )

@@ -336,3 +336,36 @@ def test_hll_distinct_tokens_accuracy_and_determinism(ray_session):
 
     with pytest.raises(ValueError):
         hll_distinct_tokens(ds, precision=2)
+
+
+def test_hll_rho_exact_at_low_precision(ray_session):
+    """rho must be the exact integer leading-zero count for EVERY
+    allowed precision — a single float64 frexp mis-floors when the
+    register field exceeds 53 bits (precision <= 10)."""
+    import pyarrow as pa
+
+    from search_engine_skillbox_ray.functions.hashing import TokenHasher
+    from search_engine_skillbox_ray.pipelines.textstats import HllPartial
+
+    import itertools
+
+    # letter-only words: digits are token separators under M2 semantics
+    words = [
+        "".join(w) for w in itertools.islice(itertools.product("abcdefghij", repeat=4), 3000)
+    ]
+    batch = pa.table(
+        {"source": ["s"], "text": [" ".join(words)], "doc_id": [1]}
+    )
+    for precision in (4, 8, 12, 16):
+        stage = HllPartial(precision=precision)
+        out = stage(batch)
+        field = 64 - precision
+        h = TokenHasher().hash_tokens(pa.array(sorted(set(words))))
+        expect: dict[int, int] = {}
+        for v in h.tolist():
+            reg = v >> field
+            w = v & ((1 << field) - 1)
+            rho = field + 1 - w.bit_length()  # pure-int oracle
+            expect[reg] = max(expect.get(reg, 0), rho)
+        got = dict(zip(out["register"].to_pylist(), out["rho"].to_pylist()))
+        assert got == expect, f"precision={precision}"
