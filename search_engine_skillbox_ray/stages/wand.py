@@ -36,24 +36,38 @@ import numpy as np
 
 from .codec import decode_block
 
+# cumulative count of block decodes (profiling/pruning tests; the
+# counter is process-local and never read in the hot path)
+BLOCKS_DECODED = 0
+
 
 class _TermCursor:
-    __slots__ = ("row", "idf", "n_blocks", "block", "docs", "tfs", "pos", "bound_fn", "max_weight")
+    __slots__ = ("row", "idf", "n_blocks", "block", "docs", "tfs", "pos",
+                 "block_bounds", "max_weight")
 
-    def __init__(self, row: dict, idf: float, bound_fn: Callable[[np.ndarray, float], np.ndarray]):
+    def __init__(self, row: dict, idf: float, bound_fn: Callable[..., np.ndarray]):
         self.row = row
         self.idf = idf
-        self.bound_fn = bound_fn
         self.n_blocks = len(row["block_last_doc"])
         self.block = -1
         self.docs = np.empty(0, np.int64)
         self.tfs = np.empty(0, np.int64)
         self.pos = 0
-        self.max_weight = float(
-            np.max(bound_fn(np.asarray(row["block_max_tf"], dtype=np.int64), idf))
-        ) if self.n_blocks else 0.0
+        if self.n_blocks:
+            # ONE vectorized bound pass per list, cached: the bound may
+            # use per-block docID ranges (BM25's min-doc_len bound)
+            self.block_bounds = bound_fn(
+                np.asarray(row["block_max_tf"], dtype=np.int64), idf,
+                np.asarray(row["block_last_doc"], dtype=np.int64),
+            ).astype(np.float64)
+            self.max_weight = float(self.block_bounds.max())
+        else:
+            self.block_bounds = np.empty(0, np.float64)
+            self.max_weight = 0.0
 
     def _load_block(self, b: int) -> None:
+        global BLOCKS_DECODED
+        BLOCKS_DECODED += 1
         self.docs, self.tfs = decode_block(self.row, b)
         self.block = b
         self.pos = 0
@@ -71,7 +85,7 @@ class _TermCursor:
         return lo
 
     def block_max_weight(self, b: int) -> float:
-        return float(self.bound_fn(np.asarray([self.row["block_max_tf"][b]], np.int64), self.idf)[0])
+        return float(self.block_bounds[b])
 
     def seek(self, doc: int) -> tuple[int, int] | None:
         """Advance to first posting with docID >= doc → (docID, tf)."""
@@ -118,10 +132,10 @@ def topk_conjunctive_bmw(
     """AND-mode block-max WAND. ``term_rows`` = [(payload_row, idf)].
 
     ``weight_fn(tfs, idf, doc_ids)`` is the exact per-posting score;
-    ``bound_fn(tfs, idf)`` a doc-independent upper bound (defaults to
-    weight_fn without docs — correct for TF-IDF; BM25 passes its
-    dl→0 bound)."""
-    bound_fn = bound_fn or (lambda tfs, idf: weight_fn(tfs, idf, None))
+    ``bound_fn(tfs, idf, block_lasts)`` a per-block upper bound
+    (defaults to weight_fn without docs — correct for TF-IDF; BM25
+    passes its min-doc_len-per-block bound)."""
+    bound_fn = bound_fn or (lambda tfs, idf, block_lasts=None: weight_fn(tfs, idf, None))
     if not term_rows or any(r["df"] == 0 for r, _ in term_rows):
         return np.empty(0, np.int64), np.empty(0, np.float64)
     cursors = [_TermCursor(r, idf, bound_fn) for r, idf in term_rows]
@@ -174,7 +188,7 @@ def topk_disjunctive_maxscore(
     max_weight can't alone reach the threshold become non-essential —
     they are only PROBED at candidate docIDs (block-skipped), never
     iterated. Exact same top-k as exhaustive OR scoring."""
-    bound_fn = bound_fn or (lambda tfs, idf: weight_fn(tfs, idf, None))
+    bound_fn = bound_fn or (lambda tfs, idf, block_lasts=None: weight_fn(tfs, idf, None))
     rows = [(r, idf) for r, idf in term_rows if r["df"] > 0]
     if not rows:
         return np.empty(0, np.int64), np.empty(0, np.float64)
@@ -213,13 +227,20 @@ def topk_disjunctive_maxscore(
             if p is not None and p[0] == cand:
                 score += float(weight_fn(np.asarray([p[1]], np.int64), cursors[ci].idf, cand_arr)[0])
         for ci in range(first_essential - 1, -1, -1):
-            # upper bound with remaining non-essential terms
-            if score + prefix[ci] < threshold:
+            # abort with the remaining upper bound — this term's share is
+            # its BLOCK bound at cand (a binary search over block_last,
+            # no decode), not the whole-list max: tighter, so probes die
+            # before the block-decoding seek
+            c = cursors[ci]
+            prev = float(prefix[ci - 1]) if ci > 0 else 0.0
+            blk = c.block_of_doc(cand)
+            contrib = float(c.block_bounds[blk]) if blk < c.n_blocks else 0.0
+            if score + prev + contrib < threshold:
                 score = None  # cannot make it
                 break
-            p = cursors[ci].seek(cand)
+            p = c.seek(cand)
             if p is not None and p[0] == cand:
-                score += float(weight_fn(np.asarray([p[1]], np.int64), cursors[ci].idf, cand_arr)[0])
+                score += float(weight_fn(np.asarray([p[1]], np.int64), c.idf, cand_arr)[0])
         if score is not None:
             _topk_push(heap, k, score, cand)
         # advance essential cursors sitting on cand

@@ -277,9 +277,7 @@ class SearchEngine:
             for f in sorted(d.glob(pat))
         ]
 
-    def _doc_len_lookup(self, doc_ids: np.ndarray) -> np.ndarray:
-        """doc_len per docID for BM25 (sandbox: one in-memory sorted array;
-        scale path: per-shard doc-len arrays held by the query actors)."""
+    def _ensure_doclen(self) -> None:
         if self._doclen is None:
             import pyarrow.dataset as pads
 
@@ -290,6 +288,52 @@ class SearchEngine:
             lens = tbl["doc_len"].to_numpy(zero_copy_only=False).astype(np.float64)
             order = np.argsort(ids)
             self._doclen = (ids[order], lens[order])
+
+    def _dl_block_mins(self, block_lasts: np.ndarray) -> np.ndarray:
+        """Min doc_len per posting block, over the blocks' contiguous
+        docID ranges ((prev_last, last]; first block from 0) — the
+        tighter-than-dl→0 BM25 block bound. The range is a SUPERSET of
+        the block's own docs (other segments' or deleted docs in the
+        range only lower the min), so the bound stays admissible. Live
+        delta-overlay doc lens are folded in (an update can SHORTEN a
+        doc). Blocks with no known doc in range fall back to 0 — the
+        dl→0 bound."""
+        self._ensure_doclen()
+        ids, lens = self._doclen
+        nb = block_lasts.size
+        out = np.zeros(nb, np.float64)
+        have = np.zeros(nb, dtype=bool)
+        if ids.size and nb:
+            p = np.searchsorted(ids, block_lasts, side="right")
+            starts = np.concatenate(([0], p[:-1]))
+            valid = p > starts
+            if valid.any():
+                # blocks tile the docID axis: start_{i+1} == end_i, so one
+                # reduceat gives every per-range min; empty ranges produce
+                # a stray element value — masked out by ``valid``
+                safe = np.minimum(starts, max(0, int(p[-1]) - 1))
+                mins = np.minimum.reduceat(lens[: int(p[-1])], safe)
+                out[valid] = mins[valid]
+                have |= valid
+        if self._delta_docs and nb:
+            dids = np.fromiter(sorted(self._delta_docs), np.int64, len(self._delta_docs))
+            dlens = np.array(
+                [float(self._delta_docs[int(d)]["doc_len"]) for d in dids], np.float64
+            )
+            lo = np.concatenate(([np.int64(-1)], block_lasts[:-1]))
+            ds_ = np.searchsorted(dids, lo, side="right")
+            de_ = np.searchsorted(dids, block_lasts, side="right")
+            for i in np.flatnonzero(de_ > ds_):
+                dmin = float(dlens[ds_[i]: de_[i]].min())
+                out[i] = min(out[i], dmin) if have[i] else dmin
+                have[i] = True
+        out[~have] = 0.0
+        return out
+
+    def _doc_len_lookup(self, doc_ids: np.ndarray) -> np.ndarray:
+        """doc_len per docID for BM25 (sandbox: one in-memory sorted array;
+        scale path: per-shard doc-len arrays held by the query actors)."""
+        self._ensure_doclen()
         ids, lens = self._doclen
         idx = np.searchsorted(ids, doc_ids)
         idx = np.clip(idx, 0, len(ids) - 1)
@@ -431,10 +475,16 @@ class SearchEngine:
                 dl = self._doc_len_lookup(np.asarray(doc_ids, np.int64)) if doc_ids is not None else 0.0
                 return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
 
-            def bound(tfs: np.ndarray, idf: float) -> np.ndarray:
-                # dl → 0 upper bound: valid for every document length
+            def bound(tfs: np.ndarray, idf: float, block_lasts=None) -> np.ndarray:
+                # per-block min doc_len over the block's docID range —
+                # tighter than the dl→0 limit yet admissible (see
+                # _dl_block_mins); dl→0 when no range is given
                 tf = tfs.astype(np.float64)
-                return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b))
+                if block_lasts is None:
+                    dlm = 0.0
+                else:
+                    dlm = self._dl_block_mins(np.asarray(block_lasts, np.int64))
+                return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dlm / avgdl))
 
         else:
 

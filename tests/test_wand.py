@@ -164,3 +164,72 @@ def test_engine_topk_bm25_pruned_matches_exact(ray_session, tmp_path):
         d_pr, s_pr = eng.topk(q, k=10)
         assert d_pr.tolist() == d_ex[:10].tolist(), q
         assert np.allclose(s_pr, s_ex[:10], rtol=1e-12)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_bm25_min_dl_block_bound_prunes_more(seed):
+    """The per-block min-doc_len BM25 bound must (a) return the exact
+    same top-k as the dl->0 bound and (b) decode no more — and across
+    the seeds strictly fewer — blocks."""
+    import search_engine_skillbox_ray.stages.wand as wand
+
+    rng = np.random.default_rng(seed)
+    n_docs = 4000
+    # doc length CORRELATED with docID regions (dense ids sort by url, so
+    # same-site pages — similar lengths — are adjacent): the per-block
+    # min is meaningfully above the global min, unlike i.i.d. lengths
+    region = (np.arange(n_docs) // 512) % 2
+    doc_len = np.where(
+        region == 0, rng.integers(1500, 2000, n_docs), rng.integers(30, 60, n_docs)
+    ).astype(np.float64)
+    avgdl = float(doc_len.mean())
+    k1, b = 1.2, 0.75
+
+    term_rows = []
+    for _ in range(4):
+        n = int(rng.integers(400, 2000))
+        docs = np.sort(rng.choice(n_docs, size=n, replace=False)).astype(np.int64)
+        tfs = rng.integers(1, 8, size=n)
+        idf = float(rng.uniform(0.5, 3.0))
+        term_rows.append((encode_posting_list(docs, tfs), idf))
+
+    def weight(tfs, idf, doc_ids=None):
+        tf = tfs.astype(np.float64)
+        dl = doc_len[np.asarray(doc_ids, np.int64)] if doc_ids is not None else 0.0
+        return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+    def bound_loose(tfs, idf, block_lasts=None):
+        tf = tfs.astype(np.float64)
+        return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b))
+
+    def bound_tight(tfs, idf, block_lasts=None):
+        tf = tfs.astype(np.float64)
+        if block_lasts is None:
+            dlm = 0.0
+        else:
+            lasts = np.asarray(block_lasts, np.int64)
+            starts = np.concatenate(([np.int64(-1)], lasts[:-1])) + 1
+            dlm = np.array(
+                [doc_len[s: e + 1].min() for s, e in zip(starts, lasts)], np.float64
+            )
+        return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dlm / avgdl))
+
+    decoded = {}
+    results = {}
+    for name, bnd in (("loose", bound_loose), ("tight", bound_tight)):
+        wand.BLOCKS_DECODED = 0
+        d, s = topk_disjunctive_maxscore(term_rows, 10, weight, bnd)
+        decoded[name] = wand.BLOCKS_DECODED
+        results[name] = (d.tolist(), np.round(s, 9).tolist())
+    assert results["tight"] == results["loose"]
+    assert decoded["tight"] <= decoded["loose"]
+    return decoded
+
+
+def test_bm25_min_dl_bound_strictly_fewer_blocks_overall():
+    total = {"loose": 0, "tight": 0}
+    for seed in range(4):
+        d = test_bm25_min_dl_block_bound_prunes_more(seed)
+        total["loose"] += d["loose"]
+        total["tight"] += d["tight"]
+    assert total["tight"] < total["loose"], total
