@@ -252,6 +252,14 @@ def bench_sf_queries() -> dict:
     t0 = time.perf_counter()
     entry._index_dir(SF_DIR)
     out["index_build_documents"] = round(time.perf_counter() - t0, 3)
+    # prime the persisted ANN indexes (manifest-cached on disk): the
+    # per-query timings below are then the SERVING cost over the
+    # persisted layout, not a one-time build that may or may not be
+    # cached from a previous process
+    t0 = time.perf_counter()
+    qs["ann_lsh_topk"](SF_DIR)
+    qs["ann_ivf_topk"](SF_DIR)
+    out["ann_index_build"] = round(time.perf_counter() - t0, 3)
     for name in chosen:
         t0 = time.perf_counter()
         res = qs[name](SF_DIR)

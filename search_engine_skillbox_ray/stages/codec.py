@@ -315,3 +315,248 @@ def merge_posting_payloads(payloads: list[dict], block_size: int = BLOCK_SIZE) -
     doc_ids = np.concatenate(docs_parts) if docs_parts else np.empty(0, np.int64)
     tfs = np.concatenate(tf_parts) if tf_parts else np.empty(0, np.int64)
     return encode_posting_list(doc_ids, tfs, block_size=block_size)
+
+
+# --------------------------------------------------------- 128-bit ids
+# The hash-docID fallback collides with meaningful probability at a true
+# 10^12-doc deployment (63 bits → ~5e4 expected collisions). The scale
+# path is a 128-bit docID carried as TWO uint64 columns (hi, lo) — md5
+# of the normalized url supplies exactly 128 deterministic bits. This
+# section is the codec/segment layer of that path: 128-bit ordering,
+# 128-bit delta gaps (borrow-aware), LEB128 up to 19 bytes/value, block
+# metadata carrying (hi, lo) last-doc pairs — all numpy-vectorized in
+# the same per-byte-position style as the 64-bit path. Segments store
+# the payload with `block_last_doc_hi/lo` list columns; the engine
+# adopts it by switching its cursor comparisons to (hi, lo) tuples.
+
+_NB128_MAX = 19  # ceil(128 / 7)
+
+
+def assign_doc_ids_128(urls) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic 128-bit docID (md5 of the normalized url) as
+    (hi, lo) uint64 arrays — collision odds ~1e-15 at 10^12 docs."""
+    import hashlib as _hl
+
+    import pyarrow as _pa
+
+    if isinstance(urls, (_pa.Array, _pa.ChunkedArray)):
+        urls = urls.to_pylist()
+    n = len(urls)
+    hi = np.empty(n, np.uint64)
+    lo = np.empty(n, np.uint64)
+    for i, u in enumerate(urls):
+        d = _hl.md5((u or "").encode("utf-8")).digest()
+        hi[i] = int.from_bytes(d[:8], "big")
+        lo[i] = int.from_bytes(d[8:], "big")
+    return hi, lo
+
+
+def _sort_128(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
+    """argsort by the 128-bit value (hi major)."""
+    return np.lexsort((lo, hi))
+
+
+def _gaps_128(hi: np.ndarray, lo: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Delta gaps in 128-bit space for an ascending (hi, lo) sequence;
+    first gap = the value itself. Vectorized borrow subtraction."""
+    gh = np.empty_like(hi)
+    gl = np.empty_like(lo)
+    if hi.size == 0:
+        return gh, gl
+    gh[0], gl[0] = hi[0], lo[0]
+    borrow = lo[1:] < lo[:-1]
+    gl[1:] = lo[1:] - lo[:-1]  # uint64 wraps = mod-2^64 subtraction
+    gh[1:] = hi[1:] - hi[:-1] - borrow.astype(np.uint64)
+    return gh, gl
+
+
+def _unwrap_gaps_128(gh: np.ndarray, gl: np.ndarray, base_hi: int, base_lo: int) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of :func:`_gaps_128`: cumulative 128-bit sum from a base."""
+    n = gh.size
+    hi = np.empty(n, np.uint64)
+    lo = np.empty(n, np.uint64)
+    chi, clo = int(base_hi), int(base_lo)
+    ghl, gll = gh.tolist(), gl.tolist()
+    for i in range(n):
+        clo = (clo + gll[i]) & 0xFFFFFFFFFFFFFFFF
+        carry = clo < gll[i]
+        chi = (chi + ghl[i] + carry) & 0xFFFFFFFFFFFFFFFF
+        hi[i] = chi
+        lo[i] = clo
+    return hi, lo
+
+
+def varbyte_encode_128(hi: np.ndarray, lo: np.ndarray) -> bytes:
+    """LEB128 over 128-bit (hi, lo) values — ≤19 bytes each, vectorized
+    per byte position like the 64-bit encoder."""
+    hi = hi.astype(np.uint64, copy=False)
+    lo = lo.astype(np.uint64, copy=False)
+    n = hi.size
+    if n == 0:
+        return b""
+    nb = np.ones(n, dtype=np.int64)
+    for k in range(1, _NB128_MAX):
+        bits = 7 * k
+        if bits < 64:
+            wide = (hi > 0) | (lo >= np.uint64(1 << bits))
+        else:
+            wide = hi >= np.uint64(1 << (bits - 64))
+        nb += wide
+    ends = np.cumsum(nb)
+    starts = ends - nb
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    for k in range(int(nb.max())):
+        m = nb > k
+        pos = starts[m] + k
+        s = 7 * k
+        if s >= 64:
+            byte = (hi[m] >> np.uint64(s - 64)) & np.uint64(0x7F)
+        elif s == 0:
+            byte = lo[m] & np.uint64(0x7F)
+        elif s > 64 - 8:
+            # byte straddles the 64-bit boundary
+            byte = ((lo[m] >> np.uint64(s)) | (hi[m] << np.uint64(64 - s))) & np.uint64(0x7F)
+        else:
+            byte = (lo[m] >> np.uint64(s)) & np.uint64(0x7F)
+        cont = (nb[m] > k + 1).astype(np.uint8) << 7
+        out[pos] = byte.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def varbyte_decode_128(
+    buf: bytes | memoryview, offset: int = 0, count: int | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode LEB128 back to (hi, lo) uint64 pairs."""
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    if offset:
+        arr = arr[offset:]
+    if arr.size == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.uint64)
+    terminal = (arr & 0x80) == 0
+    if count is not None:
+        term_pos = np.flatnonzero(terminal)
+        if count > term_pos.size:
+            raise ValueError("not enough encoded values")
+        arr = arr[: term_pos[count - 1] + 1] if count else arr[:0]
+        terminal = terminal[: arr.size]
+    term_pos = np.flatnonzero(terminal)
+    n = term_pos.size
+    if n == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.uint64)
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    np.add(term_pos[:-1], 1, out=starts[1:])
+    nb = term_pos - starts + 1
+    hi = np.zeros(n, np.uint64)
+    lo = np.zeros(n, np.uint64)
+    low = (arr & 0x7F).astype(np.uint64)
+    for k in range(int(nb.max())):
+        m = nb > k
+        b = low[starts[m] + k]
+        s = 7 * k
+        if s >= 64:
+            hi[m] |= b << np.uint64(s - 64)
+        elif s > 64 - 8:
+            lo[m] |= b << np.uint64(s)
+            hi[m] |= b >> np.uint64(64 - s)
+        else:
+            lo[m] |= b << np.uint64(s)
+    return hi, lo
+
+
+def encode_posting_list_128(
+    doc_hi: np.ndarray, doc_lo: np.ndarray, tfs: np.ndarray, block_size: int = BLOCK_SIZE
+) -> dict:
+    """128-bit counterpart of :func:`encode_posting_list`: sorts by the
+    (hi, lo) docID, delta+varbyte encodes 128-bit gaps, and emits block
+    metadata with (hi, lo) last-doc pairs. tf stream unchanged."""
+    doc_hi = np.asarray(doc_hi, np.uint64)
+    doc_lo = np.asarray(doc_lo, np.uint64)
+    tfs = np.asarray(tfs, np.int64)
+    order = _sort_128(doc_hi, doc_lo)
+    doc_hi, doc_lo, tfs = doc_hi[order], doc_lo[order], tfs[order]
+    if doc_hi.size and np.any(
+        (doc_hi[:-1] == doc_hi[1:]) & (doc_lo[:-1] == doc_lo[1:])
+    ):
+        raise ValueError("duplicate 128-bit docID in posting list")
+    gh, gl = _gaps_128(doc_hi, doc_lo)
+    n = doc_hi.size
+    block_last_hi: list[int] = []
+    block_last_lo: list[int] = []
+    block_max_tf: list[int] = []
+    gap_off: list[int] = []
+    tf_off: list[int] = []
+    gap_parts: list[bytes] = []
+    tf_parts: list[bytes] = []
+    goff = toff = 0
+    for s in range(0, n, block_size):
+        e = min(n, s + block_size)
+        gap_off.append(goff)
+        tf_off.append(toff)
+        gp = varbyte_encode_128(gh[s:e], gl[s:e])
+        tp = varbyte_encode(tfs[s:e])
+        gap_parts.append(gp)
+        tf_parts.append(tp)
+        goff += len(gp)
+        toff += len(tp)
+        block_last_hi.append(int(doc_hi[e - 1]))
+        block_last_lo.append(int(doc_lo[e - 1]))
+        block_max_tf.append(int(tfs[s:e].max()))
+    return {
+        "df": int(n),
+        "cf": int(tfs.sum()) if n else 0,
+        "doc_gaps": b"".join(gap_parts),
+        "tf_bytes": b"".join(tf_parts),
+        "block_last_doc_hi": block_last_hi,
+        "block_last_doc_lo": block_last_lo,
+        "block_max_tf": block_max_tf,
+        "block_gap_offset": gap_off,
+        "block_tf_offset": tf_off,
+    }
+
+
+def decode_posting_list_128(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """→ (doc_hi, doc_lo ascending 128-bit, tfs int64)."""
+    df = int(row["df"])
+    gh, gl = varbyte_decode_128(row["doc_gaps"], count=df)
+    tfs = varbyte_decode(row["tf_bytes"], count=df).astype(np.int64)
+    hi, lo = _unwrap_gaps_128(gh, gl, 0, 0)
+    return hi, lo, tfs
+
+
+def decode_block_128(
+    row: dict, block: int, block_size: int = BLOCK_SIZE
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Independent single-block decode (the WAND skip path), 128-bit."""
+    df = int(row["df"])
+    n_blocks = len(row["block_last_doc_hi"])
+    if not 0 <= block < n_blocks:
+        raise IndexError(block)
+    count = min(block_size, df - block * block_size)
+    gh, gl = varbyte_decode_128(
+        row["doc_gaps"], offset=int(row["block_gap_offset"][block]), count=count
+    )
+    tfs = varbyte_decode(
+        row["tf_bytes"], offset=int(row["block_tf_offset"][block]), count=count
+    )
+    if block > 0:
+        bh = int(row["block_last_doc_hi"][block - 1])
+        bl = int(row["block_last_doc_lo"][block - 1])
+    else:
+        bh = bl = 0
+    hi, lo = _unwrap_gaps_128(gh, gl, bh, bl)
+    return hi, lo, tfs.astype(np.int64)
+
+
+def merge_posting_payloads_128(payloads: list[dict], block_size: int = BLOCK_SIZE) -> dict:
+    """Deterministic merge of 128-bit payload rows for the same term
+    (segment-merge path): decode, concatenate, re-encode sorted."""
+    his, los, tfs = [], [], []
+    for p in payloads:
+        h, l, t = decode_posting_list_128(p)
+        his.append(h)
+        los.append(l)
+        tfs.append(t)
+    return encode_posting_list_128(
+        np.concatenate(his), np.concatenate(los), np.concatenate(tfs), block_size
+    )

@@ -52,6 +52,51 @@ SEGMENT_SCHEMA = pa.schema(
 )
 
 
+# 128-bit docID segment layout (the hash-id fallback's 10^12-doc scale
+# path, codec.py "128-bit ids" section): the docID is TWO uint64
+# columns; block metadata carries (hi, lo) last-doc pairs. uint64 is
+# stored as int64 bit patterns (Parquet/Arrow-native), reinterpreted by
+# the codec via .view/astype on read.
+SEGMENT_SCHEMA_128 = pa.schema(
+    [
+        ("bucket", pa.int32()),
+        ("site_id", pa.int32()),
+        ("term", pa.string()),
+        ("salt", pa.int32()),
+        ("df", pa.int64()),
+        ("cf", pa.int64()),
+        ("doc_gaps", pa.binary()),
+        ("tf_bytes", pa.binary()),
+        ("block_last_doc_hi", pa.list_(pa.int64())),
+        ("block_last_doc_lo", pa.list_(pa.int64())),
+        ("block_max_tf", pa.list_(pa.int32())),
+        ("block_gap_offset", pa.list_(pa.int32())),
+        ("block_tf_offset", pa.list_(pa.int32())),
+    ]
+)
+
+
+_U64 = 1 << 64
+
+
+def posting_row_128_to_storage(payload: dict) -> dict:
+    """Codec payload (uint64-valued block lasts) → storage row: the
+    (hi, lo) lasts are reinterpreted as int64 two's-complement bit
+    patterns for the Arrow/Parquet int64 columns."""
+    out = dict(payload)
+    for c in ("block_last_doc_hi", "block_last_doc_lo"):
+        out[c] = [v - _U64 if v >= (1 << 63) else v for v in payload[c]]
+    return out
+
+
+def posting_row_128_from_storage(row: dict) -> dict:
+    """Inverse of :func:`posting_row_128_to_storage`."""
+    out = dict(row)
+    for c in ("block_last_doc_hi", "block_last_doc_lo"):
+        out[c] = [v + _U64 if v < 0 else v for v in row[c]]
+    return out
+
+
 def _rows_to_table(rows: dict[str, list]) -> pa.Table:
     return pa.table(
         {name: pa.array(rows[name], type=SEGMENT_SCHEMA.field(name).type) for name in SEGMENT_SCHEMA.names}

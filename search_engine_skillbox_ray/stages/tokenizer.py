@@ -45,8 +45,11 @@ def assign_doc_ids(urls: pa.Array | pa.ChunkedArray | list[str]) -> np.ndarray:
     determinism and rank parity. 63 bits keeps docIDs non-negative
     int64. NOTE at a true 10^12-doc deployment collisions become likely
     (~5e4 expected); the build exposes ``validate_doc_ids`` and the
-    scale path is a 2×uint64 (128-bit) id — documented, not needed at
-    sandbox scale.
+    scale path is the 128-bit (hi, lo) docID implemented in
+    ``stages/codec.py`` ("128-bit ids": ``assign_doc_ids_128`` +
+    128-bit gap codec + ``SEGMENT_SCHEMA_128``) — collision odds
+    ~1e-15 at 10^12 docs; the engine adopts it by switching cursor
+    comparisons to (hi, lo) pairs.
     """
     if isinstance(urls, (pa.Array, pa.ChunkedArray)):
         urls = urls.to_pylist()
