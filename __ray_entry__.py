@@ -42,6 +42,9 @@ EMB_PLANES, EMB_SEED, EMB_THRESHOLD = 4, 42, 0.35
 LSH_PLANES, LSH_PROBES = 4, 11
 IVF_LISTS, IVF_PROBE, IVF_TRAIN = 8, 4, 2048
 SIMHASH_MAX_HAMMING = 3
+# fixed-point PageRank: iterations, damping 85/100, int64 mass scale —
+# identical constants drive the Ray operator and the unrolled SQL mirror
+PR_ITERS, PR_DAMP_NUM, PR_DAMP_DEN, PR_SCALE = 5, 85, 100, 10**12
 MEDIA_N, MEDIA_SEED, MEDIA_FEAT_DIM, MEDIA_FRAME_BYTES, MEDIA_EVERY_K = 200, 13, 16, 64, 2
 # the driver runs oracle SQL at sf0.01; the one data-dependent oracle
 # constant (IVF centroids) is derived from this dir — tests override it
@@ -513,6 +516,40 @@ def q_link_graph(sf_dir: str):
     return extract_links_ds(pages, sites)
 
 
+def q_pagerank(sf_dir: str):
+    """Fixed-point integer PageRank over the link fixture's in-site
+    graph — bit-exact vs the unrolled SQL mirror (associative int64
+    arithmetic; no float summation order anywhere)."""
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.functions.links import extract_links_ds
+    from search_engine_skillbox_ray.pipelines.graph import pagerank
+    from search_engine_skillbox_ray.sources.fixtures import generate_pages_table
+    from search_engine_skillbox_ray.sources.pages import derive_sites
+
+    pages = rd.from_arrow(generate_pages_table(300, n_sites=2, seed=13))
+    sites = derive_sites(pages)
+    return pagerank(
+        extract_links_ds(pages, sites), iterations=PR_ITERS,
+        damping_num=PR_DAMP_NUM, damping_den=PR_DAMP_DEN, scale=PR_SCALE,
+    )
+
+
+def q_dedup_clusters(sf_dir: str):
+    """MinHash near-dup pairs → connected components → full-corpus
+    canonical assignment (doc_id, rep_id): the action step of the dedup
+    pipeline. Oracle: the minhash pair SQL + a recursive closure."""
+    from search_engine_skillbox_ray.pipelines.dedup import minhash_lsh_pairs
+    from search_engine_skillbox_ray.pipelines.graph import near_dup_clusters
+
+    docs = _documents(sf_dir)
+    pairs = minhash_lsh_pairs(
+        docs, num_perm=MINHASH_PERM, bands=MINHASH_BANDS,
+        threshold=MINHASH_THRESHOLD, seed=MINHASH_SEED,
+    )
+    return near_dup_clusters(docs, pairs)
+
+
 def q_streaming_ingest(sf_dir: str):
     """LSM micro-batch ingestion end-to-end: build the index over the
     EVEN-doc_id half of documents, stream the ODD half in via
@@ -616,6 +653,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_pruned_topk": q_search_pruned_topk,
         "batch_search": q_batch_search,
         "link_graph": q_link_graph,
+        "pagerank": q_pagerank,
+        "dedup_clusters": q_dedup_clusters,
         "ann_ivf_topk": q_ann_ivf_topk,
         "streaming_ingest": q_streaming_ingest,
     }
@@ -779,6 +818,61 @@ def _link_graph_values() -> str:
             rows.append(f"('{nu}', '{base}/p/{i - 1}')")
         rows.append(f"('{nu}', '{base}/p/{i + 1}')")
     return ", ".join(rows)
+
+
+def _minhash_pairs_sql() -> str:
+    """Complete minhash_pairs oracle query — also embedded as the pair
+    source of the ``dedup_clusters`` closure oracle."""
+    return f"""
+WITH {_shingles_cte()}, {_sigs_cte()},
+bands AS (
+  SELECT doc_id, perm // {MINHASH_PERM // MINHASH_BANDS} AS band_id,
+         string_agg(CAST(sig AS VARCHAR), ',' ORDER BY perm) AS band_key
+  FROM sigs GROUP BY doc_id, band_id),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         avg(CASE WHEN sa.sig = sb.sig THEN 1.0 ELSE 0.0 END) AS est_jaccard
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.perm = sa.perm
+  GROUP BY c.doc_a, c.doc_b)
+SELECT doc_a, doc_b, ROUND(est_jaccard, 6) AS est_jaccard
+FROM est WHERE est_jaccard >= {MINHASH_THRESHOLD}
+"""
+
+
+def _pagerank_sql() -> str:
+    """Unrolled fixed-point PageRank mirror over the structural link
+    VALUES: one (contrib, rank) CTE pair per iteration, pure BIGINT /
+    HUGEINT floor arithmetic — bit-exact vs ``pipelines/graph.pagerank``
+    because integer addition is associative (no float summation-order
+    dependence on either side)."""
+    scale, dn, dd, iters = PR_SCALE, PR_DAMP_NUM, PR_DAMP_DEN, PR_ITERS
+    ctes = [f"""edges AS (
+  SELECT DISTINCT src_url AS s, dst_url AS d
+  FROM (VALUES {_link_graph_values()}) t(src_url, dst_url)),
+nodes AS (SELECT s AS u FROM edges UNION SELECT d FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+outdeg AS (SELECT s AS u, count(*)::BIGINT AS od FROM edges GROUP BY s),
+r0 AS (SELECT u, CAST({scale} AS BIGINT) // (SELECT n FROM nn) AS r FROM nodes)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""c{i} AS (
+  SELECT e.d AS u, SUM(r.r // o.od) AS c
+  FROM edges e JOIN r{i - 1} r ON r.u = e.s JOIN outdeg o ON o.u = e.s
+  GROUP BY e.d),
+r{i} AS (
+  SELECT n.u,
+         CAST(({dd - dn} * (CAST({scale} AS BIGINT) // (SELECT n FROM nn))) // {dd}
+              + ({dn} * COALESCE(c.c, 0)) // {dd} AS BIGINT) AS r
+  FROM nodes n LEFT JOIN c{i} c ON c.u = n.u)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT u AS url, r AS pagerank FROM r{iters}"
+    )
 
 
 def _media_values() -> tuple[str, str]:
@@ -1034,26 +1128,7 @@ JOIN (SELECT source, count(*)::BIGINT AS n_docs_in_source FROM documents GROUP B
 WITH {_shingles_cte()}, {_sigs_cte()}
 SELECT doc_id, perm::BIGINT AS perm, sig FROM sigs
 """,
-        "minhash_pairs": f"""
-WITH {_shingles_cte()}, {_sigs_cte()},
-bands AS (
-  SELECT doc_id, perm // {MINHASH_PERM // MINHASH_BANDS} AS band_id,
-         string_agg(CAST(sig AS VARCHAR), ',' ORDER BY perm) AS band_key
-  FROM sigs GROUP BY doc_id, band_id),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-est AS (
-  SELECT c.doc_a, c.doc_b,
-         avg(CASE WHEN sa.sig = sb.sig THEN 1.0 ELSE 0.0 END) AS est_jaccard
-  FROM cand c
-  JOIN sigs sa ON sa.doc_id = c.doc_a
-  JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.perm = sa.perm
-  GROUP BY c.doc_a, c.doc_b)
-SELECT doc_a, doc_b, ROUND(est_jaccard, 6) AS est_jaccard
-FROM est WHERE est_jaccard >= {MINHASH_THRESHOLD}
-""",
+        "minhash_pairs": _minhash_pairs_sql(),
         "simhash": f"""
 WITH {_simhash_cte()}
 SELECT doc_id, simhash FROM simh
@@ -1145,6 +1220,19 @@ LEFT JOIN tot ON tot.doc_id = d.doc_id
 """,
         "link_graph": f"""
 SELECT * FROM (VALUES {_link_graph_values()}) AS t(src_url, dst_url)
+""",
+        "pagerank": _pagerank_sql(),
+        "dedup_clusters": f"""
+WITH RECURSIVE
+p AS (SELECT doc_a, doc_b FROM ({_minhash_pairs_sql()}) q),
+e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+reach(n, r) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.n),
+comp AS (SELECT n, MIN(r) AS rep FROM reach GROUP BY n)
+SELECT d.doc_id, CAST(COALESCE(c.rep, d.doc_id) AS BIGINT) AS rep_id
+FROM documents d LEFT JOIN comp c ON c.n = d.doc_id
 """,
         "ann_ivf_topk": f"""
 WITH cent(c, w) AS (VALUES {_ivf_centroid_values()}),

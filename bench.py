@@ -249,6 +249,8 @@ def bench_sf_queries() -> dict:
         "langid",
         "hll_distinct_tokens",
         "batch_search",
+        "pagerank",
+        "dedup_clusters",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

@@ -1,0 +1,434 @@
+"""Graph operators: PageRank over the link graph, connected components
+over near-dup pair sets, and cluster-canonical dedup assignment.
+
+The reference stops at in-site link extraction
+(/root/reference/src/main/java/searchengine/utils/UrlUtils.java:62-107
+feeds the crawl frontier and nothing else); these operators extend that
+link graph — and the near-dup pair sets from ``pipelines/dedup.py`` —
+into the two actions a 100 TB training-data pipeline actually needs:
+a link-authority score per page and ONE canonical representative per
+near-duplicate cluster.
+
+Determinism contract (both are DuckDB-oracled bit-exact):
+
+* ``pagerank`` runs entirely in **fixed-point int64 arithmetic**
+  (``scale``-scaled mass, floor division, integer damping
+  ``damping_num/damping_den``). Integer sums are associative, so the
+  result is independent of block arrival / reduction order — unlike
+  float PageRank — and an unrolled SQL mirror reproduces it exactly.
+  Dangling-node mass is dropped (the classic "lost mass" variant),
+  identically on both sides.
+* ``connected_components`` labels every node of a pair graph with the
+  MINIMUM doc_id reachable from it — a pure set property, independent
+  of execution order.
+
+Scale shape: both operators gate a driver-side vectorized fast path on
+``DRIVER_FASTPATH_ROWS`` (near-dup pair sets and per-site link graphs
+are tiny next to the corpus); above it they run as hash-partitioned
+``Dataset.join`` + groupby rounds where every exchange is edge- or
+node-sized and the corpus itself never moves.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+_EMPTY_COMPONENTS = pa.table(
+    {"node": pa.array([], pa.int64()), "rep": pa.array([], pa.int64())}
+)
+
+
+# --------------------------------------------------------------- PageRank
+def _pagerank_driver(
+    src: np.ndarray,
+    dst: np.ndarray,
+    *,
+    iterations: int,
+    damping_num: int,
+    damping_den: int,
+    scale: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized fixed-point PageRank over label-encoded edges.
+    Returns (node_keys_sorted, rank_int64)."""
+    nodes, codes = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    s = codes[: src.size]
+    d = codes[src.size :]
+    n = nodes.size
+    outdeg = np.bincount(s, minlength=n).astype(np.int64)
+    base = ((damping_den - damping_num) * (scale // n)) // damping_den
+    rank = np.full(n, scale // n, dtype=np.int64)
+    safe_deg = np.maximum(outdeg, 1)  # sources always have outdeg >= 1
+    for _ in range(iterations):
+        share = rank[s] // safe_deg[s]
+        contrib = np.zeros(n, dtype=np.int64)
+        # np.add.at: exact int64 scatter-add (bincount would round-trip
+        # through float64 — exact below 2^53 but why rely on it)
+        np.add.at(contrib, d, share)
+        rank = base + (damping_num * contrib) // damping_den
+    return nodes, rank
+
+
+def pagerank(
+    edges: rd.Dataset,
+    *,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    iterations: int = 5,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**12,
+) -> rd.Dataset:
+    """(src, dst) edge Dataset → (url, pagerank:int64 fixed-point).
+
+    rank_0(v) = scale // N;  each iteration
+    rank(v) = base + damping_num * Σ_{u→v} (rank(u) // outdeg(u))
+                     // damping_den
+    with base = (damping_den - damping_num) * (scale // N)
+                // damping_den.
+    Nodes = every url appearing as source OR destination; duplicate
+    edges are collapsed first (the link extractor already emits per-page
+    distinct targets, but callers may union several crawls).
+    """
+    from ..config import DRIVER_FASTPATH_ROWS
+    from ..stages.grouping import drop_empty_blocks, sized_join
+
+    def slim(batch: pa.Table) -> pa.Table:
+        t = pa.table({"s": batch.column(src_col), "d": batch.column(dst_col)})
+        return t.group_by(["s", "d"]).aggregate([]).select(["s", "d"])
+
+    slim_edges = edges.map_batches(slim, batch_format="pyarrow").materialize()
+    n_edges = slim_edges.count()
+    if n_edges == 0:
+        return rd.from_arrow(
+            pa.table({"url": pa.array([], pa.string()),
+                      "pagerank": pa.array([], pa.int64())})
+        )
+
+    if n_edges <= DRIVER_FASTPATH_ROWS:
+        tbl = pa.concat_tables(
+            [pa.table(b) for b in slim_edges.iter_batches(batch_format="pyarrow")]
+        )
+        # a distinct pass per block can still leave cross-block dupes
+        tbl = tbl.group_by(["s", "d"]).aggregate([]).select(["s", "d"])
+        nodes, rank = _pagerank_driver(
+            tbl.column("s").to_numpy(zero_copy_only=False),
+            tbl.column("d").to_numpy(zero_copy_only=False),
+            iterations=iterations, damping_num=damping_num,
+            damping_den=damping_den, scale=scale,
+        )
+        return rd.from_arrow(
+            pa.table({"url": pa.array(nodes), "pagerank": pa.array(rank, pa.int64())})
+        )
+
+    # ---- distributed path: node/edge-sized exchanges only ----
+    # cross-block distinct + node list + out-degrees
+    def dedup_bucket(g):
+        return g.drop_duplicates(subset=["s", "d"])
+
+    from ..stages.grouping import bucketed_group_apply
+
+    # drop_empty_blocks everywhere below: zero-row blocks from the
+    # small-data all-to-alls carry an empty schema and would poison the
+    # hash joins (see stages/grouping.drop_empty_blocks)
+    slim_edges = drop_empty_blocks(bucketed_group_apply(
+        slim_edges, ["s", "d"], dedup_bucket, n_buckets=64
+    ).materialize())
+
+    def both_endpoints(batch: pa.Table) -> pa.Table:
+        u = pa.concat_arrays(
+            [batch.column("s").combine_chunks().cast(pa.string()),
+             batch.column("d").combine_chunks().cast(pa.string())]
+        )
+        return pa.table({"u": u.unique()})
+
+    nodes_ds = (
+        slim_edges.map_batches(both_endpoints, batch_format="pyarrow")
+        .groupby("u").count()
+        .map_batches(lambda b: b.select(["u"]), batch_format="pyarrow")
+        .materialize()
+    )
+    nodes_ds = drop_empty_blocks(nodes_ds)
+    n = nodes_ds.count()
+    base = ((damping_den - damping_num) * (scale // n)) // damping_den
+
+    def partial_deg(batch: pa.Table) -> pa.Table:
+        t = pa.table({"u": batch.column("s"),
+                      "c": pa.array(np.ones(len(batch), dtype=np.int64))})
+        return t.group_by("u").aggregate([("c", "sum")]).rename_columns(["u", "c"])
+
+    outdeg = (
+        slim_edges.map_batches(partial_deg, batch_format="pyarrow")
+        .groupby("u").sum("c")
+        .map_batches(
+            lambda b: pa.table({"u": b.column("u"),
+                                "od": pc.cast(b.column("sum(c)"), pa.int64())}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    outdeg = drop_empty_blocks(outdeg)
+
+    r0 = scale // n
+    ranks = nodes_ds.map_batches(
+        lambda b: pa.table({"u": b.column("u"),
+                            "r": pa.array(np.full(len(b), r0, dtype=np.int64))}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(iterations):
+        share = drop_empty_blocks(sized_join(ranks, outdeg, ("u",)).map_batches(
+            lambda b: pa.table({
+                "s": b.column("u"),
+                "sh": pa.array(
+                    b.column("r").to_numpy(zero_copy_only=False)
+                    // b.column("od").to_numpy(zero_copy_only=False),
+                    pa.int64(),
+                ),
+            }),
+            batch_format="pyarrow",
+        ).materialize())
+
+        def partial_contrib(batch: pa.Table) -> pa.Table:
+            t = pa.table({"d": batch.column("d"), "c": batch.column("sh")})
+            return t.group_by("d").aggregate([("c", "sum")]).rename_columns(["d", "c"])
+
+        contrib = (
+            sized_join(slim_edges, share, ("s",))
+            .map_batches(partial_contrib, batch_format="pyarrow")
+            .groupby("d").sum("c")
+            .map_batches(
+                lambda b: pa.table({"u": b.column("d"),
+                                    "c": pc.cast(b.column("sum(c)"), pa.int64())}),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        contrib = drop_empty_blocks(contrib)
+
+        ranks = (
+            sized_join(nodes_ds, contrib, ("u",), join_type="left_outer")
+            .map_batches(
+                lambda b, _base=base: pa.table({
+                    "u": b.column("u"),
+                    "r": pa.array(
+                        _base
+                        + (
+                            damping_num
+                            * b.column("c").fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+                        )
+                        // damping_den,
+                        pa.int64(),
+                    ),
+                }),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        ranks = drop_empty_blocks(ranks)
+
+    return ranks.map_batches(
+        lambda b: pa.table({"url": b.column("u"), "pagerank": b.column("r")}),
+        batch_format="pyarrow",
+    )
+
+
+# ----------------------------------------------- connected components
+def _components_driver(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Min-label propagation with pointer jumping over label-encoded
+    pair endpoints; exact fixpoint. Returns (node_keys, rep_keys)."""
+    nodes, codes = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ea = codes[: a.size]
+    eb = codes[a.size :]
+    lab = np.arange(nodes.size, dtype=np.int64)
+    while True:
+        prev = lab.copy()
+        m = np.minimum(lab[ea], lab[eb])
+        np.minimum.at(lab, ea, m)
+        np.minimum.at(lab, eb, m)
+        lab = lab[lab]  # pointer jumping halves chain depth per round
+        if np.array_equal(lab, prev):
+            break
+    return nodes, nodes[lab]
+
+
+def connected_components(
+    pairs: rd.Dataset,
+    *,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_rounds: int = 64,
+) -> rd.Dataset:
+    """Pair Dataset → (node:int64, rep:int64) where ``rep`` is the
+    minimum node id in the pair's connected component. Only nodes that
+    appear in at least one pair are emitted (singletons are the
+    caller's corpus-side default — see ``near_dup_clusters``)."""
+    from ..config import DRIVER_FASTPATH_ROWS
+    from ..stages.grouping import drop_empty_blocks, sized_join
+
+    def slim(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": pc.cast(batch.column(a_col), pa.int64()),
+            "b": pc.cast(batch.column(b_col), pa.int64()),
+        })
+
+    edges = pairs.map_batches(slim, batch_format="pyarrow").materialize()
+    n_pairs = edges.count()
+    if n_pairs == 0:
+        return rd.from_arrow(_EMPTY_COMPONENTS)
+
+    if n_pairs <= DRIVER_FASTPATH_ROWS:
+        tbl = pa.concat_tables(
+            [pa.table(b) for b in edges.iter_batches(batch_format="pyarrow")]
+        )
+        nodes, reps = _components_driver(
+            tbl.column("a").to_numpy(zero_copy_only=False),
+            tbl.column("b").to_numpy(zero_copy_only=False),
+        )
+        return rd.from_arrow(
+            pa.table({"node": pa.array(nodes, pa.int64()),
+                      "rep": pa.array(reps, pa.int64())})
+        )
+
+    # ---- distributed min-label propagation (edge-sized exchanges) ----
+    bidir = edges.map_batches(
+        lambda t: pa.table({
+            "n": pa.concat_arrays([t.column("a").combine_chunks(),
+                                   t.column("b").combine_chunks()]),
+            "m": pa.concat_arrays([t.column("b").combine_chunks(),
+                                   t.column("a").combine_chunks()]),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+    bidir = drop_empty_blocks(bidir)
+
+    labels = (
+        bidir.map_batches(
+            lambda t: pa.table({"n": t.column("n").unique()}),
+            batch_format="pyarrow",
+        )
+        .groupby("n").count()
+        .map_batches(
+            lambda b: pa.table({"n": b.column("n"), "rep": b.column("n")}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    labels = drop_empty_blocks(labels)
+
+    for _ in range(max_rounds):
+        def partial_min(batch: pa.Table) -> pa.Table:
+            t = pa.table({"m": batch.column("m"), "rep": batch.column("rep")})
+            return t.group_by("m").aggregate([("rep", "min")]).rename_columns(["m", "rep"])
+
+        inc = drop_empty_blocks(
+            sized_join(bidir, labels, ("n",))
+            .map_batches(partial_min, batch_format="pyarrow")
+            .groupby("m").min("rep")
+            .map_batches(
+                lambda b: pa.table({"n": b.column("m"), "inc": b.column("min(rep)")}),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+
+        def fold(batch: pa.Table) -> pa.Table:
+            rep = batch.column("rep").to_numpy(zero_copy_only=False)
+            incv = batch.column("inc").fill_null(np.iinfo(np.int64).max)
+            new = np.minimum(rep, incv.to_numpy(zero_copy_only=False).astype(np.int64))
+            return pa.table({
+                "n": batch.column("n"),
+                "rep": pa.array(new, pa.int64()),
+                "chg": pa.array((new != rep).astype(np.int64)),
+            })
+
+        folded = (
+            sized_join(labels, inc, ("n",), join_type="left_outer")
+            .map_batches(fold, batch_format="pyarrow")
+            .materialize()
+        )
+        changed = folded.sum("chg")
+        labels = drop_empty_blocks(folded.map_batches(
+            lambda b: b.select(["n", "rep"]), batch_format="pyarrow"
+        ).materialize())
+        if not changed:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+
+    return labels.map_batches(
+        lambda b: b.rename_columns(["node", "rep"]), batch_format="pyarrow"
+    )
+
+
+def near_dup_clusters(
+    documents: rd.Dataset,
+    pairs: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> rd.Dataset:
+    """Near-dup pairs → full-corpus dedup assignment
+    (doc_id, rep_id:int64): every document labeled with the canonical
+    (minimum) doc_id of its near-duplicate cluster; docs in no pair map
+    to themselves. Downstream "keep one per cluster" is then a trivial
+    ``rep_id == doc_id`` filter — no further shuffle.
+
+    Components are pair-graph-sized (tiny next to the corpus), so below
+    ``DRIVER_FASTPATH_ROWS`` they broadcast as a dict into a stateless
+    map over the corpus; above it a left-outer hash join assigns them
+    without the corpus text ever moving (id column only)."""
+    from ..config import DRIVER_FASTPATH_ROWS
+    from ..stages.grouping import drop_empty_blocks, sized_join
+
+    comp = drop_empty_blocks(
+        connected_components(pairs, a_col=a_col, b_col=b_col).materialize()
+    )
+    ids = documents.map_batches(
+        lambda b: pa.table({id_col: pc.cast(b.column(id_col), pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+    if comp.count() <= DRIVER_FASTPATH_ROWS:
+        import ray
+
+        tbl = pa.concat_tables(
+            [pa.table(b) for b in comp.iter_batches(batch_format="pyarrow")]
+        )
+        keys = tbl.column("node").to_numpy(zero_copy_only=False)
+        vals = tbl.column("rep").to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        lookup_ref = ray.put((keys[order], vals[order]))
+
+        def assign(batch: pa.Table, _ref=[lookup_ref]) -> pa.Table:
+            keys_s, vals_s = ray.get(_ref[0])
+            d = batch.column(id_col).to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(keys_s, d)
+            idx_c = np.minimum(idx, keys_s.size - 1) if keys_s.size else idx
+            hit = (keys_s.size > 0) & (keys_s[idx_c] == d) if keys_s.size else np.zeros(d.size, bool)
+            rep = np.where(hit, vals_s[idx_c] if keys_s.size else d, d)
+            return pa.table({id_col: batch.column(id_col),
+                             "rep_id": pa.array(rep.astype(np.int64), pa.int64())})
+
+        return ids.map_batches(assign, batch_format="pyarrow")
+
+    comp_r = comp.map_batches(
+        lambda b: pa.table({id_col: b.column("node"), "rep": b.column("rep")}),
+        batch_format="pyarrow",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        rep = batch.column("rep").fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        own = batch.column(id_col).to_numpy(zero_copy_only=False)
+        out = np.where(batch.column("rep").is_null().to_numpy(zero_copy_only=False), own, rep)
+        return pa.table({id_col: batch.column(id_col),
+                         "rep_id": pa.array(out, pa.int64())})
+
+    return sized_join(ids, comp_r, (id_col,), join_type="left_outer").map_batches(
+        finish, batch_format="pyarrow"
+    )

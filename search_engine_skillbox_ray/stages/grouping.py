@@ -63,6 +63,39 @@ def add_hash_bucket(
     return batch.append_column(col, pa.array((h % np.uint64(n_buckets)).astype(np.int32)))
 
 
+def drop_empty_blocks(ds: rd.Dataset) -> rd.Dataset:
+    """Strip zero-row blocks from a MATERIALIZED dataset.
+
+    Ray 2.49 foot-gun: zero-row blocks produced by all-to-all ops at
+    small data sizes (repartition with more partitions than rows,
+    skewed groupby outputs) carry an EMPTY schema. When such blocks
+    reach ``Dataset.join``, a hash partition built purely from them
+    lacks the key columns and Acero raises ``No match or multiple
+    matches for key field reference``. Every join input that may be
+    tiny (graph/near-dup intermediates) goes through this first.
+
+    Row counts come from a ``num_cpus=0`` remote ``len()`` per block —
+    blocks are read where they live and never move (same pattern as
+    ``build_dense_id_map``'s per-block counters)."""
+    import ray
+
+    refs = ds.to_arrow_refs()
+    if len(refs) <= 1:
+        return ds
+
+    @ray.remote(num_cpus=0)
+    def _nrows(t) -> int:
+        return len(t)
+
+    counts = ray.get([_nrows.remote(r) for r in refs])
+    keep = [r for r, c in zip(refs, counts) if c]
+    if len(keep) == len(refs):
+        return ds
+    if not keep:
+        return ds  # uniformly empty: callers bail on count()==0 first
+    return rd.from_arrow_refs(keep)
+
+
 def sized_join(
     left: rd.Dataset,
     right: rd.Dataset,

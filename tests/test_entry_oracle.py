@@ -88,6 +88,8 @@ def test_oracle_keys_subset(entry_mod):
     "hll_distinct_tokens",
     # round 3: the last three rows-only queries gained hard oracles
     "ann_ivf_topk", "media_decode", "media_frames",
+    # round 3: graph operators (fixed-point PageRank, near-dup clusters)
+    "pagerank", "dedup_clusters",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))

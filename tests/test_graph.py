@@ -1,0 +1,164 @@
+"""Graph operators: fixed-point PageRank, connected components,
+near-dup cluster assignment — fastpath vs distributed equivalence and
+hand-checkable semantics."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from search_engine_skillbox_ray import config
+from search_engine_skillbox_ray.pipelines.graph import (
+    connected_components,
+    near_dup_clusters,
+    pagerank,
+)
+
+
+def _sorted_df(ds, cols):
+    df = ds.to_pandas()
+    return df[list(cols)].sort_values(list(cols)).reset_index(drop=True)
+
+
+# --------------------------------------------------------------- pagerank
+@pytest.fixture(scope="module")
+def edges(ray_session):
+    """Small digraph with a hub, a chain, a dangling sink and a
+    duplicate edge (must be collapsed)."""
+    rows = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("c", "d"), ("d", "e"),  # e is dangling (no out-edges)
+        ("a", "b"),  # duplicate
+        ("f", "c"),  # f has no in-edges
+    ]
+    return rd.from_items(
+        [{"src_url": s, "dst_url": d} for s, d in rows]
+    ).repartition(3)
+
+
+def _pagerank_sql_reference(edge_rows, iterations=5, dn=85, dd=100, scale=10**12):
+    vals = ", ".join(f"('{s}', '{d}')" for s, d in edge_rows)
+    ctes = [f"""edges AS (
+  SELECT DISTINCT src_url AS s, dst_url AS d
+  FROM (VALUES {vals}) t(src_url, dst_url)),
+nodes AS (SELECT s AS u FROM edges UNION SELECT d FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+outdeg AS (SELECT s AS u, count(*)::BIGINT AS od FROM edges GROUP BY s),
+r0 AS (SELECT u, CAST({scale} AS BIGINT) // (SELECT n FROM nn) AS r FROM nodes)"""]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""c{i} AS (
+  SELECT e.d AS u, SUM(r.r // o.od) AS c
+  FROM edges e JOIN r{i - 1} r ON r.u = e.s JOIN outdeg o ON o.u = e.s
+  GROUP BY e.d),
+r{i} AS (
+  SELECT n.u,
+         CAST(({dd - dn} * (CAST({scale} AS BIGINT) // (SELECT n FROM nn))) // {dd}
+              + ({dn} * COALESCE(c.c, 0)) // {dd} AS BIGINT) AS r
+  FROM nodes n LEFT JOIN c{i} c ON c.u = n.u)""")
+    q = "WITH " + ",\n".join(ctes) + f"\nSELECT u AS url, r AS pagerank FROM r{iterations}"
+    return (
+        duckdb.connect().execute(q).fetchdf()
+        .sort_values(["url"]).reset_index(drop=True)
+    )
+
+
+def test_pagerank_matches_sql_reference(edges):
+    got = _sorted_df(pagerank(edges), ("url", "pagerank"))
+    exp = _pagerank_sql_reference(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+         ("c", "d"), ("d", "e"), ("a", "b"), ("f", "c")]
+    )
+    pd.testing.assert_frame_equal(got, exp[["url", "pagerank"]], check_dtype=False)
+    # mass sanity: every rank positive, hub c outranks leaf e
+    r = dict(zip(got["url"], got["pagerank"]))
+    assert all(v > 0 for v in r.values())
+    assert r["c"] > r["e"]
+    assert r["f"] == min(r.values())  # no in-edges → base only
+
+
+def test_pagerank_distributed_matches_fastpath(edges, monkeypatch):
+    fast = _sorted_df(pagerank(edges), ("url", "pagerank"))
+    monkeypatch.setattr(config, "DRIVER_FASTPATH_ROWS", 0)
+    dist = _sorted_df(pagerank(edges), ("url", "pagerank"))
+    pd.testing.assert_frame_equal(fast, dist)
+
+
+def test_pagerank_empty(ray_session):
+    import pyarrow as pa
+
+    empty = rd.from_arrow(pa.table({
+        "src_url": pa.array([], pa.string()), "dst_url": pa.array([], pa.string()),
+    }))
+    assert pagerank(empty).count() == 0
+
+
+# ----------------------------------------------- connected components
+@pytest.fixture(scope="module")
+def pair_ds(ray_session):
+    """Three components: a chain 1-2-3-4 (tests multi-hop propagation),
+    a triangle 10-11-12 with a redundant edge, and an isolated pair."""
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (7, 20)]
+    return rd.from_items(
+        [{"doc_a": a, "doc_b": b} for a, b in pairs]
+    ).repartition(3)
+
+
+EXPECTED_COMPONENTS = {
+    1: 1, 2: 1, 3: 1, 4: 1,
+    10: 10, 11: 10, 12: 10,
+    7: 7, 20: 7,
+}
+
+
+def test_components_fastpath(pair_ds):
+    df = connected_components(pair_ds).to_pandas()
+    got = dict(zip(df["node"], df["rep"]))
+    assert got == EXPECTED_COMPONENTS
+
+
+def test_components_distributed(pair_ds, monkeypatch):
+    monkeypatch.setattr(config, "DRIVER_FASTPATH_ROWS", 0)
+    df = connected_components(pair_ds).to_pandas()
+    got = dict(zip(df["node"], df["rep"]))
+    assert got == EXPECTED_COMPONENTS
+
+
+def test_components_long_chain(ray_session):
+    """64-node chain: multi-round convergence incl. pointer jumping."""
+    pairs = [{"doc_a": i, "doc_b": i + 1} for i in range(63)]
+    df = connected_components(rd.from_items(pairs).repartition(4)).to_pandas()
+    assert (df["rep"] == 0).all() and len(df) == 64
+
+
+def test_components_empty(ray_session):
+    import pyarrow as pa
+
+    empty = rd.from_arrow(pa.table({
+        "doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+    }))
+    assert connected_components(empty).count() == 0
+
+
+# ------------------------------------------------- near-dup clusters
+def test_near_dup_clusters_assignment(pair_ds):
+    docs = rd.from_items([{"doc_id": i, "text": "x"} for i in range(25)])
+    df = near_dup_clusters(docs, pair_ds).to_pandas()
+    got = dict(zip(df["doc_id"], df["rep_id"]))
+    assert len(df) == 25
+    for i in range(25):
+        assert got[i] == EXPECTED_COMPONENTS.get(i, i)
+    # keep-one-per-cluster filter = rep_id == doc_id
+    keep = {d for d, r in got.items() if d == r}
+    assert {2, 3, 4, 11, 12, 20}.isdisjoint(keep)
+    assert {0, 1, 5, 6, 7, 10}.issubset(keep)
+
+
+def test_near_dup_clusters_distributed(pair_ds, monkeypatch):
+    docs = rd.from_items([{"doc_id": i, "text": "x"} for i in range(25)])
+    fast = near_dup_clusters(docs, pair_ds).to_pandas()
+    monkeypatch.setattr(config, "DRIVER_FASTPATH_ROWS", 0)
+    dist = near_dup_clusters(docs, pair_ds).to_pandas()
+    f = fast.sort_values("doc_id").reset_index(drop=True)
+    d = dist.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(f, d)
