@@ -142,6 +142,26 @@ def topk_conjunctive_bmw(
     heap: list = []
     doc = 0
     while True:
+        # decode-free pre-check: bound the frontier from block METADATA
+        # (block_of_doc is a binary search over block_last — no decode).
+        # When Σ block bounds at `doc` can't reach the threshold, no doc
+        # up to the shallowest block boundary can either — jump past it
+        # without decoding a single block.
+        threshold = _heap_threshold(heap, k)
+        if threshold > -np.inf:
+            ub0 = 0.0
+            min_last = None
+            for c in cursors:
+                b = c.block_of_doc(doc)
+                if b >= c.n_blocks:
+                    return _finalize(heap)
+                ub0 += c.block_bounds[b]
+                bl = int(c.row["block_last_doc"][b])
+                if min_last is None or bl < min_last:
+                    min_last = bl
+            if ub0 < threshold:
+                doc = min_last + 1
+                continue
         # conjunctive frontier: align all cursors on the same doc
         aligned = True
         max_doc = doc

@@ -233,3 +233,33 @@ def test_bm25_min_dl_bound_strictly_fewer_blocks_overall():
         total["loose"] += d["loose"]
         total["tight"] += d["tight"]
     assert total["tight"] < total["loose"], total
+
+
+def test_bmw_frontier_precheck_skips_decodes():
+    """The decode-free conjunctive pre-check: once the heap threshold
+    exceeds what later blocks can bound, the frontier jumps block
+    boundaries from metadata alone — exact same top-k, a fraction of
+    the decodes."""
+    import search_engine_skillbox_ray.stages.wand as wand
+
+    n = 4096  # 32 blocks of 128 per list
+    docs = np.arange(n, dtype=np.int64)
+    tfs_a = np.ones(n, dtype=np.int64)
+    tfs_a[:128] = 50
+    tfs_b = np.ones(n, dtype=np.int64)
+    tfs_b[:128] = 50
+    rows = [
+        (encode_posting_list(docs, tfs_a), 2.0),
+        (encode_posting_list(docs, tfs_b), 2.0),
+    ]
+    wand.BLOCKS_DECODED = 0
+    d, s = topk_conjunctive_bmw(rows, 10, tfidf_weight)
+    decoded = wand.BLOCKS_DECODED
+    exp_d, exp_s = _exhaustive_and(rows, 10, tfidf_weight)
+    assert d.tolist() == exp_d
+    assert s.tolist() == pytest.approx(exp_s)
+    total_blocks = sum(len(r["block_last_doc"]) for r, _ in rows)
+    assert total_blocks == 64
+    # heap fills inside block 0 of each list; every later block is
+    # skipped from metadata (block_max_tf == 1 bounds at 4 < 200)
+    assert decoded <= 4, decoded
