@@ -51,6 +51,10 @@ MEDIA_N, MEDIA_SEED, MEDIA_FEAT_DIM, MEDIA_FRAME_BYTES, MEDIA_EVERY_K = 200, 13,
 ORACLE_SF_ENV = "SES_ORACLE_SF_DIR"
 _DEFAULT_ORACLE_SF = "/root/testdata/sf0.01"
 BATCH_QUERIES = ["merge batch", "fast", "hash join", "absentzz", "scan column fast"]
+# contamination probes: ordered adjacent token sequences; includes a
+# self-overlapping probe (repeated token) and one absent from the corpus
+PHRASES = ["table scan", "hash join", "batch batch batch",
+           "group sort merge", "quantum flux capacitor"]
 
 # Tokenizer as SQL (RE2 on both sides — pyarrow split_pattern_regex and
 # DuckDB regexp_split_to_array share \p{L} semantics).
@@ -279,6 +283,12 @@ def q_langid(sf_dir: str):
     from search_engine_skillbox_ray.pipelines.textstats import langid_ds
 
     return langid_ds(_documents(sf_dir))
+
+
+def q_phrase_scan(sf_dir: str):
+    from search_engine_skillbox_ray.pipelines.textstats import phrase_scan_ds
+
+    return phrase_scan_ds(_documents(sf_dir), PHRASES)
 
 
 def q_hll_distinct_tokens(sf_dir: str):
@@ -635,6 +645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": q_quality,
         "fingerprint": q_fingerprint,
         "langid": q_langid,
+        "phrase_scan": q_phrase_scan,
         "hll_distinct_tokens": q_hll_distinct_tokens,
         "minhash_pairs": q_minhash_pairs,
         "minhash_sigs": q_minhash_sigs,
@@ -663,6 +674,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def _terms_values() -> str:
     terms = SEARCH_QUERY.split()
     return ", ".join(f"('{t}')" for t in terms)
+
+
+def _phrase_oracle() -> str:
+    """Position-join mirror of PhraseScan: tokenize with the shared M2
+    regex, positions via generate_subscripts, one self-join per extra
+    phrase token (adjacent positions), overlaps counted — UNION ALL
+    over the probe list. Probes are plain ASCII words, so the SQL-side
+    phrase tokenization is a whitespace split of the constant."""
+    parts = []
+    for pid, phrase in enumerate(PHRASES):
+        words = phrase.split()
+        joins = "\n".join(
+            f"JOIN tok t{j} ON t{j}.doc_id = t0.doc_id AND t{j}.pos = t0.pos + {j}"
+            for j in range(1, len(words))
+        )
+        where = " AND ".join(f"t{j}.term = '{w}'" for j, w in enumerate(words))
+        parts.append(
+            f"SELECT t0.doc_id, {pid}::INTEGER AS phrase_id,"
+            f" count(*)::BIGINT AS n_occurrences\nFROM tok t0\n{joins}\n"
+            f"WHERE {where} GROUP BY t0.doc_id"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tl AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+            '[^\\p{{L}}]+'), x -> x <> '') AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM tl)
+{union}
+"""
 
 
 # ------------------------------------------------------ near-dup oracles
@@ -1218,6 +1257,7 @@ FROM documents d
 LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.doc_id = d.doc_id
 LEFT JOIN tot ON tot.doc_id = d.doc_id
 """,
+        "phrase_scan": _phrase_oracle(),
         "link_graph": f"""
 SELECT * FROM (VALUES {_link_graph_values()}) AS t(src_url, dst_url)
 """,

@@ -112,10 +112,12 @@ def bench_index_build_pages() -> dict:
         # and overstate scaling efficiency
         tokenize_concurrency=max(2, N_CPUS - (1 if N_CPUS < 8 else 2)),
         # task granularity of the fused extract→tokenize operator: at
-        # 192k pages the 4096 default yields ~47 tasks over a 30-actor
-        # pool (1.6 waves → straggler tail); 2048 packs ~3 waves while
-        # keeping the groupby's input block count moderate
-        tokenize_batch_size=int(os.environ.get("SES_BENCH_TOK_BATCH", "4096")),
+        # 192k pages, 4096 yields ~47 tasks over a 30-actor pool (1.6
+        # waves → ⅓ of the job is straggler tail); 2048 packs ~3 waves.
+        # Measured 5/5 alternating pairs faster (16.9-19.2 s vs
+        # 23.2-23.7 s on clean CPU); 1024 is equal within noise but
+        # doubles the groupby's input block count, so 2048 is default
+        tokenize_batch_size=int(os.environ.get("SES_BENCH_TOK_BATCH", "2048")),
         heavy_df_threshold=60_000,
         salt_target=60_000,
         sample_max_docs=3000,
@@ -247,6 +249,7 @@ def bench_sf_queries() -> dict:
         "sessionize",
         "quality",
         "langid",
+        "phrase_scan",
         "hll_distinct_tokens",
         "batch_search",
         "pagerank",

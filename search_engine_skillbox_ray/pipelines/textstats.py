@@ -126,6 +126,102 @@ class LangId:
         )
 
 
+class PhraseScan:
+    """Exact phrase-occurrence scan — the benchmark-contamination /
+    quote-detection primitive of a training-data pipeline: count, per
+    document, the occurrences of each probe phrase (an ordered,
+    adjacent M2-token sequence; overlapping occurrences count).
+
+    Embarrassingly parallel — a stateless full scan with NO shuffle:
+    probes are normalized through the document tokenizer once per actor
+    (``__init__``); per batch, matching is one ``pc.equal`` C-kernel
+    pass per (phrase, token-position) over the flat token array,
+    shifted ANDs for adjacency, a same-parent guard across the window,
+    and ``np.bincount`` per doc — no per-row Python. At 100 TB this is
+    a single map over the corpus; probe sets in the thousands stay a
+    per-actor constant (broadcast once, never re-shipped per batch).
+    """
+
+    def __init__(self, phrases: list[str], text_col: str = "text", id_col: str = "doc_id") -> None:
+        from ..stages.tokenizer import token_lists
+
+        norm = token_lists(pa.array(list(phrases), pa.string()))
+        if isinstance(norm, pa.ChunkedArray):
+            norm = norm.combine_chunks()
+        self.phrases = [[t for t in row if t] for row in norm.to_pylist()]
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import flat_nonempty_tokens
+
+        doc_ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        n = len(batch)
+        toks, parents, _ = flat_nonempty_tokens(batch.column(self.text_col))
+        n_tok = len(toks)
+        out_doc: list[np.ndarray] = []
+        out_pid: list[np.ndarray] = []
+        out_cnt: list[np.ndarray] = []
+        # one equality pass per distinct probe token, shared across
+        # phrases (probe vocabularies overlap heavily in practice)
+        eq_cache: dict[str, np.ndarray] = {}
+
+        def eq(word: str) -> np.ndarray:
+            m = eq_cache.get(word)
+            if m is None:
+                m = pc.equal(toks, word).to_numpy(zero_copy_only=False)
+                eq_cache[word] = m
+            return m
+
+        for pid, words in enumerate(self.phrases):
+            m = len(words)
+            if m == 0 or n_tok < m:
+                continue
+            w = n_tok - m + 1  # candidate window starts
+            match = eq(words[0])[:w].copy()
+            for j in range(1, m):
+                if not match.any():
+                    break
+                match &= eq(words[j])[j : j + w]
+            if m > 1:
+                match &= parents[:w] == parents[m - 1 :]
+            if not match.any():
+                continue
+            counts = np.bincount(parents[:w][match], minlength=n)
+            hit = np.nonzero(counts)[0]
+            out_doc.append(doc_ids[hit])
+            out_pid.append(np.full(hit.size, pid, dtype=np.int32))
+            out_cnt.append(counts[hit].astype(np.int64))
+        if out_doc:
+            return pa.table(
+                {
+                    self.id_col: pa.array(np.concatenate(out_doc), pa.int64()),
+                    "phrase_id": pa.array(np.concatenate(out_pid), pa.int32()),
+                    "n_occurrences": pa.array(np.concatenate(out_cnt), pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                self.id_col: pa.array([], pa.int64()),
+                "phrase_id": pa.array([], pa.int32()),
+                "n_occurrences": pa.array([], pa.int64()),
+            }
+        )
+
+
+def phrase_scan_ds(
+    documents: rd.Dataset, phrases: list[str], concurrency=(1, 4)
+) -> rd.Dataset:
+    """(doc_id, phrase_id, n_occurrences) for every document containing
+    a probe phrase — see :class:`PhraseScan`."""
+    return documents.map_batches(
+        PhraseScan,
+        fn_constructor_kwargs={"phrases": phrases},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
 def token_counts_ds(documents: rd.Dataset) -> rd.Dataset:
     return documents.map_batches(token_count_stage, batch_format="pyarrow")
 

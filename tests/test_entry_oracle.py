@@ -90,6 +90,8 @@ def test_oracle_keys_subset(entry_mod):
     "ann_ivf_topk", "media_decode", "media_frames",
     # round 3: graph operators (fixed-point PageRank, near-dup clusters)
     "pagerank", "dedup_clusters",
+    # round 3: contamination probe (exact phrase-occurrence scan)
+    "phrase_scan",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))

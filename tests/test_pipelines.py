@@ -369,3 +369,38 @@ def test_hll_rho_exact_at_low_precision(ray_session):
             expect[reg] = max(expect.get(reg, 0), rho)
         got = dict(zip(out["register"].to_pylist(), out["rho"].to_pylist()))
         assert got == expect, f"precision={precision}"
+
+
+def test_phrase_scan(ray_session):
+    """Exact phrase-occurrence scan: adjacency, overlap counting,
+    same-doc guard at batch boundaries, absent probes, punctuation/case
+    normalization through the M2 tokenizer."""
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.textstats import phrase_scan_ds
+
+    rows = [
+        {"doc_id": 0, "text": "alpha beta gamma alpha beta"},       # 2x "alpha beta"
+        {"doc_id": 1, "text": "rep rep rep rep"},                   # 3x "rep rep" (overlap)
+        {"doc_id": 2, "text": "Alpha, BETA! gamma"},                # case/punct → 1x both
+        {"doc_id": 3, "text": "beta alpha"},                        # reversed → no match
+        {"doc_id": 4, "text": "alpha"},                             # shorter than phrase
+        {"doc_id": 5, "text": ""},
+    ]
+    ds = rd.from_items(rows)
+    out = phrase_scan_ds(
+        ds, ["alpha beta", "rep rep", "alpha beta gamma", "absent phrase"]
+    ).to_pandas()
+    got = {(r.doc_id, r.phrase_id): r.n_occurrences for r in out.itertuples()}
+    assert got == {
+        (0, 0): 2, (2, 0): 1,
+        (1, 1): 3,
+        (0, 2): 1, (2, 2): 1,
+    }
+    # phrase spanning two docs must NOT match (same-parent guard):
+    # doc 6 ends with "alpha", doc 7 begins with "beta"
+    ds2 = rd.from_items(
+        [{"doc_id": 6, "text": "x alpha"}, {"doc_id": 7, "text": "beta y"}]
+    )
+    out2 = phrase_scan_ds(ds2, ["alpha beta"]).to_pandas()
+    assert len(out2) == 0
