@@ -65,6 +65,7 @@ class SearchEngine:
         strict_parity: bool = True,
         float32_scores: bool = True,
         docs_in_memory: bool = True,
+        docs_shard: tuple[int, int] | None = None,
     ) -> None:
         self.index_dir = Path(index_dir)
         self.mode = mode
@@ -96,6 +97,18 @@ class SearchEngine:
         # docs_in_memory=False → hydrate via the doc locator (targeted
         # row-group reads; memory-light serving, e.g. many pool actors)
         self.docs_in_memory = docs_in_memory
+        # docs_shard=(k, n) → this engine hydrates only its share of the
+        # base doc-store row groups (every n-th group of the sorted
+        # shard list; locator IO/memory 1/n); a sharded QueryActorPool
+        # fans hydration across actors so every base row has exactly one
+        # owner. Implies the locator path: the in-memory doc store is
+        # whole-corpus by construction.
+        self.docs_shard = docs_shard
+        if docs_shard is not None:
+            k, n = docs_shard
+            if not (0 <= k < n):
+                raise ValueError(f"docs_shard {docs_shard}: need 0 <= k < n")
+            self.docs_in_memory = False
         self._load_update_log()
 
     def _load_update_log(self) -> None:
@@ -502,29 +515,66 @@ class SearchEngine:
         self, query: str | None, site: str | None = None, offset: int = 0, limit: int = 10
     ) -> dict:
         """Full SearchResponse dict shaped like dto/search/SearchResponse.java."""
+        ranked = self.search_ranked(query, site=site, offset=offset, limit=limit)
+        if "response" in ranked:
+            return ranked["response"]
+        try:
+            docs = self._hydrate(np.asarray(ranked["doc_ids"], np.int64))
+        except Exception:
+            return {"result": False, "count": 0, "data": []}  # catch-all, :68-70
+        return self.decorate_response(
+            query, ranked["doc_ids"], ranked["scores"], docs, ranked["total"]
+        )
+
+    def search_ranked(
+        self, query: str | None, site: str | None = None, offset: int = 0, limit: int = 10
+    ) -> dict:
+        """Scoring half of :meth:`search`: the ranked result page as
+        (doc_ids, scores, total) WITHOUT hydration. The sharded pool
+        runs this on one actor, hydrates the page across the pool
+        (each actor holds 1/N of the doc store), then decorates.
+        Terminal outcomes (blank query, no matches, pagination quirks,
+        errors) come back under ``"response"`` ready to return."""
         try:
             if query is None or not query.strip():
-                return {"result": False, "count": 0, "data": []}
-            lemmas = query_lemmas(query)
-            if not lemmas:
-                return {"result": True, "count": 0, "data": []}
+                return {"response": {"result": False, "count": 0, "data": []}}
+            if not query_lemmas(query):
+                return {"response": {"result": True, "count": 0, "data": []}}
             doc_ids, scores, _ = self.search_scores(query, site)
             total = int(doc_ids.size)
             if total == 0:
-                return {"result": True, "count": 0, "data": []}
+                return {"response": {"result": True, "count": 0, "data": []}}
             start = max(0, offset)
             end = min(total, offset + max(1, limit))
             if start > end:
                 # reference: List.subList(from>to) threw inside the catch-all
-                return {"result": False, "count": 0, "data": []}
-            page_ids = doc_ids[start:end]
-            page_scores = scores[start:end]
-            docs = self._hydrate(page_ids)
+                return {"response": {"result": False, "count": 0, "data": []}}
+            return {
+                "total": total,
+                "doc_ids": doc_ids[start:end].tolist(),
+                "scores": scores[start:end].tolist(),
+            }
+        except Exception:
+            return {"response": {"result": False, "count": 0, "data": []}}
+
+    def hydrate_docs(self, doc_ids: list[int]) -> dict[int, dict]:
+        """Doc rows for the requested ids present in THIS engine's doc
+        store (delta overlay included; misses are simply absent) — the
+        sharded-pool hydration RPC."""
+        return self._hydrate(np.asarray(doc_ids, np.int64))
+
+    def decorate_response(
+        self, query: str, doc_ids: list[int], scores: list[float],
+        docs: dict[int, dict], total: int,
+    ) -> dict:
+        """Hydrated rows → the reference-shaped SearchResponse."""
+        try:
+            lemmas = query_lemmas(query)
             qtokens = query_tokens(query)
             snippet_words = qtokens if qtokens else lemmas
             data = []
-            for did, sc in zip(page_ids.tolist(), page_scores.tolist()):
-                row = docs.get(did)
+            for did, sc in zip(doc_ids, scores):
+                row = docs.get(int(did))
                 if row is None:
                     continue
                 site_info = self.sites.get(int(row["site_id"]), {"url": "", "name": ""})
@@ -603,24 +653,51 @@ class SearchEngine:
                 str(f) for f in sorted((self.index_dir / "docs").glob("docs-*.parquet"))
             ]
             ids_p, fi_p, gi_p, rl_p = [], [], [], []
-            for fi, f in enumerate(files):
-                md = pq.read_metadata(f)
-                n = md.num_rows
-                if n == 0:
-                    continue
-                ids = pq.read_table(f, columns=["doc_id"])["doc_id"].to_numpy(
-                    zero_copy_only=False
-                )
-                sizes = np.array(
-                    [md.row_group(g).num_rows for g in range(md.num_row_groups)],
-                    dtype=np.int64,
-                )
-                gidx = np.repeat(np.arange(sizes.size, dtype=np.int32), sizes)
-                starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
-                ids_p.append(ids)
-                fi_p.append(np.full(n, fi, dtype=np.int32))
-                gi_p.append(gidx)
-                rl_p.append(np.arange(n, dtype=np.int64) - starts[gidx])
+            if self.docs_shard is not None:
+                # shard at ROW-GROUP granularity (finer than files; the
+                # global group index is deterministic over the sorted
+                # file list, so the pool's subsets are disjoint and
+                # complete). Each actor reads ONLY its own groups' id
+                # columns — IO and memory both 1/n.
+                k, nsh = self.docs_shard
+                g_global = 0
+                for fi, f in enumerate(files):
+                    md = pq.read_metadata(f)
+                    pf = None
+                    for g in range(md.num_row_groups):
+                        own = (g_global % nsh) == k
+                        g_global += 1
+                        nrows = md.row_group(g).num_rows
+                        if not own or nrows == 0:
+                            continue
+                        if pf is None:
+                            pf = pq.ParquetFile(f)
+                        ids = pf.read_row_group(g, columns=["doc_id"])[
+                            "doc_id"
+                        ].to_numpy(zero_copy_only=False)
+                        ids_p.append(ids)
+                        fi_p.append(np.full(nrows, fi, dtype=np.int32))
+                        gi_p.append(np.full(nrows, g, dtype=np.int32))
+                        rl_p.append(np.arange(nrows, dtype=np.int64))
+            else:
+                for fi, f in enumerate(files):
+                    md = pq.read_metadata(f)
+                    n = md.num_rows
+                    if n == 0:
+                        continue
+                    ids = pq.read_table(f, columns=["doc_id"])["doc_id"].to_numpy(
+                        zero_copy_only=False
+                    )
+                    sizes = np.array(
+                        [md.row_group(g).num_rows for g in range(md.num_row_groups)],
+                        dtype=np.int64,
+                    )
+                    gidx = np.repeat(np.arange(sizes.size, dtype=np.int32), sizes)
+                    starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+                    ids_p.append(ids)
+                    fi_p.append(np.full(n, fi, dtype=np.int32))
+                    gi_p.append(gidx)
+                    rl_p.append(np.arange(n, dtype=np.int64) - starts[gidx])
             if not ids_p:
                 self._docs_locator = (
                     np.empty(0, np.int64), np.empty(0, np.int32),
@@ -864,15 +941,29 @@ class QueryActorPool:
     """ST5 query-serving actor pool: each actor holds a SearchEngine with
     warm segment caches; queries round-robin across the pool. This is the
     multi-node serving shape (segment cache per node); tested single-node.
+
+    ``sharded=True`` partitions the DOC STORE across the pool at
+    row-group granularity: actor i owns every n-th row group of the
+    sorted base shard list (locator IO and memory 1/n per actor — at
+    10^12 docs the whole-corpus locator would be ~24 TB per actor, the
+    per-shard one ~24 TB / pool). A query's scoring runs on one actor;
+    hydration of the top-k page fans out to every actor in parallel
+    (each answers from its own subset or returns nothing); the scoring
+    actor decorates. Identical responses to the unsharded pool —
+    regression-tested.
     """
 
-    def __init__(self, index_dir: str, n_actors: int = 4, **engine_kwargs) -> None:
+    def __init__(
+        self, index_dir: str, n_actors: int = 4, *, sharded: bool = False,
+        **engine_kwargs,
+    ) -> None:
         import ray
 
         # memory-light serving by default: N pool actors must not each
         # load the whole doc store — hydration goes through Parquet
         # locator row-group reads; pass docs_in_memory=True to opt back in
         engine_kwargs.setdefault("docs_in_memory", False)
+        self._sharded = bool(sharded)
 
         @ray.remote(num_cpus=1)
         class _QueryActor:
@@ -882,20 +973,63 @@ class QueryActorPool:
             def search(self, query: str, site=None, offset: int = 0, limit: int = 10) -> dict:
                 return self.engine.search(query, site=site, offset=offset, limit=limit)
 
+            def search_ranked(self, query: str, site=None, offset: int = 0, limit: int = 10) -> dict:
+                return self.engine.search_ranked(query, site=site, offset=offset, limit=limit)
+
+            def hydrate(self, doc_ids: list[int]) -> dict[int, dict]:
+                return self.engine.hydrate_docs(doc_ids)
+
+            def decorate(self, query, doc_ids, scores, docs, total) -> dict:
+                return self.engine.decorate_response(query, doc_ids, scores, docs, total)
+
+            def locator_size(self) -> int:
+                """Number of base docs this actor's locator covers
+                (observability + the sharding regression test)."""
+                return int(self.engine._doc_locator()[0].size)
+
             def warm(self, queries: list[str]) -> int:
                 for q in queries:
                     self.engine.search(q)
                 return len(queries)
 
-        self._actors = [_QueryActor.remote(index_dir, engine_kwargs) for _ in range(n_actors)]
+        actors = []
+        for i in range(n_actors):
+            kw = dict(engine_kwargs)
+            if self._sharded:
+                kw["docs_shard"] = (i, n_actors)
+            actors.append(_QueryActor.remote(index_dir, kw))
+        self._actors = actors
         self._next = 0
+
+    def _search_sharded(self, actor, query: str, kw: dict) -> dict:
+        import ray
+
+        ranked = ray.get(actor.search_ranked.remote(query, **kw))
+        if "response" in ranked:
+            return ranked["response"]
+        ids = ranked["doc_ids"]
+        docs: dict[int, dict] = {}
+        # every actor probes its own 1/n locator — misses are a cheap
+        # searchsorted; exactly one actor owns each base row
+        for part in ray.get([a.hydrate.remote(ids) for a in self._actors]):
+            docs.update(part)
+        return ray.get(
+            actor.decorate.remote(query, ids, ranked["scores"], docs, ranked["total"])
+        )
 
     def search(self, query: str, **kw):
         import ray
 
         actor = self._actors[self._next % len(self._actors)]
         self._next += 1
+        if self._sharded:
+            return self._search_sharded(actor, query, kw)
         return ray.get(actor.search.remote(query, **kw))
+
+    def locator_sizes(self) -> list[int]:
+        import ray
+
+        return ray.get([a.locator_size.remote() for a in self._actors])
 
     def warm(self, queries: list[str]) -> None:
         import ray
@@ -905,6 +1039,11 @@ class QueryActorPool:
     def search_many(self, queries: list[tuple[str, dict]]) -> list[dict]:
         import ray
 
+        if self._sharded:
+            return [
+                self._search_sharded(self._actors[i % len(self._actors)], q, kw)
+                for i, (q, kw) in enumerate(queries)
+            ]
         refs = []
         for i, (q, kw) in enumerate(queries):
             refs.append(self._actors[i % len(self._actors)].search.remote(q, **kw))

@@ -218,3 +218,43 @@ def test_query_actor_pool_matches_engine(built):
     many = pool.search_many([(q, {"limit": 3}) for q in queries])
     for q, got in zip(queries, many):
         assert got == eng.search(q, limit=3)
+
+
+def test_sharded_query_actor_pool_matches_engine(ray_session, tmp_path):
+    """sharded=True: each pool actor's locator covers only its share of
+    the base doc-store ROW GROUPS (disjoint, complete — IO and memory
+    1/n per actor), yet responses — scoring on one actor, hydration
+    fanned across the pool — are byte-identical to the single
+    whole-store engine, including blank-query/pagination terminal
+    shapes. Corpus sized past the 512-row docs row groups so sharding
+    is non-degenerate."""
+    import ray.data as rd
+
+    tbl = generate_pages_table(1600, n_sites=3, seed=23, dup_fraction=0.05)
+    pages = rd.from_arrow(tbl)
+    sites = derive_sites(pages)
+    idx = tmp_path / "idx"
+    res = build_index_from_pages(
+        pages, idx, sites,
+        BuildConfig(n_buckets=4, tokenize_concurrency=(1, 2), prep_concurrency=(1, 2)),
+        input_token="sharded-pool-test",
+    )
+    eng = ses.SearchEngine(str(idx))
+    pool = ses.QueryActorPool(str(idx), n_actors=3, sharded=True)
+    sizes = pool.locator_sizes()
+    assert sum(sizes) == res.n_docs  # disjoint + complete partition
+    assert max(sizes) < res.n_docs  # genuinely sharded (no actor has all)
+    assert min(sizes) > 0
+    queries = ["kagra", "graden", "ponpon fel", "ponpon боцами", "absentzz"]
+    hydrated = 0
+    for q in queries:
+        resp = eng.search(q, limit=5)
+        hydrated += len(resp["data"])
+        assert pool.search(q, limit=5) == resp
+    assert hydrated >= 10  # the parity set exercises real hydration
+    many = pool.search_many([(q, {"limit": 3}) for q in queries])
+    for q, got in zip(queries, many):
+        assert got == eng.search(q, limit=3)
+    # terminal shapes route through the same early exits
+    assert pool.search("") == eng.search("")
+    assert pool.search(queries[0], offset=10**9) == eng.search(queries[0], offset=10**9)
