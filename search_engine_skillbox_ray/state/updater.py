@@ -157,8 +157,19 @@ class IndexUpdater:
         """Live doc rows per (site_id, path) key — base, micro-batch
         delta segments and per-doc deltas, each with its own liveness
         rule (module docstring). One predicate-filtered scan per file
-        category; newer rows shadow older ones per docID."""
+        category; newer rows shadow older ones per docID.
+
+        The scan RESULT is micro-batch-key-scoped (small by contract);
+        the scan INPUT is the whole doc store. Below
+        ``DRIVER_FASTPATH_ROWS`` base docs the driver scans locally with
+        predicate pushdown; above it the base-shard scan runs as a Ray
+        Data job (``read_parquet(filter=...)`` fanned over the shard
+        files) so a 100 TB doc store's key resolve is cluster IO, not a
+        driver loop. Delta layers stay driver-scanned — compaction keeps
+        them micro-batch-scale."""
         import pyarrow.dataset as pads
+
+        from ..config import DRIVER_FASTPATH_ROWS
 
         if not keys:
             return {}
@@ -168,12 +179,28 @@ class IndexUpdater:
         cols = ["doc_id", "site_id", "path", "doc_len"]
         flt = pads.field("path").isin(pa.array(paths, pa.string()))
         out: dict[tuple[int, str], dict[int, dict]] = {}
+        n_base = int(self.stats.get("next_doc_id", 0)) or sum(
+            int(s.get("pages", 0)) for s in self.stats.get("sites", [])
+        )
+
+        def _rows(files: list) -> list[dict]:
+            if n_base > DRIVER_FASTPATH_ROWS and len(files) > 1:
+                import ray.data as rd
+
+                ds = rd.read_parquet(
+                    [str(f) for f in files], columns=cols, filter=flt
+                )
+                return ds.take_all()  # keys-scoped → micro-batch-sized
+            return (
+                pads.dataset([str(f) for f in files], format="parquet")
+                .to_table(columns=cols, filter=flt)
+                .to_pylist()
+            )
 
         def _scan(files: list, live_fn) -> None:
             if not files:
                 return
-            ds = pads.dataset([str(f) for f in files], format="parquet")
-            for r in ds.to_table(columns=cols, filter=flt).to_pylist():
+            for r in _rows(files):
                 key = (int(r["site_id"]), r["path"])
                 if key not in keys:
                     continue

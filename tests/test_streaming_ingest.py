@@ -270,3 +270,50 @@ def test_memory_light_hydrate_matches_in_memory_and_survives_compact(base):
     ).replace("</b>", "")
     for q in qterms:
         assert light.search(q, limit=10) == heavy.search(q, limit=10)
+
+
+def test_key_resolve_distributed_matches_driver(ray_session, tmp_path, monkeypatch):
+    """Above DRIVER_FASTPATH_ROWS the upsert key resolve scans the base
+    doc shards as a Ray Data job instead of a driver-side pushdown scan;
+    the resolved identities — hence the whole ingest outcome — must be
+    identical."""
+    import shutil
+
+    import ray.data as rd
+
+    tbl = generate_pages_table(120, n_sites=2, seed=77, dup_fraction=0)
+    # multiple input blocks → multiple docs shard files (the docs sink
+    # writes one shard per fused-operator batch)
+    pages = rd.from_arrow(tbl).repartition(4)
+    sites = derive_sites(pages)
+    idx_a = tmp_path / "a"
+    build_index_from_pages(
+        pages, idx_a, sites,
+        BuildConfig(n_buckets=4, sample_fraction=0, tokenize_concurrency=(1, 2),
+                    tokenize_batch_size=32),
+        input_token="multi-shard",
+    )
+    assert len(list((idx_a / "docs").glob("docs-*.parquet"))) > 1
+    idx_b = tmp_path / "b"
+    shutil.copytree(idx_a, idx_b)
+
+    # mixed micro-batch: replace 3 existing pages, add 2 new ones
+    batch = pa.table({
+        "url": pa.array(
+            [tbl["url"][i].as_py() for i in range(3)]
+            + ["https://site0.example/p/90001", "https://site1.example/p/90002"]
+        ),
+        "text": pa.array([f"replaced fresh content number {i} words" for i in range(5)]),
+    })
+
+    from search_engine_skillbox_ray import config
+
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(config, "DRIVER_FASTPATH_ROWS", 0)
+        r_dist = IndexUpdater(str(idx_a)).index_pages(rd.from_arrow(batch))
+    r_drv = IndexUpdater(str(idx_b)).index_pages(rd.from_arrow(batch))
+    assert r_dist == r_drv
+    assert r_dist["n_replaced"] == 3 and r_dist["n_new"] == 2
+    ea, eb = ses.SearchEngine(str(idx_a)), ses.SearchEngine(str(idx_b))
+    assert _live_tf(ea) == _live_tf(eb)
+    assert ea.stats["n_docs"] == eb.stats["n_docs"]
