@@ -56,6 +56,12 @@ BATCH_QUERIES = ["merge batch", "fast", "hash join", "absentzz", "scan column fa
 PHRASES = ["table scan", "hash join", "batch batch batch",
            "group sort merge", "quantum flux capacitor"]
 
+DUP_SPAN_K = 5  # duplicated-span window size (tokens)
+SAMPLE_RATE_PCT = 10
+SAMPLE_SALT = "ses-sample"
+TOP_TERMS_K = 5
+QUANTILE_PS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
 # Tokenizer as SQL (RE2 on both sides — pyarrow split_pattern_regex and
 # DuckDB regexp_split_to_array share \p{L} semantics).
 _TOK = (
@@ -289,6 +295,39 @@ def q_phrase_scan(sf_dir: str):
     from search_engine_skillbox_ray.pipelines.textstats import phrase_scan_ds
 
     return phrase_scan_ds(_documents(sf_dir), PHRASES)
+
+
+def q_dup_spans(sf_dir: str):
+    from search_engine_skillbox_ray.pipelines.dedup import dup_span_stats
+
+    return dup_span_stats(_documents(sf_dir), k=DUP_SPAN_K)
+
+
+def q_sample_hash(sf_dir: str):
+    from search_engine_skillbox_ray.pipelines.textstats import sample_by_hash_ds
+
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    return sample_by_hash_ds(docs, rate_pct=SAMPLE_RATE_PCT, salt=SAMPLE_SALT)
+
+
+def q_top_terms_per_source(sf_dir: str):
+    from search_engine_skillbox_ray.pipelines.textstats import top_terms_per_source_ds
+
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    return top_terms_per_source_ds(docs, k=TOP_TERMS_K)
+
+
+def q_doclen_quantiles(sf_dir: str):
+    from search_engine_skillbox_ray.pipelines.textstats import doclen_quantiles
+
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return doclen_quantiles(docs, ps=QUANTILE_PS)
 
 
 def q_hll_distinct_tokens(sf_dir: str):
@@ -646,6 +685,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": q_fingerprint,
         "langid": q_langid,
         "phrase_scan": q_phrase_scan,
+        "dup_spans": q_dup_spans,
+        "sample_hash": q_sample_hash,
+        "top_terms_per_source": q_top_terms_per_source,
+        "doclen_quantiles": q_doclen_quantiles,
         "hll_distinct_tokens": q_hll_distinct_tokens,
         "minhash_pairs": q_minhash_pairs,
         "minhash_sigs": q_minhash_sigs,
@@ -701,6 +744,39 @@ WITH tl AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
             '[^\\p{{L}}]+'), x -> x <> '') AS toks FROM documents),
 tok AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM tl)
 {union}
+"""
+
+
+def _dup_spans_oracle() -> str:
+    """SQL mirror of ``dup_span_stats``: every k-token window hashed as
+    ``md5_number_lower(array_to_string(window, ' ')) % MERSENNE61``
+    (DuckDB list slices are 1-based INCLUSIVE, so ``toks[i:i+k-1]`` is
+    exactly k elements); a window is duplicated when its hash occurs in
+    >= 2 distinct docs. The fraction is a plain double division — both
+    sides compute the identical float64, no pre-rounding."""
+    from search_engine_skillbox_ray.functions.hashing import MERSENNE61
+
+    k = DUP_SPAN_K
+    return f"""
+WITH tl AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+            '[^\\p{{L}}]+'), x -> x <> '') AS toks FROM documents),
+w AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= {k} THEN
+        list_transform(range(1, len(toks) - {k} + 2), i ->
+          md5_number_lower(array_to_string(toks[i:i+{k - 1}], ' ')) % {MERSENNE61})
+      ELSE CAST([] AS UBIGINT[]) END) AS wh FROM tl),
+dup AS (SELECT wh FROM w GROUP BY wh HAVING count(DISTINCT doc_id) >= 2),
+tot AS (SELECT doc_id, count(*)::BIGINT AS n_windows FROM w GROUP BY doc_id),
+dupc AS (SELECT w.doc_id, count(*)::BIGINT AS n_dup_windows
+         FROM w JOIN dup USING (wh) GROUP BY w.doc_id)
+SELECT d.doc_id,
+       COALESCE(t.n_windows, 0)::BIGINT AS n_windows,
+       COALESCE(dc.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+       CASE WHEN COALESCE(t.n_windows, 0) = 0 THEN 0.0
+            ELSE COALESCE(dc.n_dup_windows, 0)::DOUBLE / t.n_windows
+       END AS dup_fraction
+FROM documents d
+LEFT JOIN tot t ON d.doc_id = t.doc_id
+LEFT JOIN dupc dc ON d.doc_id = dc.doc_id
 """
 
 
@@ -1258,6 +1334,30 @@ LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.doc_id = d.doc_id
 LEFT JOIN tot ON tot.doc_id = d.doc_id
 """,
         "phrase_scan": _phrase_oracle(),
+        "dup_spans": _dup_spans_oracle(),
+        "sample_hash": f"""
+SELECT doc_id, source FROM documents
+WHERE md5_number_lower(doc_id::VARCHAR || ':{SAMPLE_SALT}') % 100 < {SAMPLE_RATE_PCT}
+""",
+        "top_terms_per_source": f"""
+WITH tok AS (SELECT source, unnest(list_filter(regexp_split_to_array(lower(text),
+             '[^\\p{{L}}]+'), x -> x <> '')) AS term FROM documents),
+cnt AS (SELECT source, term, count(*)::BIGINT AS tf FROM tok GROUP BY source, term),
+r AS (SELECT source, term, tf,
+             row_number() OVER (PARTITION BY source ORDER BY tf DESC, term ASC) AS rank
+      FROM cnt)
+SELECT source, term, tf, rank::BIGINT AS rank FROM r WHERE rank <= {TOP_TERMS_K}
+""",
+        # percentile_disc requires a CONSTANT fraction — one SELECT per p
+        "doclen_quantiles": f"""
+WITH n AS (SELECT len(list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}]+'),
+           x -> x <> ''))::BIGINT AS n_tokens FROM documents)
+{" UNION ALL ".join(
+    f"SELECT {p}::DOUBLE AS p, percentile_disc({p}) WITHIN GROUP "
+    f"(ORDER BY n_tokens)::BIGINT AS n_tokens FROM n"
+    for p in QUANTILE_PS
+)}
+""",
         "link_graph": f"""
 SELECT * FROM (VALUES {_link_graph_values()}) AS t(src_url, dst_url)
 """,

@@ -1048,3 +1048,171 @@ def embedding_near_pairs(
     # each vector lands in exactly ONE hyperplane bucket, so a pair can
     # only surface once — no cross-band duplicates, no dedup exchange
     return bucketed_group_apply(bucketed, ["bucket"], bucket_pairs, n_buckets=32)
+
+
+# --------------------------------------------------------------------------
+# Duplicate k-token span detection (substring-level exact dedup)
+# --------------------------------------------------------------------------
+
+
+class _WindowHasher:
+    """Actor-pool stage for ``dup_span_stats``: per batch, hash every
+    k-token window of every doc and emit the partial-aggregated slim
+    rows ``(doc_id, win_hash, cnt)`` — one row per DISTINCT window per
+    doc, ``cnt`` its occurrence count.
+
+    Vectorized end to end: the window strings are built by joining k
+    shifted zero-copy slices of the flat token array with ONE Arrow
+    ``binary_join_element_wise`` kernel call; hashing dictionary-encodes
+    first so md5 runs once per distinct window in the batch (duplicated
+    spans are exactly what this operator hunts, so the encode pays for
+    itself). ``win_hash = md5_u64(joined) % MERSENNE61`` — bit-identical
+    to DuckDB ``md5_number_lower(array_to_string(toks[i:i+k-1], ' ')) %
+    2305843009213693951``, which is what makes the SQL oracle hard.
+    No cross-batch state: the window vocabulary is corpus-sized, so an
+    actor-level cache (TokenHasher-style) would grow without bound.
+    """
+
+    def __init__(self, k: int, text_col: str = "text", id_col: str = "doc_id") -> None:
+        if k < 2:
+            raise ValueError("window size k must be >= 2")
+        self.k = k
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..functions.hashing import MERSENNE61, flat_nonempty_tokens, md5_u64
+
+        k = self.k
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "win_hash": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        doc_ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        toks, parents, counts = flat_nonempty_tokens(batch.column(self.text_col))
+        n = len(toks)
+        m = n - k + 1  # candidate window start positions
+        if m <= 0 or not (counts >= k).any():
+            return empty
+        starts = np.cumsum(counts) - counts
+        wpar = parents[:m]
+        idx_in_doc = np.arange(m, dtype=np.int64) - starts[wpar]
+        valid = idx_in_doc <= counts[wpar] - k
+        if not valid.any():
+            return empty
+        slices = [toks.slice(j, m) for j in range(k)]
+        joined = pc.binary_join_element_wise(*slices, " ")
+        if isinstance(joined, pa.ChunkedArray):
+            joined = joined.combine_chunks()
+        if not valid.all():
+            joined = joined.filter(pa.array(valid))
+            wpar = wpar[valid]
+        # md5 once per DISTINCT window string in the batch
+        denc = joined.dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq_hash = md5_u64(denc.dictionary.to_pylist()) % np.uint64(MERSENNE61)
+        wh = uniq_hash[codes].astype(np.int64)  # < 2^61, BIGINT-safe
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(doc_ids[wpar].astype(np.int64)),
+                "win_hash": pa.array(wh),
+            }
+        )
+        counted = tbl.group_by(["doc_id", "win_hash"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "doc_id": counted["doc_id"],
+                "win_hash": counted["win_hash"],
+                "cnt": pc.cast(counted["count_all"], pa.int64()),
+            }
+        )
+
+
+def dup_span_stats(
+    documents: rd.Dataset,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    concurrency: tuple[int, int] | int = (1, 8),
+) -> rd.Dataset:
+    """→ (doc_id, n_windows, n_dup_windows, dup_fraction) — per document,
+    how much of it is covered by k-token windows that ALSO occur in at
+    least one other document (the substring-duplication signal of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499 — here at window granularity).
+
+    Scale shape: ONE corpus-sized exchange. The window rows are slim
+    ``(doc_id, win_hash, cnt)`` partials (the text never shuffles);
+    the win_hash-bucketed reduce marks hashes seen in >= 2 distinct
+    docs and — because every row already carries its doc — emits
+    per-doc (n_windows, n_dup_windows) PARTIALS from the same pass, so
+    no second tokenize pass and no corpus-sized materialization. The
+    final doc-keyed sum moves <= docs x buckets tiny rows, unioned with
+    the bare doc-id list so empty/short docs keep their zero row.
+    """
+    from ..stages.grouping import bucketed_group_apply
+
+    wins = documents.map_batches(
+        _WindowHasher,
+        fn_constructor_kwargs={"k": k, "text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def bucket_fn(bucket: pd.DataFrame) -> pd.DataFrame:
+        # (doc_id, win_hash) rows are globally unique (a doc lives in
+        # exactly one upstream batch), so docs-per-hash == group size
+        ndocs = bucket.groupby("win_hash", sort=False)["doc_id"].transform("size")
+        dup = (ndocs >= 2).to_numpy()
+        tot = bucket.groupby("doc_id", sort=False)["cnt"].sum()
+        dupsum = bucket[dup].groupby("doc_id", sort=False)["cnt"].sum()
+        return pd.DataFrame(
+            {
+                "doc_id": tot.index.to_numpy(np.int64),
+                "n_windows": tot.to_numpy(np.int64),
+                "n_dup_windows": dupsum.reindex(tot.index, fill_value=0).to_numpy(
+                    np.int64
+                ),
+            }
+        )
+
+    partials = bucketed_group_apply(wins, ["win_hash"], bucket_fn, n_buckets=n_buckets)
+
+    def zero_rows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        z = np.zeros(len(batch), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column(id_col), pa.int64()),
+                "n_windows": pa.array(z),
+                "n_dup_windows": pa.array(z),
+            }
+        )
+
+    all_docs = documents.select_columns([id_col]).map_batches(
+        zero_rows, batch_format="pyarrow"
+    )
+
+    def final_fn(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            bucket.groupby("doc_id", sort=False)[["n_windows", "n_dup_windows"]]
+            .sum()
+            .reset_index()
+        )
+        nw = out["n_windows"].to_numpy(dtype=np.float64)
+        nd = out["n_dup_windows"].to_numpy(dtype=np.float64)
+        out["dup_fraction"] = np.where(nw > 0, nd / np.maximum(nw, 1.0), 0.0)
+        for c in ("doc_id", "n_windows", "n_dup_windows"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return bucketed_group_apply(
+        partials.union(all_docs), ["doc_id"], final_fn, n_buckets=32
+    )

@@ -53,13 +53,32 @@ def token_count_stage(batch: pa.Table, text_col: str = "text", id_col: str = "do
 
 def quality_stage(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
     """Per-doc quality signals: token count, distinct terms, mean token
-    length, text length — the filterable stats of a data-quality pass."""
-    toks, _ = _tokens_per_row(batch, text_col)
-    n_tokens = np.array([len(t) for t in toks], dtype=np.int64)
-    n_unique = np.array([len(set(t)) for t in toks], dtype=np.int64)
-    avg_len = np.array(
-        [float(np.mean([len(w) for w in t])) if t else 0.0 for t in toks], dtype=np.float64
-    )
+    length, text length — the filterable stats of a data-quality pass.
+
+    Vectorized over the flat token array: mean token length is a
+    weighted ``np.bincount`` over the parent index (char lengths are
+    integers, so the float64 sum is EXACT and order-independent —
+    bit-identical to the per-doc ``np.mean`` it replaced); distinct
+    terms per doc come from one dictionary-encode + ``np.unique`` over
+    the combined (parent, code) key. No per-doc Python."""
+    from ..functions.hashing import flat_nonempty_tokens
+
+    n = len(batch)
+    toks, parents, counts = flat_nonempty_tokens(batch.column(text_col))
+    n_tokens = counts
+    if len(toks):
+        tok_lens = pc.utf8_length(toks).to_numpy(zero_copy_only=False).astype(np.float64)
+        len_sums = np.bincount(parents, weights=tok_lens, minlength=n)
+        denc = toks.dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        key = parents * np.int64(len(denc.dictionary)) + codes
+        n_unique = np.bincount(
+            np.unique(key) // np.int64(len(denc.dictionary)), minlength=n
+        ).astype(np.int64)
+    else:
+        len_sums = np.zeros(n, dtype=np.float64)
+        n_unique = np.zeros(n, dtype=np.int64)
+    avg_len = np.where(counts > 0, len_sums / np.maximum(counts, 1), 0.0)
     n_chars = pc.utf8_length(batch.column(text_col))
     return pa.table(
         {
@@ -236,6 +255,148 @@ def fingerprints_ds(documents: rd.Dataset) -> rd.Dataset:
 
 def langid_ds(documents: rd.Dataset, concurrency=(1, 4)) -> rd.Dataset:
     return documents.map_batches(LangId, batch_format="pyarrow", concurrency=concurrency)
+
+
+def sample_by_hash_stage(
+    batch: pa.Table,
+    rate_pct: int = 10,
+    salt: str = "ses-sample",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = ("doc_id", "source"),
+) -> pa.Table:
+    """Deterministic hash sampling: keep a row iff
+    ``md5_u64(str(id) + ':' + salt) % 100 < rate_pct`` — the
+    reproducible subsampling primitive of a training-data pipeline
+    (same salt ⇒ same sample on every run, any cluster size, and the
+    sample of a superset contains the sample of its subset). SQL
+    mirror: ``md5_number_lower(doc_id::VARCHAR || ':salt') % 100``."""
+    from ..functions.hashing import md5_u64
+
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    keys = [f"{i}:{salt}" for i in ids.tolist()]
+    keep = (md5_u64(keys) % np.uint64(100)) < rate_pct
+    return batch.select(list(keep_cols)).filter(pa.array(keep))
+
+
+def sample_by_hash_ds(
+    documents: rd.Dataset, rate_pct: int = 10, salt: str = "ses-sample"
+) -> rd.Dataset:
+    """→ (doc_id, source) of the deterministic ``rate_pct``% sample —
+    a stateless shuffle-free scan (column-pruned before the filter)."""
+    return documents.select_columns(["doc_id", "source"]).map_batches(
+        lambda b: sample_by_hash_stage(b, rate_pct=rate_pct, salt=salt),
+        batch_format="pyarrow",
+    )
+
+
+def top_terms_per_source_ds(
+    documents: rd.Dataset, k: int = 5, n_buckets: int = 32
+) -> rd.Dataset:
+    """→ (source, term, tf, rank): the k highest-total-tf terms per
+    source (ties broken term-ascending) — the corpus-profiling /
+    vocabulary-drift operator.
+
+    Scale shape: per-batch Arrow ``group_by`` pre-aggregates
+    (source, term) partials BEFORE the shuffle (the combiner), so the
+    exchange moves per-batch vocabularies, not token occurrences; the
+    reduce is bucketed by source and each bucket resolves all its
+    sources in one vectorized pandas pass — at web scale the per-source
+    vocabulary is the only thing that must co-locate."""
+    from ..functions.hashing import flat_nonempty_tokens
+    from ..stages.grouping import bucketed_group_apply
+
+    def partials(batch: pa.Table) -> pa.Table:
+        toks, parents, _ = flat_nonempty_tokens(batch.column("text"))
+        src = batch.column("source").take(pa.array(parents))
+        tbl = pa.table({"source": src, "term": toks})
+        counted = tbl.group_by(["source", "term"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "source": counted["source"],
+                "term": counted["term"],
+                "cnt": pc.cast(counted["count_all"], pa.int64()),
+            }
+        )
+
+    parts = documents.select_columns(["source", "text"]).map_batches(
+        partials, batch_format="pyarrow"
+    )
+
+    def bucket_fn(bucket):
+        import pandas as pd
+
+        agg = (
+            bucket.groupby(["source", "term"], sort=False)["cnt"]
+            .sum()
+            .reset_index()
+            .rename(columns={"cnt": "tf"})
+        )
+        agg = agg.sort_values(
+            ["source", "tf", "term"], ascending=[True, False, True], kind="mergesort"
+        )
+        agg["rank"] = agg.groupby("source", sort=False).cumcount() + 1
+        out = agg[agg["rank"] <= k].reset_index(drop=True)
+        out["tf"] = out["tf"].astype("int64")
+        out["rank"] = out["rank"].astype("int64")
+        return out
+
+    return bucketed_group_apply(parts, ["source"], bucket_fn, n_buckets=n_buckets)
+
+
+def doclen_quantiles(
+    documents: rd.Dataset, ps: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99)
+) -> pa.Table:
+    """→ (p, n_tokens): EXACT percentile_disc of the per-doc token count
+    — the length-distribution probe that sizes context windows and
+    truncation budgets.
+
+    Distributed as a counting sort: each batch emits (n_tokens, cnt)
+    value-count partials, one bucketed reduce sums them, and only the
+    distinct-length histogram (bounded by max doc length, never by
+    corpus size) reaches the driver, where the disc quantile is read
+    off the cumulative counts with DuckDB's exact semantics: the value
+    at 1-based rank ``max(1, ceil(p·N))`` in sorted order."""
+    import math
+
+    from ..stages.grouping import bucketed_group_apply
+    from ..stages.tokenizer import token_counts
+
+    def partials(batch: pa.Table) -> pa.Table:
+        nt = token_counts(batch.column("text"))
+        vals, cnts = np.unique(nt, return_counts=True)
+        return pa.table(
+            {
+                "n_tokens": pa.array(vals.astype(np.int64)),
+                "cnt": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    parts = documents.select_columns(["text"]).map_batches(
+        partials, batch_format="pyarrow"
+    )
+    hist = bucketed_group_apply(
+        parts,
+        ["n_tokens"],
+        lambda b: b.groupby("n_tokens", sort=False)["cnt"].sum().reset_index(),
+        n_buckets=8,
+    ).to_pandas()  # distinct lengths only — small by construction
+    hist = hist.sort_values("n_tokens").reset_index(drop=True)
+    vals = hist["n_tokens"].to_numpy(np.int64)
+    cum = hist["cnt"].to_numpy(np.int64).cumsum()
+    total = int(cum[-1]) if len(cum) else 0
+    out_p, out_v = [], []
+    for p in ps:
+        if total == 0:
+            continue
+        rank = max(1, math.ceil(p * total))  # double math == DuckDB's
+        out_p.append(float(p))
+        out_v.append(int(vals[np.searchsorted(cum, rank, side="left")]))
+    return pa.table(
+        {
+            "p": pa.array(out_p, pa.float64()),
+            "n_tokens": pa.array(out_v, pa.int64()),
+        }
+    )
 
 
 class HllPartial:

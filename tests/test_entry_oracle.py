@@ -92,6 +92,9 @@ def test_oracle_keys_subset(entry_mod):
     "pagerank", "dedup_clusters",
     # round 3: contamination probe (exact phrase-occurrence scan)
     "phrase_scan",
+    # round 3: substring-level dup spans, deterministic sampling,
+    # per-source top-k terms, exact doc-length quantiles
+    "dup_spans", "sample_hash", "top_terms_per_source", "doclen_quantiles",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))

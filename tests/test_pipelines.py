@@ -404,3 +404,126 @@ def test_phrase_scan(ray_session):
     )
     out2 = phrase_scan_ds(ds2, ["alpha beta"]).to_pandas()
     assert len(out2) == 0
+
+
+def test_dup_span_stats_planted(ray_session):
+    """Planted shared 5-token spans: semantics checked against a brute
+    pure-Python re-derivation (windows over the M2 token stream)."""
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.functions.tokenize import tokenize
+    from search_engine_skillbox_ray.pipelines.dedup import dup_span_stats
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens → 2 windows
+    rows = [
+        {"doc_id": 0, "text": f"one two {shared} three four five six"},
+        {"doc_id": 1, "text": f"prefix words here {shared} and a suffix tail"},
+        {"doc_id": 2, "text": "totally unrelated text about streaming execution engines"},
+        {"doc_id": 3, "text": "short doc"},  # < k tokens → 0 windows
+        {"doc_id": 4, "text": ""},
+    ]
+    k = 5
+    out = (
+        dup_span_stats(rd.from_items(rows), k=k)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # brute-force reference
+    wins: dict[int, list[tuple]] = {}
+    for r in rows:
+        t = [w for w in tokenize(r["text"]) if w]
+        wins[r["doc_id"]] = [tuple(t[i : i + k]) for i in range(max(0, len(t) - k + 1))]
+    from collections import Counter
+
+    owners: dict[tuple, set] = {}
+    for d, ws in wins.items():
+        for w in set(ws):
+            owners.setdefault(w, set()).add(d)
+    for d, ws in wins.items():
+        n_dup = sum(1 for w in ws if len(owners[w]) >= 2)
+        assert out.loc[d, "n_windows"] == len(ws), d
+        assert out.loc[d, "n_dup_windows"] == n_dup, d
+        expect_frac = n_dup / len(ws) if ws else 0.0
+        assert abs(out.loc[d, "dup_fraction"] - expect_frac) < 1e-12, d
+    assert len(out) == len(rows)  # zero-window docs keep their row
+    assert out.loc[0, "n_dup_windows"] == 2 and out.loc[1, "n_dup_windows"] == 2
+
+
+def test_sample_by_hash_deterministic_and_nested(ray_session):
+    """Same salt ⇒ identical sample across runs; a superset's sample
+    contains the subset's sample (hash decision is per-row)."""
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.textstats import sample_by_hash_ds
+
+    rows = [{"doc_id": i, "source": f"s{i % 3}"} for i in range(200)]
+    full = rd.from_items(rows)
+    sub = rd.from_items(rows[:100])
+    s_full = set(sample_by_hash_ds(full, rate_pct=20).to_pandas()["doc_id"])
+    s_full2 = set(sample_by_hash_ds(full, rate_pct=20).to_pandas()["doc_id"])
+    s_sub = set(sample_by_hash_ds(sub, rate_pct=20).to_pandas()["doc_id"])
+    assert s_full == s_full2
+    assert s_sub == {i for i in s_full if i < 100}
+    # different salt ⇒ different (here: not identical) sample
+    s_other = set(sample_by_hash_ds(full, rate_pct=20, salt="other").to_pandas()["doc_id"])
+    assert s_other != s_full
+    assert 10 <= len(s_full) <= 80  # ~40 expected, loose envelope
+
+
+def test_top_terms_per_source(ray_session):
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.textstats import top_terms_per_source_ds
+
+    rows = [
+        {"doc_id": 0, "source": "a", "text": "x x x y y z"},
+        {"doc_id": 1, "source": "a", "text": "y z w"},
+        {"doc_id": 2, "source": "b", "text": "m m n"},
+    ]
+    out = top_terms_per_source_ds(rd.from_items(rows), k=2).to_pandas()
+    a = out[out["source"] == "a"].sort_values("rank")
+    assert list(a["term"]) == ["x", "y"] and list(a["tf"]) == [3, 3]  # tie → term asc
+    b = out[out["source"] == "b"].sort_values("rank")
+    assert list(b["term"]) == ["m", "n"]
+
+
+def test_doclen_quantiles_exact(ray_session):
+    """percentile_disc semantics (rank = max(1, ceil(p·N)), 1-based)
+    over a known multiset — matches DuckDB (pinned in test_entry_oracle)."""
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.textstats import doclen_quantiles
+
+    # token counts: 1,2,3,...,10 (one doc each)
+    rows = [{"doc_id": i, "text": " ".join(["w"] * i)} for i in range(1, 11)]
+    out = doclen_quantiles(rd.from_items(rows), ps=(0.1, 0.5, 0.55, 1.0)).to_pandas()
+    got = dict(zip(out["p"], out["n_tokens"]))
+    assert got == {0.1: 1, 0.5: 5, 0.55: 6, 1.0: 10}
+
+
+def test_quality_stage_vectorized_matches_reference(ray_session):
+    """The vectorized quality stage must be value-identical to the
+    per-row definition (mean token length, distinct terms)."""
+    import pyarrow as pa
+
+    from search_engine_skillbox_ray.functions.tokenize import tokenize
+    from search_engine_skillbox_ray.pipelines.textstats import quality_stage
+
+    texts = [
+        "The quick brown fox; the quick dog!",
+        "",
+        "   ",
+        "a aa aaa a aa",
+        "Ёжик в тумане — ёжик",
+    ]
+    batch = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+    out = quality_stage(batch).to_pandas()
+    for i, s in enumerate(texts):
+        toks = [t for t in tokenize(s) if t]
+        assert out.loc[i, "n_tokens"] == len(toks)
+        assert out.loc[i, "n_unique_terms"] == len(set(toks))
+        expect = float(np.mean([len(w) for w in toks])) if toks else 0.0
+        assert abs(out.loc[i, "avg_token_len"] - round(expect, 6)) < 1e-9
+        assert out.loc[i, "text_len"] == len(s)
