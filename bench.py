@@ -250,6 +250,10 @@ def bench_sf_queries() -> dict:
         "quality",
         "langid",
         "phrase_scan",
+        "dup_spans",
+        "sample_hash",
+        "top_terms_per_source",
+        "doclen_quantiles",
         "hll_distinct_tokens",
         "batch_search",
         "pagerank",

@@ -1055,11 +1055,13 @@ def embedding_near_pairs(
 # --------------------------------------------------------------------------
 
 
-class _WindowHasher:
-    """Actor-pool stage for ``dup_span_stats``: per batch, hash every
-    k-token window of every doc and emit the partial-aggregated slim
-    rows ``(doc_id, win_hash, cnt)`` — one row per DISTINCT window per
-    doc, ``cnt`` its occurrence count.
+def _window_hash_stage(
+    batch: pa.Table, k: int, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Stateless task-pool stage for ``dup_span_stats``: per batch, hash
+    every k-token window of every doc and emit the partial-aggregated
+    slim rows ``(doc_id, win_hash, cnt)`` — one row per DISTINCT window
+    per doc, ``cnt`` its occurrence count.
 
     Vectorized end to end: the window strings are built by joining k
     shifted zero-copy slices of the flat token array with ONE Arrow
@@ -1069,68 +1071,61 @@ class _WindowHasher:
     itself). ``win_hash = md5_u64(joined) % MERSENNE61`` — bit-identical
     to DuckDB ``md5_number_lower(array_to_string(toks[i:i+k-1], ' ')) %
     2305843009213693951``, which is what makes the SQL oracle hard.
-    No cross-batch state: the window vocabulary is corpus-sized, so an
-    actor-level cache (TokenHasher-style) would grow without bound.
+    No cross-batch state (the window vocabulary is corpus-sized, so an
+    actor-level cache would grow without bound) — hence a plain task,
+    not an actor pool: actor startup dwarfs the per-batch compute.
     """
+    import pyarrow.compute as pc
 
-    def __init__(self, k: int, text_col: str = "text", id_col: str = "doc_id") -> None:
-        if k < 2:
-            raise ValueError("window size k must be >= 2")
-        self.k = k
-        self.text_col = text_col
-        self.id_col = id_col
+    from ..functions.hashing import MERSENNE61, flat_nonempty_tokens, md5_u64
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        from ..functions.hashing import MERSENNE61, flat_nonempty_tokens, md5_u64
-
-        k = self.k
-        empty = pa.table(
-            {
-                "doc_id": pa.array([], pa.int64()),
-                "win_hash": pa.array([], pa.int64()),
-                "cnt": pa.array([], pa.int64()),
-            }
-        )
-        doc_ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
-        toks, parents, counts = flat_nonempty_tokens(batch.column(self.text_col))
-        n = len(toks)
-        m = n - k + 1  # candidate window start positions
-        if m <= 0 or not (counts >= k).any():
-            return empty
-        starts = np.cumsum(counts) - counts
-        wpar = parents[:m]
-        idx_in_doc = np.arange(m, dtype=np.int64) - starts[wpar]
-        valid = idx_in_doc <= counts[wpar] - k
-        if not valid.any():
-            return empty
-        slices = [toks.slice(j, m) for j in range(k)]
-        joined = pc.binary_join_element_wise(*slices, " ")
-        if isinstance(joined, pa.ChunkedArray):
-            joined = joined.combine_chunks()
-        if not valid.all():
-            joined = joined.filter(pa.array(valid))
-            wpar = wpar[valid]
-        # md5 once per DISTINCT window string in the batch
-        denc = joined.dictionary_encode()
-        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        uniq_hash = md5_u64(denc.dictionary.to_pylist()) % np.uint64(MERSENNE61)
-        wh = uniq_hash[codes].astype(np.int64)  # < 2^61, BIGINT-safe
-        tbl = pa.table(
-            {
-                "doc_id": pa.array(doc_ids[wpar].astype(np.int64)),
-                "win_hash": pa.array(wh),
-            }
-        )
-        counted = tbl.group_by(["doc_id", "win_hash"]).aggregate([([], "count_all")])
-        return pa.table(
-            {
-                "doc_id": counted["doc_id"],
-                "win_hash": counted["win_hash"],
-                "cnt": pc.cast(counted["count_all"], pa.int64()),
-            }
-        )
+    if k < 2:
+        raise ValueError("window size k must be >= 2")
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "win_hash": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64()),
+        }
+    )
+    doc_ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    toks, parents, counts = flat_nonempty_tokens(batch.column(text_col))
+    n = len(toks)
+    m = n - k + 1  # candidate window start positions
+    if m <= 0 or not (counts >= k).any():
+        return empty
+    starts = np.cumsum(counts) - counts
+    wpar = parents[:m]
+    idx_in_doc = np.arange(m, dtype=np.int64) - starts[wpar]
+    valid = idx_in_doc <= counts[wpar] - k
+    if not valid.any():
+        return empty
+    slices = [toks.slice(j, m) for j in range(k)]
+    joined = pc.binary_join_element_wise(*slices, " ")
+    if isinstance(joined, pa.ChunkedArray):
+        joined = joined.combine_chunks()
+    if not valid.all():
+        joined = joined.filter(pa.array(valid))
+        wpar = wpar[valid]
+    # md5 once per DISTINCT window string in the batch
+    denc = joined.dictionary_encode()
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq_hash = md5_u64(denc.dictionary.to_pylist()) % np.uint64(MERSENNE61)
+    wh = uniq_hash[codes].astype(np.int64)  # < 2^61, BIGINT-safe
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(doc_ids[wpar].astype(np.int64)),
+            "win_hash": pa.array(wh),
+        }
+    )
+    counted = tbl.group_by(["doc_id", "win_hash"]).aggregate([([], "count_all")])
+    return pa.table(
+        {
+            "doc_id": counted["doc_id"],
+            "win_hash": counted["win_hash"],
+            "cnt": pc.cast(counted["count_all"], pa.int64()),
+        }
+    )
 
 
 def dup_span_stats(
@@ -1139,7 +1134,6 @@ def dup_span_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 64,
-    concurrency: tuple[int, int] | int = (1, 8),
 ) -> rd.Dataset:
     """→ (doc_id, n_windows, n_dup_windows, dup_fraction) — per document,
     how much of it is covered by k-token windows that ALSO occur in at
@@ -1159,10 +1153,9 @@ def dup_span_stats(
     from ..stages.grouping import bucketed_group_apply
 
     wins = documents.map_batches(
-        _WindowHasher,
-        fn_constructor_kwargs={"k": k, "text_col": text_col, "id_col": id_col},
+        _window_hash_stage,
+        fn_kwargs={"k": k, "text_col": text_col, "id_col": id_col},
         batch_format="pyarrow",
-        concurrency=concurrency,
     )
 
     def bucket_fn(bucket: pd.DataFrame) -> pd.DataFrame:
