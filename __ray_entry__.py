@@ -443,6 +443,12 @@ def q_sessionize(sf_dir: str):
     return sessionize(_events(sf_dir), gap_s=1800)
 
 
+def q_events_asof(sf_dir: str):
+    from search_engine_skillbox_ray.pipelines.windows import asof_prev_event
+
+    return asof_prev_event(_events(sf_dir))
+
+
 def q_docs_with_source_stats(sf_dir: str):
     """Broadcast-join demo (J1 shape): per-doc row decorated with its
     source's doc count — small side via ray.put, no shuffle."""
@@ -701,6 +707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": q_events_window,
         "events_hopping": q_events_hopping,
         "sessionize": q_sessionize,
+        "events_asof": q_events_asof,
         "docs_with_source_stats": q_docs_with_source_stats,
         "media_decode": q_media_decode,
         "media_frames": q_media_frames,
@@ -1232,6 +1239,18 @@ WITH o AS (
   FROM events)
 SELECT user_id, sum(new_s)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events
 FROM o GROUP BY user_id
+""",
+        "events_asof": """
+WITH w AS (
+  SELECT event_id, value, epoch_us(ts) AS tsu,
+         lag(event_id) OVER win AS prev_event_id,
+         lag(value)    OVER win AS prev_value,
+         lag(epoch_us(ts)) OVER win AS prev_tsu
+  FROM events WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_id, prev_event_id::BIGINT AS prev_event_id,
+       prev_value::DOUBLE AS prev_value,
+       (tsu - prev_tsu)::BIGINT AS gap_us
+FROM w WHERE prev_event_id IS NOT NULL
 """,
         "docs_with_source_stats": """
 SELECT d.doc_id, d.source, c.n_docs_in_source

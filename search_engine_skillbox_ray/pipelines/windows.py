@@ -158,7 +158,10 @@ def sessionize(
             )
         g = bucket.sort_values([user_col, ts_col], kind="mergesort")
         users = g[user_col].to_numpy()
-        ts = g[ts_col].astype("int64").to_numpy()  # microseconds — exact gap compare
+        # normalize to integer MICROSECONDS regardless of the pandas
+        # datetime64 unit (parquet timestamps arrive as [us], in-memory
+        # pd.Timestamp fixtures as [ns])
+        ts = g[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
         new_user = np.concatenate(([True], users[1:] != users[:-1]))
         gap = np.concatenate(([True], np.diff(ts) > gap_s * 1_000_000))
         new_session = new_user | gap
@@ -171,6 +174,63 @@ def sessionize(
                 user_col: users[new_user],
                 "n_sessions": n_sessions,
                 "n_events": n_events,
+            }
+        )
+
+    return bucketed_group_apply(events, [user_col], per_bucket, n_buckets=32)
+
+
+def asof_prev_event(
+    events: rd.Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    val_col: str = "value",
+) -> rd.Dataset:
+    """→ (event_id, prev_event_id, prev_value, gap_us): for every event
+    that has a same-user predecessor, the immediately preceding event in
+    (ts, event_id) order — the AS-OF / previous-row join Ray Data has no
+    native operator for (the per-user "what happened last" lookup of
+    sessionization, churn and funnel features).
+
+    Same scale shape as :func:`sessionize`: shuffle once on a hash
+    bucket of the user, then ONE vectorized pass per bucket (mergesort +
+    shifted-array compare — no per-user Python). The gap is kept in
+    integer microseconds so the oracle compare is exact. Partitioning
+    assumption: one user's events co-locate (bucket key is a function of
+    the user only); ordering within a user is total via the
+    (ts, event_id) tiebreak, so the output is deterministic under ties.
+    """
+    from ..stages.grouping import bucketed_group_apply
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "event_id": np.array([], np.int64),
+                "prev_event_id": np.array([], np.int64),
+                "prev_value": np.array([], np.float64),
+                "gap_us": np.array([], np.int64),
+            }
+        )
+        if not len(bucket):
+            return empty
+        g = bucket.sort_values([user_col, ts_col, id_col], kind="mergesort")
+        users = g[user_col].to_numpy()
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        vals = g[val_col].to_numpy(dtype=np.float64)
+        ts = g[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        same = np.concatenate(([False], users[1:] == users[:-1]))
+        if not same.any():
+            return empty
+        prev_ids = np.concatenate(([0], ids[:-1]))
+        prev_vals = np.concatenate(([0.0], vals[:-1]))
+        prev_ts = np.concatenate(([0], ts[:-1]))
+        return pd.DataFrame(
+            {
+                "event_id": ids[same],
+                "prev_event_id": prev_ids[same],
+                "prev_value": prev_vals[same],
+                "gap_us": (ts[same] - prev_ts[same]).astype(np.int64),
             }
         )
 

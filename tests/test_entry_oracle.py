@@ -95,6 +95,8 @@ def test_oracle_keys_subset(entry_mod):
     # round 3: substring-level dup spans, deterministic sampling,
     # per-source top-k terms, exact doc-length quantiles
     "dup_spans", "sample_hash", "top_terms_per_source", "doclen_quantiles",
+    # round 3: as-of (previous-row) join over the events stream
+    "events_asof",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))

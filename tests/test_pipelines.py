@@ -527,3 +527,33 @@ def test_quality_stage_vectorized_matches_reference(ray_session):
         expect = float(np.mean([len(w) for w in toks])) if toks else 0.0
         assert abs(out.loc[i, "avg_token_len"] - round(expect, 6)) < 1e-9
         assert out.loc[i, "text_len"] == len(s)
+
+
+def test_asof_prev_event(ray_session):
+    """Previous-row (as-of) join semantics: per user, each event pairs
+    with its immediate predecessor in (ts, event_id) order; first event
+    per user emits nothing; ties order by event_id."""
+    import pandas as pd
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.windows import asof_prev_event
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        {"event_id": 1, "user_id": 7, "ts": base, "value": 1.0},
+        {"event_id": 2, "user_id": 7, "ts": base + pd.Timedelta(seconds=5), "value": 2.0},
+        {"event_id": 3, "user_id": 7, "ts": base + pd.Timedelta(seconds=5), "value": 3.0},  # tie with 2
+        {"event_id": 4, "user_id": 8, "ts": base, "value": 9.0},  # singleton user
+        {"event_id": 5, "user_id": 9, "ts": base + pd.Timedelta(seconds=1), "value": 4.0},
+        {"event_id": 6, "user_id": 9, "ts": base, "value": 5.0},  # out of order input
+    ]
+    out = (
+        asof_prev_event(rd.from_pandas(pd.DataFrame(rows)))
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    assert set(out.index) == {2, 3, 5}
+    assert out.loc[2, "prev_event_id"] == 1 and out.loc[2, "gap_us"] == 5_000_000
+    assert out.loc[3, "prev_event_id"] == 2 and out.loc[3, "gap_us"] == 0  # tiebreak
+    assert out.loc[5, "prev_event_id"] == 6 and out.loc[5, "prev_value"] == 5.0
