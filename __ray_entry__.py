@@ -449,6 +449,14 @@ def q_events_asof(sf_dir: str):
     return asof_prev_event(_events(sf_dir))
 
 
+def q_events_follow(sf_dir: str):
+    from search_engine_skillbox_ray.pipelines.windows import follow_within
+
+    return follow_within(
+        _events(sf_dir), anchor_type="signup", follow_type="purchase", within_s=86400
+    )
+
+
 def q_docs_with_source_stats(sf_dir: str):
     """Broadcast-join demo (J1 shape): per-doc row decorated with its
     source's doc count — small side via ray.put, no shuffle."""
@@ -708,6 +716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": q_events_hopping,
         "sessionize": q_sessionize,
         "events_asof": q_events_asof,
+        "events_follow": q_events_follow,
         "docs_with_source_stats": q_docs_with_source_stats,
         "media_decode": q_media_decode,
         "media_frames": q_media_frames,
@@ -1251,6 +1260,18 @@ SELECT event_id, prev_event_id::BIGINT AS prev_event_id,
        prev_value::DOUBLE AS prev_value,
        (tsu - prev_tsu)::BIGINT AS gap_us
 FROM w WHERE prev_event_id IS NOT NULL
+""",
+        "events_follow": """
+SELECT a.event_id,
+       count(b.event_id)::BIGINT AS n_follow,
+       COALESCE(sum(b.value), 0.0)::DOUBLE AS sum_value
+FROM events a
+LEFT JOIN events b
+  ON b.user_id = a.user_id AND b.event_type = 'purchase'
+ AND epoch_us(b.ts) > epoch_us(a.ts)
+ AND epoch_us(b.ts) <= epoch_us(a.ts) + 86400000000
+WHERE a.event_type = 'signup'
+GROUP BY a.event_id
 """,
         "docs_with_source_stats": """
 SELECT d.doc_id, d.source, c.n_docs_in_source

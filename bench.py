@@ -247,6 +247,8 @@ def bench_sf_queries() -> dict:
         "events_window",
         "events_hopping",
         "sessionize",
+        "events_asof",
+        "events_follow",
         "quality",
         "langid",
         "phrase_scan",

@@ -235,3 +235,86 @@ def asof_prev_event(
         )
 
     return bucketed_group_apply(events, [user_col], per_bucket, n_buckets=32)
+
+
+def follow_within(
+    events: rd.Dataset,
+    anchor_type: str = "signup",
+    follow_type: str = "purchase",
+    within_s: int = 86400,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    val_col: str = "value",
+    type_col: str = "event_type",
+) -> rd.Dataset:
+    """→ (event_id, n_follow, sum_value): the RANGE JOIN / funnel
+    primitive — for every anchor event (e.g. signup), the count and
+    value-sum of same-user follow events (e.g. purchase) in the window
+    ``(anchor_ts, anchor_ts + within_s]``. Anchors with no follower keep
+    a zero row (left-join semantics).
+
+    Scale shape: one hash-bucket shuffle on the user (only anchor+follow
+    typed rows enter it — the filter runs before the exchange); inside a
+    bucket, followers are sorted once by (user, ts) and every user's
+    anchors resolve with TWO ``np.searchsorted`` calls + a prefix-sum
+    difference — per-user iteration touches users, not events, so the
+    vectorized work dominates. Partitioning assumption: one user's
+    events co-locate (bucket key is a function of the user only).
+    """
+    from ..stages.grouping import bucketed_group_apply
+
+    within_us = int(within_s) * 1_000_000
+
+    def pre_filter(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(
+            batch.column(type_col),
+            value_set=pa.array([anchor_type, follow_type], pa.string()),
+        )
+        return batch.select([id_col, user_col, ts_col, val_col, type_col]).filter(mask)
+
+    slim = events.map_batches(pre_filter, batch_format="pyarrow")
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "event_id": np.array([], np.int64),
+                "n_follow": np.array([], np.int64),
+                "sum_value": np.array([], np.float64),
+            }
+        )
+        a = bucket[bucket[type_col] == anchor_type]
+        if not len(a):
+            return empty
+        aid = a[id_col].to_numpy(dtype=np.int64)
+        au = a[user_col].to_numpy()
+        at = a[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        n_follow = np.zeros(len(a), np.int64)
+        sum_value = np.zeros(len(a), np.float64)
+        f = bucket[bucket[type_col] == follow_type]
+        if len(f):
+            f = f.sort_values([user_col, ts_col], kind="mergesort")
+            fu = f[user_col].to_numpy()
+            ft = f[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+            csum = np.concatenate(
+                ([0.0], np.cumsum(f[val_col].to_numpy(dtype=np.float64)))
+            )
+            uniq, seg_starts = np.unique(fu, return_index=True)
+            seg_ends = np.concatenate((seg_starts[1:], [len(fu)]))
+            for ui, u in enumerate(uniq):
+                amask = au == u
+                if not amask.any():
+                    continue
+                s, e = seg_starts[ui], seg_ends[ui]
+                seg = ft[s:e]
+                lo = s + np.searchsorted(seg, at[amask], side="right")
+                hi = s + np.searchsorted(seg, at[amask] + within_us, side="right")
+                n_follow[amask] = hi - lo
+                sum_value[amask] = csum[hi] - csum[lo]
+        return pd.DataFrame(
+            {"event_id": aid, "n_follow": n_follow, "sum_value": sum_value}
+        )
+
+    return bucketed_group_apply(slim, [user_col], per_bucket, n_buckets=32)

@@ -97,6 +97,8 @@ def test_oracle_keys_subset(entry_mod):
     "dup_spans", "sample_hash", "top_terms_per_source", "doclen_quantiles",
     # round 3: as-of (previous-row) join over the events stream
     "events_asof",
+    # round 3: range join (follow-within-window funnel primitive)
+    "events_follow",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))

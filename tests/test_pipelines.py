@@ -557,3 +557,36 @@ def test_asof_prev_event(ray_session):
     assert out.loc[2, "prev_event_id"] == 1 and out.loc[2, "gap_us"] == 5_000_000
     assert out.loc[3, "prev_event_id"] == 2 and out.loc[3, "gap_us"] == 0  # tiebreak
     assert out.loc[5, "prev_event_id"] == 6 and out.loc[5, "prev_value"] == 5.0
+
+
+def test_follow_within_range_join(ray_session):
+    """Range-join semantics: follows strictly after the anchor, within
+    the window inclusive; zero rows kept; multi-anchor users correct."""
+    import pandas as pd
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.windows import follow_within
+
+    b = pd.Timestamp("2024-01-01")
+    S = lambda s: b + pd.Timedelta(seconds=s)
+    rows = [
+        {"event_id": 1, "user_id": 1, "ts": S(0), "event_type": "signup", "value": 0.0},
+        {"event_id": 2, "user_id": 1, "ts": S(0), "event_type": "purchase", "value": 5.0},   # NOT after (strict)
+        {"event_id": 3, "user_id": 1, "ts": S(10), "event_type": "purchase", "value": 7.0},  # in
+        {"event_id": 4, "user_id": 1, "ts": S(60), "event_type": "purchase", "value": 9.0},  # boundary: in (inclusive)
+        {"event_id": 5, "user_id": 1, "ts": S(61), "event_type": "purchase", "value": 11.0}, # out
+        {"event_id": 6, "user_id": 1, "ts": S(50), "event_type": "signup", "value": 0.0},    # 2nd anchor
+        {"event_id": 7, "user_id": 2, "ts": S(5), "event_type": "signup", "value": 0.0},     # no follows
+        {"event_id": 8, "user_id": 3, "ts": S(5), "event_type": "purchase", "value": 1.0},   # no anchor
+        {"event_id": 9, "user_id": 1, "ts": S(20), "event_type": "click", "value": 99.0},    # other type
+    ]
+    out = (
+        follow_within(rd.from_pandas(pd.DataFrame(rows)), within_s=60)
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    assert set(out.index) == {1, 6, 7}
+    assert out.loc[1, "n_follow"] == 2 and out.loc[1, "sum_value"] == 16.0  # 7+9
+    assert out.loc[6, "n_follow"] == 2 and out.loc[6, "sum_value"] == 20.0  # 9+11
+    assert out.loc[7, "n_follow"] == 0 and out.loc[7, "sum_value"] == 0.0
