@@ -297,6 +297,15 @@ def q_phrase_scan(sf_dir: str):
     return phrase_scan_ds(_documents(sf_dir), PHRASES)
 
 
+def q_token_count_bpe(sf_dir: str):
+    from search_engine_skillbox_ray.pipelines.textstats import bpe_token_counts_ds
+
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bpe_token_counts_ds(docs)
+
+
 def q_dup_spans(sf_dir: str):
     from search_engine_skillbox_ray.pipelines.dedup import dup_span_stats
 
@@ -699,6 +708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": q_fingerprint,
         "langid": q_langid,
         "phrase_scan": q_phrase_scan,
+        "token_count_bpe": q_token_count_bpe,
         "dup_spans": q_dup_spans,
         "sample_hash": q_sample_hash,
         "top_terms_per_source": q_top_terms_per_source,
@@ -761,6 +771,21 @@ WITH tl AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
 tok AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM tl)
 {union}
 """
+
+
+def _bpe_count_sql() -> str:
+    """Mirror of ``bpe_token_count_stage``: the SAME RE2 pattern string
+    runs through DuckDB ``regexp_extract_all`` (single quotes doubled
+    for the SQL literal) — both engines are RE2, so leftmost
+    non-overlapping match counts agree exactly."""
+    from search_engine_skillbox_ray.pipelines.textstats import BPE_PRETOKEN_PATTERN
+
+    lit = "'" + BPE_PRETOKEN_PATTERN.replace("'", "''") + "'"
+    return (
+        "SELECT doc_id, len(regexp_extract_all(text, "
+        + lit
+        + "))::BIGINT AS n_bpe_tokens FROM documents"
+    )
 
 
 def _dup_spans_oracle() -> str:
@@ -1374,6 +1399,7 @@ LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.doc_id = d.doc_id
 LEFT JOIN tot ON tot.doc_id = d.doc_id
 """,
         "phrase_scan": _phrase_oracle(),
+        "token_count_bpe": _bpe_count_sql(),
         "dup_spans": _dup_spans_oracle(),
         "sample_hash": f"""
 SELECT doc_id, source FROM documents

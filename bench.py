@@ -253,6 +253,7 @@ def bench_sf_queries() -> dict:
         "langid",
         "phrase_scan",
         "dup_spans",
+        "token_count_bpe",
         "sample_hash",
         "top_terms_per_source",
         "doclen_quantiles",

@@ -512,3 +512,33 @@ def hll_distinct_tokens(
         )
 
     return regs.groupby(key_col).map_groups(finish, batch_format="pandas")
+
+
+# GPT-2-style byte-pair-encoding PRE-tokenizer pattern, RE2-compatible
+# (the original's trailing-whitespace negative lookahead is dropped —
+# RE2 has no lookahead; pyarrow count_substring_regex and DuckDB
+# regexp_extract_all are both RE2, so both sides match identically).
+BPE_PRETOKEN_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count_stage(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """(doc_id, n_bpe_tokens): BPE-ish pre-token count — the token-budget
+    estimator a training-data pipeline sizes batches/contexts with (each
+    pre-token maps to >= 1 BPE token, so this is the lower bound an
+    actual merges-table would refine). ONE RE2 C-kernel pass per batch
+    (``pc.count_substring_regex``), no Python in the loop."""
+    counts = pc.count_substring_regex(batch.column(text_col), pattern=BPE_PRETOKEN_PATTERN)
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "n_bpe_tokens": pc.cast(counts, pa.int64()),
+        }
+    )
+
+
+def bpe_token_counts_ds(documents: rd.Dataset) -> rd.Dataset:
+    return documents.select_columns(["doc_id", "text"]).map_batches(
+        bpe_token_count_stage, batch_format="pyarrow"
+    )

@@ -99,6 +99,8 @@ def test_oracle_keys_subset(entry_mod):
     "events_asof",
     # round 3: range join (follow-within-window funnel primitive)
     "events_follow",
+    # round 3: BPE-ish pre-token counting (RE2 parity with DuckDB)
+    "token_count_bpe",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))

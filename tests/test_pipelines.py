@@ -590,3 +590,21 @@ def test_follow_within_range_join(ray_session):
     assert out.loc[1, "n_follow"] == 2 and out.loc[1, "sum_value"] == 16.0  # 7+9
     assert out.loc[6, "n_follow"] == 2 and out.loc[6, "sum_value"] == 20.0  # 9+11
     assert out.loc[7, "n_follow"] == 0 and out.loc[7, "sum_value"] == 0.0
+
+
+def test_bpe_token_count(ray_session):
+    """BPE-ish pre-token counts: contractions split, leading space glues
+    to the word, digit runs and punctuation are their own tokens."""
+    import pyarrow as pa
+
+    from search_engine_skillbox_ray.pipelines.textstats import bpe_token_count_stage
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["don't stop", "a1b2", ""], pa.string()),
+        }
+    )
+    out = bpe_token_count_stage(batch).to_pandas()
+    # don / 't / " stop" = 3 ; a / 1 / b / 2 = 4 ; "" = 0
+    assert list(out["n_bpe_tokens"]) == [3, 4, 0]
