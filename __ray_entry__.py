@@ -59,6 +59,7 @@ PHRASES = ["table scan", "hash join", "batch batch batch",
 DUP_SPAN_K = 5  # duplicated-span window size (tokens)
 SAMPLE_RATE_PCT = 10
 SAMPLE_SALT = "ses-sample"
+STRAT_K, STRAT_SALT = 3, "ses-strat"
 TOP_TERMS_K = 5
 QUANTILE_PS = (0.25, 0.5, 0.75, 0.9, 0.99)
 
@@ -319,6 +320,24 @@ def q_sample_hash(sf_dir: str):
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
     return sample_by_hash_ds(docs, rate_pct=SAMPLE_RATE_PCT, salt=SAMPLE_SALT)
+
+
+def q_repetition(sf_dir: str):
+    from search_engine_skillbox_ray.pipelines.textstats import repetition_ds
+
+    return repetition_ds(_documents(sf_dir))
+
+
+def q_term_bigrams(sf_dir: str):
+    from search_engine_skillbox_ray.pipelines.textstats import term_bigrams_ds
+
+    return term_bigrams_ds(_documents(sf_dir))
+
+
+def q_stratified_sample(sf_dir: str):
+    from search_engine_skillbox_ray.pipelines.textstats import stratified_sample_ds
+
+    return stratified_sample_ds(_documents(sf_dir), k=STRAT_K, salt=STRAT_SALT)
 
 
 def q_top_terms_per_source(sf_dir: str):
@@ -711,6 +730,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_bpe": q_token_count_bpe,
         "dup_spans": q_dup_spans,
         "sample_hash": q_sample_hash,
+        "repetition": q_repetition,
+        "term_bigrams": q_term_bigrams,
+        "stratified_sample": q_stratified_sample,
         "top_terms_per_source": q_top_terms_per_source,
         "doclen_quantiles": q_doclen_quantiles,
         "hll_distinct_tokens": q_hll_distinct_tokens,
@@ -1404,6 +1426,51 @@ LEFT JOIN tot ON tot.doc_id = d.doc_id
         "sample_hash": f"""
 SELECT doc_id, source FROM documents
 WHERE md5_number_lower(doc_id::VARCHAR || ':{SAMPLE_SALT}') % 100 < {SAMPLE_RATE_PCT}
+""",
+        # Gopher-shape repetition signals: fractions are plain float64
+        # divisions of exact integer counts on both sides (no rounding
+        # needed — identical doubles). Bigram identity via ' '-join is
+        # collision-free: M2 tokens contain no separators.
+        "repetition": f"""
+WITH tok AS ({_TOK}),
+tc AS (SELECT doc_id, term, count(*)::BIGINT AS c FROM tok GROUP BY doc_id, term),
+tt AS (SELECT doc_id, max(c) AS top_c, sum(c)::BIGINT AS n_tokens FROM tc GROUP BY doc_id),
+tl AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}]+'),
+       x -> x <> '') AS toks FROM documents),
+bg AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
+         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+       ELSE CAST([] AS VARCHAR[]) END) AS b FROM tl),
+bgc AS (SELECT doc_id, b, count(*)::BIGINT AS c FROM bg GROUP BY doc_id, b),
+bga AS (SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
+               sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::BIGINT AS dup_bg
+        FROM bgc GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(t.n_tokens, 0)::BIGINT AS n_tokens,
+       CASE WHEN COALESCE(t.n_tokens, 0) = 0 THEN 0.0
+            ELSE t.top_c::DOUBLE / t.n_tokens END AS top_token_frac,
+       COALESCE(a.n_bigrams, 0)::BIGINT AS n_bigrams,
+       CASE WHEN COALESCE(a.n_bigrams, 0) = 0 THEN 0.0
+            ELSE a.dup_bg::DOUBLE / a.n_bigrams END AS dup_bigram_frac
+FROM documents d
+LEFT JOIN tt t ON d.doc_id = t.doc_id
+LEFT JOIN bga a ON d.doc_id = a.doc_id
+""",
+        "term_bigrams": """
+WITH tl AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+            '[^\\p{L}]+'), x -> x <> '') AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM tl)
+SELECT a.term AS term_a, b.term AS term_b, count(*)::BIGINT AS cnt
+FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+GROUP BY a.term, b.term
+""",
+        "stratified_sample": f"""
+WITH h AS (SELECT source, doc_id,
+                  md5_number_lower(doc_id::VARCHAR || ':{STRAT_SALT}') AS hv
+           FROM documents),
+r AS (SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn
+      FROM h)
+SELECT source, doc_id, rn::BIGINT AS rank FROM r WHERE rn <= {STRAT_K}
 """,
         "top_terms_per_source": f"""
 WITH tok AS (SELECT source, unnest(list_filter(regexp_split_to_array(lower(text),

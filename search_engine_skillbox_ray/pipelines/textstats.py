@@ -514,6 +514,203 @@ def hll_distinct_tokens(
     return regs.groupby(key_col).map_groups(finish, batch_format="pandas")
 
 
+def repetition_stage(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Per-doc repetition signals (Gopher-rule shape, arXiv:2112.11446
+    §A1.1 — token-level because this corpus has no line structure):
+
+    * ``top_token_frac`` — occurrences of the single most frequent term
+      over all term occurrences (high ⇒ keyword-stuffed / boilerplate);
+    * ``dup_bigram_frac`` — fraction of adjacent-bigram occurrences
+      whose bigram occurs ≥ 2× within the document (high ⇒ looping or
+      templated text).
+
+    Shuffle-free stateless scan; everything within-doc. Vectorized via
+    one dictionary-encode of the flat token array + ``np.lexsort``
+    run-length passes over (parent, code[, code2]) — no per-doc Python,
+    no cross-doc state. Fractions are plain float64 divisions of exact
+    integer counts, so the SQL mirror divides to the identical double.
+    """
+    from ..functions.hashing import flat_nonempty_tokens
+
+    n = len(batch)
+    toks, parents, counts = flat_nonempty_tokens(batch.column(text_col))
+    top_c = np.zeros(n, dtype=np.int64)
+    n_bigrams = np.zeros(n, dtype=np.int64)
+    dup_bg = np.zeros(n, dtype=np.int64)
+    if len(toks):
+        denc = toks.dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # most-frequent-term count per doc: sort (parent, code), run-length
+        order = np.lexsort((codes, parents))
+        sp, sc = parents[order], codes[order]
+        new_run = np.empty(len(sp), dtype=bool)
+        new_run[0] = True
+        np.not_equal(sp[1:], sp[:-1], out=new_run[1:])
+        new_run[1:] |= sc[1:] != sc[:-1]
+        starts = np.flatnonzero(new_run)
+        run_len = np.diff(np.append(starts, len(sp)))
+        np.maximum.at(top_c, sp[starts], run_len)
+        # adjacent bigrams (same doc): run-length over (parent, a, b)
+        adj = parents[:-1] == parents[1:]
+        if adj.any():
+            bp = parents[:-1][adj]
+            ba = codes[:-1][adj]
+            bb = codes[1:][adj]
+            order = np.lexsort((bb, ba, bp))
+            sp, sa, sb = bp[order], ba[order], bb[order]
+            new_run = np.empty(len(sp), dtype=bool)
+            new_run[0] = True
+            np.not_equal(sp[1:], sp[:-1], out=new_run[1:])
+            new_run[1:] |= (sa[1:] != sa[:-1]) | (sb[1:] != sb[:-1])
+            starts = np.flatnonzero(new_run)
+            run_len = np.diff(np.append(starts, len(sp)))
+            n_bigrams = np.bincount(bp, minlength=n).astype(np.int64)
+            dup_runs = run_len >= 2
+            np.add.at(dup_bg, sp[starts][dup_runs], run_len[dup_runs])
+    top_frac = np.where(counts > 0, top_c / np.maximum(counts, 1), 0.0)
+    dup_frac = np.where(n_bigrams > 0, dup_bg / np.maximum(n_bigrams, 1), 0.0)
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "n_tokens": pa.array(counts.astype(np.int64)),
+            "top_token_frac": pa.array(top_frac, pa.float64()),
+            "n_bigrams": pa.array(n_bigrams),
+            "dup_bigram_frac": pa.array(dup_frac, pa.float64()),
+        }
+    )
+
+
+def repetition_ds(documents: rd.Dataset) -> rd.Dataset:
+    return documents.select_columns(["doc_id", "text"]).map_batches(
+        repetition_stage, batch_format="pyarrow"
+    )
+
+
+def term_bigrams_ds(documents: rd.Dataset) -> rd.Dataset:
+    """→ (term_a, term_b, cnt): global adjacent-token bigram counts —
+    the co-occurrence / n-gram-LM statistics pass of a corpus profile.
+
+    Scale shape: per-batch Arrow ``group_by`` pre-aggregates bigram
+    partials BEFORE the shuffle (the combiner — the exchange moves
+    per-batch bigram vocabularies, never token occurrences), then one
+    groupby-sum on (term_a, term_b). Bigram vocabulary grows ~linearly
+    with true vocabulary, not corpus size, so the reduce side stays
+    small at any scale."""
+    from ..functions.hashing import flat_nonempty_tokens
+
+    def partials(batch: pa.Table) -> pa.Table:
+        toks, parents, _ = flat_nonempty_tokens(batch.column("text"))
+        empty = pa.table(
+            {
+                "term_a": pa.array([], pa.string()),
+                "term_b": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        if len(toks) < 2:
+            return empty
+        adj = parents[:-1] == parents[1:]
+        if not adj.any():
+            return empty
+        idx = np.flatnonzero(adj)
+        t = pa.table(
+            {
+                "term_a": toks.take(pa.array(idx)),
+                "term_b": toks.take(pa.array(idx + 1)),
+            }
+        )
+        c = t.group_by(["term_a", "term_b"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "term_a": c["term_a"],
+                "term_b": c["term_b"],
+                "cnt": pc.cast(c["count_all"], pa.int64()),
+            }
+        )
+
+    parts = documents.select_columns(["text"]).map_batches(
+        partials, batch_format="pyarrow"
+    )
+    out = parts.groupby(["term_a", "term_b"]).sum("cnt")
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "term_a": t["term_a"],
+                "term_b": t["term_b"],
+                "cnt": pc.cast(t["sum(cnt)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def stratified_sample_ds(
+    documents: rd.Dataset,
+    k: int = 3,
+    salt: str = "ses-strat",
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    n_buckets: int = 32,
+) -> rd.Dataset:
+    """→ (source, doc_id, rank): the k docs per source with the smallest
+    ``md5_u64(str(doc_id) + ':' + salt)`` — deterministic stratified
+    sampling (eval-set carving, per-domain quota sampling). Same salt ⇒
+    same sample at any cluster size, and adding MORE docs to a source
+    only ever replaces hash-larger picks (bottom-k stability).
+
+    Scale shape: each batch keeps ≤ k rows per source it touches (a
+    vectorized lexsort + group-head pass), so the exchange moves
+    ≤ k × sources_per_batch slim rows; the bucketed reduce re-runs the
+    identical bottom-k per source. Ties (hash collisions) break
+    doc_id-ascending on both sides."""
+    from ..functions.hashing import md5_u64
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        h = md5_u64([f"{i}:{salt}" for i in ids.tolist()])
+        src = batch.column(key_col)
+        denc = src.dictionary_encode()
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, h, codes))
+        sc = codes[order]
+        new_grp = np.empty(len(sc), dtype=bool)
+        if len(sc):
+            new_grp[0] = True
+            np.not_equal(sc[1:], sc[:-1], out=new_grp[1:])
+        pos_in_grp = np.arange(len(sc)) - np.maximum.accumulate(
+            np.where(new_grp, np.arange(len(sc)), 0)
+        )
+        keep = order[pos_in_grp < k]
+        return pa.table(
+            {
+                key_col: src.take(pa.array(keep)),
+                id_col: pa.array(ids[keep], pa.int64()),
+                "h": pa.array(h[keep].astype(np.uint64), pa.uint64()),
+            }
+        )
+
+    from ..stages.grouping import bucketed_group_apply
+
+    parts = documents.select_columns([key_col, id_col]).map_batches(
+        partial_topk, batch_format="pyarrow"
+    )
+
+    def bucket_fn(bucket):
+        bucket = bucket.sort_values(
+            [key_col, "h", id_col], kind="mergesort"
+        ).reset_index(drop=True)
+        bucket["rank"] = bucket.groupby(key_col, sort=False).cumcount() + 1
+        out = bucket[bucket["rank"] <= k][[key_col, id_col, "rank"]].copy()
+        out["rank"] = out["rank"].astype("int64")
+        return out
+
+    return bucketed_group_apply(parts, [key_col], bucket_fn, n_buckets=n_buckets)
+
+
 # GPT-2-style byte-pair-encoding PRE-tokenizer pattern, RE2-compatible
 # (the original's trailing-whitespace negative lookahead is dropped —
 # RE2 has no lookahead; pyarrow count_substring_regex and DuckDB

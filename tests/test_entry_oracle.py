@@ -101,6 +101,9 @@ def test_oracle_keys_subset(entry_mod):
     "events_follow",
     # round 3: BPE-ish pre-token counting (RE2 parity with DuckDB)
     "token_count_bpe",
+    # round 3: Gopher-shape repetition signals, global bigram counts,
+    # deterministic stratified (bottom-k-per-source) sampling
+    "repetition", "term_bigrams", "stratified_sample",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))

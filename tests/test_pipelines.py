@@ -608,3 +608,101 @@ def test_bpe_token_count(ray_session):
     out = bpe_token_count_stage(batch).to_pandas()
     # don / 't / " stop" = 3 ; a / 1 / b / 2 = 4 ; "" = 0
     assert list(out["n_bpe_tokens"]) == [3, 4, 0]
+
+
+def test_repetition_signals(ray_session):
+    """Planted repetition: a looping doc, a keyword-stuffed doc, a
+    no-repeat doc, an empty doc and a one-token doc — fractions match a
+    hand-derived reference."""
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.textstats import repetition_ds
+
+    rows = [
+        # "ab ab ab ab": 4 tokens (all 'ab'), 3 bigrams all duplicated
+        {"doc_id": 0, "text": "ab ab ab ab"},
+        # stuffed: 'spam' 5/8 tokens; bigrams all distinct except
+        # 'spam spam' x4 -> 7 bigrams, dup run 'spam spam' has 4 >= 2
+        {"doc_id": 1, "text": "spam spam spam spam spam one two three"},
+        {"doc_id": 2, "text": "every word here is fully distinct"},
+        {"doc_id": 3, "text": ""},
+        {"doc_id": 4, "text": "lonely"},
+    ]
+    out = (
+        repetition_ds(rd.from_items(rows))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "n_tokens"] == 4
+    assert out.loc[0, "top_token_frac"] == 1.0
+    assert out.loc[0, "n_bigrams"] == 3
+    assert out.loc[0, "dup_bigram_frac"] == 1.0
+    assert out.loc[1, "top_token_frac"] == 5 / 8
+    assert out.loc[1, "n_bigrams"] == 7
+    assert out.loc[1, "dup_bigram_frac"] == 4 / 7
+    assert out.loc[2, "dup_bigram_frac"] == 0.0
+    assert out.loc[2, "top_token_frac"] == 1 / 6
+    assert out.loc[3, "n_tokens"] == 0
+    assert out.loc[3, "top_token_frac"] == 0.0
+    assert out.loc[4, "n_tokens"] == 1
+    assert out.loc[4, "n_bigrams"] == 0
+    assert out.loc[4, "dup_bigram_frac"] == 0.0
+
+
+def test_term_bigrams_counts(ray_session):
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.textstats import term_bigrams_ds
+
+    rows = [
+        {"doc_id": 0, "text": "a b a b"},
+        {"doc_id": 1, "text": "b a"},
+        {"doc_id": 2, "text": ""},
+        {"doc_id": 3, "text": "c"},
+    ]
+    out = term_bigrams_ds(rd.from_items(rows)).to_pandas()
+    got = {(r.term_a, r.term_b): r.cnt for r in out.itertuples()}
+    # doc0: (a,b) (b,a) (a,b); doc1: (b,a) — bigrams never cross docs
+    assert got == {("a", "b"): 2, ("b", "a"): 2}
+
+
+def test_stratified_sample_bottomk(ray_session):
+    """Partial-per-batch + bucketed reduce == global per-source bottom-k
+    by hash; deterministic across block layouts; rank unique within
+    source."""
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.functions.hashing import md5_u64
+    from search_engine_skillbox_ray.pipelines.textstats import stratified_sample_ds
+
+    rows = [
+        {"doc_id": i, "source": f"s{i % 3}", "text": "x"} for i in range(100)
+    ]
+    ds1 = rd.from_items(rows).repartition(7)
+    ds2 = rd.from_items(rows).repartition(1)
+    k, salt = 4, "t-strat"
+    out1 = (
+        stratified_sample_ds(ds1, k=k, salt=salt)
+        .to_pandas()
+        .sort_values(["source", "rank"])
+        .reset_index(drop=True)
+    )
+    out2 = (
+        stratified_sample_ds(ds2, k=k, salt=salt)
+        .to_pandas()
+        .sort_values(["source", "rank"])
+        .reset_index(drop=True)
+    )
+    assert out1.equals(out2)
+    # reference: global bottom-k by (hash, doc_id) per source
+    import numpy as np
+
+    for s in ("s0", "s1", "s2"):
+        ids = np.array([r["doc_id"] for r in rows if r["source"] == s])
+        h = md5_u64([f"{i}:{salt}" for i in ids.tolist()])
+        order = np.lexsort((ids, h))
+        expect = ids[order][:k].tolist()
+        got = out1[out1["source"] == s]["doc_id"].tolist()
+        assert got == expect
+        assert out1[out1["source"] == s]["rank"].tolist() == [1, 2, 3, 4]
