@@ -56,6 +56,7 @@ BATCH_QUERIES = ["merge batch", "fast", "hash join", "absentzz", "scan column fa
 PHRASES = ["table scan", "hash join", "batch batch batch",
            "group sort merge", "quantum flux capacitor"]
 
+MLT_K, MLT_SEEDS = 10, (0, 1, 7)  # more-like-this top-k and seed docs
 DUP_SPAN_K = 5  # duplicated-span window size (tokens)
 SAMPLE_RATE_PCT = 10
 SAMPLE_SALT = "ses-sample"
@@ -593,6 +594,21 @@ def q_batch_search(sf_dir: str):
 
 
 
+def q_more_like_this(sf_dir: str):
+    """Related-document retrieval over the inverted index: top-k docs
+    by TF-IDF dot product against each seed doc's term vector — the
+    index-native 'similar documents' primitive (a weighted disjunctive
+    posting traversal per seed, streamed through a warm-engine actor
+    pool)."""
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.state.engine import more_like_this_batch
+
+    idx = _index_dir(sf_dir)
+    seeds = rd.from_items([{"seed_doc_id": s} for s in MLT_SEEDS])
+    return more_like_this_batch(seeds, idx, k=MLT_K, concurrency=(1, 2))
+
+
 def q_link_graph(sf_dir: str):
     """M7 link extraction over a deterministic synthetic pages fixture:
     in-site (src_url, dst_url) edges."""
@@ -754,6 +770,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": q_media_frames,
         "search_pruned_topk": q_search_pruned_topk,
         "batch_search": q_batch_search,
+        "more_like_this": q_more_like_this,
         "link_graph": q_link_graph,
         "pagerank": q_pagerank,
         "dedup_clusters": q_dedup_clusters,
@@ -1403,6 +1420,27 @@ SELECT q.query,
        COALESCE(t.doc_id, -1)::BIGINT AS top_doc_id,
        COALESCE(ROUND(t.score, 6), 0.0)::DOUBLE AS top_score
 FROM qs q LEFT JOIN top t ON t.query = q.query AND t.rn = 1
+""",
+        # more-like-this: tfidf-dot-product related docs. The engine
+        # multiplies contributions left-associatively ((tf_seed·idf)·
+        # tf_d)·idf — mirrored here as (sv.w * tf.tf) * i.idf so every
+        # addend is the identical double; per-doc sums round to 6.
+        "more_like_this": f"""
+WITH tf AS ({_TF}),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+idf AS (SELECT term, ln((n.n + 1.0) / (count(DISTINCT doc_id) + 1.0)) AS idf
+        FROM tf CROSS JOIN n GROUP BY term, n.n),
+seeds(seed) AS (VALUES {", ".join(f"({s})" for s in MLT_SEEDS)}),
+sv AS (SELECT s.seed, tf.term, tf.tf * i.idf AS w
+       FROM seeds s JOIN tf ON tf.doc_id = s.seed JOIN idf i ON i.term = tf.term),
+sc AS (SELECT sv.seed, tf.doc_id, SUM((sv.w * tf.tf) * i.idf) AS score
+       FROM sv JOIN tf ON tf.term = sv.term JOIN idf i ON i.term = sv.term
+       WHERE tf.doc_id <> sv.seed GROUP BY sv.seed, tf.doc_id)
+SELECT seed::BIGINT AS seed_doc_id, doc_id,
+       (row_number() OVER (PARTITION BY seed ORDER BY score DESC, doc_id))::BIGINT AS rank,
+       ROUND(score, 6) AS score
+FROM sc
+QUALIFY row_number() OVER (PARTITION BY seed ORDER BY score DESC, doc_id) <= {MLT_K}
 """,
         "langid": f"""
 WITH tok AS ({_TOK}),

@@ -258,3 +258,40 @@ def test_sharded_query_actor_pool_matches_engine(ray_session, tmp_path):
     # terminal shapes route through the same early exits
     assert pool.search("") == eng.search("")
     assert pool.search(queries[0], offset=10**9) == eng.search(queries[0], offset=10**9)
+
+
+def test_more_like_this(built):
+    """Seed excluded, k respected, scores non-increasing, batch operator
+    matches the single-engine method; unknown seed → empty."""
+    import numpy as np
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.state.engine import more_like_this_batch
+
+    _res, eng = built[0], built[1]
+    idx = eng.index_dir
+    # pick a seed with non-empty neighborhood (some fixture pages share
+    # no vocabulary with any other doc — empty is correct for those)
+    seed, d, s = None, np.empty(0, np.int64), np.empty(0, np.float64)
+    for cand in eng._hydrate(np.arange(0, 200, dtype=np.int64)):
+        d, s = eng.more_like_this(cand, k=5)
+        if d.size:
+            seed = cand
+            break
+    assert seed is not None, "no seed with neighbors in the fixture"
+    assert d.size <= 5
+    assert seed not in d.tolist()
+    assert (np.diff(s) <= 1e-12).all()  # non-increasing
+    # unknown seed
+    d2, s2 = eng.more_like_this(10**9, k=5)
+    assert d2.size == 0 and s2.size == 0
+    # dataset operator parity
+    out = (
+        more_like_this_batch(
+            rd.from_items([{"seed_doc_id": seed}]), str(idx), k=5, concurrency=(1, 1)
+        )
+        .to_pandas()
+        .sort_values("rank")
+    )
+    assert out["doc_id"].tolist() == d.tolist()
+    assert np.allclose(out["score"].to_numpy(), np.round(s, 6))

@@ -104,6 +104,8 @@ def test_oracle_keys_subset(entry_mod):
     # round 3: Gopher-shape repetition signals, global bigram counts,
     # deterministic stratified (bottom-k-per-source) sampling
     "repetition", "term_bigrams", "stratified_sample",
+    # round 3: index-native related-document retrieval (tfidf dot)
+    "more_like_this",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
