@@ -623,6 +623,37 @@ def q_link_graph(sf_dir: str):
     return extract_links_ds(pages, sites)
 
 
+def q_anchor_terms(sf_dir: str):
+    """Anchor-text aggregation over the link fixture: per link target,
+    the term counts of the anchors pointing at it — the web-ranking
+    signal that lets a page rank for words it never contains."""
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.functions.links import anchor_terms_ds
+    from search_engine_skillbox_ray.sources.fixtures import generate_pages_table
+    from search_engine_skillbox_ray.sources.pages import derive_sites
+
+    pages = rd.from_arrow(generate_pages_table(300, n_sites=2, seed=13))
+    sites = derive_sites(pages)
+    return anchor_terms_ds(pages, sites)
+
+
+def q_snapshot_delta(sf_dir: str):
+    """Incremental-crawl delta: current (odd doc_ids) minus snapshot
+    (even doc_ids) by normalized-content fingerprint — a bucketed hash
+    anti-join; text never enters the exchange."""
+    from search_engine_skillbox_ray.pipelines.dedup import new_docs_vs_snapshot
+
+    docs = _documents(sf_dir)
+
+    def _parity(p: int):
+        return lambda t: t.filter(pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), p))
+
+    current = docs.map_batches(_parity(1), batch_format="pyarrow")
+    snapshot = docs.map_batches(_parity(0), batch_format="pyarrow")
+    return new_docs_vs_snapshot(current, snapshot)
+
+
 def q_pagerank(sf_dir: str):
     """Fixed-point integer PageRank over the link fixture's in-site
     graph — bit-exact vs the unrolled SQL mirror (associative int64
@@ -772,6 +803,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "batch_search": q_batch_search,
         "more_like_this": q_more_like_this,
         "link_graph": q_link_graph,
+        "anchor_terms": q_anchor_terms,
+        "snapshot_delta": q_snapshot_delta,
         "pagerank": q_pagerank,
         "dedup_clusters": q_dedup_clusters,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1012,6 +1045,31 @@ def _link_graph_values() -> str:
         if i > 0:
             rows.append(f"('{nu}', '{base}/p/{i - 1}')")
         rows.append(f"('{nu}', '{base}/p/{i + 1}')")
+    return ", ".join(rows)
+
+
+def _anchor_values() -> str:
+    """Expected (dst_url, term) anchor rows of the link fixture, derived
+    STRUCTURALLY from the generator's url plan (each first-occurrence
+    /p/<i> page anchors 'prev' at /p/<i-1> when i>0 and 'next' at
+    /p/<i+1>) — independent of the HTML parser under test."""
+    from search_engine_skillbox_ray.sources.fixtures import generate_pages_table
+
+    tbl = generate_pages_table(300, n_sites=2, seed=13)
+    seen: set[str] = set()
+    rows = []
+    for u in tbl["url"].to_pylist():
+        nu = u.split("#")[0].replace("://www.", "://")
+        if nu.endswith("/"):
+            nu = nu[:-1]
+        if "/p/" not in nu or nu in seen:
+            continue
+        seen.add(nu)
+        base, idx = nu.rsplit("/p/", 1)
+        i = int(idx)
+        if i > 0:
+            rows.append(f"('{base}/p/{i - 1}', 'prev')")
+        rows.append(f"('{base}/p/{i + 1}', 'next')")
     return ", ".join(rows)
 
 
@@ -1531,6 +1589,19 @@ WITH n AS (SELECT len(list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}
 """,
         "link_graph": f"""
 SELECT * FROM (VALUES {_link_graph_values()}) AS t(src_url, dst_url)
+""",
+        "anchor_terms": f"""
+SELECT dst_url, term, count(*)::BIGINT AS cnt
+FROM (VALUES {_anchor_values()}) AS t(dst_url, term)
+GROUP BY dst_url, term
+""",
+        "snapshot_delta": """
+WITH fp AS (SELECT doc_id, md5(array_to_string(list_filter(
+    regexp_split_to_array(lower(text), '[^\\p{L}]+'), x -> x <> ''), ' ')) AS fingerprint
+  FROM documents)
+SELECT c.doc_id, c.fingerprint FROM fp c
+WHERE c.doc_id % 2 = 1 AND NOT EXISTS (
+  SELECT 1 FROM fp s WHERE s.doc_id % 2 = 0 AND s.fingerprint = c.fingerprint)
 """,
         "pagerank": _pagerank_sql(),
         "dedup_clusters": f"""

@@ -94,3 +94,116 @@ def extract_links_ds(pages, sites: list[dict]):
     return pages.map_batches(
         lambda b: extract_links_batch(b, sites), batch_format="pyarrow"
     )
+
+
+class _AnchorCollector(HTMLParser):
+    """Collects (href, anchor text) pairs — the text between <a> and
+    </a>, char-refs resolved, nested tags' text included."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.anchors: list[tuple[str, str]] = []
+        self._href: str | None = None
+        self._buf: list[str] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:  # noqa: ANN001
+        if tag == "a":
+            self._href = next((v for k, v in attrs if k == "href"), None)
+            self._buf = []
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "a":
+            if self._href is not None:
+                # data chunks carry their own whitespace — concatenate raw
+                self.anchors.append((self._href, "".join(self._buf)))
+            self._href = None
+
+    def handle_data(self, data: str) -> None:
+        if self._href is not None and data:
+            self._buf.append(data)
+
+
+def extract_anchors(html: str | bytes, page_url: str, site_url: str) -> list[tuple[str, str]]:
+    """In-site (dst_url, anchor_text) of one page — same skip/absolutize/
+    normalize/in-site filter as ``extract_links``, first occurrence per
+    dst (crawlLinks dedup), anchor text verbatim."""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = decode_html(bytes(html))
+    parser = _AnchorCollector()
+    try:
+        parser.feed(html)
+        parser.close()
+    except Exception:
+        pass
+    site_norm = normalize_url(site_url)
+    out: list[tuple[str, str]] = []
+    seen: set[str] = set()
+    for href, text in parser.anchors:
+        if not href or href.startswith("javascript:") or href.startswith("mailto:") or href == "#":
+            continue
+        abs_url = urljoin(page_url, href)
+        if not abs_url or abs_url == "#":
+            continue
+        nu = normalize_url(abs_url)
+        if not nu.startswith(site_norm):
+            continue
+        if nu not in seen:
+            seen.add(nu)
+            out.append((nu, text))
+    return out
+
+
+def anchor_terms_ds(pages, sites: list[dict]):
+    """→ (dst_url, term, cnt): aggregated anchor-text term counts per
+    link target — the classic web-ranking signal (anchor terms describe
+    the TARGET page; feeding them into its index entry is how engines
+    rank pages for words they never contain).
+
+    Scale shape: a stateless map explodes (dst_url, term) rows with a
+    per-batch Arrow ``group_by`` combiner, then one groupby-sum on
+    (dst_url, term) — the exchange moves per-batch anchor vocabularies
+    (tiny: anchors are a few words), never page HTML."""
+    import pyarrow.compute as pc
+
+    from .tokenize import tokenize
+    from .urls import site_of_url
+
+    def explode(batch: pa.Table, sites=sites) -> pa.Table:
+        site_urls = [s["url"] for s in sites]
+        dsts: list[str] = []
+        terms: list[str] = []
+        for url, html in zip(
+            batch.column("url").to_pylist(), batch.column("html").to_pylist()
+        ):
+            sid = site_of_url(url, site_urls)
+            if sid < 0 or html is None:
+                continue
+            for dst, text in extract_anchors(html, url, site_urls[sid]):
+                for t in tokenize(text):
+                    dsts.append(dst)
+                    terms.append(t)
+        t = pa.table(
+            {"dst_url": pa.array(dsts, pa.string()), "term": pa.array(terms, pa.string())}
+        )
+        c = t.group_by(["dst_url", "term"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "dst_url": c["dst_url"],
+                "term": c["term"],
+                "cnt": pc.cast(c["count_all"], pa.int64()),
+            }
+        )
+
+    out = pages.map_batches(explode, batch_format="pyarrow").groupby(
+        ["dst_url", "term"]
+    ).sum("cnt")
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "dst_url": t["dst_url"],
+                "term": t["term"],
+                "cnt": pc.cast(t["sum(cnt)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

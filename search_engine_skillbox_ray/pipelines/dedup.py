@@ -1209,3 +1209,49 @@ def dup_span_stats(
     return bucketed_group_apply(
         partials.union(all_docs), ["doc_id"], final_fn, n_buckets=32
     )
+
+
+def new_docs_vs_snapshot(
+    current: rd.Dataset,
+    snapshot: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """→ (doc_id, fingerprint): documents of ``current`` whose
+    normalized-content fingerprint (md5 over the M2 token stream —
+    formatting-invariant) occurs nowhere in ``snapshot`` — the
+    incremental-crawl delta operator: "what is actually NEW since the
+    last snapshot", robust to re-crawled layout noise.
+
+    Scale shape: both sides reduce to slim (fingerprint, doc_id, side)
+    rows inside the scan (text never enters the exchange), then ONE
+    bucketed hash anti-join on the fingerprint: every bucket drops the
+    current-side rows whose fingerprint has a snapshot-side row. No
+    driver materialization at any size."""
+    import numpy as np
+
+    from ..stages.grouping import bucketed_group_apply
+    from .textstats import fingerprint_stage
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            fp = fingerprint_stage(t, text_col=text_col, id_col=id_col)
+            return fp.append_column(
+                "side", pa.array(np.full(len(fp), side, np.int8))
+            )
+
+        return f
+
+    both = current.map_batches(tag(1), batch_format="pyarrow").union(
+        snapshot.map_batches(tag(0), batch_format="pyarrow")
+    )
+
+    def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
+        known = df.loc[df["side"] == 0, "fingerprint"]
+        out = df[(df["side"] == 1) & ~df["fingerprint"].isin(set(known))]
+        out = out[[id_col, "fingerprint"]].copy()
+        out[id_col] = out[id_col].astype("int64")
+        return out
+
+    return bucketed_group_apply(both, ["fingerprint"], bucket_fn, n_buckets=n_buckets)

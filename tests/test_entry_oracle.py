@@ -106,6 +106,8 @@ def test_oracle_keys_subset(entry_mod):
     "repetition", "term_bigrams", "stratified_sample",
     # round 3: index-native related-document retrieval (tfidf dot)
     "more_like_this",
+    # round 3: anchor-text aggregation, incremental-snapshot anti-join
+    "anchor_terms", "snapshot_delta",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))

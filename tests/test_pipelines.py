@@ -706,3 +706,67 @@ def test_stratified_sample_bottomk(ray_session):
         got = out1[out1["source"] == s]["doc_id"].tolist()
         assert got == expect
         assert out1[out1["source"] == s]["rank"].tolist() == [1, 2, 3, 4]
+
+
+def test_snapshot_delta_anti_join(ray_session):
+    """Docs whose content (modulo formatting) already exists in the
+    snapshot are NOT new; only genuinely new content survives."""
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.dedup import new_docs_vs_snapshot
+
+    snapshot = rd.from_items(
+        [
+            {"doc_id": 0, "text": "alpha beta gamma"},
+            {"doc_id": 2, "text": "delta epsilon"},
+        ]
+    )
+    current = rd.from_items(
+        [
+            {"doc_id": 11, "text": "alpha beta gamma"},      # exact re-crawl
+            {"doc_id": 13, "text": "  ALPHA, beta?? gamma "},  # layout noise
+            {"doc_id": 15, "text": "completely new content"},
+            {"doc_id": 17, "text": "delta epsilon zeta"},      # extended = new
+        ]
+    )
+    out = new_docs_vs_snapshot(current, snapshot).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [15, 17]
+
+
+def test_anchor_terms(ray_session):
+    """Anchor extraction: nested markup inside <a>, external links
+    filtered, per-page first-occurrence dedup; counts aggregate across
+    pages."""
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.functions.links import (
+        anchor_terms_ds,
+        extract_anchors,
+    )
+
+    html = (
+        '<html><body>'
+        '<a href="/target"><b>Click</b> here now</a>'
+        '<a href="/target">second anchor same dst ignored</a>'
+        '<a href="https://other.example/x">external gone</a>'
+        '<a href="/other">more link</a>'
+        "</body></html>"
+    )
+    got = extract_anchors(html, "https://a.example/p/0", "https://a.example")
+    assert got == [
+        ("https://a.example/target", "Click here now"),
+        ("https://a.example/other", "more link"),
+    ]
+
+    pages = rd.from_items(
+        [
+            {"url": "https://a.example/p/0", "html": html, "warc_ts": 0},
+            {"url": "https://a.example/p/1", "html": '<a href="/target">click</a>', "warc_ts": 0},
+        ]
+    )
+    sites = [{"site_id": 0, "url": "https://a.example", "name": "A"}]
+    out = anchor_terms_ds(pages, sites).to_pandas()
+    got = {(r.dst_url, r.term): r.cnt for r in out.itertuples()}
+    assert got[("https://a.example/target", "click")] == 2
+    assert got[("https://a.example/target", "here")] == 1
+    assert got[("https://a.example/other", "more")] == 1
