@@ -623,6 +623,23 @@ def q_link_graph(sf_dir: str):
     return extract_links_ds(pages, sites)
 
 
+def q_search_128(sf_dir: str):
+    """Top-10 tf·idf search served from the PERSISTED 128-bit-docID
+    index (md5(url) → (hi, lo); block-max MaxScore over two-level
+    (hi, lo) cursors) — the 10^12-doc hash-id scale path end to end.
+    Tie order is the 128-bit id itself, which SQL reproduces as the
+    md5 hex string."""
+    from search_engine_skillbox_ray.pipelines.index128 import (
+        build_index_128,
+        topk_128,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/ses_idx128_{tag}"
+    build_index_128(_documents(sf_dir), d, n_buckets=8, input_token=sf_dir)
+    return topk_128(d, SEARCH_QUERY, k=10, mode="or")
+
+
 def q_anchor_terms(sf_dir: str):
     """Anchor-text aggregation over the link fixture: per link target,
     the term counts of the anchors pointing at it — the web-ranking
@@ -803,6 +820,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "batch_search": q_batch_search,
         "more_like_this": q_more_like_this,
         "link_graph": q_link_graph,
+        "search_128bit": q_search_128,
         "anchor_terms": q_anchor_terms,
         "snapshot_delta": q_snapshot_delta,
         "pagerank": q_pagerank,
@@ -1590,6 +1608,15 @@ WITH n AS (SELECT len(list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}
         "link_graph": f"""
 SELECT * FROM (VALUES {_link_graph_values()}) AS t(src_url, dst_url)
 """,
+        # 128-bit path: tie order == md5 hex order == (hi, lo) order
+        "search_128bit": tfidf_scores
+        + """, h AS (SELECT doc_id, md5('https://' || source || '.example/doc/' || doc_id::VARCHAR) AS hx
+       FROM documents)
+SELECT s.doc_id,
+       (row_number() OVER (ORDER BY s.score DESC, h.hx))::BIGINT AS rank,
+       ROUND(s.score, 6) AS score
+FROM scores s JOIN h ON h.doc_id = s.doc_id
+QUALIFY row_number() OVER (ORDER BY s.score DESC, h.hx) <= 10""",
         "anchor_terms": f"""
 SELECT dst_url, term, count(*)::BIGINT AS cnt
 FROM (VALUES {_anchor_values()}) AS t(dst_url, term)

@@ -255,10 +255,17 @@ def bench_sf_queries() -> dict:
         "dup_spans",
         "token_count_bpe",
         "sample_hash",
+        "repetition",
+        "term_bigrams",
+        "stratified_sample",
+        "more_like_this",
+        "snapshot_delta",
+        "anchor_terms",
         "top_terms_per_source",
         "doclen_quantiles",
         "hll_distinct_tokens",
         "batch_search",
+        "search_128bit",
         "pagerank",
         "dedup_clusters",
     ]

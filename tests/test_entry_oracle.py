@@ -108,6 +108,8 @@ def test_oracle_keys_subset(entry_mod):
     "more_like_this",
     # round 3: anchor-text aggregation, incremental-snapshot anti-join
     "anchor_terms", "snapshot_delta",
+    # round 3: end-to-end 128-bit-docID index build + block-max serve
+    "search_128bit",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))

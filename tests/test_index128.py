@@ -1,0 +1,114 @@
+"""End-to-end 128-bit-docID index: build determinism/resume, OR/AND
+top-k correctness vs an exhaustive reference, block pruning evidence."""
+
+import json
+import math
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def built128(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.index128 import build_index_128
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    d = tmp_path_factory.mktemp("idx128")
+    m = build_index_128(docs, str(d), n_buckets=4, input_token="t128")
+    return d, m, docs
+
+
+def _reference_topk(sf_dir, query, k, mode="or"):
+    """Exhaustive tf·idf scoring in plain numpy/dicts, ties by the
+    md5(url) 128-bit key."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from search_engine_skillbox_ray.functions.tokenize import query_lemmas, tokenize
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet")
+    tf: dict[str, dict[int, int]] = {}
+    keys: dict[int, int] = {}
+    indexed = set()
+    for doc_id, src, text in zip(
+        tbl["doc_id"].to_pylist(), tbl["source"].to_pylist(), tbl["text"].to_pylist()
+    ):
+        toks = tokenize(text)
+        if toks:
+            indexed.add(doc_id)
+        url = f"https://{src}.example/doc/{doc_id}"
+        keys[doc_id] = int.from_bytes(hashlib.md5(url.encode()).digest(), "big")
+        for t in toks:
+            tf.setdefault(t, {}).setdefault(doc_id, 0)
+            tf[t][doc_id] += 1
+    n = len(indexed)
+    lemmas = query_lemmas(query)
+    scores: dict[int, float] = {}
+    hit_terms: dict[int, int] = {}
+    for t in lemmas:
+        post = tf.get(t, {})
+        idf = math.log((n + 1) / (len(post) + 1))
+        for d, c in post.items():
+            scores[d] = scores.get(d, 0.0) + c * idf
+            hit_terms[d] = hit_terms.get(d, 0) + 1
+    if mode == "and":
+        scores = {d: s for d, s in scores.items() if hit_terms[d] == len(lemmas)}
+    order = sorted(scores, key=lambda d: (-scores[d], keys[d]))[:k]
+    return order, [round(scores[d], 6) for d in order]
+
+
+def test_build_manifest_and_resume(built128):
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.index128 import build_index_128
+
+    d, m, docs = built128
+    assert m["n_docs_indexed"] > 0 and m["n_terms"] > 0
+    files = sorted(Path(d).glob("bucket=*.parquet"))
+    assert files
+    mtimes = {f.name: f.stat().st_mtime_ns for f in files}
+    # same input_token → resume skips the rebuild entirely
+    m2 = build_index_128(docs, str(d), n_buckets=4, input_token="t128")
+    assert m2 == m
+    assert {f.name: f.stat().st_mtime_ns for f in sorted(Path(d).glob("bucket=*.parquet"))} == mtimes
+
+
+@pytest.mark.parametrize("mode", ["or", "and"])
+def test_topk128_matches_exhaustive(built128, mode):
+    from search_engine_skillbox_ray.pipelines.index128 import topk_128
+
+    d, _, _ = built128
+    query = "merge batch fast"
+    out = topk_128(str(d), query, k=10, mode=mode)
+    ref_ids, ref_scores = _reference_topk("/root/testdata/sf0.001", query, 10, mode)
+    assert out["doc_id"].tolist() == ref_ids
+    assert np.allclose(out["score"].to_numpy(), ref_scores, atol=1e-6)
+    assert out["rank"].tolist() == list(range(1, len(ref_ids) + 1))
+
+
+def test_topk128_prunes_blocks(built128):
+    from search_engine_skillbox_ray.pipelines.index128 import topk_128
+    from search_engine_skillbox_ray.stages import wand128
+
+    d, _, _ = built128
+    wand128.BLOCKS_DECODED = 0
+    topk_128(str(d), "merge batch fast", k=3, mode="or")
+    pruned = wand128.BLOCKS_DECODED
+    assert pruned > 0
+    # k=3 must not decode more blocks than an exhaustive k=10^6 pass
+    wand128.BLOCKS_DECODED = 0
+    topk_128(str(d), "merge batch fast", k=10**6, mode="or")
+    assert pruned <= wand128.BLOCKS_DECODED
+
+
+def test_topk128_empty_and_absent_queries(built128):
+    from search_engine_skillbox_ray.pipelines.index128 import topk_128
+
+    d, _, _ = built128
+    assert len(topk_128(str(d), "", k=5)) == 0
+    assert len(topk_128(str(d), "absentwordzz", k=5)) == 0
+    assert len(topk_128(str(d), "merge absentwordzz", k=5, mode="and")) == 0
