@@ -61,6 +61,7 @@ DUP_SPAN_K = 5  # duplicated-span window size (tokens)
 SAMPLE_RATE_PCT = 10
 SAMPLE_SALT = "ses-sample"
 STRAT_K, STRAT_SALT = 3, "ses-strat"
+EXPORT_MIN_TOKENS, EXPORT_MAX_DUP = 30, 0.12
 TOP_TERMS_K = 5
 QUANTILE_PS = (0.25, 0.5, 0.75, 0.9, 0.99)
 
@@ -655,6 +656,21 @@ def q_anchor_terms(sf_dir: str):
     return anchor_terms_ds(pages, sites)
 
 
+def q_corpus_export(sf_dir: str):
+    """Quality-gated corpus export (the cleaning pipeline's sink):
+    filter on token-count floor + duplicate-bigram ceiling, write one
+    atomic Parquet partition per source with resume markers, return the
+    per-partition counts."""
+    from search_engine_skillbox_ray.pipelines.export import export_quality_corpus
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return export_quality_corpus(
+        _documents(sf_dir), f"/tmp/ses_export_{tag}",
+        min_tokens=EXPORT_MIN_TOKENS, max_dup_bigram_frac=EXPORT_MAX_DUP,
+        input_token=sf_dir,
+    )
+
+
 def q_snapshot_delta(sf_dir: str):
     """Incremental-crawl delta: current (odd doc_ids) minus snapshot
     (even doc_ids) by normalized-content fingerprint — a bucketed hash
@@ -823,6 +839,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_128bit": q_search_128,
         "anchor_terms": q_anchor_terms,
         "snapshot_delta": q_snapshot_delta,
+        "corpus_export": q_corpus_export,
         "pagerank": q_pagerank,
         "dedup_clusters": q_dedup_clusters,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1621,6 +1638,25 @@ QUALIFY row_number() OVER (ORDER BY s.score DESC, h.hx) <= 10""",
 SELECT dst_url, term, count(*)::BIGINT AS cnt
 FROM (VALUES {_anchor_values()}) AS t(dst_url, term)
 GROUP BY dst_url, term
+""",
+        "corpus_export": f"""
+WITH tok AS ({_TOK}),
+tc AS (SELECT doc_id, count(*)::BIGINT AS n_tokens FROM tok GROUP BY doc_id),
+tl AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}]+'),
+       x -> x <> '') AS toks FROM documents),
+bg AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
+         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+       ELSE CAST([] AS VARCHAR[]) END) AS b FROM tl),
+bgc AS (SELECT doc_id, b, count(*)::BIGINT AS c FROM bg GROUP BY doc_id, b),
+bga AS (SELECT doc_id, sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::DOUBLE / sum(c) AS fr
+        FROM bgc GROUP BY doc_id)
+SELECT d.source, count(*)::BIGINT AS n_docs
+FROM documents d
+JOIN tc ON tc.doc_id = d.doc_id
+LEFT JOIN bga ON bga.doc_id = d.doc_id
+WHERE tc.n_tokens >= {EXPORT_MIN_TOKENS}
+  AND COALESCE(bga.fr, 0.0) <= {EXPORT_MAX_DUP}
+GROUP BY d.source
 """,
         "snapshot_delta": """
 WITH fp AS (SELECT doc_id, md5(array_to_string(list_filter(

@@ -110,6 +110,8 @@ def test_oracle_keys_subset(entry_mod):
     "anchor_terms", "snapshot_delta",
     # round 3: end-to-end 128-bit-docID index build + block-max serve
     "search_128bit",
+    # round 3: quality-gated resumable corpus export (sink + counts)
+    "corpus_export",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))

@@ -770,3 +770,45 @@ def test_anchor_terms(ray_session):
     assert got[("https://a.example/target", "click")] == 2
     assert got[("https://a.example/target", "here")] == 1
     assert got[("https://a.example/other", "more")] == 1
+
+
+def test_export_quality_corpus_resume(ray_session, tmp_path):
+    """Gates bind, written partitions contain exactly the survivors,
+    markers make re-runs skip finished partitions (mtimes unchanged),
+    and a changed input_token rewrites."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.export import export_quality_corpus
+
+    rows = [
+        {"doc_id": 0, "source": "a", "text": " ".join(f"w{chr(97 + i % 26)}{chr(97 + i // 26)}" for i in range(40))},
+        {"doc_id": 1, "source": "a", "text": "short doc"},                   # < min_tokens
+        {"doc_id": 2, "source": "b", "text": "loop loop " * 20},             # dup bigrams
+        {"doc_id": 3, "source": "b", "text": " ".join(f"x{chr(97 + i % 26)}{chr(97 + i // 26)}" for i in range(35))},
+    ]
+    out = tmp_path / "exp"
+    docs = rd.from_items(rows)
+    res = export_quality_corpus(docs, str(out), min_tokens=30,
+                                max_dup_bigram_frac=0.5, input_token="t1")
+    got = dict(zip(res["source"], res["n_docs"]))
+    assert got == {"a": 1, "b": 1}
+    pa_a = pq.read_table(out / "source=a" / "part-0.parquet")
+    assert pa_a["doc_id"].to_pylist() == [0]
+    pa_b = pq.read_table(out / "source=b" / "part-0.parquet")
+    assert pa_b["doc_id"].to_pylist() == [3]
+    mt = {
+        p: (out / f"source={p}" / "part-0.parquet").stat().st_mtime_ns
+        for p in ("a", "b")
+    }
+    # resume: same token -> no rewrite, same counts
+    res2 = export_quality_corpus(docs, str(out), min_tokens=30,
+                                 max_dup_bigram_frac=0.5, input_token="t1")
+    assert dict(zip(res2["source"], res2["n_docs"])) == got
+    for p in ("a", "b"):
+        assert (out / f"source={p}" / "part-0.parquet").stat().st_mtime_ns == mt[p]
+    # new token -> rewrite
+    res3 = export_quality_corpus(docs, str(out), min_tokens=30,
+                                 max_dup_bigram_frac=0.5, input_token="t2")
+    assert dict(zip(res3["source"], res3["n_docs"])) == got
+    assert (out / "source=a" / "part-0.parquet").stat().st_mtime_ns != mt["a"]
