@@ -62,6 +62,7 @@ SAMPLE_RATE_PCT = 10
 SAMPLE_SALT = "ses-sample"
 STRAT_K, STRAT_SALT = 3, "ses-strat"
 EXPORT_MIN_TOKENS, EXPORT_MAX_DUP = 30, 0.12
+KEYWORDS_K = 3
 TOP_TERMS_K = 5
 QUANTILE_PS = (0.25, 0.5, 0.75, 0.9, 0.99)
 
@@ -656,6 +657,22 @@ def q_anchor_terms(sf_dir: str):
     return anchor_terms_ds(pages, sites)
 
 
+def q_doc_keywords(sf_dir: str):
+    """TF-IDF keyword extraction: top-3 terms per doc; corpus stats
+    (df, N) computed once distributively and broadcast via ray.put."""
+    from search_engine_skillbox_ray.pipelines.textstats import doc_keywords_ds
+
+    return doc_keywords_ds(_documents(sf_dir), k=KEYWORDS_K)
+
+
+def q_label_centroids(sf_dir: str):
+    """Per-label mean embedding (class prototypes), partial-sum
+    combiner — labels×dim rows per batch move, vectors never shuffle."""
+    from search_engine_skillbox_ray.pipelines.ann import label_centroids
+
+    return label_centroids(_embeddings(sf_dir))
+
+
 def q_corpus_export(sf_dir: str):
     """Quality-gated corpus export (the cleaning pipeline's sink):
     filter on token-count floor + duplicate-bigram ceiling, write one
@@ -840,6 +857,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_terms": q_anchor_terms,
         "snapshot_delta": q_snapshot_delta,
         "corpus_export": q_corpus_export,
+        "doc_keywords": q_doc_keywords,
+        "label_centroids": q_label_centroids,
         "pagerank": q_pagerank,
         "dedup_clusters": q_dedup_clusters,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1638,6 +1657,23 @@ QUALIFY row_number() OVER (ORDER BY s.score DESC, h.hx) <= 10""",
 SELECT dst_url, term, count(*)::BIGINT AS cnt
 FROM (VALUES {_anchor_values()}) AS t(dst_url, term)
 GROUP BY dst_url, term
+""",
+        "doc_keywords": f"""
+WITH tf AS ({_TF}),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tf GROUP BY term),
+s AS (SELECT tf.doc_id, tf.term, tf.tf * ln((n.n + 1.0) / (df.df + 1.0)) AS w
+      FROM tf JOIN df ON df.term = tf.term CROSS JOIN n)
+SELECT doc_id, term, ROUND(w, 6) AS tfidf,
+       (row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, term))::BIGINT AS rank
+FROM s
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, term) <= {KEYWORDS_K}
+""",
+        "label_centroids": """
+WITH e AS (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+                  generate_subscripts(embedding, 1) AS dim FROM embeddings)
+SELECT label::BIGINT AS label, (dim - 1)::BIGINT AS dim, ROUND(avg(v), 6) AS centroid
+FROM e GROUP BY label, dim
 """,
         "corpus_export": f"""
 WITH tok AS ({_TOK}),

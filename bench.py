@@ -261,6 +261,9 @@ def bench_sf_queries() -> dict:
         "more_like_this",
         "snapshot_delta",
         "anchor_terms",
+        "corpus_export",
+        "doc_keywords",
+        "label_centroids",
         "top_terms_per_source",
         "doclen_quantiles",
         "hll_distinct_tokens",

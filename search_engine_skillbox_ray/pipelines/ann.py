@@ -349,3 +349,56 @@ def lsh_topk(
 
     partials = embeddings.map_batches(probe_batch, batch_format="pyarrow", batch_size=4096)
     return _final_topk(partials, k)
+
+
+def label_centroids(embeddings: rd.Dataset) -> rd.Dataset:
+    """→ (label, dim, centroid): the per-label mean embedding, exploded
+    per dimension — class prototypes for centroid-based classification,
+    cluster drift monitoring, or IVF seeding.
+
+    Scale shape: each batch emits (label, dim, s=partial sum, c=partial
+    count) rows — labels×dim rows per batch regardless of batch size
+    (the combiner) — and one tiny groupby-sum finishes; the corpus of
+    vectors never shuffles."""
+    import pyarrow.compute as pc
+
+    from ..functions.vectors import embedding_vectors
+
+    def partials(batch: pa.Table) -> pa.Table:
+        vecs = embedding_vectors(batch.column("embedding"))
+        labels = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        dim = vecs.shape[1]
+        sums = np.zeros((len(uniq), dim), np.float64)
+        np.add.at(sums, inv, vecs)
+        cnts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, dim)),
+                "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), len(uniq))),
+                "s": pa.array(sums.ravel()),
+                "c": pa.array(np.repeat(cnts, dim)),
+            }
+        )
+
+    parts = embeddings.select_columns(["label", "embedding"]).map_batches(
+        partials, batch_format="pyarrow"
+    )
+    agg = parts.groupby(["label", "dim"]).sum(["s", "c"])
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "label": pc.cast(t["label"], pa.int64()),
+                "dim": pc.cast(t["dim"], pa.int64()),
+                "centroid": pa.array(
+                    np.round(
+                        t["sum(s)"].to_numpy(zero_copy_only=False)
+                        / np.maximum(t["sum(c)"].to_numpy(zero_copy_only=False), 1),
+                        6,
+                    ),
+                    pa.float64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -739,3 +739,108 @@ def bpe_token_counts_ds(documents: rd.Dataset) -> rd.Dataset:
     return documents.select_columns(["doc_id", "text"]).map_batches(
         bpe_token_count_stage, batch_format="pyarrow"
     )
+
+
+def doc_keywords_ds(
+    documents: rd.Dataset, k: int = 3, concurrency=(1, 8)
+) -> rd.Dataset:
+    """→ (doc_id, term, tfidf, rank): the k highest-tf·idf terms per
+    document (ties term-ascending) — keyword extraction / doc tagging.
+
+    Scale shape: the corpus-level statistics (per-term df and the
+    indexed-doc count N) are computed ONCE with a distributed groupby
+    whose output is vocabulary-sized, then broadcast via ``ray.put`` and
+    read inside every map task (never re-shipped per batch); the per-doc
+    top-k itself is a shuffle-free vectorized scan (one lexsort +
+    group-head pass per batch). idf is the A4 formula ln((N+1)/(df+1))."""
+    import math
+
+    import ray
+
+    from ..functions.hashing import flat_nonempty_tokens
+
+    def _tf_partials(batch: pa.Table) -> pa.Table:
+        toks, parents, _ = flat_nonempty_tokens(batch.column("text"))
+        if not len(toks):
+            return pa.table(
+                {"term": pa.array([], pa.string()), "doc_id": pa.array([], pa.int64())}
+            )
+        denc = toks.dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nv = len(denc.dictionary)
+        ukey = np.unique(parents * np.int64(nv) + codes)
+        return pa.table(
+            {
+                "term": denc.dictionary.take(pa.array((ukey % nv).astype(np.int64))),
+                "doc_id": batch.column("doc_id").take(
+                    pa.array((ukey // nv).astype(np.int64))
+                ),
+            }
+        )
+
+    pres = documents.select_columns(["doc_id", "text"]).map_batches(
+        _tf_partials, batch_format="pyarrow"
+    )
+    dft = pres.groupby("term").count().to_pandas()  # vocabulary-sized
+    n_total = len(pres.unique("doc_id"))
+    idf = {
+        t: math.log((n_total + 1) / (int(c) + 1))
+        for t, c in zip(dft["term"], dft["count()"])
+    }
+    idf_ref = ray.put(idf)
+
+    def topk(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        idf_map = _ray.get(idf_ref)
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        toks, parents, _ = flat_nonempty_tokens(batch.column("text"))
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "tfidf": pa.array([], pa.float64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
+        if not len(toks):
+            return empty
+        # per-(doc, term) tf via one unique pass over combined keys;
+        # tie-break codes are made ORDER-PRESERVING by ranking the
+        # (distinct-only) dictionary — UTF-8 byte order == codepoint
+        # order, so Python sorting matches DuckDB VARCHAR ordering
+        denc = toks.dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = np.asarray(denc.dictionary.to_pylist(), dtype=object)
+        nv = len(vocab)
+        rank_of = np.empty(nv, np.int64)
+        rank_of[np.argsort(vocab)] = np.arange(nv)
+        key = parents * np.int64(nv) + rank_of[codes]
+        ukey, tf = np.unique(key, return_counts=True)
+        up = (ukey // nv).astype(np.int64)
+        uc = (ukey % nv).astype(np.int64)  # order-preserving term codes
+        vocab_sorted = vocab[np.argsort(vocab)]
+        idf_arr = np.array([idf_map[t] for t in vocab_sorted], np.float64)
+        uniq_terms = vocab_sorted
+        w = tf.astype(np.float64) * idf_arr[uc]
+        order = np.lexsort((uc, -w, up))
+        sp = up[order]
+        new_grp = np.empty(len(sp), dtype=bool)
+        new_grp[0] = True
+        np.not_equal(sp[1:], sp[:-1], out=new_grp[1:])
+        pos = np.arange(len(sp)) - np.maximum.accumulate(
+            np.where(new_grp, np.arange(len(sp)), 0)
+        )
+        keep = order[pos < k]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[up[keep]], pa.int64()),
+                "term": pa.array(uniq_terms[uc[keep]].tolist(), pa.string()),
+                "tfidf": pa.array(np.round(w[keep], 6), pa.float64()),
+                "rank": pa.array((pos[pos < k] + 1).astype(np.int64)),
+            }
+        )
+
+    return documents.select_columns(["doc_id", "text"]).map_batches(
+        topk, batch_format="pyarrow"
+    )

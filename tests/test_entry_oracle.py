@@ -112,6 +112,8 @@ def test_oracle_keys_subset(entry_mod):
     "search_128bit",
     # round 3: quality-gated resumable corpus export (sink + counts)
     "corpus_export",
+    # round 3: tf-idf keyword extraction, per-label embedding centroids
+    "doc_keywords", "label_centroids",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))

@@ -812,3 +812,54 @@ def test_export_quality_corpus_resume(ray_session, tmp_path):
                                  max_dup_bigram_frac=0.5, input_token="t2")
     assert dict(zip(res3["source"], res3["n_docs"])) == got
     assert (out / "source=a" / "part-0.parquet").stat().st_mtime_ns != mt["a"]
+
+
+def test_doc_keywords_topk(ray_session):
+    """tf·idf ordering with term-ascending ties; rank contiguity; rare
+    terms outrank common ones at equal tf."""
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.textstats import doc_keywords_ds
+
+    rows = [
+        {"doc_id": 0, "text": "common rare common unique"},
+        {"doc_id": 1, "text": "common common common"},
+        {"doc_id": 2, "text": "common zeta alpha"},  # tie between zeta/alpha
+    ]
+    out = doc_keywords_ds(rd.from_items(rows), k=2).to_pandas()
+    d0 = out[out["doc_id"] == 0].sort_values("rank")
+    # 'common' df=3 (idf smallest); rare/unique df=1 → top-2 are the rares
+    assert set(d0["term"]) == {"rare", "unique"}
+    d2 = out[out["doc_id"] == 2].sort_values("rank")
+    # zeta and alpha have identical tf=1, df=1 → tie broken term-asc
+    assert d2["term"].tolist() == ["alpha", "zeta"]
+    assert d2["rank"].tolist() == [1, 2]
+
+
+def test_label_centroids_matches_numpy(ray_session):
+    """Partial-sum reduce == whole-corpus numpy mean per label,
+    independent of block layout."""
+    import numpy as np
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.ann import label_centroids
+
+    rng = np.random.default_rng(7)
+    n, dim = 200, 8
+    labels = rng.integers(0, 3, n)
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    rows = [
+        {"vec_id": i, "embedding": vecs[i].tolist(), "label": int(labels[i])}
+        for i in range(n)
+    ]
+    out = (
+        label_centroids(rd.from_items(rows).repartition(5))
+        .to_pandas()
+        .sort_values(["label", "dim"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 3 * dim
+    for lb in range(3):
+        ref = vecs[labels == lb].astype(np.float64).mean(axis=0)
+        got = out[out["label"] == lb]["centroid"].to_numpy()
+        assert np.allclose(got, np.round(ref, 6), atol=1e-6)
