@@ -63,6 +63,7 @@ SAMPLE_SALT = "ses-sample"
 STRAT_K, STRAT_SALT = 3, "ses-strat"
 EXPORT_MIN_TOKENS, EXPORT_MAX_DUP = 30, 0.12
 KEYWORDS_K = 3
+PMI_MIN_CNT = 5
 TOP_TERMS_K = 5
 QUANTILE_PS = (0.25, 0.5, 0.75, 0.9, 0.99)
 
@@ -665,6 +666,24 @@ def q_doc_keywords(sf_dir: str):
     return doc_keywords_ds(_documents(sf_dir), k=KEYWORDS_K)
 
 
+def q_bigram_pmi(sf_dir: str):
+    """Collocation mining: PMI of adjacent bigrams with cnt >= 5 —
+    bigram counts stay a Dataset; only scalar totals and the
+    vocabulary-sized unigram map leave the cluster."""
+    from search_engine_skillbox_ray.pipelines.textstats import bigram_pmi_ds
+
+    return bigram_pmi_ds(_documents(sf_dir), min_cnt=PMI_MIN_CNT)
+
+
+def q_centroid_confusion(sf_dir: str):
+    """Nearest-centroid classification of every embedding against the
+    per-label mean vectors (broadcast), aggregated to a confusion
+    matrix — the embedding-space separability check."""
+    from search_engine_skillbox_ray.pipelines.ann import centroid_confusion
+
+    return centroid_confusion(_embeddings(sf_dir))
+
+
 def q_label_centroids(sf_dir: str):
     """Per-label mean embedding (class prototypes), partial-sum
     combiner — labels×dim rows per batch move, vectors never shuffle."""
@@ -859,6 +878,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_export": q_corpus_export,
         "doc_keywords": q_doc_keywords,
         "label_centroids": q_label_centroids,
+        "bigram_pmi": q_bigram_pmi,
+        "centroid_confusion": q_centroid_confusion,
         "pagerank": q_pagerank,
         "dedup_clusters": q_dedup_clusters,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1674,6 +1695,43 @@ WITH e AS (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
                   generate_subscripts(embedding, 1) AS dim FROM embeddings)
 SELECT label::BIGINT AS label, (dim - 1)::BIGINT AS dim, ROUND(avg(v), 6) AS centroid
 FROM e GROUP BY label, dim
+""",
+        # PMI: the exact division/multiplication shape of bigram_pmi_ds
+        "bigram_pmi": f"""
+WITH tok AS ({_TOK}),
+uni AS (SELECT term, count(*)::BIGINT AS c FROM tok GROUP BY term),
+tu AS (SELECT sum(c)::DOUBLE AS t FROM uni),
+tl AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+       '[^\\p{{L}}]+'), x -> x <> '') AS toks FROM documents),
+tkp AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM tl),
+bg AS (SELECT a.term AS term_a, b.term AS term_b, count(*)::BIGINT AS cnt
+       FROM tkp a JOIN tkp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       GROUP BY a.term, b.term),
+tb AS (SELECT sum(cnt)::DOUBLE AS t FROM bg)
+SELECT b.term_a, b.term_b, b.cnt,
+       ROUND(ln((b.cnt / tb.t) / ((ua.c / tu.t) * (ub.c / tu.t))), 6) AS pmi
+FROM bg b
+JOIN uni ua ON ua.term = b.term_a
+JOIN uni ub ON ub.term = b.term_b
+CROSS JOIN tu CROSS JOIN tb
+WHERE b.cnt >= {PMI_MIN_CNT}
+""",
+        # centroid confusion: centroids are the ROUNDED label means (the
+        # exact values label_centroids emits), so both sides assign
+        # against identical prototypes; ties (dist, label)
+        "centroid_confusion": """
+WITH x AS (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS vv,
+                  generate_subscripts(embedding, 1) AS dim FROM embeddings),
+c AS (SELECT label, dim, ROUND(avg(vv), 6) AS cv FROM x GROUP BY label, dim),
+cl AS (SELECT label AS clabel, list(cv ORDER BY dim) AS w FROM c GROUP BY label),
+e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+d AS (SELECT e.vec_id, e.label, cl.clabel, list_distance(e.v, cl.w) AS dist FROM e, cl),
+a AS (SELECT vec_id, label, clabel AS pred_label FROM (
+  SELECT vec_id, label, clabel,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rn FROM d)
+  WHERE rn = 1)
+SELECT label::BIGINT AS label, pred_label::BIGINT AS pred_label, count(*)::BIGINT AS cnt
+FROM a GROUP BY label, pred_label
 """,
         "corpus_export": f"""
 WITH tok AS ({_TOK}),

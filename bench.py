@@ -264,6 +264,8 @@ def bench_sf_queries() -> dict:
         "corpus_export",
         "doc_keywords",
         "label_centroids",
+        "bigram_pmi",
+        "centroid_confusion",
         "top_terms_per_source",
         "doclen_quantiles",
         "hll_distinct_tokens",

@@ -402,3 +402,64 @@ def label_centroids(embeddings: rd.Dataset) -> rd.Dataset:
         ),
         batch_format="pyarrow",
     )
+
+
+def centroid_confusion(embeddings: rd.Dataset) -> rd.Dataset:
+    """→ (label, pred_label, cnt): nearest-centroid classification of
+    every vector against the per-label mean embeddings, aggregated as a
+    confusion matrix — the embedding-space health check (how separable
+    are the labels?).
+
+    Scale shape: centroids are computed by the :func:`label_centroids`
+    partial-sum reduce (labels×dim rows), broadcast via ``ray.put``, and
+    the assignment is one matmul per batch + a labels²-sized count
+    combiner; the vector corpus never shuffles. Distance ties break on
+    the lower label id (argmin), mirrored in SQL by (dist, label)
+    ordering."""
+    import ray
+
+    import pyarrow.compute as pc
+
+    from ..functions.vectors import embedding_vectors
+
+    cents = label_centroids(embeddings).to_pandas()  # labels×dim: tiny
+    cents = cents.sort_values(["label", "dim"])
+    labels = np.sort(cents["label"].unique())
+    dim = int(cents["dim"].max()) + 1
+    cmat = cents["centroid"].to_numpy(np.float64).reshape(len(labels), dim)
+    cref = ray.put((labels.astype(np.int64), cmat))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        labs, cm = ray.get(cref)
+        v = embedding_vectors(batch.column("embedding"))
+        true = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        # same difference-form distances as the IVF assignment (its SQL
+        # list_distance mirror is proven ordering-compatible)
+        d2 = ((v[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+        pred = labs[np.argmin(d2, axis=1)]
+        t = pa.table(
+            {"label": pa.array(true), "pred_label": pa.array(pred)}
+        )
+        c = t.group_by(["label", "pred_label"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "label": c["label"],
+                "pred_label": c["pred_label"],
+                "cnt": pc.cast(c["count_all"], pa.int64()),
+            }
+        )
+
+    parts = embeddings.select_columns(["label", "embedding"]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+    agg = parts.groupby(["label", "pred_label"]).sum("cnt")
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "label": pc.cast(t["label"], pa.int64()),
+                "pred_label": pc.cast(t["pred_label"], pa.int64()),
+                "cnt": pc.cast(t["sum(cnt)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

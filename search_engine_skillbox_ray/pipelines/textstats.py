@@ -844,3 +844,76 @@ def doc_keywords_ds(
     return documents.select_columns(["doc_id", "text"]).map_batches(
         topk, batch_format="pyarrow"
     )
+
+
+def bigram_pmi_ds(
+    documents: rd.Dataset, min_cnt: int = 5
+) -> rd.Dataset:
+    """→ (term_a, term_b, cnt, pmi): pointwise mutual information of
+    adjacent bigrams with ``cnt >= min_cnt`` — collocation mining
+    (multi-word expressions, tokenizer-merge candidates).
+
+    pmi = ln( (c_ab/T_bi) / ((c_a/T_uni)·(c_b/T_uni)) ), computed with
+    this exact division/multiplication shape on both sides so the SQL
+    mirror produces identical doubles (round 6).
+
+    Scale shape: bigram counts come from :func:`term_bigrams_ds`
+    (combiner before the one exchange) and STAY a Dataset; only two
+    scalar totals (streamed ``sum`` aggregates) and the unigram count
+    map (true-vocabulary-sized, broadcast once via ``ray.put``) leave
+    the cluster."""
+    import ray
+
+    from ..functions.hashing import flat_nonempty_tokens
+
+    def uni_partials(batch: pa.Table) -> pa.Table:
+        toks, _, _ = flat_nonempty_tokens(batch.column("text"))
+        if not len(toks):
+            return pa.table(
+                {"term": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        c = pa.table({"term": toks}).group_by(["term"]).aggregate([([], "count_all")])
+        return pa.table(
+            {"term": c["term"], "cnt": pc.cast(c["count_all"], pa.int64())}
+        )
+
+    uni = (
+        documents.select_columns(["text"])
+        .map_batches(uni_partials, batch_format="pyarrow")
+        .groupby("term")
+        .sum("cnt")
+        .to_pandas()  # true vocabulary — bounded, not corpus-sized
+    )
+    t_uni = float(uni["sum(cnt)"].sum())
+    uni_ref = ray.put(dict(zip(uni["term"], uni["sum(cnt)"].astype(int))))
+
+    bg = term_bigrams_ds(documents).materialize()
+    t_bi = float(bg.sum("cnt"))
+
+    def score(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(uni_ref)
+        keep = pc.greater_equal(batch.column("cnt"), min_cnt)
+        b = batch.filter(keep)
+        if len(b) == 0:
+            return pa.table(
+                {
+                    "term_a": pa.array([], pa.string()),
+                    "term_b": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                    "pmi": pa.array([], pa.float64()),
+                }
+            )
+        ca = np.array([lookup[t] for t in b.column("term_a").to_pylist()], np.float64)
+        cb = np.array([lookup[t] for t in b.column("term_b").to_pylist()], np.float64)
+        cnt = b.column("cnt").to_numpy(zero_copy_only=False).astype(np.float64)
+        pmi = np.log((cnt / t_bi) / ((ca / t_uni) * (cb / t_uni)))
+        return pa.table(
+            {
+                "term_a": b.column("term_a"),
+                "term_b": b.column("term_b"),
+                "cnt": b.column("cnt"),
+                "pmi": pa.array(np.round(pmi, 6), pa.float64()),
+            }
+        )
+
+    return bg.map_batches(score, batch_format="pyarrow")

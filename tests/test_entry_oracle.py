@@ -114,6 +114,8 @@ def test_oracle_keys_subset(entry_mod):
     "corpus_export",
     # round 3: tf-idf keyword extraction, per-label embedding centroids
     "doc_keywords", "label_centroids",
+    # round 3: bigram PMI collocations, nearest-centroid confusion
+    "bigram_pmi", "centroid_confusion",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))

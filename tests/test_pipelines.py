@@ -863,3 +863,47 @@ def test_label_centroids_matches_numpy(ray_session):
         ref = vecs[labels == lb].astype(np.float64).mean(axis=0)
         got = out[out["label"] == lb]["centroid"].to_numpy()
         assert np.allclose(got, np.round(ref, 6), atol=1e-6)
+
+
+def test_bigram_pmi_reference(ray_session):
+    """PMI matches a hand-computed reference on a planted corpus;
+    min_cnt gates."""
+    import math
+
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.textstats import bigram_pmi_ds
+
+    # doc0 has 5 in-doc bigrams, doc1 has 1: T_uni=8, T_bi=6
+    rows = [
+        {"doc_id": 0, "text": "aa bb aa bb aa bb"},
+        {"doc_id": 1, "text": "aa cc"},
+    ]
+    out = bigram_pmi_ds(rd.from_items(rows), min_cnt=3).to_pandas()
+    assert len(out) == 1  # only (aa,bb) reaches cnt>=3
+    r = out.iloc[0]
+    assert (r["term_a"], r["term_b"], r["cnt"]) == ("aa", "bb", 3)
+    t_uni, t_bi, ca, cb = 8.0, 6.0, 4.0, 3.0
+    expect = math.log((3 / t_bi) / ((ca / t_uni) * (cb / t_uni)))
+    assert abs(r["pmi"] - round(expect, 6)) < 1e-9
+
+
+def test_centroid_confusion_diagonal(ray_session):
+    """Well-separated clusters classify onto the diagonal; counts sum
+    to the corpus size."""
+    import numpy as np
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.ann import centroid_confusion
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(120):
+        lb = i % 3
+        v = rng.standard_normal(8) * 0.05
+        v[lb] += 10.0  # tight, far-apart clusters
+        rows.append({"vec_id": i, "embedding": v.astype(np.float32).tolist(), "label": lb})
+    out = centroid_confusion(rd.from_items(rows).repartition(4)).to_pandas()
+    assert int(out["cnt"].sum()) == 120
+    diag = out[out["label"] == out["pred_label"]]["cnt"].sum()
+    assert diag == 120  # perfectly separable
