@@ -302,6 +302,22 @@ def q_phrase_scan(sf_dir: str):
     return phrase_scan_ds(_documents(sf_dir), PHRASES)
 
 
+def q_phrase_index(sf_dir: str):
+    """The same contamination probes as ``phrase_scan`` served FROM the
+    persisted positional index (build manifest-cached): only the
+    phrases' terms' posting rows are read — no corpus scan. Shares
+    phrase_scan's position-join SQL oracle."""
+    from search_engine_skillbox_ray.pipelines.posindex import (
+        build_positional_index,
+        phrase_search,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/ses_posidx_{tag}"
+    build_positional_index(_documents(sf_dir), d, n_buckets=8, input_token=sf_dir)
+    return phrase_search(d, PHRASES)
+
+
 def q_token_count_bpe(sf_dir: str):
     from search_engine_skillbox_ray.pipelines.textstats import bpe_token_counts_ds
 
@@ -843,6 +859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": q_fingerprint,
         "langid": q_langid,
         "phrase_scan": q_phrase_scan,
+        "phrase_index": q_phrase_index,
         "token_count_bpe": q_token_count_bpe,
         "dup_spans": q_dup_spans,
         "sample_hash": q_sample_hash,
@@ -1592,6 +1609,8 @@ LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.doc_id = d.doc_id
 LEFT JOIN tot ON tot.doc_id = d.doc_id
 """,
         "phrase_scan": _phrase_oracle(),
+        # index-served phrase search: same semantics, same oracle
+        "phrase_index": _phrase_oracle(),
         "token_count_bpe": _bpe_count_sql(),
         "dup_spans": _dup_spans_oracle(),
         "sample_hash": f"""

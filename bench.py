@@ -252,6 +252,7 @@ def bench_sf_queries() -> dict:
         "quality",
         "langid",
         "phrase_scan",
+        "phrase_index",
         "dup_spans",
         "token_count_bpe",
         "sample_hash",

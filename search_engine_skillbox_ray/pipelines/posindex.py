@@ -1,0 +1,256 @@
+"""Positional inverted index: phrase queries served FROM THE INDEX.
+
+``textstats.PhraseScan`` answers "which docs contain this exact token
+sequence" with a full corpus scan — right when the probe set changes
+every run, wrong when phrases are queried interactively against a
+built corpus. This module adds the index-served path every fulltext
+engine grows: segments that store, per (term, doc), the term's
+POSITIONS, so a phrase query touches only its terms' posting rows and
+never the corpus.
+
+Layout (per term row, all varbyte — LEB128 — streams):
+
+* ``doc_bytes``   — docID delta gaps (ascending int64 docIDs);
+* ``cnt_bytes``   — per-doc position count (== tf);
+* ``pos_bytes``   — per-doc position delta gaps, doc-concatenated.
+
+Build is the standard shape: tokenize WITH positions inside
+``map_batches`` (slim (bucket, term, doc_id, positions) rows — text
+never shuffles), one term-bucket exchange, per-bucket vectorized
+encode to atomic parquet + manifest (resume-gated). Query: filtered
+bucket reads (Parquet predicate pushdown) → docID intersection via
+``np.intersect1d`` → adjacency check via sorted-array membership
+(searchsorted), one pass per extra phrase token.
+
+Reference: the reference's MySQL index stores only tf
+(model/SearchIndex.java) — positions are this rebuild's scale
+extension; semantics match ``PhraseScan`` (overlapping occurrences
+count) and the position-join SQL oracle.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from ..functions.hashing import md5_u64
+from ..stages.codec import varbyte_decode, varbyte_encode
+
+POS_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int32()),
+        ("term", pa.string()),
+        ("df", pa.int64()),
+        ("cf", pa.int64()),
+        ("doc_bytes", pa.binary()),
+        ("cnt_bytes", pa.binary()),
+        ("pos_bytes", pa.binary()),
+    ]
+)
+
+
+def build_positional_index(
+    documents: rd.Dataset,
+    out_dir: str,
+    n_buckets: int = 8,
+    input_token: str | None = None,
+) -> dict:
+    """documents(doc_id, text) → ``out_dir`` with per-bucket positional
+    segments + manifest. Same-token rebuilds are skipped."""
+    out = Path(out_dir)
+    man = out / "manifest.json"
+    if man.exists():
+        try:
+            m = json.loads(man.read_text())
+            if input_token is not None and m.get("input_token") == input_token:
+                return m
+        except Exception:
+            pass
+    out.mkdir(parents=True, exist_ok=True)
+    for stale in list(out.glob("bucket=*.parquet")) + list(out.glob("*.tmp")):
+        stale.unlink()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import flat_nonempty_tokens
+
+        empty = pa.table(
+            {
+                "bucket": pa.array([], pa.int32()),
+                "term": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.int64()),
+                "positions": pa.array([], pa.list_(pa.int64())),
+            }
+        )
+        toks, parents, counts = flat_nonempty_tokens(batch.column("text"))
+        if not len(toks):
+            return empty
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        starts = np.cumsum(counts) - counts
+        pos = np.arange(len(toks), dtype=np.int64) - starts[parents]
+        # group the flat stream by (parent, term): sort by (parent, code,
+        # pos) and cut runs — positions inside a run stay ascending
+        denc = toks.dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((pos, codes, parents))
+        sp, sc, spos = parents[order], codes[order], pos[order]
+        new_run = np.empty(len(sp), dtype=bool)
+        new_run[0] = True
+        np.not_equal(sp[1:], sp[:-1], out=new_run[1:])
+        new_run[1:] |= sc[1:] != sc[:-1]
+        run_starts = np.flatnonzero(new_run)
+        run_lens = np.diff(np.append(run_starts, len(sp)))
+        terms = denc.dictionary.take(pa.array(sc[run_starts]))
+        bucket = (md5_u64(terms.to_pylist()) % np.uint64(n_buckets)).astype(np.int32)
+        offsets = np.zeros(len(run_starts) + 1, dtype=np.int32)
+        np.cumsum(run_lens, out=offsets[1:])
+        positions = pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(spos, pa.int64())
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "term": terms,
+                "doc_id": pa.array(doc_ids[sp[run_starts]], pa.int64()),
+                "positions": positions,
+            }
+        )
+
+    parts = documents.select_columns(["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+    def write_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        b = int(group["bucket"].iloc[0])
+        rows: dict[str, list] = {n: [] for n in POS_SCHEMA.names}
+        for term, g in group.groupby("term", sort=True):
+            g = g.sort_values("doc_id", kind="mergesort")
+            docs = g["doc_id"].to_numpy(np.int64)
+            plists = g["positions"].tolist()
+            cnts = np.array([len(p) for p in plists], np.int64)
+            flat = np.concatenate([np.asarray(p, np.int64) for p in plists])
+            # per-doc position deltas (first = value itself)
+            offs = np.cumsum(cnts) - cnts
+            deltas = np.diff(flat, prepend=0)
+            deltas[offs] = flat[offs]
+            gaps = np.diff(docs.astype(np.uint64), prepend=np.uint64(0))
+            rows["bucket"].append(b)
+            rows["term"].append(term)
+            rows["df"].append(int(len(docs)))
+            rows["cf"].append(int(cnts.sum()))
+            rows["doc_bytes"].append(varbyte_encode(gaps))
+            rows["cnt_bytes"].append(varbyte_encode(cnts.astype(np.uint64)))
+            rows["pos_bytes"].append(varbyte_encode(deltas.astype(np.uint64)))
+        tbl = pa.table({n: pa.array(rows[n], POS_SCHEMA.field(n).type) for n in POS_SCHEMA.names})
+        tmp = out / f"bucket={b:05d}.parquet.tmp"
+        pq.write_table(tbl, tmp, compression="zstd")
+        tmp.rename(out / f"bucket={b:05d}.parquet")
+        return pd.DataFrame({"bucket": [b], "n_terms": [len(tbl)]})
+
+    manifest_rows = (
+        parts.groupby("bucket").map_groups(write_bucket, batch_format="pandas").to_pandas()
+    )
+    m = {
+        "input_token": input_token,
+        "n_buckets": int(n_buckets),
+        "n_terms": int(manifest_rows["n_terms"].sum()),
+    }
+    mt = out / "manifest.json.tmp"
+    mt.write_text(json.dumps(m))
+    mt.rename(man)
+    return m
+
+
+def _load_term(out: Path, n_buckets: int, term: str):
+    """→ (doc_ids int64, counts int64, flat positions int64) or None."""
+    b = int(md5_u64([term])[0] % np.uint64(n_buckets))
+    f = out / f"bucket={b:05d}.parquet"
+    if not f.exists():
+        return None
+    tbl = pq.read_table(f, filters=[("term", "==", term)])
+    if not len(tbl):
+        return None
+    row = tbl.to_pylist()[0]
+    df = int(row["df"])
+    docs = np.cumsum(varbyte_decode(row["doc_bytes"], count=df).astype(np.int64))
+    cnts = varbyte_decode(row["cnt_bytes"], count=df).astype(np.int64)
+    deltas = varbyte_decode(row["pos_bytes"], count=int(cnts.sum())).astype(np.int64)
+    offs = np.cumsum(cnts) - cnts
+    # undo the per-doc delta encoding: cumulative sum, re-based per doc
+    flat = np.cumsum(deltas)
+    base = np.zeros(len(deltas), dtype=np.int64)
+    if df > 1:
+        base[offs[1:]] = flat[offs[1:] - 1]
+    flat = flat - np.maximum.accumulate(base)
+    return docs, cnts, flat
+
+
+def phrase_search(
+    index_dir: str, phrases: list[str]
+) -> pa.Table:
+    """→ (doc_id, phrase_id, n_occurrences): exact ordered-adjacent
+    occurrence counts per probe phrase, served from the positional
+    index — only the phrases' terms' posting rows are read. Overlapping
+    occurrences count; identical semantics (and SQL oracle) to the
+    corpus-scan ``PhraseScan``."""
+    from ..stages.tokenizer import token_lists
+
+    out = Path(index_dir)
+    m = json.loads((out / "manifest.json").read_text())
+    nb = int(m["n_buckets"])
+    norm = token_lists(pa.array(list(phrases), pa.string()))
+    if isinstance(norm, pa.ChunkedArray):
+        norm = norm.combine_chunks()
+    phrase_terms = [[t for t in row if t] for row in norm.to_pylist()]
+
+    cache: dict[str, tuple | None] = {}
+
+    def load(t: str):
+        if t not in cache:
+            cache[t] = _load_term(out, nb, t)
+        return cache[t]
+
+    out_doc, out_pid, out_cnt = [], [], []
+    for pid, words in enumerate(phrase_terms):
+        if not words:
+            continue
+        posts = [load(t) for t in words]
+        if any(p is None for p in posts):
+            continue
+        common = posts[0][0]
+        for p in posts[1:]:
+            common = np.intersect1d(common, p[0], assume_unique=True)
+        if common.size == 0:
+            continue
+        offsets = [np.cumsum(p[1]) - p[1] for p in posts]
+        for d in common.tolist():
+            # positions of each word inside doc d (sorted)
+            plists = []
+            for (docs, cnts, flat), offs in zip(posts, offsets):
+                j = int(np.searchsorted(docs, d))
+                o = int(offs[j])
+                plists.append(flat[o : o + int(cnts[j])])
+            starts = plists[0]
+            for k, pl in enumerate(plists[1:], start=1):
+                if starts.size == 0:
+                    break
+                idx = np.searchsorted(pl, starts + k)
+                ok = (idx < pl.size) & (pl[np.minimum(idx, pl.size - 1)] == starts + k)
+                starts = starts[ok]
+            if starts.size:
+                out_doc.append(d)
+                out_pid.append(pid)
+                out_cnt.append(int(starts.size))
+    return pa.table(
+        {
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "phrase_id": pa.array(out_pid, pa.int32()),
+            "n_occurrences": pa.array(out_cnt, pa.int64()),
+        }
+    )

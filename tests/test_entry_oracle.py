@@ -116,6 +116,8 @@ def test_oracle_keys_subset(entry_mod):
     "doc_keywords", "label_centroids",
     # round 3: bigram PMI collocations, nearest-centroid confusion
     "bigram_pmi", "centroid_confusion",
+    # round 3: positional index (phrase search served from the index)
+    "phrase_index",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))

@@ -1,0 +1,87 @@
+"""Positional index: build resume, codec round-trip, and phrase-search
+parity with the corpus-scan PhraseScan."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def posidx(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.posindex import build_positional_index
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    d = tmp_path_factory.mktemp("posidx")
+    m = build_positional_index(docs, str(d), n_buckets=4, input_token="tp")
+    return d, m, docs
+
+
+def test_build_resume(posidx):
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.posindex import build_positional_index
+
+    d, m, docs = posidx
+    files = sorted(Path(d).glob("bucket=*.parquet"))
+    assert files and m["n_terms"] > 0
+    mtimes = {f.name: f.stat().st_mtime_ns for f in files}
+    m2 = build_positional_index(docs, str(d), n_buckets=4, input_token="tp")
+    assert m2 == m
+    assert {f.name: f.stat().st_mtime_ns for f in sorted(Path(d).glob("bucket=*.parquet"))} == mtimes
+
+
+def test_positions_roundtrip(posidx):
+    """Decoded (docs, counts, positions) equal a direct tokenization of
+    the corpus for a handful of terms."""
+    import pyarrow.parquet as pq
+
+    from search_engine_skillbox_ray.functions.tokenize import tokenize
+    from search_engine_skillbox_ray.pipelines.posindex import _load_term
+
+    d, m, _ = posidx
+    tbl = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    ref: dict[str, dict[int, list[int]]] = {}
+    for doc_id, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        for i, t in enumerate(tokenize(text)):
+            ref.setdefault(t, {}).setdefault(doc_id, []).append(i)
+    for term in ["merge", "batch", "the", "scan"]:
+        got = _load_term(Path(d), m["n_buckets"], term)
+        assert got is not None, term
+        docs, cnts, flat = got
+        exp = ref[term]
+        assert docs.tolist() == sorted(exp)
+        off = 0
+        for doc, c in zip(docs.tolist(), cnts.tolist()):
+            assert flat[off : off + c].tolist() == exp[doc], (term, doc)
+            off += c
+    assert _load_term(Path(d), m["n_buckets"], "absentwordzz") is None
+
+
+def test_phrase_search_parity_with_scan(posidx):
+    """Index-served phrase counts == corpus-scan PhraseScan for probes
+    incl. repeated-token (self-overlapping) and absent phrases."""
+    from search_engine_skillbox_ray.pipelines.posindex import phrase_search
+    from search_engine_skillbox_ray.pipelines.textstats import phrase_scan_ds
+
+    d, _, docs = posidx
+    phrases = [
+        "table scan", "hash join", "batch batch batch", "merge merge",
+        "group sort merge", "quantum flux capacitor", "fast",
+    ]
+    idx_out = (
+        phrase_search(str(d), phrases)
+        .to_pandas()
+        .sort_values(["phrase_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+    scan_out = (
+        phrase_scan_ds(docs, phrases)
+        .to_pandas()
+        .sort_values(["phrase_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert idx_out.equals(scan_out)
+    assert (idx_out[idx_out["phrase_id"] == 6]["n_occurrences"] >= 1).all()
