@@ -778,9 +778,12 @@ def doc_keywords_ds(
             }
         )
 
+    # materialize the slim (term, doc_id) pairs ONCE — both statistics
+    # (df groupby and the distinct-doc count) read the cached blocks
+    # instead of tokenizing the corpus twice
     pres = documents.select_columns(["doc_id", "text"]).map_batches(
         _tf_partials, batch_format="pyarrow"
-    )
+    ).materialize()
     dft = pres.groupby("term").count().to_pandas()  # vocabulary-sized
     n_total = len(pres.unique("doc_id"))
     idf = {
