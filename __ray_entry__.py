@@ -659,6 +659,21 @@ def q_search_128(sf_dir: str):
     return topk_128(d, SEARCH_QUERY, k=10, mode="or")
 
 
+def q_search_128_bm25(sf_dir: str):
+    """BM25(k1, b) top-10 served from the same persisted 128-bit index
+    (doc lengths from the docmap; block bounds via the admissible
+    global min-dl)."""
+    from search_engine_skillbox_ray.pipelines.index128 import (
+        build_index_128,
+        topk_128,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/ses_idx128_{tag}"
+    build_index_128(_documents(sf_dir), d, n_buckets=8, input_token=sf_dir)
+    return topk_128(d, SEARCH_QUERY, k=10, mode="or", scorer="bm25", k1=BM25_K1, b=BM25_B)
+
+
 def q_anchor_terms(sf_dir: str):
     """Anchor-text aggregation over the link fixture: per link target,
     the term counts of the anchors pointing at it — the web-ranking
@@ -890,6 +905,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "more_like_this": q_more_like_this,
         "link_graph": q_link_graph,
         "search_128bit": q_search_128,
+        "search_128bit_bm25": q_search_128_bm25,
         "anchor_terms": q_anchor_terms,
         "snapshot_delta": q_snapshot_delta,
         "corpus_export": q_corpus_export,
@@ -1683,6 +1699,30 @@ WITH n AS (SELECT len(list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}
 """,
         "link_graph": f"""
 SELECT * FROM (VALUES {_link_graph_values()}) AS t(src_url, dst_url)
+""",
+        "search_128bit_bm25": f"""
+WITH tf AS ({_TF}),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM ({_TOK}) GROUP BY doc_id),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+avgdl AS (SELECT sum(dl) / (SELECT n FROM n) AS avgdl FROM dl),
+q(term) AS (VALUES {_terms_values()}),
+df AS (SELECT q.term, count(DISTINCT tf.doc_id)::BIGINT AS df
+       FROM q LEFT JOIN tf ON tf.term = q.term GROUP BY q.term),
+scores AS (
+  SELECT tf.doc_id,
+         SUM(ln((n.n + 1.0) / (df.df + 1.0)) * (tf.tf * ({BM25_K1} + 1.0)) /
+             (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / avgdl.avgdl))) AS score
+  FROM tf JOIN df ON tf.term = df.term
+       JOIN dl ON dl.doc_id = tf.doc_id
+       CROSS JOIN n CROSS JOIN avgdl
+  GROUP BY tf.doc_id),
+h AS (SELECT doc_id, md5('https://' || source || '.example/doc/' || doc_id::VARCHAR) AS hx
+      FROM documents)
+SELECT s.doc_id,
+       (row_number() OVER (ORDER BY s.score DESC, h.hx))::BIGINT AS rank,
+       ROUND(s.score, 6) AS score
+FROM scores s JOIN h ON h.doc_id = s.doc_id
+QUALIFY row_number() OVER (ORDER BY s.score DESC, h.hx) <= 10
 """,
         # 128-bit path: tie order == md5 hex order == (hi, lo) order
         "search_128bit": tfidf_scores

@@ -79,7 +79,11 @@ def build_index_128(
     if man.exists():
         try:
             m = json.loads(man.read_text())
-            if input_token is not None and m.get("input_token") == input_token:
+            if (
+                input_token is not None
+                and m.get("input_token") == input_token
+                and m.get("version") == 2
+            ):
                 return m
         except Exception:
             pass
@@ -172,6 +176,7 @@ def build_index_128(
                     batch.column("doc_id").to_numpy(zero_copy_only=False)[keep],
                     pa.int64(),
                 ),
+                "doc_len": pa.array(nt[keep], pa.int64()),
             }
         )
 
@@ -184,10 +189,13 @@ def build_index_128(
     tmp.rename(out / "docmap.parquet")
 
     m = {
+        "version": 2,  # v2: docmap carries doc_len (BM25 serving)
         "input_token": input_token,
         "n_buckets": int(n_buckets),
         "n_docs_indexed": int(len(dm_tbl)),
         "n_terms": int(manifest_rows["n_terms"].sum()),
+        "sum_doc_len": int(dm_tbl["doc_len"].to_numpy().sum()),
+        "min_doc_len": int(dm_tbl["doc_len"].to_numpy().min()) if len(dm_tbl) else 0,
     }
     mt = out / "manifest.json.tmp"
     mt.write_text(json.dumps(m))
@@ -207,11 +215,19 @@ def ray_get_all(ds: rd.Dataset) -> list[pa.Table]:
 
 
 def topk_128(
-    index_dir: str, query: str, k: int = 10, mode: str = "or"
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    mode: str = "or",
+    scorer: str = "tfidf",
+    k1: float = 1.2,
+    b: float = 0.75,
 ) -> pd.DataFrame:
-    """Top-k tf·idf over the persisted 128-bit segments → (doc_id, rank,
-    score float64 r6). Ties: score desc, 128-bit docID asc (== md5-hex
-    ascending, which a SQL mirror reproduces with ``ORDER BY score DESC,
+    """Top-k over the persisted 128-bit segments → (doc_id, rank, score
+    float64 r6). ``scorer="tfidf"`` (Σ tf·idf) or ``"bm25"`` (k1, b; doc
+    lengths from the docmap, block bounds via the admissible global
+    min-dl). Ties: score desc, 128-bit docID asc (== md5-hex ascending,
+    which a SQL mirror reproduces with ``ORDER BY score DESC,
     md5(url)``). Reads ONLY the query terms' bucket files."""
     from ..functions.tokenize import query_lemmas
     from ..stages.wand128 import (
@@ -236,8 +252,10 @@ def topk_128(
 
     term_rows: list[tuple[dict, float]] = []
     for t in lemmas:
-        b = int(md5_u64([t])[0] % np.uint64(m["n_buckets"]))
-        f = out / f"bucket={b:05d}.parquet"
+        # NB: named bkt, not b — `b` is the BM25 length-normalization
+        # parameter read by the weight closure below
+        bkt = int(md5_u64([t])[0] % np.uint64(m["n_buckets"]))
+        f = out / f"bucket={bkt:05d}.parquet"
         df_count = 0
         row = None
         if f.exists():
@@ -259,8 +277,43 @@ def topk_128(
     if not term_rows:
         return empty
 
-    def weight(tfs: np.ndarray, idf: float, _docs=None) -> np.ndarray:
-        return tfs.astype(np.float64) * idf
+    if scorer == "bm25":
+        # doc lengths keyed by the 128-bit id; the whole docmap is
+        # ~32 B/doc (at cluster scale each query actor holds its shard)
+        dmt = pq.read_table(
+            out / "docmap.parquet", columns=["doc_hi", "doc_lo", "doc_len"]
+        )
+        dl_lut = {
+            (int(h) % _U64, int(l) % _U64): float(d)
+            for h, l, d in zip(
+                dmt["doc_hi"].to_pylist(),
+                dmt["doc_lo"].to_pylist(),
+                dmt["doc_len"].to_pylist(),
+            )
+        }
+        avgdl = max(1.0, float(m["sum_doc_len"]) / max(1, n_total))
+        min_dl = float(m.get("min_doc_len", 0))
+
+        def weight(tfs: np.ndarray, idf: float, docs=None) -> np.ndarray:
+            t = tfs.astype(np.float64)
+            if docs is None:  # bound: dl → global min (admissible)
+                denom = t + k1 * (1.0 - b + b * min_dl / avgdl)
+            else:
+                hi_a, lo_a = docs
+                dl = np.array(
+                    [
+                        dl_lut[(int(h), int(l))]
+                        for h, l in zip(hi_a.tolist(), lo_a.tolist())
+                    ],
+                    np.float64,
+                )
+                denom = t + k1 * (1.0 - b + b * dl / avgdl)
+            return idf * (t * (k1 + 1.0)) / denom
+
+    else:
+
+        def weight(tfs: np.ndarray, idf: float, _docs=None) -> np.ndarray:
+            return tfs.astype(np.float64) * idf
 
     fn = topk_conjunctive_bmw_128 if mode == "and" else topk_disjunctive_maxscore_128
     docs, scores = fn(term_rows, k, weight)

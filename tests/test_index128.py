@@ -112,3 +112,48 @@ def test_topk128_empty_and_absent_queries(built128):
     assert len(topk_128(str(d), "", k=5)) == 0
     assert len(topk_128(str(d), "absentwordzz", k=5)) == 0
     assert len(topk_128(str(d), "merge absentwordzz", k=5, mode="and")) == 0
+
+
+def test_topk128_bm25_matches_exhaustive(built128):
+    """BM25 from the persisted 128-bit index equals exhaustive BM25
+    scoring (doc lengths from the docmap; min-dl block bounds stay
+    admissible)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from search_engine_skillbox_ray.functions.tokenize import query_lemmas, tokenize
+    from search_engine_skillbox_ray.pipelines.index128 import topk_128
+
+    d, _, _ = built128
+    k1, b = 1.2, 0.75
+    query = "merge batch fast"
+    out = topk_128(str(d), query, k=10, scorer="bm25", k1=k1, b=b)
+
+    tbl = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    tf, keys, dls = {}, {}, {}
+    for doc_id, src, text in zip(
+        tbl["doc_id"].to_pylist(), tbl["source"].to_pylist(), tbl["text"].to_pylist()
+    ):
+        toks = tokenize(text)
+        if toks:
+            dls[doc_id] = len(toks)
+        url = f"https://{src}.example/doc/{doc_id}"
+        keys[doc_id] = int.from_bytes(hashlib.md5(url.encode()).digest(), "big")
+        for t in toks:
+            tf.setdefault(t, {}).setdefault(doc_id, 0)
+            tf[t][doc_id] += 1
+    n = len(dls)
+    avgdl = max(1.0, sum(dls.values()) / max(1, n))
+    scores = {}
+    for t in query_lemmas(query):
+        post = tf.get(t, {})
+        idf = math.log((n + 1) / (len(post) + 1))
+        for doc, c in post.items():
+            w = idf * (c * (k1 + 1.0)) / (c + k1 * (1.0 - b + b * dls[doc] / avgdl))
+            scores[doc] = scores.get(doc, 0.0) + w
+    order = sorted(scores, key=lambda x: (-scores[x], keys[x]))[:10]
+    assert out["doc_id"].tolist() == order
+    assert np.allclose(
+        out["score"].to_numpy(), [round(scores[x], 6) for x in order], atol=1e-6
+    )
