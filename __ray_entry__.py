@@ -57,6 +57,7 @@ PHRASES = ["table scan", "hash join", "batch batch batch",
            "group sort merge", "quantum flux capacitor"]
 
 MLT_K, MLT_SEEDS = 10, (0, 1, 7)  # more-like-this top-k and seed docs
+PROX_A, PROX_B, PROX_WINDOW = "merge", "batch", 3  # proximity probe
 DUP_SPAN_K = 5  # duplicated-span window size (tokens)
 SAMPLE_RATE_PCT = 10
 SAMPLE_SALT = "ses-sample"
@@ -316,6 +317,22 @@ def q_phrase_index(sf_dir: str):
     d = f"/tmp/ses_posidx_{tag}"
     build_positional_index(_documents(sf_dir), d, n_buckets=8, input_token=sf_dir)
     return phrase_search(d, PHRASES)
+
+
+def q_proximity(sf_dir: str):
+    """Proximity (slop) query from the positional index: per doc, the
+    ordered position pairs where PROX_B occurs within PROX_WINDOW
+    tokens after PROX_A — two filtered posting-row reads, searchsorted
+    pair counting (no pair materialization)."""
+    from search_engine_skillbox_ray.pipelines.posindex import (
+        build_positional_index,
+        proximity_search,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/ses_posidx_{tag}"
+    build_positional_index(_documents(sf_dir), d, n_buckets=8, input_token=sf_dir)
+    return proximity_search(d, PROX_A, PROX_B, PROX_WINDOW)
 
 
 def q_token_count_bpe(sf_dir: str):
@@ -875,6 +892,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": q_langid,
         "phrase_scan": q_phrase_scan,
         "phrase_index": q_phrase_index,
+        "proximity": q_proximity,
         "token_count_bpe": q_token_count_bpe,
         "dup_spans": q_dup_spans,
         "sample_hash": q_sample_hash,
@@ -1627,6 +1645,16 @@ LEFT JOIN tot ON tot.doc_id = d.doc_id
         "phrase_scan": _phrase_oracle(),
         # index-served phrase search: same semantics, same oracle
         "phrase_index": _phrase_oracle(),
+        "proximity": f"""
+WITH tl AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+            '[^\\p{{L}}]+'), x -> x <> '') AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM tl)
+SELECT a.doc_id, count(*)::BIGINT AS n_pairs
+FROM tok a JOIN tok b ON b.doc_id = a.doc_id
+ AND b.pos > a.pos AND b.pos <= a.pos + {PROX_WINDOW}
+WHERE a.term = '{PROX_A}' AND b.term = '{PROX_B}'
+GROUP BY a.doc_id
+""",
         "token_count_bpe": _bpe_count_sql(),
         "dup_spans": _dup_spans_oracle(),
         "sample_hash": f"""

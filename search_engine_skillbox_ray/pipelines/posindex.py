@@ -254,3 +254,52 @@ def phrase_search(
             "n_occurrences": pa.array(out_cnt, pa.int64()),
         }
     )
+
+
+def proximity_search(
+    index_dir: str, term_a: str, term_b: str, window: int
+) -> pa.Table:
+    """→ (doc_id, n_pairs): per document, the number of ordered position
+    pairs where ``term_b`` occurs within ``window`` tokens AFTER
+    ``term_a`` (0 < pos_b − pos_a ≤ window) — the proximity/slop query
+    of a fulltext engine (phrase matching with tolerance), served from
+    the positional index with two filtered posting-row reads.
+
+    Pair counting is two ``np.searchsorted`` calls per doc over the
+    sorted position arrays (no pair materialization); SQL mirrors it
+    with a position self-join on a BETWEEN predicate."""
+    out = Path(index_dir)
+    m = json.loads((out / "manifest.json").read_text())
+    nb = int(m["n_buckets"])
+    pa_post = _load_term(out, nb, term_a)
+    pb_post = _load_term(out, nb, term_b)
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "n_pairs": pa.array([], pa.int64())}
+    )
+    if pa_post is None or pb_post is None or window < 1:
+        return empty
+    docs_a, cnts_a, flat_a = pa_post
+    docs_b, cnts_b, flat_b = pb_post
+    common = np.intersect1d(docs_a, docs_b, assume_unique=True)
+    if common.size == 0:
+        return empty
+    offs_a = np.cumsum(cnts_a) - cnts_a
+    offs_b = np.cumsum(cnts_b) - cnts_b
+    out_doc, out_cnt = [], []
+    for d in common.tolist():
+        ja = int(np.searchsorted(docs_a, d))
+        jb = int(np.searchsorted(docs_b, d))
+        positions_a = flat_a[offs_a[ja] : offs_a[ja] + int(cnts_a[ja])]
+        positions_b = flat_b[offs_b[jb] : offs_b[jb] + int(cnts_b[jb])]
+        hi = np.searchsorted(positions_b, positions_a + window, side="right")
+        lo = np.searchsorted(positions_b, positions_a, side="right")
+        n = int((hi - lo).sum())
+        if n:
+            out_doc.append(d)
+            out_cnt.append(n)
+    return pa.table(
+        {
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "n_pairs": pa.array(out_cnt, pa.int64()),
+        }
+    )

@@ -120,6 +120,8 @@ def test_oracle_keys_subset(entry_mod):
     "phrase_index",
     # round 3: BM25 over the persisted 128-bit index
     "search_128bit_bm25",
+    # round 3: proximity (slop) query from the positional index
+    "proximity",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))

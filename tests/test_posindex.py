@@ -85,3 +85,29 @@ def test_phrase_search_parity_with_scan(posidx):
     )
     assert idx_out.equals(scan_out)
     assert (idx_out[idx_out["phrase_id"] == 6]["n_occurrences"] >= 1).all()
+
+
+def test_proximity_search_reference(posidx):
+    """Proximity pair counts equal a brute-force position-pair count."""
+    import pyarrow.parquet as pq
+
+    from search_engine_skillbox_ray.functions.tokenize import tokenize
+    from search_engine_skillbox_ray.pipelines.posindex import proximity_search
+
+    d, _, _ = posidx
+    w = 4
+    out = proximity_search(str(d), "table", "scan", w).to_pandas()
+    got = dict(zip(out["doc_id"], out["n_pairs"]))
+    tbl = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    expect = {}
+    for doc_id, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        toks = tokenize(text)
+        pa_ = [i for i, t in enumerate(toks) if t == "table"]
+        pb_ = [i for i, t in enumerate(toks) if t == "scan"]
+        n = sum(1 for a in pa_ for b in pb_ if 0 < b - a <= w)
+        if n:
+            expect[doc_id] = n
+    assert got == expect and len(expect) > 0
+    # absent term / zero window
+    assert len(proximity_search(str(d), "absentzz", "scan", w)) == 0
+    assert len(proximity_search(str(d), "table", "scan", 0)) == 0
