@@ -714,6 +714,16 @@ def q_doc_keywords(sf_dir: str):
     return doc_keywords_ds(_documents(sf_dir), k=KEYWORDS_K)
 
 
+def q_source_divergence(sf_dir: str):
+    """Vocabulary drift: Jensen-Shannon divergence of each source's term
+    distribution vs the global corpus — one (source, term) combiner
+    exchange + a source-bucketed reduce with the global distribution
+    broadcast."""
+    from search_engine_skillbox_ray.pipelines.textstats import source_divergence_ds
+
+    return source_divergence_ds(_documents(sf_dir))
+
+
 def q_bigram_pmi(sf_dir: str):
     """Collocation mining: PMI of adjacent bigrams with cnt >= 5 —
     bigram counts stay a Dataset; only scalar totals and the
@@ -930,6 +940,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_keywords": q_doc_keywords,
         "label_centroids": q_label_centroids,
         "bigram_pmi": q_bigram_pmi,
+        "source_divergence": q_source_divergence,
         "centroid_confusion": q_centroid_confusion,
         "pagerank": q_pagerank,
         "dedup_clusters": q_dedup_clusters,
@@ -1782,6 +1793,29 @@ WITH e AS (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
                   generate_subscripts(embedding, 1) AS dim FROM embeddings)
 SELECT label::BIGINT AS label, (dim - 1)::BIGINT AS dim, ROUND(avg(v), 6) AS centroid
 FROM e GROUP BY label, dim
+""",
+        # JSD over the global vocabulary — same division/expression shape
+        # as source_divergence_ds (addend order absorbed at round 6)
+        "source_divergence": """
+WITH tok AS (SELECT source, unnest(list_filter(regexp_split_to_array(lower(text),
+             '[^\\p{L}]+'), x -> x <> '')) AS term FROM documents),
+st AS (SELECT source, term, count(*)::BIGINT AS c FROM tok GROUP BY source, term),
+ts AS (SELECT source, sum(c)::DOUBLE AS t FROM st GROUP BY source),
+g AS (SELECT term, count(*)::BIGINT AS c FROM tok GROUP BY term),
+tg AS (SELECT sum(c)::DOUBLE AS t FROM g),
+grid AS (SELECT s.source, g.term, COALESCE(st.c, 0) AS cs, g.c AS cg
+         FROM (SELECT DISTINCT source FROM tok) s
+         CROSS JOIN g
+         LEFT JOIN st ON st.source = s.source AND st.term = g.term),
+parts AS (SELECT grid.source,
+    (CASE WHEN cs > 0 THEN
+        0.5 * (cs / ts.t) * ln((cs / ts.t) / (((cs / ts.t) + (cg / tg.t)) / 2.0))
+     ELSE 0.0 END
+     + 0.5 * (cg / tg.t) * ln((cg / tg.t) / (((cs / ts.t) + (cg / tg.t)) / 2.0))) AS part,
+    CASE WHEN cs > 0 THEN 1 ELSE 0 END AS hit
+  FROM grid JOIN ts ON ts.source = grid.source CROSS JOIN tg)
+SELECT source, sum(hit)::BIGINT AS n_terms, ROUND(sum(part), 6) AS jsd
+FROM parts GROUP BY source
 """,
         # PMI: the exact division/multiplication shape of bigram_pmi_ds
         "bigram_pmi": f"""

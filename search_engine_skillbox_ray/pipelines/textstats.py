@@ -920,3 +920,82 @@ def bigram_pmi_ds(
         )
 
     return bg.map_batches(score, batch_format="pyarrow")
+
+
+def source_divergence_ds(documents: rd.Dataset, n_buckets: int = 32) -> rd.Dataset:
+    """→ (source, n_terms, jsd): Jensen-Shannon divergence (natural-log
+    base) between each source's term distribution and the global corpus
+    distribution — the vocabulary-drift / domain-shift monitor (which
+    domains write differently from the corpus at large?).
+
+    JSD(p, q) = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m), m = (p+q)/2, summed over
+    the GLOBAL vocabulary (q > 0 everywhere; p-absent terms contribute
+    only the q half). The per-term expression is computed with the same
+    division shape on both sides; the float64 sum over the vocabulary
+    differs only in addend order (absorbed at round 6).
+
+    Scale shape: ONE (source, term) combiner exchange (per-batch Arrow
+    group_by partials); the reduce is source-bucketed with the global
+    term distribution broadcast once via ``ray.put`` — vocabulary-sized,
+    never corpus-sized."""
+    import ray
+
+    from ..functions.hashing import flat_nonempty_tokens
+    from ..stages.grouping import bucketed_group_apply
+
+    def partials(batch: pa.Table) -> pa.Table:
+        toks, parents, _ = flat_nonempty_tokens(batch.column("text"))
+        if not len(toks):
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "term": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        src = batch.column("source").take(pa.array(parents))
+        c = pa.table({"source": src, "term": toks}).group_by(
+            ["source", "term"]
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "source": c["source"],
+                "term": c["term"],
+                "cnt": pc.cast(c["count_all"], pa.int64()),
+            }
+        )
+
+    parts = documents.select_columns(["source", "text"]).map_batches(
+        partials, batch_format="pyarrow"
+    ).materialize()
+
+    glob = parts.groupby("term").sum("cnt").to_pandas()  # vocabulary-sized
+    g_counts = dict(zip(glob["term"], glob["sum(cnt)"].astype(int)))
+    t_glob = float(sum(g_counts.values()))
+    g_ref = ray.put(g_counts)
+
+    def bucket_fn(df):
+        import pandas as pd_
+
+        g = ray.get(g_ref)
+        terms = list(g)
+        qv = np.array([g[t] for t in terms], np.float64) / t_glob
+        out_rows = []
+        agg = df.groupby(["source", "term"], sort=False)["cnt"].sum().reset_index()
+        for s, grp in agg.groupby("source", sort=False):
+            cm = dict(zip(grp["term"], grp["cnt"]))
+            ts = float(grp["cnt"].sum())
+            pv = np.array([cm.get(t, 0) for t in terms], np.float64) / ts
+            mv = (pv + qv) / 2.0
+            pmask = pv > 0
+            jsd = 0.5 * float(
+                (pv[pmask] * np.log(pv[pmask] / mv[pmask])).sum()
+            ) + 0.5 * float((qv * np.log(qv / mv)).sum())
+            out_rows.append(
+                {"source": s, "n_terms": int(pmask.sum()), "jsd": round(jsd, 6)}
+            )
+        res = pd_.DataFrame(out_rows)
+        res["n_terms"] = res["n_terms"].astype("int64")
+        return res
+
+    return bucketed_group_apply(parts, ["source"], bucket_fn, n_buckets=n_buckets)

@@ -122,6 +122,8 @@ def test_oracle_keys_subset(entry_mod):
     "search_128bit_bm25",
     # round 3: proximity (slop) query from the positional index
     "proximity",
+    # round 3: per-source Jensen-Shannon vocabulary drift
+    "source_divergence",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))

@@ -907,3 +907,38 @@ def test_centroid_confusion_diagonal(ray_session):
     assert int(out["cnt"].sum()) == 120
     diag = out[out["label"] == out["pred_label"]]["cnt"].sum()
     assert diag == 120  # perfectly separable
+
+
+def test_source_divergence_properties(ray_session):
+    """JSD in [0, ln 2]; identical sources -> 0; disjoint vocab sources
+    -> higher; matches a scipy-free reference."""
+    import math
+
+    import numpy as np
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.textstats import source_divergence_ds
+
+    rows = (
+        [{"doc_id": i, "source": "same", "text": "alpha beta gamma"} for i in range(5)]
+        + [{"doc_id": 10 + i, "source": "mixed", "text": "alpha beta gamma delta"} for i in range(5)]
+        + [{"doc_id": 20 + i, "source": "other", "text": "zeta eta theta"} for i in range(5)]
+    )
+    out = source_divergence_ds(rd.from_items(rows)).to_pandas().set_index("source")
+    assert (out["jsd"] >= 0).all() and (out["jsd"] <= math.log(2) + 1e-9).all()
+    # 'other' shares no vocabulary with the rest -> largest divergence
+    assert out.loc["other", "jsd"] > out.loc["mixed", "jsd"]
+    assert out.loc["other", "jsd"] > out.loc["same", "jsd"]
+    assert out.loc["other", "n_terms"] == 3
+    # reference for 'same': p over {alpha,beta,gamma,delta,zeta,eta,theta}
+    cnt = {"alpha": 10, "beta": 10, "gamma": 10, "delta": 5, "zeta": 5, "eta": 5, "theta": 5}
+    tg = sum(cnt.values())
+    p = {t: (5 if t in ("alpha", "beta", "gamma") else 0) / 15.0 for t in cnt}
+    jsd = 0.0
+    for t, cg in cnt.items():
+        q = cg / tg
+        m = (p[t] + q) / 2.0
+        if p[t] > 0:
+            jsd += 0.5 * p[t] * math.log(p[t] / m)
+        jsd += 0.5 * q * math.log(q / m)
+    assert abs(out.loc["same", "jsd"] - round(jsd, 6)) < 1e-9
