@@ -815,6 +815,22 @@ def q_dedup_clusters(sf_dir: str):
     return near_dup_clusters(docs, pairs)
 
 
+def q_cross_source_pairs(sf_dir: str):
+    """Contamination-leakage report: MinHash near-dup pairs aggregated
+    by unordered source pair — the eval-split-leak check."""
+    from search_engine_skillbox_ray.pipelines.dedup import (
+        cross_source_pairs,
+        minhash_lsh_pairs,
+    )
+
+    docs = _documents(sf_dir)
+    pairs = minhash_lsh_pairs(
+        docs, num_perm=MINHASH_PERM, bands=MINHASH_BANDS,
+        threshold=MINHASH_THRESHOLD, seed=MINHASH_SEED,
+    )
+    return cross_source_pairs(docs, pairs)
+
+
 def q_streaming_ingest(sf_dir: str):
     """LSM micro-batch ingestion end-to-end: build the index over the
     EVEN-doc_id half of documents, stream the ODD half in via
@@ -944,6 +960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "centroid_confusion": q_centroid_confusion,
         "pagerank": q_pagerank,
         "dedup_clusters": q_dedup_clusters,
+        "cross_source_pairs": q_cross_source_pairs,
         "ann_ivf_topk": q_ann_ivf_topk,
         "streaming_ingest": q_streaming_ingest,
     }
@@ -1893,6 +1910,16 @@ reach(n, r) AS (
 comp AS (SELECT n, MIN(r) AS rep FROM reach GROUP BY n)
 SELECT d.doc_id, CAST(COALESCE(c.rep, d.doc_id) AS BIGINT) AS rep_id
 FROM documents d LEFT JOIN comp c ON c.n = d.doc_id
+""",
+        "cross_source_pairs": f"""
+WITH p AS ({_minhash_pairs_sql()}),
+j AS (SELECT least(da.source, db.source) AS src_a,
+             greatest(da.source, db.source) AS src_b
+      FROM p
+      JOIN documents da ON da.doc_id = p.doc_a
+      JOIN documents db ON db.doc_id = p.doc_b)
+SELECT src_a, src_b, count(*)::BIGINT AS n_pairs
+FROM j GROUP BY src_a, src_b
 """,
         "ann_ivf_topk": f"""
 WITH cent(c, w) AS (VALUES {_ivf_centroid_values()}),

@@ -267,6 +267,9 @@ def bench_sf_queries() -> dict:
         "label_centroids",
         "bigram_pmi",
         "centroid_confusion",
+        "source_divergence",
+        "proximity",
+        "search_128bit_bm25",
         "top_terms_per_source",
         "doclen_quantiles",
         "hll_distinct_tokens",
@@ -274,6 +277,7 @@ def bench_sf_queries() -> dict:
         "search_128bit",
         "pagerank",
         "dedup_clusters",
+        "cross_source_pairs",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

@@ -1255,3 +1255,97 @@ def new_docs_vs_snapshot(
         return out
 
     return bucketed_group_apply(both, ["fingerprint"], bucket_fn, n_buckets=n_buckets)
+
+
+def cross_source_pairs(
+    documents: rd.Dataset,
+    pairs: rd.Dataset,
+    id_col: str = "doc_id",
+    key_col: str = "source",
+) -> rd.Dataset:
+    """→ (src_a, src_b, n_pairs): near-dup pairs aggregated by the
+    UNORDERED source pair (src_a <= src_b) — the contamination-leakage
+    report ("how much near-duplicate content crosses domain/split
+    boundaries?", the eval-split-leak check of a training-data
+    pipeline).
+
+    Scale shape: the (doc_id, source) side is id-column-only (text never
+    moves); below ``DRIVER_FASTPATH_ROWS`` it broadcasts as a dict,
+    above it each pair half resolves via one hash ``sized_join`` — pair
+    tables are near-dup-sized, orders of magnitude below the corpus."""
+    import pyarrow.compute as pc
+
+    from ..config import DRIVER_FASTPATH_ROWS
+    from ..stages.grouping import bucketed_group_apply, drop_empty_blocks, sized_join
+
+    n_docs = documents.count()
+    pairs = drop_empty_blocks(pairs.materialize())
+
+    if n_docs <= DRIVER_FASTPATH_ROWS:
+        import ray
+
+        t = pa.concat_tables(
+            ray.get(documents.select_columns([id_col, key_col]).to_arrow_refs())
+        )
+        src_ref = ray.put(dict(zip(t[id_col].to_pylist(), t[key_col].to_pylist())))
+
+        def resolve(batch: pa.Table) -> pa.Table:
+            lookup = ray.get(src_ref)
+            sa = [lookup[d] for d in batch.column("doc_a").to_pylist()]
+            sb = [lookup[d] for d in batch.column("doc_b").to_pylist()]
+            lo = [min(x, y) for x, y in zip(sa, sb)]
+            hi = [max(x, y) for x, y in zip(sa, sb)]
+            return pa.table(
+                {
+                    "src_a": pa.array(lo, pa.string()),
+                    "src_b": pa.array(hi, pa.string()),
+                }
+            )
+
+        tagged = pairs.map_batches(resolve, batch_format="pyarrow")
+    else:
+        ids = documents.map_batches(
+            lambda b: pa.table(
+                {id_col: pc.cast(b.column(id_col), pa.int64()), key_col: b.column(key_col)}
+            ),
+            batch_format="pyarrow",
+        )
+        j1 = drop_empty_blocks(
+            sized_join(
+                pairs.map_batches(
+                    lambda b: pa.table(
+                        {
+                            "doc_a": pc.cast(b.column("doc_a"), pa.int64()),
+                            "doc_b": pc.cast(b.column("doc_b"), pa.int64()),
+                        }
+                    ),
+                    batch_format="pyarrow",
+                ),
+                ids.rename_columns({id_col: "doc_a", key_col: "sa"}),
+                on=("doc_a",),
+            ).materialize()
+        )
+        j2 = sized_join(
+            j1, ids.rename_columns({id_col: "doc_b", key_col: "sb"}), on=("doc_b",)
+        ).materialize()
+
+        def order(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "src_a": pc.min_element_wise(batch["sa"], batch["sb"]),
+                    "src_b": pc.max_element_wise(batch["sa"], batch["sb"]),
+                }
+            )
+
+        tagged = drop_empty_blocks(j2).map_batches(order, batch_format="pyarrow")
+
+    def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby(["src_a", "src_b"], sort=False)
+            .size()
+            .reset_index(name="n_pairs")
+        )
+        out["n_pairs"] = out["n_pairs"].astype("int64")
+        return out
+
+    return bucketed_group_apply(tagged, ["src_a", "src_b"], bucket_fn, n_buckets=16)

@@ -98,3 +98,38 @@ def test_simhash_duplicate_doc_id_rows_absorbed(ray_session):
     out = simhash_near_pairs(rd.from_items(rows), max_hamming=3).to_pandas()
     assert len(out) == 1
     assert (int(out["doc_a"][0]), int(out["doc_b"][0])) == (1, 2)
+
+
+def test_cross_source_pairs_both_paths(corpus, monkeypatch):
+    """Leakage matrix: broadcast fast path == hash-join distributed
+    path; counts consistent with the raw pair set."""
+    import pandas as pd
+
+    from search_engine_skillbox_ray.pipelines.dedup import cross_source_pairs
+
+    docs = corpus.map_batches(
+        lambda t: t.append_column(
+            "source",
+            __import__("pyarrow").array(
+                ["s" + str(d % 3) for d in t["doc_id"].to_pylist()]
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+
+    def run():
+        return (
+            cross_source_pairs(docs, pairs)
+            .to_pandas()
+            .sort_values(["src_a", "src_b"])
+            .reset_index(drop=True)
+        )
+
+    fast = run()
+    monkeypatch.setattr(config, "DRIVER_FASTPATH_ROWS", 0)
+    dist = run()
+    assert fast.equals(dist)
+    # totals match the pair count; src_a <= src_b always
+    assert int(fast["n_pairs"].sum()) == pairs.count() > 0
+    assert (fast["src_a"] <= fast["src_b"]).all()

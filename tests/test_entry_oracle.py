@@ -124,6 +124,8 @@ def test_oracle_keys_subset(entry_mod):
     "proximity",
     # round 3: per-source Jensen-Shannon vocabulary drift
     "source_divergence",
+    # round 3: cross-source near-dup leakage matrix
+    "cross_source_pairs",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
