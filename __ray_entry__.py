@@ -522,6 +522,15 @@ def q_events_follow(sf_dir: str):
     )
 
 
+def q_event_transitions(sf_dir: str):
+    """Behavioral Markov profile: consecutive same-user event-type
+    transition counts — one user-keyed exchange, types²-bounded
+    partials."""
+    from search_engine_skillbox_ray.pipelines.windows import event_transitions
+
+    return event_transitions(_events(sf_dir))
+
+
 def q_docs_with_source_stats(sf_dir: str):
     """Broadcast-join demo (J1 shape): per-doc row decorated with its
     source's doc count — small side via ray.put, no shuffle."""
@@ -941,6 +950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q_sessionize,
         "events_asof": q_events_asof,
         "events_follow": q_events_follow,
+        "event_transitions": q_event_transitions,
         "docs_with_source_stats": q_docs_with_source_stats,
         "media_decode": q_media_decode,
         "media_frames": q_media_frames,
@@ -1536,6 +1546,14 @@ SELECT event_id, prev_event_id::BIGINT AS prev_event_id,
        prev_value::DOUBLE AS prev_value,
        (tsu - prev_tsu)::BIGINT AS gap_us
 FROM w WHERE prev_event_id IS NOT NULL
+""",
+        "event_transitions": """
+WITH o AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT prev AS type_a, event_type AS type_b, count(*)::BIGINT AS cnt
+FROM o WHERE prev IS NOT NULL GROUP BY prev, event_type
 """,
         "events_follow": """
 SELECT a.event_id,

@@ -249,6 +249,7 @@ def bench_sf_queries() -> dict:
         "sessionize",
         "events_asof",
         "events_follow",
+        "event_transitions",
         "quality",
         "langid",
         "phrase_scan",

@@ -318,3 +318,63 @@ def follow_within(
         )
 
     return bucketed_group_apply(slim, [user_col], per_bucket, n_buckets=32)
+
+
+def event_transitions(
+    events: rd.Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> rd.Dataset:
+    """→ (type_a, type_b, cnt): global counts of consecutive same-user
+    event-type transitions in (ts, event_id) order — the behavioral
+    Markov-chain profile (what users do next; the input to funnel
+    design and anomaly detection).
+
+    Scale shape: same user-bucketed exchange as :func:`asof_prev_event`
+    (one shuffle keyed by the user), one vectorized mergesort +
+    shifted-compare pass per bucket emitting types²-bounded partials,
+    then a tiny global groupby-sum."""
+    import pyarrow.compute as pc
+
+    from ..stages.grouping import bucketed_group_apply
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "type_a": pd.Series([], dtype=object),
+                "type_b": pd.Series([], dtype=object),
+                "cnt": np.array([], np.int64),
+            }
+        )
+        if not len(bucket):
+            return empty
+        g = bucket.sort_values([user_col, ts_col, id_col], kind="mergesort")
+        users = g[user_col].to_numpy()
+        types = g[type_col].to_numpy()
+        same = np.concatenate(([False], users[1:] == users[:-1]))
+        if not same.any():
+            return empty
+        prev_types = np.concatenate(([""], types[:-1]))
+        out = (
+            pd.DataFrame({"type_a": prev_types[same], "type_b": types[same]})
+            .groupby(["type_a", "type_b"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    parts = bucketed_group_apply(events, [user_col], per_bucket, n_buckets=32)
+    agg = parts.groupby(["type_a", "type_b"]).sum("cnt")
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "type_a": t["type_a"],
+                "type_b": t["type_b"],
+                "cnt": pc.cast(t["sum(cnt)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -126,6 +126,8 @@ def test_oracle_keys_subset(entry_mod):
     "source_divergence",
     # round 3: cross-source near-dup leakage matrix
     "cross_source_pairs",
+    # round 3: behavioral Markov transition counts
+    "event_transitions",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))

@@ -942,3 +942,35 @@ def test_source_divergence_properties(ray_session):
             jsd += 0.5 * p[t] * math.log(p[t] / m)
         jsd += 0.5 * q * math.log(q / m)
     assert abs(out.loc["same", "jsd"] - round(jsd, 6)) < 1e-9
+
+
+def test_event_transitions_reference(ray_session):
+    """Transition counts match a hand trace; cross-user pairs excluded;
+    ties ordered by (ts, event_id)."""
+    from datetime import datetime
+
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.windows import event_transitions
+
+    t0 = datetime(2026, 1, 1)
+
+    def ev(eid, uid, typ, sec):
+        return {
+            "event_id": eid, "user_id": uid, "event_type": typ,
+            "ts": datetime(2026, 1, 1, 0, 0, sec), "value": 1.0,
+        }
+
+    rows = [
+        ev(1, 1, "view", 0), ev(2, 1, "cart", 10), ev(3, 1, "buy", 20),
+        ev(4, 2, "view", 5), ev(5, 2, "view", 6),
+        # same-timestamp tie for user 3: event_id breaks it (6 before 7)
+        ev(6, 3, "a", 0), ev(7, 3, "b", 0),
+        ev(8, 4, "solo", 0),
+    ]
+    out = event_transitions(rd.from_items(rows)).to_pandas()
+    got = {(r.type_a, r.type_b): r.cnt for r in out.itertuples()}
+    assert got == {
+        ("view", "cart"): 1, ("cart", "buy"): 1,
+        ("view", "view"): 1, ("a", "b"): 1,
+    }
