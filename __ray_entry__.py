@@ -58,6 +58,7 @@ PHRASES = ["table scan", "hash join", "batch batch batch",
 
 MLT_K, MLT_SEEDS = 10, (0, 1, 7)  # more-like-this top-k and seed docs
 PROX_A, PROX_B, PROX_WINDOW = "merge", "batch", 3  # proximity probe
+NEAR_TERMS, NEAR_WINDOW = ("merge", "batch", "fast"), 5  # NEAR probe
 DUP_SPAN_K = 5  # duplicated-span window size (tokens)
 SAMPLE_RATE_PCT = 10
 SAMPLE_SALT = "ses-sample"
@@ -333,6 +334,20 @@ def q_proximity(sf_dir: str):
     d = f"/tmp/ses_posidx_{tag}"
     build_positional_index(_documents(sf_dir), d, n_buckets=8, input_token=sf_dir)
     return proximity_search(d, PROX_A, PROX_B, PROX_WINDOW)
+
+
+def q_near_search(sf_dir: str):
+    """Multi-term NEAR query from the positional index: anchors of the
+    first term with every other term within ±NEAR_WINDOW tokens."""
+    from search_engine_skillbox_ray.pipelines.posindex import (
+        build_positional_index,
+        near_search,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/ses_posidx_{tag}"
+    build_positional_index(_documents(sf_dir), d, n_buckets=8, input_token=sf_dir)
+    return near_search(d, list(NEAR_TERMS), NEAR_WINDOW)
 
 
 def q_token_count_bpe(sf_dir: str):
@@ -928,6 +943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_scan": q_phrase_scan,
         "phrase_index": q_phrase_index,
         "proximity": q_proximity,
+        "near_search": q_near_search,
         "token_count_bpe": q_token_count_bpe,
         "dup_spans": q_dup_spans,
         "sample_hash": q_sample_hash,
@@ -1691,6 +1707,21 @@ LEFT JOIN tot ON tot.doc_id = d.doc_id
         "phrase_scan": _phrase_oracle(),
         # index-served phrase search: same semantics, same oracle
         "phrase_index": _phrase_oracle(),
+        "near_search": f"""
+WITH tl AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+            '[^\\p{{L}}]+'), x -> x <> '') AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM tl)
+SELECT a.doc_id, count(*)::BIGINT AS n_anchors
+FROM tok a
+WHERE a.term = '{NEAR_TERMS[0]}'
+"""
+        + "".join(
+            f"""  AND EXISTS (SELECT 1 FROM tok t{j} WHERE t{j}.doc_id = a.doc_id
+      AND t{j}.term = '{t}' AND t{j}.pos BETWEEN a.pos - {NEAR_WINDOW} AND a.pos + {NEAR_WINDOW})
+"""
+            for j, t in enumerate(NEAR_TERMS[1:], start=1)
+        )
+        + "GROUP BY a.doc_id",
         "proximity": f"""
 WITH tl AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
             '[^\\p{{L}}]+'), x -> x <> '') AS toks FROM documents),

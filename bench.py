@@ -254,6 +254,7 @@ def bench_sf_queries() -> dict:
         "langid",
         "phrase_scan",
         "phrase_index",
+        "near_search",
         "dup_spans",
         "token_count_bpe",
         "sample_hash",

@@ -303,3 +303,66 @@ def proximity_search(
             "n_pairs": pa.array(out_cnt, pa.int64()),
         }
     )
+
+
+def near_search(
+    index_dir: str, terms: list[str], window: int
+) -> pa.Table:
+    """→ (doc_id, n_anchors): multi-term NEAR query — for each document
+    containing ALL the terms, the number of occurrences of ``terms[0]``
+    (anchors) such that EVERY other term occurs within ±``window``
+    tokens of the anchor. The unordered-proximity retrieval primitive
+    ("these words appear together"), served from one filtered
+    posting-row read per term.
+
+    Existence checks are two ``np.searchsorted`` calls per (anchor
+    array, term) — vectorized over all anchors of a doc at once; SQL
+    mirrors each with an EXISTS … BETWEEN subquery."""
+    from ..stages.tokenizer import token_lists
+
+    out = Path(index_dir)
+    m = json.loads((out / "manifest.json").read_text())
+    nb = int(m["n_buckets"])
+    norm = token_lists(pa.array(list(terms), pa.string()))
+    if isinstance(norm, pa.ChunkedArray):
+        norm = norm.combine_chunks()
+    flat_terms = [t for row in norm.to_pylist() for t in row if t]
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "n_anchors": pa.array([], pa.int64())}
+    )
+    if not flat_terms or window < 0:
+        return empty
+    posts = [_load_term(out, nb, t) for t in flat_terms]
+    if any(p is None for p in posts):
+        return empty
+    common = posts[0][0]
+    for p in posts[1:]:
+        common = np.intersect1d(common, p[0], assume_unique=True)
+    if common.size == 0:
+        return empty
+    offsets = [np.cumsum(p[1]) - p[1] for p in posts]
+    out_doc, out_cnt = [], []
+    for d in common.tolist():
+        plists = []
+        for (docs, cnts, flat), offs in zip(posts, offsets):
+            j = int(np.searchsorted(docs, d))
+            o = int(offs[j])
+            plists.append(flat[o : o + int(cnts[j])])
+        anchors = plists[0]
+        ok = np.ones(anchors.size, dtype=bool)
+        for q in plists[1:]:
+            if not ok.any():
+                break
+            hi = np.searchsorted(q, anchors + window, side="right")
+            lo = np.searchsorted(q, anchors - window, side="left")
+            ok &= hi > lo
+        n = int(ok.sum())
+        if n:
+            out_doc.append(d)
+            out_cnt.append(n)
+    return pa.table(
+        {
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "n_anchors": pa.array(out_cnt, pa.int64()),
+        }
+    )

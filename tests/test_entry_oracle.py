@@ -128,6 +128,8 @@ def test_oracle_keys_subset(entry_mod):
     "cross_source_pairs",
     # round 3: behavioral Markov transition counts
     "event_transitions",
+    # round 3: multi-term NEAR query over the positional index
+    "near_search",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))

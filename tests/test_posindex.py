@@ -111,3 +111,39 @@ def test_proximity_search_reference(posidx):
     # absent term / zero window
     assert len(proximity_search(str(d), "absentzz", "scan", w)) == 0
     assert len(proximity_search(str(d), "table", "scan", 0)) == 0
+
+
+def test_near_search_reference(posidx):
+    """NEAR counts equal brute force; single-term NEAR degenerates to
+    term occurrence counts; absent term → empty."""
+    import pyarrow.parquet as pq
+
+    from search_engine_skillbox_ray.functions.tokenize import tokenize
+    from search_engine_skillbox_ray.pipelines.posindex import near_search
+
+    d, _, _ = posidx
+    terms, w = ["table", "scan", "merge"], 6
+    out = near_search(str(d), terms, w).to_pandas()
+    got = dict(zip(out["doc_id"], out["n_anchors"]))
+    tbl = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    expect = {}
+    for doc_id, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        toks = tokenize(text)
+        pos = {t: [i for i, x in enumerate(toks) if x == t] for t in terms}
+        n = sum(
+            1
+            for p in pos[terms[0]]
+            if all(any(abs(q - p) <= w for q in pos[t]) for t in terms[1:])
+        )
+        if n:
+            expect[doc_id] = n
+    assert got == expect and len(expect) > 0
+    # single term: anchors == occurrences
+    solo = near_search(str(d), ["table"], 0).to_pandas()
+    ref = {
+        doc_id: len([x for x in tokenize(text) if x == "table"])
+        for doc_id, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())
+    }
+    ref = {k: v for k, v in ref.items() if v}
+    assert dict(zip(solo["doc_id"], solo["n_anchors"])) == ref
+    assert len(near_search(str(d), ["table", "absentzz"], 5)) == 0
