@@ -839,6 +839,25 @@ def q_dedup_clusters(sf_dir: str):
     return near_dup_clusters(docs, pairs)
 
 
+def q_near_dup_vs_snapshot(sf_dir: str):
+    """Fuzzy snapshot delta: current (odd doc_ids) docs that are MinHash
+    near-dups of snapshot (even doc_ids) docs — re-crawl-with-edits /
+    paraphrase-leakage detection. One LSH pass over the union."""
+    from search_engine_skillbox_ray.pipelines.dedup import near_dup_vs_snapshot
+
+    docs = _documents(sf_dir)
+
+    def _parity(p: int):
+        return lambda t: t.filter(pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), p))
+
+    current = docs.map_batches(_parity(1), batch_format="pyarrow")
+    snapshot = docs.map_batches(_parity(0), batch_format="pyarrow")
+    return near_dup_vs_snapshot(
+        current, snapshot, num_perm=MINHASH_PERM, bands=MINHASH_BANDS,
+        threshold=MINHASH_THRESHOLD, seed=MINHASH_SEED,
+    )
+
+
 def q_cross_source_pairs(sf_dir: str):
     """Contamination-leakage report: MinHash near-dup pairs aggregated
     by unordered source pair — the eval-split-leak check."""
@@ -987,6 +1006,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q_pagerank,
         "dedup_clusters": q_dedup_clusters,
         "cross_source_pairs": q_cross_source_pairs,
+        "near_dup_vs_snapshot": q_near_dup_vs_snapshot,
         "ann_ivf_topk": q_ann_ivf_topk,
         "streaming_ingest": q_streaming_ingest,
     }
@@ -1959,6 +1979,16 @@ reach(n, r) AS (
 comp AS (SELECT n, MIN(r) AS rep FROM reach GROUP BY n)
 SELECT d.doc_id, CAST(COALESCE(c.rep, d.doc_id) AS BIGINT) AS rep_id
 FROM documents d LEFT JOIN comp c ON c.n = d.doc_id
+""",
+        # fuzzy snapshot delta: pairs over the union == pairs over the
+        # whole table (same doc set); keep the parity-crossing ones,
+        # oriented snapshot(even) → current(odd)
+        "near_dup_vs_snapshot": f"""
+WITH p AS ({_minhash_pairs_sql()})
+SELECT CASE WHEN doc_a % 2 = 0 THEN doc_a ELSE doc_b END AS snapshot_doc_id,
+       CASE WHEN doc_a % 2 = 0 THEN doc_b ELSE doc_a END AS current_doc_id,
+       est_jaccard
+FROM p WHERE doc_a % 2 <> doc_b % 2
 """,
         "cross_source_pairs": f"""
 WITH p AS ({_minhash_pairs_sql()}),

@@ -263,6 +263,7 @@ def bench_sf_queries() -> dict:
         "stratified_sample",
         "more_like_this",
         "snapshot_delta",
+        "near_dup_vs_snapshot",
         "anchor_terms",
         "corpus_export",
         "doc_keywords",

@@ -1349,3 +1349,117 @@ def cross_source_pairs(
         return out
 
     return bucketed_group_apply(tagged, ["src_a", "src_b"], bucket_fn, n_buckets=16)
+
+
+def near_dup_vs_snapshot(
+    current: rd.Dataset,
+    snapshot: rd.Dataset,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """→ (snapshot_doc_id, current_doc_id, est_jaccard): the FUZZY
+    version of :func:`new_docs_vs_snapshot` — current-side documents
+    that are NEAR-duplicates (MinHash est. Jaccard ≥ threshold) of a
+    snapshot document, e.g. re-crawled pages with edits, templated
+    variants of known content, paraphrase-level leakage into a fresh
+    crawl. doc ids must be unique ACROSS the two datasets (the caller's
+    versioning contract).
+
+    Scale shape: both sides stream through ONE MinHash-LSH pass over
+    their union (slim band exchange, distributed verify above the
+    driver gate — see :func:`minhash_lsh_pairs`); side resolution then
+    touches only pair-sized tables (broadcast below
+    ``DRIVER_FASTPATH_ROWS`` docs, hash joins above)."""
+    import pyarrow.compute as pc
+
+    from ..config import DRIVER_FASTPATH_ROWS
+    from ..stages.grouping import drop_empty_blocks, sized_join
+
+    def side_ids(ds: rd.Dataset, side: int) -> rd.Dataset:
+        return ds.map_batches(
+            lambda b, side=side: pa.table(
+                {
+                    id_col: pc.cast(b.column(id_col), pa.int64()),
+                    "side": pa.array(np.full(len(b), side, np.int8)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    union = current.union(snapshot)
+    pairs = drop_empty_blocks(
+        minhash_lsh_pairs(
+            union, num_perm=num_perm, bands=bands, threshold=threshold, seed=seed
+        ).materialize()
+    )
+    n_docs = union.count()
+    empty = pa.table(
+        {
+            "snapshot_doc_id": pa.array([], pa.int64()),
+            "current_doc_id": pa.array([], pa.int64()),
+            "est_jaccard": pa.array([], pa.float64()),
+        }
+    )
+    if pairs.count() == 0:
+        return rd.from_arrow(empty)
+
+    def orient(batch: pa.Table, lookup) -> pa.Table:
+        da = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        db = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        ja = np.asarray([lookup[d] for d in da.tolist()], np.int8)
+        jb = np.asarray([lookup[d] for d in db.tolist()], np.int8)
+        cross = ja != jb
+        snap = np.where(ja[cross] == 0, da[cross], db[cross])
+        cur = np.where(ja[cross] == 0, db[cross], da[cross])
+        return pa.table(
+            {
+                "snapshot_doc_id": pa.array(snap, pa.int64()),
+                "current_doc_id": pa.array(cur, pa.int64()),
+                "est_jaccard": batch.column("est_jaccard").filter(pa.array(cross)),
+            }
+        )
+
+    if n_docs <= DRIVER_FASTPATH_ROWS:
+        sides = pa.concat_tables(
+            ray.get(
+                side_ids(current, 1).union(side_ids(snapshot, 0)).to_arrow_refs()
+            )
+        )
+        lut = dict(zip(sides[id_col].to_pylist(), sides["side"].to_pylist()))
+        lut_ref = ray.put(lut)
+        return pairs.map_batches(
+            lambda b: orient(b, ray.get(lut_ref)), batch_format="pyarrow"
+        )
+
+    ids = side_ids(current, 1).union(side_ids(snapshot, 0))
+    j1 = drop_empty_blocks(
+        sized_join(
+            pairs, ids.rename_columns({id_col: "doc_a", "side": "side_a"}), on=("doc_a",)
+        ).materialize()
+    )
+    j2 = drop_empty_blocks(
+        sized_join(
+            j1, ids.rename_columns({id_col: "doc_b", "side": "side_b"}), on=("doc_b",)
+        ).materialize()
+    )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        sa = batch.column("side_a").to_numpy(zero_copy_only=False)
+        sb = batch.column("side_b").to_numpy(zero_copy_only=False)
+        da = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        db = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        cross = sa != sb
+        snap = np.where(sa[cross] == 0, da[cross], db[cross])
+        cur = np.where(sa[cross] == 0, db[cross], da[cross])
+        return pa.table(
+            {
+                "snapshot_doc_id": pa.array(snap, pa.int64()),
+                "current_doc_id": pa.array(cur, pa.int64()),
+                "est_jaccard": batch.column("est_jaccard").filter(pa.array(cross)),
+            }
+        )
+
+    return j2.map_batches(fin, batch_format="pyarrow")

@@ -133,3 +133,37 @@ def test_cross_source_pairs_both_paths(corpus, monkeypatch):
     # totals match the pair count; src_a <= src_b always
     assert int(fast["n_pairs"].sum()) == pairs.count() > 0
     assert (fast["src_a"] <= fast["src_b"]).all()
+
+
+def test_near_dup_vs_snapshot_both_paths(corpus, monkeypatch):
+    """Planted snapshot/current near-dups surface oriented
+    (snapshot, current); within-side pairs excluded; broadcast and
+    hash-join paths identical."""
+    from search_engine_skillbox_ray.pipelines.dedup import near_dup_vs_snapshot
+
+    # corpus doc_ids are unique; split by parity: even = snapshot
+    import pyarrow.compute as pc_
+
+    current = corpus.map_batches(
+        lambda t: t.filter(pc_.equal(pc_.bit_wise_and(t.column("doc_id"), 1), 1)),
+        batch_format="pyarrow",
+    )
+    snapshot = corpus.map_batches(
+        lambda t: t.filter(pc_.equal(pc_.bit_wise_and(t.column("doc_id"), 1), 0)),
+        batch_format="pyarrow",
+    )
+
+    def run():
+        return (
+            near_dup_vs_snapshot(current, snapshot, threshold=0.5)
+            .to_pandas()
+            .sort_values(["snapshot_doc_id", "current_doc_id"])
+            .reset_index(drop=True)
+        )
+
+    fast = run()
+    monkeypatch.setattr(config, "DRIVER_FASTPATH_ROWS", 0)
+    dist = run()
+    assert fast.equals(dist)
+    assert (fast["snapshot_doc_id"] % 2 == 0).all()
+    assert (fast["current_doc_id"] % 2 == 1).all()

@@ -130,6 +130,8 @@ def test_oracle_keys_subset(entry_mod):
     "event_transitions",
     # round 3: multi-term NEAR query over the positional index
     "near_search",
+    # round 3: fuzzy (MinHash) snapshot delta
+    "near_dup_vs_snapshot",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
