@@ -295,3 +295,24 @@ def test_more_like_this(built):
     )
     assert out["doc_id"].tolist() == d.tolist()
     assert np.allclose(out["score"].to_numpy(), np.round(s, 6))
+
+
+def test_more_like_this_pruned_matches_exhaustive(built):
+    """Pruned (MaxScore) related-doc retrieval == exhaustive for every
+    seed with any neighbors; scores equal up to float64 summation-order
+    noise (the two paths add per-term contributions in different
+    orders)."""
+    import numpy as np
+
+    _res, eng = built[0], built[1]
+    checked = 0
+    for cand in eng._hydrate(np.arange(0, 300, dtype=np.int64)):
+        d_ex, s_ex = eng.more_like_this(cand, k=7)
+        d_pr, s_pr = eng.more_like_this_topk(cand, k=7)
+        assert d_pr.tolist() == d_ex.tolist(), cand
+        assert np.allclose(s_pr, s_ex, rtol=1e-11, atol=1e-12), cand
+        if d_ex.size:
+            checked += 1
+        if checked >= 25:
+            break
+    assert checked >= 5
