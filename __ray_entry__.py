@@ -336,6 +336,34 @@ def q_proximity(sf_dir: str):
     return proximity_search(d, PROX_A, PROX_B, PROX_WINDOW)
 
 
+def q_phrase_index_ingest(sf_dir: str):
+    """LSM ingest path of the positional index: build on the EVEN
+    doc_ids, append the ODD half as a delta segment, serve the same
+    probes — must equal the whole-table position-join oracle (read-time
+    base+delta merge)."""
+    import shutil
+
+    from search_engine_skillbox_ray.pipelines.posindex import (
+        append_documents,
+        build_positional_index,
+        phrase_search,
+    )
+
+    docs = _documents(sf_dir)
+
+    def _parity(p: int):
+        return lambda t: t.filter(pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), p))
+
+    even = docs.map_batches(_parity(0), batch_format="pyarrow")
+    odd = docs.map_batches(_parity(1), batch_format="pyarrow")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/ses_posidx_lsm_{tag}"
+    shutil.rmtree(d, ignore_errors=True)  # append mutates: fresh per run
+    build_positional_index(even, d, n_buckets=8, input_token=f"{sf_dir}-even")
+    append_documents(d, odd, input_token=f"{sf_dir}-odd")
+    return phrase_search(d, PHRASES)
+
+
 def q_near_search(sf_dir: str):
     """Multi-term NEAR query from the positional index: anchors of the
     first term with every other term within ±NEAR_WINDOW tokens."""
@@ -961,6 +989,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": q_langid,
         "phrase_scan": q_phrase_scan,
         "phrase_index": q_phrase_index,
+        "phrase_index_ingest": q_phrase_index_ingest,
         "proximity": q_proximity,
         "near_search": q_near_search,
         "token_count_bpe": q_token_count_bpe,
@@ -1725,8 +1754,11 @@ LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.doc_id = d.doc_id
 LEFT JOIN tot ON tot.doc_id = d.doc_id
 """,
         "phrase_scan": _phrase_oracle(),
-        # index-served phrase search: same semantics, same oracle
+        # index-served phrase search: same semantics, same oracle; the
+        # LSM variant (half-build + delta append) must converge to the
+        # same whole-table answer
         "phrase_index": _phrase_oracle(),
+        "phrase_index_ingest": _phrase_oracle(),
         "near_search": f"""
 WITH tl AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
             '[^\\p{{L}}]+'), x -> x <> '') AS toks FROM documents),

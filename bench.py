@@ -255,6 +255,7 @@ def bench_sf_queries() -> dict:
         "phrase_scan",
         "phrase_index",
         "near_search",
+        "phrase_index_ingest",
         "dup_spans",
         "token_count_bpe",
         "sample_hash",

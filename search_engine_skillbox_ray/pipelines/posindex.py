@@ -168,27 +168,44 @@ def build_positional_index(
 
 
 def _load_term(out: Path, n_buckets: int, term: str):
-    """→ (doc_ids int64, counts int64, flat positions int64) or None."""
+    """→ (doc_ids ascending int64, counts int64, flat positions int64)
+    or None — merged across the base bucket file and any LSM delta
+    segments (appends carry NEW doc ids, so the merge is a disjoint
+    doc-order interleave)."""
     b = int(md5_u64([term])[0] % np.uint64(n_buckets))
-    f = out / f"bucket={b:05d}.parquet"
-    if not f.exists():
+    files = [out / f"bucket={b:05d}.parquet"] + sorted(
+        out.glob(f"bucket={b:05d}.delta-*.parquet")
+    )
+    docs_l, cnts_l, flat_l = [], [], []
+    for f in files:
+        if not f.exists():
+            continue
+        tbl = pq.read_table(f, filters=[("term", "==", term)])
+        if not len(tbl):
+            continue
+        d, c, fl = _decode_row(tbl.to_pylist()[0])
+        docs_l.append(d)
+        cnts_l.append(c)
+        flat_l.append(fl)
+    if not docs_l:
         return None
-    tbl = pq.read_table(f, filters=[("term", "==", term)])
-    if not len(tbl):
-        return None
-    row = tbl.to_pylist()[0]
-    df = int(row["df"])
-    docs = np.cumsum(varbyte_decode(row["doc_bytes"], count=df).astype(np.int64))
-    cnts = varbyte_decode(row["cnt_bytes"], count=df).astype(np.int64)
-    deltas = varbyte_decode(row["pos_bytes"], count=int(cnts.sum())).astype(np.int64)
-    offs = np.cumsum(cnts) - cnts
-    # undo the per-doc delta encoding: cumulative sum, re-based per doc
-    flat = np.cumsum(deltas)
-    base = np.zeros(len(deltas), dtype=np.int64)
-    if df > 1:
-        base[offs[1:]] = flat[offs[1:] - 1]
-    flat = flat - np.maximum.accumulate(base)
-    return docs, cnts, flat
+    if len(docs_l) == 1:
+        return docs_l[0], cnts_l[0], flat_l[0]
+    docs = np.concatenate(docs_l)
+    cnts = np.concatenate(cnts_l)
+    order = np.argsort(docs, kind="stable")
+    offs_src, pos_off = [], 0
+    for d_arr, c_arr in zip(docs_l, cnts_l):
+        offs_src.append(np.cumsum(c_arr) - c_arr + pos_off)
+        pos_off += int(c_arr.sum())
+    offs_all = np.concatenate(offs_src)
+    flat_all = np.concatenate(flat_l)
+    flat = (
+        np.concatenate([flat_all[offs_all[i] : offs_all[i] + cnts[i]] for i in order])
+        if len(order)
+        else np.empty(0, np.int64)
+    )
+    return docs[order], cnts[order], flat
 
 
 def phrase_search(
@@ -366,3 +383,220 @@ def near_search(
             "n_anchors": pa.array(out_cnt, pa.int64()),
         }
     )
+
+
+def _explode_positions(documents: rd.Dataset, n_buckets: int) -> rd.Dataset:
+    """Shared tokenize-with-positions stage of build and append."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import flat_nonempty_tokens
+
+        empty = pa.table(
+            {
+                "bucket": pa.array([], pa.int32()),
+                "term": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.int64()),
+                "positions": pa.array([], pa.list_(pa.int64())),
+            }
+        )
+        toks, parents, counts = flat_nonempty_tokens(batch.column("text"))
+        if not len(toks):
+            return empty
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        starts = np.cumsum(counts) - counts
+        pos = np.arange(len(toks), dtype=np.int64) - starts[parents]
+        denc = toks.dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((pos, codes, parents))
+        sp, sc, spos = parents[order], codes[order], pos[order]
+        new_run = np.empty(len(sp), dtype=bool)
+        new_run[0] = True
+        np.not_equal(sp[1:], sp[:-1], out=new_run[1:])
+        new_run[1:] |= sc[1:] != sc[:-1]
+        run_starts = np.flatnonzero(new_run)
+        run_lens = np.diff(np.append(run_starts, len(sp)))
+        terms = denc.dictionary.take(pa.array(sc[run_starts]))
+        bucket = (md5_u64(terms.to_pylist()) % np.uint64(n_buckets)).astype(np.int32)
+        offsets = np.zeros(len(run_starts) + 1, dtype=np.int32)
+        np.cumsum(run_lens, out=offsets[1:])
+        positions = pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(spos, pa.int64())
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "term": terms,
+                "doc_id": pa.array(doc_ids[sp[run_starts]], pa.int64()),
+                "positions": positions,
+            }
+        )
+
+    return documents.select_columns(["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+
+def _encode_bucket_rows(b: int, group: pd.DataFrame) -> pa.Table:
+    """(term, doc_id, positions) rows of ONE bucket → POS_SCHEMA table."""
+    rows: dict[str, list] = {n: [] for n in POS_SCHEMA.names}
+    for term, g in group.groupby("term", sort=True):
+        g = g.sort_values("doc_id", kind="mergesort")
+        docs = g["doc_id"].to_numpy(np.int64)
+        plists = g["positions"].tolist()
+        cnts = np.array([len(p) for p in plists], np.int64)
+        flat = np.concatenate([np.asarray(p, np.int64) for p in plists])
+        offs = np.cumsum(cnts) - cnts
+        deltas = np.diff(flat, prepend=0)
+        deltas[offs] = flat[offs]
+        gaps = np.diff(docs.astype(np.uint64), prepend=np.uint64(0))
+        rows["bucket"].append(b)
+        rows["term"].append(term)
+        rows["df"].append(int(len(docs)))
+        rows["cf"].append(int(cnts.sum()))
+        rows["doc_bytes"].append(varbyte_encode(gaps))
+        rows["cnt_bytes"].append(varbyte_encode(cnts.astype(np.uint64)))
+        rows["pos_bytes"].append(varbyte_encode(deltas.astype(np.uint64)))
+    return pa.table({n: pa.array(rows[n], POS_SCHEMA.field(n).type) for n in POS_SCHEMA.names})
+
+
+def append_documents(
+    index_dir: str, documents: rd.Dataset, input_token: str | None = None
+) -> dict:
+    """LSM-style micro-batch append: tokenize the NEW documents (doc ids
+    must be new — the caller's versioning contract, as in the main
+    engine's updater) and write one DELTA segment file per touched
+    bucket (``bucket=NNNNN.delta-SSSS.parquet``, atomic tmp+rename).
+    Queries merge base + deltas per term at read time; ``compact``
+    folds deltas into the base. Same-token re-appends are skipped
+    (marker file per append)."""
+    out = Path(index_dir)
+    m = json.loads((out / "manifest.json").read_text())
+    nb = int(m["n_buckets"])
+    if input_token is not None:
+        marker = out / f"append.{hash_token(input_token)}.json"
+        if marker.exists():
+            return json.loads(marker.read_text())
+    seqs = [
+        int(f.name.rsplit("delta-", 1)[1].split(".")[0])
+        for f in out.glob("bucket=*.delta-*.parquet")
+    ]
+    seq = (max(seqs) + 1) if seqs else 0
+
+    parts = _explode_positions(documents, nb)
+
+    def write_delta(group: pd.DataFrame) -> pd.DataFrame:
+        b = int(group["bucket"].iloc[0])
+        tbl = _encode_bucket_rows(b, group)
+        tmp = out / f"bucket={b:05d}.delta-{seq:04d}.parquet.tmp"
+        pq.write_table(tbl, tmp, compression="zstd")
+        tmp.rename(out / f"bucket={b:05d}.delta-{seq:04d}.parquet")
+        return pd.DataFrame({"bucket": [b], "n_terms": [len(tbl)]})
+
+    rows = parts.groupby("bucket").map_groups(write_delta, batch_format="pandas").to_pandas()
+    res = {"seq": seq, "n_buckets_touched": int(len(rows)),
+           "n_terms": int(rows["n_terms"].sum()) if len(rows) else 0}
+    if input_token is not None:
+        mt = out / f"append.{hash_token(input_token)}.json.tmp"
+        mt.write_text(json.dumps(res))
+        mt.rename(out / f"append.{hash_token(input_token)}.json")
+    return res
+
+
+def hash_token(token: str) -> str:
+    import hashlib as _hl
+
+    return _hl.md5(token.encode("utf-8")).hexdigest()[:10]
+
+
+def compact_positional_index(index_dir: str) -> dict:
+    """Fold every delta segment into its base bucket file (one Ray task
+    per touched bucket — buckets are independent vocabulary shards), then
+    remove the deltas. Query results are identical before and after
+    (tested); crash-safe via tmp+rename — a re-run after interruption
+    redoes only surviving deltas."""
+    import ray
+
+    out = Path(index_dir)
+    touched = sorted({f.name.split(".")[0] for f in out.glob("bucket=*.delta-*.parquet")})
+    if not touched:
+        return {"n_buckets_compacted": 0}
+
+    @ray.remote
+    def compact_bucket(bucket_prefix: str) -> int:
+        base = out / f"{bucket_prefix}.parquet"
+        deltas = sorted(out.glob(f"{bucket_prefix}.delta-*.parquet"))
+        tables = []
+        if base.exists():
+            tables.append(pq.read_table(base))
+        tables += [pq.read_table(f) for f in deltas]
+        merged: dict[str, list[dict]] = {}
+        b = None
+        for t in tables:
+            for row in t.to_pylist():
+                b = row["bucket"]
+                merged.setdefault(row["term"], []).append(row)
+        rows: dict[str, list] = {n: [] for n in POS_SCHEMA.names}
+        for term in sorted(merged):
+            parts_rows = merged[term]
+            docs_l, cnts_l, flat_l = [], [], []
+            for r in parts_rows:
+                d, c, f = _decode_row(r)
+                docs_l.append(d)
+                cnts_l.append(c)
+                flat_l.append(f)
+            docs = np.concatenate(docs_l)
+            cnts = np.concatenate(cnts_l)
+            order = np.argsort(docs, kind="stable")
+            if np.unique(docs).size != docs.size:
+                raise ValueError(f"duplicate doc_id across segments for term {term!r}")
+            # rebuild flat positions in merged doc order
+            offs_src = []
+            pos_off = 0
+            for d_arr, c_arr in zip(docs_l, cnts_l):
+                o = np.cumsum(c_arr) - c_arr + pos_off
+                offs_src.append(o)
+                pos_off += int(c_arr.sum())
+            offs_all = np.concatenate(offs_src)
+            flat_all = np.concatenate(flat_l)
+            flat_parts = [
+                flat_all[offs_all[i] : offs_all[i] + cnts[i]] for i in order
+            ]
+            docs, cnts = docs[order], cnts[order]
+            flat = np.concatenate(flat_parts) if flat_parts else np.empty(0, np.int64)
+            offs = np.cumsum(cnts) - cnts
+            deltas_p = np.diff(flat, prepend=0)
+            if len(offs):
+                deltas_p[offs] = flat[offs]
+            gaps = np.diff(docs.astype(np.uint64), prepend=np.uint64(0))
+            rows["bucket"].append(int(b))
+            rows["term"].append(term)
+            rows["df"].append(int(len(docs)))
+            rows["cf"].append(int(cnts.sum()))
+            rows["doc_bytes"].append(varbyte_encode(gaps))
+            rows["cnt_bytes"].append(varbyte_encode(cnts.astype(np.uint64)))
+            rows["pos_bytes"].append(varbyte_encode(deltas_p.astype(np.uint64)))
+        tbl = pa.table({n: pa.array(rows[n], POS_SCHEMA.field(n).type) for n in POS_SCHEMA.names})
+        tmp = out / f"{bucket_prefix}.parquet.tmp"
+        pq.write_table(tbl, tmp, compression="zstd")
+        tmp.rename(out / f"{bucket_prefix}.parquet")
+        for f in deltas:
+            f.unlink()
+        return len(tbl)
+
+    counts = ray.get([compact_bucket.remote(p) for p in touched])
+    return {"n_buckets_compacted": len(touched), "n_terms": int(sum(counts))}
+
+
+def _decode_row(row: dict):
+    """One POS_SCHEMA row → (docs, cnts, flat positions)."""
+    df = int(row["df"])
+    docs = np.cumsum(varbyte_decode(row["doc_bytes"], count=df).astype(np.int64))
+    cnts = varbyte_decode(row["cnt_bytes"], count=df).astype(np.int64)
+    deltas = varbyte_decode(row["pos_bytes"], count=int(cnts.sum())).astype(np.int64)
+    offs = np.cumsum(cnts) - cnts
+    flat = np.cumsum(deltas)
+    base = np.zeros(len(deltas), dtype=np.int64)
+    if df > 1:
+        base[offs[1:]] = flat[offs[1:] - 1]
+    flat = flat - np.maximum.accumulate(base)
+    return docs, cnts, flat

@@ -147,3 +147,66 @@ def test_near_search_reference(posidx):
     ref = {k: v for k, v in ref.items() if v}
     assert dict(zip(solo["doc_id"], solo["n_anchors"])) == ref
     assert len(near_search(str(d), ["table", "absentzz"], 5)) == 0
+
+
+def test_append_and_compact(ray_session, tmp_path):
+    """Build on the even half, append the odd half as an LSM delta →
+    phrase/proximity/NEAR results equal the full build; compaction
+    folds deltas (files gone) with identical results; same-token
+    re-append is skipped."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.posindex import (
+        append_documents,
+        build_positional_index,
+        compact_positional_index,
+        near_search,
+        phrase_search,
+        proximity_search,
+    )
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def parity(p):
+        return docs.map_batches(
+            lambda t, p=p: t.filter(pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), p)),
+            batch_format="pyarrow",
+        )
+
+    full_dir = tmp_path / "full"
+    lsm_dir = tmp_path / "lsm"
+    build_positional_index(docs, str(full_dir), n_buckets=4, input_token="full")
+    build_positional_index(parity(0), str(lsm_dir), n_buckets=4, input_token="even")
+    r = append_documents(str(lsm_dir), parity(1), input_token="odd")
+    assert r["n_buckets_touched"] > 0
+
+    phrases = ["table scan", "hash join", "batch batch batch"]
+
+    def snap(d):
+        return (
+            phrase_search(str(d), phrases).to_pandas().sort_values(
+                ["phrase_id", "doc_id"]).reset_index(drop=True),
+            proximity_search(str(d), "merge", "batch", 3).to_pandas().sort_values(
+                "doc_id").reset_index(drop=True),
+            near_search(str(d), ["merge", "batch"], 4).to_pandas().sort_values(
+                "doc_id").reset_index(drop=True),
+        )
+
+    full = snap(full_dir)
+    lsm = snap(lsm_dir)
+    for a, b in zip(full, lsm):
+        assert a.equals(b)
+    # re-append with the same token is a no-op (marker)
+    n_deltas = len(list(lsm_dir.glob("bucket=*.delta-*.parquet")))
+    r2 = append_documents(str(lsm_dir), parity(1), input_token="odd")
+    assert r2 == r
+    assert len(list(lsm_dir.glob("bucket=*.delta-*.parquet"))) == n_deltas
+    # compaction: deltas folded, results identical
+    c = compact_positional_index(str(lsm_dir))
+    assert c["n_buckets_compacted"] > 0
+    assert not list(lsm_dir.glob("bucket=*.delta-*.parquet"))
+    for a, b in zip(full, snap(lsm_dir)):
+        assert a.equals(b)
+    # idempotent second compaction
+    assert compact_positional_index(str(lsm_dir)) == {"n_buckets_compacted": 0}
