@@ -70,10 +70,14 @@ def export_quality_corpus(
         for s, g in group.groupby("source", sort=False):
             part = out / f"source={s}"
             marker = part / ".done.json"
-            if marker.exists():
+            # resume ONLY on an explicit matching token — with no token
+            # there is nothing tying the marker to this input, so a
+            # changed corpus must rewrite (stale-skip would silently
+            # return the previous export's data)
+            if marker.exists() and input_token is not None:
                 try:
                     m = json.loads(marker.read_text())
-                    if input_token is None or m.get("input_token") == input_token:
+                    if m.get("input_token") == input_token:
                         outs.append({"source": s, "n_docs": int(m["n_docs"])})
                         continue
                 except Exception:
@@ -94,8 +98,18 @@ def export_quality_corpus(
     counts = bucketed_group_apply(kept, ["source"], write_partition, n_buckets=32)
     df = counts.to_pandas()
     if "source" not in df.columns:  # everything filtered: empty, schemaless
-        return pd.DataFrame(
+        df = pd.DataFrame(
             {"source": pd.Series([], dtype=object),
              "n_docs": pd.Series([], dtype="int64")}
         )
-    return df.sort_values("source").reset_index(drop=True)
+    df = df.sort_values("source").reset_index(drop=True)
+    # partitions for sources absent from THIS corpus are stale leftovers
+    # of an earlier export into the same dir — remove them so consumers
+    # globbing out_dir/source=*/ see exactly this run's partitions
+    import shutil
+
+    current = set(df["source"])
+    for part in out.glob("source=*"):
+        if part.is_dir() and part.name.split("=", 1)[1] not in current:
+            shutil.rmtree(part, ignore_errors=True)
+    return df

@@ -92,20 +92,26 @@ def build_index_128(
         stale.unlink()
 
     def explode(batch: pa.Table) -> pa.Table:
+        """ONE tokenize + md5 pass emits BOTH row kinds: per-(doc, term)
+        posting rows (bucket ≥ 0) and per-doc docmap sentinel rows
+        (bucket = -1, term = "", tf = doc_len, doc_id set) — the docmap
+        no longer costs a second full corpus scan."""
         from ..functions.hashing import flat_nonempty_tokens
 
+        empty = pa.table(
+            {
+                "bucket": pa.array([], pa.int32()),
+                "term": pa.array([], pa.string()),
+                "hi": pa.array([], pa.int64()),
+                "lo": pa.array([], pa.int64()),
+                "tf": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+            }
+        )
         hi, lo = assign_doc_ids_128(_doc_urls(batch))
-        toks, parents, _ = flat_nonempty_tokens(batch.column("text"))
+        toks, parents, counts = flat_nonempty_tokens(batch.column("text"))
         if not len(toks):
-            return pa.table(
-                {
-                    "bucket": pa.array([], pa.int32()),
-                    "term": pa.array([], pa.string()),
-                    "hi": pa.array([], pa.int64()),
-                    "lo": pa.array([], pa.int64()),
-                    "tf": pa.array([], pa.int64()),
-                }
-            )
+            return empty
         # per-(doc, term) tf via one dictionary-encode + unique pass
         denc = toks.dictionary_encode()
         codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -116,19 +122,38 @@ def build_index_128(
         uc = (ukey % nv).astype(np.int64)
         terms = denc.dictionary.take(pa.array(uc))
         bucket = (md5_u64(terms.to_pylist()) % np.uint64(n_buckets)).astype(np.int32)
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = counts > 0  # N counts indexed docs only (A3)
+        n_doc = int(keep.sum())
         return pa.table(
             {
-                "bucket": pa.array(bucket),
-                "term": terms,
-                "hi": pa.array(_signed(hi[up])),
-                "lo": pa.array(_signed(lo[up])),
-                "tf": pa.array(tf.astype(np.int64)),
+                "bucket": pa.array(
+                    np.concatenate([bucket, np.full(n_doc, -1, np.int32)])
+                ),
+                "term": pa.concat_arrays(
+                    [terms.combine_chunks() if isinstance(terms, pa.ChunkedArray) else terms,
+                     pa.array([""] * n_doc, pa.string())]
+                ),
+                "hi": pa.array(
+                    np.concatenate([_signed(hi[up]), _signed(hi[keep])])
+                ),
+                "lo": pa.array(
+                    np.concatenate([_signed(lo[up]), _signed(lo[keep])])
+                ),
+                "tf": pa.array(
+                    np.concatenate([tf.astype(np.int64), counts[keep].astype(np.int64)])
+                ),
+                "doc_id": pa.array(
+                    np.concatenate(
+                        [np.full(len(up), -1, np.int64), doc_ids[keep].astype(np.int64)]
+                    )
+                ),
             }
         )
 
     parts = documents.select_columns(["doc_id", "source", "text"]).map_batches(
         explode, batch_format="pyarrow"
-    )
+    ).materialize()
 
     def write_bucket(group: pd.DataFrame) -> pd.DataFrame:
         b = int(group["bucket"].iloc[0])
@@ -158,30 +183,21 @@ def build_index_128(
         tmp.rename(out / f"bucket={b:05d}.parquet")
         return pd.DataFrame({"bucket": [b], "n_terms": [len(tbl)]})
 
+    seg_rows = parts.filter(expr="bucket >= 0")
     manifest_rows = (
-        parts.groupby("bucket").map_groups(write_bucket, batch_format="pandas").to_pandas()
+        seg_rows.groupby("bucket").map_groups(write_bucket, batch_format="pandas").to_pandas()
     )
 
-    def docmap(batch: pa.Table) -> pa.Table:
-        from ..stages.tokenizer import token_counts
-
-        hi, lo = assign_doc_ids_128(_doc_urls(batch))
-        nt = np.asarray(token_counts(batch.column("text")), np.int64)
-        keep = nt > 0  # N counts indexed docs only (A3)
-        return pa.table(
+    dm = parts.filter(expr="bucket < 0").map_batches(
+        lambda t: pa.table(
             {
-                "doc_hi": pa.array(_signed(hi[keep])),
-                "doc_lo": pa.array(_signed(lo[keep])),
-                "doc_id": pa.array(
-                    batch.column("doc_id").to_numpy(zero_copy_only=False)[keep],
-                    pa.int64(),
-                ),
-                "doc_len": pa.array(nt[keep], pa.int64()),
+                "doc_hi": t["hi"],
+                "doc_lo": t["lo"],
+                "doc_id": t["doc_id"],
+                "doc_len": t["tf"],
             }
-        )
-
-    dm = documents.select_columns(["doc_id", "source", "text"]).map_batches(
-        docmap, batch_format="pyarrow"
+        ),
+        batch_format="pyarrow",
     )
     dm_tbl = pa.concat_tables(ray_get_all(dm))
     tmp = out / "docmap.parquet.tmp"

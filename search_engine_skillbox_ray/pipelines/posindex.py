@@ -74,80 +74,21 @@ def build_positional_index(
         except Exception:
             pass
     out.mkdir(parents=True, exist_ok=True)
-    for stale in list(out.glob("bucket=*.parquet")) + list(out.glob("*.tmp")):
+    # a rebuild invalidates EVERYTHING derived from the old corpus:
+    # segments, delta segments, AND append markers (a stale marker would
+    # silently skip a re-append of the same batch after the rebuild)
+    for stale in (
+        list(out.glob("bucket=*.parquet"))
+        + list(out.glob("append.*.json"))
+        + list(out.glob("*.tmp"))
+    ):
         stale.unlink()
 
-    def explode(batch: pa.Table) -> pa.Table:
-        from ..functions.hashing import flat_nonempty_tokens
-
-        empty = pa.table(
-            {
-                "bucket": pa.array([], pa.int32()),
-                "term": pa.array([], pa.string()),
-                "doc_id": pa.array([], pa.int64()),
-                "positions": pa.array([], pa.list_(pa.int64())),
-            }
-        )
-        toks, parents, counts = flat_nonempty_tokens(batch.column("text"))
-        if not len(toks):
-            return empty
-        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        starts = np.cumsum(counts) - counts
-        pos = np.arange(len(toks), dtype=np.int64) - starts[parents]
-        # group the flat stream by (parent, term): sort by (parent, code,
-        # pos) and cut runs — positions inside a run stay ascending
-        denc = toks.dictionary_encode()
-        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((pos, codes, parents))
-        sp, sc, spos = parents[order], codes[order], pos[order]
-        new_run = np.empty(len(sp), dtype=bool)
-        new_run[0] = True
-        np.not_equal(sp[1:], sp[:-1], out=new_run[1:])
-        new_run[1:] |= sc[1:] != sc[:-1]
-        run_starts = np.flatnonzero(new_run)
-        run_lens = np.diff(np.append(run_starts, len(sp)))
-        terms = denc.dictionary.take(pa.array(sc[run_starts]))
-        bucket = (md5_u64(terms.to_pylist()) % np.uint64(n_buckets)).astype(np.int32)
-        offsets = np.zeros(len(run_starts) + 1, dtype=np.int32)
-        np.cumsum(run_lens, out=offsets[1:])
-        positions = pa.ListArray.from_arrays(
-            pa.array(offsets), pa.array(spos, pa.int64())
-        )
-        return pa.table(
-            {
-                "bucket": pa.array(bucket),
-                "term": terms,
-                "doc_id": pa.array(doc_ids[sp[run_starts]], pa.int64()),
-                "positions": positions,
-            }
-        )
-
-    parts = documents.select_columns(["doc_id", "text"]).map_batches(
-        explode, batch_format="pyarrow"
-    )
+    parts = _explode_positions(documents, n_buckets)
 
     def write_bucket(group: pd.DataFrame) -> pd.DataFrame:
         b = int(group["bucket"].iloc[0])
-        rows: dict[str, list] = {n: [] for n in POS_SCHEMA.names}
-        for term, g in group.groupby("term", sort=True):
-            g = g.sort_values("doc_id", kind="mergesort")
-            docs = g["doc_id"].to_numpy(np.int64)
-            plists = g["positions"].tolist()
-            cnts = np.array([len(p) for p in plists], np.int64)
-            flat = np.concatenate([np.asarray(p, np.int64) for p in plists])
-            # per-doc position deltas (first = value itself)
-            offs = np.cumsum(cnts) - cnts
-            deltas = np.diff(flat, prepend=0)
-            deltas[offs] = flat[offs]
-            gaps = np.diff(docs.astype(np.uint64), prepend=np.uint64(0))
-            rows["bucket"].append(b)
-            rows["term"].append(term)
-            rows["df"].append(int(len(docs)))
-            rows["cf"].append(int(cnts.sum()))
-            rows["doc_bytes"].append(varbyte_encode(gaps))
-            rows["cnt_bytes"].append(varbyte_encode(cnts.astype(np.uint64)))
-            rows["pos_bytes"].append(varbyte_encode(deltas.astype(np.uint64)))
-        tbl = pa.table({n: pa.array(rows[n], POS_SCHEMA.field(n).type) for n in POS_SCHEMA.names})
+        tbl = _encode_bucket_rows(b, group)
         tmp = out / f"bucket={b:05d}.parquet.tmp"
         pq.write_table(tbl, tmp, compression="zstd")
         tmp.rename(out / f"bucket={b:05d}.parquet")
@@ -194,6 +135,16 @@ def _load_term(out: Path, n_buckets: int, term: str):
     docs = np.concatenate(docs_l)
     cnts = np.concatenate(cnts_l)
     order = np.argsort(docs, kind="stable")
+    # drop duplicated doc rows, keeping the FIRST in (base, delta…) file
+    # order: appends only carry NEW ids, so a duplicate can only be a
+    # delta whose content was already folded by a compaction interrupted
+    # between base rename and delta unlink — identical data either way
+    sd = docs[order]
+    if len(sd) > 1:
+        keep = np.empty(len(sd), dtype=bool)
+        keep[0] = True
+        np.not_equal(sd[1:], sd[:-1], out=keep[1:])
+        order = order[keep]
     offs_src, pos_off = [], 0
     for d_arr, c_arr in zip(docs_l, cnts_l):
         offs_src.append(np.cumsum(c_arr) - c_arr + pos_off)
@@ -284,15 +235,27 @@ def proximity_search(
 
     Pair counting is two ``np.searchsorted`` calls per doc over the
     sorted position arrays (no pair materialization); SQL mirrors it
-    with a position self-join on a BETWEEN predicate."""
+    with a position self-join on a BETWEEN predicate. Terms normalize
+    through the document tokenizer (like phrase/NEAR search), so
+    'Merge' finds the indexed 'merge'; a term that normalizes to
+    anything but exactly one token returns empty."""
+    from ..stages.tokenizer import token_lists
+
     out = Path(index_dir)
     m = json.loads((out / "manifest.json").read_text())
     nb = int(m["n_buckets"])
-    pa_post = _load_term(out, nb, term_a)
-    pb_post = _load_term(out, nb, term_b)
     empty = pa.table(
         {"doc_id": pa.array([], pa.int64()), "n_pairs": pa.array([], pa.int64())}
     )
+    norm = token_lists(pa.array([term_a, term_b], pa.string()))
+    if isinstance(norm, pa.ChunkedArray):
+        norm = norm.combine_chunks()
+    normed = [[t for t in row if t] for row in norm.to_pylist()]
+    if len(normed[0]) != 1 or len(normed[1]) != 1:
+        return empty
+    term_a, term_b = normed[0][0], normed[1][0]
+    pa_post = _load_term(out, nb, term_a)
+    pb_post = _load_term(out, nb, term_b)
     if pa_post is None or pb_post is None or window < 1:
         return empty
     docs_a, cnts_a, flat_a = pa_post
@@ -547,8 +510,16 @@ def compact_positional_index(index_dir: str) -> dict:
             docs = np.concatenate(docs_l)
             cnts = np.concatenate(cnts_l)
             order = np.argsort(docs, kind="stable")
-            if np.unique(docs).size != docs.size:
-                raise ValueError(f"duplicate doc_id across segments for term {term!r}")
+            # duplicates arise only from a compaction interrupted
+            # between base rename and delta unlink (appends carry new
+            # ids) — keep the first (base) copy so a re-run converges
+            # instead of raising
+            sd = docs[order]
+            if len(sd) > 1:
+                keep = np.empty(len(sd), dtype=bool)
+                keep[0] = True
+                np.not_equal(sd[1:], sd[:-1], out=keep[1:])
+                order = order[keep]
             # rebuild flat positions in merged doc order
             offs_src = []
             pos_off = 0

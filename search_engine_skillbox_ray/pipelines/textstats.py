@@ -741,9 +741,7 @@ def bpe_token_counts_ds(documents: rd.Dataset) -> rd.Dataset:
     )
 
 
-def doc_keywords_ds(
-    documents: rd.Dataset, k: int = 3, concurrency=(1, 8)
-) -> rd.Dataset:
+def doc_keywords_ds(documents: rd.Dataset, k: int = 3) -> rd.Dataset:
     """→ (doc_id, term, tfidf, rank): the k highest-tf·idf terms per
     document (ties term-ascending) — keyword extraction / doc tagging.
 
@@ -891,7 +889,23 @@ def bigram_pmi_ds(
     uni_ref = ray.put(dict(zip(uni["term"], uni["sum(cnt)"].astype(int))))
 
     bg = term_bigrams_ds(documents).materialize()
-    t_bi = float(bg.sum("cnt"))
+    # Dataset.sum on an EMPTY dataset returns None (no adjacent bigrams
+    # anywhere, e.g. all docs ≤ 1 token) — short-circuit to empty
+    t_bi_raw = bg.sum("cnt")
+    if not t_bi_raw:
+        import ray.data as _rd
+
+        return _rd.from_arrow(
+            pa.table(
+                {
+                    "term_a": pa.array([], pa.string()),
+                    "term_b": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                    "pmi": pa.array([], pa.float64()),
+                }
+            )
+        )
+    t_bi = float(t_bi_raw)
 
     def score(batch: pa.Table) -> pa.Table:
         lookup = ray.get(uni_ref)

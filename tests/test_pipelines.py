@@ -974,3 +974,47 @@ def test_event_transitions_reference(ray_session):
         ("view", "cart"): 1, ("cart", "buy"): 1,
         ("view", "view"): 1, ("a", "b"): 1,
     }
+
+
+def test_export_tokenless_rewrites_and_cleans_stale(ray_session, tmp_path):
+    """Review findings: (a) with input_token=None a changed corpus must
+    be re-exported, not stale-skipped; (b) sources absent from the new
+    run are removed from out_dir."""
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.export import export_quality_corpus
+
+    def mk(src, n, tag):
+        return [
+            {
+                "doc_id": i,
+                "source": src,
+                "text": " ".join(f"{tag}{chr(97 + j % 26)}{chr(97 + j // 26)}" for j in range(40)),
+            }
+            for i in range(n)
+        ]
+
+    out = tmp_path / "exp"
+    v1 = rd.from_items(mk("a", 4, "w") + mk("b", 3, "x"))
+    r1 = export_quality_corpus(v1, str(out), min_tokens=30, max_dup_bigram_frac=0.9)
+    assert dict(zip(r1["source"], r1["n_docs"])) == {"a": 4, "b": 3}
+    # changed corpus, still no token: must rewrite, and source=b must go
+    v2 = rd.from_items(mk("a", 2, "w"))
+    r2 = export_quality_corpus(v2, str(out), min_tokens=30, max_dup_bigram_frac=0.9)
+    assert dict(zip(r2["source"], r2["n_docs"])) == {"a": 2}
+    import pyarrow.parquet as pq
+
+    assert len(pq.read_table(out / "source=a" / "part-0.parquet")) == 2
+    assert not (out / "source=b").exists()
+
+
+def test_bigram_pmi_empty_corpus(ray_session):
+    """Review finding: no adjacent bigrams anywhere must yield an empty
+    result, not a TypeError from sum() returning None."""
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.textstats import bigram_pmi_ds
+
+    docs = rd.from_items([{"doc_id": 0, "text": "solo"}, {"doc_id": 1, "text": ""}])
+    out = bigram_pmi_ds(docs)
+    assert out.count() == 0  # empty result, not a TypeError

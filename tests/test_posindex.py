@@ -210,3 +210,109 @@ def test_append_and_compact(ray_session, tmp_path):
         assert a.equals(b)
     # idempotent second compaction
     assert compact_positional_index(str(lsm_dir)) == {"n_buckets_compacted": 0}
+
+
+def test_rebuild_clears_append_markers(ray_session, tmp_path):
+    """A rebuild must invalidate old append markers: re-appending the
+    same batch after a rebuild must actually write (review finding)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.posindex import (
+        append_documents,
+        build_positional_index,
+        phrase_search,
+    )
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    even = docs.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 0)),
+        batch_format="pyarrow",
+    )
+    odd = docs.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 1)),
+        batch_format="pyarrow",
+    )
+    d = tmp_path / "idx"
+    build_positional_index(even, str(d), n_buckets=4, input_token="v1")
+    append_documents(str(d), odd, input_token="batch-1")
+    full = phrase_search(str(d), ["table scan"]).to_pandas()
+    # rebuild with a NEW token, then re-append the same batch token
+    build_positional_index(even, str(d), n_buckets=4, input_token="v2")
+    assert not list(d.glob("append.*.json"))  # markers invalidated
+    r = append_documents(str(d), odd, input_token="batch-1")
+    assert r["n_buckets_touched"] > 0  # actually wrote, not skipped
+    again = phrase_search(str(d), ["table scan"]).to_pandas()
+    assert again.sort_values("doc_id").reset_index(drop=True).equals(
+        full.sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def test_compaction_survives_partial_crash(ray_session, tmp_path):
+    """Simulated crash between base rename and delta unlink: queries
+    stay correct (duplicates deduped at read) and a re-run converges
+    (review finding)."""
+    import shutil
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.posindex import (
+        append_documents,
+        build_positional_index,
+        compact_positional_index,
+        phrase_search,
+        proximity_search,
+    )
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    even = docs.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 0)),
+        batch_format="pyarrow",
+    )
+    odd = docs.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 1)),
+        batch_format="pyarrow",
+    )
+    d = tmp_path / "idx"
+    build_positional_index(even, str(d), n_buckets=2, input_token="v1")
+    append_documents(str(d), odd, input_token="b1")
+    before_ph = phrase_search(str(d), ["table scan", "hash join"]).to_pandas()
+    before_px = proximity_search(str(d), "merge", "batch", 3).to_pandas()
+    # snapshot a delta, compact fully, then RESTORE the delta — exactly
+    # the state a crash between rename and unlink leaves behind
+    delta = sorted(d.glob("bucket=*.delta-*.parquet"))[0]
+    saved = d / "saved.parquet"
+    shutil.copy(delta, saved)
+    compact_positional_index(str(d))
+    shutil.copy(saved, delta)
+    saved.unlink()
+    # queries over base+stale-delta: duplicates deduped at read time
+    mid_ph = phrase_search(str(d), ["table scan", "hash join"]).to_pandas()
+    assert mid_ph.sort_values(["phrase_id", "doc_id"]).reset_index(drop=True).equals(
+        before_ph.sort_values(["phrase_id", "doc_id"]).reset_index(drop=True)
+    )
+    # re-run converges instead of raising; results unchanged
+    c = compact_positional_index(str(d))
+    assert c["n_buckets_compacted"] == 1
+    assert not list(d.glob("bucket=*.delta-*.parquet"))
+    after_ph = phrase_search(str(d), ["table scan", "hash join"]).to_pandas()
+    after_px = proximity_search(str(d), "merge", "batch", 3).to_pandas()
+    assert after_ph.sort_values(["phrase_id", "doc_id"]).reset_index(drop=True).equals(
+        before_ph.sort_values(["phrase_id", "doc_id"]).reset_index(drop=True)
+    )
+    assert after_px.sort_values("doc_id").reset_index(drop=True).equals(
+        before_px.sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def test_proximity_normalizes_terms(posidx):
+    """'Merge'/'BATCH' find the indexed lowercase terms; a multi-word
+    'term' returns empty (review finding)."""
+    from search_engine_skillbox_ray.pipelines.posindex import proximity_search
+
+    d, _, _ = posidx
+    a = proximity_search(str(d), "merge", "batch", 3).to_pandas()
+    b = proximity_search(str(d), "Merge", "BATCH", 3).to_pandas()
+    assert a.equals(b) and len(a) > 0
+    assert len(proximity_search(str(d), "merge batch", "fast", 3)) == 0
