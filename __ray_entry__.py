@@ -728,6 +728,34 @@ def q_search_128(sf_dir: str):
     return topk_128(d, SEARCH_QUERY, k=10, mode="or")
 
 
+def q_search_128_ingest(sf_dir: str):
+    """LSM ingest of the 128-bit index: build on the EVEN doc_ids,
+    append the ODD half as delta segments + delta docmap, serve top-10
+    — idf/avgdl derive from the combined docmap, so the result must
+    equal the whole-table search_128bit oracle."""
+    import shutil
+
+    from search_engine_skillbox_ray.pipelines.index128 import (
+        append_documents_128,
+        build_index_128,
+        topk_128,
+    )
+
+    docs = _documents(sf_dir)
+
+    def _parity(p: int):
+        return lambda t: t.filter(pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), p))
+
+    even = docs.map_batches(_parity(0), batch_format="pyarrow")
+    odd = docs.map_batches(_parity(1), batch_format="pyarrow")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/ses_idx128_lsm_{tag}"
+    shutil.rmtree(d, ignore_errors=True)  # append mutates: fresh per run
+    build_index_128(even, d, n_buckets=8, input_token=f"{sf_dir}-even")
+    append_documents_128(d, odd, input_token=f"{sf_dir}-odd")
+    return topk_128(d, SEARCH_QUERY, k=10, mode="or")
+
+
 def q_search_128_bm25(sf_dir: str):
     """BM25(k1, b) top-10 served from the same persisted 128-bit index
     (doc lengths from the docmap; block bounds via the admissible
@@ -1024,6 +1052,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_graph": q_link_graph,
         "search_128bit": q_search_128,
         "search_128bit_bm25": q_search_128_bm25,
+        "search_128bit_ingest": q_search_128_ingest,
         "anchor_terms": q_anchor_terms,
         "snapshot_delta": q_snapshot_delta,
         "corpus_export": q_corpus_export,
@@ -1881,8 +1910,18 @@ SELECT s.doc_id,
 FROM scores s JOIN h ON h.doc_id = s.doc_id
 QUALIFY row_number() OVER (ORDER BY s.score DESC, h.hx) <= 10
 """,
-        # 128-bit path: tie order == md5 hex order == (hi, lo) order
+        # 128-bit path: tie order == md5 hex order == (hi, lo) order;
+        # the LSM variant (half-build + delta append) must converge to
+        # the same whole-table answer
         "search_128bit": tfidf_scores
+        + """, h AS (SELECT doc_id, md5('https://' || source || '.example/doc/' || doc_id::VARCHAR) AS hx
+       FROM documents)
+SELECT s.doc_id,
+       (row_number() OVER (ORDER BY s.score DESC, h.hx))::BIGINT AS rank,
+       ROUND(s.score, 6) AS score
+FROM scores s JOIN h ON h.doc_id = s.doc_id
+QUALIFY row_number() OVER (ORDER BY s.score DESC, h.hx) <= 10""",
+        "search_128bit_ingest": tfidf_scores
         + """, h AS (SELECT doc_id, md5('https://' || source || '.example/doc/' || doc_id::VARCHAR) AS hx
        FROM documents)
 SELECT s.doc_id,

@@ -279,6 +279,7 @@ def bench_sf_queries() -> dict:
         "hll_distinct_tokens",
         "batch_search",
         "search_128bit",
+        "search_128bit_ingest",
         "pagerank",
         "dedup_clusters",
         "cross_source_pairs",

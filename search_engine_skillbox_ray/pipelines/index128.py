@@ -25,6 +25,7 @@ scale extension (SURVEY §2 has no counterpart).
 
 from __future__ import annotations
 
+import hashlib
 import json
 from pathlib import Path
 
@@ -88,14 +89,69 @@ def build_index_128(
         except Exception:
             pass
     out.mkdir(parents=True, exist_ok=True)
-    for stale in list(out.glob("bucket=*.parquet")) + list(out.glob("*.tmp")):
+    # a rebuild invalidates everything derived from the old corpus —
+    # segments, LSM deltas (segment AND docmap), append markers
+    for stale in (
+        list(out.glob("bucket=*.parquet"))
+        + list(out.glob("docmap.delta-*.parquet"))
+        + list(out.glob("append.*.json"))
+        + list(out.glob("*.tmp"))
+    ):
         stale.unlink()
 
+    parts = _explode_128(documents, n_buckets).materialize()
+
+    def write_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        b = int(group["bucket"].iloc[0])
+        tbl = _encode_bucket_rows_128(b, group)
+        tmp = out / f"bucket={b:05d}.parquet.tmp"
+        pq.write_table(tbl, tmp, compression="zstd")
+        tmp.rename(out / f"bucket={b:05d}.parquet")
+        return pd.DataFrame({"bucket": [b], "n_terms": [len(tbl)]})
+
+    seg_rows = parts.filter(expr="bucket >= 0")
+    manifest_rows = (
+        seg_rows.groupby("bucket").map_groups(write_bucket, batch_format="pandas").to_pandas()
+    )
+
+    dm = parts.filter(expr="bucket < 0").map_batches(
+        lambda t: pa.table(
+            {
+                "doc_hi": t["hi"],
+                "doc_lo": t["lo"],
+                "doc_id": t["doc_id"],
+                "doc_len": t["tf"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    dm_tbl = pa.concat_tables(ray_get_all(dm))
+    tmp = out / "docmap.parquet.tmp"
+    pq.write_table(dm_tbl, tmp, compression="zstd")
+    tmp.rename(out / "docmap.parquet")
+
+    m = {
+        "version": 2,  # v2: docmap carries doc_len (BM25 serving)
+        "input_token": input_token,
+        "n_buckets": int(n_buckets),
+        "n_docs_indexed": int(len(dm_tbl)),
+        "n_terms": int(manifest_rows["n_terms"].sum()),
+        "sum_doc_len": int(dm_tbl["doc_len"].to_numpy().sum()),
+        "min_doc_len": int(dm_tbl["doc_len"].to_numpy().min()) if len(dm_tbl) else 0,
+    }
+    mt = out / "manifest.json.tmp"
+    mt.write_text(json.dumps(m))
+    mt.rename(man)
+    return m
+
+
+def _explode_128(documents: rd.Dataset, n_buckets: int) -> rd.Dataset:
+    """ONE tokenize + md5 pass emits BOTH row kinds: per-(doc, term)
+    posting rows (bucket ≥ 0) and per-doc docmap sentinel rows
+    (bucket = -1, term = "", tf = doc_len, doc_id set) — shared by
+    build and append so the docmap never costs a second corpus scan."""
+
     def explode(batch: pa.Table) -> pa.Table:
-        """ONE tokenize + md5 pass emits BOTH row kinds: per-(doc, term)
-        posting rows (bucket ≥ 0) and per-doc docmap sentinel rows
-        (bucket = -1, term = "", tf = doc_len, doc_id set) — the docmap
-        no longer costs a second full corpus scan."""
         from ..functions.hashing import flat_nonempty_tokens
 
         empty = pa.table(
@@ -151,72 +207,34 @@ def build_index_128(
             }
         )
 
-    parts = documents.select_columns(["doc_id", "source", "text"]).map_batches(
+    return documents.select_columns(["doc_id", "source", "text"]).map_batches(
         explode, batch_format="pyarrow"
-    ).materialize()
+    )
 
-    def write_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        b = int(group["bucket"].iloc[0])
-        rows: dict[str, list] = {name: [] for name in SEGMENT_SCHEMA_128.names}
-        for term, g in group.groupby("term", sort=True):
-            payload = encode_posting_list_128(
-                g["hi"].to_numpy(np.int64).view(np.uint64),
-                g["lo"].to_numpy(np.int64).view(np.uint64),
-                g["tf"].to_numpy(np.int64),
-            )
-            srow = posting_row_128_to_storage(payload)
-            rows["bucket"].append(b)
-            rows["site_id"].append(0)
-            rows["term"].append(term)
-            rows["salt"].append(0)
-            for c in (
-                "df", "cf", "doc_gaps", "tf_bytes", "block_last_doc_hi",
-                "block_last_doc_lo", "block_max_tf", "block_gap_offset",
-                "block_tf_offset",
-            ):
-                rows[c].append(srow[c])
-        tbl = pa.table(
-            {n: pa.array(rows[n], SEGMENT_SCHEMA_128.field(n).type) for n in SEGMENT_SCHEMA_128.names}
+
+def _encode_bucket_rows_128(b: int, group: pd.DataFrame) -> pa.Table:
+    """One bucket's (term, hi, lo, tf) rows → SEGMENT_SCHEMA_128 table."""
+    rows: dict[str, list] = {name: [] for name in SEGMENT_SCHEMA_128.names}
+    for term, g in group.groupby("term", sort=True):
+        payload = encode_posting_list_128(
+            g["hi"].to_numpy(np.int64).view(np.uint64),
+            g["lo"].to_numpy(np.int64).view(np.uint64),
+            g["tf"].to_numpy(np.int64),
         )
-        tmp = out / f"bucket={b:05d}.parquet.tmp"
-        pq.write_table(tbl, tmp, compression="zstd")
-        tmp.rename(out / f"bucket={b:05d}.parquet")
-        return pd.DataFrame({"bucket": [b], "n_terms": [len(tbl)]})
-
-    seg_rows = parts.filter(expr="bucket >= 0")
-    manifest_rows = (
-        seg_rows.groupby("bucket").map_groups(write_bucket, batch_format="pandas").to_pandas()
+        srow = posting_row_128_to_storage(payload)
+        rows["bucket"].append(b)
+        rows["site_id"].append(0)
+        rows["term"].append(term)
+        rows["salt"].append(0)
+        for c in (
+            "df", "cf", "doc_gaps", "tf_bytes", "block_last_doc_hi",
+            "block_last_doc_lo", "block_max_tf", "block_gap_offset",
+            "block_tf_offset",
+        ):
+            rows[c].append(srow[c])
+    return pa.table(
+        {n: pa.array(rows[n], SEGMENT_SCHEMA_128.field(n).type) for n in SEGMENT_SCHEMA_128.names}
     )
-
-    dm = parts.filter(expr="bucket < 0").map_batches(
-        lambda t: pa.table(
-            {
-                "doc_hi": t["hi"],
-                "doc_lo": t["lo"],
-                "doc_id": t["doc_id"],
-                "doc_len": t["tf"],
-            }
-        ),
-        batch_format="pyarrow",
-    )
-    dm_tbl = pa.concat_tables(ray_get_all(dm))
-    tmp = out / "docmap.parquet.tmp"
-    pq.write_table(dm_tbl, tmp, compression="zstd")
-    tmp.rename(out / "docmap.parquet")
-
-    m = {
-        "version": 2,  # v2: docmap carries doc_len (BM25 serving)
-        "input_token": input_token,
-        "n_buckets": int(n_buckets),
-        "n_docs_indexed": int(len(dm_tbl)),
-        "n_terms": int(manifest_rows["n_terms"].sum()),
-        "sum_doc_len": int(dm_tbl["doc_len"].to_numpy().sum()),
-        "min_doc_len": int(dm_tbl["doc_len"].to_numpy().min()) if len(dm_tbl) else 0,
-    }
-    mt = out / "manifest.json.tmp"
-    mt.write_text(json.dumps(m))
-    mt.rename(man)
-    return m
 
 
 def ray_get_all(ds: rd.Dataset) -> list[pa.Table]:
@@ -253,7 +271,12 @@ def topk_128(
 
     out = Path(index_dir)
     m = json.loads((out / "manifest.json").read_text())
-    n_total = int(m["n_docs_indexed"])
+    # doc statistics derive from the docmap DATA (base + any LSM delta
+    # docmaps, crash-dup rows deduped) so appends keep idf/avgdl exact —
+    # the manifest's build-time counters go stale the moment an append
+    # lands. At cluster scale each query actor caches its shard's stats.
+    dmt = _read_docmap(out, columns=["doc_hi", "doc_lo", "doc_len"])
+    n_total = len(dmt)
     lemmas = query_lemmas(query)
     empty = pd.DataFrame(
         {
@@ -271,19 +294,8 @@ def topk_128(
         # NB: named bkt, not b — `b` is the BM25 length-normalization
         # parameter read by the weight closure below
         bkt = int(md5_u64([t])[0] % np.uint64(m["n_buckets"]))
-        f = out / f"bucket={bkt:05d}.parquet"
-        df_count = 0
-        row = None
-        if f.exists():
-            tbl = pq.read_table(f, filters=[("term", "==", t)])
-            if len(tbl):
-                merged = [posting_row_128_from_storage(r) for r in tbl.to_pylist()]
-                row = merged[0]
-                if len(merged) > 1:
-                    from ..stages.codec import merge_posting_payloads_128
-
-                    row = merge_posting_payloads_128(merged)
-                df_count = int(row["df"])
+        row = _load_term_row_128(out, bkt, t)
+        df_count = int(row["df"]) if row is not None else 0
         idf = math.log((n_total + 1) / (df_count + 1))
         if row is not None:
             term_rows.append((row, idf))
@@ -296,9 +308,7 @@ def topk_128(
     if scorer == "bm25":
         # doc lengths keyed by the 128-bit id; the whole docmap is
         # ~32 B/doc (at cluster scale each query actor holds its shard)
-        dmt = pq.read_table(
-            out / "docmap.parquet", columns=["doc_hi", "doc_lo", "doc_len"]
-        )
+        dls = dmt["doc_len"].to_numpy(zero_copy_only=False).astype(np.float64)
         dl_lut = {
             (int(h) % _U64, int(l) % _U64): float(d)
             for h, l, d in zip(
@@ -307,8 +317,8 @@ def topk_128(
                 dmt["doc_len"].to_pylist(),
             )
         }
-        avgdl = max(1.0, float(m["sum_doc_len"]) / max(1, n_total))
-        min_dl = float(m.get("min_doc_len", 0))
+        avgdl = max(1.0, float(dls.sum()) / max(1, n_total))
+        min_dl = float(dls.min()) if len(dls) else 0.0
 
         def weight(tfs: np.ndarray, idf: float, docs=None) -> np.ndarray:
             t = tfs.astype(np.float64)
@@ -338,9 +348,7 @@ def topk_128(
     # (hi, lo) → doc_id via the docmap (filtered read: only the hit rows'
     # row groups decode)
     want_hi = [h - _U64 if h >= (1 << 63) else h for h, _ in docs]
-    dm = pq.read_table(
-        out / "docmap.parquet", filters=[("doc_hi", "in", list(set(want_hi)))]
-    )
+    dm = _read_docmap(out, filters=[("doc_hi", "in", list(set(want_hi)))])
     lut = {
         (int(h) % _U64, int(l) % _U64): int(d)
         for h, l, d in zip(
@@ -355,3 +363,200 @@ def topk_128(
             "score": np.round(scores, 6),
         }
     )
+
+
+def _read_docmap(out: Path, columns=None, filters=None) -> pa.Table:
+    """Docmap rows across the base file and any LSM delta docmaps,
+    deduplicated on (hi, lo) keeping the FIRST in (base, delta…) file
+    order — duplicates only arise from a compaction/append interrupted
+    mid-commit, with identical content either way."""
+    cols = columns
+    if cols is not None:
+        need = set(cols) | {"doc_hi", "doc_lo"}
+        cols = [c for c in ["doc_hi", "doc_lo", "doc_id", "doc_len"] if c in need]
+    files = [out / "docmap.parquet"] + sorted(out.glob("docmap.delta-*.parquet"))
+    tables = [
+        pq.read_table(f, columns=cols, filters=filters) for f in files if f.exists()
+    ]
+    if not tables:
+        raise FileNotFoundError(f"no docmap under {out}")
+    t = pa.concat_tables(tables)
+    if len(tables) == 1 or len(t) == 0:
+        return t
+    hi = t["doc_hi"].to_numpy(zero_copy_only=False)
+    lo = t["doc_lo"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((np.arange(len(t)), lo, hi))
+    sh, sl = hi[order], lo[order]
+    keep = np.empty(len(t), dtype=bool)
+    keep[0] = True
+    np.not_equal(sh[1:], sh[:-1], out=keep[1:])
+    keep[1:] |= sl[1:] != sl[:-1]
+    return t.take(pa.array(np.sort(order[keep])))
+
+
+def _load_term_row_128(out: Path, bkt: int, term: str) -> dict | None:
+    """One term's merged posting payload across the base bucket file and
+    LSM deltas: decode, concat, (hi, lo)-sort, dedupe keep-first,
+    re-encode. None when the term is absent everywhere."""
+    from ..stages.codec import decode_posting_list_128
+
+    files = [out / f"bucket={bkt:05d}.parquet"] + sorted(
+        out.glob(f"bucket={bkt:05d}.delta-*.parquet")
+    )
+    raw = []
+    for f in files:
+        if not f.exists():
+            continue
+        tbl = pq.read_table(f, filters=[("term", "==", term)])
+        raw += [posting_row_128_from_storage(r) for r in tbl.to_pylist()]
+    if not raw:
+        return None
+    if len(raw) == 1:
+        return raw[0]
+    his, los, tfs = [], [], []
+    for r in raw:
+        h, l, t = decode_posting_list_128(r)
+        his.append(h)
+        los.append(l)
+        tfs.append(t)
+    hi = np.concatenate(his)
+    lo = np.concatenate(los)
+    tf = np.concatenate(tfs)
+    order = np.lexsort((np.arange(len(hi)), lo, hi))
+    sh, sl = hi[order], lo[order]
+    keep = np.empty(len(hi), dtype=bool)
+    keep[0] = True
+    np.not_equal(sh[1:], sh[:-1], out=keep[1:])
+    keep[1:] |= sl[1:] != sl[:-1]
+    order = order[keep]
+    return encode_posting_list_128(hi[order], lo[order], tf[order])
+
+
+def append_documents_128(
+    index_dir: str, documents: rd.Dataset, input_token: str | None = None
+) -> dict:
+    """LSM micro-batch append for the 128-bit index: one tokenize+md5
+    pass over the NEW documents (ids derive from md5(url), so "new"
+    means new urls — the versioning contract) writes per-touched-bucket
+    delta segment files plus a delta docmap, all atomic. Queries merge
+    base + deltas per term and derive doc statistics from the combined
+    docmap, so idf/avgdl stay exact after any number of appends.
+    Same-token re-appends are skipped via a marker; a rebuild clears
+    markers and deltas."""
+    out = Path(index_dir)
+    m = json.loads((out / "manifest.json").read_text())
+    nb = int(m["n_buckets"])
+    if input_token is not None:
+        marker = out / f"append.{_hash_token(input_token)}.json"
+        if marker.exists():
+            return json.loads(marker.read_text())
+    seqs = [
+        int(f.name.rsplit("delta-", 1)[1].split(".")[0])
+        for f in list(out.glob("bucket=*.delta-*.parquet"))
+        + list(out.glob("docmap.delta-*.parquet"))
+    ]
+    seq = (max(seqs) + 1) if seqs else 0
+
+    parts = _explode_128(documents, nb).materialize()
+
+    def write_delta(group: pd.DataFrame) -> pd.DataFrame:
+        b = int(group["bucket"].iloc[0])
+        tbl = _encode_bucket_rows_128(b, group)
+        tmp = out / f"bucket={b:05d}.delta-{seq:04d}.parquet.tmp"
+        pq.write_table(tbl, tmp, compression="zstd")
+        tmp.rename(out / f"bucket={b:05d}.delta-{seq:04d}.parquet")
+        return pd.DataFrame({"bucket": [b], "n_terms": [len(tbl)]})
+
+    rows = (
+        parts.filter(expr="bucket >= 0")
+        .groupby("bucket")
+        .map_groups(write_delta, batch_format="pandas")
+        .to_pandas()
+    )
+    dm = parts.filter(expr="bucket < 0").map_batches(
+        lambda t: pa.table(
+            {
+                "doc_hi": t["hi"],
+                "doc_lo": t["lo"],
+                "doc_id": t["doc_id"],
+                "doc_len": t["tf"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    dm_tbl = pa.concat_tables(ray_get_all(dm))
+    tmp = out / f"docmap.delta-{seq:04d}.parquet.tmp"
+    pq.write_table(dm_tbl, tmp, compression="zstd")
+    tmp.rename(out / f"docmap.delta-{seq:04d}.parquet")
+
+    res = {
+        "seq": seq,
+        "n_buckets_touched": int(len(rows)),
+        "n_docs_appended": int(len(dm_tbl)),
+    }
+    if input_token is not None:
+        mt = out / f"append.{_hash_token(input_token)}.json.tmp"
+        mt.write_text(json.dumps(res))
+        mt.rename(out / f"append.{_hash_token(input_token)}.json")
+    return res
+
+
+def _hash_token(token: str) -> str:
+    return hashlib.md5(token.encode("utf-8")).hexdigest()[:10]
+
+
+def compact_index_128(index_dir: str) -> dict:
+    """Fold delta segments + delta docmaps into the base files (one Ray
+    task per touched bucket; docmap on the driver — ~32 B/doc). Results
+    are identical before and after (tested); idempotent under crashes
+    mid-commit because all merges dedupe on the 128-bit id."""
+    import ray
+
+    out = Path(index_dir)
+    touched = sorted({f.name.split(".")[0] for f in out.glob("bucket=*.delta-*.parquet")})
+    dm_deltas = sorted(out.glob("docmap.delta-*.parquet"))
+    if not touched and not dm_deltas:
+        return {"n_buckets_compacted": 0}
+
+    @ray.remote
+    def compact_bucket(prefix: str) -> int:
+        base = out / f"{prefix}.parquet"
+        deltas = sorted(out.glob(f"{prefix}.delta-*.parquet"))
+        terms: set[str] = set()
+        for f in [base] + deltas:
+            if f.exists():
+                terms.update(pq.read_table(f, columns=["term"])["term"].to_pylist())
+        bkt = int(prefix.split("=")[1])
+        rows: dict[str, list] = {n: [] for n in SEGMENT_SCHEMA_128.names}
+        for term in sorted(terms):
+            payload = _load_term_row_128(out, bkt, term)
+            srow = posting_row_128_to_storage(payload)
+            rows["bucket"].append(bkt)
+            rows["site_id"].append(0)
+            rows["term"].append(term)
+            rows["salt"].append(0)
+            for c in (
+                "df", "cf", "doc_gaps", "tf_bytes", "block_last_doc_hi",
+                "block_last_doc_lo", "block_max_tf", "block_gap_offset",
+                "block_tf_offset",
+            ):
+                rows[c].append(srow[c])
+        tbl = pa.table(
+            {n: pa.array(rows[n], SEGMENT_SCHEMA_128.field(n).type) for n in SEGMENT_SCHEMA_128.names}
+        )
+        tmp = out / f"{prefix}.parquet.tmp"
+        pq.write_table(tbl, tmp, compression="zstd")
+        tmp.rename(out / f"{prefix}.parquet")
+        for f in deltas:
+            f.unlink()
+        return len(tbl)
+
+    counts = ray.get([compact_bucket.remote(p) for p in touched]) if touched else []
+    if dm_deltas:
+        merged = _read_docmap(out)
+        tmp = out / "docmap.parquet.tmp"
+        pq.write_table(merged, tmp, compression="zstd")
+        tmp.rename(out / "docmap.parquet")
+        for f in sorted(out.glob("docmap.delta-*.parquet")):
+            f.unlink()
+    return {"n_buckets_compacted": len(touched), "n_terms": int(sum(counts))}

@@ -134,6 +134,8 @@ def test_oracle_keys_subset(entry_mod):
     "near_dup_vs_snapshot",
     # round 3: positional-index LSM ingest (build half + append half)
     "phrase_index_ingest",
+    # round 3: 128-bit index LSM ingest
+    "search_128bit_ingest",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))

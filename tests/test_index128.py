@@ -157,3 +157,73 @@ def test_topk128_bm25_matches_exhaustive(built128):
     assert np.allclose(
         out["score"].to_numpy(), [round(scores[x], 6) for x in order], atol=1e-6
     )
+
+
+def test_append_and_compact_128(ray_session, tmp_path):
+    """Build on the even half, append the odd half → tf·idf and BM25
+    top-k equal the full build (idf/avgdl derived from the combined
+    docmap); compaction folds deltas with identical results; crash-dup
+    delta tolerated; same-token re-append skipped."""
+    import shutil
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.index128 import (
+        append_documents_128,
+        build_index_128,
+        compact_index_128,
+        topk_128,
+    )
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def parity(p):
+        return docs.map_batches(
+            lambda t, p=p: t.filter(pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), p)),
+            batch_format="pyarrow",
+        )
+
+    full_dir, lsm_dir = tmp_path / "full", tmp_path / "lsm"
+    build_index_128(docs, str(full_dir), n_buckets=4, input_token="full")
+    build_index_128(parity(0), str(lsm_dir), n_buckets=4, input_token="even")
+    r = append_documents_128(str(lsm_dir), parity(1), input_token="odd")
+    assert r["n_buckets_touched"] > 0 and r["n_docs_appended"] > 0
+
+    def snap(d):
+        return (
+            topk_128(str(d), "merge batch fast", k=10),
+            topk_128(str(d), "merge batch fast", k=10, scorer="bm25"),
+            topk_128(str(d), "merge batch", k=10, mode="and"),
+        )
+
+    full = snap(full_dir)
+    lsm = snap(lsm_dir)
+    for a, b in zip(full, lsm):
+        assert a.equals(b)
+    # same-token re-append skipped
+    n_deltas = len(list(lsm_dir.glob("bucket=*.delta-*.parquet")))
+    assert append_documents_128(str(lsm_dir), parity(1), input_token="odd") == r
+    assert len(list(lsm_dir.glob("bucket=*.delta-*.parquet"))) == n_deltas
+    # crash window: restore one delta after compaction → dedup absorbs
+    delta = sorted(lsm_dir.glob("bucket=*.delta-*.parquet"))[0]
+    saved = lsm_dir / "saved.parquet"
+    shutil.copy(delta, saved)
+    c = compact_index_128(str(lsm_dir))
+    assert c["n_buckets_compacted"] > 0
+    shutil.copy(saved, delta)
+    saved.unlink()
+    for a, b in zip(full, snap(lsm_dir)):
+        assert a.equals(b)
+    compact_index_128(str(lsm_dir))
+    assert not list(lsm_dir.glob("bucket=*.delta-*.parquet"))
+    assert not list(lsm_dir.glob("docmap.delta-*.parquet"))
+    for a, b in zip(full, snap(lsm_dir)):
+        assert a.equals(b)
+    # rebuild clears markers + deltas
+    build_index_128(parity(0), str(lsm_dir), n_buckets=4, input_token="even-v2")
+    assert not list(lsm_dir.glob("append.*.json"))
+    r3 = append_documents_128(str(lsm_dir), parity(1), input_token="odd")
+    assert r3["n_buckets_touched"] > 0
+    for a, b in zip(full, snap(lsm_dir)):
+        assert a.equals(b)
