@@ -1761,10 +1761,10 @@ sc AS (SELECT sv.seed, tf.doc_id, SUM((sv.w * tf.tf) * i.idf) AS score
        FROM sv JOIN tf ON tf.term = sv.term JOIN idf i ON i.term = sv.term
        WHERE tf.doc_id <> sv.seed GROUP BY sv.seed, tf.doc_id)
 SELECT seed::BIGINT AS seed_doc_id, doc_id,
-       (row_number() OVER (PARTITION BY seed ORDER BY score DESC, doc_id))::BIGINT AS rank,
+       (row_number() OVER (PARTITION BY seed ORDER BY ROUND(score, 6) DESC, doc_id))::BIGINT AS rank,
        ROUND(score, 6) AS score
 FROM sc
-QUALIFY row_number() OVER (PARTITION BY seed ORDER BY score DESC, doc_id) <= {MLT_K}
+QUALIFY row_number() OVER (PARTITION BY seed ORDER BY ROUND(score, 6) DESC, doc_id) <= {MLT_K}
 """,
         "langid": f"""
 WITH tok AS ({_TOK}),
@@ -1905,10 +1905,10 @@ scores AS (
 h AS (SELECT doc_id, md5('https://' || source || '.example/doc/' || doc_id::VARCHAR) AS hx
       FROM documents)
 SELECT s.doc_id,
-       (row_number() OVER (ORDER BY s.score DESC, h.hx))::BIGINT AS rank,
+       (row_number() OVER (ORDER BY ROUND(s.score, 6) DESC, h.hx))::BIGINT AS rank,
        ROUND(s.score, 6) AS score
 FROM scores s JOIN h ON h.doc_id = s.doc_id
-QUALIFY row_number() OVER (ORDER BY s.score DESC, h.hx) <= 10
+QUALIFY row_number() OVER (ORDER BY ROUND(s.score, 6) DESC, h.hx) <= 10
 """,
         # 128-bit path: tie order == md5 hex order == (hi, lo) order;
         # the LSM variant (half-build + delta append) must converge to
@@ -1917,18 +1917,18 @@ QUALIFY row_number() OVER (ORDER BY s.score DESC, h.hx) <= 10
         + """, h AS (SELECT doc_id, md5('https://' || source || '.example/doc/' || doc_id::VARCHAR) AS hx
        FROM documents)
 SELECT s.doc_id,
-       (row_number() OVER (ORDER BY s.score DESC, h.hx))::BIGINT AS rank,
+       (row_number() OVER (ORDER BY ROUND(s.score, 6) DESC, h.hx))::BIGINT AS rank,
        ROUND(s.score, 6) AS score
 FROM scores s JOIN h ON h.doc_id = s.doc_id
-QUALIFY row_number() OVER (ORDER BY s.score DESC, h.hx) <= 10""",
+QUALIFY row_number() OVER (ORDER BY ROUND(s.score, 6) DESC, h.hx) <= 10""",
         "search_128bit_ingest": tfidf_scores
         + """, h AS (SELECT doc_id, md5('https://' || source || '.example/doc/' || doc_id::VARCHAR) AS hx
        FROM documents)
 SELECT s.doc_id,
-       (row_number() OVER (ORDER BY s.score DESC, h.hx))::BIGINT AS rank,
+       (row_number() OVER (ORDER BY ROUND(s.score, 6) DESC, h.hx))::BIGINT AS rank,
        ROUND(s.score, 6) AS score
 FROM scores s JOIN h ON h.doc_id = s.doc_id
-QUALIFY row_number() OVER (ORDER BY s.score DESC, h.hx) <= 10""",
+QUALIFY row_number() OVER (ORDER BY ROUND(s.score, 6) DESC, h.hx) <= 10""",
         "anchor_terms": f"""
 SELECT dst_url, term, count(*)::BIGINT AS cnt
 FROM (VALUES {_anchor_values()}) AS t(dst_url, term)

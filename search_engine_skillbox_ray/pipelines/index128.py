@@ -356,11 +356,18 @@ def topk_128(
         )
     }
     ids = [lut[(h, l)] for h, l in docs]
+    # rank on the ROUNDED score (128-bit id tiebreak): raw float64 sums
+    # carry summation-order ulps, and a SQL mirror's parallel SUM isn't
+    # even run-deterministic — 6-decimal ties must resolve identically
+    r6 = np.round(scores, 6)
+    order = sorted(
+        range(len(ids)), key=lambda i: (-r6[i], (docs[i][0] << 64) | docs[i][1])
+    )
     return pd.DataFrame(
         {
-            "doc_id": np.asarray(ids, np.int64),
+            "doc_id": np.asarray([ids[i] for i in order], np.int64),
             "rank": np.arange(1, len(ids) + 1, dtype=np.int64),
-            "score": np.round(scores, 6),
+            "score": r6[order],
         }
     )
 

@@ -468,7 +468,12 @@ class SearchEngine:
             pos += d.size
         mask = uniq != seed_doc_id
         uniq, scores = uniq[mask], scores[mask]
-        order = np.lexsort((uniq, -scores))[:k]
+        # rank on the ROUNDED score (doc_id tiebreak): raw float64 sums
+        # differ in the last ulp by summation order, so ranking raw
+        # scores makes tie order depend on the accumulation order (and a
+        # SQL mirror's parallel SUM is not even deterministic run to
+        # run); 6-decimal ties resolve identically everywhere
+        order = np.lexsort((uniq, -np.round(scores, 6)))[:k]
         return uniq[order], scores[order]
 
     def more_like_this_topk(
@@ -518,7 +523,10 @@ class SearchEngine:
 
         d, s = topk_disjunctive_maxscore(term_rows, k + 1, weight)
         mask = d != seed_doc_id
-        return d[mask][:k], s[mask][:k]
+        d, s = d[mask], s[mask]
+        # same rounded-score rank rule as the exhaustive path
+        order = np.lexsort((d, -np.round(s, 6)))[:k]
+        return d[order], s[order]
 
     def _merged_payload(self, term: str, site_id: int | None) -> dict | None:
         """Raw (possibly cross-site merged) segment payload for WAND.
