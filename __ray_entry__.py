@@ -28,6 +28,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 SEARCH_QUERY = "merge batch fast"
 SEARCH_SITE_SOURCE = "src3"
@@ -361,6 +362,30 @@ def q_phrase_index_ingest(sf_dir: str):
     shutil.rmtree(d, ignore_errors=True)  # append mutates: fresh per run
     build_positional_index(even, d, n_buckets=8, input_token=f"{sf_dir}-even")
     append_documents(d, odd, input_token=f"{sf_dir}-odd")
+    return phrase_search(d, PHRASES)
+
+
+def q_phrase_index_delete(sf_dir: str):
+    """LSM delete path of the positional index: build on the WHOLE
+    table, tombstone the ODD doc_ids, serve the probes — must equal the
+    position-join oracle over the even half (read-time tombstone
+    filtering; compaction equivalence is pytest-pinned)."""
+    import shutil
+
+    from search_engine_skillbox_ray.pipelines.posindex import (
+        build_positional_index,
+        delete_documents,
+        phrase_search,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/ses_posidx_del_{tag}"
+    shutil.rmtree(d, ignore_errors=True)  # delete mutates: fresh per run
+    build_positional_index(_documents(sf_dir), d, n_buckets=8, input_token=sf_dir)
+    ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"]).column(
+        "doc_id"
+    ).to_numpy()
+    delete_documents(d, ids[ids % 2 == 1], input_token=f"{sf_dir}-del-odd")
     return phrase_search(d, PHRASES)
 
 
@@ -1018,6 +1043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_scan": q_phrase_scan,
         "phrase_index": q_phrase_index,
         "phrase_index_ingest": q_phrase_index_ingest,
+        "phrase_index_delete": q_phrase_index_delete,
         "proximity": q_proximity,
         "near_search": q_near_search,
         "token_count_bpe": q_token_count_bpe,
@@ -1075,12 +1101,13 @@ def _terms_values() -> str:
     return ", ".join(f"('{t}')" for t in terms)
 
 
-def _phrase_oracle() -> str:
+def _phrase_oracle(corpus_where: str = "") -> str:
     """Position-join mirror of PhraseScan: tokenize with the shared M2
     regex, positions via generate_subscripts, one self-join per extra
     phrase token (adjacent positions), overlaps counted — UNION ALL
     over the probe list. Probes are plain ASCII words, so the SQL-side
-    phrase tokenization is a whitespace split of the constant."""
+    phrase tokenization is a whitespace split of the constant.
+    ``corpus_where`` restricts the corpus (the tombstone-delete mirror)."""
     parts = []
     for pid, phrase in enumerate(PHRASES):
         words = phrase.split()
@@ -1097,7 +1124,7 @@ def _phrase_oracle() -> str:
     union = "\nUNION ALL\n".join(parts)
     return f"""
 WITH tl AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
-            '[^\\p{{L}}]+'), x -> x <> '') AS toks FROM documents),
+            '[^\\p{{L}}]+'), x -> x <> '') AS toks FROM documents {corpus_where}),
 tok AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM tl)
 {union}
 """
@@ -1788,6 +1815,9 @@ LEFT JOIN tot ON tot.doc_id = d.doc_id
         # same whole-table answer
         "phrase_index": _phrase_oracle(),
         "phrase_index_ingest": _phrase_oracle(),
+        # the LSM delete variant (whole-table build + odd-id tombstones)
+        # must converge to the even-half answer
+        "phrase_index_delete": _phrase_oracle(corpus_where="WHERE doc_id % 2 = 0"),
         "near_search": f"""
 WITH tl AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
             '[^\\p{{L}}]+'), x -> x <> '') AS toks FROM documents),

@@ -256,6 +256,7 @@ def bench_sf_queries() -> dict:
         "phrase_index",
         "near_search",
         "phrase_index_ingest",
+        "phrase_index_delete",
         "dup_spans",
         "token_count_bpe",
         "sample_hash",

@@ -79,7 +79,9 @@ def build_positional_index(
     # silently skip a re-append of the same batch after the rebuild)
     for stale in (
         list(out.glob("bucket=*.parquet"))
+        + list(out.glob("tombstone-*.parquet"))
         + list(out.glob("append.*.json"))
+        + list(out.glob("delete.*.json"))
         + list(out.glob("*.tmp"))
     ):
         stale.unlink()
@@ -108,11 +110,53 @@ def build_positional_index(
     return m
 
 
-def _load_term(out: Path, n_buckets: int, term: str):
+def _delta_seq(f: Path) -> int:
+    return int(f.name.rsplit("delta-", 1)[1].split(".")[0])
+
+
+def _base_seq(f: Path) -> int:
+    """LSM seq a base bucket file is current through: −1 for a fresh
+    build, else the max folded seq recorded (atomically, inside the
+    parquet file itself) by compaction."""
+    meta = pq.read_schema(f).metadata or {}
+    return int(meta.get(b"base_seq", b"-1"))
+
+
+def _tombstones(out: Path) -> list[tuple[int, np.ndarray]]:
+    """All live tombstone segments as (seq, sorted unique doc ids)."""
+    tombs = []
+    for f in sorted(out.glob("tombstone-*.parquet")):
+        seq = int(f.name.split("-", 1)[1].split(".")[0])
+        ids = pq.read_table(f, columns=["doc_id"]).column("doc_id").to_numpy()
+        tombs.append((seq, np.unique(ids.astype(np.int64))))
+    return tombs
+
+
+def _dead_union(tombs, src_seq: int):
+    """Union of tombstoned doc ids that apply to a segment written at
+    ``src_seq`` — only deletes issued AFTER the segment kill its docs,
+    so a delete→re-add sequence keeps the re-added doc."""
+    rel = [a for s, a in (tombs or []) if s > src_seq]
+    if not rel:
+        return None
+    return rel[0] if len(rel) == 1 else np.unique(np.concatenate(rel))
+
+
+def _filter_tombstoned(docs, cnts, flat, dead):
+    if dead is None or not len(docs):
+        return docs, cnts, flat
+    keep = ~np.isin(docs, dead)
+    if keep.all():
+        return docs, cnts, flat
+    return docs[keep], cnts[keep], flat[np.repeat(keep, cnts)]
+
+
+def _load_term(out: Path, n_buckets: int, term: str, tombs=None):
     """→ (doc_ids ascending int64, counts int64, flat positions int64)
     or None — merged across the base bucket file and any LSM delta
     segments (appends carry NEW doc ids, so the merge is a disjoint
-    doc-order interleave)."""
+    doc-order interleave), with tombstoned docs filtered out per
+    segment seq (a tombstone kills only docs written before it)."""
     b = int(md5_u64([term])[0] % np.uint64(n_buckets))
     files = [out / f"bucket={b:05d}.parquet"] + sorted(
         out.glob(f"bucket={b:05d}.delta-*.parquet")
@@ -125,6 +169,11 @@ def _load_term(out: Path, n_buckets: int, term: str):
         if not len(tbl):
             continue
         d, c, fl = _decode_row(tbl.to_pylist()[0])
+        if tombs:
+            src_seq = _base_seq(f) if "delta-" not in f.name else _delta_seq(f)
+            d, c, fl = _filter_tombstoned(d, c, fl, _dead_union(tombs, src_seq))
+        if not len(d):
+            continue
         docs_l.append(d)
         cnts_l.append(c)
         flat_l.append(fl)
@@ -177,11 +226,12 @@ def phrase_search(
         norm = norm.combine_chunks()
     phrase_terms = [[t for t in row if t] for row in norm.to_pylist()]
 
+    tombs = _tombstones(out)
     cache: dict[str, tuple | None] = {}
 
     def load(t: str):
         if t not in cache:
-            cache[t] = _load_term(out, nb, t)
+            cache[t] = _load_term(out, nb, t, tombs)
         return cache[t]
 
     out_doc, out_pid, out_cnt = [], [], []
@@ -254,8 +304,9 @@ def proximity_search(
     if len(normed[0]) != 1 or len(normed[1]) != 1:
         return empty
     term_a, term_b = normed[0][0], normed[1][0]
-    pa_post = _load_term(out, nb, term_a)
-    pb_post = _load_term(out, nb, term_b)
+    tombs = _tombstones(out)
+    pa_post = _load_term(out, nb, term_a, tombs)
+    pb_post = _load_term(out, nb, term_b, tombs)
     if pa_post is None or pb_post is None or window < 1:
         return empty
     docs_a, cnts_a, flat_a = pa_post
@@ -312,7 +363,8 @@ def near_search(
     )
     if not flat_terms or window < 0:
         return empty
-    posts = [_load_term(out, nb, t) for t in flat_terms]
+    tombs = _tombstones(out)
+    posts = [_load_term(out, nb, t, tombs) for t in flat_terms]
     if any(p is None for p in posts):
         return empty
     common = posts[0][0]
@@ -439,11 +491,7 @@ def append_documents(
         marker = out / f"append.{hash_token(input_token)}.json"
         if marker.exists():
             return json.loads(marker.read_text())
-    seqs = [
-        int(f.name.rsplit("delta-", 1)[1].split(".")[0])
-        for f in out.glob("bucket=*.delta-*.parquet")
-    ]
-    seq = (max(seqs) + 1) if seqs else 0
+    seq = _next_seq(out)
 
     parts = _explode_positions(documents, nb)
 
@@ -471,6 +519,43 @@ def hash_token(token: str) -> str:
     return _hl.md5(token.encode("utf-8")).hexdigest()[:10]
 
 
+def _next_seq(out: Path) -> int:
+    """Next LSM seq — shared between delta segments and tombstones so a
+    tombstone's position in the append/delete order is total."""
+    seqs = [_delta_seq(f) for f in out.glob("bucket=*.delta-*.parquet")] + [
+        s for s, _ in _tombstones(out)
+    ]
+    return (max(seqs) + 1) if seqs else 0
+
+
+def delete_documents(
+    index_dir: str, doc_ids, input_token: str | None = None
+) -> dict:
+    """LSM delete: write one tombstone segment (atomic tmp+rename) that
+    kills the given doc ids in every segment written BEFORE it — a later
+    ``append_documents`` may re-add an id and it stays live (the main
+    engine's kill-map semantics, ``state/updater.py``). Queries filter
+    at read time; ``compact_positional_index`` folds tombstones into the
+    base files and removes them. Same-token re-deletes are skipped."""
+    out = Path(index_dir)
+    if input_token is not None:
+        marker = out / f"delete.{hash_token(input_token)}.json"
+        if marker.exists():
+            return json.loads(marker.read_text())
+    ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+    seq = _next_seq(out)
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64())})
+    tmp = out / f"tombstone-{seq:04d}.parquet.tmp"
+    pq.write_table(tbl, tmp, compression="zstd")
+    tmp.rename(out / f"tombstone-{seq:04d}.parquet")
+    res = {"seq": seq, "n_tombstoned": int(len(ids))}
+    if input_token is not None:
+        mt = out / f"delete.{hash_token(input_token)}.json.tmp"
+        mt.write_text(json.dumps(res))
+        mt.rename(out / f"delete.{hash_token(input_token)}.json")
+    return res
+
+
 def compact_positional_index(index_dir: str) -> dict:
     """Fold every delta segment into its base bucket file (one Ray task
     per touched bucket — buckets are independent vocabulary shards), then
@@ -480,9 +565,24 @@ def compact_positional_index(index_dir: str) -> dict:
     import ray
 
     out = Path(index_dir)
-    touched = sorted({f.name.split(".")[0] for f in out.glob("bucket=*.delta-*.parquet")})
+    tombs = _tombstones(out)
+    touched = {f.name.split(".")[0] for f in out.glob("bucket=*.delta-*.parquet")}
+    if tombs:
+        # a tombstone can kill docs in ANY bucket — fold into every base
+        touched |= {
+            f.name.split(".")[0]
+            for f in out.glob("bucket=*.parquet")
+            if "delta-" not in f.name
+        }
+    touched = sorted(touched)
     if not touched:
         return {"n_buckets_compacted": 0}
+    # every compacted base becomes current through the global max seq:
+    # all surviving deltas are folded and all tombstones applied
+    all_seqs = [_delta_seq(f) for f in out.glob("bucket=*.delta-*.parquet")] + [
+        s for s, _ in tombs
+    ]
+    fold_seq = max(all_seqs) if all_seqs else None
 
     @ray.remote
     def compact_bucket(bucket_prefix: str) -> int:
@@ -490,23 +590,28 @@ def compact_positional_index(index_dir: str) -> dict:
         deltas = sorted(out.glob(f"{bucket_prefix}.delta-*.parquet"))
         tables = []
         if base.exists():
-            tables.append(pq.read_table(base))
-        tables += [pq.read_table(f) for f in deltas]
-        merged: dict[str, list[dict]] = {}
+            tables.append((pq.read_table(base), _base_seq(base)))
+        tables += [(pq.read_table(f), _delta_seq(f)) for f in deltas]
+        merged: dict[str, list[tuple[dict, int]]] = {}
         b = None
-        for t in tables:
+        for t, src_seq in tables:
             for row in t.to_pylist():
                 b = row["bucket"]
-                merged.setdefault(row["term"], []).append(row)
+                merged.setdefault(row["term"], []).append((row, src_seq))
         rows: dict[str, list] = {n: [] for n in POS_SCHEMA.names}
         for term in sorted(merged):
             parts_rows = merged[term]
             docs_l, cnts_l, flat_l = [], [], []
-            for r in parts_rows:
+            for r, src_seq in parts_rows:
                 d, c, f = _decode_row(r)
+                d, c, f = _filter_tombstoned(d, c, f, _dead_union(tombs, src_seq))
+                if not len(d):
+                    continue
                 docs_l.append(d)
                 cnts_l.append(c)
                 flat_l.append(f)
+            if not docs_l:
+                continue
             docs = np.concatenate(docs_l)
             cnts = np.concatenate(cnts_l)
             order = np.argsort(docs, kind="stable")
@@ -546,7 +651,14 @@ def compact_positional_index(index_dir: str) -> dict:
             rows["doc_bytes"].append(varbyte_encode(gaps))
             rows["cnt_bytes"].append(varbyte_encode(cnts.astype(np.uint64)))
             rows["pos_bytes"].append(varbyte_encode(deltas_p.astype(np.uint64)))
-        tbl = pa.table({n: pa.array(rows[n], POS_SCHEMA.field(n).type) for n in POS_SCHEMA.names})
+        tbl = pa.table(
+            {n: pa.array(rows[n], POS_SCHEMA.field(n).type) for n in POS_SCHEMA.names}
+        )
+        if fold_seq is not None:
+            # record the fold point INSIDE the base file (atomic with the
+            # data): a crash between bucket renames and tombstone unlink
+            # must not re-kill docs re-added after the tombstone
+            tbl = tbl.replace_schema_metadata({b"base_seq": str(fold_seq).encode()})
         tmp = out / f"{bucket_prefix}.parquet.tmp"
         pq.write_table(tbl, tmp, compression="zstd")
         tmp.rename(out / f"{bucket_prefix}.parquet")
@@ -555,6 +667,11 @@ def compact_positional_index(index_dir: str) -> dict:
         return len(tbl)
 
     counts = ray.get([compact_bucket.remote(p) for p in touched])
+    # tombstones are folded into every base — safe to drop only AFTER
+    # all bucket renames land (a crash above re-applies survivors
+    # idempotently; base_seq keeps re-added docs alive)
+    for f in out.glob("tombstone-*.parquet"):
+        f.unlink()
     return {"n_buckets_compacted": len(touched), "n_terms": int(sum(counts))}
 
 

@@ -136,6 +136,8 @@ def test_oracle_keys_subset(entry_mod):
     "phrase_index_ingest",
     # round 3: 128-bit index LSM ingest
     "search_128bit_ingest",
+    # round 3: positional-index LSM delete (tombstones)
+    "phrase_index_delete",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))

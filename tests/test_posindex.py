@@ -316,3 +316,127 @@ def test_proximity_normalizes_terms(posidx):
     b = proximity_search(str(d), "Merge", "BATCH", 3).to_pandas()
     assert a.equals(b) and len(a) > 0
     assert len(proximity_search(str(d), "merge batch", "fast", 3)) == 0
+
+
+def test_delete_tombstones(ray_session, tmp_path):
+    """LSM delete: tombstoning the odd doc_ids makes every query equal a
+    fresh build over the even half; compaction folds the tombstones
+    (files gone, base_seq recorded) with identical results; same-token
+    re-delete is a marker no-op."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.posindex import (
+        _base_seq,
+        build_positional_index,
+        compact_positional_index,
+        delete_documents,
+        near_search,
+        phrase_search,
+        proximity_search,
+    )
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def parity(p):
+        return docs.map_batches(
+            lambda t, p=p: t.filter(pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), p)),
+            batch_format="pyarrow",
+        )
+
+    even_dir = tmp_path / "even"
+    del_dir = tmp_path / "deleted"
+    build_positional_index(parity(0), str(even_dir), n_buckets=4, input_token="even")
+    build_positional_index(docs, str(del_dir), n_buckets=4, input_token="full")
+    odd_ids = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id"]
+    ).column("doc_id").to_numpy()
+    odd_ids = odd_ids[odd_ids % 2 == 1]
+    r = delete_documents(str(del_dir), odd_ids, input_token="del-odd")
+    assert r["n_tombstoned"] == len(odd_ids)
+    assert list(del_dir.glob("tombstone-*.parquet"))
+
+    phrases = ["table scan", "hash join", "batch batch batch"]
+
+    def snap(d):
+        return (
+            phrase_search(str(d), phrases).to_pandas().sort_values(
+                ["phrase_id", "doc_id"]).reset_index(drop=True),
+            proximity_search(str(d), "merge", "batch", 3).to_pandas().sort_values(
+                "doc_id").reset_index(drop=True),
+            near_search(str(d), ["merge", "batch"], 4).to_pandas().sort_values(
+                "doc_id").reset_index(drop=True),
+        )
+
+    want = snap(even_dir)
+    got = snap(del_dir)
+    for a, b in zip(want, got):
+        assert a.equals(b)
+    # re-delete with the same token is a marker no-op
+    n_tomb = len(list(del_dir.glob("tombstone-*.parquet")))
+    assert delete_documents(str(del_dir), odd_ids, input_token="del-odd") == r
+    assert len(list(del_dir.glob("tombstone-*.parquet"))) == n_tomb
+    # compaction folds tombstones: files gone, results identical
+    c = compact_positional_index(str(del_dir))
+    assert c["n_buckets_compacted"] > 0
+    assert not list(del_dir.glob("tombstone-*.parquet"))
+    for a, b in zip(want, snap(del_dir)):
+        assert a.equals(b)
+    for f in del_dir.glob("bucket=*.parquet"):
+        assert _base_seq(f) >= 0
+
+
+def test_delete_then_readd(ray_session, tmp_path):
+    """A doc re-added AFTER its tombstone stays live (seq ordering), at
+    read time and across a compaction crash window where the tombstone
+    file survives the base rename."""
+    import shutil
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.posindex import (
+        append_documents,
+        build_positional_index,
+        compact_positional_index,
+        delete_documents,
+        phrase_search,
+    )
+
+    base_rows = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                ["alpha beta gamma", "alpha beta beta", "gamma alpha beta"],
+                pa.string(),
+            ),
+        }
+    )
+    readd = pa.table(
+        {
+            "doc_id": pa.array([2], pa.int64()),
+            "text": pa.array(["alpha beta delta"], pa.string()),
+        }
+    )
+    d = tmp_path / "idx"
+    build_positional_index(rd.from_arrow(base_rows), str(d), n_buckets=2, input_token="b")
+    delete_documents(str(d), [2, 3], input_token="d1")
+    append_documents(str(d), rd.from_arrow(readd), input_token="a1")
+
+    def live_docs():
+        t = phrase_search(str(d), ["alpha beta"]).to_pandas()
+        return sorted(t["doc_id"].tolist())
+
+    # doc 3 dead, doc 2 re-added after the tombstone → live
+    assert live_docs() == [1, 2]
+    # simulate the compaction crash window: tombstone survives the renames
+    tomb = next(d.glob("tombstone-*.parquet"))
+    saved = tomb.read_bytes()
+    compact_positional_index(str(d))
+    assert live_docs() == [1, 2]
+    (d / tomb.name).write_bytes(saved)  # crash: unlink never happened
+    assert live_docs() == [1, 2]  # base_seq guards the re-added doc
+    compact_positional_index(str(d))  # re-run converges
+    assert not list(d.glob("tombstone-*.parquet"))
+    assert live_docs() == [1, 2]
