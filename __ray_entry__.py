@@ -58,6 +58,8 @@ PHRASES = ["table scan", "hash join", "batch batch batch",
            "group sort merge", "quantum flux capacitor"]
 
 MLT_K, MLT_SEEDS = 10, (0, 1, 7)  # more-like-this top-k and seed docs
+# phrase-boosted ranking: tf·idf + BOOST per ordered-adjacent pair hit
+PBOOST_QUERY, PBOOST_K, PBOOST = "table scan merge", 20, 0.5
 PROX_A, PROX_B, PROX_WINDOW = "merge", "batch", 3  # proximity probe
 NEAR_TERMS, NEAR_WINDOW = ("merge", "batch", "fast"), 5  # NEAR probe
 DUP_SPAN_K = 5  # duplicated-span window size (tokens)
@@ -387,6 +389,22 @@ def q_phrase_index_delete(sf_dir: str):
     ).to_numpy()
     delete_documents(d, ids[ids % 2 == 1], input_token=f"{sf_dir}-del-odd")
     return phrase_search(d, PHRASES)
+
+
+def q_search_phrase_boost(sf_dir: str):
+    """Phrase-boosted top-k from the positional index: disjunctive
+    tf·idf + PBOOST per ordered-adjacent occurrence of each consecutive
+    query-term pair — ranking on (rounded score desc, doc_id)."""
+    from search_engine_skillbox_ray.pipelines.posindex import (
+        build_positional_index,
+        phrase_boost_topk,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/ses_posidx_{tag}"
+    build_positional_index(_documents(sf_dir), d, n_buckets=8, input_token=sf_dir)
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    return phrase_boost_topk(d, PBOOST_QUERY, n_docs, k=PBOOST_K, boost=PBOOST)
 
 
 def q_near_search(sf_dir: str):
@@ -1044,6 +1062,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_index": q_phrase_index,
         "phrase_index_ingest": q_phrase_index_ingest,
         "phrase_index_delete": q_phrase_index_delete,
+        "search_phrase_boost": q_search_phrase_boost,
         "proximity": q_proximity,
         "near_search": q_near_search,
         "token_count_bpe": q_token_count_bpe,
@@ -1815,6 +1834,34 @@ LEFT JOIN tot ON tot.doc_id = d.doc_id
         # same whole-table answer
         "phrase_index": _phrase_oracle(),
         "phrase_index_ingest": _phrase_oracle(),
+        # phrase-boosted ranking: tf·idf (idf over total corpus count)
+        # plus PBOOST per ordered-adjacent pair occurrence; ranked on the
+        # ROUNDED score so ordering is float-noise-proof on both sides
+        "search_phrase_boost": f"""
+WITH tl AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+            '[^\\p{{L}}]+'), x -> x <> '') AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM tl),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+q(term) AS (VALUES ('table'), ('scan'), ('merge')),
+df AS (SELECT q.term, count(DISTINCT tf.doc_id)::BIGINT AS df
+       FROM q LEFT JOIN tf ON tf.term = q.term GROUP BY q.term),
+base AS (SELECT tf.doc_id, SUM(tf.tf * ln((nn.n + 1.0) / (df.df + 1.0))) AS s
+         FROM tf JOIN df ON tf.term = df.term CROSS JOIN nn GROUP BY tf.doc_id),
+adj AS (
+  SELECT a.doc_id, count(*)::BIGINT AS c
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'table' AND b.term = 'scan' GROUP BY a.doc_id
+  UNION ALL
+  SELECT a.doc_id, count(*)::BIGINT AS c
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'scan' AND b.term = 'merge' GROUP BY a.doc_id),
+adjsum AS (SELECT doc_id, SUM(c)::BIGINT AS c FROM adj GROUP BY doc_id),
+scores AS (SELECT b.doc_id, b.s + {PBOOST} * COALESCE(a.c, 0) AS score
+           FROM base b LEFT JOIN adjsum a ON a.doc_id = b.doc_id)
+SELECT doc_id, ROUND(score, 6) AS score FROM scores
+QUALIFY row_number() OVER (ORDER BY ROUND(score, 6) DESC, doc_id) <= {PBOOST_K}
+""",
         # the LSM delete variant (whole-table build + odd-id tombstones)
         # must converge to the even-half answer
         "phrase_index_delete": _phrase_oracle(corpus_where="WHERE doc_id % 2 = 0"),

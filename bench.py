@@ -257,6 +257,7 @@ def bench_sf_queries() -> dict:
         "near_search",
         "phrase_index_ingest",
         "phrase_index_delete",
+        "search_phrase_boost",
         "dup_spans",
         "token_count_bpe",
         "sample_hash",

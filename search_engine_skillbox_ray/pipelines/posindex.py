@@ -400,6 +400,104 @@ def near_search(
     )
 
 
+def phrase_boost_topk(
+    index_dir: str,
+    query: str,
+    n_docs: int,
+    k: int = 10,
+    boost: float = 0.5,
+) -> pa.Table:
+    """→ (doc_id, score) top-k: tf·idf disjunctive ranking with a PHRASE
+    PROXIMITY BOOST — every ordered-adjacent occurrence of a consecutive
+    query-term pair adds ``boost`` to the doc's score. The ranking shape
+    modern engines use to promote docs matching the query AS A PHRASE
+    over bag-of-words matches, served entirely from the positional
+    index (tf/df from posting rows, adjacency from position streams —
+    no corpus scan).
+
+    idf = ln((n_docs + 1) / (df + 1)) with ``n_docs`` supplied by the
+    caller's catalog (a Parquet row-count metadata lookup at any scale —
+    the index itself stays append-only). Ties rank on the ROUNDED score
+    then doc_id, so the ordering is float-noise-proof and the SQL mirror
+    is exact. Reference relevance semantics: SearchServiceImpl.java's
+    tf·idf sum; the boost is this rebuild's positional extension."""
+    from ..stages.tokenizer import token_lists
+
+    out = Path(index_dir)
+    m = json.loads((out / "manifest.json").read_text())
+    nb = int(m["n_buckets"])
+    tombs = _tombstones(out)
+    norm = token_lists(pa.array([query], pa.string()))
+    if isinstance(norm, pa.ChunkedArray):
+        norm = norm.combine_chunks()
+    toks = [t for t in norm.to_pylist()[0] if t]
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+    )
+    if not toks:
+        return empty
+    distinct = list(dict.fromkeys(toks))
+    posts = {t: _load_term(out, nb, t, tombs) for t in distinct}
+    # disjunctive tf·idf over the distinct query terms
+    doc_parts, w_parts = [], []
+    for t in distinct:
+        p = posts[t]
+        if p is None:
+            continue
+        docs, cnts, _ = p
+        idf = float(np.log((n_docs + 1.0) / (len(docs) + 1.0)))
+        doc_parts.append(docs)
+        w_parts.append(cnts.astype(np.float64) * idf)
+    if not doc_parts:
+        return empty
+    all_docs = np.concatenate(doc_parts)
+    all_w = np.concatenate(w_parts)
+    # adjacency boost per consecutive pair of the ORIGINAL token order
+    for ta, tb in zip(toks, toks[1:]):
+        pa_post, pb_post = posts[ta], posts[tb]
+        if pa_post is None or pb_post is None:
+            continue
+        docs_a, cnts_a, flat_a = pa_post
+        docs_b, cnts_b, flat_b = pb_post
+        common = np.intersect1d(docs_a, docs_b, assume_unique=True)
+        if not common.size:
+            continue
+        offs_a = np.cumsum(cnts_a) - cnts_a
+        offs_b = np.cumsum(cnts_b) - cnts_b
+        hit_docs, hit_cnt = [], []
+        for d in common.tolist():
+            ja = int(np.searchsorted(docs_a, d))
+            jb = int(np.searchsorted(docs_b, d))
+            positions_a = flat_a[offs_a[ja] : offs_a[ja] + int(cnts_a[ja])]
+            positions_b = flat_b[offs_b[jb] : offs_b[jb] + int(cnts_b[jb])]
+            idx = np.searchsorted(positions_b, positions_a + 1)
+            n = int(
+                (
+                    (idx < positions_b.size)
+                    & (positions_b[np.minimum(idx, positions_b.size - 1)] == positions_a + 1)
+                ).sum()
+            )
+            if n:
+                hit_docs.append(d)
+                hit_cnt.append(n)
+        if hit_docs:
+            all_docs = np.concatenate([all_docs, np.asarray(hit_docs, np.int64)])
+            all_w = np.concatenate(
+                [all_w, np.asarray(hit_cnt, np.float64) * float(boost)]
+            )
+    uniq, inv = np.unique(all_docs, return_inverse=True)
+    scores = np.zeros(len(uniq), np.float64)
+    np.add.at(scores, inv, all_w)
+    rounded = np.round(scores, 6)
+    order = np.lexsort((uniq, -rounded))[: max(int(k), 0)]
+    return pa.table(
+        {
+            "doc_id": pa.array(uniq[order], pa.int64()),
+            "score": pa.array(rounded[order], pa.float64()),
+        }
+    )
+
+
 def _explode_positions(documents: rd.Dataset, n_buckets: int) -> rd.Dataset:
     """Shared tokenize-with-positions stage of build and append."""
 

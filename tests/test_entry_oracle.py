@@ -138,6 +138,8 @@ def test_oracle_keys_subset(entry_mod):
     "search_128bit_ingest",
     # round 3: positional-index LSM delete (tombstones)
     "phrase_index_delete",
+    # round 3: phrase-boosted ranking from the positional index
+    "search_phrase_boost",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
