@@ -63,6 +63,15 @@ PBOOST_QUERY, PBOOST_K, PBOOST = "table scan merge", 20, 0.5
 PROX_A, PROX_B, PROX_WINDOW = "merge", "batch", 3  # proximity probe
 NEAR_TERMS, NEAR_WINDOW = ("merge", "batch", "fast"), 5  # NEAR probe
 DUP_SPAN_K = 5  # duplicated-span window size (tokens)
+# decontamination probe "benchmark": window-level n-gram collision vs
+# an external eval suite; one probe hits the small sf corpus, one the
+# larger, one is absent everywhere
+DECON_K = 5
+DECON_PROBES = [
+    "small big order scan fast sort a value stream",
+    "merge group part scan row value column batch",
+    "quantum flux capacitor inverts the polarity field",
+]
 SAMPLE_RATE_PCT = 10
 SAMPLE_SALT = "ses-sample"
 STRAT_K, STRAT_SALT = 3, "ses-strat"
@@ -434,6 +443,15 @@ def q_dup_spans(sf_dir: str):
     from search_engine_skillbox_ray.pipelines.dedup import dup_span_stats
 
     return dup_span_stats(_documents(sf_dir), k=DUP_SPAN_K)
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: per doc, the fraction of k-token
+    windows colliding with the broadcast probe-set windows — shuffle-free
+    (one map_batches pass, probe hashes via ray.put)."""
+    from search_engine_skillbox_ray.pipelines.dedup import decontaminate_stats
+
+    return decontaminate_stats(_documents(sf_dir), DECON_PROBES, k=DECON_K)
 
 
 def q_sample_hash(sf_dir: str):
@@ -1063,6 +1081,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_index_ingest": q_phrase_index_ingest,
         "phrase_index_delete": q_phrase_index_delete,
         "search_phrase_boost": q_search_phrase_boost,
+        "decontaminate": q_decontaminate,
         "proximity": q_proximity,
         "near_search": q_near_search,
         "token_count_bpe": q_token_count_bpe,
@@ -1204,6 +1223,7 @@ LEFT JOIN dupc dc ON d.doc_id = dc.doc_id
 # oracles: signature values, candidate sets and verified pairs must
 # hash-match bit-for-bit.
 _M64 = 1 << 64
+_M61 = (1 << 61) - 1  # == functions.hashing.MERSENNE61 (asserted in tests)
 
 
 def _hash_consts():
@@ -1892,6 +1912,35 @@ GROUP BY a.doc_id
 """,
         "token_count_bpe": _bpe_count_sql(),
         "dup_spans": _dup_spans_oracle(),
+        # decontamination mirror: SAME window hash as dup_spans; probe
+        # windows derived from the constant VALUES list, DISTINCT'd as
+        # the operator's np.unique does
+        "decontaminate": f"""
+WITH tl AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+            '[^\\p{{L}}]+'), x -> x <> '') AS toks FROM documents),
+w AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= {DECON_K} THEN
+        list_transform(range(1, len(toks) - {DECON_K} + 2), i ->
+          md5_number_lower(array_to_string(toks[i:i+{DECON_K - 1}], ' ')) % {_M61})
+      ELSE CAST([] AS UBIGINT[]) END) AS wh FROM tl),
+pt AS (SELECT list_filter(regexp_split_to_array(lower(txt), '[^\\p{{L}}]+'),
+        x -> x <> '') AS toks FROM (VALUES ('small big order scan fast sort a value stream'), ('merge group part scan row value column batch'), ('quantum flux capacitor inverts the polarity field')) p(txt)),
+pw AS (SELECT DISTINCT unnest(CASE WHEN len(toks) >= {DECON_K} THEN
+        list_transform(range(1, len(toks) - {DECON_K} + 2), i ->
+          md5_number_lower(array_to_string(toks[i:i+{DECON_K - 1}], ' ')) % {_M61})
+      ELSE CAST([] AS UBIGINT[]) END) AS wh FROM pt),
+tot AS (SELECT doc_id, count(*)::BIGINT AS n_windows FROM w GROUP BY doc_id),
+hit AS (SELECT w.doc_id, count(*)::BIGINT AS n_hit_windows
+        FROM w JOIN pw USING (wh) GROUP BY w.doc_id)
+SELECT d.doc_id,
+       COALESCE(t.n_windows, 0)::BIGINT AS n_windows,
+       COALESCE(h.n_hit_windows, 0)::BIGINT AS n_hit_windows,
+       CASE WHEN COALESCE(t.n_windows, 0) = 0 THEN 0.0
+            ELSE COALESCE(h.n_hit_windows, 0)::DOUBLE / t.n_windows
+       END AS hit_fraction
+FROM documents d
+LEFT JOIN tot t ON d.doc_id = t.doc_id
+LEFT JOIN hit h ON h.doc_id = d.doc_id
+""",
         "sample_hash": f"""
 SELECT doc_id, source FROM documents
 WHERE md5_number_lower(doc_id::VARCHAR || ':{SAMPLE_SALT}') % 100 < {SAMPLE_RATE_PCT}

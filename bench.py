@@ -258,6 +258,7 @@ def bench_sf_queries() -> dict:
         "phrase_index_ingest",
         "phrase_index_delete",
         "search_phrase_boost",
+        "decontaminate",
         "dup_spans",
         "token_count_bpe",
         "sample_hash",

@@ -1211,6 +1211,78 @@ def dup_span_stats(
     )
 
 
+def decontaminate_stats(
+    documents: rd.Dataset,
+    probe_texts: list[str],
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """→ (doc_id, n_windows, n_hit_windows, hit_fraction) — per document,
+    how many of its k-token windows also occur in an EXTERNAL probe set
+    (benchmark/eval suite): the training-data decontamination operator
+    (the n-gram collision rule of GPT-3 appendix C / Brown et al. 2020,
+    at window granularity). A doc with hit_fraction > 0 leaks eval data.
+
+    Scale shape: SHUFFLE-FREE. The probe set is the small side — an eval
+    suite is ~1e5 windows even for a big benchmark — hashed once on the
+    driver with the SAME md5%Mersenne61 window hash as ``dup_span_stats``
+    and broadcast via ``ray.put``; every batch computes its own per-doc
+    totals (a doc lives in exactly one batch), so the corpus streams
+    through one ``map_batches`` and nothing is exchanged. Membership is
+    a vectorized searchsorted against the sorted probe-hash array."""
+    import ray
+
+    probe_tbl = pa.table(
+        {
+            id_col: pa.array(np.arange(len(probe_texts), dtype=np.int64)),
+            text_col: pa.array(list(probe_texts), pa.string()),
+        }
+    )
+    probe_hashes = np.unique(
+        _window_hash_stage(probe_tbl, k, text_col=text_col, id_col=id_col)
+        .column("win_hash")
+        .to_numpy()
+    )
+    probe_ref = ray.put(probe_hashes)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        probe = _ray.get(probe_ref)
+        doc_ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        wins = _window_hash_stage(batch, k, text_col=text_col, id_col=id_col)
+        n = len(doc_ids)
+        tot = np.zeros(n, np.int64)
+        hit = np.zeros(n, np.int64)
+        if len(wins):
+            wdoc = wins.column("doc_id").to_numpy()
+            whash = wins.column("win_hash").to_numpy()
+            wcnt = wins.column("cnt").to_numpy()
+            # map window rows back to batch positions (doc ids unique/batch)
+            order = np.argsort(doc_ids, kind="stable")
+            pos = order[np.searchsorted(doc_ids[order], wdoc)]
+            np.add.at(tot, pos, wcnt)
+            if len(probe):
+                idx = np.searchsorted(probe, whash)
+                idx_c = np.minimum(idx, len(probe) - 1)
+                member = probe[idx_c] == whash
+                np.add.at(hit, pos[member], wcnt[member])
+        frac = np.where(tot > 0, hit / np.maximum(tot, 1).astype(np.float64), 0.0)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "n_windows": pa.array(tot, pa.int64()),
+                "n_hit_windows": pa.array(hit, pa.int64()),
+                "hit_fraction": pa.array(frac, pa.float64()),
+            }
+        )
+
+    return documents.select_columns([id_col, text_col]).map_batches(
+        stage, batch_format="pyarrow"
+    )
+
+
 def new_docs_vs_snapshot(
     current: rd.Dataset,
     snapshot: rd.Dataset,

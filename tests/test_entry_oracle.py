@@ -140,6 +140,8 @@ def test_oracle_keys_subset(entry_mod):
     "phrase_index_delete",
     # round 3: phrase-boosted ranking from the positional index
     "search_phrase_boost",
+    # round 3: benchmark decontamination (broadcast probe windows)
+    "decontaminate",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
