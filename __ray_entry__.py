@@ -67,6 +67,7 @@ DUP_SPAN_K = 5  # duplicated-span window size (tokens)
 # an external eval suite; one probe hits the small sf corpus, one the
 # larger, one is absent everywhere
 DECON_K = 5
+PACK_SEQ_LEN = 64  # sequence-packing cut length (tokens)
 DECON_PROBES = [
     "small big order scan fast sort a value stream",
     "merge group part scan row value column batch",
@@ -443,6 +444,24 @@ def q_dup_spans(sf_dir: str):
     from search_engine_skillbox_ray.pipelines.dedup import dup_span_stats
 
     return dup_span_stats(_documents(sf_dir), k=DUP_SPAN_K)
+
+
+def q_pack_sequences(sf_dir: str):
+    """Deterministic sequence packing: global doc_id-ordered token
+    stream cut into PACK_SEQ_LEN sequences — two-level distributed
+    prefix scan (per-bucket totals to the driver, offsets shipped back
+    in the reduce closure)."""
+    from search_engine_skillbox_ray.pipelines.textstats import pack_sequences_ds
+
+    return pack_sequences_ds(_documents(sf_dir), seq_len=PACK_SEQ_LEN)
+
+
+def q_lm_doc_score(sf_dir: str):
+    """Unigram-LM surprisal quality score: per-doc mean ln(cf/total)
+    over the corpus's own unigram distribution (broadcast once)."""
+    from search_engine_skillbox_ray.pipelines.textstats import lm_doc_score_ds
+
+    return lm_doc_score_ds(_documents(sf_dir))
 
 
 def q_decontaminate(sf_dir: str):
@@ -1082,6 +1101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_index_delete": q_phrase_index_delete,
         "search_phrase_boost": q_search_phrase_boost,
         "decontaminate": q_decontaminate,
+        "pack_sequences": q_pack_sequences,
+        "lm_doc_score": q_lm_doc_score,
         "proximity": q_proximity,
         "near_search": q_near_search,
         "token_count_bpe": q_token_count_bpe,
@@ -1912,6 +1933,34 @@ GROUP BY a.doc_id
 """,
         "token_count_bpe": _bpe_count_sql(),
         "dup_spans": _dup_spans_oracle(),
+        # sequence packing: window cumsum mirrors the two-level prefix
+        # scan; integer // on both sides, empty docs sit at the boundary
+        "pack_sequences": f"""
+WITH tl AS (SELECT doc_id, len(list_filter(regexp_split_to_array(lower(text),
+            '[^\\p{{L}}]+'), x -> x <> ''))::BIGINT AS n_tokens FROM documents),
+p AS (SELECT doc_id, n_tokens,
+        COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_start
+      FROM tl)
+SELECT doc_id, n_tokens, tok_start,
+       (tok_start // {PACK_SEQ_LEN})::BIGINT AS seq_start,
+       ((tok_start + greatest(n_tokens, 1) - 1) // {PACK_SEQ_LEN})::BIGINT AS seq_end
+FROM p
+""",
+        # unigram-LM surprisal: SUM(tf * ln(cf/total)) per doc — the
+        # identical float expression the operator computes; mean rounded
+        "lm_doc_score": f"""
+WITH tok AS ({_TOK}),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+cf AS (SELECT term, count(*)::BIGINT AS cf FROM tok GROUP BY term),
+tot AS (SELECT count(*)::BIGINT AS t FROM tok),
+s AS (SELECT tf.doc_id, SUM(tf.tf * ln(cf.cf::DOUBLE / tot.t)) AS s,
+             SUM(tf.tf)::BIGINT AS n
+      FROM tf JOIN cf USING (term) CROSS JOIN tot GROUP BY tf.doc_id)
+SELECT d.doc_id, COALESCE(s.n, 0)::BIGINT AS n_tokens,
+       ROUND(COALESCE(s.s / s.n, 0.0), 6) AS avg_logprob
+FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+""",
         # decontamination mirror: SAME window hash as dup_spans; probe
         # windows derived from the constant VALUES list, DISTINCT'd as
         # the operator's np.unique does

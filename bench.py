@@ -259,6 +259,8 @@ def bench_sf_queries() -> dict:
         "phrase_index_delete",
         "search_phrase_boost",
         "decontaminate",
+        "pack_sequences",
+        "lm_doc_score",
         "dup_spans",
         "token_count_bpe",
         "sample_hash",

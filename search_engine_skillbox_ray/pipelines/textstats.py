@@ -1013,3 +1013,160 @@ def source_divergence_ds(documents: rd.Dataset, n_buckets: int = 32) -> rd.Datas
         return res
 
     return bucketed_group_apply(parts, ["source"], bucket_fn, n_buckets=n_buckets)
+
+
+def pack_sequences_ds(
+    documents: rd.Dataset,
+    seq_len: int = 64,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """→ (doc_id, n_tokens, tok_start, seq_start, seq_end) — deterministic
+    SEQUENCE PACKING for LLM training: documents are concatenated in
+    doc_id order into one global token stream and cut into fixed
+    ``seq_len`` sequences; each doc reports its global token offset and
+    the [seq_start, seq_end] training-sequence span it lands in (an
+    empty doc sits at the boundary: seq_end == seq_start). With this
+    table a trainer shards sequences across workers without ever
+    re-tokenizing or communicating — packing becomes a metadata join.
+
+    Scale shape: a textbook TWO-LEVEL DISTRIBUTED PREFIX SCAN. Pass 1
+    reduces the corpus to slim (doc_id, n_tokens) rows inside the scan;
+    docs range-bucket on doc_id (contiguous key ranges, so prefix order
+    is bucket order); per-bucket token totals — n_buckets tiny rows —
+    come to the driver, which forms exclusive bucket offsets shipped
+    back in the reduce closure; each bucket then computes its local
+    doc-ordered cumsum + offset. Nothing corpus-sized ever leaves the
+    exchange; the driver holds n_buckets integers."""
+    from ..functions.hashing import flat_nonempty_tokens
+
+    def counts(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(ids):
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "n_tokens": pa.array([], pa.int64())}
+            )
+        _, _, cnt = flat_nonempty_tokens(batch.column(text_col))
+        return pa.table(
+            {id_col: pa.array(ids, pa.int64()), "n_tokens": pa.array(cnt, pa.int64())}
+        )
+
+    slim = documents.select_columns([id_col, text_col]).map_batches(
+        counts, batch_format="pyarrow"
+    ).materialize()  # slim (id, count) rows only — reused by both passes
+    max_doc = slim.max(id_col)
+    if max_doc is None:
+        return slim  # empty corpus: empty slim table is already correct
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (ids * n_buckets) // (int(max_doc) + 1)
+        return batch.append_column("__bucket", pa.array(b.astype(np.int32)))
+
+    tagged = slim.map_batches(tag, batch_format="pyarrow").materialize()
+    totals = (
+        tagged.groupby("__bucket").sum("n_tokens").to_pandas()
+    )  # n_buckets rows — the only driver-side state
+    totals = totals.sort_values("__bucket")
+    csum = totals["sum(n_tokens)"].cumsum().to_numpy(np.int64)
+    offsets = dict(
+        zip(
+            totals["__bucket"].to_numpy(np.int64).tolist(),
+            (csum - totals["sum(n_tokens)"].to_numpy(np.int64)).tolist(),
+        )
+    )
+
+    def per_bucket(group: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        b = int(group["__bucket"].iloc[0])
+        g = group.sort_values(id_col, kind="mergesort")
+        n = g["n_tokens"].to_numpy(np.int64)
+        start = offsets[b] + np.cumsum(n) - n
+        last = start + np.maximum(n, 1) - 1
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(np.int64),
+                "n_tokens": n,
+                "tok_start": start,
+                "seq_start": start // seq_len,
+                "seq_end": last // seq_len,
+            }
+        )
+
+    return tagged.groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def lm_doc_score_ds(documents: rd.Dataset) -> rd.Dataset:
+    """→ (doc_id, n_tokens, avg_logprob) — unigram language-model
+    surprisal score per document (the CCNet / Wenzek et al. 2020 quality
+    signal, with the corpus itself as the LM): logprob(t) = ln(cf_t /
+    total_tokens), per-doc mean over tokens. Low (very negative) scores
+    flag rare-token noise; suspiciously high scores flag boilerplate.
+
+    Scale shape: the unigram distribution comes from ONE vocab-sized
+    (term, cf) exchange fed by per-batch Arrow combiners, then
+    broadcasts via ``ray.put`` (truncating to a top-V vocabulary with an
+    OOV floor is the trillion-token variant — the map must stay
+    node-resident); scoring is a shuffle-free second pass. The per-doc
+    sum is computed per (doc, term) as tf·ln(cf/total) — the exact
+    float expression the SQL mirror uses."""
+    import math
+
+    import ray
+
+    from ..functions.hashing import flat_nonempty_tokens
+
+    def cf_partials(batch: pa.Table) -> pa.Table:
+        toks, _, _ = flat_nonempty_tokens(batch.column("text"))
+        if not len(toks):
+            return pa.table(
+                {"term": pa.array([], pa.string()), "cf": pa.array([], pa.int64())}
+            )
+        g = pa.table({"term": toks}).group_by("term").aggregate([("term", "count")])
+        return pa.table({"term": g.column("term"), "cf": g.column("term_count")})
+
+    cft = (
+        documents.select_columns(["text"])
+        .map_batches(cf_partials, batch_format="pyarrow")
+        .groupby("term")
+        .sum("cf")
+        .to_pandas()
+    )  # vocabulary-sized
+    total = int(cft["sum(cf)"].sum()) if len(cft) else 0
+    lp = {t: math.log(int(c) / total) for t, c in zip(cft["term"], cft["sum(cf)"])}
+    lp_ref = ray.put(lp)
+
+    def score(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        lp_map = _ray.get(lp_ref)
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(doc_ids)
+        toks, parents, cnt = flat_nonempty_tokens(batch.column("text"))
+        s = np.zeros(n, np.float64)
+        if len(toks):
+            denc = toks.dictionary_encode()
+            codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            nv = len(denc.dictionary)
+            vocab = denc.dictionary.to_pylist()
+            lp_arr = np.array([lp_map[t] for t in vocab], np.float64)
+            # per-(doc, term) tf, then tf·lp — the SQL mirror's exact shape
+            key = parents * np.int64(nv) + codes
+            ukey, tf = np.unique(key, return_counts=True)
+            up = (ukey // nv).astype(np.int64)
+            uc = (ukey % nv).astype(np.int64)
+            np.add.at(s, up, tf.astype(np.float64) * lp_arr[uc])
+        avg = np.where(cnt > 0, s / np.maximum(cnt, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "n_tokens": pa.array(cnt.astype(np.int64), pa.int64()),
+                "avg_logprob": pa.array(np.round(avg, 6), pa.float64()),
+            }
+        )
+
+    return documents.select_columns(["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )

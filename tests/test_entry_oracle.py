@@ -142,6 +142,10 @@ def test_oracle_keys_subset(entry_mod):
     "search_phrase_boost",
     # round 3: benchmark decontamination (broadcast probe windows)
     "decontaminate",
+    # round 3: deterministic sequence packing (distributed prefix scan)
+    "pack_sequences",
+    # round 3: unigram-LM surprisal quality score
+    "lm_doc_score",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
