@@ -31,6 +31,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 SEARCH_QUERY = "merge batch fast"
+EXCLUDE_QUERY = "join"  # AND-NOT negation probe
 SEARCH_SITE_SOURCE = "src3"
 BM25_K1, BM25_B = 1.2, 0.75
 ANN_K, ANN_NQ = 10, 5
@@ -68,6 +69,7 @@ DUP_SPAN_K = 5  # duplicated-span window size (tokens)
 # larger, one is absent everywhere
 DECON_K = 5
 PACK_SEQ_LEN = 64  # sequence-packing cut length (tokens)
+CHUNK_LEN, CHUNK_STRIDE = 16, 8  # RAG chunking window/stride (tokens)
 DECON_PROBES = [
     "small big order scan fast sort a value stream",
     "merge group part scan row value column batch",
@@ -236,6 +238,14 @@ def q_search_disjunctive(sf_dir: str):
 def q_search_conjunctive(sf_dir: str):
     eng = _engine(sf_dir, mode="and", float32_scores=False)
     doc_ids, scores, _ = eng.search_scores(SEARCH_QUERY)
+    return pd.DataFrame({"doc_id": doc_ids.astype(np.int64), "score": np.round(scores, 6)})
+
+
+def q_search_not(sf_dir: str):
+    """Boolean AND-NOT: the disjunctive match set minus docs containing
+    the exclude lemma — one posting read per exclude term."""
+    eng = _engine(sf_dir, float32_scores=False)
+    doc_ids, scores = eng.search_excluding(SEARCH_QUERY, EXCLUDE_QUERY)
     return pd.DataFrame({"doc_id": doc_ids.astype(np.int64), "score": np.round(scores, 6)})
 
 
@@ -462,6 +472,14 @@ def q_lm_doc_score(sf_dir: str):
     from search_engine_skillbox_ray.pipelines.textstats import lm_doc_score_ds
 
     return lm_doc_score_ds(_documents(sf_dir))
+
+
+def q_doc_chunks(sf_dir: str):
+    """Overlapping token-window chunking (RAG/embedding prep) — pure
+    shuffle-free flat map with vectorized gather."""
+    from search_engine_skillbox_ray.pipelines.textstats import doc_chunks_ds
+
+    return doc_chunks_ds(_documents(sf_dir), chunk_len=CHUNK_LEN, stride=CHUNK_STRIDE)
 
 
 def q_decontaminate(sf_dir: str):
@@ -836,6 +854,33 @@ def q_search_128_ingest(sf_dir: str):
     return topk_128(d, SEARCH_QUERY, k=10, mode="or")
 
 
+def q_search_128_delete(sf_dir: str):
+    """LSM delete on the 128-bit index: build on the WHOLE table,
+    tombstone the ODD doc_ids (by their md5(url) 128-bit ids), serve
+    top-10 — idf/avgdl re-derive from the filtered docmap, so the
+    result must equal the even-half oracle exactly."""
+    import shutil
+
+    from search_engine_skillbox_ray.pipelines.index128 import (
+        build_index_128,
+        delete_documents_128,
+        topk_128,
+    )
+
+    docs = _documents(sf_dir)
+
+    def _parity(p: int):
+        return lambda t: t.filter(pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), p))
+
+    odd = docs.map_batches(_parity(1), batch_format="pyarrow")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/ses_idx128_del_{tag}"
+    shutil.rmtree(d, ignore_errors=True)  # delete mutates: fresh per run
+    build_index_128(docs, d, n_buckets=8, input_token=sf_dir)
+    delete_documents_128(d, odd, input_token=f"{sf_dir}-del-odd")
+    return topk_128(d, SEARCH_QUERY, k=10, mode="or")
+
+
 def q_search_128_bm25(sf_dir: str):
     """BM25(k1, b) top-10 served from the same persisted 128-bit index
     (doc lengths from the docmap; block bounds via the admissible
@@ -1100,9 +1145,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_index_ingest": q_phrase_index_ingest,
         "phrase_index_delete": q_phrase_index_delete,
         "search_phrase_boost": q_search_phrase_boost,
+        "search_not": q_search_not,
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
         "lm_doc_score": q_lm_doc_score,
+        "doc_chunks": q_doc_chunks,
         "proximity": q_proximity,
         "near_search": q_near_search,
         "token_count_bpe": q_token_count_bpe,
@@ -1136,6 +1183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "more_like_this": q_more_like_this,
         "link_graph": q_link_graph,
         "search_128bit": q_search_128,
+        "search_128bit_delete": q_search_128_delete,
         "search_128bit_bm25": q_search_128_bm25,
         "search_128bit_ingest": q_search_128_ingest,
         "anchor_terms": q_anchor_terms,
@@ -1569,6 +1617,12 @@ FROM tok CROSS JOIN n GROUP BY term, n.n
 """,
         "search_disjunctive": tfidf_scores
         + "SELECT doc_id, ROUND(score, 6) AS score FROM scores",
+        "search_not": tfidf_scores
+        + f"""
+SELECT s.doc_id, ROUND(s.score, 6) AS score FROM scores s
+WHERE NOT EXISTS (SELECT 1 FROM tf x
+                  WHERE x.doc_id = s.doc_id AND x.term = '{EXCLUDE_QUERY}')
+""",
         "search_pruned_topk": tfidf_scores
         + """SELECT doc_id, ROUND(score, 6) AS score FROM scores
 QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 10""",
@@ -1961,6 +2015,22 @@ SELECT d.doc_id, COALESCE(s.n, 0)::BIGINT AS n_tokens,
        ROUND(COALESCE(s.s / s.n, 0.0), 6) AS avg_logprob
 FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
 """,
+        # chunking mirror: DuckDB range() starts + 1-based INCLUSIVE list
+        # slices; ' '-join matches the operator's binary_join
+        "doc_chunks": f"""
+WITH tl AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+            '[^\\p{{L}}]+'), x -> x <> '') AS toks FROM documents),
+c AS (SELECT doc_id, toks, unnest(CASE WHEN len(toks) > 0 THEN
+        range(0, len(toks), {CHUNK_STRIDE}) ELSE CAST([] AS BIGINT[]) END) AS tok_start
+      FROM tl)
+SELECT doc_id,
+       (tok_start // {CHUNK_STRIDE})::BIGINT AS chunk_id,
+       tok_start::BIGINT AS tok_start,
+       least({CHUNK_LEN}, len(toks) - tok_start)::BIGINT AS n_tokens,
+       array_to_string(toks[tok_start + 1 : least(tok_start + {CHUNK_LEN}, len(toks))],
+                       ' ') AS chunk_text
+FROM c
+""",
         # decontamination mirror: SAME window hash as dup_spans; probe
         # windows derived from the constant VALUES list, DISTINCT'd as
         # the operator's np.unique does
@@ -2096,6 +2166,26 @@ SELECT s.doc_id,
        ROUND(s.score, 6) AS score
 FROM scores s JOIN h ON h.doc_id = s.doc_id
 QUALIFY row_number() OVER (ORDER BY ROUND(s.score, 6) DESC, h.hx) <= 10""",
+        "search_128bit_delete": f"""
+WITH d AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text),
+        '[^\\p{{L}}]+'), x -> x <> '')) AS term FROM d),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+q(term) AS (VALUES {_terms_values()}),
+df AS (SELECT q.term, count(DISTINCT tf.doc_id)::BIGINT AS df
+       FROM q LEFT JOIN tf ON tf.term = q.term GROUP BY q.term),
+scores AS (
+  SELECT tf.doc_id, SUM(tf.tf * ln((n.n + 1.0) / (df.df + 1.0))) AS score
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n GROUP BY tf.doc_id),
+h AS (SELECT doc_id, md5('https://' || source || '.example/doc/' || doc_id::VARCHAR) AS hx
+      FROM d)
+SELECT s.doc_id,
+       (row_number() OVER (ORDER BY ROUND(s.score, 6) DESC, h.hx))::BIGINT AS rank,
+       ROUND(s.score, 6) AS score
+FROM scores s JOIN h ON h.doc_id = s.doc_id
+QUALIFY row_number() OVER (ORDER BY ROUND(s.score, 6) DESC, h.hx) <= 10
+""",
         "search_128bit_ingest": tfidf_scores
         + """, h AS (SELECT doc_id, md5('https://' || source || '.example/doc/' || doc_id::VARCHAR) AS hx
        FROM documents)

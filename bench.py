@@ -261,6 +261,8 @@ def bench_sf_queries() -> dict:
         "decontaminate",
         "pack_sequences",
         "lm_doc_score",
+        "doc_chunks",
+        "search_not",
         "dup_spans",
         "token_count_bpe",
         "sample_hash",
@@ -285,6 +287,7 @@ def bench_sf_queries() -> dict:
         "batch_search",
         "search_128bit",
         "search_128bit_ingest",
+        "search_128bit_delete",
         "pagerank",
         "dedup_clusters",
         "cross_source_pairs",

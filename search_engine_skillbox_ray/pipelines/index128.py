@@ -94,7 +94,9 @@ def build_index_128(
     for stale in (
         list(out.glob("bucket=*.parquet"))
         + list(out.glob("docmap.delta-*.parquet"))
+        + list(out.glob("tombstone-*.parquet"))
         + list(out.glob("append.*.json"))
+        + list(out.glob("delete.*.json"))
         + list(out.glob("*.tmp"))
     ):
         stale.unlink()
@@ -372,19 +374,90 @@ def topk_128(
     )
 
 
+def _file_seq_128(f: Path) -> int:
+    """LSM seq of a segment/docmap file: deltas parse it from the name;
+    base files read the ``base_seq`` recorded by compaction (−1 fresh)."""
+    if ".delta-" in f.name:
+        return int(f.name.rsplit("delta-", 1)[1].split(".")[0])
+    meta = pq.read_schema(f).metadata or {}
+    return int(meta.get(b"base_seq", b"-1"))
+
+
+def _tombstones_128(out: Path) -> list[tuple[int, np.ndarray, np.ndarray]]:
+    """Live tombstone segments as (seq, hi, lo) — signed-int64 bit
+    patterns (the storage domain), lexsorted by (hi, lo)."""
+    tombs = []
+    for f in sorted(out.glob("tombstone-*.parquet")):
+        seq = int(f.name.split("-", 1)[1].split(".")[0])
+        t = pq.read_table(f, columns=["doc_hi", "doc_lo"])
+        hi = t["doc_hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = t["doc_lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((lo, hi))
+        tombs.append((seq, hi[order], lo[order]))
+    return tombs
+
+
+def _member_128(hi, lo, dead_hi, dead_lo) -> np.ndarray:
+    """Vectorized membership of (hi, lo) pairs in the lexsorted dead
+    arrays — equality only, so the sort domain (signed vs unsigned bit
+    pattern) just has to match between the two sides."""
+    res = np.zeros(len(hi), dtype=bool)
+    if not len(dead_hi) or not len(hi):
+        return res
+    left = np.searchsorted(dead_hi, hi, side="left")
+    right = np.searchsorted(dead_hi, hi, side="right")
+    span = right - left
+    one = span == 1
+    res[one] = dead_lo[np.minimum(left[one], len(dead_lo) - 1)] == lo[one]
+    for i in np.nonzero(span > 1)[0]:  # md5-hi collisions: ~never
+        res[i] = lo[i] in dead_lo[left[i] : right[i]]
+    return res
+
+
+def _dead_for_seq_128(tombs, src_seq: int):
+    """(hi, lo) union of tombstones that apply to a segment written at
+    ``src_seq`` — only LATER deletes kill; re-adds after a delete live."""
+    rel = [(h, l) for s, h, l in (tombs or []) if s > src_seq]
+    if not rel:
+        return None
+    if len(rel) == 1:
+        return rel[0]
+    hi = np.concatenate([h for h, _ in rel])
+    lo = np.concatenate([l for _, l in rel])
+    order = np.lexsort((lo, hi))
+    return hi[order], lo[order]
+
+
 def _read_docmap(out: Path, columns=None, filters=None) -> pa.Table:
     """Docmap rows across the base file and any LSM delta docmaps,
     deduplicated on (hi, lo) keeping the FIRST in (base, delta…) file
     order — duplicates only arise from a compaction/append interrupted
-    mid-commit, with identical content either way."""
+    mid-commit, with identical content either way. Tombstoned docs are
+    filtered per file seq, so serving statistics (N, avgdl, doc_len)
+    stay exact after deletes with no manifest rewrite."""
     cols = columns
     if cols is not None:
         need = set(cols) | {"doc_hi", "doc_lo"}
         cols = [c for c in ["doc_hi", "doc_lo", "doc_id", "doc_len"] if c in need]
+    tombs = _tombstones_128(out)
     files = [out / "docmap.parquet"] + sorted(out.glob("docmap.delta-*.parquet"))
-    tables = [
-        pq.read_table(f, columns=cols, filters=filters) for f in files if f.exists()
-    ]
+    tables = []
+    for f in files:
+        if not f.exists():
+            continue
+        t0 = pq.read_table(f, columns=cols, filters=filters)
+        if tombs and len(t0):
+            dead = _dead_for_seq_128(tombs, _file_seq_128(f))
+            if dead is not None:
+                kill = _member_128(
+                    t0["doc_hi"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    t0["doc_lo"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    dead[0],
+                    dead[1],
+                )
+                if kill.any():
+                    t0 = t0.filter(pa.array(~kill))
+        tables.append(t0)
     if not tables:
         raise FileNotFoundError(f"no docmap under {out}")
     t = pa.concat_tables(tables)
@@ -404,9 +477,11 @@ def _read_docmap(out: Path, columns=None, filters=None) -> pa.Table:
 def _load_term_row_128(out: Path, bkt: int, term: str) -> dict | None:
     """One term's merged posting payload across the base bucket file and
     LSM deltas: decode, concat, (hi, lo)-sort, dedupe keep-first,
-    re-encode. None when the term is absent everywhere."""
+    re-encode — with tombstoned docs dropped per file seq. None when the
+    term is absent everywhere (or fully tombstoned)."""
     from ..stages.codec import decode_posting_list_128
 
+    tombs = _tombstones_128(out)
     files = [out / f"bucket={bkt:05d}.parquet"] + sorted(
         out.glob(f"bucket={bkt:05d}.delta-*.parquet")
     )
@@ -415,7 +490,18 @@ def _load_term_row_128(out: Path, bkt: int, term: str) -> dict | None:
         if not f.exists():
             continue
         tbl = pq.read_table(f, filters=[("term", "==", term)])
-        raw += [posting_row_128_from_storage(r) for r in tbl.to_pylist()]
+        dead = _dead_for_seq_128(tombs, _file_seq_128(f)) if tombs else None
+        for r in tbl.to_pylist():
+            payload = posting_row_128_from_storage(r)
+            if dead is not None:
+                h, l, t = decode_posting_list_128(payload)
+                kill = _member_128(_signed(h), _signed(l), dead[0], dead[1])
+                if kill.any():
+                    keep = ~kill
+                    if not keep.any():
+                        continue
+                    payload = encode_posting_list_128(h[keep], l[keep], t[keep])
+            raw.append(payload)
     if not raw:
         return None
     if len(raw) == 1:
@@ -457,12 +543,7 @@ def append_documents_128(
         marker = out / f"append.{_hash_token(input_token)}.json"
         if marker.exists():
             return json.loads(marker.read_text())
-    seqs = [
-        int(f.name.rsplit("delta-", 1)[1].split(".")[0])
-        for f in list(out.glob("bucket=*.delta-*.parquet"))
-        + list(out.glob("docmap.delta-*.parquet"))
-    ]
-    seq = (max(seqs) + 1) if seqs else 0
+    seq = _next_seq_128(out)
 
     parts = _explode_128(documents, nb).materialize()
 
@@ -512,6 +593,71 @@ def _hash_token(token: str) -> str:
     return hashlib.md5(token.encode("utf-8")).hexdigest()[:10]
 
 
+def _next_seq_128(out: Path) -> int:
+    """Next LSM seq, shared across segment deltas, docmap deltas and
+    tombstones so the append/delete order is total."""
+    seqs = [
+        int(f.name.rsplit("delta-", 1)[1].split(".")[0])
+        for f in list(out.glob("bucket=*.delta-*.parquet"))
+        + list(out.glob("docmap.delta-*.parquet"))
+    ] + [s for s, _, _ in _tombstones_128(out)]
+    return (max(seqs) + 1) if seqs else 0
+
+
+def delete_documents_128(
+    index_dir: str, documents: rd.Dataset, input_token: str | None = None
+) -> dict:
+    """LSM delete for the 128-bit index: derive each row's 128-bit docID
+    (md5 of the SAME url plan the build hashes) and write one tombstone
+    segment (atomic tmp+rename) that kills those ids in every segment
+    AND docmap file written before it. Queries filter at read time —
+    including the docmap, so N/avgdl/doc_len (hence idf and BM25) are
+    exact immediately after the delete with no manifest rewrite. A later
+    ``append_documents_128`` may re-add an id and it stays live (seq
+    ordering — the main engine's kill-map semantics). Same-token
+    re-deletes are skipped; ``compact_index_128`` folds tombstones."""
+    out = Path(index_dir)
+    if input_token is not None:
+        marker = out / f"delete.{_hash_token(input_token)}.json"
+        if marker.exists():
+            return json.loads(marker.read_text())
+
+    def ids(batch: pa.Table) -> pa.Table:
+        hi, lo = assign_doc_ids_128(_doc_urls(batch))
+        return pa.table(
+            {"doc_hi": pa.array(_signed(hi)), "doc_lo": pa.array(_signed(lo))}
+        )
+
+    tbl = pa.concat_tables(
+        ray_get_all(
+            documents.select_columns(["doc_id", "source"]).map_batches(
+                ids, batch_format="pyarrow"
+            )
+        )
+    )
+    hi = tbl["doc_hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lo = tbl["doc_lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((lo, hi))
+    sh, sl = hi[order], lo[order]
+    if len(sh) > 1:
+        keep = np.empty(len(sh), dtype=bool)
+        keep[0] = True
+        np.not_equal(sh[1:], sh[:-1], out=keep[1:])
+        keep[1:] |= sl[1:] != sl[:-1]
+        sh, sl = sh[keep], sl[keep]
+    seq = _next_seq_128(out)
+    t = pa.table({"doc_hi": pa.array(sh), "doc_lo": pa.array(sl)})
+    tmp = out / f"tombstone-{seq:04d}.parquet.tmp"
+    pq.write_table(t, tmp, compression="zstd")
+    tmp.rename(out / f"tombstone-{seq:04d}.parquet")
+    res = {"seq": seq, "n_tombstoned": int(len(sh))}
+    if input_token is not None:
+        mt = out / f"delete.{_hash_token(input_token)}.json.tmp"
+        mt.write_text(json.dumps(res))
+        mt.rename(out / f"delete.{_hash_token(input_token)}.json")
+    return res
+
+
 def compact_index_128(index_dir: str) -> dict:
     """Fold delta segments + delta docmaps into the base files (one Ray
     task per touched bucket; docmap on the driver — ~32 B/doc). Results
@@ -520,10 +666,24 @@ def compact_index_128(index_dir: str) -> dict:
     import ray
 
     out = Path(index_dir)
-    touched = sorted({f.name.split(".")[0] for f in out.glob("bucket=*.delta-*.parquet")})
+    tombs = _tombstones_128(out)
+    touched = {f.name.split(".")[0] for f in out.glob("bucket=*.delta-*.parquet")}
+    if tombs:
+        # a tombstone can kill docs in ANY bucket — fold into every base
+        touched |= {
+            f.name.split(".")[0]
+            for f in out.glob("bucket=*.parquet")
+            if ".delta-" not in f.name
+        }
+    touched = sorted(touched)
     dm_deltas = sorted(out.glob("docmap.delta-*.parquet"))
-    if not touched and not dm_deltas:
+    if not touched and not dm_deltas and not tombs:
         return {"n_buckets_compacted": 0}
+    all_seqs = [
+        int(f.name.rsplit("delta-", 1)[1].split(".")[0])
+        for f in list(out.glob("bucket=*.delta-*.parquet")) + dm_deltas
+    ] + [s for s, _, _ in tombs]
+    fold_seq = max(all_seqs) if all_seqs else None
 
     @ray.remote
     def compact_bucket(prefix: str) -> int:
@@ -537,6 +697,8 @@ def compact_index_128(index_dir: str) -> dict:
         rows: dict[str, list] = {n: [] for n in SEGMENT_SCHEMA_128.names}
         for term in sorted(terms):
             payload = _load_term_row_128(out, bkt, term)
+            if payload is None:  # fully tombstoned term
+                continue
             srow = posting_row_128_to_storage(payload)
             rows["bucket"].append(bkt)
             rows["site_id"].append(0)
@@ -551,6 +713,11 @@ def compact_index_128(index_dir: str) -> dict:
         tbl = pa.table(
             {n: pa.array(rows[n], SEGMENT_SCHEMA_128.field(n).type) for n in SEGMENT_SCHEMA_128.names}
         )
+        if fold_seq is not None:
+            # fold point INSIDE the file (atomic with the data): a crash
+            # between renames and tombstone unlink must not re-kill docs
+            # re-added after the tombstone
+            tbl = tbl.replace_schema_metadata({b"base_seq": str(fold_seq).encode()})
         tmp = out / f"{prefix}.parquet.tmp"
         pq.write_table(tbl, tmp, compression="zstd")
         tmp.rename(out / f"{prefix}.parquet")
@@ -559,11 +726,19 @@ def compact_index_128(index_dir: str) -> dict:
         return len(tbl)
 
     counts = ray.get([compact_bucket.remote(p) for p in touched]) if touched else []
-    if dm_deltas:
-        merged = _read_docmap(out)
+    if dm_deltas or tombs:
+        merged = _read_docmap(out)  # tombstones applied inside
+        if fold_seq is not None:
+            merged = merged.replace_schema_metadata(
+                {b"base_seq": str(fold_seq).encode()}
+            )
         tmp = out / "docmap.parquet.tmp"
         pq.write_table(merged, tmp, compression="zstd")
         tmp.rename(out / "docmap.parquet")
         for f in sorted(out.glob("docmap.delta-*.parquet")):
             f.unlink()
+    # tombstones folded into every base — safe to drop only after all
+    # renames land; a crash above re-applies survivors idempotently
+    for f in out.glob("tombstone-*.parquet"):
+        f.unlink()
     return {"n_buckets_compacted": len(touched), "n_terms": int(sum(counts))}

@@ -1170,3 +1170,81 @@ def lm_doc_score_ds(documents: rd.Dataset) -> rd.Dataset:
     return documents.select_columns(["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow"
     )
+
+
+def doc_chunks_ds(
+    documents: rd.Dataset,
+    chunk_len: int = 16,
+    stride: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """→ (doc_id, chunk_id, tok_start, n_tokens, chunk_text) — overlapping
+    token-window CHUNKING (the RAG / embedding-prep operator): chunks
+    start every ``stride`` tokens (0, S, 2S, … while < doc length) and
+    span up to ``chunk_len`` tokens; the tail chunk is shorter. Text is
+    reconstructed as the ' '-join of the M2 token window (tokenized
+    chunking — byte offsets don't survive tokenization anyway).
+
+    Scale shape: a pure shuffle-free flat map; each batch expands to at
+    most ceil(len/stride) rows per doc, all built with vectorized gather
+    (one ``np.repeat``/``arange`` index construction, one Arrow ``take``,
+    one ``binary_join``) — no per-doc Python."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import flat_nonempty_tokens
+
+    if chunk_len < 1 or stride < 1:
+        raise ValueError("chunk_len and stride must be >= 1")
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "chunk_id": pa.array([], pa.int64()),
+                "tok_start": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "chunk_text": pa.array([], pa.string()),
+            }
+        )
+        doc_ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        toks, _, cnt = flat_nonempty_tokens(batch.column(text_col))
+        if not len(toks):
+            return empty
+        starts_doc = np.cumsum(cnt) - cnt  # doc offset into the flat stream
+        nchunks = (cnt + stride - 1) // stride  # 0 chunks for empty docs
+        total = int(nchunks.sum())
+        if total == 0:
+            return empty
+        cpar = np.repeat(np.arange(len(cnt)), nchunks)  # doc position per chunk
+        coff = np.cumsum(nchunks) - nchunks
+        ordinal = np.arange(total, dtype=np.int64) - np.repeat(coff, nchunks)
+        tok_start = ordinal * stride
+        clen = np.minimum(chunk_len, cnt[cpar] - tok_start)
+        # gather indices: for chunk j, flat[doc_start + tok_start : +clen]
+        goff = np.cumsum(clen) - clen
+        idx = (
+            np.arange(int(clen.sum()), dtype=np.int64)
+            - np.repeat(goff, clen)
+            + np.repeat(starts_doc[cpar] + tok_start, clen)
+        )
+        gathered = toks.take(pa.array(idx))
+        offsets = np.empty(total + 1, np.int64)
+        offsets[0] = 0
+        np.cumsum(clen, out=offsets[1:])
+        lst = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()).cast(pa.int32()),
+                                       gathered)
+        text = pc.binary_join(lst, " ")
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[cpar], pa.int64()),
+                "chunk_id": pa.array(ordinal, pa.int64()),
+                "tok_start": pa.array(tok_start, pa.int64()),
+                "n_tokens": pa.array(clen.astype(np.int64), pa.int64()),
+                "chunk_text": text,
+            }
+        )
+
+    return documents.select_columns([id_col, text_col]).map_batches(
+        chunks, batch_format="pyarrow"
+    )

@@ -421,6 +421,31 @@ class SearchEngine:
         order = np.lexsort((uniq, -out_scores))
         return uniq[order], out_scores[order], lemmas
 
+    def search_excluding(
+        self, query: str, exclude: str, site: str | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Boolean AND-NOT retrieval: the scored match set of ``query``
+        (current mode/scorer) minus every document containing ANY lemma
+        of ``exclude`` — the negation operator of a Boolean fulltext
+        engine (reference semantics stop at OR/AND, SearchServiceImpl
+        .java:84-117; NOT is this rebuild's extension). Exclusion is one
+        posting-list read per exclude lemma + a vectorized membership
+        mask — never a corpus scan. Returns (doc_ids, scores) in
+        (score desc, doc_id asc) order."""
+        docs, scores, _ = self.search_scores(query, site)
+        scores = scores.astype(np.float64)
+        if not docs.size:
+            return docs, scores
+        site_id, _ = self._resolve_site(site)
+        for t in query_lemmas(exclude):
+            if not docs.size:
+                break
+            d, _, _ = self.term_postings(t, site_id)
+            if d.size:
+                keep = ~np.isin(docs, d)
+                docs, scores = docs[keep], scores[keep]
+        return docs, scores
+
     def more_like_this(
         self, seed_doc_id: int, k: int = 10
     ) -> tuple[np.ndarray, np.ndarray]:

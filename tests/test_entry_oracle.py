@@ -146,6 +146,12 @@ def test_oracle_keys_subset(entry_mod):
     "pack_sequences",
     # round 3: unigram-LM surprisal quality score
     "lm_doc_score",
+    # round 3: overlapping token-window chunking (RAG prep)
+    "doc_chunks",
+    # round 3: Boolean AND-NOT retrieval
+    "search_not",
+    # round 3: 128-bit index LSM delete (tombstones + docmap filtering)
+    "search_128bit_delete",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))

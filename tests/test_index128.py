@@ -227,3 +227,71 @@ def test_append_and_compact_128(ray_session, tmp_path):
     assert r3["n_buckets_touched"] > 0
     for a, b in zip(full, snap(lsm_dir)):
         assert a.equals(b)
+
+
+def test_delete_and_readd_128(ray_session, tmp_path):
+    """128-bit LSM delete: tombstoned docs vanish from top-k AND from
+    the docmap-derived statistics; a doc re-added after its tombstone
+    stays live; compaction folds tombstones with identical results and
+    survives the crash window where a tombstone file outlives the base
+    renames."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.index128 import (
+        append_documents_128,
+        build_index_128,
+        compact_index_128,
+        delete_documents_128,
+        topk_128,
+    )
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def parity(p):
+        return docs.map_batches(
+            lambda t, p=p: t.filter(pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), p)),
+            batch_format="pyarrow",
+        )
+
+    even_dir = tmp_path / "even"
+    del_dir = tmp_path / "deleted"
+    build_index_128(parity(0), str(even_dir), n_buckets=4, input_token="e")
+    build_index_128(docs, str(del_dir), n_buckets=4, input_token="f")
+    r = delete_documents_128(str(del_dir), parity(1), input_token="d1")
+    assert r["n_tombstoned"] > 0
+
+    def snap(d, q="merge batch fast"):
+        out = topk_128(str(d), q, k=10, mode="or")
+        return out if not hasattr(out, "to_pandas") else out.to_pandas()
+
+    want = snap(even_dir)
+    assert want.equals(snap(del_dir))
+    # re-delete with the same token is a marker no-op
+    n_tomb = len(list(del_dir.glob("tombstone-*.parquet")))
+    assert delete_documents_128(str(del_dir), parity(1), input_token="d1") == r
+    assert len(list(del_dir.glob("tombstone-*.parquet"))) == n_tomb
+    # crash window: tombstone survives the compaction renames
+    tomb = next(del_dir.glob("tombstone-*.parquet"))
+    saved = tomb.read_bytes()
+    c = compact_index_128(str(del_dir))
+    assert c["n_buckets_compacted"] > 0
+    assert not list(del_dir.glob("tombstone-*.parquet"))
+    assert want.equals(snap(del_dir))
+    # re-add some odd docs AFTER compaction, then restore the tombstone
+    # (simulating a crash before its unlink): base_seq keeps them live
+    readd = pa.table(
+        {
+            "doc_id": pa.array([1, 3], pa.int64()),
+            "source": pa.array(["src1", "src3"], pa.string()),
+            "text": pa.array(["merge merge batch", "fast merge"], pa.string()),
+        }
+    )
+    append_documents_128(str(del_dir), rd.from_arrow(readd), input_token="a1")
+    with_readd = snap(del_dir)
+    (del_dir / tomb.name).write_bytes(saved)
+    assert with_readd.equals(snap(del_dir))  # stale tombstone can't re-kill
+    compact_index_128(str(del_dir))  # re-run converges
+    assert not list(del_dir.glob("tombstone-*.parquet"))
+    assert with_readd.equals(snap(del_dir))
