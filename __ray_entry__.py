@@ -1005,6 +1005,36 @@ def q_pagerank(sf_dir: str):
     )
 
 
+def q_link_degrees(sf_dir: str):
+    """Degree distribution of the link fixture graph: per-url out/in
+    degree via per-batch combiners + one url-keyed exchange."""
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.functions.links import extract_links_ds
+    from search_engine_skillbox_ray.pipelines.graph import degree_stats
+    from search_engine_skillbox_ray.sources.fixtures import generate_pages_table
+    from search_engine_skillbox_ray.sources.pages import derive_sites
+
+    pages = rd.from_arrow(generate_pages_table(300, n_sites=2, seed=13))
+    sites = derive_sites(pages)
+    return degree_stats(extract_links_ds(pages, sites))
+
+
+def q_coupling_pairs(sf_dir: str):
+    """Bibliographic coupling over the link fixture: source pairs
+    sharing a destination (fan-in-capped pair expansion per dst)."""
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.functions.links import extract_links_ds
+    from search_engine_skillbox_ray.pipelines.graph import coupling_pairs
+    from search_engine_skillbox_ray.sources.fixtures import generate_pages_table
+    from search_engine_skillbox_ray.sources.pages import derive_sites
+
+    pages = rd.from_arrow(generate_pages_table(300, n_sites=2, seed=13))
+    sites = derive_sites(pages)
+    return coupling_pairs(extract_links_ds(pages, sites), min_common=1)
+
+
 def q_dedup_clusters(sf_dir: str):
     """MinHash near-dup pairs → connected components → full-corpus
     canonical assignment (doc_id, rep_id): the action step of the dedup
@@ -1195,6 +1225,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_divergence": q_source_divergence,
         "centroid_confusion": q_centroid_confusion,
         "pagerank": q_pagerank,
+        "link_degrees": q_link_degrees,
+        "coupling_pairs": q_coupling_pairs,
         "dedup_clusters": q_dedup_clusters,
         "cross_source_pairs": q_cross_source_pairs,
         "near_dup_vs_snapshot": q_near_dup_vs_snapshot,
@@ -2130,6 +2162,27 @@ WITH n AS (SELECT len(list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}
 """,
         "link_graph": f"""
 SELECT * FROM (VALUES {_link_graph_values()}) AS t(src_url, dst_url)
+""",
+        # degree / coupling: plain SQL aggregation over the SAME
+        # structurally derived edge VALUES the link_graph oracle uses
+        "link_degrees": f"""
+WITH e AS (SELECT * FROM (VALUES {_link_graph_values()}) AS t(src_url, dst_url)),
+u AS (SELECT src_url AS url FROM e UNION SELECT dst_url FROM e)
+SELECT u.url,
+       COALESCE(o.c, 0)::BIGINT AS out_degree,
+       COALESCE(i.c, 0)::BIGINT AS in_degree
+FROM u
+LEFT JOIN (SELECT src_url, count(*)::BIGINT AS c FROM e GROUP BY src_url) o
+  ON o.src_url = u.url
+LEFT JOIN (SELECT dst_url, count(*)::BIGINT AS c FROM e GROUP BY dst_url) i
+  ON i.dst_url = u.url
+""",
+        "coupling_pairs": f"""
+WITH e AS (SELECT DISTINCT * FROM (VALUES {_link_graph_values()}) AS t(src_url, dst_url))
+SELECT a.src_url AS url_a, b.src_url AS url_b, count(*)::BIGINT AS n_common
+FROM e a JOIN e b ON a.dst_url = b.dst_url AND a.src_url < b.src_url
+GROUP BY a.src_url, b.src_url
+HAVING count(*) >= 1
 """,
         "search_128bit_bm25": f"""
 WITH tf AS ({_TF}),

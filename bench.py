@@ -289,6 +289,8 @@ def bench_sf_queries() -> dict:
         "search_128bit_ingest",
         "search_128bit_delete",
         "pagerank",
+        "link_degrees",
+        "coupling_pairs",
         "dedup_clusters",
         "cross_source_pairs",
     ]

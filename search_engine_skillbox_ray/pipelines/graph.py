@@ -432,3 +432,125 @@ def near_dup_clusters(
     return sized_join(ids, comp_r, (id_col,), join_type="left_outer").map_batches(
         finish, batch_format="pyarrow"
     )
+
+
+def degree_stats(
+    edges: rd.Dataset, src_col: str = "src_url", dst_col: str = "dst_url"
+) -> rd.Dataset:
+    """(src, dst) edge Dataset → (url, out_degree, in_degree) over every
+    url appearing on either side — the degree-distribution profile of
+    the crawl graph (hub/authority shape, dead-end detection).
+
+    Scale shape: per-batch Arrow ``group_by`` combiners reduce each
+    batch to per-url partials BEFORE the shuffle; ONE url-keyed bucketed
+    exchange sums them. Nothing bigger than the distinct-url set ever
+    moves."""
+    import pandas as pd
+
+    from ..stages.grouping import bucketed_group_apply
+
+    def partials(batch: pa.Table) -> pa.Table:
+        outs = batch.group_by(src_col).aggregate([(src_col, "count")])
+        ins = batch.group_by(dst_col).aggregate([(dst_col, "count")])
+        n_o, n_i = len(outs), len(ins)
+        return pa.table(
+            {
+                "url": pa.concat_arrays(
+                    [
+                        outs.column(src_col).combine_chunks(),
+                        ins.column(dst_col).combine_chunks(),
+                    ]
+                ),
+                "out_d": pa.array(
+                    np.concatenate(
+                        [
+                            outs.column(f"{src_col}_count").to_numpy(),
+                            np.zeros(n_i, np.int64),
+                        ]
+                    ),
+                    pa.int64(),
+                ),
+                "in_d": pa.array(
+                    np.concatenate(
+                        [
+                            np.zeros(n_o, np.int64),
+                            ins.column(f"{dst_col}_count").to_numpy(),
+                        ]
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.groupby("url", sort=False)[["out_d", "in_d"]].sum().reset_index()
+        out = out.rename(columns={"out_d": "out_degree", "in_d": "in_degree"})
+        for c in ("out_degree", "in_degree"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    slim = edges.map_batches(partials, batch_format="pyarrow")
+    return bucketed_group_apply(slim, ["url"], per_bucket, n_buckets=32)
+
+
+def coupling_pairs(
+    edges: rd.Dataset,
+    min_common: int = 1,
+    max_fanin: int = 10_000,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+) -> rd.Dataset:
+    """Bibliographic coupling: (url_a, url_b, n_common) pairs of SOURCE
+    pages (url_a < url_b) sharing at least ``min_common`` common link
+    DESTINATIONS — "pages that cite the same things", the link-level
+    relatedness signal dual to co-citation.
+
+    Scale shape: edges dedupe into slim (dst, src) rows; a dst-bucketed
+    exchange expands each destination's source list into pairs (the
+    classic quadratic hot spot — destinations with more than
+    ``max_fanin`` in-links are DROPPED, the standard hub cap, because a
+    1M-in-link hub would emit 5·10^11 pairs while carrying no
+    relatedness signal); a second pair-keyed exchange sums n_common.
+    Both exchanges are pair/edge-sized; the corpus never moves."""
+    import pandas as pd
+
+    from ..stages.grouping import bucketed_group_apply
+
+    def dedup(batch: pa.Table) -> pa.Table:
+        g = batch.group_by([dst_col, src_col]).aggregate([])
+        return pa.table({"dst": g.column(dst_col), "src": g.column(src_col)})
+
+    slim = edges.map_batches(dedup, batch_format="pyarrow")
+
+    def pairs_per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, g in group.groupby("dst", sort=False):
+            srcs = np.unique(g["src"].to_numpy())
+            if len(srcs) < 2 or len(srcs) > max_fanin:
+                continue
+            ia, ib = np.triu_indices(len(srcs), k=1)
+            out_a.append(srcs[ia])
+            out_b.append(srcs[ib])
+        if not out_a:
+            return pd.DataFrame({"url_a": [], "url_b": []}).astype(
+                {"url_a": "object", "url_b": "object"}
+            )
+        return pd.DataFrame(
+            {"url_a": np.concatenate(out_a), "url_b": np.concatenate(out_b)}
+        )
+
+    pair_rows = bucketed_group_apply(slim, ["dst"], pairs_per_bucket, n_buckets=32)
+
+    def count_per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            group.groupby(["url_a", "url_b"], sort=False)
+            .size()
+            .reset_index(name="n_common")
+        )
+        out = out[out["n_common"] >= min_common].reset_index(drop=True)
+        out["n_common"] = out["n_common"].astype("int64")
+        return out
+
+    return bucketed_group_apply(
+        pair_rows, ["url_a", "url_b"], count_per_bucket, n_buckets=32
+    )
