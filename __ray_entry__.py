@@ -68,6 +68,7 @@ DUP_SPAN_K = 5  # duplicated-span window size (tokens)
 # an external eval suite; one probe hits the small sf corpus, one the
 # larger, one is absent everywhere
 DECON_K = 5
+WINNOW_K, WINNOW_W = 5, 4  # winnowing: k-gram size, hash-window size
 PACK_SEQ_LEN = 64  # sequence-packing cut length (tokens)
 CHUNK_LEN, CHUNK_STRIDE = 16, 8  # RAG chunking window/stride (tokens)
 DECON_PROBES = [
@@ -480,6 +481,14 @@ def q_doc_chunks(sf_dir: str):
     from search_engine_skillbox_ray.pipelines.textstats import doc_chunks_ds
 
     return doc_chunks_ds(_documents(sf_dir), chunk_len=CHUNK_LEN, stride=CHUNK_STRIDE)
+
+
+def q_winnow(sf_dir: str):
+    """Winnowing (MOSS) fingerprints: rightmost-min-per-hash-window
+    selection over the k-gram hash stream — shuffle-free."""
+    from search_engine_skillbox_ray.pipelines.dedup import winnow_fingerprints_ds
+
+    return winnow_fingerprints_ds(_documents(sf_dir), k=WINNOW_K, w=WINNOW_W)
 
 
 def q_decontaminate(sf_dir: str):
@@ -1177,6 +1186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_phrase_boost": q_search_phrase_boost,
         "search_not": q_search_not,
         "decontaminate": q_decontaminate,
+        "winnow_fingerprints": q_winnow,
         "pack_sequences": q_pack_sequences,
         "lm_doc_score": q_lm_doc_score,
         "doc_chunks": q_doc_chunks,
@@ -2062,6 +2072,32 @@ SELECT doc_id,
        array_to_string(toks[tok_start + 1 : least(tok_start + {CHUNK_LEN}, len(toks))],
                        ' ') AS chunk_text
 FROM c
+""",
+        # winnowing mirror: per-position k-gram hashes (lockstep double
+        # unnest), window min via BETWEEN join, RIGHTMOST tie via max(i)
+        "winnow_fingerprints": f"""
+WITH tl AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+            '[^\\p{{L}}]+'), x -> x <> '') AS toks FROM documents),
+wh AS (SELECT doc_id,
+        unnest(CASE WHEN len(toks) >= {WINNOW_K} THEN
+          range(1, len(toks) - {WINNOW_K} + 2) ELSE CAST([] AS BIGINT[]) END) AS i,
+        unnest(CASE WHEN len(toks) >= {WINNOW_K} THEN
+          list_transform(range(1, len(toks) - {WINNOW_K} + 2), i ->
+            md5_number_lower(array_to_string(toks[i:i+{WINNOW_K - 1}], ' ')) % {_M61})
+        ELSE CAST([] AS UBIGINT[]) END) AS h
+       FROM tl),
+mt AS (SELECT doc_id, max(i) AS mi FROM wh GROUP BY doc_id),
+starts AS (SELECT w.doc_id, w.i AS p FROM wh w JOIN mt ON mt.doc_id = w.doc_id
+           WHERE w.i <= mt.mi - {WINNOW_W} + 1),
+wmin AS (SELECT s.doc_id, s.p, min(b.h) AS h
+         FROM starts s JOIN wh b ON b.doc_id = s.doc_id
+              AND b.i BETWEEN s.p AND s.p + {WINNOW_W - 1}
+         GROUP BY s.doc_id, s.p),
+sel AS (SELECT m.doc_id, max(b.i) AS i, m.h
+        FROM wmin m JOIN wh b ON b.doc_id = m.doc_id
+             AND b.i BETWEEN m.p AND m.p + {WINNOW_W - 1} AND b.h = m.h
+        GROUP BY m.doc_id, m.p, m.h)
+SELECT DISTINCT doc_id, (i - 1)::BIGINT AS pos, h::BIGINT AS fingerprint FROM sel
 """,
         # decontamination mirror: SAME window hash as dup_spans; probe
         # windows derived from the constant VALUES list, DISTINCT'd as

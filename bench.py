@@ -259,6 +259,7 @@ def bench_sf_queries() -> dict:
         "phrase_index_delete",
         "search_phrase_boost",
         "decontaminate",
+        "winnow_fingerprints",
         "pack_sequences",
         "lm_doc_score",
         "doc_chunks",

@@ -154,6 +154,8 @@ def test_oracle_keys_subset(entry_mod):
     "search_128bit_delete",
     # round 3: link-graph degree profile + bibliographic coupling
     "link_degrees", "coupling_pairs",
+    # round 3: winnowing (MOSS) fingerprints
+    "winnow_fingerprints",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))

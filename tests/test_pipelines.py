@@ -1018,3 +1018,37 @@ def test_bigram_pmi_empty_corpus(ray_session):
     docs = rd.from_items([{"doc_id": 0, "text": "solo"}, {"doc_id": 1, "text": ""}])
     out = bigram_pmi_ds(docs)
     assert out.count() == 0  # empty result, not a TypeError
+
+
+def test_winnow_guarantee_and_density(ray_session):
+    """Winnowing guarantee: two docs sharing a run of >= k + w - 1
+    tokens share at least one fingerprint VALUE; per-doc density is at
+    most 1 selection per window start."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.dedup import winnow_fingerprints_ds
+
+    k, w = 5, 4
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 >= k+w-1
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    "one two three " + shared + " four five",
+                    shared + " nine ten eleven twelve",
+                    "unrelated words only here nothing matches at all",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    fp = winnow_fingerprints_ds(rd.from_arrow(docs), k=k, w=w).to_pandas()
+    by_doc = {d: set(g["fingerprint"]) for d, g in fp.groupby("doc_id")}
+    assert by_doc[0] & by_doc[1], "shared run must share a fingerprint"
+    assert not (by_doc[0] & by_doc[2]) and not (by_doc[1] & by_doc[2])
+    # selections are distinct positions, bounded by #windows
+    for d, g in fp.groupby("doc_id"):
+        assert g["pos"].is_unique
