@@ -84,6 +84,7 @@ KEYWORDS_K = 3
 PMI_MIN_CNT = 5
 TOP_TERMS_K = 5
 QUANTILE_PS = (0.25, 0.5, 0.75, 0.9, 0.99)
+GATE_P_LO, GATE_P_HI = 0.1, 0.9  # adaptive length-gate quantiles
 
 # Tokenizer as SQL (RE2 on both sides — pyarrow split_pattern_regex and
 # DuckDB regexp_split_to_array share \p{L} semantics).
@@ -489,6 +490,22 @@ def q_winnow(sf_dir: str):
     from search_engine_skillbox_ray.pipelines.dedup import winnow_fingerprints_ds
 
     return winnow_fingerprints_ds(_documents(sf_dir), k=WINNOW_K, w=WINNOW_W)
+
+
+def q_length_gate(sf_dir: str):
+    """Adaptive length gate: keep docs inside the corpus's own exact
+    [p10, p90] token-count quantiles — histogram phase + filter phase."""
+    from search_engine_skillbox_ray.pipelines.textstats import length_gated_docs_ds
+
+    return length_gated_docs_ds(_documents(sf_dir), p_lo=GATE_P_LO, p_hi=GATE_P_HI)
+
+
+def q_quantize_embeddings(sf_dir: str):
+    """Symmetric per-vector int8 quantization of the embedding column
+    (integer codes + rounded reconstruction error)."""
+    from search_engine_skillbox_ray.pipelines.textstats import quantize_embeddings_ds
+
+    return quantize_embeddings_ds(_embeddings(sf_dir))
 
 
 def q_decontaminate(sf_dir: str):
@@ -1187,6 +1204,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_not": q_search_not,
         "decontaminate": q_decontaminate,
         "winnow_fingerprints": q_winnow,
+        "length_gate": q_length_gate,
+        "quantize_embeddings": q_quantize_embeddings,
         "pack_sequences": q_pack_sequences,
         "lm_doc_score": q_lm_doc_score,
         "doc_chunks": q_doc_chunks,
@@ -2098,6 +2117,31 @@ sel AS (SELECT m.doc_id, max(b.i) AS i, m.h
              AND b.i BETWEEN m.p AND m.p + {WINNOW_W - 1} AND b.h = m.h
         GROUP BY m.doc_id, m.p, m.h)
 SELECT DISTINCT doc_id, (i - 1)::BIGINT AS pos, h::BIGINT AS fingerprint FROM sel
+""",
+        # adaptive length gate: DuckDB percentile_disc == the counting
+        # sort's max(1, ceil(p*N)) rank rule
+        "length_gate": f"""
+WITH tl AS (SELECT doc_id, len(list_filter(regexp_split_to_array(lower(text),
+            '[^\\p{{L}}]+'), x -> x <> ''))::BIGINT AS n_tokens FROM documents),
+q AS (SELECT percentile_disc({GATE_P_LO}) WITHIN GROUP (ORDER BY n_tokens) AS lo,
+             percentile_disc({GATE_P_HI}) WITHIN GROUP (ORDER BY n_tokens) AS hi
+      FROM tl)
+SELECT tl.doc_id, tl.n_tokens FROM tl, q WHERE tl.n_tokens BETWEEN q.lo AND q.hi
+""",
+        # int8 quantization: float32→double widening is exact on both
+        # sides; explicit floor(x+0.5) avoids the banker's-vs-half-away
+        # round() divergence; integer codes compare exactly
+        "quantize_embeddings": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+f AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS d,
+             list_max(list_transform(v, y -> abs(y))) / 127.0 AS scale FROM e),
+qz AS (SELECT vec_id, d, x, scale,
+        greatest(-127, least(127, floor(
+          (CASE WHEN scale > 0 THEN x / scale ELSE x END) + 0.5))) AS q
+       FROM f)
+SELECT vec_id, (d - 1)::BIGINT AS dim, q::BIGINT AS q,
+       ROUND(x - q * scale, 6) AS err
+FROM qz
 """,
         # decontamination mirror: SAME window hash as dup_spans; probe
         # windows derived from the constant VALUES list, DISTINCT'd as

@@ -260,6 +260,8 @@ def bench_sf_queries() -> dict:
         "search_phrase_boost",
         "decontaminate",
         "winnow_fingerprints",
+        "length_gate",
+        "quantize_embeddings",
         "pack_sequences",
         "lm_doc_score",
         "doc_chunks",

@@ -1248,3 +1248,83 @@ def doc_chunks_ds(
     return documents.select_columns([id_col, text_col]).map_batches(
         chunks, batch_format="pyarrow"
     )
+
+
+def length_gated_docs_ds(
+    documents: rd.Dataset, p_lo: float = 0.1, p_hi: float = 0.9
+) -> rd.Dataset:
+    """→ (doc_id, n_tokens) — the ADAPTIVE length gate: keep documents
+    whose token count lies within the corpus's own exact
+    [p_lo, p_hi] disc quantiles (drop the truncated-fragment tail and
+    the boilerplate-monster head). The generic two-phase "global
+    statistic → gate the stream" filter every curation pipeline runs.
+
+    Scale shape: phase 1 is the counting-sort histogram of
+    ``doclen_quantiles`` (only the distinct-length histogram reaches
+    the driver); phase 2 is a shuffle-free filter pass with the two
+    thresholds shipped in the closure."""
+    from ..stages.tokenizer import token_counts
+
+    q = doclen_quantiles(documents, ps=(p_lo, p_hi)).to_pydict()
+    if not q["n_tokens"]:
+        lo, hi = 0, 0
+    else:
+        lo, hi = int(q["n_tokens"][0]), int(q["n_tokens"][1])
+
+    def gate(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        nt = token_counts(batch.column("text")).astype(np.int64)
+        keep = (nt >= lo) & (nt <= hi)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "n_tokens": pa.array(nt[keep], pa.int64()),
+            }
+        )
+
+    return documents.select_columns(["doc_id", "text"]).map_batches(
+        gate, batch_format="pyarrow"
+    )
+
+
+def quantize_embeddings_ds(embeddings: rd.Dataset) -> rd.Dataset:
+    """→ (vec_id, dim, q, err) — symmetric per-vector INT8 quantization
+    of an embedding column (the storage/serving compression step of an
+    ANN stack: 4× smaller than float32, distance-preserving to ~1e-2):
+    scale = max|v| / 127, q = floor(v/scale + 0.5) ∈ [−127, 127]
+    (explicit half-up rounding — np.round's banker mode and SQL
+    round()'s half-away mode would disagree on exact halves), err =
+    v − q·scale rounded to 6.
+
+    Scale shape: pure shuffle-free map — all arithmetic on the zero-copy
+    flat child array of the list column, one row group at a time."""
+
+    def stage(batch: pa.Table) -> pa.Table:
+        col = batch.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        lengths = col.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        parents = np.repeat(np.arange(len(lengths)), lengths)
+        starts = np.cumsum(lengths) - lengths
+        dim = np.arange(len(flat), dtype=np.int64) - starts[parents]
+        absmax = np.zeros(len(lengths), np.float64)
+        np.maximum.at(absmax, parents, np.abs(flat))
+        scale = absmax / 127.0
+        safe = np.where(scale[parents] > 0, scale[parents], 1.0)
+        q = np.floor(flat / safe + 0.5)
+        q = np.clip(q, -127, 127)
+        err = flat - q * scale[parents]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[parents], pa.int64()),
+                "dim": pa.array(dim, pa.int64()),
+                "q": pa.array(q.astype(np.int64), pa.int64()),
+                "err": pa.array(np.round(err, 6), pa.float64()),
+            }
+        )
+
+    return embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        stage, batch_format="pyarrow"
+    )

@@ -156,6 +156,8 @@ def test_oracle_keys_subset(entry_mod):
     "link_degrees", "coupling_pairs",
     # round 3: winnowing (MOSS) fingerprints
     "winnow_fingerprints",
+    # round 3: adaptive length gate + int8 embedding quantization
+    "length_gate", "quantize_embeddings",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
