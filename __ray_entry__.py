@@ -508,6 +508,22 @@ def q_quantize_embeddings(sf_dir: str):
     return quantize_embeddings_ds(_embeddings(sf_dir))
 
 
+def q_doc_rank(sf_dir: str):
+    """Global ORDER BY (n_chars DESC, doc_id) with row_number ranks —
+    two-level distributed rank scan over descending ranges."""
+    from search_engine_skillbox_ray.pipelines.textstats import doc_rank_by_len_ds
+
+    return doc_rank_by_len_ds(_documents(sf_dir))
+
+
+def q_source_diversity(sf_dir: str):
+    """Per-source bigram type/token diversity ratio (Self-BLEU-style
+    repetitiveness signal)."""
+    from search_engine_skillbox_ray.pipelines.textstats import source_diversity_ds
+
+    return source_diversity_ds(_documents(sf_dir))
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination: per doc, the fraction of k-token
     windows colliding with the broadcast probe-set windows — shuffle-free
@@ -1206,6 +1222,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": q_winnow,
         "length_gate": q_length_gate,
         "quantize_embeddings": q_quantize_embeddings,
+        "doc_rank": q_doc_rank,
+        "source_diversity": q_source_diversity,
         "pack_sequences": q_pack_sequences,
         "lm_doc_score": q_lm_doc_score,
         "doc_chunks": q_doc_chunks,
@@ -2142,6 +2160,24 @@ qz AS (SELECT vec_id, d, x, scale,
 SELECT vec_id, (d - 1)::BIGINT AS dim, q::BIGINT AS q,
        ROUND(x - q * scale, 6) AS err
 FROM qz
+""",
+        "doc_rank": """
+SELECT doc_id, n_chars,
+       (row_number() OVER (ORDER BY n_chars DESC, doc_id))::BIGINT AS rank
+FROM documents
+""",
+        # bigram ' '-join identity is collision-free (M2 tokens carry no
+        # separators); diversity is an exact-integer double division
+        "source_diversity": """
+WITH tl AS (SELECT source, list_filter(regexp_split_to_array(lower(text),
+            '[^\\p{L}]+'), x -> x <> '') AS toks FROM documents),
+bg AS (SELECT source, unnest(CASE WHEN len(toks) >= 2 THEN
+         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+       ELSE CAST([] AS VARCHAR[]) END) AS b FROM tl)
+SELECT source, count(*)::BIGINT AS n_bigrams,
+       count(DISTINCT b)::BIGINT AS distinct_bigrams,
+       count(DISTINCT b)::DOUBLE / count(*) AS diversity
+FROM bg GROUP BY source
 """,
         # decontamination mirror: SAME window hash as dup_spans; probe
         # windows derived from the constant VALUES list, DISTINCT'd as

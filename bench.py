@@ -262,6 +262,8 @@ def bench_sf_queries() -> dict:
         "winnow_fingerprints",
         "length_gate",
         "quantize_embeddings",
+        "doc_rank",
+        "source_diversity",
         "pack_sequences",
         "lm_doc_score",
         "doc_chunks",

@@ -1328,3 +1328,134 @@ def quantize_embeddings_ds(embeddings: rd.Dataset) -> rd.Dataset:
     return embeddings.select_columns(["vec_id", "embedding"]).map_batches(
         stage, batch_format="pyarrow"
     )
+
+
+def doc_rank_by_len_ds(documents: rd.Dataset, n_buckets: int = 64) -> rd.Dataset:
+    """→ (doc_id, n_chars, rank) — GLOBAL dense ordering of the corpus
+    by (n_chars DESC, doc_id ASC) with 1-based row_number ranks: the
+    distributed ORDER-BY-with-rank primitive (curriculum ordering,
+    "largest documents first" scheduling, head/tail exports).
+
+    Scale shape: a two-level rank scan, the ORDER-BY dual of
+    ``pack_sequences``' prefix-sum: docs range-bucket on the DESCENDING
+    sort key so bucket order == global order; per-bucket row counts —
+    n_buckets tiny rows — come to the driver, which ships exclusive
+    rank offsets back in the reduce closure; each bucket sorts locally
+    and adds its offset. No global sort materialization; the exchange
+    moves slim (doc_id, n_chars) rows once."""
+    import pandas as pd
+
+    slim = documents.select_columns(["doc_id", "n_chars"]).materialize()
+    mx = slim.max("n_chars")
+    if mx is None:
+        return slim
+    mx = int(mx)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        v = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        # DESCENDING ranges: bucket 0 holds the largest n_chars
+        b = ((mx - v) * n_buckets) // (mx + 1)
+        return batch.append_column("__bucket", pa.array(b.astype(np.int32)))
+
+    tagged = slim.map_batches(tag, batch_format="pyarrow").materialize()
+    totals = tagged.groupby("__bucket").count().to_pandas().sort_values("__bucket")
+    csum = totals["count()"].cumsum().to_numpy(np.int64)
+    offsets = dict(
+        zip(
+            totals["__bucket"].to_numpy(np.int64).tolist(),
+            (csum - totals["count()"].to_numpy(np.int64)).tolist(),
+        )
+    )
+
+    def per_bucket(group: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        b = int(group["__bucket"].iloc[0])
+        g = group.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "n_chars": g["n_chars"].to_numpy(np.int64),
+                "rank": offsets[b] + 1 + np.arange(len(g), dtype=np.int64),
+            }
+        )
+
+    return tagged.groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def source_diversity_ds(documents: rd.Dataset, n_buckets: int = 32) -> rd.Dataset:
+    """→ (source, n_bigrams, distinct_bigrams, diversity) — per-source
+    bigram type/token ratio (the distinct-n-gram diversity signal of
+    Self-BLEU / Li et al. 2016: low ratio == templated, repetitive
+    sources). diversity = distinct/total as a plain double division of
+    exact integers — identical on both sides.
+
+    Scale shape: per-batch Arrow combiners reduce each batch to
+    (source, bigram, cnt) partials; ONE source∥bigram-bucketed exchange
+    finishes distinct and total counts per source (per-source bigram
+    vocabulary is what must co-locate, never token streams)."""
+    import pandas as pd
+
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import flat_nonempty_tokens
+    from ..stages.grouping import bucketed_group_apply
+
+    def partials(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "bigram": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        toks, parents, cnt = flat_nonempty_tokens(batch.column("text"))
+        n = len(toks)
+        if n < 2:
+            return empty
+        # adjacent pairs within a doc: positions 0..n-2 where the next
+        # token has the same parent
+        ok = parents[1:] == parents[:-1]
+        if not ok.any():
+            return empty
+        a = toks.slice(0, n - 1).filter(pa.array(ok))
+        b = toks.slice(1, n - 1).filter(pa.array(ok))
+        joined = pc.binary_join_element_wise(a, b, " ")
+        src = batch.column("source").take(pa.array(parents[:-1][ok]))
+        g = (
+            pa.table({"source": src, "bigram": joined})
+            .group_by(["source", "bigram"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "bigram": g.column("bigram"),
+                "cnt": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    slim = documents.select_columns(["source", "text"]).map_batches(
+        partials, batch_format="pyarrow"
+    )
+
+    def per_bucket(group: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        gb = group.groupby(["source", "bigram"], sort=False)["cnt"].sum().reset_index()
+        out = (
+            gb.groupby("source", sort=False)
+            .agg(n_bigrams=("cnt", "sum"), distinct_bigrams=("bigram", "size"))
+            .reset_index()
+        )
+        for c in ("n_bigrams", "distinct_bigrams"):
+            out[c] = out[c].astype("int64")
+        out["diversity"] = (
+            out["distinct_bigrams"].to_numpy(np.float64)
+            / out["n_bigrams"].to_numpy(np.float64)
+        )
+        return out
+
+    return bucketed_group_apply(slim, ["source"], per_bucket, n_buckets=n_buckets)

@@ -158,6 +158,8 @@ def test_oracle_keys_subset(entry_mod):
     "winnow_fingerprints",
     # round 3: adaptive length gate + int8 embedding quantization
     "length_gate", "quantize_embeddings",
+    # round 3: global rank scan + per-source bigram diversity
+    "doc_rank", "source_diversity",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
