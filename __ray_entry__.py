@@ -77,6 +77,9 @@ DECON_PROBES = [
     "quantum flux capacitor inverts the polarity field",
 ]
 SAMPLE_RATE_PCT = 10
+SPLIT_VAL_PCT, SPLIT_TEST_PCT, SPLIT_SALT = 5, 5, "ses-split"
+# source rebalancing target mix (src0 halved, src2 kept, others 30%)
+MIX_WEIGHTS, MIX_SALT, MIX_DEFAULT = {"src0": 0.5, "src2": 1.0}, "ses-mix", 0.3
 SAMPLE_SALT = "ses-sample"
 STRAT_K, STRAT_SALT = 3, "ses-strat"
 EXPORT_MIN_TOKENS, EXPORT_MAX_DUP = 30, 0.12
@@ -522,6 +525,27 @@ def q_source_diversity(sf_dir: str):
     from search_engine_skillbox_ray.pipelines.textstats import source_diversity_ds
 
     return source_diversity_ds(_documents(sf_dir))
+
+
+def q_dataset_splits(sf_dir: str):
+    """Deterministic train/val/test split assignment (one hash, three
+    ranges — structurally disjoint, growth-stable)."""
+    from search_engine_skillbox_ray.pipelines.textstats import dataset_splits_ds
+
+    return dataset_splits_ds(
+        _documents(sf_dir), val_pct=SPLIT_VAL_PCT, test_pct=SPLIT_TEST_PCT,
+        salt=SPLIT_SALT,
+    )
+
+
+def q_source_mix(sf_dir: str):
+    """Source rebalancing by deterministic importance subsampling to the
+    MIX_WEIGHTS target acceptance rates."""
+    from search_engine_skillbox_ray.pipelines.textstats import source_mix_sample_ds
+
+    return source_mix_sample_ds(
+        _documents(sf_dir), MIX_WEIGHTS, salt=MIX_SALT, default_weight=MIX_DEFAULT
+    )
 
 
 def q_decontaminate(sf_dir: str):
@@ -1224,6 +1248,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantize_embeddings": q_quantize_embeddings,
         "doc_rank": q_doc_rank,
         "source_diversity": q_source_diversity,
+        "dataset_splits": q_dataset_splits,
+        "source_mix": q_source_mix,
         "pack_sequences": q_pack_sequences,
         "lm_doc_score": q_lm_doc_score,
         "doc_chunks": q_doc_chunks,
@@ -2178,6 +2204,21 @@ SELECT source, count(*)::BIGINT AS n_bigrams,
        count(DISTINCT b)::BIGINT AS distinct_bigrams,
        count(DISTINCT b)::DOUBLE / count(*) AS diversity
 FROM bg GROUP BY source
+""",
+        "dataset_splits": f"""
+WITH h AS (SELECT doc_id, source,
+                  md5_number_lower(doc_id::VARCHAR || ':{SPLIT_SALT}') % 100 AS hv
+           FROM documents)
+SELECT doc_id, source,
+       CASE WHEN hv < {SPLIT_TEST_PCT} THEN 'test'
+            WHEN hv < {SPLIT_TEST_PCT} + {SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'train' END AS split
+FROM h
+""",
+        "source_mix": f"""
+SELECT doc_id, source FROM documents
+WHERE md5_number_lower(doc_id::VARCHAR || ':{MIX_SALT}') % 1000000 <
+      CASE source WHEN 'src0' THEN 500000 WHEN 'src2' THEN 1000000 ELSE 300000 END
 """,
         # decontamination mirror: SAME window hash as dup_spans; probe
         # windows derived from the constant VALUES list, DISTINCT'd as

@@ -264,6 +264,8 @@ def bench_sf_queries() -> dict:
         "quantize_embeddings",
         "doc_rank",
         "source_diversity",
+        "dataset_splits",
+        "source_mix",
         "pack_sequences",
         "lm_doc_score",
         "doc_chunks",

@@ -1459,3 +1459,69 @@ def source_diversity_ds(documents: rd.Dataset, n_buckets: int = 32) -> rd.Datase
         return out
 
     return bucketed_group_apply(slim, ["source"], per_bucket, n_buckets=n_buckets)
+
+
+def dataset_splits_ds(
+    documents: rd.Dataset,
+    val_pct: int = 5,
+    test_pct: int = 5,
+    salt: str = "ses-split",
+) -> rd.Dataset:
+    """→ (doc_id, source, split) — deterministic train/val/test
+    assignment: ``h = md5(doc_id:salt) % 100``; h < test_pct → 'test',
+    h < test_pct + val_pct → 'val', else 'train'. The reproducible-split
+    primitive: same salt ⇒ same assignment on every run and cluster
+    size, docs never migrate between splits as the corpus grows, and
+    disjointness is structural (one hash, three ranges). Shuffle-free."""
+    from ..functions.hashing import md5_u64
+
+    def stage(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        h = md5_u64([f"{i}:{salt}" for i in ids.tolist()]) % np.uint64(100)
+        split = np.where(
+            h < test_pct, "test", np.where(h < test_pct + val_pct, "val", "train")
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "source": batch.column("source"),
+                "split": pa.array(split.tolist(), pa.string()),
+            }
+        )
+
+    return documents.select_columns(["doc_id", "source"]).map_batches(
+        stage, batch_format="pyarrow"
+    )
+
+
+def source_mix_sample_ds(
+    documents: rd.Dataset,
+    weights: dict[str, float],
+    salt: str = "ses-mix",
+    default_weight: float = 1.0,
+) -> rd.Dataset:
+    """→ (doc_id, source) — SOURCE REBALANCING by deterministic
+    importance subsampling (the Pile/DoReMi-style mixture step): keep a
+    doc iff ``md5(doc_id:salt) % 10^6 < weight(source) · 10^6``, i.e.
+    downsample each source to its target acceptance rate with a
+    reproducible hash — no shuffling, no randomness, nested samples
+    across weight changes (lowering a weight keeps a subset).
+
+    Scale shape: the weight table is the small side (hundreds of
+    sources), shipped in the closure; the corpus streams through one
+    shuffle-free filter pass."""
+    from ..functions.hashing import md5_u64
+
+    scaled = {s: int(round(w * 1_000_000)) for s, w in weights.items()}
+    dflt = int(round(default_weight * 1_000_000))
+
+    def stage(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        srcs = batch.column("source").to_pylist()
+        h = md5_u64([f"{i}:{salt}" for i in ids.tolist()]) % np.uint64(1_000_000)
+        thr = np.fromiter((scaled.get(s, dflt) for s in srcs), np.int64, len(srcs))
+        return batch.filter(pa.array(h.astype(np.int64) < thr))
+
+    return documents.select_columns(["doc_id", "source"]).map_batches(
+        stage, batch_format="pyarrow"
+    )

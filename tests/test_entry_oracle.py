@@ -160,6 +160,8 @@ def test_oracle_keys_subset(entry_mod):
     "length_gate", "quantize_embeddings",
     # round 3: global rank scan + per-source bigram diversity
     "doc_rank", "source_diversity",
+    # round 3: reproducible splits + source-mix resampling
+    "dataset_splits", "source_mix",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
