@@ -43,6 +43,7 @@ NGRAM_N, NGRAM_SAMPLE, NGRAM_THRESHOLD = 3, 4, 0.5
 EMB_PLANES, EMB_SEED, EMB_THRESHOLD = 4, 42, 0.35
 LSH_PLANES, LSH_PROBES = 4, 11
 IVF_LISTS, IVF_PROBE, IVF_TRAIN = 8, 4, 2048
+PQ_M, PQ_KSUB, PQ_TRAIN, PQ_SEED = 4, 16, 2048, 42
 SIMHASH_MAX_HAMMING = 3
 # fixed-point PageRank: iterations, damping 85/100, int64 mass scale —
 # identical constants drive the Ray operator and the unrolled SQL mirror
@@ -545,6 +546,17 @@ def q_source_mix(sf_dir: str):
 
     return source_mix_sample_ds(
         _documents(sf_dir), MIX_WEIGHTS, salt=MIX_SALT, default_weight=MIX_DEFAULT
+    )
+
+
+def q_pq_codes(sf_dir: str):
+    """Product-quantization codes: per-subspace k-means codebooks
+    trained on the deterministic smallest-id sample, broadcast once."""
+    from search_engine_skillbox_ray.pipelines.ann import pq_codes_ds
+
+    return pq_codes_ds(
+        _embeddings(sf_dir), m=PQ_M, ksub=PQ_KSUB,
+        train_sample=PQ_TRAIN, seed=PQ_SEED,
     )
 
 
@@ -1250,6 +1262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_diversity": q_source_diversity,
         "dataset_splits": q_dataset_splits,
         "source_mix": q_source_mix,
+        "pq_codes": q_pq_codes,
         "pack_sequences": q_pack_sequences,
         "lm_doc_score": q_lm_doc_score,
         "doc_chunks": q_doc_chunks,
@@ -1656,6 +1669,31 @@ def _media_values() -> tuple[str, str]:
                 fb = body[f * MEDIA_FRAME_BYTES: (f + 1) * MEDIA_FRAME_BYTES]
                 frm.append(f"({mid}, {f}, '{hashlib.md5(fb).hexdigest()}', {len(fb)})")
     return ", ".join(dec), ", ".join(frm)
+
+
+def _pq_codebook_values() -> str:
+    """The PQ codebooks as SQL VALUES (sub, code, subvector) — same
+    deterministic derivation contract as the IVF centroids."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from search_engine_skillbox_ray.functions.vectors import embedding_vectors
+    from search_engine_skillbox_ray.pipelines.ann import _kmeans_lite
+
+    sf = os.environ.get(ORACLE_SF_ENV, _DEFAULT_ORACLE_SF)
+    tbl = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = tbl["vec_id"].to_numpy()
+    order = np.argsort(ids, kind="stable")[:PQ_TRAIN]
+    sample = embedding_vectors(tbl["embedding"].combine_chunks().take(pa.array(order)))
+    d = sample.shape[1] // PQ_M
+    rows = []
+    for s_ in range(PQ_M):
+        cents = _kmeans_lite(sample[:, s_ * d : (s_ + 1) * d], PQ_KSUB, seed=PQ_SEED + s_)
+        for ci in range(len(cents)):
+            vec = ", ".join(repr(float(v)) for v in cents[ci])
+            rows.append(f"({s_}, {ci}, [{vec}]::DOUBLE[])")
+    return ", ".join(rows)
 
 
 def _ivf_centroid_values() -> str:
@@ -2219,6 +2257,21 @@ FROM h
 SELECT doc_id, source FROM documents
 WHERE md5_number_lower(doc_id::VARCHAR || ':{MIX_SALT}') % 1000000 <
       CASE source WHEN 'src0' THEN 500000 WHEN 'src2' THEN 1000000 ELSE 300000 END
+""",
+        # PQ mirror: per-subspace argmin over the SAME codebook VALUES
+        # (ties toward the smaller code, the IVF assignment rule); list
+        # slices are 1-based inclusive
+        "pq_codes": f"""
+WITH book(sub, code, w) AS (VALUES {_pq_codebook_values()}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             len(embedding) // {PQ_M} AS d FROM embeddings),
+d AS (SELECT e.vec_id, b.sub, b.code,
+             list_distance(e.v[b.sub * e.d + 1 : (b.sub + 1) * e.d], b.w) AS dist
+      FROM e, book b)
+SELECT vec_id, sub::BIGINT AS sub, code::BIGINT AS code FROM (
+  SELECT vec_id, sub, code,
+         row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+  FROM d) WHERE rn = 1
 """,
         # decontamination mirror: SAME window hash as dup_spans; probe
         # windows derived from the constant VALUES list, DISTINCT'd as

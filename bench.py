@@ -266,6 +266,7 @@ def bench_sf_queries() -> dict:
         "source_diversity",
         "dataset_splits",
         "source_mix",
+        "pq_codes",
         "pack_sequences",
         "lm_doc_score",
         "doc_chunks",

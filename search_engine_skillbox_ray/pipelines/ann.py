@@ -463,3 +463,79 @@ def centroid_confusion(embeddings: rd.Dataset) -> rd.Dataset:
         ),
         batch_format="pyarrow",
     )
+
+
+def pq_codes_ds(
+    embeddings: rd.Dataset,
+    m: int = 4,
+    ksub: int = 16,
+    train_sample: int = 2048,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """→ (vec_id, sub, code) — PRODUCT QUANTIZATION codes (Jégou et al.,
+    TPAMI 2011): the vector splits into ``m`` contiguous subspaces, each
+    with its own ``ksub``-centroid k-means codebook; a vector compresses
+    to m small integers (m·log2(ksub) bits — the memory layout IVF-PQ
+    ANN serving is built on). Codebooks train on the deterministic
+    smallest-id sample (reproducible across block order and cluster
+    size, like the IVF coarse quantizer); assignment ties break toward
+    the smaller code, mirroring the SQL argmin rule.
+
+    Scale shape: codebooks are m·ksub·(D/m) floats — broadcast once via
+    ``ray.put``; encoding is a shuffle-free per-batch matmul-free
+    squared-distance argmin over the zero-copy flat child array."""
+    import ray
+
+    sample = deterministic_train_vectors(
+        embeddings, train_sample, id_col=id_col, vec_col=vec_col
+    )
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    books = np.stack(
+        [
+            _kmeans_lite(sample[:, s * d : (s + 1) * d], ksub, seed=seed + s)
+            for s in range(m)
+        ]
+    )  # (m, ksub', d)
+    bref = ray.put(books)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        bk = _ray.get(bref)
+        col = batch.column(vec_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(batch)
+        if not n:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "sub": pa.array([], pa.int64()),
+                    "code": pa.array([], pa.int64()),
+                }
+            )
+        x = flat.reshape(n, dim)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        subs, codes = [], []
+        for s in range(bk.shape[0]):
+            xs = x[:, s * d : (s + 1) * d]
+            dist = ((xs[:, None, :] - bk[s][None, :, :]) ** 2).sum(axis=2)
+            codes.append(dist.argmin(axis=1).astype(np.int64))  # first min == smallest code
+            subs.append(np.full(n, s, np.int64))
+        return pa.table(
+            {
+                "vec_id": pa.array(np.tile(ids, bk.shape[0]), pa.int64()),
+                "sub": pa.array(np.concatenate(subs), pa.int64()),
+                "code": pa.array(np.concatenate(codes), pa.int64()),
+            }
+        )
+
+    return embeddings.select_columns([id_col, vec_col]).map_batches(
+        stage, batch_format="pyarrow"
+    )

@@ -162,6 +162,8 @@ def test_oracle_keys_subset(entry_mod):
     "doc_rank", "source_diversity",
     # round 3: reproducible splits + source-mix resampling
     "dataset_splits", "source_mix",
+    # round 3: product-quantization codes
+    "pq_codes",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
