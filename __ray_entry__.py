@@ -560,6 +560,13 @@ def q_pq_codes(sf_dir: str):
     )
 
 
+def q_token_entropy(sf_dir: str):
+    """Per-doc Shannon token entropy (repetitiveness signal)."""
+    from search_engine_skillbox_ray.pipelines.textstats import token_entropy_ds
+
+    return token_entropy_ds(_documents(sf_dir))
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination: per doc, the fraction of k-token
     windows colliding with the broadcast probe-set windows — shuffle-free
@@ -1263,6 +1270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_splits": q_dataset_splits,
         "source_mix": q_source_mix,
         "pq_codes": q_pq_codes,
+        "token_entropy": q_token_entropy,
         "pack_sequences": q_pack_sequences,
         "lm_doc_score": q_lm_doc_score,
         "doc_chunks": q_doc_chunks,
@@ -2272,6 +2280,20 @@ SELECT vec_id, sub::BIGINT AS sub, code::BIGINT AS code FROM (
   SELECT vec_id, sub, code,
          row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
   FROM d) WHERE rn = 1
+""",
+        # entropy: the exact -(tf/n)*ln(tf/n) addend shape on both sides
+        "token_entropy": f"""
+WITH tok AS ({_TOK}),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS n FROM tf GROUP BY doc_id),
+h AS (SELECT tf.doc_id,
+             SUM(-(tf.tf::DOUBLE / dl.n) * ln(tf.tf::DOUBLE / dl.n)) AS entropy
+      FROM tf JOIN dl ON dl.doc_id = tf.doc_id GROUP BY tf.doc_id)
+SELECT d.doc_id, COALESCE(dl.n, 0)::BIGINT AS n_tokens,
+       ROUND(COALESCE(h.entropy, 0.0), 6) AS entropy
+FROM documents d
+LEFT JOIN dl ON dl.doc_id = d.doc_id
+LEFT JOIN h ON h.doc_id = d.doc_id
 """,
         # decontamination mirror: SAME window hash as dup_spans; probe
         # windows derived from the constant VALUES list, DISTINCT'd as

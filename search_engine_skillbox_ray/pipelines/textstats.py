@@ -1525,3 +1525,42 @@ def source_mix_sample_ds(
     return documents.select_columns(["doc_id", "source"]).map_batches(
         stage, batch_format="pyarrow"
     )
+
+
+def token_entropy_ds(documents: rd.Dataset) -> rd.Dataset:
+    """→ (doc_id, n_tokens, entropy) — Shannon entropy of each doc's own
+    token distribution, in nats: H = −Σ_t (tf/n)·ln(tf/n). Low entropy
+    flags keyword-stuffed / repetitive pages (the within-doc complement
+    of ``repetition_ds``'s top-token fraction); empty docs get 0.0.
+
+    Scale shape: shuffle-free — one ``map_batches`` pass; the per-doc
+    sum runs over per-(doc, term) tf partials (one dictionary-encode +
+    unique pass per batch), the exact (tf/n)·ln(tf/n) addend shape the
+    SQL mirror uses."""
+    from ..functions.hashing import flat_nonempty_tokens
+
+    def stage(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(doc_ids)
+        toks, parents, cnt = flat_nonempty_tokens(batch.column("text"))
+        h = np.zeros(n, np.float64)
+        if len(toks):
+            denc = toks.dictionary_encode()
+            codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            nv = len(denc.dictionary)
+            key = parents * np.int64(nv) + codes
+            ukey, tf = np.unique(key, return_counts=True)
+            up = (ukey // nv).astype(np.int64)
+            p = tf.astype(np.float64) / cnt[up].astype(np.float64)
+            np.add.at(h, up, -p * np.log(p))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "n_tokens": pa.array(cnt.astype(np.int64), pa.int64()),
+                "entropy": pa.array(np.round(h, 6), pa.float64()),
+            }
+        )
+
+    return documents.select_columns(["doc_id", "text"]).map_batches(
+        stage, batch_format="pyarrow"
+    )

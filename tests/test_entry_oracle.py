@@ -164,6 +164,8 @@ def test_oracle_keys_subset(entry_mod):
     "dataset_splits", "source_mix",
     # round 3: product-quantization codes
     "pq_codes",
+    # round 3: per-doc token entropy
+    "token_entropy",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
