@@ -48,6 +48,8 @@ SIMHASH_MAX_HAMMING = 3
 # fixed-point PageRank: iterations, damping 85/100, int64 mass scale —
 # identical constants drive the Ray operator and the unrolled SQL mirror
 PR_ITERS, PR_DAMP_NUM, PR_DAMP_DEN, PR_SCALE = 5, 85, 100, 10**12
+# HITS: L1-normalized integer fixed point; scale^2 must fit int64
+HITS_ITERS, HITS_SCALE = 3, 10**9
 MEDIA_N, MEDIA_SEED, MEDIA_FEAT_DIM, MEDIA_FRAME_BYTES, MEDIA_EVERY_K = 200, 13, 16, 64, 2
 # the driver runs oracle SQL at sf0.01; the one data-dependent oracle
 # constant (IVF centroids) is derived from this dir — tests override it
@@ -1120,6 +1122,23 @@ def q_coupling_pairs(sf_dir: str):
     return coupling_pairs(extract_links_ds(pages, sites), min_common=1)
 
 
+def q_hits(sf_dir: str):
+    """Fixed-point integer HITS (hubs/authorities) over the link
+    fixture graph — bit-exact vs the unrolled SQL mirror."""
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.functions.links import extract_links_ds
+    from search_engine_skillbox_ray.pipelines.graph import hits
+    from search_engine_skillbox_ray.sources.fixtures import generate_pages_table
+    from search_engine_skillbox_ray.sources.pages import derive_sites
+
+    pages = rd.from_arrow(generate_pages_table(300, n_sites=2, seed=13))
+    sites = derive_sites(pages)
+    return hits(
+        extract_links_ds(pages, sites), iterations=HITS_ITERS, scale=HITS_SCALE
+    )
+
+
 def q_dedup_clusters(sf_dir: str):
     """MinHash near-dup pairs → connected components → full-corpus
     canonical assignment (doc_id, rep_id): the action step of the dedup
@@ -1321,6 +1340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q_pagerank,
         "link_degrees": q_link_degrees,
         "coupling_pairs": q_coupling_pairs,
+        "hits": q_hits,
         "dedup_clusters": q_dedup_clusters,
         "cross_source_pairs": q_cross_source_pairs,
         "near_dup_vs_snapshot": q_near_dup_vs_snapshot,
@@ -1644,6 +1664,39 @@ r{i} AS (
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT u AS url, r AS pagerank FROM r{iters}"
+    )
+
+
+def _hits_sql() -> str:
+    """Unrolled fixed-point HITS mirror over the structural link VALUES:
+    per iteration a (hub-partial, hub-total, hub, auth-partial,
+    auth-total, auth) CTE chain in HUGEINT floor arithmetic — bit-exact
+    vs ``pipelines/graph.hits``."""
+    scale, iters = HITS_SCALE, HITS_ITERS
+    ctes = [f"""edges AS (
+  SELECT DISTINCT src_url AS s, dst_url AS d
+  FROM (VALUES {_link_graph_values()}) t(src_url, dst_url)),
+nodes AS (SELECT s AS u FROM edges UNION SELECT d FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+a0 AS (SELECT u, CAST({scale} AS BIGINT) // (SELECT n FROM nn) AS r FROM nodes)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""hp{i} AS (
+  SELECT e.s AS u, SUM(a.r) AS c FROM edges e JOIN a{i - 1} a ON a.u = e.d GROUP BY e.s),
+ht{i} AS (SELECT SUM(c) AS t FROM hp{i}),
+h{i} AS (
+  SELECT n.u, CAST(COALESCE((CAST(hp.c AS HUGEINT) * {scale}) // (SELECT t FROM ht{i}), 0) AS BIGINT) AS r
+  FROM nodes n LEFT JOIN hp{i} hp ON hp.u = n.u),
+ap{i} AS (
+  SELECT e.d AS u, SUM(h.r) AS c FROM edges e JOIN h{i} h ON h.u = e.s GROUP BY e.d),
+at{i} AS (SELECT SUM(c) AS t FROM ap{i}),
+a{i} AS (
+  SELECT n.u, CAST(COALESCE((CAST(ap.c AS HUGEINT) * {scale}) // (SELECT t FROM at{i}), 0) AS BIGINT) AS r
+  FROM nodes n LEFT JOIN ap{i} ap ON ap.u = n.u)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT h.u AS url, h.r AS hub, a.r AS authority
+FROM h{iters} h JOIN a{iters} a ON a.u = h.u"""
     )
 
 
@@ -2589,6 +2642,7 @@ WHERE c.doc_id % 2 = 1 AND NOT EXISTS (
   SELECT 1 FROM fp s WHERE s.doc_id % 2 = 0 AND s.fingerprint = c.fingerprint)
 """,
         "pagerank": _pagerank_sql(),
+        "hits": _hits_sql(),
         "dedup_clusters": f"""
 WITH RECURSIVE
 p AS (SELECT doc_a, doc_b FROM ({_minhash_pairs_sql()}) q),

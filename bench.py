@@ -299,6 +299,7 @@ def bench_sf_queries() -> dict:
         "search_128bit_delete",
         "pagerank",
         "link_degrees",
+        "hits",
         "coupling_pairs",
         "dedup_clusters",
         "cross_source_pairs",

@@ -554,3 +554,203 @@ def coupling_pairs(
     return bucketed_group_apply(
         pair_rows, ["url_a", "url_b"], count_per_bucket, n_buckets=32
     )
+
+
+def _hits_driver(
+    s: np.ndarray, d: np.ndarray, n: int, *, iterations: int, scale: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized fixed-point HITS over label-encoded edges → (hub,
+    authority) int64 arrays. Normalization is sum-to-scale with floor
+    division (L1, not the classical L2 — L1 keeps every step in exact
+    integer arithmetic, which is what makes the SQL mirror bit-exact;
+    the relative ordering HITS is used for is unchanged)."""
+    a = np.full(n, scale // n, dtype=np.int64)
+    h = np.zeros(n, dtype=np.int64)
+    for _ in range(iterations):
+        hp = np.zeros(n, dtype=np.int64)
+        np.add.at(hp, s, a[d])
+        tot = int(hp.sum())
+        h = (hp * scale) // tot if tot else hp
+        ap = np.zeros(n, dtype=np.int64)
+        np.add.at(ap, d, h[s])
+        tot = int(ap.sum())
+        a = (ap * scale) // tot if tot else ap
+    return h, a
+
+
+def hits(
+    edges: rd.Dataset,
+    *,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    iterations: int = 3,
+    scale: int = 10**9,
+) -> rd.Dataset:
+    """(src, dst) edge Dataset → (url, hub, authority) — Kleinberg's
+    HITS in fixed-point int64 (hub = Σ authority of out-neighbors,
+    authority = Σ hub of in-neighbors, L1-renormalized to ``scale``
+    each half-step). Integer sums are associative, so the result is
+    independent of block/reduction order and the unrolled SQL mirror
+    reproduces it bit-for-bit — the same determinism contract as
+    ``pagerank``. ``scale`` must satisfy scale² < 2^63 (int64 products).
+
+    Scale shape: identical to pagerank — driver fastpath below
+    ``DRIVER_FASTPATH_ROWS``, else per-iteration edge-sized
+    ``sized_join`` + groupby exchanges; the normalization totals are
+    streamed scalar aggregates."""
+    from ..config import DRIVER_FASTPATH_ROWS
+    from ..stages.grouping import bucketed_group_apply, drop_empty_blocks, sized_join
+
+    if scale * scale >= 2**63:
+        raise ValueError("scale^2 must fit int64")
+
+    def slim(batch: pa.Table) -> pa.Table:
+        t = pa.table({"s": batch.column(src_col), "d": batch.column(dst_col)})
+        return t.group_by(["s", "d"]).aggregate([]).select(["s", "d"])
+
+    empty = pa.table(
+        {
+            "url": pa.array([], pa.string()),
+            "hub": pa.array([], pa.int64()),
+            "authority": pa.array([], pa.int64()),
+        }
+    )
+    slim_edges = edges.map_batches(slim, batch_format="pyarrow").materialize()
+    n_edges = slim_edges.count()
+    if n_edges == 0:
+        return rd.from_arrow(empty)
+
+    if n_edges <= DRIVER_FASTPATH_ROWS:
+        tbl = pa.concat_tables(
+            [pa.table(b) for b in slim_edges.iter_batches(batch_format="pyarrow")]
+        )
+        tbl = tbl.group_by(["s", "d"]).aggregate([]).select(["s", "d"])
+        src = tbl.column("s").to_numpy(zero_copy_only=False)
+        dst = tbl.column("d").to_numpy(zero_copy_only=False)
+        nodes, codes = np.unique(np.concatenate([src, dst]), return_inverse=True)
+        h, a = _hits_driver(
+            codes[: src.size], codes[src.size :], nodes.size,
+            iterations=iterations, scale=scale,
+        )
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "url": pa.array(nodes),
+                    "hub": pa.array(h, pa.int64()),
+                    "authority": pa.array(a, pa.int64()),
+                }
+            )
+        )
+
+    # ---- distributed path: edge/node-sized exchanges only ----
+    slim_edges = drop_empty_blocks(
+        bucketed_group_apply(
+            slim_edges, ["s", "d"],
+            lambda g: g.drop_duplicates(subset=["s", "d"]), n_buckets=64,
+        ).materialize()
+    )
+
+    def both_endpoints(batch: pa.Table) -> pa.Table:
+        u = pa.concat_arrays(
+            [
+                batch.column("s").combine_chunks().cast(pa.string()),
+                batch.column("d").combine_chunks().cast(pa.string()),
+            ]
+        )
+        return pa.table({"u": u.unique()})
+
+    nodes_ds = drop_empty_blocks(
+        slim_edges.map_batches(both_endpoints, batch_format="pyarrow")
+        .groupby("u").count()
+        .map_batches(lambda b: b.select(["u"]), batch_format="pyarrow")
+        .materialize()
+    )
+    n = nodes_ds.count()
+
+    def const_scores(v: int):
+        return nodes_ds.map_batches(
+            lambda b, _v=v: pa.table(
+                {"u": b.column("u"), "r": pa.array(np.full(len(b), _v, np.int64))}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    a_ds = const_scores(scale // n)
+    h_ds = const_scores(0)
+
+    def half_step(score_ds, join_on: str, group_to: str):
+        """Σ score over edges joined on ``join_on``, grouped to the other
+        endpoint, L1-normalized to scale. Returns a (u, r) Dataset."""
+        part = (
+            sized_join(slim_edges, score_ds.map_batches(
+                lambda b, _j=join_on: pa.table({_j: b.column("u"), "r": b.column("r")}),
+                batch_format="pyarrow",
+            ), (join_on,))
+            .map_batches(
+                lambda b, _g=group_to: pa.table({_g: b.column(_g), "c": b.column("r")})
+                .group_by(_g).aggregate([("c", "sum")]).rename_columns([_g, "c"]),
+                batch_format="pyarrow",
+            )
+            .groupby(group_to).sum("c")
+            .map_batches(
+                lambda b, _g=group_to: pa.table(
+                    {"u": b.column(_g), "c": pc.cast(b.column("sum(c)"), pa.int64())}
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        part = drop_empty_blocks(part)
+        tot = part.sum("c") or 0
+        out = (
+            sized_join(nodes_ds, part, ("u",), join_type="left_outer")
+            .map_batches(
+                lambda b, _t=tot: pa.table(
+                    {
+                        "u": b.column("u"),
+                        "r": pa.array(
+                            (
+                                b.column("c").fill_null(0)
+                                .to_numpy(zero_copy_only=False).astype(np.int64)
+                                * scale
+                            )
+                            // _t
+                            if _t
+                            else np.zeros(len(b), np.int64),
+                            pa.int64(),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        return drop_empty_blocks(out)
+
+    for _ in range(iterations):
+        h_ds = half_step(a_ds, join_on="d", group_to="s")
+        a_ds = half_step(h_ds, join_on="s", group_to="d")
+
+    return (
+        sized_join(
+            h_ds.map_batches(
+                lambda b: pa.table({"u": b.column("u"), "hub": b.column("r")}),
+                batch_format="pyarrow",
+            ),
+            a_ds.map_batches(
+                lambda b: pa.table({"u": b.column("u"), "authority": b.column("r")}),
+                batch_format="pyarrow",
+            ),
+            ("u",),
+        )
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "url": b.column("u"),
+                    "hub": b.column("hub"),
+                    "authority": b.column("authority"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )

@@ -166,6 +166,8 @@ def test_oracle_keys_subset(entry_mod):
     "pq_codes",
     # round 3: per-doc token entropy
     "token_entropy",
+    # round 3: fixed-point HITS hubs/authorities
+    "hits",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))

@@ -162,3 +162,33 @@ def test_near_dup_clusters_distributed(pair_ds, monkeypatch):
     f = fast.sort_values("doc_id").reset_index(drop=True)
     d = dist.sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(f, d)
+
+
+# ----------------------------------------------- HITS hubs/authorities
+def test_hits_semantics(edges):
+    """Hand-checkable shape on the small fixture: every node gets a row,
+    L1 totals stay ~scale, pure sinks have hub 0, pure sources have
+    authority 0."""
+    from search_engine_skillbox_ray.pipelines.graph import hits
+
+    df = hits(edges, iterations=3, scale=10**9).to_pandas()
+    e = edges.to_pandas()
+    nodes = set(e["src_url"]) | set(e["dst_url"])
+    assert set(df["url"]) == nodes
+    srcs, dsts = set(e["src_url"]), set(e["dst_url"])
+    r = df.set_index("url")
+    for u in nodes - srcs:  # no out-edges → no hub mass
+        assert r.loc[u, "hub"] == 0
+    for u in nodes - dsts:  # no in-edges → no authority mass
+        assert r.loc[u, "authority"] == 0
+    assert 0 < df["hub"].sum() <= 10**9
+    assert 0 < df["authority"].sum() <= 10**9
+
+
+def test_hits_distributed_matches_fastpath(edges, monkeypatch):
+    from search_engine_skillbox_ray.pipelines.graph import hits
+
+    fast = _sorted_df(hits(edges), ("url", "hub", "authority"))
+    monkeypatch.setattr(config, "DRIVER_FASTPATH_ROWS", 0)
+    dist = _sorted_df(hits(edges), ("url", "hub", "authority"))
+    pd.testing.assert_frame_equal(fast, dist)
