@@ -44,6 +44,7 @@ EMB_PLANES, EMB_SEED, EMB_THRESHOLD = 4, 42, 0.35
 LSH_PLANES, LSH_PROBES = 4, 11
 IVF_LISTS, IVF_PROBE, IVF_TRAIN = 8, 4, 2048
 PQ_M, PQ_KSUB, PQ_TRAIN, PQ_SEED = 4, 16, 2048, 42
+PQ_RERANK = 64
 SIMHASH_MAX_HAMMING = 3
 # fixed-point PageRank: iterations, damping 85/100, int64 mass scale —
 # identical constants drive the Ray operator and the unrolled SQL mirror
@@ -567,6 +568,18 @@ def q_token_entropy(sf_dir: str):
     from search_engine_skillbox_ray.pipelines.textstats import token_entropy_ds
 
     return token_entropy_ds(_documents(sf_dir))
+
+
+def q_pq_topk(sf_dir: str):
+    """PQ-ADC ANN top-k: LUT-gathered asymmetric distances select the
+    rerank candidates (ties absorbed by 1e-9 rounding), exact cosine
+    re-ranks — the billion-vector serving shape."""
+    from search_engine_skillbox_ray.pipelines.ann import pq_topk
+
+    return pq_topk(
+        _embeddings(sf_dir), _query_vectors(sf_dir), k=ANN_K, m=PQ_M,
+        ksub=PQ_KSUB, train_sample=PQ_TRAIN, seed=PQ_SEED, rerank=PQ_RERANK,
+    )
 
 
 def q_decontaminate(sf_dir: str):
@@ -1289,6 +1302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_splits": q_dataset_splits,
         "source_mix": q_source_mix,
         "pq_codes": q_pq_codes,
+        "pq_topk": q_pq_topk,
         "token_entropy": q_token_entropy,
         "pack_sequences": q_pack_sequences,
         "lm_doc_score": q_lm_doc_score,
@@ -2347,6 +2361,37 @@ SELECT d.doc_id, COALESCE(dl.n, 0)::BIGINT AS n_tokens,
 FROM documents d
 LEFT JOIN dl ON dl.doc_id = d.doc_id
 LEFT JOIN h ON h.doc_id = d.doc_id
+""",
+        # PQ-ADC mirror: assignment as in pq_codes; ADC = SUM of squared
+        # list_distance per subspace (ROUND 9 absorbs summation order);
+        # rerank candidates then exact-cosine top-k
+        "pq_topk": f"""
+WITH book(sub, code, w) AS (VALUES {_pq_codebook_values()}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             len(embedding) // {PQ_M} AS d FROM embeddings),
+dist AS (SELECT e.vec_id, b.sub, b.code,
+             list_distance(e.v[b.sub * e.d + 1 : (b.sub + 1) * e.d], b.w) AS dist
+      FROM e, book b),
+assign AS (SELECT vec_id, sub, code FROM (
+  SELECT vec_id, sub, code,
+         row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+  FROM dist) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v, d FROM e WHERE vec_id < {ANN_NQ}),
+ad AS (SELECT q.query_id, a.vec_id,
+              SUM(list_distance(q.v[a.sub * q.d + 1 : (a.sub + 1) * q.d], b.w) ** 2) AS adist
+       FROM q, assign a JOIN book b ON b.sub = a.sub AND b.code = a.code
+       GROUP BY q.query_id, a.vec_id),
+cand AS (SELECT query_id, vec_id FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY ROUND(adist, 9), vec_id) AS rn
+  FROM ad) WHERE rn <= {PQ_RERANK}),
+sc AS (SELECT c.query_id, c.vec_id, list_cosine_similarity(eq.v, ev.v) AS cos
+       FROM cand c JOIN e ev ON ev.vec_id = c.vec_id
+            JOIN e eq ON eq.vec_id = c.query_id)
+SELECT CAST(query_id AS INTEGER) AS query_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) - 1 AS INTEGER) AS rank,
+       vec_id, ROUND(cos, 6) AS cosine
+FROM sc QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) <= {ANN_K}
 """,
         # decontamination mirror: SAME window hash as dup_spans; probe
         # windows derived from the constant VALUES list, DISTINCT'd as

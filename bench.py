@@ -267,6 +267,7 @@ def bench_sf_queries() -> dict:
         "dataset_splits",
         "source_mix",
         "pq_codes",
+        "pq_topk",
         "token_entropy",
         "pack_sequences",
         "lm_doc_score",

@@ -539,3 +539,151 @@ def pq_codes_ds(
     return embeddings.select_columns([id_col, vec_col]).map_batches(
         stage, batch_format="pyarrow"
     )
+
+
+def pq_topk(
+    embeddings: rd.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    m: int = 4,
+    ksub: int = 16,
+    train_sample: int = 2048,
+    seed: int = 42,
+    rerank: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """PQ-ADC ANN: encode the corpus with per-subspace codebooks (the
+    ``pq_codes_ds`` quantizer), score every vector against each query by
+    ASYMMETRIC DISTANCE — Σ over subspaces of the squared distance
+    between the query subvector and the vector's ASSIGNED codebook entry
+    (one m·ksub lookup table per query, the memory-bandwidth trick that
+    lets IVF-PQ serve billion-vector indexes) — keep the ``rerank``
+    best candidates per query and re-rank them by exact cosine.
+    → (query_id, rank, vec_id, cosine[r6]).
+
+    Determinism: candidate selection orders by (ADC rounded to 9,
+    vec_id) — the 1e-9 rounding absorbs float summation-order noise so
+    the SQL mirror selects the identical candidate set; codebooks and
+    assignment reuse the deterministic pq_codes contract.
+
+    Scale shape: codebooks + queries broadcast once; per-batch encode +
+    LUT-gather + partial top-``rerank`` (the only thing leaving a batch
+    is rerank·n_queries candidate rows with their exact cosines)."""
+    import ray
+
+    queries = np.asarray(queries, dtype=np.float64)
+    sample = deterministic_train_vectors(
+        embeddings, train_sample, id_col=id_col, vec_col=vec_col
+    )
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    books = np.stack(
+        [
+            _kmeans_lite(sample[:, s * d : (s + 1) * d], ksub, seed=seed + s)
+            for s in range(m)
+        ]
+    )
+    bref = ray.put(books)
+    qref = ray.put(queries)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        bk, qs = _ray.get(bref), _ray.get(qref)
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int32()),
+                "vec_id": pa.array([], pa.int64()),
+                "ad": pa.array([], pa.float64()),
+                "cos": pa.array([], pa.float64()),
+            }
+        )
+        n = len(batch)
+        if not n:
+            return empty
+        col = batch.column(vec_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        x = (
+            col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            .reshape(n, dim)
+        )
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        mm, kk = bk.shape[0], bk.shape[1]
+        codes = np.empty((n, mm), np.int64)
+        for s in range(mm):
+            xs = x[:, s * d : (s + 1) * d]
+            dist = ((xs[:, None, :] - bk[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = dist.argmin(axis=1)
+        # per-query LUT: squared distance in the SQL shape
+        # (sqrt then square, so ROUND(·,9) sees the same doubles)
+        out = []
+        qn = np.linalg.norm(qs, axis=1)
+        xn = np.linalg.norm(x, axis=1)
+        for qi in range(len(qs)):
+            lut = np.empty((mm, kk), np.float64)
+            for s in range(mm):
+                qsub = qs[qi, s * d : (s + 1) * d]
+                lut[s] = (
+                    np.sqrt(((bk[s] - qsub[None, :]) ** 2).sum(axis=1)) ** 2
+                )
+            ad = lut[np.arange(mm)[None, :], codes].sum(axis=1)
+            adr = np.round(ad, 9)
+            take = min(rerank, n)
+            part = np.lexsort((ids, adr))[:take]
+            cos = (x[part] @ qs[qi]) / np.maximum(xn[part] * qn[qi], 1e-300)
+            out.append(
+                pa.table(
+                    {
+                        "query_id": pa.array(
+                            np.full(len(part), qi, np.int32), pa.int32()
+                        ),
+                        "vec_id": pa.array(ids[part], pa.int64()),
+                        "ad": pa.array(adr[part], pa.float64()),
+                        "cos": pa.array(cos, pa.float64()),
+                    }
+                )
+            )
+        return pa.concat_tables(out)
+
+    partials = embeddings.select_columns([id_col, vec_col]).map_batches(
+        stage, batch_format="pyarrow", batch_size=4096
+    )
+    tables = [ray.get(r) for r in partials.to_arrow_refs()]
+    big = pa.concat_tables([t for t in tables if len(t)])
+    if not len(big):
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int32()),
+                "rank": pa.array([], pa.int32()),
+                "vec_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+    qid = big.column("query_id").to_numpy()
+    vid = big.column("vec_id").to_numpy()
+    ad = big.column("ad").to_numpy()
+    cos = big.column("cos").to_numpy()
+    out_q, out_r, out_v, out_c = [], [], [], []
+    for qi in np.unique(qid):
+        msk = qid == qi
+        v, a, c = vid[msk], ad[msk], cos[msk]
+        order = np.lexsort((v, a))[:rerank]  # global candidate set
+        v, c = v[order], c[order]
+        rr = np.lexsort((v, -c))[:k]
+        out_q.extend([int(qi)] * len(rr))
+        out_r.extend(range(len(rr)))
+        out_v.extend(v[rr].tolist())
+        out_c.extend(np.round(c[rr], 6).tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int32()),
+            "rank": pa.array(out_r, pa.int32()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "cosine": pa.array(out_c, pa.float64()),
+        }
+    )

@@ -168,6 +168,8 @@ def test_oracle_keys_subset(entry_mod):
     "token_entropy",
     # round 3: fixed-point HITS hubs/authorities
     "hits",
+    # round 3: PQ-ADC approximate top-k
+    "pq_topk",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
