@@ -316,3 +316,29 @@ def test_more_like_this_pruned_matches_exhaustive(built):
         if checked >= 25:
             break
     assert checked >= 5
+
+
+def test_search_excluding_semantics(built):
+    """AND-NOT: result set == disjunctive set minus exactly the docs
+    containing the exclude lemma; order and scores preserved; blank or
+    absent excludes are no-ops."""
+    import numpy as np
+
+    _, eng, _, _ = built
+
+    base_docs, base_scores, lemmas = eng.search_scores("ва слово")
+    assert base_docs.size > 0
+    excl = lemmas[0]  # exclude one of the query's own lemmas
+    docs, scores = eng.search_excluding("ва слово", excl)
+    ex_docs, _, _ = eng.search_scores(excl)
+    assert not np.intersect1d(docs, ex_docs).size
+    # every surviving doc keeps its original score, in original order
+    keep = ~np.isin(base_docs, ex_docs)
+    assert docs.tolist() == base_docs[keep].tolist()
+    assert np.allclose(scores, base_scores[keep].astype(np.float64))
+    # blank exclude: identical to the plain search
+    d2, s2 = eng.search_excluding("ва слово", "")
+    assert d2.tolist() == base_docs.tolist()
+    # excluding an absent term is a no-op too
+    d3, _ = eng.search_excluding("ва слово", "absentwordzz")
+    assert d3.tolist() == base_docs.tolist()

@@ -1052,3 +1052,45 @@ def test_winnow_guarantee_and_density(ray_session):
     # selections are distinct positions, bounded by #windows
     for d, g in fp.groupby("doc_id"):
         assert g["pos"].is_unique
+
+
+def test_pq_codes_and_topk(ray_session):
+    """PQ codes: one code per (vector, subspace) in range; PQ-ADC top-k:
+    rank-0 self-hit for every query, recall@10 grows with the rerank
+    depth, and mean recall@10 >= 0.5 at rerank=128 — the synthetic
+    embeddings are near-uniform (no cluster structure), the worst case
+    for PQ distortion, so the floor is deliberately modest."""
+    import numpy as np
+
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.ann import (
+        brute_force_topk,
+        pq_codes_ds,
+        pq_topk,
+    )
+
+    emb = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    codes = pq_codes_ds(emb, m=4, ksub=16, train_sample=2048, seed=42).to_pandas()
+    n_vec = emb.count()
+    assert len(codes) == n_vec * 4
+    assert codes["code"].between(0, 15).all()
+    assert codes.groupby("vec_id")["sub"].nunique().eq(4).all()
+
+    rows = emb.filter(expr="vec_id < 5").take_all()
+    rows.sort(key=lambda r: r["vec_id"])
+    queries = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    exact = brute_force_topk(emb, queries, k=10).to_pandas()
+    means = {}
+    for rr in (64, 128):
+        approx = pq_topk(emb, queries, k=10, m=4, ksub=16, rerank=rr, seed=42).to_pandas()
+        recalls = []
+        for qi in range(5):
+            a = approx[approx.query_id == qi]
+            e = exact[exact.query_id == qi]
+            # the query vector itself is in the corpus: must be rank 0
+            assert a.iloc[0]["vec_id"] == qi and a.iloc[0]["rank"] == 0
+            recalls.append(len(set(a.vec_id) & set(e.vec_id)) / len(e))
+        means[rr] = sum(recalls) / len(recalls)
+    assert means[128] >= means[64]  # deeper rerank can only help
+    assert means[128] >= 0.5, means
