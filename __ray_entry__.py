@@ -737,6 +737,14 @@ def q_events_window(sf_dir: str):
     return tumbling_window(_events(sf_dir), window_s=3600)
 
 
+def q_window_users(sf_dir: str):
+    """Exact distinct users per tumbling window (DAU/HAU primitive):
+    per-batch (window, user) distinct combiner, one window exchange."""
+    from search_engine_skillbox_ray.pipelines.windows import window_distinct_users
+
+    return window_distinct_users(_events(sf_dir), window_s=3600)
+
+
 def q_events_hopping(sf_dir: str):
     from search_engine_skillbox_ray.pipelines.windows import hopping_window
 
@@ -1327,6 +1335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "events_window": q_events_window,
+        "window_users": q_window_users,
         "events_hopping": q_events_hopping,
         "sessionize": q_sessionize,
         "events_asof": q_events_asof,
@@ -1969,6 +1978,12 @@ SELECT event_type,
        count(*)::BIGINT AS n_events,
        ROUND(sum(value), 6) AS sum_value
 FROM events GROUP BY event_type, window_start
+""",
+        "window_users": """
+SELECT ((epoch_us(ts) // 3600000000) * 3600)::BIGINT AS window_start,
+       count(*)::BIGINT AS n_events,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY window_start
 """,
         "events_hopping": """
 SELECT e.event_type,

@@ -245,6 +245,7 @@ def bench_sf_queries() -> dict:
         "ann_lsh_topk",
         "ann_ivf_topk",
         "events_window",
+        "window_users",
         "events_hopping",
         "sessionize",
         "events_asof",

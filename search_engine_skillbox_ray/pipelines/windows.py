@@ -378,3 +378,60 @@ def event_transitions(
         ),
         batch_format="pyarrow",
     )
+
+
+def window_distinct_users(
+    events: rd.Dataset,
+    window_s: int = 3600,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> rd.Dataset:
+    """→ (window_start:int64 epoch-seconds, n_events, n_users) — EXACT
+    distinct-user counts per tumbling window (the DAU/HAU primitive;
+    the thing COUNT(*) windows can't give you without a distinct pass).
+
+    Scale shape: each batch pre-aggregates to DISTINCT (window, user,
+    partial_event_count) rows — the combiner removes within-batch
+    duplicate users, so the exchange moves at most
+    windows × users-per-batch rows, never raw events; one
+    (window)-bucketed reduce finishes the global distinct and the event
+    total in the same pass."""
+    import pandas as pd
+
+    from ..stages.grouping import bucketed_group_apply
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w = (ts // (window_s * 1_000_000)) * window_s
+        users = batch.column(user_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table(
+            {"w": pa.array(w.astype(np.int64)), "u": pa.array(users)}
+        ).group_by(["w", "u"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "w": t.column("w"),
+                "u": t.column("u"),
+                "cnt": pc.cast(t.column("count_all"), pa.int64()),
+            }
+        )
+
+    slim = events.select_columns([ts_col, user_col]).map_batches(
+        partials, batch_format="pyarrow"
+    )
+
+    def per_bucket(group: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        gb = group.groupby("w", sort=False).agg(n_events=("cnt", "sum"))
+        # u may repeat ACROSS batches: distinct over the full bucket rows
+        nu = group.drop_duplicates(["w", "u"]).groupby("w", sort=False).size()
+        out = pd.DataFrame(
+            {
+                "window_start": gb.index.to_numpy(np.int64),
+                "n_events": gb["n_events"].to_numpy(np.int64),
+                "n_users": nu.reindex(gb.index).to_numpy(np.int64),
+            }
+        )
+        return out
+
+    return bucketed_group_apply(slim, ["w"], per_bucket, n_buckets=32)

@@ -170,6 +170,8 @@ def test_oracle_keys_subset(entry_mod):
     "hits",
     # round 3: PQ-ADC approximate top-k
     "pq_topk",
+    # round 3: exact distinct users per window
+    "window_users",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
