@@ -1094,3 +1094,83 @@ def test_pq_codes_and_topk(ray_session):
         means[rr] = sum(recalls) / len(recalls)
     assert means[128] >= means[64]  # deeper rerank can only help
     assert means[128] >= 0.5, means
+
+
+def test_pack_and_rank_bucket_invariance(ray_session):
+    """pack_sequences and doc_rank produce identical tables at 1 bucket
+    (single-reducer) and 64 buckets (fully bucketed prefix/rank scan)."""
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.textstats import (
+        doc_rank_by_len_ds,
+        pack_sequences_ds,
+    )
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    for fn, kw in ((pack_sequences_ds, {"seq_len": 64}), (doc_rank_by_len_ds, {})):
+        a = fn(docs, n_buckets=1, **kw).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        b = fn(docs, n_buckets=64, **kw).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert a.equals(b), fn.__name__
+
+
+def test_decontaminate_empty_probes(ray_session):
+    """No probes → every doc reports zero hits but real window totals."""
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.dedup import decontaminate_stats
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    df = decontaminate_stats(docs, [], k=5).to_pandas()
+    assert (df.n_hit_windows == 0).all() and (df.hit_fraction == 0.0).all()
+    assert df.n_windows.sum() > 0 and len(df) == 500
+
+
+def test_doc_chunks_cover_exactly_at_full_stride(ray_session):
+    """stride == chunk_len → chunks partition each doc's token stream:
+    joined chunk texts reproduce the tokenized doc."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.functions.tokenize import tokenize
+    from search_engine_skillbox_ray.pipelines.textstats import doc_chunks_ds
+
+    texts = ["alpha beta gamma delta epsilon", "one two", "", "x y z w v u t s q"]
+    docs = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    df = doc_chunks_ds(rd.from_arrow(docs), chunk_len=4, stride=4).to_pandas()
+    for i, text in enumerate(texts):
+        toks = tokenize(text)
+        g = df[df.doc_id == i].sort_values("chunk_id")
+        joined = " ".join(g.chunk_text)
+        assert joined == " ".join(toks), i
+        assert g.n_tokens.sum() == len(toks)
+
+
+def test_window_users_cross_block_distinct(ray_session):
+    """The same user split across input blocks is counted ONCE per
+    window — the cross-batch distinct the combiner alone can't do."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.windows import window_distinct_users
+
+    n = 100
+    t0 = 1_700_000_000_000_000  # µs epoch, one hour window
+    events = pa.table(
+        {
+            "ts": pa.array(
+                np.full(n, t0, np.int64) + np.arange(n), pa.timestamp("us")
+            ),
+            "user_id": pa.array(np.arange(n) % 3, pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(events).repartition(5)
+    df = window_distinct_users(ds, window_s=3600).to_pandas()
+    assert len(df) == 1
+    assert int(df.n_events.iloc[0]) == n
+    assert int(df.n_users.iloc[0]) == 3
