@@ -92,6 +92,8 @@ PMI_MIN_CNT = 5
 TOP_TERMS_K = 5
 QUANTILE_PS = (0.25, 0.5, 0.75, 0.9, 0.99)
 GATE_P_LO, GATE_P_HI = 0.1, 0.9  # adaptive length-gate quantiles
+CMS_DEPTH, CMS_WIDTH, CMS_SALT = 4, 64, "cms"
+CMS_PROBES = ["merge", "batch", "the", "quantumflux"]  # head/head/stop/absent
 
 # Tokenizer as SQL (RE2 on both sides — pyarrow split_pattern_regex and
 # DuckDB regexp_split_to_array share \p{L} semantics).
@@ -579,6 +581,17 @@ def q_pq_topk(sf_dir: str):
     return pq_topk(
         _embeddings(sf_dir), _query_vectors(sf_dir), k=ANN_K, m=PQ_M,
         ksub=PQ_KSUB, train_sample=PQ_TRAIN, seed=PQ_SEED, rerank=PQ_RERANK,
+    )
+
+
+def q_cms_counts(sf_dir: str):
+    """Count-min-sketch term-frequency estimates next to exact counts —
+    the fixed-size streaming frequency sketch, cells bit-mirrored."""
+    from search_engine_skillbox_ray.pipelines.textstats import cms_term_counts
+
+    return cms_term_counts(
+        _documents(sf_dir), CMS_PROBES, depth=CMS_DEPTH, width=CMS_WIDTH,
+        salt=CMS_SALT,
     )
 
 
@@ -1312,6 +1325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_codes": q_pq_codes,
         "pq_topk": q_pq_topk,
         "token_entropy": q_token_entropy,
+        "cms_counts": q_cms_counts,
         "pack_sequences": q_pack_sequences,
         "lm_doc_score": q_lm_doc_score,
         "doc_chunks": q_doc_chunks,
@@ -2407,6 +2421,27 @@ SELECT CAST(query_id AS INTEGER) AS query_id,
        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) - 1 AS INTEGER) AS rank,
        vec_id, ROUND(cos, 6) AS cosine
 FROM sc QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) <= {ANN_K}
+""",
+        # CMS mirror: every sketch cell rebuilt in SQL from the same
+        # md5(term:salt<j>) %% width hash; estimate = min over rows with
+        # empty cells COALESCEd to 0
+        "cms_counts": f"""
+WITH tok AS ({_TOK}),
+cf AS (SELECT term, count(*)::BIGINT AS c FROM tok GROUP BY term),
+r AS (SELECT unnest(range(0, {CMS_DEPTH})) AS j),
+cells AS (SELECT r.j,
+                 (md5_number_lower(cf.term || ':{CMS_SALT}' || r.j) % {CMS_WIDTH})::BIGINT AS col,
+                 SUM(cf.c)::BIGINT AS cell
+          FROM cf, r GROUP BY r.j, col),
+p(term) AS (VALUES ('merge'), ('batch'), ('the'), ('quantumflux')),
+pe AS (SELECT p.term, r.j,
+              (md5_number_lower(p.term || ':{CMS_SALT}' || r.j) % {CMS_WIDTH})::BIGINT AS col
+       FROM p, r),
+est AS (SELECT pe.term, MIN(COALESCE(c.cell, 0)) AS cms_estimate
+        FROM pe LEFT JOIN cells c ON c.j = pe.j AND c.col = pe.col
+        GROUP BY pe.term)
+SELECT p.term, COALESCE(cf.c, 0)::BIGINT AS cf, est.cms_estimate::BIGINT AS cms_estimate
+FROM p LEFT JOIN cf ON cf.term = p.term JOIN est ON est.term = p.term
 """,
         # decontamination mirror: SAME window hash as dup_spans; probe
         # windows derived from the constant VALUES list, DISTINCT'd as

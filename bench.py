@@ -270,6 +270,7 @@ def bench_sf_queries() -> dict:
         "pq_codes",
         "pq_topk",
         "token_entropy",
+        "cms_counts",
         "pack_sequences",
         "lm_doc_score",
         "doc_chunks",

@@ -1564,3 +1564,111 @@ def token_entropy_ds(documents: rd.Dataset) -> rd.Dataset:
     return documents.select_columns(["doc_id", "text"]).map_batches(
         stage, batch_format="pyarrow"
     )
+
+
+def cms_term_counts(
+    documents: rd.Dataset,
+    probe_terms: list[str],
+    depth: int = 4,
+    width: int = 64,
+    salt: str = "cms",
+) -> pa.Table:
+    """→ (term, cf, cms_estimate) — a COUNT-MIN SKETCH over the corpus
+    term frequencies (Cormode & Muthukrishnan 2005), probed for the
+    given terms next to their exact counts. The fixed-size frequency
+    sketch of a streaming pipeline: d·w int64 cells estimate any term's
+    count with one-sided error (never an underestimate — asserted by
+    the oracle rows themselves), vs a vocabulary-sized exact table.
+
+    Scale shape: per-batch Arrow combiners reduce each batch to its
+    (row, col, cnt) cell partials — at most depth × width rows per
+    batch regardless of batch vocabulary — and ONE tiny exchange sums
+    them; the probe-term exact counts ride a second slim filtered
+    combiner. Hashing is md5(term:salt<j>) % width, bit-identical to
+    DuckDB ``md5_number_lower``, so the SQL oracle reproduces every
+    cell and estimate exactly."""
+    from ..functions.hashing import md5_u64
+
+    def cell_partials(batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import flat_nonempty_tokens
+
+        empty = pa.table(
+            {
+                "j": pa.array([], pa.int32()),
+                "col": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        toks, _, _ = flat_nonempty_tokens(batch.column("text"))
+        if not len(toks):
+            return empty
+        denc = toks.dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = denc.dictionary.to_pylist()
+        cnts = np.bincount(codes, minlength=len(vocab)).astype(np.int64)
+        js, cols, out = [], [], []
+        for j in range(depth):
+            h = md5_u64([f"{t}:{salt}{j}" for t in vocab]) % np.uint64(width)
+            cell = np.zeros(width, np.int64)
+            np.add.at(cell, h.astype(np.int64), cnts)
+            nz = np.nonzero(cell)[0]
+            js.append(np.full(len(nz), j, np.int32))
+            cols.append(nz.astype(np.int64))
+            out.append(cell[nz])
+        return pa.table(
+            {
+                "j": pa.array(np.concatenate(js), pa.int32()),
+                "col": pa.array(np.concatenate(cols), pa.int64()),
+                "cnt": pa.array(np.concatenate(out), pa.int64()),
+            }
+        )
+
+    cells_df = (
+        documents.select_columns(["text"])
+        .map_batches(cell_partials, batch_format="pyarrow")
+        .groupby(["j", "col"])
+        .sum("cnt")
+        .to_pandas()
+    )  # ≤ depth×width rows — the whole sketch
+    cells = np.zeros((depth, width), np.int64)
+    cells[
+        cells_df["j"].to_numpy(np.int64), cells_df["col"].to_numpy(np.int64)
+    ] = cells_df["sum(cnt)"].to_numpy(np.int64)
+
+    probe_set = list(dict.fromkeys(probe_terms))
+
+    def probe_partials(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..functions.hashing import flat_nonempty_tokens
+
+        toks, _, _ = flat_nonempty_tokens(batch.column("text"))
+        hits = toks.filter(pc.is_in(toks, value_set=pa.array(probe_set)))
+        if not len(hits):
+            return pa.table(
+                {"term": pa.array([], pa.string()), "cf": pa.array([], pa.int64())}
+            )
+        g = pa.table({"term": hits}).group_by("term").aggregate([([], "count_all")])
+        return pa.table(
+            {"term": g.column("term"), "cf": pc.cast(g.column("count_all"), pa.int64())}
+        )
+
+    cf_df = (
+        documents.select_columns(["text"])
+        .map_batches(probe_partials, batch_format="pyarrow")
+        .groupby("term")
+        .sum("cf")
+        .to_pandas()
+    )
+    cf_map = dict(zip(cf_df["term"], cf_df["sum(cf)"])) if len(cf_df) else {}
+    est = []
+    for t in probe_set:
+        cols = md5_u64([f"{t}:{salt}{j}" for j in range(depth)]) % np.uint64(width)
+        est.append(int(min(cells[j, int(c)] for j, c in enumerate(cols))))
+    return pa.table(
+        {
+            "term": pa.array(probe_set, pa.string()),
+            "cf": pa.array([int(cf_map.get(t, 0)) for t in probe_set], pa.int64()),
+            "cms_estimate": pa.array(est, pa.int64()),
+        }
+    )

@@ -172,6 +172,8 @@ def test_oracle_keys_subset(entry_mod):
     "pq_topk",
     # round 3: exact distinct users per window
     "window_users",
+    # round 3: count-min sketch frequency estimates
+    "cms_counts",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
