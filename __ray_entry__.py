@@ -595,6 +595,14 @@ def q_cms_counts(sf_dir: str):
     )
 
 
+def q_bigram_lm_score(sf_dir: str):
+    """Bigram-LM coherence: per-doc mean ln(c(a,b)/c(a.)) over adjacent
+    positions — local-coherence complement of the unigram surprisal."""
+    from search_engine_skillbox_ray.pipelines.textstats import bigram_lm_score_ds
+
+    return bigram_lm_score_ds(_documents(sf_dir))
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination: per doc, the fraction of k-token
     windows colliding with the broadcast probe-set windows — shuffle-free
@@ -1326,6 +1334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_topk": q_pq_topk,
         "token_entropy": q_token_entropy,
         "cms_counts": q_cms_counts,
+        "bigram_lm_score": q_bigram_lm_score,
         "pack_sequences": q_pack_sequences,
         "lm_doc_score": q_lm_doc_score,
         "doc_chunks": q_doc_chunks,
@@ -2442,6 +2451,26 @@ est AS (SELECT pe.term, MIN(COALESCE(c.cell, 0)) AS cms_estimate
         GROUP BY pe.term)
 SELECT p.term, COALESCE(cf.c, 0)::BIGINT AS cf, est.cms_estimate::BIGINT AS cms_estimate
 FROM p LEFT JOIN cf ON cf.term = p.term JOIN est ON est.term = p.term
+""",
+        # bigram LM: tf * ln(c(a,b)/c(a-start)) — the identical addend
+        # shape and division order the operator computes
+        "bigram_lm_score": f"""
+WITH tl AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+            '[^\\p{{L}}]+'), x -> x <> '') AS toks FROM documents),
+tkp AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM tl),
+pr AS (SELECT a.doc_id, a.term AS ta, b.term AS tb
+       FROM tkp a JOIN tkp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+cb AS (SELECT ta, tb, count(*)::BIGINT AS c FROM pr GROUP BY ta, tb),
+ca AS (SELECT ta, SUM(c)::BIGINT AS c FROM cb GROUP BY ta),
+tf AS (SELECT doc_id, ta, tb, count(*)::BIGINT AS tf FROM pr GROUP BY doc_id, ta, tb),
+sc AS (SELECT tf.doc_id, SUM(tf.tf * ln(cb.c::DOUBLE / ca.c)) AS s,
+              SUM(tf.tf)::BIGINT AS nb
+       FROM tf JOIN cb ON cb.ta = tf.ta AND cb.tb = tf.tb
+            JOIN ca ON ca.ta = tf.ta
+       GROUP BY tf.doc_id)
+SELECT d.doc_id, COALESCE(sc.nb, 0)::BIGINT AS n_bigrams,
+       ROUND(COALESCE(sc.s / sc.nb, 0.0), 6) AS avg_logprob
+FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
 """,
         # decontamination mirror: SAME window hash as dup_spans; probe
         # windows derived from the constant VALUES list, DISTINCT'd as

@@ -271,6 +271,7 @@ def bench_sf_queries() -> dict:
         "pq_topk",
         "token_entropy",
         "cms_counts",
+        "bigram_lm_score",
         "pack_sequences",
         "lm_doc_score",
         "doc_chunks",

@@ -1672,3 +1672,104 @@ def cms_term_counts(
             "cms_estimate": pa.array(est, pa.int64()),
         }
     )
+
+
+def bigram_lm_score_ds(documents: rd.Dataset) -> rd.Dataset:
+    """→ (doc_id, n_bigrams, avg_logprob) — bigram language-model
+    coherence score: per doc, the mean over adjacent token positions of
+    ln(p(t_i | t_{i-1})) with the MLE conditional p(b|a) = c(a,b)/c(a·)
+    from the corpus's own global bigram counts (c(a·) = bigram-start
+    count, the proper conditional denominator). The LOCAL-coherence
+    complement of ``lm_doc_score_ds``'s unigram surprisal: token-salad
+    with plausible words scores low here.
+
+    Scale shape: global bigram counts come from the same per-batch
+    Arrow combiner → one (a, b) exchange as ``term_bigrams_ds``; the
+    bigram map broadcasts via ``ray.put`` (top-V truncation with a
+    backoff floor is the trillion-token variant); scoring is a
+    shuffle-free second pass whose per-(doc, bigram) tf·ln(cb/ca)
+    addends are the exact SQL-mirror shape."""
+    import math
+
+    import ray
+
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import flat_nonempty_tokens
+
+    def bg_partials(batch: pa.Table) -> pa.Table:
+        toks, parents, _ = flat_nonempty_tokens(batch.column("text"))
+        n = len(toks)
+        empty = pa.table(
+            {"bg": pa.array([], pa.string()), "c": pa.array([], pa.int64())}
+        )
+        if n < 2:
+            return empty
+        ok = parents[1:] == parents[:-1]
+        if not ok.any():
+            return empty
+        a = toks.slice(0, n - 1).filter(pa.array(ok))
+        b = toks.slice(1, n - 1).filter(pa.array(ok))
+        joined = pc.binary_join_element_wise(a, b, " ")
+        g = pa.table({"bg": joined}).group_by("bg").aggregate([([], "count_all")])
+        return pa.table(
+            {"bg": g.column("bg"), "c": pc.cast(g.column("count_all"), pa.int64())}
+        )
+
+    bgt = (
+        documents.select_columns(["text"])
+        .map_batches(bg_partials, batch_format="pyarrow")
+        .groupby("bg")
+        .sum("c")
+        .to_pandas()
+    )  # global bigram vocabulary
+    cb = dict(zip(bgt["bg"], bgt["sum(c)"])) if len(bgt) else {}
+    ca: dict[str, int] = {}
+    for bg, c in cb.items():
+        ca_key = bg.split(" ", 1)[0]
+        ca[ca_key] = ca.get(ca_key, 0) + int(c)
+    lp = {bg: math.log(int(c) / ca[bg.split(" ", 1)[0]]) for bg, c in cb.items()}
+    lp_ref = ray.put(lp)
+
+    def score(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        lp_map = _ray.get(lp_ref)
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        nd = len(doc_ids)
+        toks, parents, cnt = flat_nonempty_tokens(batch.column("text"))
+        s = np.zeros(nd, np.float64)
+        nb = np.maximum(cnt - 1, 0).astype(np.int64)
+        n = len(toks)
+        if n >= 2:
+            ok = parents[1:] == parents[:-1]
+            if ok.any():
+                a = toks.slice(0, n - 1).filter(pa.array(ok))
+                b = toks.slice(1, n - 1).filter(pa.array(ok))
+                joined = pc.binary_join_element_wise(a, b, " ")
+                if isinstance(joined, pa.ChunkedArray):
+                    joined = joined.combine_chunks()
+                bpar = parents[:-1][ok]
+                denc = joined.dictionary_encode()
+                codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+                nv = len(denc.dictionary)
+                vocab = denc.dictionary.to_pylist()
+                lp_arr = np.array([lp_map[v] for v in vocab], np.float64)
+                # per-(doc, bigram) tf — the SQL mirror's addend shape
+                key = bpar * np.int64(nv) + codes
+                ukey, tf = np.unique(key, return_counts=True)
+                up = (ukey // nv).astype(np.int64)
+                uc = (ukey % nv).astype(np.int64)
+                np.add.at(s, up, tf.astype(np.float64) * lp_arr[uc])
+        avg = np.where(nb > 0, s / np.maximum(nb, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "n_bigrams": pa.array(nb, pa.int64()),
+                "avg_logprob": pa.array(np.round(avg, 6), pa.float64()),
+            }
+        )
+
+    return documents.select_columns(["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )

@@ -174,6 +174,8 @@ def test_oracle_keys_subset(entry_mod):
     "window_users",
     # round 3: count-min sketch frequency estimates
     "cms_counts",
+    # round 3: bigram-LM coherence score
+    "bigram_lm_score",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
