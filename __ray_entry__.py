@@ -65,6 +65,7 @@ PHRASES = ["table scan", "hash join", "batch batch batch",
 MLT_K, MLT_SEEDS = 10, (0, 1, 7)  # more-like-this top-k and seed docs
 # phrase-boosted ranking: tf·idf + BOOST per ordered-adjacent pair hit
 PBOOST_QUERY, PBOOST_K, PBOOST = "table scan merge", 20, 0.5
+SDM_K, SDM_K1, SDM_B, SDM_LT, SDM_LO = 20, 1.2, 0.75, 0.8, 0.4  # SDM BM25
 PROX_A, PROX_B, PROX_WINDOW = "merge", "batch", 3  # proximity probe
 NEAR_TERMS, NEAR_WINDOW = ("merge", "batch", "fast"), 5  # NEAR probe
 DUP_SPAN_K = 5  # duplicated-span window size (tokens)
@@ -436,6 +437,25 @@ def q_search_phrase_boost(sf_dir: str):
     build_positional_index(_documents(sf_dir), d, n_buckets=8, input_token=sf_dir)
     n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
     return phrase_boost_topk(d, PBOOST_QUERY, n_docs, k=PBOOST_K, boost=PBOOST)
+
+
+def q_search_sdm_bm25(sf_dir: str):
+    """Sequential-dependence-model ranking from the positional index:
+    BM25-saturated unigrams (λ_T) + BM25-saturated ordered-adjacency
+    virtual terms per consecutive query-term pair (λ_O). N/avgdl/dl come
+    from the index's own doclen posting row, so the ranking stays exact
+    across LSM appends and deletes."""
+    from search_engine_skillbox_ray.pipelines.posindex import (
+        build_positional_index,
+        sdm_bm25_topk,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/ses_posidx_{tag}"
+    build_positional_index(_documents(sf_dir), d, n_buckets=8, input_token=sf_dir)
+    return sdm_bm25_topk(
+        d, PBOOST_QUERY, k=SDM_K, k1=SDM_K1, b=SDM_B, lam_t=SDM_LT, lam_o=SDM_LO
+    )
 
 
 def q_near_search(sf_dir: str):
@@ -1321,6 +1341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_index_ingest": q_phrase_index_ingest,
         "phrase_index_delete": q_phrase_index_delete,
         "search_phrase_boost": q_search_phrase_boost,
+        "search_sdm_bm25": q_search_sdm_bm25,
         "search_not": q_search_not,
         "decontaminate": q_decontaminate,
         "winnow_fingerprints": q_winnow,
@@ -2212,6 +2233,47 @@ scores AS (SELECT b.doc_id, b.s + {PBOOST} * COALESCE(a.c, 0) AS score
            FROM base b LEFT JOIN adjsum a ON a.doc_id = b.doc_id)
 SELECT doc_id, ROUND(score, 6) AS score FROM scores
 QUALIFY row_number() OVER (ORDER BY ROUND(score, 6) DESC, doc_id) <= {PBOOST_K}
+""",
+        # SDM: BM25-saturated unigrams (λ_T) + BM25-saturated ordered
+        # adjacency virtual terms (λ_O); op order mirrors sdm_bm25_topk
+        # verbatim so doubles agree before the ROUND
+        "search_sdm_bm25": f"""
+WITH tl AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+            '[^\\p{{L}}]+'), x -> x <> '') AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tl),
+stats AS (SELECT count(*)::BIGINT AS n, SUM(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+tok AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM tl),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+q(term) AS (VALUES {", ".join(f"('{t}')" for t in dict.fromkeys(PBOOST_QUERY.split()))}),
+df AS (SELECT q.term, count(DISTINCT tf.doc_id)::BIGINT AS df
+       FROM q LEFT JOIN tf ON tf.term = q.term GROUP BY q.term),
+uni AS (SELECT tf.doc_id,
+        SUM({SDM_LT} * (ln((s.n + 1.0) / (df.df + 1.0)) * (tf.tf * ({SDM_K1} + 1.0))
+            / (tf.tf + {SDM_K1} * ((1.0 - {SDM_B}) + {SDM_B} * (d.dl / s.avgdl))))) AS s
+        FROM tf JOIN df ON tf.term = df.term
+        JOIN dl d ON d.doc_id = tf.doc_id CROSS JOIN stats s
+        GROUP BY tf.doc_id),
+adj AS ("""
+        + "\n  UNION ALL\n".join(
+            f"""  SELECT {i} AS pair_id, a.doc_id, count(*)::BIGINT AS tf
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = '{ta}' AND b.term = '{tb}' GROUP BY a.doc_id"""
+            for i, (ta, tb) in enumerate(
+                zip(PBOOST_QUERY.split(), PBOOST_QUERY.split()[1:])
+            )
+        )
+        + f"""),
+adf AS (SELECT pair_id, count(*)::BIGINT AS df FROM adj GROUP BY pair_id),
+osum AS (SELECT adj.doc_id,
+         SUM({SDM_LO} * (ln((s.n + 1.0) / (adf.df + 1.0)) * (adj.tf * ({SDM_K1} + 1.0))
+             / (adj.tf + {SDM_K1} * ((1.0 - {SDM_B}) + {SDM_B} * (d.dl / s.avgdl))))) AS s
+         FROM adj JOIN adf USING (pair_id)
+         JOIN dl d ON d.doc_id = adj.doc_id CROSS JOIN stats s
+         GROUP BY adj.doc_id),
+scores AS (SELECT u.doc_id, u.s + COALESCE(o.s, 0.0) AS score
+           FROM uni u LEFT JOIN osum o ON o.doc_id = u.doc_id)
+SELECT doc_id, ROUND(score, 6) AS score FROM scores
+QUALIFY row_number() OVER (ORDER BY ROUND(score, 6) DESC, doc_id) <= {SDM_K}
 """,
         # the LSM delete variant (whole-table build + odd-id tombstones)
         # must converge to the even-half answer

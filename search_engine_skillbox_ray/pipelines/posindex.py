@@ -55,6 +55,19 @@ POS_SCHEMA = pa.schema(
     ]
 )
 
+# Doc lengths ride the SAME LSM machinery as postings: one reserved
+# posting row (term = DOCLEN_TERM, one "position" = the doc's token
+# count) in a reserved bucket (id == n_buckets, outside the hash range),
+# written by the same single tokenize pass. Appends add doclen deltas,
+# tombstones kill doclen entries per segment seq, compaction folds them
+# — so N, avgdl and per-doc dl (hence BM25) stay exact across the whole
+# ingest/delete lifecycle with no side catalog.
+DOCLEN_TERM = "\x00dl"
+
+# bump when the on-disk layout changes so token-gated rebuilds don't
+# serve a stale (pre-doclens) index
+POS_VERSION = 2
+
 
 def build_positional_index(
     documents: rd.Dataset,
@@ -69,7 +82,11 @@ def build_positional_index(
     if man.exists():
         try:
             m = json.loads(man.read_text())
-            if input_token is not None and m.get("input_token") == input_token:
+            if (
+                input_token is not None
+                and m.get("input_token") == input_token
+                and m.get("version") == POS_VERSION
+            ):
                 return m
         except Exception:
             pass
@@ -103,6 +120,8 @@ def build_positional_index(
         "input_token": input_token,
         "n_buckets": int(n_buckets),
         "n_terms": int(manifest_rows["n_terms"].sum()),
+        "version": POS_VERSION,
+        "doclens": True,
     }
     mt = out / "manifest.json.tmp"
     mt.write_text(json.dumps(m))
@@ -158,6 +177,22 @@ def _load_term(out: Path, n_buckets: int, term: str, tombs=None):
     doc-order interleave), with tombstoned docs filtered out per
     segment seq (a tombstone kills only docs written before it)."""
     b = int(md5_u64([term])[0] % np.uint64(n_buckets))
+    return _load_posting(out, b, term, tombs)
+
+
+def _load_doclens(out: Path, n_buckets: int, tombs=None):
+    """→ (doc_ids ascending int64, doc lengths int64) from the reserved
+    doclen posting row (bucket == n_buckets), LSM-merged/filtered like
+    any term. At 10^12 docs this row shards by docID range exactly as
+    posting lists do; the serving process holds only its shard."""
+    p = _load_posting(out, n_buckets, DOCLEN_TERM, tombs)
+    if p is None:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    docs, _cnts, flat = p
+    return docs, flat
+
+
+def _load_posting(out: Path, b: int, term: str, tombs=None):
     files = [out / f"bucket={b:05d}.parquet"] + sorted(
         out.glob(f"bucket={b:05d}.delta-*.parquet")
     )
@@ -400,6 +435,48 @@ def near_search(
     )
 
 
+def _gather_segments(flat: np.ndarray, starts: np.ndarray, lens: np.ndarray):
+    """Vectorized multi-slice gather: concatenate ``flat[s:s+l]`` for each
+    (s, l) pair → (values, local segment index per value)."""
+    total = int(lens.sum())
+    if not total:
+        return np.empty(0, flat.dtype), np.empty(0, np.int64)
+    seg = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    base = np.cumsum(lens) - lens
+    idx = np.arange(total, dtype=np.int64) - base[seg] + starts[seg]
+    return flat[idx], seg
+
+
+def _ordered_adjacency(post_a, post_b):
+    """→ (doc_ids ascending, adjacency counts ≥1): per doc, how many
+    positions p of term A have a position p+1 of term B — fully
+    vectorized (no per-doc Python loop): restrict both position streams
+    to the common docs, key them as local_doc·stride+pos (both streams
+    stay sorted), and count searchsorted hits per doc via bincount."""
+    docs_a, cnts_a, flat_a = post_a
+    docs_b, cnts_b, flat_b = post_b
+    common, ia, ib = np.intersect1d(
+        docs_a, docs_b, assume_unique=True, return_indices=True
+    )
+    if not common.size:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    offs_a = np.cumsum(cnts_a) - cnts_a
+    offs_b = np.cumsum(cnts_b) - cnts_b
+    va, sa = _gather_segments(flat_a, offs_a[ia], cnts_a[ia])
+    vb, sb = _gather_segments(flat_b, offs_b[ib], cnts_b[ib])
+    stride = np.int64(max(int(va.max(initial=0)), int(vb.max(initial=0))) + 2)
+    ka = sa * stride + va
+    kb = sb * stride + vb
+    idx = np.searchsorted(kb, ka + 1)
+    hit = idx < kb.size
+    hit[hit] = kb[idx[hit]] == ka[hit] + 1
+    if not hit.any():
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    per_doc = np.bincount(sa[hit], minlength=len(common))
+    nz = np.flatnonzero(per_doc)
+    return common[nz], per_doc[nz].astype(np.int64)
+
+
 def phrase_boost_topk(
     index_dir: str,
     query: str,
@@ -457,34 +534,102 @@ def phrase_boost_topk(
         pa_post, pb_post = posts[ta], posts[tb]
         if pa_post is None or pb_post is None:
             continue
-        docs_a, cnts_a, flat_a = pa_post
-        docs_b, cnts_b, flat_b = pb_post
-        common = np.intersect1d(docs_a, docs_b, assume_unique=True)
-        if not common.size:
-            continue
-        offs_a = np.cumsum(cnts_a) - cnts_a
-        offs_b = np.cumsum(cnts_b) - cnts_b
-        hit_docs, hit_cnt = [], []
-        for d in common.tolist():
-            ja = int(np.searchsorted(docs_a, d))
-            jb = int(np.searchsorted(docs_b, d))
-            positions_a = flat_a[offs_a[ja] : offs_a[ja] + int(cnts_a[ja])]
-            positions_b = flat_b[offs_b[jb] : offs_b[jb] + int(cnts_b[jb])]
-            idx = np.searchsorted(positions_b, positions_a + 1)
-            n = int(
-                (
-                    (idx < positions_b.size)
-                    & (positions_b[np.minimum(idx, positions_b.size - 1)] == positions_a + 1)
-                ).sum()
-            )
-            if n:
-                hit_docs.append(d)
-                hit_cnt.append(n)
-        if hit_docs:
-            all_docs = np.concatenate([all_docs, np.asarray(hit_docs, np.int64)])
+        hit_docs, hit_cnt = _ordered_adjacency(pa_post, pb_post)
+        if hit_docs.size:
+            all_docs = np.concatenate([all_docs, hit_docs])
             all_w = np.concatenate(
-                [all_w, np.asarray(hit_cnt, np.float64) * float(boost)]
+                [all_w, hit_cnt.astype(np.float64) * float(boost)]
             )
+    uniq, inv = np.unique(all_docs, return_inverse=True)
+    scores = np.zeros(len(uniq), np.float64)
+    np.add.at(scores, inv, all_w)
+    rounded = np.round(scores, 6)
+    order = np.lexsort((uniq, -rounded))[: max(int(k), 0)]
+    return pa.table(
+        {
+            "doc_id": pa.array(uniq[order], pa.int64()),
+            "score": pa.array(rounded[order], pa.float64()),
+        }
+    )
+
+
+def sdm_bm25_topk(
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    lam_t: float = 0.8,
+    lam_o: float = 0.4,
+) -> pa.Table:
+    """→ (doc_id, score) top-k under a sequential-dependence-model
+    ranking (Metzler & Croft '05, public formulation): BM25-saturated
+    unigram features weighted ``lam_t`` plus BM25-saturated ORDERED
+    ADJACENCY features (one virtual term per consecutive query-term
+    pair, tf = exact ordered-adjacent occurrence count, df = docs with
+    ≥1 adjacency) weighted ``lam_o`` — the phrase-aware ranking a
+    production engine layers over bag-of-words BM25, served entirely
+    from the positional index.
+
+    N, avgdl and per-doc dl come from the index's own doclen posting
+    row (``DOCLEN_TERM``), so they stay exact across LSM appends and
+    tombstone deletes with no side catalog. idf = ln((N+1)/(df+1)) —
+    the repo's convention (reference SearchServiceImpl.java relevance
+    shape). Ties rank on ROUND(score, 6) then doc_id so the SQL mirror
+    is float-order-proof."""
+    from ..stages.tokenizer import token_lists
+
+    out = Path(index_dir)
+    m = json.loads((out / "manifest.json").read_text())
+    if not m.get("doclens"):
+        raise ValueError("index predates doclen rows — rebuild required")
+    nb = int(m["n_buckets"])
+    tombs = _tombstones(out)
+    dl_docs, dl_vals = _load_doclens(out, nb, tombs)
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+    )
+    n_docs = int(dl_docs.size)
+    if not n_docs:
+        return empty
+    avgdl = float(dl_vals.sum()) / n_docs
+    norm = token_lists(pa.array([query], pa.string()))
+    if isinstance(norm, pa.ChunkedArray):
+        norm = norm.combine_chunks()
+    toks = [t for t in norm.to_pylist()[0] if t]
+    if not toks:
+        return empty
+    distinct = list(dict.fromkeys(toks))
+    posts = {t: _load_term(out, nb, t, tombs) for t in distinct}
+
+    def bm25_w(docs: np.ndarray, tf: np.ndarray, df: int) -> np.ndarray:
+        # op order mirrors the SQL expression verbatim:
+        # ln((N+1)/(df+1)) * (tf*(k1+1)) / (tf + k1*((1-b) + b*(dl/avgdl)))
+        dl = dl_vals[np.searchsorted(dl_docs, docs)].astype(np.float64)
+        tf = tf.astype(np.float64)
+        idf = float(np.log((n_docs + 1.0) / (df + 1.0)))
+        return idf * (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * (dl / avgdl)))
+
+    doc_parts, w_parts = [], []
+    for t in distinct:
+        p = posts[t]
+        if p is None:
+            continue
+        docs, cnts, _ = p
+        doc_parts.append(docs)
+        w_parts.append(lam_t * bm25_w(docs, cnts, len(docs)))
+    for ta, tb in zip(toks, toks[1:]):
+        pa_post, pb_post = posts[ta], posts[tb]
+        if pa_post is None or pb_post is None:
+            continue
+        o_docs, o_tf = _ordered_adjacency(pa_post, pb_post)
+        if o_docs.size:
+            doc_parts.append(o_docs)
+            w_parts.append(lam_o * bm25_w(o_docs, o_tf, int(o_docs.size)))
+    if not doc_parts:
+        return empty
+    all_docs = np.concatenate(doc_parts)
+    all_w = np.concatenate(w_parts)
     uniq, inv = np.unique(all_docs, return_inverse=True)
     scores = np.zeros(len(uniq), np.float64)
     np.add.at(scores, inv, all_w)
@@ -504,17 +649,24 @@ def _explode_positions(documents: rd.Dataset, n_buckets: int) -> rd.Dataset:
     def explode(batch: pa.Table) -> pa.Table:
         from ..functions.hashing import flat_nonempty_tokens
 
-        empty = pa.table(
+        toks, parents, counts = flat_nonempty_tokens(batch.column("text"))
+        # doc-length rows: one reserved posting entry per doc (even
+        # zero-token docs) whose single "position" is the token count —
+        # rides the same bucket exchange / LSM segments as real terms
+        n = len(batch)
+        dl_rows = pa.table(
             {
-                "bucket": pa.array([], pa.int32()),
-                "term": pa.array([], pa.string()),
-                "doc_id": pa.array([], pa.int64()),
-                "positions": pa.array([], pa.list_(pa.int64())),
+                "bucket": pa.array(np.full(n, n_buckets, dtype=np.int32)),
+                "term": pa.array([DOCLEN_TERM] * n, pa.string()),
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "positions": pa.ListArray.from_arrays(
+                    pa.array(np.arange(n + 1, dtype=np.int32)),
+                    pa.array(counts.astype(np.int64), pa.int64()),
+                ),
             }
         )
-        toks, parents, counts = flat_nonempty_tokens(batch.column("text"))
         if not len(toks):
-            return empty
+            return dl_rows
         doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         starts = np.cumsum(counts) - counts
         pos = np.arange(len(toks), dtype=np.int64) - starts[parents]
@@ -535,14 +687,17 @@ def _explode_positions(documents: rd.Dataset, n_buckets: int) -> rd.Dataset:
         positions = pa.ListArray.from_arrays(
             pa.array(offsets), pa.array(spos, pa.int64())
         )
-        return pa.table(
+        term_rows = pa.table(
             {
                 "bucket": pa.array(bucket),
-                "term": terms,
+                "term": terms.cast(pa.string())
+                if terms.type != pa.string()
+                else terms,
                 "doc_id": pa.array(doc_ids[sp[run_starts]], pa.int64()),
                 "positions": positions,
             }
         )
+        return pa.concat_tables([term_rows, dl_rows.cast(term_rows.schema)])
 
     return documents.select_columns(["doc_id", "text"]).map_batches(
         explode, batch_format="pyarrow"

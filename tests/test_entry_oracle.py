@@ -176,6 +176,8 @@ def test_oracle_keys_subset(entry_mod):
     "cms_counts",
     # round 3: bigram-LM coherence score
     "bigram_lm_score",
+    # round 3: sequential-dependence-model BM25 (phrase-aware ranking)
+    "search_sdm_bm25",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))

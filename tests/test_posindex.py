@@ -440,3 +440,84 @@ def test_delete_then_readd(ray_session, tmp_path):
     compact_positional_index(str(d))  # re-run converges
     assert not list(d.glob("tombstone-*.parquet"))
     assert live_docs() == [1, 2]
+
+
+def test_doclens_lsm_exact(posidx, tmp_path_factory):
+    """Doc lengths ride the LSM: build-half + append + delete keeps
+    N/avgdl/dl — hence SDM BM25 — exact, converging to the surviving
+    corpus; doclen row matches a direct tokenization."""
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    from search_engine_skillbox_ray.functions.tokenize import tokenize
+    from search_engine_skillbox_ray.pipelines.posindex import (
+        _load_doclens,
+        _tombstones,
+        build_positional_index,
+        append_documents,
+        delete_documents,
+        compact_positional_index,
+        sdm_bm25_topk,
+    )
+
+    d, m, _ = posidx
+    docs_ids, dls = _load_doclens(Path(d), m["n_buckets"])
+    tbl = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    ref = {
+        i: len(tokenize(t))
+        for i, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())
+    }
+    assert docs_ids.tolist() == sorted(ref)
+    assert dls.tolist() == [ref[i] for i in sorted(ref)]
+
+    # whole-table answer as the oracle for the LSM variants
+    want = sdm_bm25_topk(str(d), "table scan merge", k=15)
+
+    src = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    lsm = tmp_path_factory.mktemp("posidx_lsm")
+    build_positional_index(
+        src.filter(lambda r: r["doc_id"] % 2 == 0), str(lsm), 4, input_token="l1"
+    )
+    append_documents(lsm, src.filter(lambda r: r["doc_id"] % 2 == 1), input_token="l2")
+    got = sdm_bm25_topk(str(lsm), "table scan merge", k=15)
+    assert got.equals(want)
+
+    # delete every doc, re-add all: doclens (and N) converge back
+    delete_documents(str(lsm), list(ref), input_token="l3")
+    di, _dl = _load_doclens(Path(lsm), 4, _tombstones(Path(lsm)))
+    assert di.size == 0
+    append_documents(lsm, src, input_token="l4")
+    got2 = sdm_bm25_topk(str(lsm), "table scan merge", k=15)
+    assert got2.equals(want)
+    compact_positional_index(str(lsm))
+    assert sdm_bm25_topk(str(lsm), "table scan merge", k=15).equals(want)
+
+
+def test_ordered_adjacency_matches_loop(posidx):
+    """The vectorized adjacency kernel equals a per-doc reference loop
+    for every consecutive pair of a probe query."""
+    from search_engine_skillbox_ray.pipelines.posindex import (
+        _load_term,
+        _ordered_adjacency,
+    )
+
+    d, m, _ = posidx
+    terms = ["table", "scan", "merge", "the", "batch"]
+    posts = {t: _load_term(Path(d), m["n_buckets"], t) for t in terms}
+    for ta, tb in zip(terms, terms[1:]):
+        pa_post, pb_post = posts[ta], posts[tb]
+        docs_a, cnts_a, flat_a = pa_post
+        docs_b, cnts_b, flat_b = pb_post
+        offs_a = np.cumsum(cnts_a) - cnts_a
+        offs_b = np.cumsum(cnts_b) - cnts_b
+        exp = {}
+        for dd in np.intersect1d(docs_a, docs_b).tolist():
+            ja = int(np.searchsorted(docs_a, dd))
+            jb = int(np.searchsorted(docs_b, dd))
+            pa_ = set(flat_a[offs_a[ja] : offs_a[ja] + cnts_a[ja]].tolist())
+            pb_ = flat_b[offs_b[jb] : offs_b[jb] + cnts_b[jb]].tolist()
+            n = sum(1 for p in pb_ if (p - 1) in pa_)
+            if n:
+                exp[dd] = n
+        got_docs, got_cnt = _ordered_adjacency(pa_post, pb_post)
+        assert dict(zip(got_docs.tolist(), got_cnt.tolist())) == exp, (ta, tb)
