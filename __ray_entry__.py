@@ -66,6 +66,7 @@ MLT_K, MLT_SEEDS = 10, (0, 1, 7)  # more-like-this top-k and seed docs
 # phrase-boosted ranking: tf·idf + BOOST per ordered-adjacent pair hit
 PBOOST_QUERY, PBOOST_K, PBOOST = "table scan merge", 20, 0.5
 SDM_K, SDM_K1, SDM_B, SDM_LT, SDM_LO = 20, 1.2, 0.75, 0.8, 0.4  # SDM BM25
+SPELL_TERMS, SPELL_K = ("tabel", "mrge", "scann"), 3  # "did you mean" probes
 PROX_A, PROX_B, PROX_WINDOW = "merge", "batch", 3  # proximity probe
 NEAR_TERMS, NEAR_WINDOW = ("merge", "batch", "fast"), 5  # NEAR probe
 DUP_SPAN_K = 5  # duplicated-span window size (tokens)
@@ -456,6 +457,20 @@ def q_search_sdm_bm25(sf_dir: str):
     return sdm_bm25_topk(
         d, PBOOST_QUERY, k=SDM_K, k1=SDM_K1, b=SDM_B, lam_t=SDM_LT, lam_o=SDM_LO
     )
+
+
+def q_spell_suggest(sf_dir: str):
+    """Edit-distance query correction ("did you mean"): the k closest
+    corpus-vocabulary terms per misspelled query token, ranked by
+    (Levenshtein asc, cf desc, term asc). Vocab from the combiner
+    exchange; distances vectorized over the vocab Dataset with per-batch
+    partial top-k."""
+    from search_engine_skillbox_ray.pipelines.textstats import spell_suggest_ds
+
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return spell_suggest_ds(docs, SPELL_TERMS, k=SPELL_K)
 
 
 def q_near_search(sf_dir: str):
@@ -1342,6 +1357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_index_delete": q_phrase_index_delete,
         "search_phrase_boost": q_search_phrase_boost,
         "search_sdm_bm25": q_search_sdm_bm25,
+        "spell_suggest": q_spell_suggest,
         "search_not": q_search_not,
         "decontaminate": q_decontaminate,
         "winnow_fingerprints": q_winnow,
@@ -2274,6 +2290,22 @@ scores AS (SELECT u.doc_id, u.s + COALESCE(o.s, 0.0) AS score
            FROM uni u LEFT JOIN osum o ON o.doc_id = u.doc_id)
 SELECT doc_id, ROUND(score, 6) AS score FROM scores
 QUALIFY row_number() OVER (ORDER BY ROUND(score, 6) DESC, doc_id) <= {SDM_K}
+""",
+        # "did you mean": k closest vocab terms per misspelled token —
+        # DuckDB's levenshtein is the same unit-cost codepoint DP as the
+        # vectorized kernel
+        "spell_suggest": f"""
+WITH tl AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+            '[^\\p{{L}}]+'), x -> x <> '') AS toks FROM documents),
+tok AS (SELECT unnest(toks) AS term FROM tl),
+cf AS (SELECT term, count(*)::BIGINT AS cf FROM tok GROUP BY term),
+q(query_term) AS (VALUES {", ".join(f"('{t}')" for t in SPELL_TERMS)}),
+d AS (SELECT q.query_term, cf.term AS suggestion,
+             levenshtein(cf.term, q.query_term)::BIGINT AS dist, cf.cf
+      FROM q CROSS JOIN cf)
+SELECT query_term, suggestion, dist, cf FROM d
+QUALIFY row_number() OVER (PARTITION BY query_term
+                           ORDER BY dist, cf DESC, suggestion) <= {SPELL_K}
 """,
         # the LSM delete variant (whole-table build + odd-id tombstones)
         # must converge to the even-half answer

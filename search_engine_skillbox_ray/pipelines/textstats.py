@@ -1773,3 +1773,110 @@ def bigram_lm_score_ds(documents: rd.Dataset) -> rd.Dataset:
     return documents.select_columns(["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow"
     )
+
+
+def _levenshtein_batch(terms: np.ndarray, lens: np.ndarray, q: str) -> np.ndarray:
+    """Exact Levenshtein distance from ``q`` to every term, vectorized
+    over the whole batch: one DP row per query char over a padded
+    codepoint matrix; the in-row (insertion) dependency is resolved with
+    the classic min-plus prefix scan (row[j] = min_k c[k] + (j-k) =
+    accumulate(c - j) + j), so there is no per-term Python loop."""
+    n = len(terms)
+    if not n:
+        return np.empty(0, np.int64)
+    maxlen = terms.dtype.itemsize // 4
+    if maxlen == 0:
+        return np.full(n, len(q), np.int64)
+    mat = terms.view(np.uint32).reshape(n, maxlen)
+    jj = np.arange(maxlen + 1, dtype=np.int64)
+    prev = np.broadcast_to(jj, (n, maxlen + 1)).copy()
+    for i, qc in enumerate(q, 1):
+        cost = (mat != np.uint32(ord(qc))).astype(np.int64)
+        cand = np.empty((n, maxlen + 1), np.int64)
+        cand[:, 0] = i
+        np.minimum(prev[:, 1:] + 1, prev[:, :-1] + cost, out=cand[:, 1:])
+        prev = np.minimum.accumulate(cand - jj, axis=1) + jj
+    return np.take_along_axis(prev, lens[:, None], axis=1)[:, 0]
+
+
+def spell_suggest_ds(
+    documents: rd.Dataset, query_terms: tuple[str, ...], k: int = 3
+) -> pa.Table:
+    """→ (query_term, suggestion, dist, cf) — the ``k`` closest corpus
+    vocabulary terms per (possibly misspelled) query token, ranked by
+    (edit distance asc, corpus frequency desc, term asc): the
+    "did you mean" correction every query frontend layers over the
+    index (the reference has no morphology fallback for OOV lemmas —
+    SearchServiceImpl.java simply scores nothing; this is the rebuild's
+    serving extension).
+
+    Scale shape: the vocabulary comes from the same per-batch combiner →
+    one vocab-sized (term, cf) exchange every vocab pass here uses;
+    distances run as a second ``map_batches`` over the vocab DATASET
+    (never the corpus) with an exact per-batch partial top-k, so the
+    driver merges ≤ batches·|q|·k candidate rows — never the
+    vocabulary. Mirrors DuckDB's ``levenshtein`` exactly (unit-cost
+    edits over codepoints)."""
+    from ..functions.hashing import flat_nonempty_tokens
+
+    def cf_partials(batch: pa.Table) -> pa.Table:
+        toks, _, _ = flat_nonempty_tokens(batch.column("text"))
+        if not len(toks):
+            return pa.table(
+                {"term": pa.array([], pa.string()), "cf": pa.array([], pa.int64())}
+            )
+        g = pa.table({"term": toks}).group_by("term").aggregate([("term", "count")])
+        return pa.table({"term": g.column("term"), "cf": g.column("term_count")})
+
+    vocab = (
+        documents.select_columns(["text"])
+        .map_batches(cf_partials, batch_format="pyarrow")
+        .groupby("term")
+        .sum("cf")
+    )
+
+    empty = pa.table(
+        {
+            "query_term": pa.array([], pa.string()),
+            "suggestion": pa.array([], pa.string()),
+            "dist": pa.array([], pa.int64()),
+            "cf": pa.array([], pa.int64()),
+        }
+    )
+
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return empty
+        terms_np = np.asarray(batch.column("term").to_pylist(), dtype="U")
+        lens = pc.utf8_length(batch.column("term")).to_numpy(zero_copy_only=False)
+        lens = lens.astype(np.int64)
+        cf = batch.column("sum(cf)").to_numpy(zero_copy_only=False).astype(np.int64)
+        outs = []
+        for q in query_terms:
+            dist = _levenshtein_batch(terms_np, lens, q)
+            order = np.lexsort((terms_np, -cf, dist))[: max(int(k), 0)]
+            outs.append(
+                pa.table(
+                    {
+                        "query_term": pa.array([q] * len(order), pa.string()),
+                        "suggestion": pa.array(terms_np[order].tolist(), pa.string()),
+                        "dist": pa.array(dist[order], pa.int64()),
+                        "cf": pa.array(cf[order], pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs) if outs else empty
+
+    cands = vocab.map_batches(topk_partial, batch_format="pyarrow").take_all()
+    if not cands:
+        return empty
+    tbl = pa.Table.from_pylist(cands, schema=empty.schema)
+    parts = []
+    for q in query_terms:
+        sub = tbl.filter(pc.equal(tbl.column("query_term"), q))
+        sug = np.asarray(sub.column("suggestion").to_pylist(), dtype="U")
+        dist = sub.column("dist").to_numpy(zero_copy_only=False)
+        cf = sub.column("cf").to_numpy(zero_copy_only=False)
+        order = np.lexsort((sug, -cf, dist))[: max(int(k), 0)]
+        parts.append(sub.take(pa.array(order)))
+    return pa.concat_tables(parts) if parts else empty

@@ -178,6 +178,8 @@ def test_oracle_keys_subset(entry_mod):
     "bigram_lm_score",
     # round 3: sequential-dependence-model BM25 (phrase-aware ranking)
     "search_sdm_bm25",
+    # round 3: edit-distance query correction ("did you mean")
+    "spell_suggest",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))

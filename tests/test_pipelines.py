@@ -1174,3 +1174,29 @@ def test_window_users_cross_block_distinct(ray_session):
     assert len(df) == 1
     assert int(df.n_events.iloc[0]) == n
     assert int(df.n_users.iloc[0]) == 3
+
+
+def test_levenshtein_kernel_matches_reference():
+    """Vectorized batch Levenshtein equals the textbook per-pair DP,
+    including empty strings, Cyrillic, and padded-width batches."""
+    import numpy as np
+
+    from search_engine_skillbox_ray.pipelines.textstats import _levenshtein_batch
+
+    def lev(a, b):
+        D = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            prev, D[0] = D[0], i
+            for j in range(1, len(b) + 1):
+                cur = D[j]
+                D[j] = min(D[j] + 1, D[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return D[len(b)]
+
+    words = ["", "a", "table", "tabel", "мрежа", "мерге", "scan", "scann",
+             "abcdefgh", "bcd", "aaaa", "baaa"]
+    arr = np.asarray(words, dtype="U")
+    lens = np.array([len(w) for w in words], np.int64)
+    for q in ["tabel", "мрге", "", "scan", "aaa"]:
+        got = _levenshtein_batch(arr, lens, q).tolist()
+        assert got == [lev(q, w) for w in words], q
