@@ -67,6 +67,7 @@ MLT_K, MLT_SEEDS = 10, (0, 1, 7)  # more-like-this top-k and seed docs
 PBOOST_QUERY, PBOOST_K, PBOOST = "table scan merge", 20, 0.5
 SDM_K, SDM_K1, SDM_B, SDM_LT, SDM_LO = 20, 1.2, 0.75, 0.8, 0.4  # SDM BM25
 SPELL_TERMS, SPELL_K = ("tabel", "mrge", "scann"), 3  # "did you mean" probes
+PREFIXES, PREFIX_K = ("s", "c", "qu"), 5  # type-ahead completion probes
 PROX_A, PROX_B, PROX_WINDOW = "merge", "batch", 3  # proximity probe
 NEAR_TERMS, NEAR_WINDOW = ("merge", "batch", "fast"), 5  # NEAR probe
 DUP_SPAN_K = 5  # duplicated-span window size (tokens)
@@ -471,6 +472,18 @@ def q_spell_suggest(sf_dir: str):
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
     return spell_suggest_ds(docs, SPELL_TERMS, k=SPELL_K)
+
+
+def q_complete_prefix(sf_dir: str):
+    """Type-ahead completion: top-k corpus-vocabulary terms per query
+    prefix by (cf desc, term asc) — vocab combiner exchange + per-batch
+    starts_with filter + partial top-k."""
+    from search_engine_skillbox_ray.pipelines.textstats import complete_prefix_ds
+
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return complete_prefix_ds(docs, PREFIXES, k=PREFIX_K)
 
 
 def q_near_search(sf_dir: str):
@@ -1358,6 +1371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_phrase_boost": q_search_phrase_boost,
         "search_sdm_bm25": q_search_sdm_bm25,
         "spell_suggest": q_spell_suggest,
+        "complete_prefix": q_complete_prefix,
         "search_not": q_search_not,
         "decontaminate": q_decontaminate,
         "winnow_fingerprints": q_winnow,
@@ -2306,6 +2320,18 @@ d AS (SELECT q.query_term, cf.term AS suggestion,
 SELECT query_term, suggestion, dist, cf FROM d
 QUALIFY row_number() OVER (PARTITION BY query_term
                            ORDER BY dist, cf DESC, suggestion) <= {SPELL_K}
+""",
+        # type-ahead completion: top-k vocab terms per prefix by cf;
+        # prefixes contain no LIKE metacharacters so starts_with ≡ LIKE
+        "complete_prefix": f"""
+WITH tl AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+            '[^\\p{{L}}]+'), x -> x <> '') AS toks FROM documents),
+tok AS (SELECT unnest(toks) AS term FROM tl),
+cf AS (SELECT term, count(*)::BIGINT AS cf FROM tok GROUP BY term),
+p(prefix) AS (VALUES {", ".join(f"('{t}')" for t in PREFIXES)}),
+d AS (SELECT p.prefix, cf.term, cf.cf FROM p JOIN cf ON cf.term LIKE p.prefix || '%')
+SELECT prefix, term, cf FROM d
+QUALIFY row_number() OVER (PARTITION BY prefix ORDER BY cf DESC, term) <= {PREFIX_K}
 """,
         # the LSM delete variant (whole-table build + odd-id tombstones)
         # must converge to the even-half answer

@@ -1880,3 +1880,75 @@ def spell_suggest_ds(
         order = np.lexsort((sug, -cf, dist))[: max(int(k), 0)]
         parts.append(sub.take(pa.array(order)))
     return pa.concat_tables(parts) if parts else empty
+
+
+def complete_prefix_ds(
+    documents: rd.Dataset, prefixes: tuple[str, ...], k: int = 5
+) -> pa.Table:
+    """→ (prefix, term, cf) — the ``k`` most frequent corpus-vocabulary
+    completions per query prefix (cf desc, term asc): the type-ahead
+    suggestion feed of a query frontend. Same scale shape as
+    ``spell_suggest_ds``: one vocab-sized combiner exchange, then a
+    ``pc.starts_with`` filter + exact partial top-k per vocab batch —
+    the driver merges ≤ batches·|prefixes|·k rows."""
+    from ..functions.hashing import flat_nonempty_tokens
+
+    def cf_partials(batch: pa.Table) -> pa.Table:
+        toks, _, _ = flat_nonempty_tokens(batch.column("text"))
+        if not len(toks):
+            return pa.table(
+                {"term": pa.array([], pa.string()), "cf": pa.array([], pa.int64())}
+            )
+        g = pa.table({"term": toks}).group_by("term").aggregate([("term", "count")])
+        return pa.table({"term": g.column("term"), "cf": g.column("term_count")})
+
+    vocab = (
+        documents.select_columns(["text"])
+        .map_batches(cf_partials, batch_format="pyarrow")
+        .groupby("term")
+        .sum("cf")
+    )
+    empty = pa.table(
+        {
+            "prefix": pa.array([], pa.string()),
+            "term": pa.array([], pa.string()),
+            "cf": pa.array([], pa.int64()),
+        }
+    )
+
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return empty
+        outs = []
+        for p in prefixes:
+            sub = batch.filter(pc.starts_with(batch.column("term"), p))
+            if not len(sub):
+                continue
+            terms_np = np.asarray(sub.column("term").to_pylist(), dtype="U")
+            cf = sub.column("sum(cf)").to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.lexsort((terms_np, -cf))[: max(int(k), 0)]
+            outs.append(
+                pa.table(
+                    {
+                        "prefix": pa.array([p] * len(order), pa.string()),
+                        "term": pa.array(terms_np[order].tolist(), pa.string()),
+                        "cf": pa.array(cf[order], pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs) if outs else empty
+
+    cands = vocab.map_batches(topk_partial, batch_format="pyarrow").take_all()
+    if not cands:
+        return empty
+    tbl = pa.Table.from_pylist(cands, schema=empty.schema)
+    parts = []
+    for p in prefixes:
+        sub = tbl.filter(pc.equal(tbl.column("prefix"), p))
+        if not len(sub):
+            continue
+        terms_np = np.asarray(sub.column("term").to_pylist(), dtype="U")
+        cf = sub.column("cf").to_numpy(zero_copy_only=False)
+        order = np.lexsort((terms_np, -cf))[: max(int(k), 0)]
+        parts.append(sub.take(pa.array(order)))
+    return pa.concat_tables(parts) if parts else empty

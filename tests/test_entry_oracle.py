@@ -180,6 +180,8 @@ def test_oracle_keys_subset(entry_mod):
     "search_sdm_bm25",
     # round 3: edit-distance query correction ("did you mean")
     "spell_suggest",
+    # round 3: type-ahead prefix completion
+    "complete_prefix",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
