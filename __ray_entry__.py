@@ -68,6 +68,7 @@ PBOOST_QUERY, PBOOST_K, PBOOST = "table scan merge", 20, 0.5
 SDM_K, SDM_K1, SDM_B, SDM_LT, SDM_LO = 20, 1.2, 0.75, 0.8, 0.4  # SDM BM25
 SPELL_TERMS, SPELL_K = ("tabel", "mrge", "scann"), 3  # "did you mean" probes
 PREFIXES, PREFIX_K = ("s", "c", "qu"), 5  # type-ahead completion probes
+PRF_QUERY, PRF_N, PRF_M = "table scan", 10, 8  # pseudo-relevance feedback
 PROX_A, PROX_B, PROX_WINDOW = "merge", "batch", 3  # proximity probe
 NEAR_TERMS, NEAR_WINDOW = ("merge", "batch", "fast"), 5  # NEAR probe
 DUP_SPAN_K = 5  # duplicated-span window size (tokens)
@@ -484,6 +485,15 @@ def q_complete_prefix(sf_dir: str):
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
     return complete_prefix_ds(docs, PREFIXES, k=PREFIX_K)
+
+
+def q_prf_expansion(sf_dir: str):
+    """Pseudo-relevance-feedback query expansion (RM1 shape): top-N
+    feedback docs under disjunctive tf·idf, then every non-query term
+    weighted by its tf·idf mass in the feedback set; top-M returned."""
+    from search_engine_skillbox_ray.pipelines.textstats import prf_expansion_ds
+
+    return prf_expansion_ds(_documents(sf_dir), PRF_QUERY, PRF_N, PRF_M)
 
 
 def q_near_search(sf_dir: str):
@@ -1372,6 +1382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_sdm_bm25": q_search_sdm_bm25,
         "spell_suggest": q_spell_suggest,
         "complete_prefix": q_complete_prefix,
+        "prf_expansion": q_prf_expansion,
         "search_not": q_search_not,
         "decontaminate": q_decontaminate,
         "winnow_fingerprints": q_winnow,
@@ -2332,6 +2343,31 @@ p(prefix) AS (VALUES {", ".join(f"('{t}')" for t in PREFIXES)}),
 d AS (SELECT p.prefix, cf.term, cf.cf FROM p JOIN cf ON cf.term LIKE p.prefix || '%')
 SELECT prefix, term, cf FROM d
 QUALIFY row_number() OVER (PARTITION BY prefix ORDER BY cf DESC, term) <= {PREFIX_K}
+""",
+        # RM1 pseudo-relevance feedback: top-N docs by tf·idf, candidate
+        # weight = feedback-tf · idf; single product per term so the
+        # doubles agree before ROUND
+        "prf_expansion": f"""
+WITH tl AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+            '[^\\p{{L}}]+'), x -> x <> '') AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM tl),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+q(term) AS (VALUES {", ".join(f"('{t}')" for t in dict.fromkeys(PRF_QUERY.split()))}),
+dfq AS (SELECT q.term, count(DISTINCT tf.doc_id)::BIGINT AS df
+        FROM q LEFT JOIN tf ON tf.term = q.term GROUP BY q.term),
+sc AS (SELECT tf.doc_id, SUM(tf.tf * ln((nn.n + 1.0) / (dfq.df + 1.0))) AS s
+       FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN nn GROUP BY tf.doc_id),
+fb AS (SELECT doc_id FROM sc
+       QUALIFY row_number() OVER (ORDER BY ROUND(s, 6) DESC, doc_id) <= {PRF_N}),
+fbt AS (SELECT tf.term, SUM(tf.tf)::BIGINT AS tf FROM tf JOIN fb USING (doc_id)
+        WHERE tf.term NOT IN (SELECT term FROM q) GROUP BY tf.term),
+cdf AS (SELECT tf.term, count(DISTINCT tf.doc_id)::BIGINT AS df FROM tf
+        WHERE tf.term IN (SELECT term FROM fbt) GROUP BY tf.term),
+w AS (SELECT fbt.term, fbt.tf * ln((nn.n + 1.0) / (COALESCE(cdf.df, 0) + 1.0)) AS weight
+      FROM fbt LEFT JOIN cdf USING (term) CROSS JOIN nn)
+SELECT term, ROUND(weight, 6) AS weight FROM w
+QUALIFY row_number() OVER (ORDER BY ROUND(weight, 6) DESC, term) <= {PRF_M}
 """,
         # the LSM delete variant (whole-table build + odd-id tombstones)
         # must converge to the even-half answer

@@ -1952,3 +1952,183 @@ def complete_prefix_ds(
         order = np.lexsort((terms_np, -cf))[: max(int(k), 0)]
         parts.append(sub.take(pa.array(order)))
     return pa.concat_tables(parts) if parts else empty
+
+
+def prf_expansion_ds(
+    documents: rd.Dataset,
+    query: str,
+    n_feedback: int = 10,
+    m_terms: int = 8,
+) -> pa.Table:
+    """→ (term, weight) — pseudo-relevance-feedback query expansion
+    (RM1 shape, Lavrenko & Croft '01 public formulation): retrieve the
+    ``n_feedback`` top docs for ``query`` under the reference's
+    disjunctive tf·idf ranking, then weight every non-query term by its
+    tf·idf mass inside that feedback set — weight(t) = fb_tf(t) ·
+    ln((N+1)/(df_t+1)) — and return the ``m_terms`` best (rounded
+    weight desc, term asc): the expansion-terms feed of a two-pass
+    retrieval frontend.
+
+    Scale shape, three streamed passes over the corpus (at serve time
+    passes 1 and 3 read the inverted index instead — df is stored per
+    posting row; this Dataset form exists for the corpus-level oracle):
+
+    1. score: broadcast query terms, per-batch ``pc.is_in`` filter →
+       slim (doc_id, term, tf) rows for MATCHED docs only; df/idf/top-N
+       resolved on that pair-sized table.
+    2. feedback tf: per-batch filter to the n_feedback doc ids →
+       (term, tf) partials → one feedback-vocab-sized exchange.
+    3. candidate df: broadcast the candidate terms, per-batch distinct
+       (term) doc counts → one candidate-sized exchange.
+
+    Ranking ties break on (ROUND(score, 6) desc, doc_id) for docs and
+    (ROUND(weight, 6) desc, term) for terms, so the SQL mirror is
+    float-order-proof."""
+    import ray
+
+    from ..functions.hashing import flat_nonempty_tokens
+    from ..stages.tokenizer import token_lists
+
+    empty = pa.table(
+        {"term": pa.array([], pa.string()), "weight": pa.array([], pa.float64())}
+    )
+    norm = token_lists(pa.array([query], pa.string()))
+    if isinstance(norm, pa.ChunkedArray):
+        norm = norm.combine_chunks()
+    q_terms = list(dict.fromkeys(t for t in norm.to_pylist()[0] if t))
+    if not q_terms:
+        return empty
+    n_corpus = documents.count()
+    if not n_corpus:
+        return empty
+    q_ref = ray.put(set(q_terms))
+
+    def q_rows(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        qs = _ray.get(q_ref)
+        toks, parents, _ = flat_nonempty_tokens(batch.column("text"))
+        out = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+            }
+        )
+        if not len(toks):
+            return out
+        keep = pc.is_in(toks, pa.array(sorted(qs), pa.string()))
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        if not keep_np.any():
+            return out
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sel = pa.table(
+            {
+                "doc_id": pa.array(doc_ids[parents[keep_np]], pa.int64()),
+                "term": toks.filter(keep),
+            }
+        )
+        g = sel.group_by(["doc_id", "term"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "term": g["term"],
+                "tf": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    pairs = (
+        documents.select_columns(["doc_id", "text"])
+        .map_batches(q_rows, batch_format="pyarrow")
+        .to_pandas()
+    )  # matched (doc, query-term) pairs only — query-sized, not corpus-sized
+    if not len(pairs):
+        return empty
+    df_q = pairs.groupby("term")["doc_id"].nunique()
+    idf_q = {
+        t: float(np.log((n_corpus + 1.0) / (int(d) + 1.0))) for t, d in df_q.items()
+    }
+    pairs["w"] = pairs["tf"].astype(np.float64) * pairs["term"].map(idf_q)
+    scores = pairs.groupby("doc_id")["w"].sum()
+    doc_ids = scores.index.to_numpy(np.int64)
+    rounded = np.round(scores.to_numpy(np.float64), 6)
+    order = np.lexsort((doc_ids, -rounded))[: max(int(n_feedback), 0)]
+    fb_ids = np.sort(doc_ids[order])
+    fb_ref = ray.put(fb_ids)
+
+    def fb_tf(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        ids = _ray.get(fb_ref)
+        doc_ids_np = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        mask = np.isin(doc_ids_np, ids)
+        out = pa.table(
+            {"term": pa.array([], pa.string()), "tf": pa.array([], pa.int64())}
+        )
+        if not mask.any():
+            return out
+        sub = batch.filter(pa.array(mask))
+        toks, _, _ = flat_nonempty_tokens(sub.column("text"))
+        if not len(toks):
+            return out
+        g = pa.table({"term": toks}).group_by("term").aggregate([("term", "count")])
+        return pa.table(
+            {"term": g.column("term"), "tf": pc.cast(g.column("term_count"), pa.int64())}
+        )
+
+    fbt = (
+        documents.select_columns(["doc_id", "text"])
+        .map_batches(fb_tf, batch_format="pyarrow")
+        .groupby("term")
+        .sum("tf")
+        .to_pandas()
+    )  # feedback-vocab-sized
+    fbt = fbt[~fbt["term"].isin(q_terms)]
+    if not len(fbt):
+        return empty
+    cand_ref = ray.put(sorted(fbt["term"].tolist()))
+
+    def cand_df(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        cands = pa.array(_ray.get(cand_ref), pa.string())
+        toks, parents, _ = flat_nonempty_tokens(batch.column("text"))
+        out = pa.table(
+            {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+        )
+        if not len(toks):
+            return out
+        keep = pc.is_in(toks, cands)
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        if not keep_np.any():
+            return out
+        sel = pa.table(
+            {"term": toks.filter(keep), "doc": pa.array(parents[keep_np], pa.int64())}
+        )
+        d = sel.group_by(["term", "doc"]).aggregate([])
+        g = d.group_by("term").aggregate([("term", "count")])
+        return pa.table(
+            {"term": g.column("term"), "df": pc.cast(g.column("term_count"), pa.int64())}
+        )
+
+    dft = (
+        documents.select_columns(["text"])
+        .map_batches(cand_df, batch_format="pyarrow")
+        .groupby("term")
+        .sum("df")
+        .to_pandas()
+    )  # candidate-sized
+    merged = fbt.merge(dft, on="term", how="left")
+    tf_arr = merged["sum(tf)"].to_numpy(np.float64)
+    df_arr = merged["sum(df)"].fillna(0).to_numpy(np.float64)
+    # op order mirrors the SQL: tf * ln((N+1)/(df+1))
+    w = tf_arr * np.log((n_corpus + 1.0) / (df_arr + 1.0))
+    terms_np = np.asarray(merged["term"].tolist(), dtype="U")
+    rounded_w = np.round(w, 6)
+    order = np.lexsort((terms_np, -rounded_w))[: max(int(m_terms), 0)]
+    return pa.table(
+        {
+            "term": pa.array(terms_np[order].tolist(), pa.string()),
+            "weight": pa.array(rounded_w[order], pa.float64()),
+        }
+    )

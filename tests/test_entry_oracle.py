@@ -182,6 +182,8 @@ def test_oracle_keys_subset(entry_mod):
     "spell_suggest",
     # round 3: type-ahead prefix completion
     "complete_prefix",
+    # round 3: pseudo-relevance-feedback query expansion (RM1)
+    "prf_expansion",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
