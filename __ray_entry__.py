@@ -69,6 +69,7 @@ SDM_K, SDM_K1, SDM_B, SDM_LT, SDM_LO = 20, 1.2, 0.75, 0.8, 0.4  # SDM BM25
 SPELL_TERMS, SPELL_K = ("tabel", "mrge", "scann"), 3  # "did you mean" probes
 PREFIXES, PREFIX_K = ("s", "c", "qu"), 5  # type-ahead completion probes
 PRF_QUERY, PRF_N, PRF_M = "table scan", 10, 8  # pseudo-relevance feedback
+CHAMPION_K = 3  # impact-ordered champion-list depth
 PROX_A, PROX_B, PROX_WINDOW = "merge", "batch", 3  # proximity probe
 NEAR_TERMS, NEAR_WINDOW = ("merge", "batch", "fast"), 5  # NEAR probe
 DUP_SPAN_K = 5  # duplicated-span window size (tokens)
@@ -494,6 +495,21 @@ def q_prf_expansion(sf_dir: str):
     from search_engine_skillbox_ray.pipelines.textstats import prf_expansion_ds
 
     return prf_expansion_ds(_documents(sf_dir), PRF_QUERY, PRF_N, PRF_M)
+
+
+def q_champion_lists(sf_dir: str):
+    """Impact-ordered champion lists: the k highest-tf docs per term,
+    emitted by ONE distributed map over the index's own term-partitioned
+    bucket segments — the corpus is never read."""
+    from search_engine_skillbox_ray.pipelines.posindex import (
+        build_positional_index,
+        champion_lists,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/ses_posidx_{tag}"
+    build_positional_index(_documents(sf_dir), d, n_buckets=8, input_token=sf_dir)
+    return champion_lists(d, k=CHAMPION_K)
 
 
 def q_near_search(sf_dir: str):
@@ -1383,6 +1399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spell_suggest": q_spell_suggest,
         "complete_prefix": q_complete_prefix,
         "prf_expansion": q_prf_expansion,
+        "champion_lists": q_champion_lists,
         "search_not": q_search_not,
         "decontaminate": q_decontaminate,
         "winnow_fingerprints": q_winnow,
@@ -2368,6 +2385,17 @@ w AS (SELECT fbt.term, fbt.tf * ln((nn.n + 1.0) / (COALESCE(cdf.df, 0) + 1.0)) A
       FROM fbt LEFT JOIN cdf USING (term) CROSS JOIN nn)
 SELECT term, ROUND(weight, 6) AS weight FROM w
 QUALIFY row_number() OVER (ORDER BY ROUND(weight, 6) DESC, term) <= {PRF_M}
+""",
+        # impact-ordered champion lists: k highest-tf docs per term
+        "champion_lists": f"""
+WITH tl AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+            '[^\\p{{L}}]+'), x -> x <> '') AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM tl),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+r AS (SELECT term, doc_id, tf,
+             row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id)::BIGINT AS rank
+      FROM tf)
+SELECT term, doc_id, tf, rank FROM r WHERE rank <= {CHAMPION_K}
 """,
         # the LSM delete variant (whole-table build + odd-id tombstones)
         # must converge to the even-half answer

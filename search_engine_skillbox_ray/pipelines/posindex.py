@@ -941,3 +941,61 @@ def _decode_row(row: dict):
         base[offs[1:]] = flat[offs[1:] - 1]
     flat = flat - np.maximum.accumulate(base)
     return docs, cnts, flat
+
+
+def champion_lists(index_dir: str, k: int = 5) -> rd.Dataset:
+    """→ Dataset (term, doc_id, tf, rank): the ``k`` highest-tf docs per
+    term (ties on doc_id asc) — impact-ordered "champion lists"
+    (Manning/Raghavan/Schütze IIR §7.1.3), the classic index-side
+    pre-selection that lets top-k serving touch k docs instead of df.
+
+    Runs as ONE distributed map over the index's own bucket segments
+    (each batch decodes its posting rows and emits ≤ k rows per term) —
+    the corpus is never read and nothing term-shaped shuffles: the
+    index IS already term-partitioned. Requires a compacted index
+    (no live deltas/tombstones: per-term LSM merge needs cross-file
+    state a per-file map cannot see — call ``compact_positional_index``
+    first; fresh builds qualify)."""
+    out = Path(index_dir)
+    if list(out.glob("bucket=*.delta-*.parquet")) or list(
+        out.glob("tombstone-*.parquet")
+    ):
+        raise ValueError(
+            "champion_lists requires a compacted index (live deltas/"
+            "tombstones present) — run compact_positional_index first"
+        )
+    m = json.loads((out / "manifest.json").read_text())
+    nb = int(m["n_buckets"])
+    files = [str(out / f"bucket={b:05d}.parquet") for b in range(nb)]
+    files = [f for f in files if Path(f).exists()]
+
+    def topk(batch: pa.Table) -> pa.Table:
+        terms_out, docs_out, tfs_out, ranks_out = [], [], [], []
+        for row in batch.to_pylist():
+            if row["term"] == DOCLEN_TERM:
+                continue
+            docs, cnts, _ = _decode_row(row)
+            order = np.lexsort((docs, -cnts))[: max(int(k), 0)]
+            terms_out.extend([row["term"]] * len(order))
+            docs_out.append(docs[order])
+            tfs_out.append(cnts[order])
+            ranks_out.append(np.arange(1, len(order) + 1, dtype=np.int64))
+        if not terms_out:
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "tf": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "term": pa.array(terms_out, pa.string()),
+                "doc_id": pa.array(np.concatenate(docs_out), pa.int64()),
+                "tf": pa.array(np.concatenate(tfs_out), pa.int64()),
+                "rank": pa.array(np.concatenate(ranks_out), pa.int64()),
+            }
+        )
+
+    return rd.read_parquet(files).map_batches(topk, batch_format="pyarrow")

@@ -20,6 +20,10 @@ from search_engine_skillbox_ray.pipelines.dedup import (
     simhash_near_pairs,
 )
 
+from .conftest import requires_solo_ray
+
+
+
 
 @pytest.fixture(scope="module")
 def corpus(ray_session):
@@ -51,6 +55,7 @@ def _pair_frame(ds, cols):
     )
 
 
+@requires_solo_ray
 def test_minhash_distributed_matches_fastpath(corpus, monkeypatch):
     fast = _pair_frame(
         minhash_lsh_pairs(corpus, threshold=0.4), ("doc_a", "doc_b", "est_jaccard")
@@ -63,6 +68,7 @@ def test_minhash_distributed_matches_fastpath(corpus, monkeypatch):
     assert fast.equals(dist)
 
 
+@requires_solo_ray
 def test_ngram_distributed_matches_fastpath(corpus, monkeypatch):
     fast = _pair_frame(
         ngram_jaccard_pairs(corpus, threshold=0.4), ("doc_a", "doc_b", "jaccard")
@@ -100,6 +106,7 @@ def test_simhash_duplicate_doc_id_rows_absorbed(ray_session):
     assert (int(out["doc_a"][0]), int(out["doc_b"][0])) == (1, 2)
 
 
+@requires_solo_ray
 def test_cross_source_pairs_both_paths(corpus, monkeypatch):
     """Leakage matrix: broadcast fast path == hash-join distributed
     path; counts consistent with the raw pair set."""
@@ -135,6 +142,7 @@ def test_cross_source_pairs_both_paths(corpus, monkeypatch):
     assert (fast["src_a"] <= fast["src_b"]).all()
 
 
+@requires_solo_ray
 def test_near_dup_vs_snapshot_both_paths(corpus, monkeypatch):
     """Planted snapshot/current near-dups surface oriented
     (snapshot, current); within-side pairs excluded; broadcast and

@@ -19,6 +19,8 @@ import search_engine_skillbox_ray as ses
 from search_engine_skillbox_ray.sources.fixtures import write_pages_parquet
 from search_engine_skillbox_ray.sources.pages import build_dense_id_map, derive_sites
 
+from .conftest import requires_solo_ray
+
 
 def _seg_hashes(idx: Path) -> dict[str, str]:
     return {
@@ -55,6 +57,7 @@ def test_id_map_matches_fastpath_ranks(ray_session, tmp_path):
     assert got == expect
 
 
+@requires_solo_ray
 def test_distributed_build_byte_identical_to_fastpath(ray_session, tmp_path, monkeypatch):
     pages_dir = write_pages_parquet(
         tmp_path / "pages", 400, n_sites=2, seed=11, shard_rows=100, dup_fraction=0.15

@@ -184,6 +184,8 @@ def test_oracle_keys_subset(entry_mod):
     "complete_prefix",
     # round 3: pseudo-relevance-feedback query expansion (RM1)
     "prf_expansion",
+    # round 3: impact-ordered champion lists from the index segments
+    "champion_lists",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))

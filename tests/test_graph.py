@@ -9,6 +9,8 @@ import pytest
 import ray.data as rd
 
 from search_engine_skillbox_ray import config
+
+from .conftest import requires_solo_ray
 from search_engine_skillbox_ray.pipelines.graph import (
     connected_components,
     near_dup_clusters,
@@ -77,6 +79,7 @@ def test_pagerank_matches_sql_reference(edges):
     assert r["f"] == min(r.values())  # no in-edges → base only
 
 
+@requires_solo_ray
 def test_pagerank_distributed_matches_fastpath(edges, monkeypatch):
     fast = _sorted_df(pagerank(edges), ("url", "pagerank"))
     monkeypatch.setattr(config, "DRIVER_FASTPATH_ROWS", 0)
@@ -117,6 +120,7 @@ def test_components_fastpath(pair_ds):
     assert got == EXPECTED_COMPONENTS
 
 
+@requires_solo_ray
 def test_components_distributed(pair_ds, monkeypatch):
     monkeypatch.setattr(config, "DRIVER_FASTPATH_ROWS", 0)
     df = connected_components(pair_ds).to_pandas()
@@ -154,6 +158,7 @@ def test_near_dup_clusters_assignment(pair_ds):
     assert {0, 1, 5, 6, 7, 10}.issubset(keep)
 
 
+@requires_solo_ray
 def test_near_dup_clusters_distributed(pair_ds, monkeypatch):
     docs = rd.from_items([{"doc_id": i, "text": "x"} for i in range(25)])
     fast = near_dup_clusters(docs, pair_ds).to_pandas()
@@ -185,6 +190,7 @@ def test_hits_semantics(edges):
     assert 0 < df["authority"].sum() <= 10**9
 
 
+@requires_solo_ray
 def test_hits_distributed_matches_fastpath(edges, monkeypatch):
     from search_engine_skillbox_ray.pipelines.graph import hits
 
