@@ -462,6 +462,31 @@ def q_search_sdm_bm25(sf_dir: str):
     )
 
 
+def q_search_sdm_delete(sf_dir: str):
+    """SDM ranking after LSM tombstone deletes: whole-table build +
+    odd-id tombstones must converge to the even-half oracle — including
+    N, avgdl and per-doc dl, which live in the index's doclen posting
+    row and shrink with the tombstones."""
+    from search_engine_skillbox_ray.pipelines.posindex import (
+        build_positional_index,
+        delete_documents,
+        sdm_bm25_topk,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/ses_posidx_sdmdel_{tag}"
+    build_positional_index(_documents(sf_dir), d, n_buckets=8, input_token=sf_dir)
+    ids = (
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .column("doc_id")
+        .to_numpy()
+    )
+    delete_documents(d, ids[ids % 2 == 1], input_token=f"{sf_dir}-sdm-del-odd")
+    return sdm_bm25_topk(
+        d, PBOOST_QUERY, k=SDM_K, k1=SDM_K1, b=SDM_B, lam_t=SDM_LT, lam_o=SDM_LO
+    )
+
+
 def q_spell_suggest(sf_dir: str):
     """Edit-distance query correction ("did you mean"): the k closest
     corpus-vocabulary terms per misspelled query token, ranked by
@@ -1396,6 +1421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_index_delete": q_phrase_index_delete,
         "search_phrase_boost": q_search_phrase_boost,
         "search_sdm_bm25": q_search_sdm_bm25,
+        "search_sdm_delete": q_search_sdm_delete,
         "spell_suggest": q_spell_suggest,
         "complete_prefix": q_complete_prefix,
         "prf_expansion": q_prf_expansion,
@@ -1477,6 +1503,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def _terms_values() -> str:
     terms = SEARCH_QUERY.split()
     return ", ".join(f"('{t}')" for t in terms)
+
+
+def _sdm_oracle(corpus_where: str = "") -> str:
+    """Mirror of ``sdm_bm25_topk``: BM25-saturated unigrams (SDM_LT) +
+    BM25-saturated ordered-adjacency virtual terms (SDM_LO); op order
+    matches the numpy expression verbatim so doubles agree before the
+    ROUND. ``corpus_where`` restricts the corpus (the tombstone-delete
+    mirror) — N/avgdl/dl shrink with it, exactly as the index's doclen
+    posting row does under tombstones."""
+    pairs_sql = "\n  UNION ALL\n".join(
+        f"""  SELECT {i} AS pair_id, a.doc_id, count(*)::BIGINT AS tf
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = '{ta}' AND b.term = '{tb}' GROUP BY a.doc_id"""
+        for i, (ta, tb) in enumerate(
+            zip(PBOOST_QUERY.split(), PBOOST_QUERY.split()[1:])
+        )
+    )
+    return f"""
+WITH tl AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+            '[^\\p{{L}}]+'), x -> x <> '') AS toks FROM documents {corpus_where}),
+dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tl),
+stats AS (SELECT count(*)::BIGINT AS n, SUM(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+tok AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM tl),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+q(term) AS (VALUES {", ".join(f"('{t}')" for t in dict.fromkeys(PBOOST_QUERY.split()))}),
+df AS (SELECT q.term, count(DISTINCT tf.doc_id)::BIGINT AS df
+       FROM q LEFT JOIN tf ON tf.term = q.term GROUP BY q.term),
+uni AS (SELECT tf.doc_id,
+        SUM({SDM_LT} * (ln((s.n + 1.0) / (df.df + 1.0)) * (tf.tf * ({SDM_K1} + 1.0))
+            / (tf.tf + {SDM_K1} * ((1.0 - {SDM_B}) + {SDM_B} * (d.dl / s.avgdl))))) AS s
+        FROM tf JOIN df ON tf.term = df.term
+        JOIN dl d ON d.doc_id = tf.doc_id CROSS JOIN stats s
+        GROUP BY tf.doc_id),
+adj AS ({pairs_sql}),
+adf AS (SELECT pair_id, count(*)::BIGINT AS df FROM adj GROUP BY pair_id),
+osum AS (SELECT adj.doc_id,
+         SUM({SDM_LO} * (ln((s.n + 1.0) / (adf.df + 1.0)) * (adj.tf * ({SDM_K1} + 1.0))
+             / (adj.tf + {SDM_K1} * ((1.0 - {SDM_B}) + {SDM_B} * (d.dl / s.avgdl))))) AS s
+         FROM adj JOIN adf USING (pair_id)
+         JOIN dl d ON d.doc_id = adj.doc_id CROSS JOIN stats s
+         GROUP BY adj.doc_id),
+scores AS (SELECT u.doc_id, u.s + COALESCE(o.s, 0.0) AS score
+           FROM uni u LEFT JOIN osum o ON o.doc_id = u.doc_id)
+SELECT doc_id, ROUND(score, 6) AS score FROM scores
+QUALIFY row_number() OVER (ORDER BY ROUND(score, 6) DESC, doc_id) <= {SDM_K}
+"""
 
 
 def _phrase_oracle(corpus_where: str = "") -> str:
@@ -2295,44 +2367,10 @@ QUALIFY row_number() OVER (ORDER BY ROUND(score, 6) DESC, doc_id) <= {PBOOST_K}
         # SDM: BM25-saturated unigrams (λ_T) + BM25-saturated ordered
         # adjacency virtual terms (λ_O); op order mirrors sdm_bm25_topk
         # verbatim so doubles agree before the ROUND
-        "search_sdm_bm25": f"""
-WITH tl AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
-            '[^\\p{{L}}]+'), x -> x <> '') AS toks FROM documents),
-dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tl),
-stats AS (SELECT count(*)::BIGINT AS n, SUM(dl)::DOUBLE / count(*) AS avgdl FROM dl),
-tok AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM tl),
-tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
-q(term) AS (VALUES {", ".join(f"('{t}')" for t in dict.fromkeys(PBOOST_QUERY.split()))}),
-df AS (SELECT q.term, count(DISTINCT tf.doc_id)::BIGINT AS df
-       FROM q LEFT JOIN tf ON tf.term = q.term GROUP BY q.term),
-uni AS (SELECT tf.doc_id,
-        SUM({SDM_LT} * (ln((s.n + 1.0) / (df.df + 1.0)) * (tf.tf * ({SDM_K1} + 1.0))
-            / (tf.tf + {SDM_K1} * ((1.0 - {SDM_B}) + {SDM_B} * (d.dl / s.avgdl))))) AS s
-        FROM tf JOIN df ON tf.term = df.term
-        JOIN dl d ON d.doc_id = tf.doc_id CROSS JOIN stats s
-        GROUP BY tf.doc_id),
-adj AS ("""
-        + "\n  UNION ALL\n".join(
-            f"""  SELECT {i} AS pair_id, a.doc_id, count(*)::BIGINT AS tf
-  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-  WHERE a.term = '{ta}' AND b.term = '{tb}' GROUP BY a.doc_id"""
-            for i, (ta, tb) in enumerate(
-                zip(PBOOST_QUERY.split(), PBOOST_QUERY.split()[1:])
-            )
-        )
-        + f"""),
-adf AS (SELECT pair_id, count(*)::BIGINT AS df FROM adj GROUP BY pair_id),
-osum AS (SELECT adj.doc_id,
-         SUM({SDM_LO} * (ln((s.n + 1.0) / (adf.df + 1.0)) * (adj.tf * ({SDM_K1} + 1.0))
-             / (adj.tf + {SDM_K1} * ((1.0 - {SDM_B}) + {SDM_B} * (d.dl / s.avgdl))))) AS s
-         FROM adj JOIN adf USING (pair_id)
-         JOIN dl d ON d.doc_id = adj.doc_id CROSS JOIN stats s
-         GROUP BY adj.doc_id),
-scores AS (SELECT u.doc_id, u.s + COALESCE(o.s, 0.0) AS score
-           FROM uni u LEFT JOIN osum o ON o.doc_id = u.doc_id)
-SELECT doc_id, ROUND(score, 6) AS score FROM scores
-QUALIFY row_number() OVER (ORDER BY ROUND(score, 6) DESC, doc_id) <= {SDM_K}
-""",
+        "search_sdm_bm25": _sdm_oracle(),
+        # the LSM delete variant: whole-table build + odd-id tombstones
+        # must converge to the even-half SDM answer (N/avgdl/dl included)
+        "search_sdm_delete": _sdm_oracle("WHERE doc_id % 2 = 0"),
         # "did you mean": k closest vocab terms per misspelled token —
         # DuckDB's levenshtein is the same unit-cost codepoint DP as the
         # vectorized kernel

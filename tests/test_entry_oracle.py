@@ -186,6 +186,8 @@ def test_oracle_keys_subset(entry_mod):
     "prf_expansion",
     # round 3: impact-ordered champion lists from the index segments
     "champion_lists",
+    # round 3: SDM ranking after LSM tombstone deletes
+    "search_sdm_delete",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
