@@ -70,6 +70,7 @@ SPELL_TERMS, SPELL_K = ("tabel", "mrge", "scann"), 3  # "did you mean" probes
 PREFIXES, PREFIX_K = ("s", "c", "qu"), 5  # type-ahead completion probes
 PRF_QUERY, PRF_N, PRF_M = "table scan", 10, 8  # pseudo-relevance feedback
 CHAMPION_K = 3  # impact-ordered champion-list depth
+COOC_WINDOW = 3  # forward skip-gram co-occurrence window
 PROX_A, PROX_B, PROX_WINDOW = "merge", "batch", 3  # proximity probe
 NEAR_TERMS, NEAR_WINDOW = ("merge", "batch", "fast"), 5  # NEAR probe
 DUP_SPAN_K = 5  # duplicated-span window size (tokens)
@@ -485,6 +486,18 @@ def q_search_sdm_delete(sf_dir: str):
     return sdm_bm25_topk(
         d, PBOOST_QUERY, k=SDM_K, k1=SDM_K1, b=SDM_B, lam_t=SDM_LT, lam_o=SDM_LO
     )
+
+
+def q_term_cooc(sf_dir: str):
+    """Ordered windowed co-occurrence (skip-gram) counts: term_b within
+    1..COOC_WINDOW positions after term_a, per-batch combiner before
+    one (term_a, term_b) exchange."""
+    from search_engine_skillbox_ray.pipelines.textstats import term_cooc_window_ds
+
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return term_cooc_window_ds(docs, window=COOC_WINDOW)
 
 
 def q_spell_suggest(sf_dir: str):
@@ -1422,6 +1435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_phrase_boost": q_search_phrase_boost,
         "search_sdm_bm25": q_search_sdm_bm25,
         "search_sdm_delete": q_search_sdm_delete,
+        "term_cooc": q_term_cooc,
         "spell_suggest": q_spell_suggest,
         "complete_prefix": q_complete_prefix,
         "prf_expansion": q_prf_expansion,
@@ -2423,6 +2437,16 @@ w AS (SELECT fbt.term, fbt.tf * ln((nn.n + 1.0) / (COALESCE(cdf.df, 0) + 1.0)) A
       FROM fbt LEFT JOIN cdf USING (term) CROSS JOIN nn)
 SELECT term, ROUND(weight, 6) AS weight FROM w
 QUALIFY row_number() OVER (ORDER BY ROUND(weight, 6) DESC, term) <= {PRF_M}
+""",
+        # ordered windowed (skip-gram) co-occurrence counts
+        "term_cooc": f"""
+WITH tl AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+            '[^\\p{{L}}]+'), x -> x <> '') AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM tl)
+SELECT a.term AS term_a, b.term AS term_b, count(*)::BIGINT AS cnt
+FROM tok a JOIN tok b ON b.doc_id = a.doc_id
+ AND b.pos > a.pos AND b.pos <= a.pos + {COOC_WINDOW}
+GROUP BY a.term, b.term
 """,
         # impact-ordered champion lists: k highest-tf docs per term
         "champion_lists": f"""

@@ -259,6 +259,12 @@ def bench_sf_queries() -> dict:
         "phrase_index_ingest",
         "phrase_index_delete",
         "search_phrase_boost",
+        "search_sdm_bm25",
+        "search_sdm_delete",
+        "spell_suggest",
+        "complete_prefix",
+        "prf_expansion",
+        "champion_lists",
         "decontaminate",
         "winnow_fingerprints",
         "length_gate",

@@ -2132,3 +2132,73 @@ def prf_expansion_ds(
             "weight": pa.array(rounded_w[order], pa.float64()),
         }
     )
+
+
+def term_cooc_window_ds(documents: rd.Dataset, window: int = 3) -> rd.Dataset:
+    """→ (term_a, term_b, cnt): ORDERED co-occurrence counts within a
+    forward token window — term_b occurs 1..``window`` positions after
+    term_a (every position pair counted, the skip-gram statistics of a
+    collocation / word-vector pipeline; ``window=1`` degenerates to
+    ``term_bigrams_ds``).
+
+    Scale shape, same as the bigram pass: one vectorized shift per
+    offset d∈[1, window] inside ``map_batches`` (pairs where
+    parents[i] == parents[i+d]), per-batch Arrow ``group_by`` combiner,
+    then ONE (term_a, term_b) exchange of per-batch partials — windowed
+    pair vocabulary grows with vocabulary², not corpus size, and the
+    raw token stream never shuffles."""
+    from ..functions.hashing import flat_nonempty_tokens
+
+    empty = pa.table(
+        {
+            "term_a": pa.array([], pa.string()),
+            "term_b": pa.array([], pa.string()),
+            "cnt": pa.array([], pa.int64()),
+        }
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        toks, parents, _ = flat_nonempty_tokens(batch.column("text"))
+        if len(toks) < 2:
+            return empty
+        a_idx, b_idx = [], []
+        for d in range(1, int(window) + 1):
+            if len(toks) <= d:
+                break
+            same = parents[:-d] == parents[d:]
+            idx = np.flatnonzero(same)
+            if idx.size:
+                a_idx.append(idx)
+                b_idx.append(idx + d)
+        if not a_idx:
+            return empty
+        ai = np.concatenate(a_idx)
+        bi = np.concatenate(b_idx)
+        t = pa.table(
+            {"term_a": toks.take(pa.array(ai)), "term_b": toks.take(pa.array(bi))}
+        )
+        c = t.group_by(["term_a", "term_b"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "term_a": c["term_a"],
+                "term_b": c["term_b"],
+                "cnt": pc.cast(c["count_all"], pa.int64()),
+            }
+        )
+
+    return (
+        documents.select_columns(["text"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["term_a", "term_b"])
+        .sum("cnt")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "term_a": t["term_a"],
+                    "term_b": t["term_b"],
+                    "cnt": pc.cast(t["sum(cnt)"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )

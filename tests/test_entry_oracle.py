@@ -188,6 +188,8 @@ def test_oracle_keys_subset(entry_mod):
     "champion_lists",
     # round 3: SDM ranking after LSM tombstone deletes
     "search_sdm_delete",
+    # round 3: windowed (skip-gram) co-occurrence counts
+    "term_cooc",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
