@@ -847,6 +847,32 @@ def q_ann_lsh_topk(sf_dir: str):
     return AnnIndex(d).topk(_query_vectors(sf_dir), k=ANN_K, n_probes=LSH_PROBES)
 
 
+def q_ann_lsh_delete(sf_dir: str):
+    """ANN serving after tombstone deletes: kill the odd vec_ids in the
+    persisted LSH index (read-time kill-set filter), probe — must equal
+    the even-candidates oracle. A separate index dir so the shared
+    ann_lsh index stays unmutated for its own query."""
+    from search_engine_skillbox_ray.pipelines.ann_index import (
+        AnnIndex,
+        build_lsh_index,
+        delete_vectors,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/ses_ann_lsh_del_{tag}"
+    build_lsh_index(
+        _embeddings(sf_dir), d, n_planes=LSH_PLANES, seed=42, input_token=sf_dir,
+        input_files=[f"{sf_dir}/embeddings.parquet"],
+    )
+    ids = (
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+        .column("vec_id")
+        .to_numpy()
+    )
+    delete_vectors(d, ids[ids % 2 == 1], input_token=f"{sf_dir}-ann-del-odd")
+    return AnnIndex(d).topk(_query_vectors(sf_dir), k=ANN_K, n_probes=LSH_PROBES)
+
+
 def q_ann_ivf_topk(sf_dir: str):
     """IVF ANN over the PERSISTED list-partitioned index (k-means trained
     once at build on the deterministic min-vec_id sample; queries probe
@@ -1476,6 +1502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_pairs": q_embedding_near_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_lsh_delete": q_ann_lsh_delete,
         "events_window": q_events_window,
         "window_users": q_window_users,
         "events_hopping": q_events_hopping,
@@ -1517,6 +1544,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def _terms_values() -> str:
     terms = SEARCH_QUERY.split()
     return ", ".join(f"('{t}')" for t in terms)
+
+
+def _lsh_topk_oracle(cand_where: str = "") -> str:
+    """Mirror of the persisted-LSH probe rule + cosine re-rank.
+    ``cand_where`` restricts the CANDIDATE side only (the tombstone-
+    delete mirror): queries keep their signatures, killed vectors just
+    stop being retrievable — exactly the read-time kill-set filter."""
+    return f"""
+WITH {_emb_sig_cte(LSH_PLANES, 42)},
+q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < {ANN_NQ}),
+qs AS (SELECT q.query_id, s.bucket AS qsig FROM q JOIN esig s ON s.vec_id = q.query_id),
+masks(m) AS (VALUES {", ".join(f"({m})" for m in _lsh_probe_masks(LSH_PLANES, LSH_PROBES))}),
+probes AS (SELECT DISTINCT query_id, xor(qsig, m) AS bucket FROM qs, masks),
+cand AS (SELECT p.query_id, s.vec_id FROM probes p JOIN esig s ON s.bucket = p.bucket {cand_where}),
+sc AS (SELECT c.query_id, c.vec_id, list_cosine_similarity(eq.v, ev.v) AS cos
+       FROM cand c JOIN e ev ON ev.vec_id = c.vec_id JOIN e eq ON eq.vec_id = c.query_id)
+SELECT CAST(query_id AS INTEGER) AS query_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) - 1 AS INTEGER) AS rank,
+       vec_id, ROUND(cos, 6) AS cosine
+FROM sc QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) <= {ANN_K}
+"""
 
 
 def _sdm_oracle(corpus_where: str = "") -> str:
@@ -2272,20 +2320,10 @@ s AS (SELECT c.vec_a, c.vec_b,
       FROM c JOIN e ea ON ea.vec_id = c.vec_a JOIN e eb ON eb.vec_id = c.vec_b)
 SELECT vec_a, vec_b, cosine FROM s WHERE cosine >= {EMB_THRESHOLD}
 """,
-        "ann_lsh_topk": f"""
-WITH {_emb_sig_cte(LSH_PLANES, 42)},
-q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < {ANN_NQ}),
-qs AS (SELECT q.query_id, s.bucket AS qsig FROM q JOIN esig s ON s.vec_id = q.query_id),
-masks(m) AS (VALUES {", ".join(f"({m})" for m in _lsh_probe_masks(LSH_PLANES, LSH_PROBES))}),
-probes AS (SELECT DISTINCT query_id, xor(qsig, m) AS bucket FROM qs, masks),
-cand AS (SELECT p.query_id, s.vec_id FROM probes p JOIN esig s ON s.bucket = p.bucket),
-sc AS (SELECT c.query_id, c.vec_id, list_cosine_similarity(eq.v, ev.v) AS cos
-       FROM cand c JOIN e ev ON ev.vec_id = c.vec_id JOIN e eq ON eq.vec_id = c.query_id)
-SELECT CAST(query_id AS INTEGER) AS query_id,
-       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) - 1 AS INTEGER) AS rank,
-       vec_id, ROUND(cos, 6) AS cosine
-FROM sc QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) <= {ANN_K}
-""",
+        "ann_lsh_topk": _lsh_topk_oracle(),
+        # tombstone-delete variant: odd vec_ids killed from the persisted
+        # index — candidates restricted, probe rule and queries unchanged
+        "ann_lsh_delete": _lsh_topk_oracle(cand_where="WHERE s.vec_id % 2 = 0"),
         "batch_search": f"""
 WITH tf AS ({_TF}),
 n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),

@@ -44,11 +44,95 @@ from .ann import _kmeans_lite, _plane_signatures, deterministic_train_vectors
 def _clear_stale_partitions(index_dir: Path, key_col: str) -> None:
     """A rebuild (fingerprint mismatch) rewrites every live partition,
     but a partition whose key gets NO vectors under the new parameters
-    would otherwise linger from the old layout and pollute probes."""
+    would otherwise linger from the old layout and pollute probes.
+    Tombstones and delete markers refer to the OLD corpus — a rebuild
+    drops them too (same invalidation rule as the positional index)."""
     for f in index_dir.glob(f"{key_col}=*.parquet"):
         f.unlink()
     for f in index_dir.glob(f"{key_col}=*.parquet.tmp"):
         f.unlink()
+    for f in index_dir.glob("ann_tombstone-*.parquet"):
+        f.unlink()
+    for f in index_dir.glob("ann_delete.*.json"):
+        f.unlink()
+
+
+def delete_vectors(index_dir: str | Path, vec_ids, input_token: str | None = None) -> dict:
+    """Tombstone-delete vectors from a persisted ANN index: one kill-set
+    parquet (atomic tmp+rename); probes filter at read time and
+    ``compact_ann_index`` folds the kill set into the partitions. The
+    ANN indexes have no append path, so a plain id union suffices — no
+    per-segment seq ordering (contrast ``posindex.delete_documents``).
+    Same-token re-deletes are skipped (marker file)."""
+    import hashlib as _hl
+
+    out = Path(index_dir)
+    if input_token is not None:
+        marker = out / f"ann_delete.{_hl.md5(input_token.encode()).hexdigest()[:10]}.json"
+        if marker.exists():
+            return json.loads(marker.read_text())
+    ids = np.unique(np.asarray(list(vec_ids), dtype=np.int64))
+    existing = sorted(out.glob("ann_tombstone-*.parquet"))
+    seq = (
+        max(int(f.name.split("-", 1)[1].split(".")[0]) for f in existing) + 1
+        if existing
+        else 0
+    )
+    tmp = out / f"ann_tombstone-{seq:04d}.parquet.tmp"
+    pq.write_table(pa.table({"vec_id": pa.array(ids, pa.int64())}), tmp)
+    os.replace(tmp, out / f"ann_tombstone-{seq:04d}.parquet")
+    res = {"seq": seq, "n_tombstoned": int(len(ids))}
+    if input_token is not None:
+        mt = Path(str(marker) + ".tmp")
+        mt.write_text(json.dumps(res))
+        os.replace(mt, marker)
+    return res
+
+
+def _dead_vec_ids(index_dir: Path) -> np.ndarray:
+    parts = [
+        pq.read_table(f, columns=["vec_id"]).column("vec_id").to_numpy()
+        for f in sorted(index_dir.glob("ann_tombstone-*.parquet"))
+    ]
+    if not parts:
+        return np.empty(0, np.int64)
+    return np.unique(np.concatenate(parts).astype(np.int64))
+
+
+def compact_ann_index(index_dir: str | Path) -> dict:
+    """Fold live tombstones into every partition file (one Ray task per
+    partition — partitions are independent bucket/list shards), then
+    drop the tombstones. Probe results identical before and after
+    (tested); crash-safe tmp+rename — a re-run after interruption
+    re-filters idempotently."""
+    import ray
+
+    out = Path(index_dir)
+    dead = _dead_vec_ids(out)
+    if not dead.size:
+        return {"n_partitions_compacted": 0}
+    mf = read_json(out / "ann_manifest.json")
+    key_col = "bucket" if mf.get("kind") == "lsh" else "list"
+    files = sorted(str(f) for f in out.glob(f"{key_col}=*.parquet"))
+
+    @ray.remote
+    def filt(path: str) -> int:
+        f = Path(path)
+        tbl = pq.read_table(f)
+        ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+        keep = ~np.isin(ids, dead)
+        if keep.all():
+            return len(tbl)
+        tbl = tbl.filter(pa.array(keep))
+        tmp = Path(str(f) + ".tmp")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, f)
+        return len(tbl)
+
+    counts = ray.get([filt.remote(p) for p in files])
+    for f in out.glob("ann_tombstone-*.parquet"):
+        f.unlink()
+    return {"n_partitions_compacted": len(files), "n_rows": int(sum(counts))}
 
 
 def _partition_writer(index_dir: Path, key_col: str):
@@ -214,6 +298,9 @@ class AnnIndex:
             self.planes = rng.standard_normal((self.dim, int(self.manifest["n_planes"])))
         else:
             self.cents = np.load(self.index_dir / "centroids.npy")
+        # kill set from tombstone-deletes — filtered out of every probe
+        # read until compact_ann_index folds it into the partitions
+        self.dead = _dead_vec_ids(self.index_dir)
         self.last_files_read: list[str] = []
 
     # -- probe-set construction (mirrors ann.lsh_topk exactly) ---------
@@ -244,7 +331,13 @@ class AnnIndex:
                 self.last_files_read.append(f.name)
         if not tables:
             return None
-        return pa.concat_tables(tables)
+        part = pa.concat_tables(tables)
+        if self.dead.size and len(part):
+            ids = part.column("vec_id").to_numpy(zero_copy_only=False)
+            keep = ~np.isin(ids, self.dead)
+            if not keep.all():
+                part = part.filter(pa.array(keep))
+        return part
 
     def topk(
         self, queries: np.ndarray, k: int = 10, *, n_probes: int = 9, n_probe: int = 4

@@ -83,3 +83,57 @@ def test_ivf_index_recall_and_pruning(emb, queries, tmp_path_factory):
 
     got2 = idx.topk(queries, k=10, n_probe=4).to_pandas()
     assert got.values.tolist() == got2.values.tolist()  # deterministic
+
+
+def test_lsh_delete_and_compaction(emb, queries, tmp_path_factory):
+    """Tombstone deletes: killed vectors vanish from probes at read
+    time; compaction folds the kill set into the partitions with
+    identical results and drops the tombstones; a rebuild clears
+    stale tombstones."""
+    from pathlib import Path
+
+    from search_engine_skillbox_ray.pipelines.ann_index import (
+        AnnIndex,
+        build_lsh_index,
+        compact_ann_index,
+        delete_vectors,
+    )
+
+    d = tmp_path_factory.mktemp("lsh_del")
+    build_lsh_index(emb, d, n_planes=4, seed=42, input_token="t-del")
+    ids = np.array([r["vec_id"] for r in emb.select_columns(["vec_id"]).take_all()])
+    odd = ids[ids % 2 == 1]
+    r = delete_vectors(d, odd, input_token="kill-odd")
+    assert r["n_tombstoned"] == len(np.unique(odd))
+    # same-token re-delete is a no-op marker hit
+    assert delete_vectors(d, odd, input_token="kill-odd") == r
+
+    idx = AnnIndex(d)
+    got = idx.topk(queries, k=10, n_probes=11).to_pandas()
+    assert len(got) and (got["vec_id"].to_numpy() % 2 == 0).all()
+
+    # ground truth: an index built over only the even vectors
+    even_emb = emb.filter(lambda r: r["vec_id"] % 2 == 0)
+    d2 = tmp_path_factory.mktemp("lsh_even")
+    build_lsh_index(even_emb, d2, n_planes=4, seed=42, input_token="t-even")
+    want = AnnIndex(d2).topk(queries, k=10, n_probes=11).to_pandas()
+    assert got.values.tolist() == want.values.tolist()
+
+    # compaction: identical results, tombstones gone, files filtered
+    compact_ann_index(d)
+    assert not list(Path(d).glob("ann_tombstone-*.parquet"))
+    idx2 = AnnIndex(d)
+    assert idx2.dead.size == 0
+    got2 = idx2.topk(queries, k=10, n_probes=11).to_pandas()
+    assert got2.values.tolist() == want.values.tolist()
+    # idempotent re-run
+    assert compact_ann_index(d) == {"n_partitions_compacted": 0}
+
+    # a rebuild (new fingerprint) clears tombstones and markers
+    delete_vectors(d, ids[ids % 4 == 0], input_token="kill-quads")
+    build_lsh_index(emb, d, n_planes=4, seed=42, input_token="t-del-2")
+    assert not list(Path(d).glob("ann_tombstone-*.parquet"))
+    assert not list(Path(d).glob("ann_delete.*.json"))
+    got3 = AnnIndex(d).topk(queries, k=10, n_probes=11).to_pandas()
+    full = AnnIndex(d).topk(queries, k=10, n_probes=11).to_pandas()
+    assert got3.values.tolist() == full.values.tolist()

@@ -190,6 +190,8 @@ def test_oracle_keys_subset(entry_mod):
     "search_sdm_delete",
     # round 3: windowed (skip-gram) co-occurrence counts
     "term_cooc",
+    # round 3: ANN tombstone deletes over the persisted LSH index
+    "ann_lsh_delete",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
