@@ -873,6 +873,31 @@ def q_ann_lsh_delete(sf_dir: str):
     return AnnIndex(d).topk(_query_vectors(sf_dir), k=ANN_K, n_probes=LSH_PROBES)
 
 
+def q_ann_lsh_ingest(sf_dir: str):
+    """ANN LSM ingest: index built over the even vec_ids + a delta
+    append of the odd ones (frozen hyperplanes) must serve the SAME
+    top-k as the whole-table oracle."""
+    from search_engine_skillbox_ray.pipelines.ann_index import (
+        AnnIndex,
+        append_vectors,
+        build_lsh_index,
+    )
+
+    import ray.data as rd
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/ses_ann_lsh_ing_{tag}"
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    even = emb.filter(lambda r: r["vec_id"] % 2 == 0)
+    odd = emb.filter(lambda r: r["vec_id"] % 2 == 1)
+    build_lsh_index(
+        even, d, n_planes=LSH_PLANES, seed=42, input_token=f"{sf_dir}-even",
+        input_files=[f"{sf_dir}/embeddings.parquet"],
+    )
+    append_vectors(d, odd, input_token=f"{sf_dir}-append-odd")
+    return AnnIndex(d).topk(_query_vectors(sf_dir), k=ANN_K, n_probes=LSH_PROBES)
+
+
 def q_ann_ivf_topk(sf_dir: str):
     """IVF ANN over the PERSISTED list-partitioned index (k-means trained
     once at build on the deterministic min-vec_id sample; queries probe
@@ -1503,6 +1528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_lsh_delete": q_ann_lsh_delete,
+        "ann_lsh_ingest": q_ann_lsh_ingest,
         "events_window": q_events_window,
         "window_users": q_window_users,
         "events_hopping": q_events_hopping,
@@ -2324,6 +2350,9 @@ SELECT vec_a, vec_b, cosine FROM s WHERE cosine >= {EMB_THRESHOLD}
         # tombstone-delete variant: odd vec_ids killed from the persisted
         # index — candidates restricted, probe rule and queries unchanged
         "ann_lsh_delete": _lsh_topk_oracle(cand_where="WHERE s.vec_id % 2 = 0"),
+        # LSM ingest variant: even-build + odd-append must serve the
+        # whole-table answer (frozen hyperplanes => identical buckets)
+        "ann_lsh_ingest": _lsh_topk_oracle(),
         "batch_search": f"""
 WITH tf AS ({_TF}),
 n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),

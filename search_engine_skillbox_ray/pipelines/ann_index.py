@@ -55,15 +55,55 @@ def _clear_stale_partitions(index_dir: Path, key_col: str) -> None:
         f.unlink()
     for f in index_dir.glob("ann_delete.*.json"):
         f.unlink()
+    for f in index_dir.glob("ann_append.*.json"):
+        f.unlink()
+
+
+def _ann_delta_seq(f: Path) -> int:
+    return int(f.name.rsplit("delta-", 1)[1].split(".")[0])
+
+
+def _ann_base_seq(f: Path) -> int:
+    """LSM seq a base partition is current through: −1 for a fresh
+    build, else the max folded seq recorded (atomically, inside the
+    parquet file) by compaction — the posindex discipline."""
+    meta = pq.read_schema(f).metadata or {}
+    return int(meta.get(b"base_seq", b"-1"))
+
+
+def _ann_next_seq(out: Path) -> int:
+    seqs = [
+        int(f.name.split("-", 1)[1].split(".")[0])
+        for f in out.glob("ann_tombstone-*.parquet")
+    ] + [_ann_delta_seq(f) for f in out.glob("*=*.delta-*.parquet")]
+    return max(seqs) + 1 if seqs else 0
+
+
+def _ann_tombstones(out: Path) -> list[tuple[int, np.ndarray]]:
+    tombs = []
+    for f in sorted(out.glob("ann_tombstone-*.parquet")):
+        seq = int(f.name.split("-", 1)[1].split(".")[0])
+        ids = pq.read_table(f, columns=["vec_id"]).column("vec_id").to_numpy()
+        tombs.append((seq, np.unique(ids.astype(np.int64))))
+    return tombs
+
+
+def _ann_dead_union(tombs, seg_seq: int):
+    """Tombstoned ids that apply to a segment written at ``seg_seq`` —
+    only deletes issued AFTER it kill its rows, so delete→re-append
+    keeps the re-added vector."""
+    rel = [a for s, a in (tombs or []) if s > seg_seq]
+    if not rel:
+        return None
+    return rel[0] if len(rel) == 1 else np.unique(np.concatenate(rel))
 
 
 def delete_vectors(index_dir: str | Path, vec_ids, input_token: str | None = None) -> dict:
     """Tombstone-delete vectors from a persisted ANN index: one kill-set
-    parquet (atomic tmp+rename); probes filter at read time and
-    ``compact_ann_index`` folds the kill set into the partitions. The
-    ANN indexes have no append path, so a plain id union suffices — no
-    per-segment seq ordering (contrast ``posindex.delete_documents``).
-    Same-token re-deletes are skipped (marker file)."""
+    parquet (atomic tmp+rename) sharing the LSM seq counter with append
+    deltas, so a delete→re-append keeps the re-added vector. Probes
+    filter per SEGMENT seq at read time; ``compact_ann_index`` folds
+    the kill set. Same-token re-deletes are skipped (marker file)."""
     import hashlib as _hl
 
     out = Path(index_dir)
@@ -72,12 +112,7 @@ def delete_vectors(index_dir: str | Path, vec_ids, input_token: str | None = Non
         if marker.exists():
             return json.loads(marker.read_text())
     ids = np.unique(np.asarray(list(vec_ids), dtype=np.int64))
-    existing = sorted(out.glob("ann_tombstone-*.parquet"))
-    seq = (
-        max(int(f.name.split("-", 1)[1].split(".")[0]) for f in existing) + 1
-        if existing
-        else 0
-    )
+    seq = _ann_next_seq(out)
     tmp = out / f"ann_tombstone-{seq:04d}.parquet.tmp"
     pq.write_table(pa.table({"vec_id": pa.array(ids, pa.int64())}), tmp)
     os.replace(tmp, out / f"ann_tombstone-{seq:04d}.parquet")
@@ -90,49 +125,184 @@ def delete_vectors(index_dir: str | Path, vec_ids, input_token: str | None = Non
 
 
 def _dead_vec_ids(index_dir: Path) -> np.ndarray:
-    parts = [
-        pq.read_table(f, columns=["vec_id"]).column("vec_id").to_numpy()
-        for f in sorted(index_dir.glob("ann_tombstone-*.parquet"))
-    ]
-    if not parts:
+    """Flat union of all live tombstoned ids (introspection; the read
+    path filters per segment seq via ``_ann_dead_union``)."""
+    tombs = _ann_tombstones(index_dir)
+    if not tombs:
         return np.empty(0, np.int64)
-    return np.unique(np.concatenate(parts).astype(np.int64))
+    return np.unique(np.concatenate([a for _, a in tombs]))
+
+
+def append_vectors(
+    index_dir: str | Path,
+    embeddings: rd.Dataset,
+    input_token: str | None = None,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """LSM-style micro-batch vector ingest: key the NEW vectors with the
+    index's FROZEN quantizer (the seeded hyperplanes for LSH, the
+    persisted centroids for IVF — standard frozen-codebook streaming
+    insert) and write one DELTA file per touched partition
+    (``key=NNNNN.delta-SSSS.parquet``, atomic tmp+rename). vec_ids must
+    be new — the caller's versioning contract, as everywhere in this
+    repo's LSM paths. Probes merge base + deltas per partition;
+    ``compact_ann_index`` folds them. Same-token re-appends are
+    skipped (marker)."""
+    import hashlib as _hl
+
+    out = Path(index_dir)
+    mf = read_json(out / "ann_manifest.json")
+    if not mf:
+        raise FileNotFoundError(f"no ann_manifest.json under {index_dir}")
+    if input_token is not None:
+        marker = out / f"ann_append.{_hl.md5(input_token.encode()).hexdigest()[:10]}.json"
+        if marker.exists():
+            return json.loads(marker.read_text())
+    seq = _ann_next_seq(out)
+    kind = mf["kind"]
+    key_col = "bucket" if kind == "lsh" else "list"
+    dim = int(mf["dim"])
+    if kind == "lsh":
+        rng = np.random.default_rng(int(mf["seed"]))
+        planes = rng.standard_normal((dim, int(mf["n_planes"])))
+        cents = None
+    else:
+        planes = None
+        cents = np.load(out / "centroids.npy")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        vecs = embedding_vectors(batch.column(vec_col))
+        if kind == "lsh":
+            keys = _plane_signatures(vecs, planes)
+        else:
+            d = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            keys = d.argmin(axis=1).astype(np.int64)
+        norms = np.linalg.norm(vecs, axis=1)
+        return pa.table(
+            {
+                key_col: pa.array(np.asarray(keys, np.int64), pa.int64()),
+                "vec_id": batch.column(id_col),
+                "embedding": batch.column(vec_col),
+                "norm": pa.array(norms, pa.float64()),
+            }
+        )
+
+    def write_delta(group: pd.DataFrame) -> pd.DataFrame:
+        if not len(group):
+            return pd.DataFrame({key_col: np.array([], np.int64), "n": np.array([], np.int64)})
+        key = int(group[key_col].iloc[0])
+        tbl = pa.Table.from_pandas(
+            group.sort_values("vec_id").reset_index(drop=True), preserve_index=False
+        )
+        final = out / f"{key_col}={key:05d}.delta-{seq:04d}.parquet"
+        tmp = Path(str(final) + ".tmp")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, final)
+        return pd.DataFrame({key_col: [key], "n": [len(group)]})
+
+    res_df = (
+        embeddings.map_batches(tag, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(write_delta, batch_format="pandas")
+        .to_pandas()
+    )
+    res = {
+        "seq": seq,
+        "n_partitions_touched": int(len(res_df)),
+        "n_vectors": int(res_df["n"].sum()) if len(res_df) else 0,
+    }
+    if input_token is not None:
+        mt = Path(str(marker) + ".tmp")
+        mt.write_text(json.dumps(res))
+        os.replace(mt, marker)
+    return res
 
 
 def compact_ann_index(index_dir: str | Path) -> dict:
-    """Fold live tombstones into every partition file (one Ray task per
-    partition — partitions are independent bucket/list shards), then
-    drop the tombstones. Probe results identical before and after
-    (tested); crash-safe tmp+rename — a re-run after interruption
-    re-filters idempotently."""
+    """Fold every delta file and live tombstone into its base partition
+    (one Ray task per partition — independent bucket/list shards), then
+    drop deltas and tombstones. Probe results identical before and
+    after (tested); crash-safe via tmp+rename with the fold seq
+    recorded INSIDE each base file (a crash between renames and
+    tombstone unlink must not re-kill vectors re-appended after the
+    tombstone — the posindex discipline)."""
     import ray
 
     out = Path(index_dir)
-    dead = _dead_vec_ids(out)
-    if not dead.size:
-        return {"n_partitions_compacted": 0}
+    tombs = _ann_tombstones(out)
     mf = read_json(out / "ann_manifest.json")
     key_col = "bucket" if mf.get("kind") == "lsh" else "list"
-    files = sorted(str(f) for f in out.glob(f"{key_col}=*.parquet"))
+    deltas = list(out.glob(f"{key_col}=*.delta-*.parquet"))
+    touched = {f.name.split(".")[0] for f in deltas}
+    if tombs:
+        touched |= {
+            f.name.split(".")[0]
+            for f in out.glob(f"{key_col}=*.parquet")
+            if "delta-" not in f.name
+        }
+    touched = sorted(touched)
+    if not touched:
+        return {"n_partitions_compacted": 0}
+    all_seqs = [_ann_delta_seq(f) for f in deltas] + [s for s, _ in tombs]
+    fold_seq = max(all_seqs) if all_seqs else None
 
     @ray.remote
-    def filt(path: str) -> int:
-        f = Path(path)
-        tbl = pq.read_table(f)
-        ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
-        keep = ~np.isin(ids, dead)
-        if keep.all():
-            return len(tbl)
-        tbl = tbl.filter(pa.array(keep))
-        tmp = Path(str(f) + ".tmp")
-        pq.write_table(tbl, tmp)
-        os.replace(tmp, f)
-        return len(tbl)
+    def fold(prefix: str) -> int:
+        base = out / f"{prefix}.parquet"
+        segs: list[tuple[pa.Table, int]] = []
+        if base.exists():
+            segs.append((pq.read_table(base), _ann_base_seq(base)))
+        for f in sorted(out.glob(f"{prefix}.delta-*.parquet")):
+            segs.append((pq.read_table(f), _ann_delta_seq(f)))
+        kept = []
+        for tbl, seg_seq in segs:
+            dead = _ann_dead_union(tombs, seg_seq)
+            if dead is not None and len(tbl):
+                ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+                keep = ~np.isin(ids, dead)
+                if not keep.all():
+                    tbl = tbl.filter(pa.array(keep))
+            if len(tbl):
+                kept.append(tbl)
+        merged = pa.concat_tables(kept) if kept else None
+        if merged is not None and len(merged):
+            ids = merged.column("vec_id").to_numpy(zero_copy_only=False)
+            # duplicates only from a compaction interrupted between base
+            # rename and delta unlink — keep the first (base) copy
+            order = np.argsort(ids, kind="stable")
+            sids = ids[order]
+            keep = np.empty(len(sids), dtype=bool)
+            keep[0] = True
+            np.not_equal(sids[1:], sids[:-1], out=keep[1:])
+            merged = merged.take(pa.array(order[keep]))
+        else:
+            merged = None
+        if merged is None:
+            merged = pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": pa.array([], pa.list_(pa.float32())),
+                    "norm": pa.array([], pa.float64()),
+                }
+            )
+        if fold_seq is not None:
+            merged = merged.replace_schema_metadata(
+                {b"base_seq": str(fold_seq).encode()}
+            )
+        tmp = Path(str(base) + ".tmp")
+        pq.write_table(merged, tmp)
+        os.replace(tmp, base)
+        for f in sorted(out.glob(f"{prefix}.delta-*.parquet")):
+            f.unlink()
+        return len(merged)
 
-    counts = ray.get([filt.remote(p) for p in files])
+    counts = ray.get([fold.remote(p) for p in touched])
     for f in out.glob("ann_tombstone-*.parquet"):
         f.unlink()
-    return {"n_partitions_compacted": len(files), "n_rows": int(sum(counts))}
+    return {"n_partitions_compacted": len(touched), "n_rows": int(sum(counts))}
 
 
 def _partition_writer(index_dir: Path, key_col: str):
@@ -298,8 +468,9 @@ class AnnIndex:
             self.planes = rng.standard_normal((self.dim, int(self.manifest["n_planes"])))
         else:
             self.cents = np.load(self.index_dir / "centroids.npy")
-        # kill set from tombstone-deletes — filtered out of every probe
-        # read until compact_ann_index folds it into the partitions
+        # LSM state: seq-ordered tombstones (filtered per segment at
+        # every probe read) until compact_ann_index folds them
+        self.tombs = _ann_tombstones(self.index_dir)
         self.dead = _dead_vec_ids(self.index_dir)
         self.last_files_read: list[str] = []
 
@@ -322,21 +493,43 @@ class AnnIndex:
         return probe_sets
 
     def _read_partitions(self, key_col: str, keys: list[int]) -> pa.Table | None:
+        """Base + LSM delta files per probed key, each filtered by the
+        tombstones that postdate it (a tombstone kills only rows written
+        before it, so delete→re-append keeps the re-added vector)."""
         tables = []
         self.last_files_read = []
         for key in sorted(keys):
-            f = self.index_dir / f"{key_col}={key:05d}.parquet"
-            if f.exists():
-                tables.append(pq.read_table(f))
+            base = self.index_dir / f"{key_col}={key:05d}.parquet"
+            segs: list[tuple[Path, int]] = []
+            if base.exists():
+                segs.append((base, _ann_base_seq(base)))
+            for f in sorted(self.index_dir.glob(f"{key_col}={key:05d}.delta-*.parquet")):
+                segs.append((f, _ann_delta_seq(f)))
+            for f, seg_seq in segs:
+                tbl = pq.read_table(f)
                 self.last_files_read.append(f.name)
+                dead = _ann_dead_union(self.tombs, seg_seq)
+                if dead is not None and len(tbl):
+                    ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+                    keep = ~np.isin(ids, dead)
+                    if not keep.all():
+                        tbl = tbl.filter(pa.array(keep))
+                if len(tbl):
+                    tables.append(tbl)
         if not tables:
             return None
         part = pa.concat_tables(tables)
-        if self.dead.size and len(part):
+        if len(part):
             ids = part.column("vec_id").to_numpy(zero_copy_only=False)
-            keep = ~np.isin(ids, self.dead)
-            if not keep.all():
-                part = part.filter(pa.array(keep))
+            # duplicates only from a compaction interrupted between base
+            # rename and delta unlink — keep the first (base) copy
+            if len(np.unique(ids)) != len(ids):
+                order = np.argsort(ids, kind="stable")
+                sids = ids[order]
+                keep = np.empty(len(sids), dtype=bool)
+                keep[0] = True
+                np.not_equal(sids[1:], sids[:-1], out=keep[1:])
+                part = part.take(pa.array(np.sort(order[keep])))
         return part
 
     def topk(

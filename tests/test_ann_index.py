@@ -137,3 +137,47 @@ def test_lsh_delete_and_compaction(emb, queries, tmp_path_factory):
     got3 = AnnIndex(d).topk(queries, k=10, n_probes=11).to_pandas()
     full = AnnIndex(d).topk(queries, k=10, n_probes=11).to_pandas()
     assert got3.values.tolist() == full.values.tolist()
+
+
+def test_lsh_lsm_append_delete_readd(emb, queries, tmp_path_factory):
+    """Full LSM lifecycle on the ANN index: even-build + odd-append ==
+    whole build; delete -> re-append keeps the re-added vectors (seq
+    semantics); compaction folds deltas AND tombstones with identical
+    probes and base_seq recorded."""
+    from pathlib import Path
+
+    from search_engine_skillbox_ray.pipelines.ann_index import (
+        AnnIndex,
+        append_vectors,
+        build_lsh_index,
+        compact_ann_index,
+        delete_vectors,
+    )
+
+    full = tmp_path_factory.mktemp("lsm_full")
+    build_lsh_index(emb, full, n_planes=4, seed=42, input_token="f")
+    want = AnnIndex(full).topk(queries, k=10, n_probes=11).to_pandas()
+
+    half = tmp_path_factory.mktemp("lsm_half")
+    even = emb.filter(lambda r: r["vec_id"] % 2 == 0)
+    odd = emb.filter(lambda r: r["vec_id"] % 2 == 1)
+    build_lsh_index(even, half, n_planes=4, seed=42, input_token="h")
+    r = append_vectors(half, odd, input_token="h2")
+    assert r["n_vectors"] == odd.count()
+    # same-token re-append is a marker no-op
+    assert append_vectors(half, odd, input_token="h2") == r
+    got = AnnIndex(half).topk(queries, k=10, n_probes=11).to_pandas()
+    assert got.values.tolist() == want.values.tolist()
+
+    # delete all odd, re-append them: the re-added rows stay live
+    ids = np.array([x["vec_id"] for x in emb.select_columns(["vec_id"]).take_all()])
+    delete_vectors(half, ids[ids % 2 == 1], input_token="kill-odd")
+    append_vectors(half, odd, input_token="h3")
+    got2 = AnnIndex(half).topk(queries, k=10, n_probes=11).to_pandas()
+    assert got2.values.tolist() == want.values.tolist()
+
+    compact_ann_index(half)
+    assert not list(Path(half).glob("*delta*"))
+    assert not list(Path(half).glob("ann_tombstone-*.parquet"))
+    got3 = AnnIndex(half).topk(queries, k=10, n_probes=11).to_pandas()
+    assert got3.values.tolist() == want.values.tolist()

@@ -192,6 +192,8 @@ def test_oracle_keys_subset(entry_mod):
     "term_cooc",
     # round 3: ANN tombstone deletes over the persisted LSH index
     "ann_lsh_delete",
+    # round 3: ANN LSM ingest (even build + odd delta append)
+    "ann_lsh_ingest",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
