@@ -265,6 +265,9 @@ def bench_sf_queries() -> dict:
         "complete_prefix",
         "prf_expansion",
         "champion_lists",
+        "term_cooc",
+        "ann_lsh_delete",
+        "ann_lsh_ingest",
         "decontaminate",
         "winnow_fingerprints",
         "length_gate",

@@ -181,3 +181,48 @@ def test_lsh_lsm_append_delete_readd(emb, queries, tmp_path_factory):
     assert not list(Path(half).glob("ann_tombstone-*.parquet"))
     got3 = AnnIndex(half).topk(queries, k=10, n_probes=11).to_pandas()
     assert got3.values.tolist() == want.values.tolist()
+
+
+def test_ivf_lsm_append_and_delete(emb, queries, tmp_path_factory):
+    """IVF streaming insert with the FROZEN persisted centroids: an
+    appended vector is immediately retrievable (its own query returns
+    it at rank 0, cosine 1.0), a tombstone kills it again, and
+    compaction folds both."""
+    import pyarrow.compute as pc_
+
+    from search_engine_skillbox_ray.pipelines.ann_index import (
+        AnnIndex,
+        append_vectors,
+        build_ivf_index,
+        compact_ann_index,
+        delete_vectors,
+    )
+
+    d = tmp_path_factory.mktemp("ivf_lsm")
+    build_ivf_index(emb, d, n_lists=8, seed=42, input_token="t")
+    shifted = emb.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("vec_id"),
+            "vec_id",
+            pc_.add(t.column("vec_id"), 100000),
+        ),
+        batch_format="pyarrow",
+    )
+    r = append_vectors(d, shifted, input_token="x")
+    assert r["n_vectors"] == emb.count()
+    idx = AnnIndex(d)
+    got = idx.topk(queries, k=4, n_probe=8).to_pandas()
+    # each query vector now exists twice (original + shifted copy):
+    # both must surface with cosine 1.0 before anything else
+    for qi in range(len(queries)):
+        top2 = got[got["query_id"] == qi].head(2)
+        assert set(top2["vec_id"]) == {qi, qi + 100000}
+        assert (top2["cosine"] == 1.0).all()
+
+    delete_vectors(d, [qi + 100000 for qi in range(len(queries))], input_token="k")
+    got2 = AnnIndex(d).topk(queries, k=4, n_probe=8).to_pandas()
+    assert not (set(got2["vec_id"]) & {qi + 100000 for qi in range(len(queries))})
+
+    compact_ann_index(d)
+    got3 = AnnIndex(d).topk(queries, k=4, n_probe=8).to_pandas()
+    assert got3.values.tolist() == got2.values.tolist()
