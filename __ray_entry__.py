@@ -71,6 +71,7 @@ PREFIXES, PREFIX_K = ("s", "c", "qu"), 5  # type-ahead completion probes
 PRF_QUERY, PRF_N, PRF_M = "table scan", 10, 8  # pseudo-relevance feedback
 CHAMPION_K = 3  # impact-ordered champion-list depth
 COOC_WINDOW = 3  # forward skip-gram co-occurrence window
+RRF_K0, RRF_TOPK = 60, 20  # reciprocal-rank fusion
 PROX_A, PROX_B, PROX_WINDOW = "merge", "batch", 3  # proximity probe
 NEAR_TERMS, NEAR_WINDOW = ("merge", "batch", "fast"), 5  # NEAR probe
 DUP_SPAN_K = 5  # duplicated-span window size (tokens)
@@ -277,6 +278,20 @@ def q_search_bm25(sf_dir: str):
     eng = _engine(sf_dir, scorer="bm25", k1=BM25_K1, b=BM25_B, float32_scores=False)
     doc_ids, scores, _ = eng.search_scores(SEARCH_QUERY)
     return pd.DataFrame({"doc_id": doc_ids.astype(np.int64), "score": np.round(scores, 6)})
+
+
+def q_search_rrf(sf_dir: str):
+    """Reciprocal-rank fusion of the tf-idf and BM25 rankings (the
+    hybrid-search combiner): fused(d) = 1/(k0+rank_tfidf) +
+    1/(k0+rank_bm25), ranks 1-based over (rounded score desc, doc_id)."""
+    from search_engine_skillbox_ray.state.engine import rrf_fuse
+
+    e1 = _engine(sf_dir, float32_scores=False)
+    e2 = _engine(sf_dir, scorer="bm25", k1=BM25_K1, b=BM25_B, float32_scores=False)
+    d1, s1, _ = e1.search_scores(SEARCH_QUERY)
+    d2, s2, _ = e2.search_scores(SEARCH_QUERY)
+    docs, fused = rrf_fuse([(d1, s1), (d2, s2)], k0=RRF_K0, topk=RRF_TOPK)
+    return pd.DataFrame({"doc_id": docs.astype(np.int64), "rrf": fused})
 
 
 def q_search_count(sf_dir: str):
@@ -1472,6 +1487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_conjunctive": q_search_conjunctive,
         "search_site_scoped": q_search_site_scoped,
         "search_bm25": q_search_bm25,
+        "search_rrf": q_search_rrf,
         "search_count": q_search_count,
         "stats_by_source": q_stats_by_source,
         "dedup_exact": q_dedup_exact,
@@ -2153,6 +2169,33 @@ scores AS (
        CROSS JOIN n CROSS JOIN avgdl
   GROUP BY tf.doc_id)
 SELECT doc_id, ROUND(score, 6) AS score FROM scores
+""",
+        # reciprocal-rank fusion of the tf·idf and BM25 rankings: both
+        # score CTEs are verbatim copies of their own oracles; ranks
+        # over ROUND(score,6) so the fusion is float-order-proof
+        "search_rrf": f"""
+WITH tf AS ({_TF}),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+q(term) AS (VALUES {_terms_values()}),
+df AS (SELECT q.term, count(DISTINCT tf.doc_id)::BIGINT AS df
+       FROM q LEFT JOIN tf ON tf.term = q.term GROUP BY q.term),
+s1 AS (SELECT tf.doc_id, SUM(tf.tf * ln((n.n + 1.0) / (df.df + 1.0))) AS score
+       FROM tf JOIN df ON tf.term = df.term CROSS JOIN n GROUP BY tf.doc_id),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM ({_TOK}) GROUP BY doc_id),
+avgdl AS (SELECT sum(dl) / (SELECT n FROM n) AS avgdl FROM dl),
+s2 AS (SELECT tf.doc_id,
+         SUM(ln((n.n + 1.0) / (df.df + 1.0)) * (tf.tf * ({BM25_K1} + 1.0)) /
+             (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / avgdl.avgdl))) AS score
+       FROM tf JOIN df ON tf.term = df.term
+            JOIN dl ON dl.doc_id = tf.doc_id
+            CROSS JOIN n CROSS JOIN avgdl
+       GROUP BY tf.doc_id),
+r1 AS (SELECT doc_id, row_number() OVER (ORDER BY ROUND(score, 6) DESC, doc_id)::BIGINT AS r FROM s1),
+r2 AS (SELECT doc_id, row_number() OVER (ORDER BY ROUND(score, 6) DESC, doc_id)::BIGINT AS r FROM s2),
+f AS (SELECT r1.doc_id, 1.0 / ({RRF_K0} + r1.r) + 1.0 / ({RRF_K0} + r2.r) AS rrf
+      FROM r1 JOIN r2 USING (doc_id))
+SELECT doc_id, ROUND(rrf, 9) AS rrf FROM f
+QUALIFY row_number() OVER (ORDER BY ROUND(rrf, 9) DESC, doc_id) <= {RRF_TOPK}
 """,
         "search_count": f"""
 WITH tf AS ({_TF})

@@ -1219,3 +1219,42 @@ class QueryActorPool:
         for i, (q, kw) in enumerate(queries):
             refs.append(self._actors[i % len(self._actors)].search.remote(q, **kw))
         return ray.get(refs)
+
+
+def rrf_fuse(
+    rankings: list[tuple[np.ndarray, np.ndarray]],
+    k0: int = 60,
+    topk: int | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher '09, public
+    formulation): fused(d) = Σ_i 1/(k0 + rank_i(d)) over the input
+    rankings — the standard hybrid-search combiner (e.g. BM25 ⊕ dense
+    retrieval) that needs no score calibration. Each ranking is
+    (doc_ids, scores); ranks are 1-based over (ROUND(score, 6) desc,
+    doc_id) so they are float-order-proof and SQL-mirrorable. Docs
+    absent from a ranking contribute no term (RRF over the union).
+
+    → (doc_ids, fused scores ROUND 9) ordered (fused desc, doc_id),
+    truncated to ``topk``. Fully vectorized; the per-doc addend order
+    follows the rankings list, matching the SQL mirror's ``+`` chain."""
+    doc_parts, w_parts = [], []
+    for docs, scores in rankings:
+        docs = np.asarray(docs, dtype=np.int64)
+        r = np.round(np.asarray(scores, dtype=np.float64), 6)
+        order = np.lexsort((docs, -r))
+        rank_of = np.empty(len(docs), np.int64)
+        rank_of[order] = np.arange(1, len(docs) + 1)
+        doc_parts.append(docs)
+        w_parts.append(1.0 / (float(k0) + rank_of))
+    if not doc_parts:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    cat_d = np.concatenate(doc_parts)
+    cat_w = np.concatenate(w_parts)
+    uniq, inv = np.unique(cat_d, return_inverse=True)
+    fused = np.zeros(len(uniq), np.float64)
+    np.add.at(fused, inv, cat_w)
+    rounded = np.round(fused, 9)
+    order = np.lexsort((uniq, -rounded))
+    if topk is not None:
+        order = order[: max(int(topk), 0)]
+    return uniq[order], rounded[order]

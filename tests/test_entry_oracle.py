@@ -194,6 +194,8 @@ def test_oracle_keys_subset(entry_mod):
     "ann_lsh_delete",
     # round 3: ANN LSM ingest (even build + odd delta append)
     "ann_lsh_ingest",
+    # round 3: reciprocal-rank fusion of tf-idf and BM25 rankings
+    "search_rrf",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
