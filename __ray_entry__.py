@@ -72,6 +72,8 @@ PRF_QUERY, PRF_N, PRF_M = "table scan", 10, 8  # pseudo-relevance feedback
 CHAMPION_K = 3  # impact-ordered champion-list depth
 COOC_WINDOW = 3  # forward skip-gram co-occurrence window
 RRF_K0, RRF_TOPK = 60, 20  # reciprocal-rank fusion
+# MMR diversification: mu passed explicitly (1-0.7 != 0.3 in binary)
+MMR_N, MMR_K, MMR_LAM, MMR_MU = 20, 5, 0.7, 0.3
 PROX_A, PROX_B, PROX_WINDOW = "merge", "batch", 3  # proximity probe
 NEAR_TERMS, NEAR_WINDOW = ("merge", "batch", "fast"), 5  # NEAR probe
 DUP_SPAN_K = 5  # duplicated-span window size (tokens)
@@ -913,6 +915,17 @@ def q_ann_lsh_ingest(sf_dir: str):
     return AnnIndex(d).topk(_query_vectors(sf_dir), k=ANN_K, n_probes=LSH_PROBES)
 
 
+def q_mmr_diversify(sf_dir: str):
+    """MMR result diversification: greedy lam*sim(q,c) - mu*max-sim-to-
+    selected over the top-N cosine candidates of query vector 0."""
+    from search_engine_skillbox_ray.pipelines.ann import mmr_topk
+
+    return mmr_topk(
+        _embeddings(sf_dir), _query_vectors(sf_dir)[0],
+        n_candidates=MMR_N, k=MMR_K, lam=MMR_LAM, mu=MMR_MU,
+    )
+
+
 def q_ann_ivf_topk(sf_dir: str):
     """IVF ANN over the PERSISTED list-partitioned index (k-means trained
     once at build on the deterministic min-vec_id sample; queries probe
@@ -1545,6 +1558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_lsh_delete": q_ann_lsh_delete,
         "ann_lsh_ingest": q_ann_lsh_ingest,
+        "mmr_diversify": q_mmr_diversify,
         "events_window": q_events_window,
         "window_users": q_window_users,
         "events_hopping": q_events_hopping,
@@ -1586,6 +1600,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def _terms_values() -> str:
     terms = SEARCH_QUERY.split()
     return ", ".join(f"('{t}')" for t in terms)
+
+
+def _mmr_oracle() -> str:
+    """Mirror of ``ann.mmr_topk``: greedy maximal-marginal-relevance over
+    the top-MMR_N cosine candidates, unrolled as MMR_K CTE steps (the
+    HITS-unroll trick). All similarities ROUND(·, 6) before the greedy
+    on BOTH sides, so each step's argmax compares identical doubles."""
+    head = f"""e AS (SELECT vec_id, embedding AS v FROM embeddings),
+qv AS (SELECT v FROM e WHERE vec_id = 0),
+cand AS (SELECT e.vec_id, ROUND(list_cosine_similarity(e.v, qv.v), 6) AS sq, e.v
+         FROM e CROSS JOIN qv
+         QUALIFY row_number() OVER (
+           ORDER BY ROUND(list_cosine_similarity(e.v, qv.v), 6) DESC, e.vec_id) <= {MMR_N}),
+sel1 AS (SELECT 1::BIGINT AS rank, vec_id, sq, v, {MMR_LAM} * sq - {MMR_MU} * 0.0 AS mmr
+         FROM cand
+         QUALIFY row_number() OVER (ORDER BY {MMR_LAM} * sq - {MMR_MU} * 0.0 DESC, vec_id) = 1)"""
+    ctes = [head]
+    union = "SELECT rank, vec_id, sq, v, mmr FROM sel1"
+    for i in range(2, MMR_K + 1):
+        ctes.append(f"""sel{i} AS (
+  SELECT {i}::BIGINT AS rank, vec_id, sq, v, mmr FROM (
+    SELECT c.vec_id, c.sq, c.v,
+           {MMR_LAM} * c.sq - {MMR_MU} * (
+             SELECT MAX(ROUND(list_cosine_similarity(c.v, s.v), 6)) FROM ({union}) s) AS mmr
+    FROM cand c
+    WHERE c.vec_id NOT IN (SELECT vec_id FROM ({union}))
+  ) QUALIFY row_number() OVER (ORDER BY mmr DESC, vec_id) = 1)""")
+        union += f" UNION ALL SELECT rank, vec_id, sq, v, mmr FROM sel{i}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT rank, vec_id, ROUND(mmr, 9) AS mmr FROM ({union})"
+    )
 
 
 def _lsh_topk_oracle(cand_where: str = "") -> str:
@@ -2396,6 +2442,8 @@ SELECT vec_a, vec_b, cosine FROM s WHERE cosine >= {EMB_THRESHOLD}
         # LSM ingest variant: even-build + odd-append must serve the
         # whole-table answer (frozen hyperplanes => identical buckets)
         "ann_lsh_ingest": _lsh_topk_oracle(),
+        # greedy MMR diversification, unrolled to MMR_K SQL steps
+        "mmr_diversify": _mmr_oracle(),
         "batch_search": f"""
 WITH tf AS ({_TF}),
 n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),

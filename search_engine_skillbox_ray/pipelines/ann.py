@@ -687,3 +687,87 @@ def pq_topk(
             "cosine": pa.array(out_c, pa.float64()),
         }
     )
+
+
+def mmr_topk(
+    embeddings: rd.Dataset,
+    query: np.ndarray,
+    *,
+    n_candidates: int = 20,
+    k: int = 5,
+    lam: float = 0.7,
+    mu: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """→ (rank, vec_id, mmr) — maximal-marginal-relevance result
+    diversification (Carbonell & Goldstein '98, public formulation):
+    greedily pick k of the ``n_candidates`` nearest vectors maximizing
+    ``lam·sim(query, c) − mu·max_{s∈selected} sim(c, s)`` — the standard
+    post-retrieval diversifier of a RAG / search stack. ``mu`` is passed
+    explicitly rather than derived as 1−lam so both sides of the SQL
+    mirror use the SAME double constants (1−0.7 ≠ 0.3 in binary).
+
+    Scale shape: candidate generation is the distributed brute-force
+    pass (per-batch partial top-k); the greedy runs on the driver over
+    the n_candidates×n_candidates similarity matrix — candidates are
+    O(k), never the corpus. All similarities ROUND to 6 decimals before
+    the greedy so selection is float-order-proof against the DuckDB
+    ``list_cosine_similarity`` mirror; ties break on vec_id asc."""
+    query = np.asarray(query, dtype=np.float64)
+    cand = brute_force_topk(
+        embeddings, query[None, :], k=n_candidates, id_col=id_col, vec_col=vec_col
+    )
+    ids = cand.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    sq = cand.column("cosine").to_numpy(zero_copy_only=False)  # already ROUND 6
+    empty = pa.table(
+        {
+            "rank": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+            "mmr": pa.array([], pa.float64()),
+        }
+    )
+    if not ids.size:
+        return empty
+    import pyarrow.compute as pc
+
+    from ..functions.vectors import embedding_vectors
+
+    id_set = pa.array(np.sort(ids), pa.int64())
+    got = embeddings.map_batches(
+        lambda t: t.filter(pc.is_in(t.column(id_col), id_set)),
+        batch_format="pyarrow",
+    ).take_all()
+    got.sort(key=lambda r: r[id_col])
+    fetched_ids = np.array([r[id_col] for r in got], np.int64)
+    vecs = np.asarray([r[vec_col] for r in got], np.float64)
+    # candidate order alignment
+    pos = np.searchsorted(fetched_ids, ids)
+    vecs = vecs[pos]
+    vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-300)
+    sims = np.round(vn @ vn.T, 6)  # candidate-candidate, ROUND 6
+    n = len(ids)
+    selected: list[int] = []
+    remaining = np.ones(n, dtype=bool)
+    out_rank, out_id, out_mmr = [], [], []
+    for step in range(min(int(k), n)):
+        if selected:
+            ms = sims[:, selected].max(axis=1)
+        else:
+            ms = np.zeros(n, np.float64)
+        mmr = lam * sq - mu * ms
+        mmr_masked = np.where(remaining, mmr, -np.inf)
+        order = np.lexsort((ids, -mmr_masked))
+        pick = int(order[0])
+        selected.append(pick)
+        remaining[pick] = False
+        out_rank.append(step + 1)
+        out_id.append(int(ids[pick]))
+        out_mmr.append(round(float(mmr[pick]), 9))
+    return pa.table(
+        {
+            "rank": pa.array(out_rank, pa.int64()),
+            "vec_id": pa.array(out_id, pa.int64()),
+            "mmr": pa.array(out_mmr, pa.float64()),
+        }
+    )

@@ -196,6 +196,8 @@ def test_oracle_keys_subset(entry_mod):
     "ann_lsh_ingest",
     # round 3: reciprocal-rank fusion of tf-idf and BM25 rankings
     "search_rrf",
+    # round 3: greedy MMR diversification (unrolled SQL mirror)
+    "mmr_diversify",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
