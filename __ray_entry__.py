@@ -1372,6 +1372,21 @@ def q_hits(sf_dir: str):
     )
 
 
+def q_dedup_keep_best(sf_dir: str):
+    """Quality-aware near-dup curation: per cluster keep the copy with
+    the most tokens (ties on smallest doc_id); singletons keep
+    themselves. → (doc_id, rep_id, keep 0/1) over the full corpus."""
+    from search_engine_skillbox_ray.pipelines.dedup import minhash_lsh_pairs
+    from search_engine_skillbox_ray.pipelines.graph import dedup_keep_best
+
+    docs = _documents(sf_dir)
+    pairs = minhash_lsh_pairs(
+        docs, num_perm=MINHASH_PERM, bands=MINHASH_BANDS,
+        threshold=MINHASH_THRESHOLD, seed=MINHASH_SEED,
+    )
+    return dedup_keep_best(docs, pairs)
+
+
 def q_dedup_clusters(sf_dir: str):
     """MinHash near-dup pairs → connected components → full-corpus
     canonical assignment (doc_id, rep_id): the action step of the dedup
@@ -1590,6 +1605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coupling_pairs": q_coupling_pairs,
         "hits": q_hits,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
         "cross_source_pairs": q_cross_source_pairs,
         "near_dup_vs_snapshot": q_near_dup_vs_snapshot,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -3171,6 +3187,28 @@ WHERE c.doc_id % 2 = 1 AND NOT EXISTS (
 """,
         "pagerank": _pagerank_sql(),
         "hits": _hits_sql(),
+        "dedup_keep_best": f"""
+WITH RECURSIVE
+p AS (SELECT doc_a, doc_b FROM ({_minhash_pairs_sql()}) q),
+e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+reach(n, r) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.n),
+comp AS (SELECT n, MIN(r) AS rep FROM reach GROUP BY n),
+asgn AS (SELECT d.doc_id, CAST(COALESCE(c.rep, d.doc_id) AS BIGINT) AS rep_id
+         FROM documents d LEFT JOIN comp c ON c.n = d.doc_id),
+tl AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+            '[^\\p{{L}}]+'), x -> x <> '') AS toks FROM documents),
+tc AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens FROM tl),
+best AS (SELECT rep_id, doc_id AS best_id FROM (
+  SELECT a.rep_id, a.doc_id,
+         row_number() OVER (PARTITION BY a.rep_id
+                            ORDER BY tc.n_tokens DESC, a.doc_id) AS rn
+  FROM asgn a JOIN tc USING (doc_id)) WHERE rn = 1)
+SELECT a.doc_id, a.rep_id, (a.doc_id = b.best_id)::BIGINT AS keep
+FROM asgn a JOIN best b USING (rep_id)
+""",
         "dedup_clusters": f"""
 WITH RECURSIVE
 p AS (SELECT doc_a, doc_b FROM ({_minhash_pairs_sql()}) q),

@@ -754,3 +754,96 @@ def hits(
             batch_format="pyarrow",
         )
     )
+
+
+def dedup_keep_best(
+    documents: rd.Dataset,
+    pairs: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> rd.Dataset:
+    """→ (doc_id, rep_id, keep:int64 0/1) — the ACTION step of near-dup
+    curation: per duplicate cluster keep the BEST copy (most tokens,
+    ties on smallest doc_id — the "longest version wins" rule of
+    training-data dedup), drop the rest; docs in no cluster keep
+    themselves.
+
+    Scale shape: components are pair-graph-sized (tiny next to the
+    corpus) and broadcast; token counts are computed in a streamed map
+    and only the CLUSTER MEMBERS' counts come back to the driver
+    (component-sized, never the corpus); the winner table broadcasts
+    into one final stateless map over the id column. The corpus text
+    never shuffles and nothing corpus-sized lands on the driver."""
+    import ray
+
+    from ..pipelines.textstats import token_count_stage
+
+    comp = connected_components(pairs, a_col=a_col, b_col=b_col).materialize()
+    tbl = pa.concat_tables(
+        [pa.table(b) for b in comp.iter_batches(batch_format="pyarrow")]
+    ) if comp.count() else pa.table({"node": pa.array([], pa.int64()),
+                                     "rep": pa.array([], pa.int64())})
+    nodes = tbl.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+    reps = tbl.column("rep").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(nodes, kind="stable")
+    nodes_s, reps_s = nodes[order], reps[order]
+    member_ref = ray.put(nodes_s)
+
+    def member_counts(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        members = _ray.get(member_ref)
+        d = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = np.isin(d, members)
+        if not mask.any():
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "n_tokens": pa.array([], pa.int64())}
+            )
+        return token_count_stage(
+            batch.filter(pa.array(mask)), text_col=text_col, id_col=id_col
+        )
+
+    mc = (
+        documents.select_columns([id_col, text_col])
+        .map_batches(member_counts, batch_format="pyarrow")
+        .take_all()
+    )  # component-sized: only cluster members' (id, n_tokens)
+    m_ids = np.array([r[id_col] for r in mc], np.int64)
+    m_cnt = np.array([r["n_tokens"] for r in mc], np.int64)
+    idx = np.searchsorted(nodes_s, m_ids)
+    m_rep = reps_s[idx]
+    # winner per rep: (n_tokens desc, doc_id asc)
+    best: dict[int, int] = {}
+    o = np.lexsort((m_ids, -m_cnt))
+    for did, rep in zip(m_ids[o].tolist(), m_rep[o].tolist()):
+        if rep not in best:
+            best[rep] = did
+    best_ref = ray.put((nodes_s, reps_s, best))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        nodes_b, reps_b, best_b = _ray.get(best_ref)
+        d = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(nodes_b, d)
+        idx_c = np.minimum(idx, max(nodes_b.size - 1, 0))
+        hit = (nodes_b.size > 0) & (nodes_b[idx_c] == d) if nodes_b.size else np.zeros(d.size, bool)
+        rep = np.where(hit, reps_b[idx_c] if nodes_b.size else d, d)
+        keep = np.fromiter(
+            (1 if (r == i if r not in best_b else best_b[r] == i) else 0
+             for i, r in zip(d.tolist(), rep.tolist())),
+            dtype=np.int64, count=len(d),
+        )
+        return pa.table(
+            {
+                id_col: pa.array(d, pa.int64()),
+                "rep_id": pa.array(rep.astype(np.int64), pa.int64()),
+                "keep": pa.array(keep, pa.int64()),
+            }
+        )
+
+    return documents.select_columns([id_col]).map_batches(assign, batch_format="pyarrow")

@@ -198,6 +198,8 @@ def test_oracle_keys_subset(entry_mod):
     "search_rrf",
     # round 3: greedy MMR diversification (unrolled SQL mirror)
     "mmr_diversify",
+    # round 3: quality-aware near-dup curation (keep longest per cluster)
+    "dedup_keep_best",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
