@@ -268,6 +268,9 @@ def bench_sf_queries() -> dict:
         "term_cooc",
         "ann_lsh_delete",
         "ann_lsh_ingest",
+        "search_rrf",
+        "mmr_diversify",
+        "dedup_keep_best",
         "decontaminate",
         "winnow_fingerprints",
         "length_gate",
