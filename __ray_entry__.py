@@ -40,6 +40,7 @@ ANN_K, ANN_NQ = 10, 5
 # the DuckDB oracles (functions/hashing.py documents the SQL equivalence)
 MINHASH_PERM, MINHASH_BANDS, MINHASH_SEED, MINHASH_THRESHOLD = 64, 16, 42, 0.5
 NGRAM_N, NGRAM_SAMPLE, NGRAM_THRESHOLD = 3, 4, 0.5
+CONTAIN_THRESHOLD, CONTAIN_SAMPLE, CONTAIN_MIN_HITS, CONTAIN_MAX_DF = 0.6, 8, 2, 32
 EMB_PLANES, EMB_SEED, EMB_THRESHOLD = 4, 42, 0.35
 LSH_PLANES, LSH_PROBES = 4, 11
 IVF_LISTS, IVF_PROBE, IVF_TRAIN = 8, 4, 2048
@@ -833,6 +834,16 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     )
 
 
+def q_containment_pairs(sf_dir: str):
+    from search_engine_skillbox_ray.pipelines.dedup import containment_pairs
+
+    return containment_pairs(
+        _documents(sf_dir), n=NGRAM_N, threshold=CONTAIN_THRESHOLD,
+        probe_sample=CONTAIN_SAMPLE, min_hits=CONTAIN_MIN_HITS,
+        max_gram_df=CONTAIN_MAX_DF,
+    )
+
+
 def q_embedding_near_pairs(sf_dir: str):
     from search_engine_skillbox_ray.pipelines.dedup import embedding_near_pairs
 
@@ -1568,6 +1579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "simhash_near_pairs": q_simhash_near_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "containment_pairs": q_containment_pairs,
         "embedding_near_pairs": q_embedding_near_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -2441,6 +2453,29 @@ jac AS (SELECT i.doc_a, i.doc_b,
         CAST(i.isz AS DOUBLE) / (sa.sz + sb.sz - i.isz) AS j
   FROM ints i JOIN sz sa ON sa.doc_id = i.doc_a JOIN sz sb ON sb.doc_id = i.doc_b)
 SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM jac WHERE j >= {NGRAM_THRESHOLD}
+""",
+        # asymmetric containment |g(a)∩g(b)|/|g(a)|: ORDERED pairs; the
+        # candidate rule (a's bottom-k grams probed against ALL grams,
+        # df-capped) is part of the operator's contract and mirrored here
+        "containment_pairs": f"""
+WITH {_shingles_cte()},
+g AS (SELECT DISTINCT doc_id, CAST(x AS BIGINT) AS gh FROM sh),
+gdf AS (SELECT gh, count(*) AS df FROM g GROUP BY gh),
+probe AS (SELECT doc_id, gh FROM (
+  SELECT doc_id, gh, row_number() OVER (PARTITION BY doc_id ORDER BY gh) AS rn FROM g)
+  WHERE rn <= {CONTAIN_SAMPLE}),
+cand AS (SELECT p.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM probe p JOIN gdf d ON d.gh = p.gh AND d.df <= {CONTAIN_MAX_DF}
+  JOIN g b ON b.gh = p.gh AND b.doc_id <> p.doc_id
+  GROUP BY p.doc_id, b.doc_id HAVING count(*) >= {CONTAIN_MIN_HITS}),
+sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+ints AS (SELECT c.doc_a, c.doc_b, count(*) AS isz
+  FROM cand c JOIN g x ON x.doc_id = c.doc_a
+  JOIN g y ON y.doc_id = c.doc_b AND y.gh = x.gh
+  GROUP BY c.doc_a, c.doc_b),
+cont AS (SELECT i.doc_a, i.doc_b, CAST(i.isz AS DOUBLE) / sa.sz AS c
+  FROM ints i JOIN sz sa ON sa.doc_id = i.doc_a)
+SELECT doc_a, doc_b, ROUND(c, 6) AS containment FROM cont WHERE c >= {CONTAIN_THRESHOLD}
 """,
         "embedding_near_pairs": f"""
 WITH {_emb_sig_cte(EMB_PLANES, EMB_SEED)},

@@ -240,6 +240,7 @@ def bench_sf_queries() -> dict:
         "simhash",
         "simhash_near_pairs",
         "ngram_jaccard_pairs",
+        "containment_pairs",
         "embedding_near_pairs",
         "ann_cosine_topk",
         "ann_lsh_topk",

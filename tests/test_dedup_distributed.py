@@ -81,6 +81,39 @@ def test_ngram_distributed_matches_fastpath(corpus, monkeypatch):
     assert fast.equals(dist)
 
 
+@requires_solo_ray
+def test_containment_distributed_matches_fastpath(monkeypatch, ray_session):
+    """Letters-only vocab (the module `corpus` fixture's w001-style
+    tokens collapse to one gram under the \\P{L}+ tokenizer, and a
+    df=N gram is rightly excluded by the df cap)."""
+    from search_engine_skillbox_ray.pipelines.dedup import containment_pairs
+
+    rng = np.random.default_rng(11)
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    vocab = [a + b + c for a in letters[:8] for b in letters[:8] for c in letters[:8]][:120]
+    rows = []
+    for i in range(80):
+        words = rng.choice(vocab, size=30, replace=True).tolist()
+        rows.append({"doc_id": i, "text": " ".join(words)})
+        if i % 5 == 0:  # exact dup
+            rows.append({"doc_id": 1000 + i, "text": " ".join(words)})
+        if i % 7 == 0:  # contained: first half quoted inside new filler
+            filler = rng.choice(vocab, size=40, replace=True).tolist()
+            rows.append({"doc_id": 2000 + i,
+                         "text": " ".join(filler[:20] + words[:15] + filler[20:])})
+    corpus = rd.from_items(rows).repartition(6)
+
+    fast = _pair_frame(
+        containment_pairs(corpus, threshold=0.5), ("doc_a", "doc_b", "containment")
+    )
+    monkeypatch.setattr(config, "DRIVER_FASTPATH_ROWS", 0)
+    dist = _pair_frame(
+        containment_pairs(corpus, threshold=0.5), ("doc_a", "doc_b", "containment")
+    )
+    assert len(fast) > 0
+    assert fast.equals(dist)
+
+
 def test_simhash_distributed_matches_fastpath(corpus, monkeypatch):
     fast = _pair_frame(
         simhash_near_pairs(corpus, max_hamming=3), ("doc_a", "doc_b", "hamming")

@@ -200,6 +200,8 @@ def test_oracle_keys_subset(entry_mod):
     "mmr_diversify",
     # round 3: quality-aware near-dup curation (keep longest per cluster)
     "dedup_keep_best",
+    # round 3: asymmetric (containment) near-dup pairs
+    "containment_pairs",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))

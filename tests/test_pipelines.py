@@ -76,6 +76,43 @@ def test_ngram_jaccard(dup_docs):
     assert (100, 102) in got  # near dup shares most 3-grams
 
 
+def test_containment_pairs_asymmetric(ray_session):
+    """A short doc quoted inside a much longer one: Jaccard is tiny but
+    containment short→long is ~1.0, and the pair is ORDERED."""
+    import ray.data as rd
+    from search_engine_skillbox_ray.pipelines.dedup import containment_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog near the river bank"
+    filler = " ".join(f"filler{chr(97 + i % 26)}{chr(97 + (i * 7) % 26)} unrelated topic" for i in range(60))
+    rows = [
+        {"doc_id": 1, "text": quote},
+        {"doc_id": 2, "text": filler + " " + quote + " " + filler[::-1].replace("}", " ")},
+        {"doc_id": 3, "text": "entirely separate subject matter about ray data pipelines"},
+    ]
+    pairs = containment_pairs(
+        rd.from_items(rows), n=3, threshold=0.8, probe_sample=4, max_gram_df=64
+    ).to_pandas()
+    got = {(a, b): c for a, b, c in
+           zip(pairs["doc_a"], pairs["doc_b"], pairs["containment"])}
+    assert got.get((1, 2), 0.0) >= 0.8   # short contained in long
+    assert (2, 1) not in got             # asymmetric: long not in short
+    assert not any(3 in p for p in got)  # unrelated doc untouched
+
+
+def test_containment_pairs_df_cap(ray_session):
+    """Grams above max_gram_df are excluded as candidate evidence: with a
+    cap of 1 no gram can bucket two docs, so no pairs surface."""
+    import ray.data as rd
+    from search_engine_skillbox_ray.pipelines.dedup import containment_pairs
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    ds = rd.from_items([{"doc_id": i, "text": text} for i in range(4)])
+    assert containment_pairs(ds, max_gram_df=1).to_pandas().empty
+    full = containment_pairs(ds, max_gram_df=64).to_pandas()
+    # identical docs: every ordered pair at containment 1.0
+    assert len(full) == 12 and (full["containment"] == 1.0).all()
+
+
 def test_embedding_near_pairs(ray_session):
     import ray.data as rd
     from search_engine_skillbox_ray.pipelines.dedup import embedding_near_pairs
