@@ -568,6 +568,43 @@ def q_champion_lists(sf_dir: str):
     return champion_lists(d, k=CHAMPION_K)
 
 
+def q_champion_lists_lsm(sf_dir: str):
+    """Champion lists served from a LIVE LSM index — even-half build +
+    odd-half delta append + (doc_id %% 5 == 0) tombstones, NO
+    compaction: the per-bucket merge must equal the champion oracle
+    over the surviving docs."""
+    import shutil
+
+    from search_engine_skillbox_ray.pipelines.posindex import (
+        append_documents,
+        build_positional_index,
+        champion_lists,
+        delete_documents,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/ses_posidx_champlsm_{tag}"
+    shutil.rmtree(d, ignore_errors=True)  # delete mutates: fresh per run
+    docs = _documents(sf_dir)
+    import pyarrow.compute as pc
+
+    def parity(p):
+        return docs.map_batches(
+            lambda t, p=p: t.filter(
+                pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), p)
+            ),
+            batch_format="pyarrow",
+        )
+
+    build_positional_index(parity(0), d, n_buckets=8, input_token=f"{sf_dir}-even")
+    append_documents(d, parity(1), input_token=f"{sf_dir}-odd")
+    ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"]).column(
+        "doc_id"
+    ).to_numpy()
+    delete_documents(d, ids[ids % 5 == 0], input_token=f"{sf_dir}-champ-del5")
+    return champion_lists(d, k=CHAMPION_K)
+
+
 def q_near_search(sf_dir: str):
     """Multi-term NEAR query from the positional index: anchors of the
     first term with every other term within ±NEAR_WINDOW tokens."""
@@ -1546,6 +1583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "complete_prefix": q_complete_prefix,
         "prf_expansion": q_prf_expansion,
         "champion_lists": q_champion_lists,
+        "champion_lists_lsm": q_champion_lists_lsm,
         "search_not": q_search_not,
         "decontaminate": q_decontaminate,
         "winnow_fingerprints": q_winnow,
@@ -1820,6 +1858,22 @@ def _hash_consts():
     from search_engine_skillbox_ray.functions.hashing import K1, K2, K3, MERSENNE61
 
     return K1, K2, K3, MERSENNE61
+
+
+def _champion_oracle(corpus_where: str = "") -> str:
+    """Champion-list SQL mirror, optionally over a corpus subset (the
+    LSM-delete variant restricts to surviving doc ids)."""
+    return f"""
+WITH tl AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+            '[^\\p{{L}}]+'), x -> x <> '') AS toks
+            FROM documents {corpus_where}),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM tl),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+r AS (SELECT term, doc_id, tf,
+             row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id)::BIGINT AS rank
+      FROM tf)
+SELECT term, doc_id, tf, rank FROM r WHERE rank <= {CHAMPION_K}
+"""
 
 
 def _shingles_cte() -> str:
@@ -2658,16 +2712,12 @@ FROM tok a JOIN tok b ON b.doc_id = a.doc_id
 GROUP BY a.term, b.term
 """,
         # impact-ordered champion lists: k highest-tf docs per term
-        "champion_lists": f"""
-WITH tl AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
-            '[^\\p{{L}}]+'), x -> x <> '') AS toks FROM documents),
-tok AS (SELECT doc_id, unnest(toks) AS term FROM tl),
-tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
-r AS (SELECT term, doc_id, tf,
-             row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id)::BIGINT AS rank
-      FROM tf)
-SELECT term, doc_id, tf, rank FROM r WHERE rank <= {CHAMPION_K}
-""",
+        "champion_lists": _champion_oracle(),
+        # live-LSM variant: even build + odd append + %5 tombstones must
+        # equal the champion oracle over the surviving docs
+        "champion_lists_lsm": _champion_oracle(
+            corpus_where="WHERE doc_id % 5 <> 0"
+        ),
         # the LSM delete variant (whole-table build + odd-id tombstones)
         # must converge to the even-half answer
         "phrase_index_delete": _phrase_oracle(corpus_where="WHERE doc_id % 2 = 0"),

@@ -266,6 +266,7 @@ def bench_sf_queries() -> dict:
         "complete_prefix",
         "prf_expansion",
         "champion_lists",
+        "champion_lists_lsm",
         "term_cooc",
         "ann_lsh_delete",
         "ann_lsh_ingest",

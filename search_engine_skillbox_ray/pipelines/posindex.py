@@ -943,6 +943,98 @@ def _decode_row(row: dict):
     return docs, cnts, flat
 
 
+_CHAMPION_SCHEMA = pa.schema(
+    [("term", pa.string()), ("doc_id", pa.int64()),
+     ("tf", pa.int64()), ("rank", pa.int64())]
+)
+
+
+def _champion_topk_rows(term: str, docs: np.ndarray, cnts: np.ndarray, k: int):
+    order = np.lexsort((docs, -cnts))[: max(int(k), 0)]
+    return (
+        [term] * len(order), docs[order], cnts[order],
+        np.arange(1, len(order) + 1, dtype=np.int64),
+    )
+
+
+def _champion_lists_lsm(out: Path, nb: int, k: int, tombs) -> rd.Dataset:
+    """Champion lists over a LIVE index (deltas/tombstones present):
+    one task per bucket merges that bucket's base + delta posting rows
+    per term — decode stops at (doc gaps, tfs), positions stay encoded
+    — and drops tombstoned docs per segment seq. Tombstones are tiny
+    (kill sets) and ship once via ``ray.put``."""
+    import ray as _ray
+
+    tombs_ref = _ray.put(tombs)
+
+    def bucket_topk(batch: pa.Table) -> pa.Table:
+        tombs_l = _ray.get(tombs_ref)
+        terms_out: list[str] = []
+        docs_out, tfs_out, ranks_out = [], [], []
+        for b in batch.column("bucket").to_pylist():
+            files: list[tuple[Path, int]] = []
+            base = out / f"bucket={b:05d}.parquet"
+            if base.exists():
+                files.append((base, _base_seq(base)))
+            files += [
+                (f, _delta_seq(f))
+                for f in sorted(out.glob(f"bucket={b:05d}.delta-*.parquet"))
+            ]
+            merged: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
+            for f, seq in files:
+                tbl = pq.read_table(f, columns=["term", "df", "doc_bytes", "cnt_bytes"])
+                dead = _dead_union(tombs_l, seq)
+                for row in tbl.to_pylist():
+                    if row["term"] == DOCLEN_TERM:
+                        continue
+                    df = int(row["df"])
+                    docs = np.cumsum(
+                        varbyte_decode(row["doc_bytes"], count=df).astype(np.int64)
+                    )
+                    cnts = varbyte_decode(row["cnt_bytes"], count=df).astype(np.int64)
+                    if dead is not None and len(docs):
+                        keep = ~np.isin(docs, dead)
+                        docs, cnts = docs[keep], cnts[keep]
+                    if len(docs):
+                        merged.setdefault(row["term"], []).append((docs, cnts))
+            for term in sorted(merged):
+                segs = merged[term]
+                if len(segs) == 1:
+                    docs, cnts = segs[0]
+                else:
+                    docs = np.concatenate([d for d, _ in segs])
+                    cnts = np.concatenate([c for _, c in segs])
+                    order = np.argsort(docs, kind="stable")
+                    # duplicates only from a compaction interrupted between
+                    # base rename and delta unlink — keep the first copy
+                    sd = docs[order]
+                    if len(sd) > 1:
+                        keep = np.empty(len(sd), dtype=bool)
+                        keep[0] = True
+                        np.not_equal(sd[1:], sd[:-1], out=keep[1:])
+                        order = order[keep]
+                    docs, cnts = docs[order], cnts[order]
+                t, d, c, r = _champion_topk_rows(term, docs, cnts, k)
+                terms_out.extend(t)
+                docs_out.append(d)
+                tfs_out.append(c)
+                ranks_out.append(r)
+        if not terms_out:
+            return _CHAMPION_SCHEMA.empty_table()
+        return pa.table(
+            {
+                "term": pa.array(terms_out, pa.string()),
+                "doc_id": pa.array(np.concatenate(docs_out), pa.int64()),
+                "tf": pa.array(np.concatenate(tfs_out), pa.int64()),
+                "rank": pa.array(np.concatenate(ranks_out), pa.int64()),
+            }
+        )
+
+    return rd.from_items([{"bucket": b} for b in range(nb)]).map_batches(
+        bucket_topk, batch_size=1, batch_format="pyarrow"
+    )
+
+
 def champion_lists(index_dir: str, k: int = 5) -> rd.Dataset:
     """→ Dataset (term, doc_id, tf, rank): the ``k`` highest-tf docs per
     term (ties on doc_id asc) — impact-ordered "champion lists"
@@ -952,20 +1044,19 @@ def champion_lists(index_dir: str, k: int = 5) -> rd.Dataset:
     Runs as ONE distributed map over the index's own bucket segments
     (each batch decodes its posting rows and emits ≤ k rows per term) —
     the corpus is never read and nothing term-shaped shuffles: the
-    index IS already term-partitioned. Requires a compacted index
-    (no live deltas/tombstones: per-term LSM merge needs cross-file
-    state a per-file map cannot see — call ``compact_positional_index``
-    first; fresh builds qualify)."""
+    index IS already term-partitioned. Under live LSM deltas/tombstones
+    the unit of distribution becomes the BUCKET instead of the file —
+    a term lives in exactly one bucket, so the cross-file merge state
+    the per-file map cannot see is bucket-local: each bucket task
+    interleave-merges its base + delta rows per term (docs/tfs only;
+    positions are never decoded) and filters tombstones per segment
+    seq, giving the same answer a compaction-then-scan would."""
     out = Path(index_dir)
-    if list(out.glob("bucket=*.delta-*.parquet")) or list(
-        out.glob("tombstone-*.parquet")
-    ):
-        raise ValueError(
-            "champion_lists requires a compacted index (live deltas/"
-            "tombstones present) — run compact_positional_index first"
-        )
     m = json.loads((out / "manifest.json").read_text())
     nb = int(m["n_buckets"])
+    tombs = _tombstones(out)
+    if list(out.glob("bucket=*.delta-*.parquet")) or tombs:
+        return _champion_lists_lsm(out, nb, k, tombs)
     files = [str(out / f"bucket={b:05d}.parquet") for b in range(nb)]
     files = [f for f in files if Path(f).exists()]
 

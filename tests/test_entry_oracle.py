@@ -202,6 +202,8 @@ def test_oracle_keys_subset(entry_mod):
     "dedup_keep_best",
     # round 3: asymmetric (containment) near-dup pairs
     "containment_pairs",
+    # round 3: champion lists under live LSM deltas + tombstones
+    "champion_lists_lsm",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))

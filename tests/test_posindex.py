@@ -521,3 +521,52 @@ def test_ordered_adjacency_matches_loop(posidx):
                 exp[dd] = n
         got_docs, got_cnt = _ordered_adjacency(pa_post, pb_post)
         assert dict(zip(got_docs.tolist(), got_cnt.tolist())) == exp, (ta, tb)
+
+
+def test_champion_lists_under_live_lsm(ray_session, tmp_path):
+    """Champion lists no longer require compaction: an even-build +
+    odd-append index answers like the full build, and tombstones drop
+    deleted docs exactly like a rebuild on the survivors; compaction
+    changes nothing."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.posindex import (
+        append_documents,
+        build_positional_index,
+        champion_lists,
+        compact_positional_index,
+        delete_documents,
+    )
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def parity(p):
+        return docs.map_batches(
+            lambda t, p=p: t.filter(pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), p)),
+            batch_format="pyarrow",
+        )
+
+    def snap(d):
+        return champion_lists(str(d), k=3).to_pandas().sort_values(
+            ["term", "rank"]).reset_index(drop=True)
+
+    full_dir, lsm_dir, even_dir = tmp_path / "full", tmp_path / "lsm", tmp_path / "even"
+    build_positional_index(docs, str(full_dir), n_buckets=4, input_token="full")
+    build_positional_index(parity(0), str(lsm_dir), n_buckets=4, input_token="even")
+    append_documents(str(lsm_dir), parity(1), input_token="odd")
+
+    ref_full = snap(full_dir)
+    assert len(ref_full) > 0
+    assert snap(lsm_dir).equals(ref_full)            # live deltas == full build
+
+    # tombstone the odd half on the LIVE (delta-carrying) index
+    odd_ids = [int(x) for x in docs.to_pandas()["doc_id"] if x % 2 == 1]
+    delete_documents(str(lsm_dir), odd_ids, input_token="del-odd")
+    build_positional_index(parity(0), str(even_dir), n_buckets=4, input_token="even2")
+    ref_even = snap(even_dir)
+    assert snap(lsm_dir).equals(ref_even)            # tombstones == survivor rebuild
+
+    # compaction must not change the answer (and folds the LSM away)
+    compact_positional_index(str(lsm_dir))
+    assert snap(lsm_dir).equals(ref_even)
