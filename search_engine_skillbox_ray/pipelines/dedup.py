@@ -1143,10 +1143,32 @@ def containment_pairs(
 
     from ..config import DRIVER_FASTPATH_ROWS
 
-    cand = bucketed_group_apply(gram_rows_all, ["gram"], bucket_pairs, n_buckets=32)
-    cand = bucketed_group_apply(cand, ["doc_a", "doc_b"], pair_hits_filter, n_buckets=32)
-    # empty-schema blocks from the small-scale groupby break Acero joins
-    cand = drop_empty_blocks(cand.materialize())
+    # materialized once to decide the gate AND feed whichever path wins
+    # (below: driver collect; above: the bucket exchange reads the same
+    # blocks — the tokenize pool never re-runs). The object-store copy
+    # is the same order as the shuffle files the exchange writes anyway.
+    gram_rows_all = gram_rows_all.materialize()
+    n_gram_rows = gram_rows_all.count()
+    if n_gram_rows == 0:
+        return rd.from_arrow(_EMPTY_CONTAIN_PAIRS)
+    if n_gram_rows <= DRIVER_FASTPATH_ROWS:
+        # slim (17 B/row) gram table fits the driver contract — run both
+        # candidate passes locally, skipping two all-to-all exchanges
+        # whose fixed cost dwarfs this data size
+        gtbl = pa.concat_tables(
+            [t for t in ray.get(gram_rows_all.to_arrow_refs()) if len(t)]
+        )
+        cand_pd = pair_hits_filter(bucket_pairs(gtbl.to_pandas()))
+        if not len(cand_pd):
+            return rd.from_arrow(_EMPTY_CONTAIN_PAIRS)
+        cand = rd.from_arrow(pa.Table.from_pandas(cand_pd, preserve_index=False))
+    else:
+        cand = bucketed_group_apply(gram_rows_all, ["gram"], bucket_pairs, n_buckets=32)
+        cand = bucketed_group_apply(
+            cand, ["doc_a", "doc_b"], pair_hits_filter, n_buckets=32
+        )
+        # empty-schema blocks from the small-scale groupby break Acero joins
+        cand = drop_empty_blocks(cand.materialize())
     n_cand = cand.count()
     if n_cand == 0:
         return rd.from_arrow(_EMPTY_CONTAIN_PAIRS)
