@@ -634,6 +634,14 @@ def q_dup_spans(sf_dir: str):
     return dup_span_stats(_documents(sf_dir), k=DUP_SPAN_K)
 
 
+def q_dup_span_runs(sf_dir: str):
+    """Longest consecutive duplicated-window run per doc — the
+    contiguity complement to dup_spans' coverage fraction."""
+    from search_engine_skillbox_ray.pipelines.dedup import dup_span_runs
+
+    return dup_span_runs(_documents(sf_dir), k=DUP_SPAN_K)
+
+
 def q_pack_sequences(sf_dir: str):
     """Deterministic sequence packing: global doc_id-ordered token
     stream cut into PACK_SEQ_LEN sequences — two-level distributed
@@ -1029,6 +1037,18 @@ def q_events_follow(sf_dir: str):
     return follow_within(
         _events(sf_dir), anchor_type="signup", follow_type="purchase", within_s=86400
     )
+
+
+FUNNEL_STEPS = ("signup", "click", "purchase")
+
+
+def q_funnel_counts(sf_dir: str):
+    """Ordered funnel: users reaching each step via strictly-ordered
+    earliest-completion chaining — filter-before-shuffle, one user
+    exchange, k-row partials."""
+    from search_engine_skillbox_ray.pipelines.windows import funnel_counts
+
+    return funnel_counts(_events(sf_dir), steps=FUNNEL_STEPS)
 
 
 def q_event_transitions(sf_dir: str):
@@ -1605,6 +1625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_search": q_near_search,
         "token_count_bpe": q_token_count_bpe,
         "dup_spans": q_dup_spans,
+        "dup_span_runs": q_dup_span_runs,
         "sample_hash": q_sample_hash,
         "repetition": q_repetition,
         "term_bigrams": q_term_bigrams,
@@ -1630,6 +1651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q_sessionize,
         "events_asof": q_events_asof,
         "events_follow": q_events_follow,
+        "funnel_counts": q_funnel_counts,
         "event_transitions": q_event_transitions,
         "docs_with_source_stats": q_docs_with_source_stats,
         "media_decode": q_media_decode,
@@ -2456,6 +2478,29 @@ WITH o AS (
 SELECT prev AS type_a, event_type AS type_b, count(*)::BIGINT AS cnt
 FROM o WHERE prev IS NOT NULL GROUP BY prev, event_type
 """,
+        # ordered funnel: earliest-completion chaining unrolled per step
+        # (pos = global (ts, event_id) row_number — what the chain
+        # compares; the Ray side's per-bucket pos is order-isomorphic
+        # within each user)
+        "funnel_counts": f"""
+WITH e AS (SELECT user_id, event_type,
+           row_number() OVER (ORDER BY ts, event_id) AS pos FROM events),
+s1 AS (SELECT user_id, min(pos) AS p FROM e
+       WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id),
+"""
+        + ",\n".join(
+            f"""s{i + 1} AS (SELECT e.user_id, min(e.pos) AS p FROM e
+  JOIN s{i} ON s{i}.user_id = e.user_id AND e.pos > s{i}.p
+  WHERE e.event_type = '{st}' GROUP BY e.user_id)"""
+            for i, st in enumerate(FUNNEL_STEPS[1:], start=1)
+        )
+        + "\n"
+        + "\nUNION ALL\n".join(
+            f"SELECT {i + 1}::BIGINT AS step, '{st}' AS event_type,"
+            f" (SELECT count(*) FROM s{i + 1})::BIGINT AS n_users"
+            for i, st in enumerate(FUNNEL_STEPS)
+        )
+        + "\nORDER BY step",
         "events_follow": """
 SELECT a.event_id,
        count(b.event_id)::BIGINT AS n_follow,
@@ -2748,6 +2793,33 @@ GROUP BY a.doc_id
 """,
         "token_count_bpe": _bpe_count_sql(),
         "dup_spans": _dup_spans_oracle(),
+        # longest consecutive duplicated-window run: islands-and-gaps
+        # (wi − row_number) over the duplicated occurrences; 1-based SQL
+        # positions vs 0-based Ray indices cancel in the differences
+        "dup_span_runs": f"""
+WITH tl AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+            '[^\\p{{L}}]+'), x -> x <> '') AS toks FROM documents),
+wl AS (SELECT doc_id, CASE WHEN len(toks) >= {DUP_SPAN_K} THEN
+        list_transform(range(1, len(toks) - {DUP_SPAN_K} + 2), i ->
+          md5_number_lower(array_to_string(toks[i:i+{DUP_SPAN_K - 1}], ' '))
+          % {_M61})
+      ELSE CAST([] AS UBIGINT[]) END AS whs FROM tl),
+w AS (SELECT doc_id, unnest(whs) AS wh,
+             generate_subscripts(whs, 1)::BIGINT AS wi FROM wl),
+dup AS (SELECT wh FROM w GROUP BY wh HAVING count(DISTINCT doc_id) >= 2),
+di AS (SELECT w.doc_id, w.wi FROM w JOIN dup USING (wh)),
+isl AS (SELECT doc_id,
+        wi - row_number() OVER (PARTITION BY doc_id ORDER BY wi) AS grp FROM di),
+runs AS (SELECT doc_id, count(*)::BIGINT AS run FROM isl GROUP BY doc_id, grp),
+mx AS (SELECT doc_id, max(run) AS max_dup_run FROM runs GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*)::BIGINT AS n_windows FROM w GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(t.n_windows, 0)::BIGINT AS n_windows,
+       COALESCE(m.max_dup_run, 0)::BIGINT AS max_dup_run
+FROM documents d
+LEFT JOIN tot t ON d.doc_id = t.doc_id
+LEFT JOIN mx m ON m.doc_id = d.doc_id
+""",
         # sequence packing: window cumsum mirrors the two-level prefix
         # scan; integer // on both sides, empty docs sit at the boundary
         "pack_sequences": f"""

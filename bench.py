@@ -270,9 +270,11 @@ def bench_sf_queries() -> dict:
         "term_cooc",
         "ann_lsh_delete",
         "ann_lsh_ingest",
+        "funnel_counts",
         "search_rrf",
         "mmr_diversify",
         "dedup_keep_best",
+        "dup_span_runs",
         "decontaminate",
         "winnow_fingerprints",
         "length_gate",

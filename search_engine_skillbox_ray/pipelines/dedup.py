@@ -1434,6 +1434,154 @@ def _window_hash_stage(
     )
 
 
+def _window_idx_stage(
+    batch: pa.Table, k: int, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """``_window_hash_stage`` with POSITIONS kept: one slim row per
+    k-token window occurrence, ``(doc_id, win_idx, win_hash)`` — the
+    run detector needs to know WHERE the duplicated windows sit, not
+    just how many there are. Same vectorized join+dictionary-encode
+    hashing, same md5 % Mersenne-61 SQL equivalence."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import MERSENNE61, flat_nonempty_tokens, md5_u64
+
+    if k < 2:
+        raise ValueError("window size k must be >= 2")
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "win_idx": pa.array([], pa.int64()),
+            "win_hash": pa.array([], pa.int64()),
+        }
+    )
+    doc_ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    toks, parents, counts = flat_nonempty_tokens(batch.column(text_col))
+    n = len(toks)
+    m = n - k + 1
+    if m <= 0 or not (counts >= k).any():
+        return empty
+    starts = np.cumsum(counts) - counts
+    wpar = parents[:m]
+    idx_in_doc = np.arange(m, dtype=np.int64) - starts[wpar]
+    valid = idx_in_doc <= counts[wpar] - k
+    if not valid.any():
+        return empty
+    slices = [toks.slice(j, m) for j in range(k)]
+    joined = pc.binary_join_element_wise(*slices, " ")
+    if isinstance(joined, pa.ChunkedArray):
+        joined = joined.combine_chunks()
+    if not valid.all():
+        joined = joined.filter(pa.array(valid))
+        wpar = wpar[valid]
+        idx_in_doc = idx_in_doc[valid]
+    denc = joined.dictionary_encode()
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq_hash = md5_u64(denc.dictionary.to_pylist()) % np.uint64(MERSENNE61)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids[wpar].astype(np.int64)),
+            "win_idx": pa.array(idx_in_doc),
+            "win_hash": pa.array(uniq_hash[codes].astype(np.int64)),
+        }
+    )
+
+
+def dup_span_runs(
+    documents: rd.Dataset,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """→ (doc_id, n_windows, max_dup_run) — per document, the LONGEST
+    consecutive run of k-token windows that also occur in at least one
+    other document. ``dup_span_stats`` measures how MUCH of a doc is
+    duplicated; this measures how CONTIGUOUS the duplication is — a
+    50-window verbatim block (max_dup_run ≈ 50) is the Lee et al.
+    exact-substring signal, while 50 scattered boilerplate windows
+    (max_dup_run ≈ 1) is not.
+
+    Scale shape: one (doc_id, win_idx, win_hash) exchange bucketed by
+    hash marks duplicated occurrences and emits ONLY those (plus k-row
+    per-doc totals) — the second, doc-keyed exchange sees duplicated
+    windows and totals, not the corpus; the run scan per doc is one
+    vectorized diff over the sorted indices."""
+    from ..stages.grouping import bucketed_group_apply
+
+    wins = documents.map_batches(
+        _window_idx_stage,
+        fn_kwargs={"k": k, "text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow",
+    )
+
+    def bucket_fn(bucket: pd.DataFrame) -> pd.DataFrame:
+        # rows are per-occurrence → docs-per-hash needs nunique
+        ndocs = bucket.groupby("win_hash", sort=False)["doc_id"].transform("nunique")
+        dup = bucket[(ndocs >= 2).to_numpy()]
+        tot = bucket.groupby("doc_id", sort=False).size()
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate(
+                    [dup["doc_id"].to_numpy(np.int64), tot.index.to_numpy(np.int64)]
+                ),
+                "win_idx": np.concatenate(
+                    [dup["win_idx"].to_numpy(np.int64),
+                     np.full(len(tot), -1, np.int64)]
+                ),
+                "n_win": np.concatenate(
+                    [np.zeros(len(dup), np.int64), tot.to_numpy(np.int64)]
+                ),
+            }
+        )
+
+    partials = bucketed_group_apply(wins, ["win_hash"], bucket_fn, n_buckets=n_buckets)
+
+    def zero_rows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        z = np.zeros(len(batch), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column(id_col), pa.int64()),
+                "win_idx": pa.array(z - 1),
+                "n_win": pa.array(z),
+            }
+        )
+
+    all_docs = documents.select_columns([id_col]).map_batches(
+        zero_rows, batch_format="pyarrow"
+    )
+
+    def final_fn(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket["doc_id"].to_numpy(np.int64)
+        wi = bucket["win_idx"].to_numpy(np.int64)
+        nw = bucket["n_win"].to_numpy(np.int64)
+        order = np.lexsort((wi, d))
+        d, wi, nw = d[order], wi[order], nw[order]
+        uniq, starts = np.unique(d, return_index=True)
+        ends = np.append(starts[1:], d.size)
+        n_windows = np.add.reduceat(nw, starts)
+        max_run = np.zeros(uniq.size, np.int64)
+        for r, (s, e) in enumerate(zip(starts, ends)):
+            idxs = wi[s:e]
+            idxs = idxs[idxs >= 0]
+            if not idxs.size:
+                continue
+            # sorted (lexsort) → runs split where the step isn't 1
+            brk = np.flatnonzero(np.diff(idxs) != 1)
+            run_starts = np.r_[0, brk + 1]
+            run_ends = np.r_[brk, idxs.size - 1]
+            max_run[r] = int((run_ends - run_starts + 1).max())
+        return pd.DataFrame(
+            {"doc_id": uniq, "n_windows": n_windows, "max_dup_run": max_run}
+        )
+
+    return bucketed_group_apply(
+        partials.union(all_docs), ["doc_id"], final_fn, n_buckets=32
+    )
+
+
 def winnow_fingerprints_ds(
     documents: rd.Dataset,
     k: int = 5,

@@ -435,3 +435,100 @@ def window_distinct_users(
         return out
 
     return bucketed_group_apply(slim, ["w"], per_bucket, n_buckets=32)
+
+
+def funnel_counts(
+    events: rd.Dataset,
+    steps: tuple[str, ...] = ("signup", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> rd.Dataset:
+    """→ (step, event_type, n_users): the ordered FUNNEL — how many
+    users reach step i by performing the step types strictly in order
+    (each step matched to the user's EARLIEST qualifying event after
+    the previous step's match; ties broken by event_id, so the greedy
+    chain — and hence the count — is deterministic and minimal:
+    earliest-completion semantics, the standard product-analytics
+    funnel).
+
+    Scale shape: only rows of the funnel's types enter the exchange
+    (filter before shuffle); one hash-bucket shuffle on the user, then
+    ONE vectorized chaining pass per bucket — per step a stable
+    user-sort + ``np.unique`` first-occurrence resolves every user's
+    next match simultaneously (no per-user Python). Buckets emit k
+    partial rows each; the fold touches k×n_buckets rows. Partitioning
+    assumption: one user's events co-locate (bucket key is a function
+    of the user only)."""
+    from ..stages.grouping import bucketed_group_apply
+
+    steps = tuple(steps)
+    if not steps:
+        raise ValueError("funnel_counts needs at least one step")
+
+    def pre_filter(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(
+            batch.column(type_col), value_set=pa.array(list(set(steps)), pa.string())
+        )
+        return batch.select([id_col, user_col, ts_col, type_col]).filter(mask)
+
+    slim = events.map_batches(pre_filter, batch_format="pyarrow")
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        counts = np.zeros(len(steps), np.int64)
+        if len(bucket):
+            g = bucket.sort_values([ts_col, id_col], kind="mergesort")
+            users = g[user_col].to_numpy()
+            types = g[type_col].to_numpy()
+            # per-bucket position is order-isomorphic to the global
+            # (ts, event_id) row_number within any one user — all the
+            # chain ever compares
+            pos = np.arange(len(g), dtype=np.int64)
+            active_u = active_p = None
+            for si, st in enumerate(steps):
+                m = types == st
+                u_i, p_i = users[m], pos[m]
+                if si > 0:
+                    if active_u is None or not active_u.size:
+                        break
+                    j = np.searchsorted(active_u, u_i)
+                    jc = np.minimum(j, active_u.size - 1)
+                    valid = (j < active_u.size) & (active_u[jc] == u_i)
+                    thr = np.where(valid, active_p[jc], np.iinfo(np.int64).max)
+                    keep = valid & (p_i > thr)
+                    u_i, p_i = u_i[keep], p_i[keep]
+                order = np.argsort(u_i, kind="stable")  # pos stays asc per user
+                uu, first = np.unique(u_i[order], return_index=True)
+                active_u, active_p = uu, p_i[order][first]
+                counts[si] = active_u.size
+        return pd.DataFrame(
+            {
+                "step": np.arange(1, len(steps) + 1, dtype=np.int64),
+                "event_type": list(steps),
+                "n_users": counts,
+            }
+        )
+
+    import ray
+
+    partials = bucketed_group_apply(slim, [user_col], per_bucket, n_buckets=32)
+    # fold: k rows per bucket — firmly inside the driver contract
+    totals = np.zeros(len(steps), np.int64)
+    for t in ray.get(partials.to_arrow_refs()):
+        if not len(t):
+            continue
+        s = t.column("step").to_numpy(zero_copy_only=False)
+        n = t.column("n_users").to_numpy(zero_copy_only=False)
+        np.add.at(totals, s - 1, n)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "step": pa.array(np.arange(1, len(steps) + 1), pa.int64()),
+                "event_type": pa.array(list(steps), pa.string()),
+                "n_users": pa.array(totals, pa.int64()),
+            }
+        )
+    )

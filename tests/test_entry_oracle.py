@@ -204,6 +204,10 @@ def test_oracle_keys_subset(entry_mod):
     "containment_pairs",
     # round 3: champion lists under live LSM deltas + tombstones
     "champion_lists_lsm",
+    # round 3: ordered funnel (earliest-completion chaining)
+    "funnel_counts",
+    # round 3: longest duplicated-window run (contiguity signal)
+    "dup_span_runs",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))

@@ -76,6 +76,28 @@ def test_ngram_jaccard(dup_docs):
     assert (100, 102) in got  # near dup shares most 3-grams
 
 
+def test_dup_span_runs_contiguity(ray_session):
+    """A verbatim shared block yields a long max_dup_run; scattered
+    shared windows yield runs of ~1; clean docs get zero rows."""
+    import ray.data as rd
+    from search_engine_skillbox_ray.pipelines.dedup import dup_span_runs
+
+    block = " ".join(f"shared{chr(97 + i % 26)}{chr(97 + (i * 3) % 26)}" for i in range(12))
+    uniq = lambda tag, n: " ".join(f"{tag}{chr(97 + i % 26)}{chr(97 + (i * 7) % 26)}" for i in range(n))
+    rows = [
+        {"doc_id": 1, "text": uniq("aa", 6) + " " + block + " " + uniq("bb", 6)},
+        {"doc_id": 2, "text": uniq("cc", 6) + " " + block + " " + uniq("dd", 6)},
+        {"doc_id": 3, "text": uniq("ee", 20)},  # clean
+    ]
+    out = dup_span_runs(rd.from_items(rows), k=5).to_pandas().set_index("doc_id")
+    # the 12-token block gives 8 consecutive dup windows at k=5
+    assert out.loc[1, "max_dup_run"] == 8
+    assert out.loc[2, "max_dup_run"] == 8
+    assert out.loc[3, "max_dup_run"] == 0
+    assert out.loc[3, "n_windows"] == 16  # 20 tokens, k=5
+    assert len(out) == 3
+
+
 def test_containment_pairs_asymmetric(ray_session):
     """A short doc quoted inside a much longer one: Jaccard is tiny but
     containment short→long is ~1.0, and the pair is ORDERED."""
@@ -594,6 +616,43 @@ def test_asof_prev_event(ray_session):
     assert out.loc[2, "prev_event_id"] == 1 and out.loc[2, "gap_us"] == 5_000_000
     assert out.loc[3, "prev_event_id"] == 2 and out.loc[3, "gap_us"] == 0  # tiebreak
     assert out.loc[5, "prev_event_id"] == 6 and out.loc[5, "prev_value"] == 5.0
+
+
+def test_funnel_counts_ordering(ray_session):
+    """Funnel semantics: steps count only when performed strictly in
+    order (per user, earliest-completion chaining); out-of-order or
+    missing steps stop the chain; ties break by event_id."""
+    import pandas as pd
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.windows import funnel_counts
+
+    base = pd.Timestamp("2024-01-01")
+
+    def ev(eid, uid, secs, typ):
+        return {"event_id": eid, "user_id": uid,
+                "ts": base + pd.Timedelta(seconds=secs), "event_type": typ}
+
+    rows = [
+        # u1 completes A→B→C in order
+        ev(1, 1, 0, "a"), ev(2, 1, 10, "b"), ev(3, 1, 20, "c"),
+        # u2 does B before A, then no B after A → stops at step 1
+        ev(4, 2, 0, "b"), ev(5, 2, 10, "a"), ev(6, 2, 20, "c"),
+        # u3 reaches step 2 only
+        ev(7, 3, 0, "a"), ev(8, 3, 5, "b"),
+        # u4 same-ts tie: a (id 9) then b (id 10) at the same ts — the
+        # chain needs pos STRICTLY after, so the tie still counts b
+        ev(9, 4, 0, "a"), ev(10, 4, 0, "b"),
+        # u5 never starts
+        ev(11, 5, 0, "c"),
+    ]
+    out = funnel_counts(
+        rd.from_pandas(pd.DataFrame(rows)), steps=("a", "b", "c")
+    ).to_pandas().set_index("step")
+    assert out.loc[1, "n_users"] == 4     # u1 u2 u3 u4
+    assert out.loc[2, "n_users"] == 3     # u1 u3 u4 (u2 has no b after a)
+    assert out.loc[3, "n_users"] == 1     # u1 only
+    assert list(out["event_type"]) == ["a", "b", "c"]
 
 
 def test_follow_within_range_join(ray_session):
