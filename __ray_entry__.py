@@ -1489,6 +1489,21 @@ def q_near_dup_vs_snapshot(sf_dir: str):
     )
 
 
+def q_dup_triangles(sf_dir: str):
+    """Triangle counts of the MinHash near-dup pair graph: per doc, how
+    many closed triples it sits in — triangle-dense neighbourhoods are
+    template FAMILIES (every member near-dups every other), scattered
+    pairs are one-off copies. Degree-oriented compact-forward wedges."""
+    from search_engine_skillbox_ray.pipelines.dedup import minhash_lsh_pairs
+    from search_engine_skillbox_ray.pipelines.graph import triangle_counts
+
+    pairs = minhash_lsh_pairs(
+        _documents(sf_dir), num_perm=MINHASH_PERM, bands=MINHASH_BANDS,
+        threshold=MINHASH_THRESHOLD, seed=MINHASH_SEED,
+    )
+    return triangle_counts(pairs, src_col="doc_a", dst_col="doc_b", out_col="doc_id")
+
+
 def q_cross_source_pairs(sf_dir: str):
     """Contamination-leakage report: MinHash near-dup pairs aggregated
     by unordered source pair — the eval-split-leak check."""
@@ -1677,6 +1692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coupling_pairs": q_coupling_pairs,
         "hits": q_hits,
         "dedup_clusters": q_dedup_clusters,
+        "dup_triangles": q_dup_triangles,
         "dedup_keep_best": q_dedup_keep_best,
         "cross_source_pairs": q_cross_source_pairs,
         "near_dup_vs_snapshot": q_near_dup_vs_snapshot,
@@ -3377,6 +3393,24 @@ reach(n, r) AS (
 comp AS (SELECT n, MIN(r) AS rep FROM reach GROUP BY n)
 SELECT d.doc_id, CAST(COALESCE(c.rep, d.doc_id) AS BIGINT) AS rep_id
 FROM documents d LEFT JOIN comp c ON c.n = d.doc_id
+""",
+        # per-node triangle counts of the near-dup pair graph: pure set
+        # property — the SQL mirrors semantics (a<b<c triple join), the
+        # Ray side runs degree-oriented wedges; identical counts
+        "dup_triangles": f"""
+WITH p AS (SELECT doc_a, doc_b FROM ({_minhash_pairs_sql()}) q),
+u AS (SELECT DISTINCT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b
+      FROM p WHERE doc_a <> doc_b),
+tri AS (SELECT x.a AS n1, x.b AS n2, y.b AS n3
+        FROM u x JOIN u y ON y.a = x.b
+        JOIN u z ON z.a = x.a AND z.b = y.b),
+alln AS (SELECT a AS doc_id FROM u UNION SELECT b FROM u),
+t3 AS (SELECT n1 AS doc_id FROM tri UNION ALL SELECT n2 FROM tri
+       UNION ALL SELECT n3 FROM tri),
+cnt AS (SELECT doc_id, count(*)::BIGINT AS n FROM t3 GROUP BY doc_id)
+SELECT a.doc_id::BIGINT AS doc_id,
+       COALESCE(c.n, 0)::BIGINT AS n_triangles
+FROM alln a LEFT JOIN cnt c ON c.doc_id = a.doc_id
 """,
         # fuzzy snapshot delta: pairs over the union == pairs over the
         # whole table (same doc set); keep the parity-crossing ones,

@@ -275,6 +275,7 @@ def bench_sf_queries() -> dict:
         "mmr_diversify",
         "dedup_keep_best",
         "dup_span_runs",
+        "dup_triangles",
         "decontaminate",
         "winnow_fingerprints",
         "length_gate",

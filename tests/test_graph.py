@@ -198,3 +198,44 @@ def test_hits_distributed_matches_fastpath(edges, monkeypatch):
     monkeypatch.setattr(config, "DRIVER_FASTPATH_ROWS", 0)
     dist = _sorted_df(hits(edges), ("url", "hub", "authority"))
     pd.testing.assert_frame_equal(fast, dist)
+
+
+def test_triangle_counts_vs_bruteforce(ray_session):
+    """Per-node triangle counts equal the brute-force triple scan on a
+    random graph with duplicated/reversed input edges; int-node graphs
+    keep their type and the out_col rename."""
+    import itertools
+
+    import numpy as np
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.graph import triangle_counts
+
+    rng = np.random.default_rng(5)
+    nodes = [f"n{i:02d}" for i in range(16)]
+    edges = set()
+    for _ in range(50):
+        a, b = rng.choice(16, 2, replace=False)
+        edges.add((nodes[min(a, b)], nodes[max(a, b)]))
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    exp = {n: 0 for n in nodes}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            exp[a] += 1
+            exp[b] += 1
+            exp[c] += 1
+    exp = {n: v for n, v in exp.items() if adj[n]}
+    rows = [{"src_url": a, "dst_url": b} for a, b in edges]
+    rows += [{"src_url": b, "dst_url": a} for a, b in list(edges)[:15]]  # dups/reverses
+    got = triangle_counts(rd.from_items(rows)).to_pandas()
+    assert dict(zip(got["url"], got["n_triangles"])) == exp
+
+    irows = [{"doc_a": a, "doc_b": b}
+             for a, b in [(1, 2), (2, 3), (1, 3), (1, 4), (2, 4), (3, 4), (5, 6)]]
+    g2 = triangle_counts(
+        rd.from_items(irows), src_col="doc_a", dst_col="doc_b", out_col="doc_id"
+    ).to_pandas()
+    assert dict(zip(g2["doc_id"], g2["n_triangles"])) == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0, 6: 0}
