@@ -2015,7 +2015,6 @@ def near_dup_vs_snapshot(
             union, num_perm=num_perm, bands=bands, threshold=threshold, seed=seed
         ).materialize()
     )
-    n_docs = union.count()
     empty = pa.table(
         {
             "snapshot_doc_id": pa.array([], pa.int64()),
@@ -2023,7 +2022,8 @@ def near_dup_vs_snapshot(
             "est_jaccard": pa.array([], pa.float64()),
         }
     )
-    if pairs.count() == 0:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return rd.from_arrow(empty)
 
     def orient(batch: pa.Table, lookup) -> pa.Table:
@@ -2042,10 +2042,27 @@ def near_dup_vs_snapshot(
             }
         )
 
-    if n_docs <= DRIVER_FASTPATH_ROWS:
+    if n_pairs <= DRIVER_FASTPATH_ROWS:
+        # only pair-referenced ids need a side — the LUT is pair-sized,
+        # not corpus-sized, so the gate rides the PAIR count and the
+        # side scan ships back a filtered sliver (no union.count() pass,
+        # no whole-corpus id collect)
+        ref: list[np.ndarray] = []
+        for t in ray.get(pairs.to_arrow_refs()):
+            if len(t):
+                ref.append(t.column("doc_a").to_numpy(zero_copy_only=False))
+                ref.append(t.column("doc_b").to_numpy(zero_copy_only=False))
+        ref_arr = ray.put(pa.array(np.unique(np.concatenate(ref)), pa.int64()))
+
+        def only_ref(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.is_in(batch.column(id_col), value_set=ray.get(ref_arr)))
+
         sides = pa.concat_tables(
             ray.get(
-                side_ids(current, 1).union(side_ids(snapshot, 0)).to_arrow_refs()
+                side_ids(current, 1)
+                .union(side_ids(snapshot, 0))
+                .map_batches(only_ref, batch_format="pyarrow")
+                .to_arrow_refs()
             )
         )
         lut = dict(zip(sides[id_col].to_pylist(), sides["side"].to_pylist()))

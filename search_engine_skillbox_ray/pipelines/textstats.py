@@ -858,54 +858,118 @@ def bigram_pmi_ds(
     this exact division/multiplication shape on both sides so the SQL
     mirror produces identical doubles (round 6).
 
-    Scale shape: bigram counts come from :func:`term_bigrams_ds`
-    (combiner before the one exchange) and STAY a Dataset; only two
-    scalar totals (streamed ``sum`` aggregates) and the unigram count
-    map (true-vocabulary-sized, broadcast once via ``ray.put``) leave
-    the cluster."""
+    Scale shape: ONE fused tokenize pass emits BOTH unigram and bigram
+    per-batch combiners into a single (term_a, term_b) exchange —
+    unigram rows ride with the empty-string sentinel in ``term_b`` (a
+    real token can never be empty). After the reduce the vocabulary-
+    sized unigram slice is collected and broadcast via ``ray.put``;
+    bigram rows STAY a Dataset. Halves the tokenize work and the
+    exchange count of the previous two-pass layout."""
     import ray
 
     from ..functions.hashing import flat_nonempty_tokens
 
-    def uni_partials(batch: pa.Table) -> pa.Table:
-        toks, _, _ = flat_nonempty_tokens(batch.column("text"))
-        if not len(toks):
-            return pa.table(
-                {"term": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
-            )
-        c = pa.table({"term": toks}).group_by(["term"]).aggregate([([], "count_all")])
-        return pa.table(
-            {"term": c["term"], "cnt": pc.cast(c["count_all"], pa.int64())}
-        )
-
-    uni = (
-        documents.select_columns(["text"])
-        .map_batches(uni_partials, batch_format="pyarrow")
-        .groupby("term")
-        .sum("cnt")
-        .to_pandas()  # true vocabulary — bounded, not corpus-sized
+    empty_out = pa.table(
+        {
+            "term_a": pa.array([], pa.string()),
+            "term_b": pa.array([], pa.string()),
+            "cnt": pa.array([], pa.int64()),
+            "pmi": pa.array([], pa.float64()),
+        }
     )
-    t_uni = float(uni["sum(cnt)"].sum())
-    uni_ref = ray.put(dict(zip(uni["term"], uni["sum(cnt)"].astype(int))))
 
-    bg = term_bigrams_ds(documents).materialize()
-    # Dataset.sum on an EMPTY dataset returns None (no adjacent bigrams
-    # anywhere, e.g. all docs ≤ 1 token) — short-circuit to empty
-    t_bi_raw = bg.sum("cnt")
-    if not t_bi_raw:
-        import ray.data as _rd
-
-        return _rd.from_arrow(
+    def fused_partials(batch: pa.Table) -> pa.Table:
+        toks, parents, _ = flat_nonempty_tokens(batch.column("text"))
+        empty = pa.table(
+            {
+                "term_a": pa.array([], pa.string()),
+                "term_b": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        if not len(toks):
+            return empty
+        parts = []
+        u = pa.table({"term_a": toks}).group_by(["term_a"]).aggregate([([], "count_all")])
+        parts.append(
             pa.table(
                 {
-                    "term_a": pa.array([], pa.string()),
-                    "term_b": pa.array([], pa.string()),
-                    "cnt": pa.array([], pa.int64()),
-                    "pmi": pa.array([], pa.float64()),
+                    "term_a": u["term_a"],
+                    "term_b": pa.array([""] * len(u), pa.string()),
+                    "cnt": pc.cast(u["count_all"], pa.int64()),
                 }
             )
         )
-    t_bi = float(t_bi_raw)
+        if len(toks) >= 2:
+            adj = parents[:-1] == parents[1:]
+            if adj.any():
+                idx = np.flatnonzero(adj)
+                t = pa.table(
+                    {
+                        "term_a": toks.take(pa.array(idx)),
+                        "term_b": toks.take(pa.array(idx + 1)),
+                    }
+                )
+                c = t.group_by(["term_a", "term_b"]).aggregate([([], "count_all")])
+                parts.append(
+                    pa.table(
+                        {
+                            "term_a": c["term_a"],
+                            "term_b": c["term_b"],
+                            "cnt": pc.cast(c["count_all"], pa.int64()),
+                        }
+                    )
+                )
+        return pa.concat_tables(parts)
+
+    counted = (
+        documents.select_columns(["text"])
+        .map_batches(fused_partials, batch_format="pyarrow")
+        .groupby(["term_a", "term_b"])
+        .sum("cnt")
+        .materialize()
+    )
+
+    # split: sentinel rows are the unigram vocabulary (bounded) — collect
+    uni_parts, t_uni_i, t_bi_i = [], 0, 0
+    for t in ray.get(counted.to_arrow_refs()):
+        if not len(t):
+            continue
+        is_uni = pc.equal(t.column("term_b"), "")
+        u = t.filter(is_uni)
+        if len(u):
+            uni_parts.append(u)
+            t_uni_i += int(pc.sum(u.column("sum(cnt)")).as_py() or 0)
+        b = t.filter(pc.invert(is_uni))
+        if len(b):
+            t_bi_i += int(pc.sum(b.column("sum(cnt)")).as_py() or 0)
+    if t_bi_i == 0:
+        import ray.data as _rd
+
+        return _rd.from_arrow(empty_out)
+    uni_tbl = pa.concat_tables(uni_parts)
+    t_uni = float(t_uni_i)
+    t_bi = float(t_bi_i)
+    uni_ref = ray.put(
+        dict(
+            zip(
+                uni_tbl.column("term_a").to_pylist(),
+                uni_tbl.column("sum(cnt)").to_pylist(),
+            )
+        )
+    )
+
+    def bigrams_only(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.invert(pc.equal(batch.column("term_b"), "")))
+        return pa.table(
+            {
+                "term_a": b.column("term_a"),
+                "term_b": b.column("term_b"),
+                "cnt": pc.cast(b.column("sum(cnt)"), pa.int64()),
+            }
+        )
+
+    bg = counted.map_batches(bigrams_only, batch_format="pyarrow")
 
     def score(batch: pa.Table) -> pa.Table:
         lookup = ray.get(uni_ref)
