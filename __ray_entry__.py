@@ -898,6 +898,14 @@ def q_embedding_near_pairs(sf_dir: str):
     )
 
 
+def q_embedding_covariance(sf_dir: str):
+    """Embedding covariance matrix (upper triangle): one BLAS partial
+    per batch, d(d+1)/2 combiner rows, vectors never shuffle."""
+    from search_engine_skillbox_ray.pipelines.ann import embedding_covariance
+
+    return embedding_covariance(_embeddings(sf_dir))
+
+
 def q_ann_cosine_topk(sf_dir: str):
     from search_engine_skillbox_ray.pipelines.ann import brute_force_topk
 
@@ -1655,6 +1663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "containment_pairs": q_containment_pairs,
         "embedding_near_pairs": q_embedding_near_pairs,
+        "embedding_covariance": q_embedding_covariance,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_lsh_delete": q_ann_lsh_delete,
@@ -2600,6 +2609,21 @@ s AS (SELECT c.vec_a, c.vec_b,
       ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
       FROM c JOIN e ea ON ea.vec_id = c.vec_a JOIN e eb ON eb.vec_id = c.vec_b)
 SELECT vec_a, vec_b, cosine FROM s WHERE cosine >= {EMB_THRESHOLD}
+""",
+        # covariance: identical per-element products (float32 widens
+        # exactly), Σ order differs → absorbed at round 6
+        "embedding_covariance": """
+WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+x AS (SELECT vec_id, (generate_subscripts(v, 1) - 1)::BIGINT AS i,
+             unnest(v)::DOUBLE AS xv FROM e),
+nn AS (SELECT count(*)::DOUBLE AS n FROM e),
+m AS (SELECT i, SUM(xv) AS s FROM x GROUP BY i),
+p AS (SELECT a.i AS i, b.i AS j, SUM(a.xv * b.xv) AS sxy
+      FROM x a JOIN x b ON b.vec_id = a.vec_id AND b.i >= a.i
+      GROUP BY a.i, b.i)
+SELECT p.i, p.j,
+       ROUND((p.sxy - ma.s * mb.s / nn.n) / nn.n, 6) AS cov
+FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j CROSS JOIN nn
 """,
         "ann_lsh_topk": _lsh_topk_oracle(),
         # tombstone-delete variant: odd vec_ids killed from the persisted

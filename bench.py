@@ -280,6 +280,7 @@ def bench_sf_queries() -> dict:
         "winnow_fingerprints",
         "length_gate",
         "quantize_embeddings",
+        "embedding_covariance",
         "doc_rank",
         "source_diversity",
         "dataset_splits",

@@ -771,3 +771,74 @@ def mmr_topk(
             "mmr": pa.array(out_mmr, pa.float64()),
         }
     )
+
+
+def embedding_covariance(
+    embeddings: rd.Dataset, vec_col: str = "embedding"
+) -> rd.Dataset:
+    """→ (i, j, cov) for i ≤ j: the embedding covariance matrix — the
+    Gram/second-moment pass behind PCA, whitening, and anisotropy
+    checks on an embedding corpus.
+
+    Scale shape: each batch contributes ONE d×d partial (``v.T @ v`` —
+    a single BLAS call — plus the coordinate sums), exploded to the
+    upper triangle: d(d+1)/2 combiner rows per batch REGARDLESS of
+    batch size; one tiny (i, j)-keyed groupby-sum finishes and the
+    vector corpus never shuffles. cov = (Σxy − Σx·Σy/n)/n computed in
+    that exact arithmetic shape on both sides (float32 inputs widen to
+    float64 exactly); the float64 Σ differs from SQL only in addend
+    order, absorbed at round 6."""
+    import pyarrow.compute as pc
+
+    from ..functions.vectors import embedding_vectors
+
+    def partials(batch: pa.Table) -> pa.Table:
+        v = embedding_vectors(batch.column(vec_col))
+        if not v.size:
+            return pa.table(
+                {
+                    "i": pa.array([], pa.int64()),
+                    "j": pa.array([], pa.int64()),
+                    "sxy": pa.array([], pa.float64()),
+                    "sx": pa.array([], pa.float64()),
+                    "sy": pa.array([], pa.float64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        d = v.shape[1]
+        g = v.T @ v
+        s = v.sum(axis=0)
+        iu, ju = np.triu_indices(d)
+        return pa.table(
+            {
+                "i": pa.array(iu.astype(np.int64)),
+                "j": pa.array(ju.astype(np.int64)),
+                "sxy": pa.array(g[iu, ju]),
+                "sx": pa.array(s[iu]),
+                "sy": pa.array(s[ju]),
+                "n": pa.array(np.full(iu.size, len(v), np.int64)),
+            }
+        )
+
+    agg = (
+        embeddings.select_columns([vec_col])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["i", "j"])
+        .sum(["sxy", "sx", "sy", "n"])
+    )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        sxy = batch.column("sum(sxy)").to_numpy(zero_copy_only=False)
+        sx = batch.column("sum(sx)").to_numpy(zero_copy_only=False)
+        sy = batch.column("sum(sy)").to_numpy(zero_copy_only=False)
+        n = batch.column("sum(n)").to_numpy(zero_copy_only=False).astype(np.float64)
+        cov = np.round((sxy - sx * sy / n) / n, 6)
+        return pa.table(
+            {
+                "i": pc.cast(batch.column("i"), pa.int64()),
+                "j": pc.cast(batch.column("j"), pa.int64()),
+                "cov": pa.array(cov, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")

@@ -210,6 +210,8 @@ def test_oracle_keys_subset(entry_mod):
     "dup_span_runs",
     # round 3: triangle counts of the near-dup pair graph
     "dup_triangles",
+    # round 3: embedding covariance (distributed Gram pass)
+    "embedding_covariance",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))

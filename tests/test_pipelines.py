@@ -1296,3 +1296,26 @@ def test_levenshtein_kernel_matches_reference():
     for q in ["tabel", "мрге", "", "scan", "aaa"]:
         got = _levenshtein_batch(arr, lens, q).tolist()
         assert got == [lev(q, w) for w in words], q
+
+
+def test_embedding_covariance_vs_numpy(ray_session):
+    """Distributed Gram pass equals np.cov(bias=True) across a
+    multi-block layout."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.ann import embedding_covariance
+
+    rng = np.random.default_rng(9)
+    v = rng.standard_normal((200, 8)).astype(np.float32)
+    ds = rd.from_arrow(
+        pa.table({"vec_id": pa.array(range(200), pa.int64()),
+                  "embedding": pa.array([r.tolist() for r in v],
+                                        pa.list_(pa.float32()))})
+    ).repartition(5)
+    out = embedding_covariance(ds).to_pandas()
+    ref = np.cov(v.astype(np.float64), rowvar=False, bias=True)
+    assert len(out) == 8 * 9 // 2
+    for _, r in out.iterrows():
+        assert abs(r["cov"] - ref[int(r["i"]), int(r["j"])]) < 1e-6
