@@ -605,6 +605,21 @@ def q_champion_lists_lsm(sf_dir: str):
     return champion_lists(d, k=CHAMPION_K)
 
 
+def q_search_champion(sf_dir: str):
+    """Champion-list SERVING: tf·idf top-k where each query term
+    contributes only its CHAMPION_K highest-tf postings — |q|·k posting
+    touches instead of Σ df; idf/N stay exact (full statistics)."""
+    from search_engine_skillbox_ray.pipelines.posindex import (
+        build_positional_index,
+        champion_topk,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/ses_posidx_{tag}"
+    build_positional_index(_documents(sf_dir), d, n_buckets=8, input_token=sf_dir)
+    return champion_topk(d, PBOOST_QUERY, k=SDM_K, champion_k=CHAMPION_K)
+
+
 def q_near_search(sf_dir: str):
     """Multi-term NEAR query from the positional index: anchors of the
     first term with every other term within ±NEAR_WINDOW tokens."""
@@ -1627,6 +1642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prf_expansion": q_prf_expansion,
         "champion_lists": q_champion_lists,
         "champion_lists_lsm": q_champion_lists_lsm,
+        "search_champion": q_search_champion,
         "search_not": q_search_not,
         "decontaminate": q_decontaminate,
         "winnow_fingerprints": q_winnow,
@@ -2803,6 +2819,28 @@ GROUP BY a.term, b.term
         "champion_lists_lsm": _champion_oracle(
             corpus_where="WHERE doc_id % 5 <> 0"
         ),
+        # champion-list serving: per query term only its CHAMPION_K
+        # highest-tf docs score; idf = ln((N+1)/(df+1)) with FULL df and
+        # N = all docs (the doclen row counts zero-token docs too)
+        "search_champion": f"""
+WITH tl AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+            '[^\\p{{L}}]+'), x -> x <> '') AS toks FROM documents),
+n AS (SELECT count(*)::DOUBLE AS n FROM tl),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM tl),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+q(term) AS (VALUES {", ".join(f"('{t}')" for t in dict.fromkeys(PBOOST_QUERY.split()))}),
+df AS (SELECT q.term, count(DISTINCT tf.doc_id)::BIGINT AS df
+       FROM q LEFT JOIN tf ON tf.term = q.term GROUP BY q.term),
+champ AS (SELECT term, doc_id, tf FROM (
+  SELECT tf.term, tf.doc_id, tf.tf,
+         row_number() OVER (PARTITION BY tf.term ORDER BY tf.tf DESC, tf.doc_id) AS rn
+  FROM tf JOIN q ON q.term = tf.term) WHERE rn <= {CHAMPION_K}),
+sc AS (SELECT c.doc_id, SUM(c.tf * ln((n.n + 1.0) / (df.df + 1.0))) AS score
+       FROM champ c JOIN df ON df.term = c.term CROSS JOIN n
+       GROUP BY c.doc_id)
+SELECT doc_id, ROUND(score, 6) AS score FROM sc
+QUALIFY row_number() OVER (ORDER BY ROUND(score, 6) DESC, doc_id) <= {SDM_K}
+""",
         # the LSM delete variant (whole-table build + odd-id tombstones)
         # must converge to the even-half answer
         "phrase_index_delete": _phrase_oracle(corpus_where="WHERE doc_id % 2 = 0"),

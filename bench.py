@@ -267,6 +267,7 @@ def bench_sf_queries() -> dict:
         "prf_expansion",
         "champion_lists",
         "champion_lists_lsm",
+        "search_champion",
         "term_cooc",
         "ann_lsh_delete",
         "ann_lsh_ingest",

@@ -1090,3 +1090,61 @@ def champion_lists(index_dir: str, k: int = 5) -> rd.Dataset:
         )
 
     return rd.read_parquet(files).map_batches(topk, batch_format="pyarrow")
+
+
+def champion_topk(
+    index_dir: str, query: str, k: int = 10, champion_k: int = 3
+) -> pa.Table:
+    """→ (doc_id, score) top-k tf·idf where each query term contributes
+    ONLY its champion-list docs (its ``champion_k`` highest-tf postings,
+    ties doc_id asc) — champion-list SERVING (IIR §7.1.3): top-k cost
+    touches |q|·champion_k postings instead of Σ df. idf stays the FULL
+    ln((N+1)/(df+1)) (the approximation prunes candidates, not
+    statistics); N is the live doc count from the doclen row, so the
+    ranking is exact under LSM appends and tombstone deletes."""
+    from ..stages.tokenizer import token_lists
+
+    out = Path(index_dir)
+    m = json.loads((out / "manifest.json").read_text())
+    if not m.get("doclens"):
+        raise ValueError("index predates doclen rows — rebuild required")
+    nb = int(m["n_buckets"])
+    tombs = _tombstones(out)
+    dl_docs, _dl_vals = _load_doclens(out, nb, tombs)
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+    )
+    n_docs = int(dl_docs.size)
+    if not n_docs:
+        return empty
+    norm = token_lists(pa.array([query], pa.string()))
+    if isinstance(norm, pa.ChunkedArray):
+        norm = norm.combine_chunks()
+    toks = [t for t in norm.to_pylist()[0] if t]
+    if not toks:
+        return empty
+    doc_parts, w_parts = [], []
+    for t in dict.fromkeys(toks):
+        p = _load_term(out, nb, t, tombs)
+        if p is None:
+            continue
+        docs, cnts, _ = p
+        idf = float(np.log((n_docs + 1.0) / (len(docs) + 1.0)))
+        order = np.lexsort((docs, -cnts))[: max(int(champion_k), 0)]
+        doc_parts.append(docs[order])
+        w_parts.append(cnts[order].astype(np.float64) * idf)
+    if not doc_parts:
+        return empty
+    all_docs = np.concatenate(doc_parts)
+    all_w = np.concatenate(w_parts)
+    uniq, inv = np.unique(all_docs, return_inverse=True)
+    scores = np.zeros(len(uniq), np.float64)
+    np.add.at(scores, inv, all_w)
+    rounded = np.round(scores, 6)
+    order = np.lexsort((uniq, -rounded))[: max(int(k), 0)]
+    return pa.table(
+        {
+            "doc_id": pa.array(uniq[order], pa.int64()),
+            "score": pa.array(rounded[order], pa.float64()),
+        }
+    )

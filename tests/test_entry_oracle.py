@@ -212,6 +212,8 @@ def test_oracle_keys_subset(entry_mod):
     "dup_triangles",
     # round 3: embedding covariance (distributed Gram pass)
     "embedding_covariance",
+    # round 3: champion-list serving (|q|·k posting touches)
+    "search_champion",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))

@@ -570,3 +570,36 @@ def test_champion_lists_under_live_lsm(ray_session, tmp_path):
     # compaction must not change the answer (and folds the LSM away)
     compact_positional_index(str(lsm_dir))
     assert snap(lsm_dir).equals(ref_even)
+
+
+def test_champion_topk_serving(ray_session, tmp_path):
+    """Champion serving touches only |q|·champion_k postings yet ranks a
+    doc saturated in one query term at the top; with champion_k >= max
+    df it equals the exhaustive tf·idf ranking."""
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.posindex import (
+        build_positional_index,
+        champion_topk,
+    )
+
+    rows = [
+        {"doc_id": 1, "text": "merge merge merge merge batch"},
+        {"doc_id": 2, "text": "merge batch batch"},
+        {"doc_id": 3, "text": "merge other words here"},
+        {"doc_id": 4, "text": "unrelated text entirely"},
+    ]
+    d = tmp_path / "champ_serve"
+    build_positional_index(rd.from_items(rows), str(d), n_buckets=4, input_token="c1")
+    top = champion_topk(str(d), "merge batch", k=10, champion_k=1).to_pandas()
+    # champion_k=1: only the single highest-tf doc per term scores
+    assert set(top["doc_id"]) == {1, 2}
+    import math
+
+    by_id = dict(zip(top["doc_id"], top["score"]))
+    # hand-computed tf·idf with full statistics (N=4 docs)
+    assert abs(by_id[1] - round(4 * math.log(5 / 4), 6)) < 1e-9
+    assert abs(by_id[2] - round(2 * math.log(5 / 3), 6)) < 1e-9
+    # champion_k large → all matching docs score, exhaustive ranking
+    full = champion_topk(str(d), "merge batch", k=10, champion_k=100).to_pandas()
+    assert set(full["doc_id"]) == {1, 2, 3}
