@@ -1527,6 +1527,44 @@ def q_dup_triangles(sf_dir: str):
     return triangle_counts(pairs, src_col="doc_a", dst_col="doc_b", out_col="doc_id")
 
 
+def q_dedup_index_query(sf_dir: str):
+    """Streaming-ingest dedup: persisted MinHash LSH index (built on
+    doc_id%4==0, LSM-appended with %4==2 — frozen hashing params),
+    probed with the odd docs. Must equal the cross-parity near-dup
+    pair set of the one-shot operator (same band rule + est verify)."""
+    import pyarrow.compute as pc
+    import ray.data as rd  # noqa: F401
+
+    from search_engine_skillbox_ray.pipelines.dedup_index import (
+        append_minhash_index,
+        build_minhash_index,
+        query_minhash_index,
+    )
+
+    docs = _documents(sf_dir)
+
+    def mod4(v):
+        return docs.map_batches(
+            lambda t, v=v: t.filter(pc.equal(pc.bit_wise_and(t.column("doc_id"), 3), v)),
+            batch_format="pyarrow",
+        )
+
+    def odd():
+        return docs.map_batches(
+            lambda t: t.filter(pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 1)),
+            batch_format="pyarrow",
+        )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/ses_mhidx_{tag}"
+    build_minhash_index(
+        mod4(0), d, num_perm=MINHASH_PERM, bands=MINHASH_BANDS,
+        seed=MINHASH_SEED, input_token=f"{sf_dir}-ev0",
+    )
+    append_minhash_index(d, mod4(2), input_token=f"{sf_dir}-ev2")
+    return query_minhash_index(d, odd(), threshold=MINHASH_THRESHOLD)
+
+
 def q_cross_source_pairs(sf_dir: str):
     """Contamination-leakage report: MinHash near-dup pairs aggregated
     by unordered source pair — the eval-split-leak check."""
@@ -1721,6 +1759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": q_dedup_keep_best,
         "cross_source_pairs": q_cross_source_pairs,
         "near_dup_vs_snapshot": q_near_dup_vs_snapshot,
+        "dedup_index_query": q_dedup_index_query,
         "ann_ivf_topk": q_ann_ivf_topk,
         "streaming_ingest": q_streaming_ingest,
     }
@@ -3481,6 +3520,17 @@ FROM alln a LEFT JOIN cnt c ON c.doc_id = a.doc_id
 WITH p AS ({_minhash_pairs_sql()})
 SELECT CASE WHEN doc_a % 2 = 0 THEN doc_a ELSE doc_b END AS snapshot_doc_id,
        CASE WHEN doc_a % 2 = 0 THEN doc_b ELSE doc_a END AS current_doc_id,
+       est_jaccard
+FROM p WHERE doc_a % 2 <> doc_b % 2
+""",
+        # persisted-index ingest probe: two-step build+append over the
+        # evens ≡ all evens (frozen hashing), so the answer is the
+        # cross-parity slice of the one-shot pair rule, indexed side
+        # oriented even
+        "dedup_index_query": f"""
+WITH p AS ({_minhash_pairs_sql()})
+SELECT CASE WHEN doc_a % 2 = 0 THEN doc_a ELSE doc_b END AS indexed_doc_id,
+       CASE WHEN doc_a % 2 = 0 THEN doc_b ELSE doc_a END AS query_doc_id,
        est_jaccard
 FROM p WHERE doc_a % 2 <> doc_b % 2
 """,

@@ -241,6 +241,7 @@ def bench_sf_queries() -> dict:
         "simhash_near_pairs",
         "ngram_jaccard_pairs",
         "containment_pairs",
+        "dedup_index_query",
         "embedding_near_pairs",
         "ann_cosine_topk",
         "ann_lsh_topk",

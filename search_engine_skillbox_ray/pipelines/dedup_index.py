@@ -1,0 +1,431 @@
+"""Persisted MinHash signature index — streaming-ingest near-dup lookup.
+
+``minhash_lsh_pairs`` / ``near_dup_vs_snapshot`` re-sign BOTH corpora on
+every call — right for one-shot audits, wrong for the ingest loop a
+production pipeline actually runs: "does this fresh crawl batch
+near-duplicate anything we already hold?" asked thousands of times
+against the same indexed corpus. This module persists the LSH layout
+ONCE (the same build-once / probe-partitions shape as
+``pipelines/ann_index.py``) and answers each query batch by touching
+only the band partitions its band hashes land in.
+
+Layout (all atomic tmp+rename, lineage manifest):
+
+* ``part=NNNNN.parquet``     — band rows (band_id, band_hash, doc_id),
+  partitioned by ``band_hash % n_band_parts`` — the probe key;
+* ``sigpart=NNNNN.parquet``  — signature store (doc_id, sig binary of
+  little-endian int64s), partitioned by ``doc_id % n_sig_parts`` — the
+  verify side, read partition-pruned for candidate ids only;
+* LSM appends: ``part=NNNNN.delta-SSSS.parquet`` /
+  ``sigpart=NNNNN.delta-SSSS.parquet`` per touched partition (frozen
+  hashing parameters — the manifest pins them), idempotent per
+  ``input_token`` marker, exactly like the ANN index's
+  ``append_vectors``.
+
+Scale shape: build/append shuffle slim band rows once (signatures ride
+a doc-keyed second writer, never the band exchange); a query batch
+signs itself in one ``map_batches`` pass, reads ≤ n_band_parts band
+partitions (usually far fewer), joins candidates on (band_id,
+band_hash) in a bucketed exchange, and verifies est-Jaccard from the
+two signature sides (query side stays a Dataset; indexed side reads
+only candidate sig partitions). Nothing corpus-sized touches the
+driver.
+
+Reference: the reference has no dedup at ingest at all (pages are
+keyed by (site, path) only — model/Page.java); this is the rebuild's
+training-data extension, bit-compatible with the ``minhash_pairs``
+DuckDB oracle (same md5-derived signatures, same band rule).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from ..state.manifest import atomic_write_json, fingerprint_inputs, read_json
+from .dedup import MinHashSignatures, _band_keys
+
+_EMPTY_QUERY_PAIRS = pa.table(
+    {
+        "indexed_doc_id": pa.array([], pa.int64()),
+        "query_doc_id": pa.array([], pa.int64()),
+        "est_jaccard": pa.array([], pa.float64()),
+    }
+)
+
+
+def _mh_delta_seq(f: Path) -> int:
+    return int(f.name.rsplit("delta-", 1)[1].split(".")[0])
+
+
+def _mh_next_seq(out: Path) -> int:
+    seqs = [_mh_delta_seq(f) for f in out.glob("*=*.delta-*.parquet")]
+    return (max(seqs) + 1) if seqs else 1
+
+
+class _SignStage:
+    """Actor-pool stage: documents → (doc_id, sig binary) rows. The
+    permutation constants / token hasher build once per actor."""
+
+    def __init__(self, num_perm: int, shingle_k: int, seed: int) -> None:
+        self.mh = MinHashSignatures(num_perm=num_perm, shingle_k=shingle_k, seed=seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = self.mh.signature_matrix(batch).astype("<i8")
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "sig": pa.array([row.tobytes() for row in mat], pa.binary()),
+            }
+        )
+
+
+def _band_rows_from_sigs(batch: pa.Table, bands: int, n_band_parts: int) -> pa.Table:
+    """(doc_id, sig) rows → slim (part, band_id, band_hash, doc_id)."""
+    n = len(batch)
+    if not n:
+        return pa.table(
+            {
+                "part": pa.array([], pa.int64()),
+                "band_id": pa.array([], pa.int64()),
+                "band_hash": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+            }
+        )
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    width = len(batch.column("sig")[0].as_py()) // 8
+    mat = np.frombuffer(b"".join(batch.column("sig").to_pylist()), "<i8").reshape(
+        n, width
+    )
+    bh = _band_keys(mat.astype(np.uint64), bands)  # (n, bands) int64
+    band_ids = np.tile(np.arange(bands, dtype=np.int64), n)
+    flat_bh = bh.ravel()
+    return pa.table(
+        {
+            "part": pa.array(flat_bh % n_band_parts),
+            "band_id": pa.array(band_ids),
+            "band_hash": pa.array(flat_bh),
+            "doc_id": pa.array(np.repeat(ids, bands)),
+        }
+    )
+
+
+def _write_partitions(
+    out: Path, ds: rd.Dataset, key_col: str, sort_cols: list[str], suffix: str = ""
+) -> int:
+    """groupby(key_col) → one atomic partition (or delta) file per key."""
+
+    def write_group(group: pd.DataFrame) -> pd.DataFrame:
+        if not len(group):
+            return pd.DataFrame({"k": np.array([], np.int64), "n": np.array([], np.int64)})
+        key = int(group[key_col].iloc[0])
+        tbl = pa.Table.from_pandas(
+            group.sort_values(sort_cols, kind="mergesort").reset_index(drop=True),
+            preserve_index=False,
+        )
+        final = out / f"{key_col}={key:05d}{suffix}.parquet"
+        tmp = out / f"{key_col}={key:05d}{suffix}.parquet.tmp"
+        pq.write_table(tbl, tmp, compression="zstd")
+        os.replace(tmp, final)
+        return pd.DataFrame({"k": [key], "n": [len(group)]})
+
+    res = ds.groupby(key_col).map_groups(write_group, batch_format="pandas").to_pandas()
+    return int(res["n"].sum()) if len(res) else 0
+
+
+def build_minhash_index(
+    documents: rd.Dataset,
+    index_dir: str | Path,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+    n_band_parts: int = 64,
+    n_sig_parts: int = 32,
+    input_token: str = "",
+    input_files: list[str] | None = None,
+) -> dict:
+    """Sign + band-partition the corpus once; same-fingerprint rebuilds
+    short-circuit (lineage manifest, like the ANN/posting indexes)."""
+    out = Path(index_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    params = {
+        "kind": "minhash",
+        "num_perm": num_perm,
+        "bands": bands,
+        "shingle_k": shingle_k,
+        "seed": seed,
+        "n_band_parts": n_band_parts,
+        "n_sig_parts": n_sig_parts,
+        "input": input_token,
+    }
+    fp = fingerprint_inputs(input_files or [], params)
+    mf = read_json(out / "mh_manifest.json")
+    if mf and mf.get("fingerprint") == fp:
+        return mf
+    # rebuild invalidates everything derived from the old corpus
+    for stale in (
+        list(out.glob("part=*.parquet"))
+        + list(out.glob("sigpart=*.parquet"))
+        + list(out.glob("*.parquet.tmp"))
+        + list(out.glob("mh_append.*.json"))
+    ):
+        stale.unlink()
+
+    sigs = documents.select_columns(["doc_id", "text"]).map_batches(
+        _SignStage,
+        fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k, "seed": seed},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    ).materialize()  # signed ONCE; both writers read these blocks
+
+    band_rows = sigs.map_batches(
+        lambda b: _band_rows_from_sigs(b, bands, n_band_parts), batch_format="pyarrow"
+    )
+    n_band_rows = _write_partitions(out, band_rows, "part", ["band_hash", "doc_id"])
+
+    def sig_part(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("sigpart", pa.array(ids % n_sig_parts))
+
+    n_docs = _write_partitions(
+        out, sigs.map_batches(sig_part, batch_format="pyarrow"), "sigpart", ["doc_id"]
+    )
+    manifest = {"fingerprint": fp, **params, "n_docs": n_docs, "n_band_rows": n_band_rows}
+    atomic_write_json(out / "mh_manifest.json", manifest)
+    return manifest
+
+
+def append_minhash_index(
+    index_dir: str | Path, documents: rd.Dataset, input_token: str | None = None
+) -> dict:
+    """LSM append: sign the new batch under the manifest's FROZEN
+    parameters and write one delta file per touched band/sig partition.
+    Idempotent per ``input_token`` (marker file) — a retried ingest
+    batch is a no-op. New doc ids must be new (the caller's versioning
+    contract, same as the posting index's append)."""
+    out = Path(index_dir)
+    m = read_json(out / "mh_manifest.json")
+    if not m:
+        raise ValueError("no minhash index at " + str(out))
+    if input_token is not None:
+        marker = out / f"mh_append.{fingerprint_inputs([], {'t': input_token})}.json"
+        if marker.exists():
+            return json.loads(marker.read_text())
+    seq = _mh_next_seq(out)
+    sigs = documents.select_columns(["doc_id", "text"]).map_batches(
+        _SignStage,
+        fn_constructor_kwargs={
+            "num_perm": int(m["num_perm"]),
+            "shingle_k": int(m["shingle_k"]),
+            "seed": int(m["seed"]),
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    ).materialize()
+    band_rows = sigs.map_batches(
+        lambda b: _band_rows_from_sigs(b, int(m["bands"]), int(m["n_band_parts"])),
+        batch_format="pyarrow",
+    )
+    suffix = f".delta-{seq:04d}"
+    n_band_rows = _write_partitions(out, band_rows, "part", ["band_hash", "doc_id"], suffix)
+
+    def sig_part(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "sigpart", pa.array(ids % int(m["n_sig_parts"]))
+        )
+
+    n_docs = _write_partitions(
+        out, sigs.map_batches(sig_part, batch_format="pyarrow"), "sigpart", ["doc_id"], suffix
+    )
+    res = {"seq": seq, "n_docs_appended": n_docs, "n_band_rows": n_band_rows}
+    if input_token is not None:
+        tmp = out / (marker.name + ".tmp")
+        tmp.write_text(json.dumps(res))
+        tmp.rename(marker)
+    return res
+
+
+def _partition_files(out: Path, key_col: str, keys: list[int]) -> list[str]:
+    files: list[str] = []
+    for k in keys:
+        base = out / f"{key_col}={k:05d}.parquet"
+        if base.exists():
+            files.append(str(base))
+        files += [str(f) for f in sorted(out.glob(f"{key_col}={k:05d}.delta-*.parquet"))]
+    return files
+
+
+def query_minhash_index(
+    index_dir: str | Path, documents: rd.Dataset, *, threshold: float = 0.5
+) -> rd.Dataset:
+    """→ (indexed_doc_id, query_doc_id, est_jaccard): for every query
+    document, the indexed documents it near-duplicates (MinHash
+    estimated Jaccard ≥ threshold) — the ingest-loop dedup probe.
+
+    Candidate rule = shared LSH band (identical to ``minhash_lsh_pairs``
+    restricted to cross-side pairs, hence the same SQL oracle); the
+    band read touches only the partitions the query batch's band hashes
+    land in, and the verify reads only candidate ids' sig partitions
+    with a parquet doc_id filter."""
+    from ..stages.grouping import bucketed_group_apply, drop_empty_blocks, sized_join
+
+    out = Path(index_dir)
+    m = read_json(out / "mh_manifest.json")
+    if not m:
+        raise ValueError("no minhash index at " + str(out))
+    bands, n_band_parts = int(m["bands"]), int(m["n_band_parts"])
+
+    qsigs = documents.select_columns(["doc_id", "text"]).map_batches(
+        _SignStage,
+        fn_constructor_kwargs={
+            "num_perm": int(m["num_perm"]),
+            "shingle_k": int(m["shingle_k"]),
+            "seed": int(m["seed"]),
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    ).materialize()
+    q_bands = qsigs.map_batches(
+        lambda b: _band_rows_from_sigs(b, bands, n_band_parts), batch_format="pyarrow"
+    ).materialize()
+
+    # probe set: distinct partition keys — ≤ n_band_parts ints
+    parts: set[int] = set()
+    for t in ray.get(q_bands.to_arrow_refs()):
+        if len(t):
+            parts.update(np.unique(t.column("part").to_numpy(zero_copy_only=False)).tolist())
+    files = _partition_files(out, "part", sorted(parts))
+    if not files:
+        return rd.from_arrow(_EMPTY_QUERY_PAIRS)
+    idx_bands = rd.read_parquet(files)
+
+    def tag_side(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "band_id": batch.column("band_id"),
+                    "band_hash": batch.column("band_hash"),
+                    "doc_id": batch.column("doc_id"),
+                    "side": pa.array(np.full(len(batch), side, np.int8)),
+                }
+            )
+
+        return f
+
+    both = idx_bands.map_batches(tag_side(0), batch_format="pyarrow").union(
+        q_bands.map_batches(tag_side(1), batch_format="pyarrow")
+    )
+
+    def bucket_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"indexed_doc_id": np.array([], np.int64),
+             "query_doc_id": np.array([], np.int64)}
+        )
+        if not len(bucket):
+            return empty
+        i_out, q_out = [], []
+        for _k, grp in bucket.groupby(["band_id", "band_hash"], sort=False):
+            s = grp["side"].to_numpy(np.int8)
+            if not (s == 0).any() or not (s == 1).any():
+                continue
+            d = grp["doc_id"].to_numpy(np.int64)
+            idocs = np.unique(d[s == 0])
+            qdocs = np.unique(d[s == 1])
+            i_out.append(np.repeat(idocs, qdocs.size))
+            q_out.append(np.tile(qdocs, idocs.size))
+        if not i_out:
+            return empty
+        return pd.DataFrame(
+            {"indexed_doc_id": np.concatenate(i_out),
+             "query_doc_id": np.concatenate(q_out)}
+        )
+
+    cand = bucketed_group_apply(both, ["band_id", "band_hash"], bucket_pairs, n_buckets=32)
+    cand = bucketed_group_apply(
+        cand, ["indexed_doc_id", "query_doc_id"],
+        lambda df: df.drop_duplicates(["indexed_doc_id", "query_doc_id"]),
+        n_buckets=32,
+    )
+    cand = drop_empty_blocks(cand.materialize())
+    n_cand = cand.count()
+    if n_cand == 0:
+        return rd.from_arrow(_EMPTY_QUERY_PAIRS)
+
+    # candidate indexed ids → partition-pruned sig read (pair-sized set)
+    ref_i: list[np.ndarray] = []
+    for t in ray.get(cand.to_arrow_refs()):
+        if len(t):
+            ref_i.append(t.column("indexed_doc_id").to_numpy(zero_copy_only=False))
+    idx_ids = np.unique(np.concatenate(ref_i))
+    sig_keys = sorted({int(x % int(m["n_sig_parts"])) for x in idx_ids})
+    sig_files = _partition_files(out, "sigpart", sig_keys)
+    idx_sigs = rd.read_parquet(sig_files, columns=["doc_id", "sig"])
+    ref_ref = [ray.put(pa.array(idx_ids, pa.int64()))]
+
+    def only_ref(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.is_in(batch.column("doc_id"), value_set=ray.get(ref_ref[0])))
+
+    idx_sigs = idx_sigs.map_batches(only_ref, batch_format="pyarrow").materialize()
+
+    def rename(id_name: str, sig_name: str):
+        def r(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {id_name: batch.column("doc_id"), sig_name: batch.column("sig")}
+            )
+
+        return r
+
+    n_part = max(2, min(64, (n_cand // 100_000) + 2))
+    joined = sized_join(
+        cand,
+        idx_sigs.map_batches(rename("indexed_doc_id", "sig_i"), batch_format="pyarrow"),
+        ("indexed_doc_id",),
+        num_partitions=n_part,
+    ).materialize()
+    joined = sized_join(
+        joined,
+        qsigs.map_batches(rename("query_doc_id", "sig_q"), batch_format="pyarrow"),
+        ("query_doc_id",),
+        num_partitions=n_part,
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return _EMPTY_QUERY_PAIRS
+        i_ids = batch.column("indexed_doc_id").to_numpy(zero_copy_only=False)
+        q_ids = batch.column("query_doc_id").to_numpy(zero_copy_only=False)
+        si = batch.column("sig_i").to_pylist()
+        sq = batch.column("sig_q").to_pylist()
+        i_out, q_out, e_out = [], [], []
+        for di, dq, b1, b2 in zip(i_ids.tolist(), q_ids.tolist(), si, sq):
+            x = np.frombuffer(b1, "<i8")
+            y = np.frombuffer(b2, "<i8")
+            est = float((x == y).mean()) if x.size else 0.0
+            if est >= threshold:
+                i_out.append(di)
+                q_out.append(dq)
+                e_out.append(round(est, 6))
+        return pa.table(
+            {
+                "indexed_doc_id": pa.array(i_out, pa.int64()),
+                "query_doc_id": pa.array(q_out, pa.int64()),
+                "est_jaccard": pa.array(e_out, pa.float64()),
+            }
+        )
+
+    return joined.map_batches(verify, batch_format="pyarrow")

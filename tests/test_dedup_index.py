@@ -1,0 +1,106 @@
+"""Persisted MinHash signature index: build lineage, LSM appends,
+ingest-probe parity with the one-shot snapshot operator."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def mh_corpus(ray_session):
+    """Letters-only docs with planted cross-parity near-dups."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(21)
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    vocab = [a + b + c for a in letters[:7] for b in letters[:7] for c in letters[:7]][:150]
+    rows = []
+    for i in range(60):
+        words = rng.choice(vocab, size=25, replace=True).tolist()
+        rows.append({"doc_id": 2 * i, "text": " ".join(words)})          # even: indexed
+        if i % 4 == 0:  # odd near-dup of the even doc
+            rows.append({"doc_id": 2 * i + 1, "text": " ".join(words) + " tail"})
+        else:
+            extra = rng.choice(vocab, size=25, replace=True).tolist()
+            rows.append({"doc_id": 2 * i + 1, "text": " ".join(extra)})
+    return rd.from_items(rows).repartition(4)
+
+
+def _split(ds, fn):
+    import pyarrow.compute as pc
+
+    return ds.map_batches(
+        lambda t: t.filter(fn(pc, t)), batch_format="pyarrow"
+    )
+
+
+def test_minhash_index_lifecycle(mh_corpus, tmp_path):
+    """build(%4==0) + append(%4==2) probed with odds == the one-shot
+    cross-parity snapshot pairs; appends are idempotent per token;
+    same-fingerprint rebuilds short-circuit."""
+    from search_engine_skillbox_ray.pipelines.dedup import near_dup_vs_snapshot
+    from search_engine_skillbox_ray.pipelines.dedup_index import (
+        append_minhash_index,
+        build_minhash_index,
+        query_minhash_index,
+    )
+
+    ev0 = _split(mh_corpus, lambda pc, t: pc.equal(pc.bit_wise_and(t.column("doc_id"), 3), 0))
+    ev2 = _split(mh_corpus, lambda pc, t: pc.equal(pc.bit_wise_and(t.column("doc_id"), 3), 2))
+    odd = _split(mh_corpus, lambda pc, t: pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 1))
+    ev = _split(mh_corpus, lambda pc, t: pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 0))
+
+    d = tmp_path / "mhidx"
+    m = build_minhash_index(ev0, d, input_token="ev0")
+    assert m["n_docs"] == ev0.count()
+    # same fingerprint → no rebuild (manifest returned as-is)
+    assert build_minhash_index(ev0, d, input_token="ev0") == m
+
+    r = append_minhash_index(d, ev2, input_token="ev2")
+    assert r["n_docs_appended"] == ev2.count()
+    assert append_minhash_index(d, ev2, input_token="ev2") == r  # idempotent
+
+    got = (
+        query_minhash_index(d, odd, threshold=0.5)
+        .to_pandas()
+        .sort_values(["indexed_doc_id", "query_doc_id"])
+        .reset_index(drop=True)
+    )
+    ref = (
+        near_dup_vs_snapshot(odd, ev, threshold=0.5)
+        .to_pandas()
+        .rename(columns={"snapshot_doc_id": "indexed_doc_id",
+                         "current_doc_id": "query_doc_id"})
+        .sort_values(["indexed_doc_id", "query_doc_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    assert got.equals(ref[["indexed_doc_id", "query_doc_id", "est_jaccard"]])
+    # every planted (2i, 2i+1) near-dup with i % 4 == 0 is found
+    planted = {(2 * i, 2 * i + 1) for i in range(60) if i % 4 == 0}
+    found = set(zip(got["indexed_doc_id"], got["query_doc_id"]))
+    assert planted <= found
+
+
+def test_minhash_index_probe_is_partition_pruned(mh_corpus, tmp_path):
+    """A single-doc probe touches only the band partitions its own band
+    hashes land in — never the whole layout."""
+    from search_engine_skillbox_ray.pipelines.dedup_index import (
+        _band_rows_from_sigs,
+        _partition_files,
+        _SignStage,
+        build_minhash_index,
+    )
+
+    d = tmp_path / "mhidx_prune"
+    m = build_minhash_index(mh_corpus, d, input_token="all")
+    one = mh_corpus.limit(1).to_arrow_refs()
+    import ray
+
+    batch = ray.get(one[0])
+    stage = _SignStage(int(m["num_perm"]), int(m["shingle_k"]), int(m["seed"]))
+    bands = _band_rows_from_sigs(stage(batch), int(m["bands"]), int(m["n_band_parts"]))
+    probe_parts = sorted(set(bands.column("part").to_pylist()))
+    probed = _partition_files(d, "part", probe_parts)
+    all_parts = list(d.glob("part=*.parquet"))
+    assert len(probe_parts) <= int(m["bands"])
+    assert 0 < len(probed) < len(all_parts)

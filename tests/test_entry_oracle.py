@@ -214,6 +214,8 @@ def test_oracle_keys_subset(entry_mod):
     "embedding_covariance",
     # round 3: champion-list serving (|q|·k posting touches)
     "search_champion",
+    # round 3: persisted MinHash index ingest probe
+    "dedup_index_query",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
