@@ -1565,6 +1565,42 @@ def q_dedup_index_query(sf_dir: str):
     return query_minhash_index(d, odd(), threshold=MINHASH_THRESHOLD)
 
 
+def q_dedup_index_delete(sf_dir: str):
+    """Tombstone deletes on the persisted MinHash index: evens indexed,
+    doc_id % 8 == 0 tombstoned (NO compaction), odds probed — pairs
+    whose indexed doc died must vanish, everything else unchanged."""
+    import shutil
+
+    import pyarrow.compute as pc
+
+    from search_engine_skillbox_ray.pipelines.dedup_index import (
+        build_minhash_index,
+        delete_from_minhash_index,
+        query_minhash_index,
+    )
+
+    docs = _documents(sf_dir)
+
+    def par(v):
+        return docs.map_batches(
+            lambda t, v=v: t.filter(pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), v)),
+            batch_format="pyarrow",
+        )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/ses_mhidx_del_{tag}"
+    shutil.rmtree(d, ignore_errors=True)  # delete mutates: fresh per run
+    build_minhash_index(
+        par(0), d, num_perm=MINHASH_PERM, bands=MINHASH_BANDS,
+        seed=MINHASH_SEED, input_token=f"{sf_dir}-ev",
+    )
+    ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"]).column(
+        "doc_id"
+    ).to_numpy()
+    delete_from_minhash_index(d, ids[ids % 8 == 0], input_token=f"{sf_dir}-del8")
+    return query_minhash_index(d, par(1), threshold=MINHASH_THRESHOLD)
+
+
 def q_cross_source_pairs(sf_dir: str):
     """Contamination-leakage report: MinHash near-dup pairs aggregated
     by unordered source pair — the eval-split-leak check."""
@@ -1760,6 +1796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_source_pairs": q_cross_source_pairs,
         "near_dup_vs_snapshot": q_near_dup_vs_snapshot,
         "dedup_index_query": q_dedup_index_query,
+        "dedup_index_delete": q_dedup_index_delete,
         "ann_ivf_topk": q_ann_ivf_topk,
         "streaming_ingest": q_streaming_ingest,
     }
@@ -3533,6 +3570,16 @@ SELECT CASE WHEN doc_a % 2 = 0 THEN doc_a ELSE doc_b END AS indexed_doc_id,
        CASE WHEN doc_a % 2 = 0 THEN doc_b ELSE doc_a END AS query_doc_id,
        est_jaccard
 FROM p WHERE doc_a % 2 <> doc_b % 2
+""",
+        # delete variant: tombstoned indexed docs (%8==0) vanish; minhash
+        # signatures carry no corpus statistics, so nothing else moves
+        "dedup_index_delete": f"""
+WITH p AS ({_minhash_pairs_sql()}),
+x AS (SELECT CASE WHEN doc_a % 2 = 0 THEN doc_a ELSE doc_b END AS indexed_doc_id,
+             CASE WHEN doc_a % 2 = 0 THEN doc_b ELSE doc_a END AS query_doc_id,
+             est_jaccard
+      FROM p WHERE doc_a % 2 <> doc_b % 2)
+SELECT * FROM x WHERE indexed_doc_id % 8 <> 0
 """,
         "cross_source_pairs": f"""
 WITH p AS ({_minhash_pairs_sql()}),

@@ -242,6 +242,7 @@ def bench_sf_queries() -> dict:
         "ngram_jaccard_pairs",
         "containment_pairs",
         "dedup_index_query",
+        "dedup_index_delete",
         "embedding_near_pairs",
         "ann_cosine_topk",
         "ann_lsh_topk",

@@ -68,8 +68,60 @@ def _mh_delta_seq(f: Path) -> int:
 
 
 def _mh_next_seq(out: Path) -> int:
-    seqs = [_mh_delta_seq(f) for f in out.glob("*=*.delta-*.parquet")]
+    """Shared seq counter for deltas AND tombstones — a tombstone's
+    position in the append/delete order is total (delete→re-append
+    keeps the re-added doc, same rule as every other index family)."""
+    seqs = [_mh_delta_seq(f) for f in out.glob("*=*.delta-*.parquet")] + [
+        s for s, _ in _mh_tombstones(out)
+    ]
     return (max(seqs) + 1) if seqs else 1
+
+
+def _mh_tombstones(out: Path) -> list[tuple[int, np.ndarray]]:
+    tombs = []
+    for f in sorted(out.glob("mh_tombstone-*.parquet")):
+        seq = int(f.name.split("-", 1)[1].split(".")[0])
+        ids = pq.read_table(f, columns=["doc_id"]).column("doc_id").to_numpy()
+        tombs.append((seq, np.unique(ids.astype(np.int64))))
+    return tombs
+
+
+def _mh_dead_union(tombs, src_seq: int):
+    rel = [a for s, a in (tombs or []) if s > src_seq]
+    if not rel:
+        return None
+    return rel[0] if len(rel) == 1 else np.unique(np.concatenate(rel))
+
+
+def _mh_file_seq(f: str | Path) -> int:
+    name = Path(f).name
+    return _mh_delta_seq(Path(f)) if "delta-" in name else -1
+
+
+def delete_from_minhash_index(
+    index_dir: str | Path, doc_ids, input_token: str | None = None
+) -> dict:
+    """LSM delete: one tombstone segment (atomic tmp+rename) that kills
+    the given indexed doc ids at probe time — per segment seq, so docs
+    re-appended AFTER the delete stay live. Idempotent per token."""
+    out = Path(index_dir)
+    if not read_json(out / "mh_manifest.json"):
+        raise ValueError("no minhash index at " + str(out))
+    if input_token is not None:
+        marker = out / f"mh_delete.{fingerprint_inputs([], {'t': input_token})}.json"
+        if marker.exists():
+            return json.loads(marker.read_text())
+    ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+    seq = _mh_next_seq(out)
+    tmp = out / f"mh_tombstone-{seq:04d}.parquet.tmp"
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64())}), tmp)
+    tmp.rename(out / f"mh_tombstone-{seq:04d}.parquet")
+    res = {"seq": seq, "n_tombstoned": int(ids.size)}
+    if input_token is not None:
+        mt = out / (marker.name + ".tmp")
+        mt.write_text(json.dumps(res))
+        mt.rename(marker)
+    return res
 
 
 class _SignStage:
@@ -310,7 +362,33 @@ def query_minhash_index(
     files = _partition_files(out, "part", sorted(parts))
     if not files:
         return rd.from_arrow(_EMPTY_QUERY_PAIRS)
-    idx_bands = rd.read_parquet(files)
+    tombs = _mh_tombstones(out)
+    tomb_ref = [ray.put(tombs)] if tombs else None
+
+    def drop_dead(batch: pa.Table) -> pa.Table:
+        """Filter tombstoned indexed rows per SOURCE-FILE seq: a
+        tombstone kills only rows written before it, so a doc deleted
+        then re-appended stays live via its delta row."""
+        if not len(batch):
+            return batch.drop_columns(["path"])
+        paths = batch.column("path").to_pylist()
+        seqs = np.fromiter((_mh_file_seq(p) for p in paths), np.int64, len(paths))
+        docs = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.ones(len(batch), bool)
+        tl = ray.get(tomb_ref[0])
+        for s in np.unique(seqs):
+            dead = _mh_dead_union(tl, int(s))
+            if dead is not None:
+                msk = seqs == s
+                keep[msk] &= ~np.isin(docs[msk], dead)
+        return batch.drop_columns(["path"]).filter(pa.array(keep))
+
+    if tombs:
+        idx_bands = rd.read_parquet(files, include_paths=True).map_batches(
+            drop_dead, batch_format="pyarrow"
+        )
+    else:
+        idx_bands = rd.read_parquet(files)
 
     def tag_side(side: int):
         def f(batch: pa.Table) -> pa.Table:
@@ -372,7 +450,14 @@ def query_minhash_index(
     idx_ids = np.unique(np.concatenate(ref_i))
     sig_keys = sorted({int(x % int(m["n_sig_parts"])) for x in idx_ids})
     sig_files = _partition_files(out, "sigpart", sig_keys)
-    idx_sigs = rd.read_parquet(sig_files, columns=["doc_id", "sig"])
+    if tombs:
+        # a re-appended doc's STALE base signature must not verify —
+        # the same per-seq tombstone filter as the band read
+        idx_sigs = rd.read_parquet(sig_files, include_paths=True).map_batches(
+            drop_dead, batch_format="pyarrow"
+        )
+    else:
+        idx_sigs = rd.read_parquet(sig_files, columns=["doc_id", "sig"])
     ref_ref = [ray.put(pa.array(idx_ids, pa.int64()))]
 
     def only_ref(batch: pa.Table) -> pa.Table:
@@ -429,3 +514,67 @@ def query_minhash_index(
         )
 
     return joined.map_batches(verify, batch_format="pyarrow")
+
+
+def compact_minhash_index(index_dir: str | Path) -> dict:
+    """Fold every delta segment and tombstone into the base partition
+    files (one Ray task per touched partition — partitions are
+    independent hash shards), then unlink the LSM state. Query results
+    are identical before and after (tested); crash-safe via tmp+rename
+    — a re-run after interruption redoes only surviving deltas."""
+    out = Path(index_dir)
+    tombs = _mh_tombstones(out)
+    touched = {f.name.split(".")[0] for f in out.glob("*=*.delta-*.parquet")}
+    if tombs:
+        touched |= {
+            f.name.split(".")[0]
+            for f in out.glob("part=*.parquet")
+            if "delta-" not in f.name
+        }
+        touched |= {
+            f.name.split(".")[0]
+            for f in out.glob("sigpart=*.parquet")
+            if "delta-" not in f.name
+        }
+    touched = sorted(touched)
+    if not touched:
+        return {"n_partitions_compacted": 0}
+
+    @ray.remote
+    def fold(prefix: str) -> int:
+        base = out / f"{prefix}.parquet"
+        deltas = sorted(out.glob(f"{prefix}.delta-*.parquet"))
+        tables = []
+        if base.exists():
+            tables.append((pq.read_table(base), -1))
+        tables += [(pq.read_table(f), _mh_delta_seq(f)) for f in deltas]
+        kept = []
+        for t, seq in tables:
+            dead = _mh_dead_union(tombs, seq)
+            if dead is not None and len(t):
+                docs = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+                t = t.filter(pa.array(~np.isin(docs, dead)))
+            if len(t):
+                kept.append(t)
+        if not kept and not base.exists():
+            for f in deltas:
+                f.unlink()
+            return 0
+        merged = pa.concat_tables(kept) if kept else tables[0][0].slice(0, 0)
+        sort_cols = (
+            ["band_hash", "doc_id"] if prefix.startswith("part=") else ["doc_id"]
+        )
+        merged = merged.sort_by([(c, "ascending") for c in sort_cols])
+        tmp = out / f"{prefix}.parquet.tmp"
+        pq.write_table(merged, tmp, compression="zstd")
+        os.replace(tmp, base)
+        for f in deltas:
+            f.unlink()
+        return len(merged)
+
+    ray.get([fold.remote(p) for p in touched])
+    # every base is now current through the max folded seq → tombstones
+    # are spent (they apply only to rows written before them)
+    for f in out.glob("mh_tombstone-*.parquet"):
+        f.unlink()
+    return {"n_partitions_compacted": len(touched)}

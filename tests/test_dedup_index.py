@@ -104,3 +104,51 @@ def test_minhash_index_probe_is_partition_pruned(mh_corpus, tmp_path):
     all_parts = list(d.glob("part=*.parquet"))
     assert len(probe_parts) <= int(m["bands"])
     assert 0 < len(probed) < len(all_parts)
+
+
+def test_minhash_index_delete_and_compact(mh_corpus, tmp_path):
+    """Tombstones drop pairs of deleted indexed docs at probe time; a
+    delete→re-append keeps the re-added doc (seq ordering); compaction
+    folds the LSM away with identical results."""
+    from search_engine_skillbox_ray.pipelines.dedup_index import (
+        append_minhash_index,
+        build_minhash_index,
+        compact_minhash_index,
+        delete_from_minhash_index,
+        query_minhash_index,
+    )
+
+    odd = _split(mh_corpus, lambda pc, t: pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 1))
+    ev = _split(mh_corpus, lambda pc, t: pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 0))
+
+    d = tmp_path / "mhidx_del"
+    build_minhash_index(ev, d, input_token="ev")
+    before = query_minhash_index(d, odd, threshold=0.5).to_pandas()
+    assert len(before) > 0
+    victims = sorted(set(before["indexed_doc_id"]))[:2]
+    delete_from_minhash_index(d, victims, input_token="del2")
+    after = query_minhash_index(d, odd, threshold=0.5).to_pandas()
+    assert set(after["indexed_doc_id"]).isdisjoint(victims)
+    exp = before[~before["indexed_doc_id"].isin(victims)].reset_index(drop=True)
+    got = after.sort_values(["indexed_doc_id", "query_doc_id"]).reset_index(drop=True)
+    assert got.equals(exp.sort_values(["indexed_doc_id", "query_doc_id"]).reset_index(drop=True))
+
+    # delete → re-append: the re-added doc is live again
+    readd = _split(
+        mh_corpus,
+        lambda pc, t, v=victims[0]: pc.equal(t.column("doc_id"), v),
+    )
+    append_minhash_index(d, readd, input_token="readd")
+    re = query_minhash_index(d, odd, threshold=0.5).to_pandas()
+    assert victims[0] in set(re["indexed_doc_id"])
+    assert victims[1] not in set(re["indexed_doc_id"])
+
+    # compaction: identical answers, LSM state gone
+    compact_minhash_index(d)
+    assert not list(d.glob("*=*.delta-*.parquet"))
+    assert not list(d.glob("mh_tombstone-*.parquet"))
+    post = query_minhash_index(d, odd, threshold=0.5).to_pandas()
+    cols = ["indexed_doc_id", "query_doc_id"]
+    assert post.sort_values(cols).reset_index(drop=True).equals(
+        re.sort_values(cols).reset_index(drop=True)
+    )

@@ -216,6 +216,8 @@ def test_oracle_keys_subset(entry_mod):
     "search_champion",
     # round 3: persisted MinHash index ingest probe
     "dedup_index_query",
+    # round 3: MinHash index tombstone deletes
+    "dedup_index_delete",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
