@@ -649,6 +649,17 @@ def q_dup_spans(sf_dir: str):
     return dup_span_stats(_documents(sf_dir), k=DUP_SPAN_K)
 
 
+CURATION_W = (1.0, 1.0, 1.0)  # w_len, w_uniq, w_rep
+
+
+def q_curation_score(sf_dir: str):
+    """Composite curation score: z-normalized blend of length, lexical
+    diversity and repetition — the final sort key of a filter stack."""
+    from search_engine_skillbox_ray.pipelines.textstats import curation_score_ds
+
+    return curation_score_ds(_documents(sf_dir), *CURATION_W)
+
+
 def q_dup_span_runs(sf_dir: str):
     """Longest consecutive duplicated-window run per doc — the
     contiguity complement to dup_spans' coverage fraction."""
@@ -1739,6 +1750,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_bpe": q_token_count_bpe,
         "dup_spans": q_dup_spans,
         "dup_span_runs": q_dup_span_runs,
+        "curation_score": q_curation_score,
         "sample_hash": q_sample_hash,
         "repetition": q_repetition,
         "term_bigrams": q_term_bigrams,
@@ -2947,6 +2959,43 @@ GROUP BY a.doc_id
 """,
         "token_count_bpe": _bpe_count_sql(),
         "dup_spans": _dup_spans_oracle(),
+        # composite curation score: z-blend with the identical
+        # (x−a/n)/sqrt(greatest(b/n−(a/n)², 0)) arithmetic shape; a
+        # zero-σ signal contributes 0 on both sides; round 6 absorbs
+        # Σ-order drift in the moments
+        "curation_score": f"""
+WITH tok AS ({_TOK}),
+tc AS (SELECT doc_id, term, count(*)::BIGINT AS c FROM tok GROUP BY doc_id, term),
+sig AS (SELECT d.doc_id,
+        COALESCE(t.n, 0)::DOUBLE AS s1,
+        CASE WHEN COALESCE(t.n, 0) = 0 THEN 0.0
+             ELSE u.nu / CAST(greatest(t.n, 1) AS DOUBLE) END AS s2,
+        CASE WHEN COALESCE(t.n, 0) = 0 THEN 0.0
+             ELSE m.mx / CAST(greatest(t.n, 1) AS DOUBLE) END AS s3
+   FROM documents d
+   LEFT JOIN (SELECT doc_id, count(*)::BIGINT AS n FROM tok GROUP BY doc_id) t
+     ON t.doc_id = d.doc_id
+   LEFT JOIN (SELECT doc_id, count(*)::BIGINT AS nu FROM tc GROUP BY doc_id) u
+     ON u.doc_id = d.doc_id
+   LEFT JOIN (SELECT doc_id, max(c)::BIGINT AS mx FROM tc GROUP BY doc_id) m
+     ON m.doc_id = d.doc_id),
+mo AS (SELECT count(*)::DOUBLE AS n,
+       SUM(s1) AS a1, SUM(s1*s1) AS b1,
+       SUM(s2) AS a2, SUM(s2*s2) AS b2,
+       SUM(s3) AS a3, SUM(s3*s3) AS b3 FROM sig),
+st AS (SELECT a1/n AS m1, sqrt(greatest(b1/n - (a1/n)*(a1/n), 0)) AS d1,
+              a2/n AS m2, sqrt(greatest(b2/n - (a2/n)*(a2/n), 0)) AS d2,
+              a3/n AS m3, sqrt(greatest(b3/n - (a3/n)*(a3/n), 0)) AS d3
+       FROM mo)
+SELECT sig.doc_id,
+  ROUND({CURATION_W[0]} * (CASE WHEN st.d1 = 0 THEN 0.0
+                                ELSE (sig.s1 - st.m1) / st.d1 END)
+      + {CURATION_W[1]} * (CASE WHEN st.d2 = 0 THEN 0.0
+                                ELSE (sig.s2 - st.m2) / st.d2 END)
+      - {CURATION_W[2]} * (CASE WHEN st.d3 = 0 THEN 0.0
+                                ELSE (sig.s3 - st.m3) / st.d3 END), 6) AS score
+FROM sig CROSS JOIN st
+""",
         # longest consecutive duplicated-window run: islands-and-gaps
         # (wi − row_number) over the duplicated occurrences; 1-based SQL
         # positions vs 0-based Ray indices cancel in the differences

@@ -279,6 +279,7 @@ def bench_sf_queries() -> dict:
         "dedup_keep_best",
         "dup_span_runs",
         "dup_triangles",
+        "curation_score",
         "decontaminate",
         "winnow_fingerprints",
         "length_gate",

@@ -363,6 +363,20 @@ def query_minhash_index(
     if not files:
         return rd.from_arrow(_EMPTY_QUERY_PAIRS)
     tombs = _mh_tombstones(out)
+
+    from ..config import DRIVER_FASTPATH_ROWS
+
+    # slim-row gate (16-24 B/row): probe batches and their touched band
+    # partitions are usually tiny next to the corpus — below the gate
+    # the candidate join and est verify run locally, skipping two
+    # exchanges and two hash joins of fixed ~1-4 s each. Indexed row
+    # count comes from parquet METADATA (no data read).
+    n_q_bands = q_bands.count()
+    n_idx_bands = sum(pq.read_metadata(f).num_rows for f in files)
+    if n_q_bands + n_idx_bands <= DRIVER_FASTPATH_ROWS:
+        return _query_fastpath(
+            out, m, files, q_bands, qsigs, tombs, threshold
+        )
     tomb_ref = [ray.put(tombs)] if tombs else None
 
     def drop_dead(batch: pa.Table) -> pa.Table:
@@ -578,3 +592,112 @@ def compact_minhash_index(index_dir: str | Path) -> dict:
     for f in out.glob("mh_tombstone-*.parquet"):
         f.unlink()
     return {"n_partitions_compacted": len(touched)}
+
+
+def _query_fastpath(
+    out: Path,
+    m: dict,
+    band_files: list[str],
+    q_bands: rd.Dataset,
+    qsigs: rd.Dataset,
+    tombs,
+    threshold: float,
+) -> rd.Dataset:
+    """Driver-local candidate join + est verify for small probe/partition
+    row counts — identical pair set to the distributed path (tested)."""
+    qb = pa.concat_tables([t for t in ray.get(q_bands.to_arrow_refs()) if len(t)])
+    if not len(qb):
+        return rd.from_arrow(_EMPTY_QUERY_PAIRS)
+    # indexed band rows, tombstone-filtered per source-file seq
+    i_parts = []
+    for f in band_files:
+        t = pq.read_table(f, columns=["band_id", "band_hash", "doc_id"])
+        if not len(t):
+            continue
+        dead = _mh_dead_union(tombs, _mh_file_seq(f))
+        if dead is not None:
+            docs = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            t = t.filter(pa.array(~np.isin(docs, dead)))
+        if len(t):
+            i_parts.append(t)
+    if not i_parts:
+        return rd.from_arrow(_EMPTY_QUERY_PAIRS)
+    it = pa.concat_tables(i_parts)
+
+    def cols(t: pa.Table):
+        return (
+            t.column("band_id").to_numpy(zero_copy_only=False).astype(np.int64),
+            t.column("band_hash").to_numpy(zero_copy_only=False).astype(np.int64),
+            t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+
+    qi, qh, qd = cols(qb)
+    ii, ih, idd = cols(it)
+    # match on (band_id, band_hash): sort the indexed side, then for
+    # each query band row gather its indexed segment (two searchsorted)
+    order = np.lexsort((idd, ii, ih))
+    ih, ii, idd = ih[order], ii[order], idd[order]
+    lo = np.searchsorted(ih, qh, side="left")
+    hi = np.searchsorted(ih, qh, side="right")
+    pairs_i, pairs_q = [], []
+    for k in range(len(qh)):
+        s, e = lo[k], hi[k]
+        if s == e:
+            continue
+        seg = slice(s, e)
+        mask = ii[seg] == qi[k]
+        if mask.any():
+            cand = idd[seg][mask]
+            pairs_i.append(cand)
+            pairs_q.append(np.full(cand.size, qd[k], np.int64))
+    if not pairs_i:
+        return rd.from_arrow(_EMPTY_QUERY_PAIRS)
+    pi = np.concatenate(pairs_i)
+    pq_ = np.concatenate(pairs_q)
+    # dedup (indexed, query) pairs
+    upk = np.unique(np.stack([pi, pq_], axis=1), axis=0)
+    pi, pq_ = upk[:, 0], upk[:, 1]
+
+    # signatures: query side from the materialized qsigs blocks, indexed
+    # side from candidate-id-filtered, tombstone-filtered sig partitions
+    q_sig: dict[int, bytes] = {}
+    for t in ray.get(qsigs.to_arrow_refs()):
+        for d, s in zip(t.column("doc_id").to_pylist(), t.column("sig").to_pylist()):
+            q_sig[int(d)] = s
+    need = np.unique(pi)
+    sig_keys = sorted({int(x % int(m["n_sig_parts"])) for x in need})
+    i_sig: dict[int, bytes] = {}
+    for f in _partition_files(out, "sigpart", sig_keys):
+        t = pq.read_table(f, columns=["doc_id", "sig"])
+        if not len(t):
+            continue
+        docs = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.isin(docs, need)
+        dead = _mh_dead_union(tombs, _mh_file_seq(f))
+        if dead is not None:
+            keep &= ~np.isin(docs, dead)
+        t = t.filter(pa.array(keep))
+        for d, s in zip(t.column("doc_id").to_pylist(), t.column("sig").to_pylist()):
+            i_sig[int(d)] = s
+    i_out, q_out, e_out = [], [], []
+    for di, dq in zip(pi.tolist(), pq_.tolist()):
+        b1 = i_sig.get(di)
+        b2 = q_sig.get(dq)
+        if b1 is None or b2 is None:
+            continue
+        x = np.frombuffer(b1, "<i8")
+        y = np.frombuffer(b2, "<i8")
+        est = float((x == y).mean()) if x.size else 0.0
+        if est >= threshold:
+            i_out.append(di)
+            q_out.append(dq)
+            e_out.append(round(est, 6))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "indexed_doc_id": pa.array(i_out, pa.int64()),
+                "query_doc_id": pa.array(q_out, pa.int64()),
+                "est_jaccard": pa.array(e_out, pa.float64()),
+            }
+        )
+    )

@@ -874,6 +874,8 @@ def triangle_counts(
     semantics (the triple join), not the algorithm."""
     import pandas as pd
 
+    import ray
+
     from ..stages.grouping import bucketed_group_apply, drop_empty_blocks, sized_join
 
     def canon(batch: pa.Table) -> pa.Table:
@@ -886,19 +888,76 @@ def triangle_counts(
         g = pa.table({"a": lo, "b": hi}).group_by(["a", "b"]).aggregate([])
         return pa.table({"a": g.column("a"), "b": g.column("b")})
 
-    und = bucketed_group_apply(
-        edges.map_batches(canon, batch_format="pyarrow"),
-        ["a", "b"],
-        lambda df: df.drop_duplicates(["a", "b"]),
-        n_buckets=32,
+    canoned = drop_empty_blocks(
+        edges.map_batches(canon, batch_format="pyarrow").materialize()
     )
-    und = drop_empty_blocks(und.materialize())
-    if und.count() == 0:
+    n_edge_rows = canoned.count()  # per-batch-deduped, may hold cross-batch dups
+    if n_edge_rows == 0:
         return rd.from_arrow(
             pa.table({out_col: pa.array([], pa.string()),
                       "n_triangles": pa.array([], pa.int64())})
         )
-    node_type = und.schema().base_schema.field("a").type
+    node_type = canoned.schema().base_schema.field("a").type
+
+    from ..config import DRIVER_FASTPATH_ROWS
+
+    if n_edge_rows <= DRIVER_FASTPATH_ROWS:
+        # edge-count-gated local path (same doctrine as pagerank /
+        # connected_components): near-dup pair graphs and per-site link
+        # graphs are edge-tiny next to the corpus — seven exchanges plus
+        # three joins of fixed ~1-4 s each dwarf the actual compute
+        et = pa.concat_tables([t for t in ray.get(canoned.to_arrow_refs()) if len(t)])
+        a = np.asarray(et.column("a").to_pylist(), dtype=object)
+        b = np.asarray(et.column("b").to_pylist(), dtype=object)
+        nodes, codes = np.unique(np.concatenate([a, b]), return_inverse=True)
+        ca, cb = codes[: len(a)], codes[len(a):]
+        nn = len(nodes)
+        # cross-batch duplicate edges survive the per-batch dedup
+        upk = np.unique(np.minimum(ca, cb).astype(np.int64) * nn
+                        + np.maximum(ca, cb).astype(np.int64))
+        ca, cb = (upk // nn).astype(np.int64), (upk % nn).astype(np.int64)
+        deg = np.bincount(ca, minlength=nn) + np.bincount(cb, minlength=nn)
+        # orient low (deg, code) → high; code order stands in for node
+        # order (np.unique sorts), matching the distributed tiebreak
+        a_first = (deg[ca] < deg[cb]) | ((deg[ca] == deg[cb]) & (ca < cb))
+        src = np.where(a_first, ca, cb)
+        dst = np.where(a_first, cb, ca)
+        packed = upk  # already sorted unique (a < b by construction)
+        order = np.argsort(src, kind="stable")
+        ssrc, sdst = src[order], dst[order]
+        starts = np.flatnonzero(np.diff(ssrc, prepend=ssrc[0] - 1) != 0)
+        lens = np.diff(np.append(starts, ssrc.size))
+        tri = np.zeros(nn, np.int64)
+        for s, ln in zip(starts, lens):
+            if ln < 2:
+                continue
+            outs = np.sort(sdst[s:s + ln].astype(np.int64))
+            ii, jj = np.triu_indices(outs.size, k=1)
+            x, y = outs[ii], outs[jj]
+            key = np.minimum(x, y) * nn + np.maximum(x, y)
+            pos = np.searchsorted(packed, key)
+            pos = np.minimum(pos, packed.size - 1)
+            closed = packed[pos] == key
+            if closed.any():
+                w = int(ssrc[s])
+                tri[w] += int(closed.sum())
+                np.add.at(tri, x[closed], 1)
+                np.add.at(tri, y[closed], 1)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    out_col: pa.array(nodes.tolist(), node_type),
+                    "n_triangles": pa.array(tri, pa.int64()),
+                }
+            )
+        )
+
+    und = drop_empty_blocks(
+        bucketed_group_apply(
+            canoned, ["a", "b"], lambda df: df.drop_duplicates(["a", "b"]),
+            n_buckets=32,
+        ).materialize()
+    )
 
     def explode(batch: pa.Table) -> pa.Table:
         return pa.table(

@@ -2266,3 +2266,116 @@ def term_cooc_window_ds(documents: rd.Dataset, window: int = 3) -> rd.Dataset:
             batch_format="pyarrow",
         )
     )
+
+
+def curation_score_ds(
+    documents: rd.Dataset,
+    w_len: float = 1.0,
+    w_uniq: float = 1.0,
+    w_rep: float = 1.0,
+) -> rd.Dataset:
+    """→ (doc_id, score): a COMPOSITE curation score — corpus-normalized
+    z-scores of three quality signals, blended as
+    ``w_len·z(n_tokens) + w_uniq·z(unique_ratio) − w_rep·z(top_token_frac)``
+    (long, lexically diverse, non-repetitive docs score high). This is
+    the "combine the signals into one sort key" step every filtering
+    pipeline ends with; z-normalization makes the weights comparable
+    across signals with wildly different ranges.
+
+    Scale shape: ONE tokenize pass computes the per-doc signals
+    (materialized doc-sized table, reused); moments are per-batch
+    (n, Σx, Σx²) partials — one tiny row per batch — folded on the
+    driver (batch-count-bounded, never doc-bounded); the final map
+    broadcasts six scalars. Population σ via Σx²/n − μ², identical
+    arithmetic shape in the SQL mirror; a zero-σ signal contributes 0
+    on both sides. Scores round to 6 (Σ-order drift absorbed)."""
+    import ray
+
+    from ..functions.hashing import flat_nonempty_tokens
+
+    def signal_stage(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        toks, parents, counts = flat_nonempty_tokens(batch.column("text"))
+        top_c = np.zeros(n, dtype=np.int64)
+        n_unique = np.zeros(n, dtype=np.int64)
+        if len(toks):
+            denc = toks.dictionary_encode()
+            codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.lexsort((codes, parents))
+            sp, sc = parents[order], codes[order]
+            new_run = np.empty(len(sp), dtype=bool)
+            new_run[0] = True
+            np.not_equal(sp[1:], sp[:-1], out=new_run[1:])
+            new_run[1:] |= sc[1:] != sc[:-1]
+            starts = np.flatnonzero(new_run)
+            run_len = np.diff(np.append(starts, len(sp)))
+            np.maximum.at(top_c, sp[starts], run_len)
+            np.add.at(n_unique, sp[starts], 1)
+        s1 = counts.astype(np.float64)
+        s2 = np.where(counts > 0, n_unique / np.maximum(counts, 1), 0.0)
+        s3 = np.where(counts > 0, top_c / np.maximum(counts, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "s1": pa.array(s1, pa.float64()),
+                "s2": pa.array(s2, pa.float64()),
+                "s3": pa.array(s3, pa.float64()),
+            }
+        )
+
+    signals = documents.select_columns(["doc_id", "text"]).map_batches(
+        signal_stage, batch_format="pyarrow"
+    ).materialize()
+
+    def moment_partials(batch: pa.Table) -> pa.Table:
+        cols = {}
+        cols["n"] = pa.array([float(len(batch))], pa.float64())
+        for s in ("s1", "s2", "s3"):
+            x = batch.column(s).to_numpy(zero_copy_only=False)
+            cols[f"a_{s}"] = pa.array([float(x.sum())], pa.float64())
+            cols[f"b_{s}"] = pa.array([float((x * x).sum())], pa.float64())
+        return pa.table(cols)
+
+    # one row per block — batch-count-bounded driver fold
+    parts = [
+        t
+        for t in ray.get(
+            signals.map_batches(moment_partials, batch_format="pyarrow").to_arrow_refs()
+        )
+        if len(t)
+    ]
+    tot = pa.concat_tables(parts)
+    n = float(np.sum(tot.column("n").to_numpy(zero_copy_only=False)))
+    if n == 0:
+        return rd.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64())})
+        )
+    stats = {}
+    for s in ("s1", "s2", "s3"):
+        a = float(np.sum(tot.column(f"a_{s}").to_numpy(zero_copy_only=False)))
+        b = float(np.sum(tot.column(f"b_{s}").to_numpy(zero_copy_only=False)))
+        mu = a / n
+        sd = float(np.sqrt(max(b / n - mu * mu, 0.0)))
+        stats[s] = (mu, sd)
+    stats_ref = [ray.put((stats, (w_len, w_uniq, w_rep)))]
+
+    def score(batch: pa.Table) -> pa.Table:
+        st, (w1, w2, w3) = ray.get(stats_ref[0])
+
+        def z(name: str) -> np.ndarray:
+            x = batch.column(name).to_numpy(zero_copy_only=False)
+            mu, sd = st[name]
+            if sd == 0:
+                return np.zeros(len(batch), np.float64)
+            return (x - mu) / sd
+
+        sc = w1 * z("s1") + w2 * z("s2") - w3 * z("s3")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "score": pa.array(np.round(sc, 6), pa.float64()),
+            }
+        )
+
+    return signals.map_batches(score, batch_format="pyarrow")

@@ -75,6 +75,22 @@ def test_minhash_index_lifecycle(mh_corpus, tmp_path):
     )
     assert len(got) > 0
     assert got.equals(ref[["indexed_doc_id", "query_doc_id", "est_jaccard"]])
+
+    # the forced-distributed probe path yields the identical pair set
+    from search_engine_skillbox_ray import config as _config
+
+    orig_gate = _config.DRIVER_FASTPATH_ROWS
+    try:
+        _config.DRIVER_FASTPATH_ROWS = 0
+        dist = (
+            query_minhash_index(d, odd, threshold=0.5)
+            .to_pandas()
+            .sort_values(["indexed_doc_id", "query_doc_id"])
+            .reset_index(drop=True)
+        )
+    finally:
+        _config.DRIVER_FASTPATH_ROWS = orig_gate
+    assert dist.equals(got)
     # every planted (2i, 2i+1) near-dup with i % 4 == 0 is found
     planted = {(2 * i, 2 * i + 1) for i in range(60) if i % 4 == 0}
     found = set(zip(got["indexed_doc_id"], got["query_doc_id"]))

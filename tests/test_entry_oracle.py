@@ -218,6 +218,8 @@ def test_oracle_keys_subset(entry_mod):
     "dedup_index_query",
     # round 3: MinHash index tombstone deletes
     "dedup_index_delete",
+    # round 3: z-normalized composite curation score
+    "curation_score",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))

@@ -200,9 +200,10 @@ def test_hits_distributed_matches_fastpath(edges, monkeypatch):
     pd.testing.assert_frame_equal(fast, dist)
 
 
-def test_triangle_counts_vs_bruteforce(ray_session):
+def test_triangle_counts_vs_bruteforce(ray_session, monkeypatch):
     """Per-node triangle counts equal the brute-force triple scan on a
-    random graph with duplicated/reversed input edges; int-node graphs
+    random graph with duplicated/reversed input edges (BOTH the driver
+    fastpath and the forced-distributed wedge path); int-node graphs
     keep their type and the out_col rename."""
     import itertools
 
@@ -232,6 +233,11 @@ def test_triangle_counts_vs_bruteforce(ray_session):
     rows += [{"src_url": b, "dst_url": a} for a, b in list(edges)[:15]]  # dups/reverses
     got = triangle_counts(rd.from_items(rows)).to_pandas()
     assert dict(zip(got["url"], got["n_triangles"])) == exp
+
+    monkeypatch.setattr(config, "DRIVER_FASTPATH_ROWS", 0)
+    dist = triangle_counts(rd.from_items(rows)).to_pandas()
+    assert dict(zip(dist["url"], dist["n_triangles"])) == exp
+    monkeypatch.setattr(config, "DRIVER_FASTPATH_ROWS", 10**9)
 
     irows = [{"doc_a": a, "doc_b": b}
              for a, b in [(1, 2), (2, 3), (1, 3), (1, 4), (2, 4), (3, 4), (5, 6)]]
