@@ -262,6 +262,40 @@ def q_search_conjunctive(sf_dir: str):
     return pd.DataFrame({"doc_id": doc_ids.astype(np.int64), "score": np.round(scores, 6)})
 
 
+def q_search_facets(sf_dir: str):
+    """Faceted search: per-source hit count + score mass of the
+    disjunctive result set — result set broadcast once, corpus streams
+    through one combiner pass."""
+    from search_engine_skillbox_ray.pipelines.textstats import facet_counts_ds
+
+    eng = _engine(sf_dir, float32_scores=False)
+    doc_ids, scores, _ = eng.search_scores(SEARCH_QUERY)
+    return facet_counts_ds(_documents(sf_dir), doc_ids, scores)
+
+
+CORR_QUERY_TERMS = ("tabel", "scan", "mrge")  # misspelled + correct mix
+
+
+def q_search_corrected(sf_dir: str):
+    """Spell-corrected search end to end: every query token maps to its
+    top-(lev, cf desc, term) vocabulary term (an in-vocab token maps to
+    itself — distance 0 is uniquely minimal), then the corrected terms
+    run the standard disjunctive tf·idf ranking."""
+    from search_engine_skillbox_ray.pipelines.textstats import spell_suggest_ds
+
+    sugg = spell_suggest_ds(
+        _documents(sf_dir), CORR_QUERY_TERMS, k=1
+    ).to_pandas().set_index("query_term")
+    corrected = list(dict.fromkeys(
+        str(sugg.loc[t, "suggestion"]) for t in CORR_QUERY_TERMS
+    ))
+    eng = _engine(sf_dir, float32_scores=False)
+    doc_ids, scores, _ = eng.search_scores(" ".join(corrected))
+    return pd.DataFrame(
+        {"doc_id": doc_ids.astype(np.int64), "score": np.round(scores, 6)}
+    )
+
+
 def q_search_not(sf_dir: str):
     """Boolean AND-NOT: the disjunctive match set minus docs containing
     the exclude lemma — one posting read per exclude term."""
@@ -1729,6 +1763,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "champion_lists_lsm": q_champion_lists_lsm,
         "search_champion": q_search_champion,
         "search_not": q_search_not,
+        "search_facets": q_search_facets,
+        "search_corrected": q_search_corrected,
         "decontaminate": q_decontaminate,
         "winnow_fingerprints": q_winnow,
         "length_gate": q_length_gate,
@@ -2401,6 +2437,40 @@ FROM tok CROSS JOIN n GROUP BY term, n.n
 """,
         "search_disjunctive": tfidf_scores
         + "SELECT doc_id, ROUND(score, 6) AS score FROM scores",
+        # faceted search: per-source hit count + rounded-score mass of
+        # the disjunctive result set (identical per-doc addends; the
+        # outer ROUND absorbs facet-sum order)
+        "search_facets": tfidf_scores
+        + """, m AS (SELECT doc_id, ROUND(score, 6) AS rs FROM scores)
+SELECT d.source, count(*)::BIGINT AS n_docs, ROUND(SUM(m.rs), 6) AS sum_score
+FROM m JOIN documents d ON d.doc_id = m.doc_id GROUP BY d.source
+""",
+        # spell-corrected search: each query token maps to its
+        # (levenshtein asc, cf desc, term asc) top-1 vocabulary term —
+        # an in-vocab token maps to itself (distance 0 uniquely minimal)
+        # — then the standard disjunctive tf·idf over the DISTINCT
+        # corrected terms
+        "search_corrected": f"""
+WITH tok AS ({_TOK}),
+cfv AS (SELECT term, count(*)::BIGINT AS cf FROM tok GROUP BY term),
+qt(qterm) AS (VALUES {", ".join(f"('{t}')" for t in CORR_QUERY_TERMS)}),
+cand AS (SELECT qt.qterm, cfv.term, levenshtein(qt.qterm, cfv.term) AS d, cfv.cf
+         FROM qt CROSS JOIN cfv),
+best AS (SELECT qterm, term AS corrected FROM (
+   SELECT qterm, term,
+          row_number() OVER (PARTITION BY qterm ORDER BY d, cf DESC, term) AS rn
+   FROM cand) WHERE rn = 1),
+q2 AS (SELECT DISTINCT corrected AS term FROM best),
+tf AS ({_TF}),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+df AS (SELECT q2.term, count(DISTINCT tf.doc_id)::BIGINT AS df
+       FROM q2 LEFT JOIN tf ON tf.term = q2.term GROUP BY q2.term),
+scores AS (
+  SELECT tf.doc_id, SUM(tf.tf * ln((n.n + 1.0) / (df.df + 1.0))) AS score
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+  GROUP BY tf.doc_id)
+SELECT doc_id, ROUND(score, 6) AS score FROM scores
+""",
         "search_not": tfidf_scores
         + f"""
 SELECT s.doc_id, ROUND(s.score, 6) AS score FROM scores s

@@ -275,6 +275,8 @@ def bench_sf_queries() -> dict:
         "ann_lsh_ingest",
         "funnel_counts",
         "search_rrf",
+        "search_facets",
+        "search_corrected",
         "mmr_diversify",
         "dedup_keep_best",
         "dup_span_runs",

@@ -2379,3 +2379,73 @@ def curation_score_ds(
         )
 
     return signals.map_batches(score, batch_format="pyarrow")
+
+
+def facet_counts_ds(
+    documents: rd.Dataset,
+    doc_ids: np.ndarray,
+    scores: np.ndarray,
+    group_col: str = "source",
+) -> rd.Dataset:
+    """→ (source, n_docs, sum_score): FACETED search — the per-facet
+    hit count + score mass of a result set (the sidebar counts of every
+    search UI). The result set (doc_ids, scores) is broadcast once
+    (result-sized, bounded by the match count, never the corpus); the
+    corpus streams through one combiner ``map_batches`` emitting
+    per-batch facet partials, and a facet-sized groupby finishes."""
+    import ray
+
+    rs = np.round(np.asarray(scores, np.float64), 6)
+    ids = np.asarray(doc_ids, np.int64)
+    order = np.argsort(ids)
+    ref = ray.put((ids[order], rs[order]))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        sids, srs = ray.get(ref)
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(sids, d)
+        pos_c = np.minimum(pos, max(sids.size - 1, 0))
+        hit = (sids.size > 0) & (sids[pos_c] == d)
+        if not hit.any():
+            return pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.float64()),
+                }
+            )
+        sub = batch.filter(pa.array(hit))
+        vals = srs[pos_c[hit]]
+        src = sub.column(group_col)
+        t = pa.table({group_col: src, "s": pa.array(vals, pa.float64())})
+        g = t.group_by([group_col]).aggregate([("s", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                group_col: g.column(group_col),
+                "n": pc.cast(g.column("count_all"), pa.int64()),
+                "s": g.column("s_sum"),
+            }
+        )
+
+    agg = (
+        documents.select_columns(["doc_id", group_col])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(group_col)
+        .sum(["n", "s"])
+    )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                group_col: batch.column(group_col),
+                "n_docs": pc.cast(batch.column("sum(n)"), pa.int64()),
+                "sum_score": pa.array(
+                    np.round(
+                        batch.column("sum(s)").to_numpy(zero_copy_only=False), 6
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")

@@ -220,6 +220,8 @@ def test_oracle_keys_subset(entry_mod):
     "dedup_index_delete",
     # round 3: z-normalized composite curation score
     "curation_score",
+    # round 3: faceted search + spell-corrected search
+    "search_facets", "search_corrected",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
