@@ -331,6 +331,28 @@ def q_search_rrf(sf_dir: str):
     return pd.DataFrame({"doc_id": docs.astype(np.int64), "rrf": fused})
 
 
+HYBRID_QVEC, HYBRID_DENSE_N = 0, 50  # hybrid search: query vector + dense depth
+
+
+def q_search_hybrid(sf_dir: str):
+    """Modern HYBRID retrieval: BM25 lexical ranking ⊕ dense cosine
+    ranking (query = the embedding of vec_id HYBRID_QVEC, top
+    HYBRID_DENSE_N), fused with reciprocal-rank fusion over the UNION
+    of the two doc sets — no score calibration needed."""
+    from search_engine_skillbox_ray.pipelines.ann import brute_force_topk
+    from search_engine_skillbox_ray.state.engine import rrf_fuse
+
+    eng = _engine(sf_dir, scorer="bm25", k1=BM25_K1, b=BM25_B, float32_scores=False)
+    d1, s1, _ = eng.search_scores(SEARCH_QUERY)
+    qrows = _embeddings(sf_dir).filter(expr=f"vec_id == {HYBRID_QVEC}").take_all()
+    qvec = np.asarray([qrows[0]["embedding"]], dtype=np.float64)
+    dense = brute_force_topk(_embeddings(sf_dir), qvec, k=HYBRID_DENSE_N)
+    d2 = dense.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    s2 = dense.column("cosine").to_numpy(zero_copy_only=False)
+    docs, fused = rrf_fuse([(d1, s1), (d2, s2)], k0=RRF_K0, topk=RRF_TOPK)
+    return pd.DataFrame({"doc_id": docs.astype(np.int64), "rrf": fused})
+
+
 def q_search_count(sf_dir: str):
     eng = _engine(sf_dir)
     doc_ids, _, _ = eng.search_scores(SEARCH_QUERY)
@@ -1741,6 +1763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_site_scoped": q_search_site_scoped,
         "search_bm25": q_search_bm25,
         "search_rrf": q_search_rrf,
+        "search_hybrid": q_search_hybrid,
         "search_count": q_search_count,
         "stats_by_source": q_stats_by_source,
         "dedup_exact": q_dedup_exact,
@@ -2543,6 +2566,41 @@ r1 AS (SELECT doc_id, row_number() OVER (ORDER BY ROUND(score, 6) DESC, doc_id):
 r2 AS (SELECT doc_id, row_number() OVER (ORDER BY ROUND(score, 6) DESC, doc_id)::BIGINT AS r FROM s2),
 f AS (SELECT r1.doc_id, 1.0 / ({RRF_K0} + r1.r) + 1.0 / ({RRF_K0} + r2.r) AS rrf
       FROM r1 JOIN r2 USING (doc_id))
+SELECT doc_id, ROUND(rrf, 9) AS rrf FROM f
+QUALIFY row_number() OVER (ORDER BY ROUND(rrf, 9) DESC, doc_id) <= {RRF_TOPK}
+""",
+        # hybrid retrieval: BM25 ⊕ dense-cosine via RRF over the UNION
+        # of the two doc sets (a doc absent from one side contributes no
+        # term); dense candidates select on RAW cos (the proven
+        # ann_cosine rule), RRF ranks on the ROUNDED value
+        "search_hybrid": f"""
+WITH tf AS ({_TF}),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+q(term) AS (VALUES {_terms_values()}),
+df AS (SELECT q.term, count(DISTINCT tf.doc_id)::BIGINT AS df
+       FROM q LEFT JOIN tf ON tf.term = q.term GROUP BY q.term),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM ({_TOK}) GROUP BY doc_id),
+avgdl AS (SELECT sum(dl) / (SELECT n FROM n) AS avgdl FROM dl),
+s1 AS (SELECT tf.doc_id,
+         SUM(ln((n.n + 1.0) / (df.df + 1.0)) * (tf.tf * ({BM25_K1} + 1.0)) /
+             (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / avgdl.avgdl))) AS score
+       FROM tf JOIN df ON tf.term = df.term
+            JOIN dl ON dl.doc_id = tf.doc_id
+            CROSS JOIN n CROSS JOIN avgdl
+       GROUP BY tf.doc_id),
+qv AS (SELECT embedding FROM embeddings WHERE vec_id = {HYBRID_QVEC}),
+cosr AS (SELECT e.vec_id::BIGINT AS doc_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST((SELECT embedding FROM qv) AS DOUBLE[]))::DOUBLE AS cos
+         FROM embeddings e),
+d2 AS (SELECT doc_id, ROUND(cos, 6) AS c FROM cosr
+       QUALIFY row_number() OVER (ORDER BY cos DESC, doc_id) <= {HYBRID_DENSE_N}),
+r1 AS (SELECT doc_id, row_number() OVER (ORDER BY ROUND(score, 6) DESC, doc_id)::BIGINT AS r FROM s1),
+r2 AS (SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id)::BIGINT AS r FROM d2),
+f AS (SELECT COALESCE(r1.doc_id, r2.doc_id) AS doc_id,
+      COALESCE(1.0 / ({RRF_K0} + r1.r), 0.0)
+      + COALESCE(1.0 / ({RRF_K0} + r2.r), 0.0) AS rrf
+      FROM r1 FULL OUTER JOIN r2 ON r2.doc_id = r1.doc_id)
 SELECT doc_id, ROUND(rrf, 9) AS rrf FROM f
 QUALIFY row_number() OVER (ORDER BY ROUND(rrf, 9) DESC, doc_id) <= {RRF_TOPK}
 """,

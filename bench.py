@@ -276,6 +276,7 @@ def bench_sf_queries() -> dict:
         "funnel_counts",
         "search_rrf",
         "search_facets",
+        "search_hybrid",
         "search_corrected",
         "mmr_diversify",
         "dedup_keep_best",

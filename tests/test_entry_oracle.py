@@ -222,6 +222,8 @@ def test_oracle_keys_subset(entry_mod):
     "curation_score",
     # round 3: faceted search + spell-corrected search
     "search_facets", "search_corrected",
+    # round 3: hybrid BM25 ⊕ dense-cosine RRF retrieval
+    "search_hybrid",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
