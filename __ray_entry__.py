@@ -1579,6 +1579,21 @@ def q_near_dup_vs_snapshot(sf_dir: str):
     )
 
 
+NEG_K, NEG_SALT, NEG_MAX_DF = 3, "ses-negatives", 32  # r=1 pool, df cap
+
+
+def q_contrastive_negatives(sf_dir: str):
+    """Hard-negative mining: per doc with a near-dup positive, up to k
+    band-sharing-but-not-near-dup docs, md5-ranked deterministically."""
+    from search_engine_skillbox_ray.pipelines.dedup import contrastive_negatives
+
+    return contrastive_negatives(
+        _documents(sf_dir), k=NEG_K, num_perm=MINHASH_PERM,
+        threshold=MINHASH_THRESHOLD, max_value_df=NEG_MAX_DF,
+        seed=MINHASH_SEED, salt=NEG_SALT,
+    )
+
+
 def q_dup_triangles(sf_dir: str):
     """Triangle counts of the MinHash near-dup pair graph: per doc, how
     many closed triples it sits in — triangle-dense neighbourhoods are
@@ -1863,6 +1878,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits": q_hits,
         "dedup_clusters": q_dedup_clusters,
         "dup_triangles": q_dup_triangles,
+        "contrastive_negatives": q_contrastive_negatives,
         "dedup_keep_best": q_dedup_keep_best,
         "cross_source_pairs": q_cross_source_pairs,
         "near_dup_vs_snapshot": q_near_dup_vs_snapshot,
@@ -2251,13 +2267,18 @@ def _anchor_values() -> str:
     return ", ".join(rows)
 
 
-def _minhash_pairs_sql() -> str:
+def _minhash_pairs_sql(
+    threshold: float = MINHASH_THRESHOLD, bands: int = MINHASH_BANDS
+) -> str:
     """Complete minhash_pairs oracle query — also embedded as the pair
-    source of the ``dedup_clusters`` closure oracle."""
+    source of the ``dedup_clusters`` closure oracle. ``threshold=0.0``
+    keeps EVERY band-sharing candidate with its estimate, and a larger
+    ``bands`` (fewer rows per band) coarsens the collision rule — the
+    negative-mining source."""
     return f"""
 WITH {_shingles_cte()}, {_sigs_cte()},
 bands AS (
-  SELECT doc_id, perm // {MINHASH_PERM // MINHASH_BANDS} AS band_id,
+  SELECT doc_id, perm // {MINHASH_PERM // bands} AS band_id,
          string_agg(CAST(sig AS VARCHAR), ',' ORDER BY perm) AS band_key
   FROM sigs GROUP BY doc_id, band_id),
 cand AS (
@@ -2272,7 +2293,7 @@ est AS (
   JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.perm = sa.perm
   GROUP BY c.doc_a, c.doc_b)
 SELECT doc_a, doc_b, ROUND(est_jaccard, 6) AS est_jaccard
-FROM est WHERE est_jaccard >= {MINHASH_THRESHOLD}
+FROM est WHERE est_jaccard >= {threshold}
 """
 
 
@@ -3708,6 +3729,41 @@ reach(n, r) AS (
 comp AS (SELECT n, MIN(r) AS rep FROM reach GROUP BY n)
 SELECT d.doc_id, CAST(COALESCE(c.rep, d.doc_id) AS BIGINT) AS rep_id
 FROM documents d LEFT JOIN comp c ON c.n = d.doc_id
+""",
+        # hard-negative mining: shares ≥1 (perm, minhash-value) cell
+        # with the anchor (r=1 weak-similarity pool, df-capped — a
+        # stopword-grade value is no evidence and quadratic as a
+        # bucket) but est < threshold; md5("a:c:salt")-ranked
+        # (unsigned compare both sides), cand-id tiebreak
+        "contrastive_negatives": f"""
+WITH {_shingles_cte()}, {_sigs_cte()},
+vdf AS (SELECT perm, sig, count(*)::BIGINT AS c FROM sigs
+        WHERE sig >= 0 GROUP BY perm, sig),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sigs a
+  JOIN sigs b ON b.perm = a.perm AND b.sig = a.sig AND a.doc_id < b.doc_id
+  JOIN vdf ON vdf.perm = a.perm AND vdf.sig = a.sig
+          AND vdf.c BETWEEN 2 AND {NEG_MAX_DF}
+  WHERE a.sig >= 0),
+est AS (SELECT c.doc_a, c.doc_b,
+        avg(CASE WHEN sa.sig = sb.sig THEN 1.0 ELSE 0.0 END) AS est
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.perm = sa.perm
+  GROUP BY c.doc_a, c.doc_b),
+pos AS (SELECT doc_a AS d FROM est WHERE est >= {MINHASH_THRESHOLD}
+        UNION SELECT doc_b FROM est WHERE est >= {MINHASH_THRESHOLD}),
+neg AS (SELECT doc_a AS anchor, doc_b AS cand FROM est
+        WHERE est < {MINHASH_THRESHOLD}
+        UNION ALL
+        SELECT doc_b, doc_a FROM est WHERE est < {MINHASH_THRESHOLD}),
+r AS (SELECT n.anchor, n.cand,
+      row_number() OVER (PARTITION BY n.anchor ORDER BY
+        md5_number_lower(n.anchor::VARCHAR || ':' || n.cand::VARCHAR || ':{NEG_SALT}'),
+        n.cand)::BIGINT AS rn
+      FROM neg n JOIN pos ON pos.d = n.anchor)
+SELECT anchor AS anchor_doc_id, cand AS neg_doc_id, rn AS rank
+FROM r WHERE rn <= {NEG_K}
 """,
         # per-node triangle counts of the near-dup pair graph: pure set
         # property — the SQL mirrors semantics (a<b<c triple join), the

@@ -243,6 +243,7 @@ def bench_sf_queries() -> dict:
         "containment_pairs",
         "dedup_index_query",
         "dedup_index_delete",
+        "contrastive_negatives",
         "embedding_near_pairs",
         "ann_cosine_topk",
         "ann_lsh_topk",

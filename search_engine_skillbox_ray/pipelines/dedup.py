@@ -2100,3 +2100,265 @@ def near_dup_vs_snapshot(
         )
 
     return j2.map_batches(fin, batch_format="pyarrow")
+
+
+def contrastive_negatives(
+    documents: rd.Dataset,
+    *,
+    k: int = 3,
+    num_perm: int = 64,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_value_df: int = 32,
+    seed: int = 42,
+    salt: str = "ses-negatives",
+) -> rd.Dataset:
+    """→ (anchor_doc_id, neg_doc_id, rank): HARD-NEGATIVE mining for
+    contrastive training — for every doc that has a near-duplicate (a
+    positive exists at est ≥ ``threshold`` within the candidate pool),
+    up to ``k`` docs from the pool that are NOT near-dups
+    (est < threshold). Exactly the "confusable but different" negatives
+    an embedding model learns the most from; random negatives are too
+    easy, near-dups would be false negatives.
+
+    Candidate pool (deterministic, SQL-mirrorable): pairs sharing at
+    least one (permutation, minhash-value) cell — the r = 1 banding, a
+    weak-similarity signal (the dedup-grade r = 4 banding collides
+    almost exclusively true near-dups, leaving nothing to mine) —
+    restricted to values held by ≤ ``max_value_df`` docs (a minhash
+    value in more docs is a stopword-grade shingle: no similarity
+    evidence, quadratic as a bucket — the same fan-out cap as
+    :func:`containment_pairs`). Empty-doc sentinel signatures (−1)
+    never pair.
+
+    Selection is ranked by md5("anchor:cand:salt") ascending (cand-id
+    tiebreak) — deterministic under any block order, reproducible
+    across runs, bit-mirrorable in SQL. Scale shape: one slim
+    (perm, value, doc_id) exchange with capped per-cell pair expansion;
+    the est verify resolves signatures driver-side below
+    ``DRIVER_FASTPATH_ROWS`` candidates and by packed-signature hash
+    join above it; rank/split steps touch pair-sized tables only."""
+    from ..config import DRIVER_FASTPATH_ROWS
+    from ..functions.hashing import md5_u64
+    from ..functions.vectors import int_list_matrix
+    from ..stages.grouping import bucketed_group_apply, drop_empty_blocks, sized_join
+
+    empty = pa.table(
+        {
+            "anchor_doc_id": pa.array([], pa.int64()),
+            "neg_doc_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+        }
+    )
+    sigs_ds = documents.map_batches(
+        MinHashSignatures,
+        fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k, "seed": seed},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    ).materialize()
+    if sigs_ds.count() == 0:
+        return rd.from_arrow(empty)
+
+    def cell_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = int_list_matrix(batch.column("signature"), num_perm)
+        perms = np.tile(np.arange(num_perm, dtype=np.int64), len(ids))
+        vals = mat.reshape(-1)
+        docs = np.repeat(ids, num_perm)
+        live = vals >= 0  # -1 = empty-doc sentinel
+        return pa.table(
+            {
+                "perm": pa.array(perms[live]),
+                "val": pa.array(vals[live]),
+                "doc_id": pa.array(docs[live]),
+            }
+        )
+
+    def cell_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        emptyp = pd.DataFrame(
+            {"doc_a": np.array([], np.int64), "doc_b": np.array([], np.int64)}
+        )
+        if not len(bucket):
+            return emptyp
+        p = bucket["perm"].to_numpy(np.int64)
+        v = bucket["val"].to_numpy(np.int64)
+        d = bucket["doc_id"].to_numpy(np.int64)
+        order = np.lexsort((d, v, p))
+        p, v, d = p[order], v[order], d[order]
+        boundary = np.flatnonzero(
+            np.diff(p, prepend=p[0] - 1) | np.diff(v, prepend=v[0] - 1)
+        )
+        lens = np.diff(np.append(boundary, p.size))
+        ok = (lens >= 2) & (lens <= max_value_df)
+        if not ok.any():
+            return emptyp
+        seg_of_row = np.repeat(np.arange(boundary.size), lens)
+        row_ok = ok[seg_of_row]
+        d2 = d[row_ok]
+        seg_len = lens[ok]
+        offs = np.cumsum(seg_len) - seg_len
+        # all-pairs per cell, vectorized BY LENGTH CLASS: the df cap
+        # bounds lengths to [2, max_value_df], so ≤ max_value_df−1
+        # classes; each class gathers its segments into an (m, L)
+        # matrix and expands with ONE triu — no per-segment Python
+        a_parts, b_parts = [], []
+        for ln in np.unique(seg_len):
+            sel = offs[seg_len == ln]
+            mat = d2[sel[:, None] + np.arange(int(ln))[None, :]]
+            ii, jj = np.triu_indices(int(ln), k=1)
+            a_parts.append(mat[:, ii].ravel())
+            b_parts.append(mat[:, jj].ravel())
+        a = np.concatenate(a_parts)
+        b = np.concatenate(b_parts)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"doc_a": lo, "doc_b": hi})
+
+    # materialized to gate AND feed whichever path wins (24 B/row)
+    cells = sigs_ds.map_batches(cell_rows, batch_format="pyarrow").materialize()
+    n_cells = cells.count()
+    if n_cells == 0:
+        return rd.from_arrow(empty)
+    if n_cells <= DRIVER_FASTPATH_ROWS:
+        # slim cell rows fit the driver contract → candidate generation
+        # and pair dedup run locally, skipping two exchanges
+        ctbl = pa.concat_tables([t for t in ray.get(cells.to_arrow_refs()) if len(t)])
+        cp = cell_pairs(ctbl.to_pandas())
+        if not len(cp):
+            return rd.from_arrow(empty)
+        lo = cp["doc_a"].to_numpy(np.int64)
+        hi = cp["doc_b"].to_numpy(np.int64)
+        # lexsort dedup (np.unique(axis=0) row-sorts generically — slow)
+        order = np.lexsort((hi, lo))
+        lo, hi = lo[order], hi[order]
+        first = np.ones(lo.size, bool)
+        np.logical_or(np.diff(lo) != 0, np.diff(hi) != 0, out=first[1:])
+        lo, hi = lo[first], hi[first]
+        cand = rd.from_arrow(
+            pa.table({"doc_a": pa.array(lo, pa.int64()),
+                      "doc_b": pa.array(hi, pa.int64())})
+        )
+        n_cand = int(lo.size)
+    else:
+        cand = bucketed_group_apply(cells, ["perm", "val"], cell_pairs, n_buckets=32)
+        cand = bucketed_group_apply(
+            cand, ["doc_a", "doc_b"],
+            lambda df: df.drop_duplicates(["doc_a", "doc_b"]),
+            n_buckets=32,
+        )
+        cand = drop_empty_blocks(cand.materialize())
+        n_cand = cand.count()
+    if n_cand == 0:
+        return rd.from_arrow(empty)
+
+    if n_cand <= DRIVER_FASTPATH_ROWS:
+        ids, mat = _collect_signatures(sigs_ds)
+        ct = pa.concat_tables([t for t in ray.get(cand.to_arrow_refs()) if len(t)])
+        a = ct.column("doc_a").to_numpy(zero_copy_only=False)
+        b = ct.column("doc_b").to_numpy(zero_copy_only=False)
+        ia = np.searchsorted(ids, a)
+        ib = np.searchsorted(ids, b)
+        # chunked: the full fancy-index gather is 2×(pairs×perms) int64
+        # scratch — hundreds of MB at ~500k candidates
+        est = np.empty(a.size, np.float64)
+        step = 65536
+        for s in range(0, a.size, step):
+            e = min(s + step, a.size)
+            est[s:e] = (mat[ia[s:e]] == mat[ib[s:e]]).mean(axis=1)
+        est_tbl = pa.table(
+            {
+                "doc_a": pa.array(a, pa.int64()),
+                "doc_b": pa.array(b, pa.int64()),
+                "est": pa.array(est, pa.float64()),
+            }
+        )
+    else:
+        # packed-signature hash join (the minhash distributed-verify
+        # shape): pair halves ⨝ signatures on doc id
+        def pack(batch: pa.Table) -> pa.Table:
+            ids_ = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            m = int_list_matrix(batch.column("signature"), num_perm).astype("<i8")
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids_),
+                    "sig": pa.array([r.tobytes() for r in m], pa.binary()),
+                }
+            )
+
+        packed = sigs_ds.map_batches(pack, batch_format="pyarrow").materialize()
+
+        def rename(id_name: str, sig_name: str):
+            def r(batch: pa.Table) -> pa.Table:
+                return pa.table(
+                    {id_name: batch.column("doc_id"), sig_name: batch.column("sig")}
+                )
+
+            return r
+
+        n_part = max(2, min(64, (n_cand // 100_000) + 2))
+        j = sized_join(
+            cand, packed.map_batches(rename("doc_a", "sig_a"), batch_format="pyarrow"),
+            ("doc_a",), num_partitions=n_part,
+        ).materialize()
+        j = sized_join(
+            j, packed.map_batches(rename("doc_b", "sig_b"), batch_format="pyarrow"),
+            ("doc_b",), num_partitions=n_part,
+        )
+
+        def est_fn(batch: pa.Table) -> pa.Table:
+            if not len(batch):
+                return pa.table(
+                    {"doc_a": pa.array([], pa.int64()),
+                     "doc_b": pa.array([], pa.int64()),
+                     "est": pa.array([], pa.float64())}
+                )
+            sa = np.frombuffer(b"".join(batch.column("sig_a").to_pylist()), "<i8").reshape(len(batch), num_perm)
+            sb = np.frombuffer(b"".join(batch.column("sig_b").to_pylist()), "<i8").reshape(len(batch), num_perm)
+            return pa.table(
+                {
+                    "doc_a": batch.column("doc_a"),
+                    "doc_b": batch.column("doc_b"),
+                    "est": pa.array((sa == sb).mean(axis=1), pa.float64()),
+                }
+            )
+
+        est_parts = [
+            t for t in ray.get(
+                j.map_batches(est_fn, batch_format="pyarrow").to_arrow_refs()
+            ) if len(t)
+        ]
+        if not est_parts:
+            return rd.from_arrow(empty)
+        est_tbl = pa.concat_tables(est_parts)  # pair-sized
+
+    est = est_tbl.column("est").to_numpy(zero_copy_only=False)
+    a = est_tbl.column("doc_a").to_numpy(zero_copy_only=False)
+    b = est_tbl.column("doc_b").to_numpy(zero_copy_only=False)
+    pos_mask = est >= threshold
+    if not pos_mask.any():
+        return rd.from_arrow(empty)
+    anchors = np.unique(np.concatenate([a[pos_mask], b[pos_mask]]))
+    neg = ~pos_mask
+    anc = np.concatenate([a[neg], b[neg]])
+    cnd = np.concatenate([b[neg], a[neg]])
+    idx = np.searchsorted(anchors, anc)
+    idx_c = np.minimum(idx, anchors.size - 1)
+    keep = anchors[idx_c] == anc
+    anc, cnd = anc[keep], cnd[keep]
+    if not anc.size:
+        return rd.from_arrow(empty)
+    h = md5_u64([f"{x}:{y}:{salt}" for x, y in zip(anc.tolist(), cnd.tolist())])
+    order = np.lexsort((cnd, h, anc))
+    anc, cnd = anc[order], cnd[order]
+    starts = np.flatnonzero(np.diff(anc, prepend=anc[0] - 1) != 0)
+    seg = np.repeat(np.arange(starts.size), np.diff(np.append(starts, anc.size)))
+    rank = np.arange(anc.size) - starts[seg] + 1
+    keep = rank <= k
+    return rd.from_arrow(
+        pa.table(
+            {
+                "anchor_doc_id": pa.array(anc[keep], pa.int64()),
+                "neg_doc_id": pa.array(cnd[keep], pa.int64()),
+                "rank": pa.array(rank[keep], pa.int64()),
+            }
+        )
+    )

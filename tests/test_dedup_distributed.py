@@ -208,3 +208,47 @@ def test_near_dup_vs_snapshot_both_paths(corpus, monkeypatch):
     assert fast.equals(dist)
     assert (fast["snapshot_doc_id"] % 2 == 0).all()
     assert (fast["current_doc_id"] % 2 == 1).all()
+
+
+@requires_solo_ray
+def test_contrastive_negatives_both_paths(monkeypatch, ray_session):
+    """Hard negatives: anchors are exactly the docs with a positive;
+    no near-dup ever appears as a negative; ≤ k per anchor; the
+    forced-distributed path yields the identical set."""
+    from search_engine_skillbox_ray.pipelines.dedup import (
+        contrastive_negatives,
+        minhash_lsh_pairs,
+    )
+
+    rng = np.random.default_rng(31)
+    letters = "abcdefghijklmnop"
+    vocab = [a + b + c for a in letters for b in letters for c in letters][:300]
+    rows = []
+    for i in range(50):
+        words = rng.choice(vocab[:150], size=25, replace=True).tolist()
+        rows.append({"doc_id": 3 * i, "text": " ".join(words)})
+        if i % 3 == 0:
+            # near-dup positive partner → 3i becomes an anchor
+            rows.append({"doc_id": 3 * i + 1, "text": " ".join(words) + " tail"})
+            # weakly related: copies a contiguous RUN of the anchor's
+            # words (shared rare shingles, df=2) but est stays < 0.5
+            mix = words[:12] + rng.choice(vocab[150:], size=20, replace=True).tolist()
+            rows.append({"doc_id": 3 * i + 2, "text": " ".join(mix)})
+    corpus = rd.from_items(rows).repartition(4)
+
+    out = contrastive_negatives(corpus, k=2, threshold=0.5).to_pandas()
+    assert len(out) > 0
+    pos = minhash_lsh_pairs(corpus, threshold=0.5).to_pandas()
+    pos_set = {tuple(sorted(p)) for p in zip(pos["doc_a"], pos["doc_b"])}
+    pos_docs = {d for p in pos_set for d in p}
+    assert set(out["anchor_doc_id"]) <= pos_docs
+    for a, n in zip(out["anchor_doc_id"], out["neg_doc_id"]):
+        assert tuple(sorted((a, n))) not in pos_set
+    assert out.groupby("anchor_doc_id").size().max() <= 2
+    assert (out.groupby("anchor_doc_id")["rank"].min() == 1).all()
+
+    cols = ["anchor_doc_id", "neg_doc_id", "rank"]
+    fast = out.sort_values(cols).reset_index(drop=True)
+    monkeypatch.setattr(config, "DRIVER_FASTPATH_ROWS", 0)
+    dist = contrastive_negatives(corpus, k=2, threshold=0.5).to_pandas()
+    assert dist.sort_values(cols).reset_index(drop=True).equals(fast)

@@ -224,6 +224,8 @@ def test_oracle_keys_subset(entry_mod):
     "search_facets", "search_corrected",
     # round 3: hybrid BM25 ⊕ dense-cosine RRF retrieval
     "search_hybrid",
+    # round 3: hard-negative mining for contrastive training
+    "contrastive_negatives",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
