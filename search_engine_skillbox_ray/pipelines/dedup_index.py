@@ -93,9 +93,45 @@ def _mh_dead_union(tombs, src_seq: int):
     return rel[0] if len(rel) == 1 else np.unique(np.concatenate(rel))
 
 
+_MH_FOLDED_KEY = b"mh_folded_seq"
+_mh_base_seq_cache: dict[tuple[str, int], int] = {}
+
+
+def _mh_base_seq(f: str | Path) -> int:
+    """Folded-through seq of a base partition file: -1 for a virgin base,
+    else the max delta/tombstone seq compaction folded into it.  The stamp
+    lives in the parquet footer metadata so it is atomic with the data
+    (tmp+rename) — if compaction is interrupted after folding some
+    partitions, a re-run (or a query racing the re-run) sees each folded
+    base's stamp and skips the surviving tombstones at or below it, so
+    docs legitimately re-appended after a delete are never re-killed.
+
+    Memoized per (path, mtime) — callers resolve seqs per ROW in the
+    tombstone filter, and a footer read per row would dominate; the mtime
+    key self-invalidates when compaction rewrites the base."""
+    path = str(f)
+    try:
+        key = (path, os.stat(path).st_mtime_ns)
+    except OSError:
+        return -1
+    hit = _mh_base_seq_cache.get(key)
+    if hit is not None:
+        return hit
+    try:
+        md = pq.read_schema(path).metadata or {}
+        v = md.get(_MH_FOLDED_KEY)
+        seq = int(v) if v is not None else -1
+    except Exception:
+        seq = -1
+    if len(_mh_base_seq_cache) > 4096:
+        _mh_base_seq_cache.clear()
+    _mh_base_seq_cache[key] = seq
+    return seq
+
+
 def _mh_file_seq(f: str | Path) -> int:
     name = Path(f).name
-    return _mh_delta_seq(Path(f)) if "delta-" in name else -1
+    return _mh_delta_seq(Path(f)) if "delta-" in name else _mh_base_seq(f)
 
 
 def delete_from_minhash_index(
@@ -226,12 +262,18 @@ def build_minhash_index(
     mf = read_json(out / "mh_manifest.json")
     if mf and mf.get("fingerprint") == fp:
         return mf
-    # rebuild invalidates everything derived from the old corpus
+    # rebuild invalidates everything derived from the old corpus —
+    # including tombstones and delete markers: stale tombstones (seq>=1)
+    # would otherwise apply to the fresh base (seq -1) and silently drop
+    # previously-deleted doc_ids from the new index (mirrors the
+    # posting-index rebuild cleanup in posindex.py).
     for stale in (
         list(out.glob("part=*.parquet"))
         + list(out.glob("sigpart=*.parquet"))
         + list(out.glob("*.parquet.tmp"))
         + list(out.glob("mh_append.*.json"))
+        + list(out.glob("mh_tombstone-*.parquet"))
+        + list(out.glob("mh_delete.*.json"))
     ):
         stale.unlink()
 
@@ -554,14 +596,29 @@ def compact_minhash_index(index_dir: str | Path) -> dict:
     if not touched:
         return {"n_partitions_compacted": 0}
 
+    # every partition folds through the same high-water mark so a
+    # partially-completed compaction leaves an unambiguous per-base stamp
+    fold_seq = max(
+        [s for s, _ in tombs]
+        + [_mh_delta_seq(f) for f in out.glob("*=*.delta-*.parquet")]
+        + [0]
+    )
+
     @ray.remote
     def fold(prefix: str) -> int:
         base = out / f"{prefix}.parquet"
         deltas = sorted(out.glob(f"{prefix}.delta-*.parquet"))
         tables = []
+        base_seq = -1
         if base.exists():
-            tables.append((pq.read_table(base), -1))
+            # a base already folded by an interrupted earlier run carries
+            # its stamp — tombstones at or below it must not re-apply
+            base_seq = _mh_base_seq(base)
+            tables.append((pq.read_table(base), base_seq))
         tables += [(pq.read_table(f), _mh_delta_seq(f)) for f in deltas]
+        # the stamp never decreases: a re-run's fold_seq can be lower than
+        # an existing stamp once the deltas that set it were folded away
+        stamp = max(fold_seq, base_seq)
         kept = []
         for t, seq in tables:
             dead = _mh_dead_union(tombs, seq)
@@ -579,6 +636,9 @@ def compact_minhash_index(index_dir: str | Path) -> dict:
             ["band_hash", "doc_id"] if prefix.startswith("part=") else ["doc_id"]
         )
         merged = merged.sort_by([(c, "ascending") for c in sort_cols])
+        meta = dict(merged.schema.metadata or {})
+        meta[_MH_FOLDED_KEY] = str(stamp).encode()
+        merged = merged.replace_schema_metadata(meta)
         tmp = out / f"{prefix}.parquet.tmp"
         pq.write_table(merged, tmp, compression="zstd")
         os.replace(tmp, base)

@@ -2397,23 +2397,40 @@ def facet_counts_ds(
 
     rs = np.round(np.asarray(scores, np.float64), 6)
     ids = np.asarray(doc_ids, np.int64)
+    if ids.size == 0:
+        # empty result set → zero facets, schema preserved (the groupby
+        # of all-empty partials would otherwise drop the columns)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "sum_score": pa.array([], pa.float64()),
+                }
+            )
+        )
     order = np.argsort(ids)
     ref = ray.put((ids[order], rs[order]))
 
     def partials(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                group_col: pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.float64()),
+            }
+        )
         sids, srs = ray.get(ref)
+        if sids.size == 0:
+            # `&` does not short-circuit: sids[pos_c] on an empty result
+            # set would raise IndexError before the mask is evaluated
+            return empty
         d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         pos = np.searchsorted(sids, d)
-        pos_c = np.minimum(pos, max(sids.size - 1, 0))
-        hit = (sids.size > 0) & (sids[pos_c] == d)
+        pos_c = np.minimum(pos, sids.size - 1)
+        hit = sids[pos_c] == d
         if not hit.any():
-            return pa.table(
-                {
-                    group_col: pa.array([], pa.string()),
-                    "n": pa.array([], pa.int64()),
-                    "s": pa.array([], pa.float64()),
-                }
-            )
+            return empty
         sub = batch.filter(pa.array(hit))
         vals = srs[pos_c[hit]]
         src = sub.column(group_col)

@@ -168,3 +168,93 @@ def test_minhash_index_delete_and_compact(mh_corpus, tmp_path):
     assert post.sort_values(cols).reset_index(drop=True).equals(
         re.sort_values(cols).reset_index(drop=True)
     )
+
+
+def test_minhash_index_rebuild_clears_tombstones(mh_corpus, tmp_path):
+    """A rebuild (new fingerprint) must invalidate tombstones and delete
+    markers too: stale seq>=1 tombstones would otherwise kill docs in the
+    fresh seq -1 base, and a reused delete token would become a no-op."""
+    from search_engine_skillbox_ray.pipelines.dedup_index import (
+        build_minhash_index,
+        delete_from_minhash_index,
+        query_minhash_index,
+    )
+
+    odd = _split(mh_corpus, lambda pc, t: pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 1))
+    ev = _split(mh_corpus, lambda pc, t: pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 0))
+
+    d = tmp_path / "mhidx_rebuild"
+    build_minhash_index(ev, d, input_token="v1")
+    before = query_minhash_index(d, odd, threshold=0.5).to_pandas()
+    victim = sorted(set(before["indexed_doc_id"]))[0]
+    delete_from_minhash_index(d, [victim], input_token="delA")
+    assert victim not in set(
+        query_minhash_index(d, odd, threshold=0.5).to_pandas()["indexed_doc_id"]
+    )
+
+    # rebuild with a new fingerprint: the old delete must NOT survive
+    build_minhash_index(ev, d, input_token="v2")
+    assert not list(d.glob("mh_tombstone-*.parquet"))
+    assert not list(d.glob("mh_delete.*.json"))
+    fresh = query_minhash_index(d, odd, threshold=0.5).to_pandas()
+    assert victim in set(fresh["indexed_doc_id"])
+
+    # ... and reusing the same delete token is a real delete again
+    delete_from_minhash_index(d, [victim], input_token="delA")
+    again = query_minhash_index(d, odd, threshold=0.5).to_pandas()
+    assert victim not in set(again["indexed_doc_id"])
+
+
+def test_minhash_index_interrupted_compaction(mh_corpus, tmp_path):
+    """Crash between the per-partition folds and the tombstone unlink:
+    surviving tombstones must not re-apply to already-folded bases (the
+    folded-through seq is stamped in the base parquet footer), so a doc
+    re-appended after a delete stays live across the interruption and
+    the re-run."""
+    import shutil
+
+    from search_engine_skillbox_ray.pipelines.dedup_index import (
+        append_minhash_index,
+        build_minhash_index,
+        compact_minhash_index,
+        delete_from_minhash_index,
+        query_minhash_index,
+    )
+
+    odd = _split(mh_corpus, lambda pc, t: pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 1))
+    ev = _split(mh_corpus, lambda pc, t: pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 0))
+
+    d = tmp_path / "mhidx_crash"
+    build_minhash_index(ev, d, input_token="ev")
+    base = query_minhash_index(d, odd, threshold=0.5).to_pandas()
+    victim = sorted(set(base["indexed_doc_id"]))[0]
+    delete_from_minhash_index(d, [victim], input_token="del")
+    readd = _split(mh_corpus, lambda pc, t, v=victim: pc.equal(t.column("doc_id"), v))
+    append_minhash_index(d, readd, input_token="readd")
+    live = query_minhash_index(d, odd, threshold=0.5).to_pandas()
+    assert victim in set(live["indexed_doc_id"])
+
+    # snapshot the tombstones, compact, then restore them — exactly the
+    # on-disk state after a crash before the final unlink
+    stash = tmp_path / "tombstash"
+    stash.mkdir()
+    saved = [shutil.copy2(f, stash / f.name) for f in d.glob("mh_tombstone-*.parquet")]
+    assert saved
+    compact_minhash_index(d)
+    for f in stash.iterdir():
+        shutil.copy2(f, d / f.name)
+
+    cols = ["indexed_doc_id", "query_doc_id"]
+    crashed = query_minhash_index(d, odd, threshold=0.5).to_pandas()
+    assert victim in set(crashed["indexed_doc_id"])
+    assert crashed.sort_values(cols).reset_index(drop=True).equals(
+        live.sort_values(cols).reset_index(drop=True)
+    )
+
+    # the re-run spends the survivors and changes nothing
+    compact_minhash_index(d)
+    assert not list(d.glob("mh_tombstone-*.parquet"))
+    rerun = query_minhash_index(d, odd, threshold=0.5).to_pandas()
+    assert rerun.sort_values(cols).reset_index(drop=True).equals(
+        live.sort_values(cols).reset_index(drop=True)
+    )

@@ -1319,3 +1319,26 @@ def test_embedding_covariance_vs_numpy(ray_session):
     assert len(out) == 8 * 9 // 2
     for _, r in out.iterrows():
         assert abs(r["cov"] - ref[int(r["i"]), int(r["j"])]) < 1e-6
+
+
+def test_facet_counts_empty_result_set(ray_session):
+    """An empty result set yields zero facet rows — `&` does not
+    short-circuit, so the broadcast lookup must early-return instead of
+    fancy-indexing an empty sorted array (ADVICE regression)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.textstats import facet_counts_ds
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "source": pa.array(["a", "b", "a"]),
+            }
+        )
+    )
+    out = facet_counts_ds(ds, np.array([], np.int64), np.array([], np.float64))
+    assert out.schema().names == ["source", "n_docs", "sum_score"]
+    assert out.count() == 0
