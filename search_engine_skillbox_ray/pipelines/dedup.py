@@ -262,8 +262,15 @@ def _collect_signatures(sigs_ds: rd.Dataset) -> tuple[np.ndarray, np.ndarray]:
         return np.empty(0, np.int64), np.empty((0, 0), np.int64)
     ids = np.concatenate(ids_parts)
     mat = np.concatenate(mat_parts)
-    order = np.argsort(ids)
-    return ids[order], mat[order]
+    order = np.argsort(ids, kind="stable")
+    ids, mat = ids[order], mat[order]
+    # duplicated doc_id rows (re-ingested docs) collapse FIRST-wins so the
+    # searchsorted lookups stay aligned and pair sets stay duplicate-free
+    # (mirrors the simhash per-group hardening)
+    uniq, first = np.unique(ids, return_index=True)
+    if uniq.size != ids.size:
+        ids, mat = uniq, mat[first]
+    return ids, mat
 
 
 def _candidate_pairs_from_bands(
@@ -449,7 +456,12 @@ def _minhash_pairs_distributed(
             }
         )
 
-    return joined.map_batches(verify, batch_format="pyarrow")
+    # duplicated doc_id rows in the input multiply joined rows (M×N per
+    # pair) — a final PAIR-sized dedup keeps the output set identical to
+    # the fast path's; no-op-cheap when the precondition already holds
+    return _dedup_pair_rows(
+        joined.map_batches(verify, batch_format="pyarrow"), ["doc_a", "doc_b"]
+    )
 
 
 def minhash_lsh_pairs(
@@ -474,7 +486,13 @@ def minhash_lsh_pairs(
     cluster scale — nothing corpus-sized leaves the workers: see
     :func:`_minhash_pairs_distributed` (band explode → pair dedup →
     candidates ⨝ signatures hash-join). Both paths produce the
-    identical pair set (regression-tested)."""
+    identical pair set (regression-tested).
+
+    Duplicated ``doc_id`` rows (a re-ingested doc) are tolerated
+    FIRST-wins provided they carry identical text: the fast path dedups
+    the signature side table, the distributed path dedups the verified
+    pair rows — either way the output pair set equals the unique-input
+    run (property-tested)."""
     from ..config import DRIVER_FASTPATH_ROWS
 
     sigs_ds = documents.map_batches(
@@ -827,7 +845,11 @@ def _ngram_pairs_distributed(
             }
         )
 
-    return joined.map_batches(verify, batch_format="pyarrow")
+    # same duplicated-doc_id join-multiplication guard as the minhash
+    # distributed path — pair-sized, first-wins
+    return _dedup_pair_rows(
+        joined.map_batches(verify, batch_format="pyarrow"), ["doc_a", "doc_b"]
+    )
 
 
 def ngram_jaccard_pairs(
@@ -845,7 +867,13 @@ def ngram_jaccard_pairs(
     and the verify reads locally gathered gram sets. Above it — cluster
     scale — see :func:`_ngram_pairs_distributed` (bucket exchange →
     pair dedup → pair halves ⨝ gram sets hash-join); both paths produce
-    the identical pair set (regression-tested)."""
+    the identical pair set (regression-tested).
+
+    Duplicated ``doc_id`` rows (a re-ingested doc) are tolerated
+    FIRST-wins provided they carry identical text: the fast path dedups
+    the per-doc min-gram rows, the distributed path dedups the verified
+    pair rows — either way the output pair set equals the unique-input
+    run (property-tested)."""
     from ..config import DRIVER_FASTPATH_ROWS as _FASTPATH_GATE
 
     stage = {"n": n, "bucket_sample": bucket_sample}
@@ -872,14 +900,23 @@ def ngram_jaccard_pairs(
     btbl = pa.concat_tables(bparts)
     bdocs = btbl.column("doc_id").to_numpy(zero_copy_only=False)
     bvals = btbl.column("bucket").to_numpy(zero_copy_only=False)
-    order = np.argsort(bdocs, kind="stable")  # per-doc runs stay ascending
+    # (doc, bucket) lexsort + pairwise dedup: duplicated doc_id rows
+    # (re-ingested docs) would otherwise overflow the per-doc min-gram
+    # slots; per-doc runs stay ascending for the min-common-bucket rule
+    order = np.lexsort((bvals, bdocs))
     sdocs, svals = bdocs[order], bvals[order]
+    if sdocs.size > 1:
+        keep = np.ones(sdocs.size, bool)
+        keep[1:] = (sdocs[1:] != sdocs[:-1]) | (svals[1:] != svals[:-1])
+        sdocs, svals = sdocs[keep], svals[keep]
     uniq_ids, starts = np.unique(sdocs, return_index=True)
     ends = np.append(starts[1:], sdocs.size)
-    # gram hashes are mod-Mersenne61 (non-negative) → -1 pads safely
+    # gram hashes are mod-Mersenne61 (non-negative) → -1 pads safely;
+    # clip to the bucket_sample SMALLEST grams (ascending per-doc runs)
     mins_mat = np.full((uniq_ids.size, bucket_sample), -1, dtype=np.int64)
     for r, (s, e) in enumerate(zip(starts, ends)):
-        mins_mat[r, : e - s] = svals[s:e]
+        w = min(e - s, bucket_sample)
+        mins_mat[r, :w] = svals[s : s + w]
     mins_ref = [ray.put((uniq_ids, mins_mat))]
 
     def bucket_pairs(bucket: pd.DataFrame) -> pd.DataFrame:

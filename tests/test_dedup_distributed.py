@@ -252,3 +252,36 @@ def test_contrastive_negatives_both_paths(monkeypatch, ray_session):
     monkeypatch.setattr(config, "DRIVER_FASTPATH_ROWS", 0)
     dist = contrastive_negatives(corpus, k=2, threshold=0.5).to_pandas()
     assert dist.sort_values(cols).reset_index(drop=True).equals(fast)
+
+
+@requires_solo_ray
+def test_duplicated_doc_id_input_same_pair_set(corpus, monkeypatch):
+    """Precondition hardening (round-3 VERDICT/ADVICE): feeding the pair
+    generators an input where some doc_ids appear TWICE (identical text —
+    a re-ingested doc) yields the identical pair set as the unique input,
+    on both the driver fast path and the forced-distributed path."""
+    import pyarrow as pa
+
+    def with_dupes(ds):
+        def dup_some(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            mask = pc.equal(pc.bit_wise_and(batch.column("doc_id"), 3), 0)
+            return pa.concat_tables([batch, batch.filter(mask)])
+
+        return ds.map_batches(dup_some, batch_format="pyarrow").repartition(7)
+
+    duped = with_dupes(corpus)
+
+    for gen, cols in (
+        (lambda d: minhash_lsh_pairs(d, threshold=0.4), ("doc_a", "doc_b", "est_jaccard")),
+        (lambda d: ngram_jaccard_pairs(d, threshold=0.4), ("doc_a", "doc_b", "jaccard")),
+    ):
+        clean = _pair_frame(gen(corpus), cols)
+        assert len(clean) > 0
+        assert _pair_frame(gen(duped), cols).equals(clean)
+        monkeypatch.setattr(config, "DRIVER_FASTPATH_ROWS", 0)
+        try:
+            assert _pair_frame(gen(duped), cols).equals(clean)
+        finally:
+            monkeypatch.undo()
