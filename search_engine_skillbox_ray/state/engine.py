@@ -38,6 +38,8 @@ from __future__ import annotations
 
 import json
 import math
+import os
+from collections import OrderedDict
 from pathlib import Path
 
 import numpy as np
@@ -94,6 +96,16 @@ class SearchEngine:
         self._doclen: tuple[np.ndarray, np.ndarray] | None = None
         self._docs_dataset = None
         self._docs_locator = None
+        # bounded LRU of decoded doc row groups for the memory-light
+        # hydration path: top-k hits cluster in few hot groups, so caching
+        # them closes most of the 6× gap to the in-memory path while the
+        # ceiling stays explicit in BYTES (default 128 MiB, env-pinnable)
+        # rather than scaling with the corpus.
+        self._rg_cache: OrderedDict[tuple[int, int], pa.Table] = OrderedDict()
+        self._rg_cache_bytes = 0
+        self.rg_cache_max_bytes = int(
+            os.environ.get("SES_DOC_RG_CACHE_BYTES", 128 << 20)
+        )
         # docs_in_memory=False → hydrate via the doc locator (targeted
         # row-group reads; memory-light serving, e.g. many pool actors)
         self.docs_in_memory = docs_in_memory
@@ -171,6 +183,8 @@ class SearchEngine:
         self._doclen = None
         self._docs_dataset = None
         self._docs_locator = None
+        self._rg_cache.clear()
+        self._rg_cache_bytes = 0
         self._term_cache.clear()
         self._bucket_cache.clear()
         self._load_update_log()
@@ -874,7 +888,18 @@ class SearchEngine:
             )
         cols = ["doc_id", "site_id", "path", "text"]
         for (fi, g), rows in by_group.items():
-            tbl = pq.ParquetFile(files[fi]).read_row_group(g, columns=cols)
+            tbl = self._rg_cache.get((fi, g))
+            if tbl is not None:
+                self._rg_cache.move_to_end((fi, g))
+            else:
+                tbl = pq.ParquetFile(files[fi]).read_row_group(g, columns=cols)
+                nb = tbl.nbytes
+                if nb <= self.rg_cache_max_bytes:
+                    self._rg_cache[(fi, g)] = tbl
+                    self._rg_cache_bytes += nb
+                    while self._rg_cache_bytes > self.rg_cache_max_bytes and self._rg_cache:
+                        _, old = self._rg_cache.popitem(last=False)
+                        self._rg_cache_bytes -= old.nbytes
             taken = tbl.take(pa.array([r for r, _ in rows], pa.int64()))
             for r in taken.to_pylist():
                 out[int(r["doc_id"])] = r

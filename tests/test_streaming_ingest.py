@@ -317,3 +317,42 @@ def test_key_resolve_distributed_matches_driver(ray_session, tmp_path, monkeypat
     ea, eb = ses.SearchEngine(str(idx_a)), ses.SearchEngine(str(idx_b))
     assert _live_tf(ea) == _live_tf(eb)
     assert ea.stats["n_docs"] == eb.stats["n_docs"]
+
+
+def test_doc_rowgroup_lru_parity_and_bounds(base):
+    """The memory-light hydration LRU returns identical results hot,
+    cold, evicting (1-byte ceiling → nothing cached) and repeated; the
+    byte accounting respects the ceiling."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    idx, sites, tbl, tmp_path = base
+    seg = sorted(glob.glob(f"{idx}/postings/bucket=*.parquet"))[0]
+    terms = pq.read_table(seg, columns=["term", "df"])
+    qterms = [
+        t for t, _ in sorted(
+            zip(terms["term"].to_pylist(), terms["df"].to_pylist()),
+            key=lambda x: -x[1],
+        )[:8]
+    ]
+    heavy = ses.SearchEngine(idx, docs_in_memory=True)
+    expected = {q: heavy.search(q, limit=10) for q in qterms}
+
+    cached = ses.SearchEngine(idx, docs_in_memory=False)
+    for _ in range(2):  # second pass is all cache hits
+        for q in qterms:
+            assert cached.search(q, limit=10) == expected[q]
+    assert len(cached._rg_cache) > 0
+    assert cached._rg_cache_bytes <= cached.rg_cache_max_bytes
+    assert cached._rg_cache_bytes == sum(t.nbytes for t in cached._rg_cache.values())
+
+    uncached = ses.SearchEngine(idx, docs_in_memory=False)
+    uncached.rg_cache_max_bytes = 0  # every group bigger than the ceiling
+    for q in qterms:
+        assert uncached.search(q, limit=10) == expected[q]
+    assert len(uncached._rg_cache) == 0
+
+    # reload drops the cache (compact() may rewrite base shards)
+    cached.reload_updates()
+    assert len(cached._rg_cache) == 0 and cached._rg_cache_bytes == 0
