@@ -110,14 +110,18 @@ def bench_index_build_pages() -> dict:
         # so BOTH scaling levels pack their actors comparably — a 2/4
         # pool at the low level would understate low-level throughput
         # and overstate scaling efficiency
-        tokenize_concurrency=max(2, N_CPUS - (1 if N_CPUS < 8 else 2)),
+        tokenize_concurrency=int(
+            os.environ.get("SES_BENCH_TOK_POOL", "0")
+        ) or max(2, N_CPUS - (1 if N_CPUS < 8 else 2)),
         # task granularity of the fused extract→tokenize operator: at
         # 192k pages, 4096 yields ~47 tasks over a 30-actor pool (1.6
-        # waves → ⅓ of the job is straggler tail); 2048 packs ~3 waves.
-        # Measured 5/5 alternating pairs faster (16.9-19.2 s vs
-        # 23.2-23.7 s on clean CPU); 1024 is equal within noise but
-        # doubles the groupby's input block count, so 2048 is default
-        tokenize_batch_size=int(os.environ.get("SES_BENCH_TOK_BATCH", "2048")),
+        # waves → ⅓ of the job is straggler tail); 2048 packs ~3.1 waves
+        # (94 tasks — measured 5/5 alternating pairs faster than 4096);
+        # 2134 packs EXACTLY 3 waves (90 tasks = 3×30, also 15×6 at the
+        # 8-CPU scaling level), trimming the 4-task straggler wave:
+        # steal-matched alternating pairs 16.72 vs 17.97 s and 15.88 vs
+        # 15.99 s (r4) — a small consistent win, so it is the default
+        tokenize_batch_size=int(os.environ.get("SES_BENCH_TOK_BATCH", "2134")),
         heavy_df_threshold=60_000,
         salt_target=60_000,
         sample_max_docs=3000,
