@@ -188,6 +188,82 @@ def q_doc_term_tf(sf_dir: str):
     )
 
 
+LEMMA_QUERY = "row sorted queries"  # lemmas: line / sort / query
+
+
+def _lemma_model_path() -> str:
+    """Deterministic ST1 morphology model artifact (default tables)."""
+    from search_engine_skillbox_ray.functions.lemmatize import build_lemma_model
+
+    return build_lemma_model("/tmp/ses_lemma_model.json")
+
+
+def _exploded_lemma(sf_dir: str):
+    """documents → (site_id, doc_id, lemma, tf): the tokenizer actor pool
+    with the stateful lemma model loaded once per actor (ST1 slot)."""
+    from search_engine_skillbox_ray.sources.pages import docs_from_documents
+    from search_engine_skillbox_ray.stages.tokenizer import TokenizeExplode
+
+    docs = docs_from_documents(_documents(sf_dir), _sources(sf_dir))
+    return docs.map_batches(
+        TokenizeExplode,
+        fn_constructor_kwargs={"lemma_model": _lemma_model_path()},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        batch_size=1024,
+    )
+
+
+def _lemma_index_dir(sf_dir: str) -> str:
+    """Build (cached) the LEMMA index for sf_dir (own dir — the model
+    hash is in the fingerprint, but the plain index must survive)."""
+    import search_engine_skillbox_ray as ses
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    idx = f"/tmp/ses_entry_idx_lemma_{tag}"
+    ses.build_index_from_documents_table(
+        _documents(sf_dir),
+        idx,
+        ses.BuildConfig(n_buckets=8, lemma_model=_lemma_model_path()),
+        input_token=sf_dir,
+    )
+    return idx
+
+
+def q_doc_term_tf_lemma(sf_dir: str):
+    ex = _exploded_lemma(sf_dir)
+    return ex.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "term": t["term"],
+                "tf": pc.cast(t["tf"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_term_df_lemma(sf_dir: str):
+    out = _exploded_lemma(sf_dir).groupby("term").count()
+    return out.map_batches(
+        lambda t: pa.table({"term": t["term"], "df": pc.cast(t["count()"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+def q_search_lemma(sf_dir: str):
+    """Disjunctive tf·idf through a lemma-model index: query surface
+    forms (row/sorted/queries) and corpus surface forms map through the
+    SAME model, so 'row' postings merge with 'line' (df = doc-set
+    union), 'sorted'→'sort', 'queries'→'query'."""
+    from search_engine_skillbox_ray.state.engine import SearchEngine
+
+    eng = SearchEngine(_lemma_index_dir(sf_dir), float32_scores=False)
+    doc_ids, scores, _ = eng.search_scores(LEMMA_QUERY)
+    return pd.DataFrame({"doc_id": doc_ids.astype(np.int64), "score": np.round(scores, 6)})
+
+
 def q_term_df(sf_dir: str):
     out = _exploded(sf_dir).groupby("term").count()
     return out.map_batches(
@@ -1777,6 +1853,9 @@ _DRIVER_PRIORITY = [
     "ann_ivf_topk",
     "media_decode",
     "media_frames",
+    "doc_term_tf_lemma",
+    "term_df_lemma",
+    "search_lemma",
     "doc_chunks",
     "proximity",
     "near_search",
@@ -1844,6 +1923,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def _queries_impl() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_term_tf": q_doc_term_tf,
+        "doc_term_tf_lemma": q_doc_term_tf_lemma,
+        "term_df_lemma": q_term_df_lemma,
+        "search_lemma": q_search_lemma,
         "term_df": q_term_df,
         "term_cf": q_term_cf,
         "corpus_stats": q_corpus_stats,
@@ -2535,8 +2617,45 @@ scores AS (
   FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
   GROUP BY tf.doc_id)
 """
+    from search_engine_skillbox_ray.functions.lemmatize import (
+        lemmatize_form as _lem_form,
+        DEFAULT_EXCEPTIONS as _LEM_EXC,
+        DEFAULT_RULES as _LEM_RULES,
+        lemma_sql_expr as _lemma_sql_expr,
+    )
+
+    # lemma mirror: the CASE expression is GENERATED from the same
+    # exception/rule tables the Python model loads, so oracle and engine
+    # cannot drift (functions/lemmatize.py)
+    tok_lemma = f"SELECT doc_id, {_lemma_sql_expr('term')} AS term FROM ({_TOK})"
+    tf_lemma = (
+        f"SELECT doc_id, term, count(*)::BIGINT AS tf FROM ({tok_lemma}) "
+        "GROUP BY doc_id, term"
+    )
+    lemma_q_terms = list(
+        dict.fromkeys(_lem_form(t, _LEM_EXC, _LEM_RULES) for t in LEMMA_QUERY.split())
+    )
+    lemma_q_values = ", ".join(f"('{t}')" for t in lemma_q_terms)
+
     return {
         "doc_term_tf": _TF,
+        "doc_term_tf_lemma": tf_lemma,
+        "term_df_lemma": (
+            f"SELECT term, count(DISTINCT doc_id)::BIGINT AS df "
+            f"FROM ({tok_lemma}) GROUP BY term"
+        ),
+        "search_lemma": f"""
+WITH tf AS ({tf_lemma}),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+q(term) AS (VALUES {lemma_q_values}),
+df AS (SELECT q.term, count(DISTINCT tf.doc_id)::BIGINT AS df
+       FROM q LEFT JOIN tf ON tf.term = q.term GROUP BY q.term),
+scores AS (
+  SELECT tf.doc_id, SUM(tf.tf * ln((n.n + 1.0) / (df.df + 1.0))) AS score
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+  GROUP BY tf.doc_id)
+SELECT doc_id, ROUND(score, 6) AS score FROM scores
+""",
         # streaming ingest must converge to the same live view as a
         # from-scratch index over the whole table → same tf oracle
         "streaming_ingest": _TF,

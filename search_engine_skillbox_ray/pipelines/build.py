@@ -72,6 +72,11 @@ class BuildConfig:
     # the map stage emits thousands of tiny blocks (sort's partition
     # matrix grows with input block count)
     coalesce_blocks: int | None = None  # 0 → auto (max(32, n_buckets))
+    # ST1 morphology model: path to a lemma_model.json built by
+    # functions/lemmatize.build_lemma_model. Tokenizer actors load it
+    # once each in __init__; build_index copies it into the index dir
+    # so SearchEngine applies the SAME map to query terms.
+    lemma_model: str | None = None
     extra_fingerprint: dict = field(default_factory=dict)
 
     def params(self) -> dict:
@@ -83,6 +88,15 @@ class BuildConfig:
             "salt_target": self.salt_target,
             "dedup": self.dedup,
             "use_text_col": self.use_text_col,
+            # fingerprint the model CONTENT, not its path: a changed
+            # rule table must invalidate resume markers
+            "lemma_model_hash": (
+                None
+                if self.lemma_model is None
+                else __import__("hashlib").md5(
+                    Path(self.lemma_model).read_bytes()
+                ).hexdigest()
+            ),
             **self.extra_fingerprint,
         }
 
@@ -286,6 +300,10 @@ def build_index_from_docs(
         (index_dir / "tombstones.json").unlink()
     if (index_dir / "postings_delta").exists():
         shutil.rmtree(index_dir / "postings_delta")
+    if cfg.lemma_model is None and (index_dir / "lemma_model.json").exists():
+        # rebuild without a model must not leave the old one behind —
+        # the engine would keep lemmatizing queries against raw postings
+        (index_dir / "lemma_model.json").unlink()
 
     docs_dir = index_dir / "docs"
     docs_already = manifest.docs_done()
@@ -330,6 +348,14 @@ def build_index_from_docs(
         "heavy_ref": heavy_ref,
         "emit_partials": True,
     }
+    if cfg.lemma_model is not None:
+        # persist the model INTO the index (self-contained artifact: the
+        # query engine and any rebuild read the index's own copy) and
+        # point the tokenizer actors at that copy
+        model_copy = index_dir / "lemma_model.json"
+        if Path(cfg.lemma_model).resolve() != model_copy.resolve():
+            shutil.copyfile(cfg.lemma_model, model_copy)
+        tok_kwargs["lemma_model"] = str(model_copy)
     if docs_already:
         partials = rd.read_parquet(
             str(docs_dir), columns=["doc_id", "site_id", "text"]

@@ -106,11 +106,22 @@ class TokenizeExplode:
         n_buckets: int | None = None,
         heavy_ref=None,
         emit_partials: bool = False,
+        lemma_model: str | None = None,
     ) -> None:
         self.text_col = text_col
         self.doc_id_col = doc_id_col
         self.site_col = site_col
         self.n_buckets = n_buckets
+        # ST1 morphology slot: when a model path is given, each actor
+        # loads the lemma model ONCE here (functions/lemmatize.py) and
+        # every batch's tokens are mapped surface form → lemma before
+        # counting, so tf/df/cf aggregate over LEMMAS (two forms sharing
+        # a lemma merge their postings).
+        self.lemmatizer = None
+        if lemma_model is not None:
+            from ..functions.lemmatize import DictLemmatizer
+
+            self.lemmatizer = DictLemmatizer(lemma_model)
         # emit_partials: combine inside the map stage — encode one partial
         # posting list per (term, site) per batch, so the shuffle moves
         # compressed segments (~2-4 B/posting) instead of exploded rows
@@ -134,6 +145,8 @@ class TokenizeExplode:
         keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
         terms = flat.filter(pa.array(keep))
         parents = parents[keep]
+        if self.lemmatizer is not None:
+            terms = self.lemmatizer.lemmatize(terms)
 
         doc_ids = batch.column(self.doc_id_col).to_numpy(zero_copy_only=False)[parents]
         if self.site_col in batch.column_names:

@@ -85,6 +85,16 @@ class SearchEngine:
         self._site_by_url = {
             normalize_url(s["url"]): int(s["site_id"]) for s in self.stats["sites"]
         }
+        # ST1 morphology: an index built with BuildConfig.lemma_model
+        # carries its model artifact (lemma_model.json, copied in by
+        # build_index) — load it once here so QUERY terms run through
+        # the same surface-form → lemma map the postings were built with.
+        self._lemmatizer = None
+        _lm = self.index_dir / "lemma_model.json"
+        if _lm.exists():
+            from ..functions.lemmatize import DictLemmatizer
+
+            self._lemmatizer = DictLemmatizer(_lm)
         self._term_cache: dict[str, list[dict]] = {}
         self._bucket_cache: dict[int, dict[str, list[dict]]] = {}
         # cache whole decoded buckets (one parquet read amortized over all
@@ -373,12 +383,20 @@ class SearchEngine:
                     out[i] = float(delta["doc_len"])
         return out
 
+    def _query_lemmas(self, query: str) -> list[str]:
+        """M9 + optional morphology model: tokenize, map through the
+        index's lemma model when present, order-preserving distinct."""
+        lemmas = query_lemmas(query)
+        if self._lemmatizer is not None and lemmas:
+            lemmas = list(dict.fromkeys(self._lemmatizer.lemmatize_list(lemmas)))
+        return lemmas
+
     def search_scores(
         self, query: str, site: str | None = None
     ) -> tuple[np.ndarray, np.ndarray, list[str]]:
         """Full scored candidate list (pre-pagination): (doc_ids, scores
         float32, lemmas). Empty arrays when nothing matches."""
-        lemmas = query_lemmas(query)
+        lemmas = self._query_lemmas(query)
         if not lemmas:
             return np.empty(0, np.int64), np.empty(0, np.float32), lemmas
         site_id, known = self._resolve_site(site)
@@ -451,7 +469,7 @@ class SearchEngine:
         if not docs.size:
             return docs, scores
         site_id, _ = self._resolve_site(site)
-        for t in query_lemmas(exclude):
+        for t in self._query_lemmas(exclude):
             if not docs.size:
                 break
             d, _, _ = self.term_postings(t, site_id)
@@ -608,7 +626,7 @@ class SearchEngine:
         from ..stages.wand import topk_conjunctive_bmw, topk_disjunctive_maxscore
 
         mode = mode or self.mode
-        lemmas = query_lemmas(query)
+        lemmas = self._query_lemmas(query)
         if not lemmas:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         site_id, known = self._resolve_site(site)
@@ -684,7 +702,7 @@ class SearchEngine:
         try:
             if query is None or not query.strip():
                 return {"response": {"result": False, "count": 0, "data": []}}
-            if not query_lemmas(query):
+            if not self._query_lemmas(query):
                 return {"response": {"result": True, "count": 0, "data": []}}
             doc_ids, scores, _ = self.search_scores(query, site)
             total = int(doc_ids.size)
@@ -715,7 +733,7 @@ class SearchEngine:
     ) -> dict:
         """Hydrated rows → the reference-shaped SearchResponse."""
         try:
-            lemmas = query_lemmas(query)
+            lemmas = self._query_lemmas(query)
             qtokens = query_tokens(query)
             snippet_words = qtokens if qtokens else lemmas
             data = []
