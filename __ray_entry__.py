@@ -792,6 +792,51 @@ def q_curation_score(sf_dir: str):
     return curation_score_ds(_documents(sf_dir), *CURATION_W)
 
 
+BOILER_W = 8  # segment width (tokens); corpus has no newlines → token segments
+BOILER_MIN_DF = 2  # flagged when a segment occurs in >= this many docs
+
+
+def q_boilerplate_strip(sf_dir: str):
+    """C4/RefinedWeb line-level dedup analog: REMOVE every w-token
+    segment occurring in >= min_df distinct docs; emits the cleaned
+    corpus (the training-data export), not just a score."""
+    from search_engine_skillbox_ray.pipelines.dedup import boilerplate_strip
+
+    return boilerplate_strip(_documents(sf_dir), w=BOILER_W, min_df=BOILER_MIN_DF)
+
+
+def _boilerplate_oracle() -> str:
+    """Mirror: same segmentation (non-overlapping w-token slices, final
+    partial tail kept; DuckDB slices 1-based inclusive and clamped) and
+    the SAME md5 % MERSENNE61 segment hash as the Ray stage."""
+    from search_engine_skillbox_ray.functions.hashing import MERSENNE61
+
+    w = BOILER_W
+    return f"""
+WITH tl AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+            '[^\\p{{L}}]+'), x -> x <> '') AS toks FROM documents),
+seg AS (SELECT doc_id, t.i AS seg_no,
+        array_to_string(toks[(t.i*{w}+1):((t.i+1)*{w})], ' ') AS seg_text
+        FROM tl, UNNEST(range(0, CAST(ceil(len(toks) / {w}.0) AS BIGINT))) AS t(i)),
+sh AS (SELECT doc_id, seg_no, seg_text,
+       md5_number_lower(seg_text) % {MERSENNE61} AS h FROM seg),
+flag AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= {BOILER_MIN_DF}),
+tot AS (SELECT doc_id, count(*)::BIGINT AS n_segs FROM sh GROUP BY doc_id),
+rem AS (SELECT doc_id, count(*)::BIGINT AS n_removed
+        FROM sh JOIN flag USING (h) GROUP BY doc_id),
+txt AS (SELECT doc_id, string_agg(seg_text, ' ' ORDER BY seg_no) AS text_clean
+        FROM sh WHERE h NOT IN (SELECT h FROM flag) GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(tot.n_segs, 0)::BIGINT AS n_segs,
+       COALESCE(rem.n_removed, 0)::BIGINT AS n_removed,
+       COALESCE(txt.text_clean, '') AS text_clean
+FROM documents d
+LEFT JOIN tot ON tot.doc_id = d.doc_id
+LEFT JOIN rem ON rem.doc_id = d.doc_id
+LEFT JOIN txt ON txt.doc_id = d.doc_id
+"""
+
+
 def q_dup_span_runs(sf_dir: str):
     """Longest consecutive duplicated-window run per doc — the
     contiguity complement to dup_spans' coverage fraction."""
@@ -1856,6 +1901,7 @@ _DRIVER_PRIORITY = [
     "doc_term_tf_lemma",
     "term_df_lemma",
     "search_lemma",
+    "boilerplate_strip",
     "doc_chunks",
     "proximity",
     "near_search",
@@ -1980,6 +2026,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "near_search": q_near_search,
         "token_count_bpe": q_token_count_bpe,
         "dup_spans": q_dup_spans,
+        "boilerplate_strip": q_boilerplate_strip,
         "dup_span_runs": q_dup_span_runs,
         "curation_score": q_curation_score,
         "sample_hash": q_sample_hash,
@@ -3302,6 +3349,7 @@ GROUP BY a.doc_id
 """,
         "token_count_bpe": _bpe_count_sql(),
         "dup_spans": _dup_spans_oracle(),
+        "boilerplate_strip": _boilerplate_oracle(),
         # composite curation score: z-blend with the identical
         # (x−a/n)/sqrt(greatest(b/n−(a/n)², 0)) arithmetic shape; a
         # zero-σ signal contributes 0 on both sides; round 6 absorbs

@@ -2399,3 +2399,291 @@ def contrastive_negatives(
             }
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Boilerplate segment removal (RefinedWeb/C4 "repeated lines across pages")
+# --------------------------------------------------------------------------
+
+
+def _segment_rows(
+    batch: pa.Table,
+    w: int,
+    text_col: str,
+    id_col: str,
+    emit_text: bool,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, pa.Array, np.ndarray]:
+    """Shared segmentation kernel: non-overlapping ``w``-token segments
+    (final partial tail kept) per doc. Returns
+    (doc_ids_per_batch_row, seg_parent_row, seg_no, seg_hash,
+    seg_text_or_None, n_segs_per_row). Fully vectorized: segments TILE
+    the flat token array, so ONE ListArray over the flat tokens + ONE
+    ``binary_join`` builds every segment string; md5 runs once per
+    DISTINCT segment in the batch (boilerplate repeats by definition)."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import md5_u64
+
+    doc_ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    toks, _parents, counts = flat_nonempty_tokens(batch.column(text_col))
+    n_segs = (counts + w - 1) // w
+    total = int(n_segs.sum())
+    if total == 0:
+        none = np.array([], dtype=np.int64)
+        return doc_ids, none, none, none.astype(np.uint64), pa.array([], pa.string()), n_segs
+    seg_par = np.repeat(np.arange(counts.size, dtype=np.int64), n_segs)
+    seg_no = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(n_segs) - n_segs, n_segs
+    )
+    doc_starts = np.cumsum(counts) - counts
+    seg_start = doc_starts[seg_par] + seg_no * w
+    # segments tile the flat token array → offsets are just the starts
+    # plus the terminal end
+    offsets = np.append(seg_start, len(toks)).astype(np.int32)
+    lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), toks)
+    joined = pc.binary_join(lists, " ")
+    if isinstance(joined, pa.ChunkedArray):
+        joined = joined.combine_chunks()
+    denc = joined.dictionary_encode()
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = md5_u64(denc.dictionary.to_pylist()) % np.uint64(MERSENNE61)
+    seg_hash = uniq[codes]
+    return doc_ids, seg_par, seg_no, seg_hash, (joined if emit_text else None), n_segs
+
+
+def _distinct_doc_seg_stage(
+    batch: pa.Table, w: int, text_col: str, id_col: str
+) -> pa.Table:
+    """Pass-1 stage: per-doc DISTINCT segment hashes → slim
+    ``(seg_hash, doc_id)`` rows (a doc lives in one batch row, so the
+    per-batch distinct is the global distinct)."""
+    doc_ids, seg_par, _seg_no, seg_hash, _txt, _ = _segment_rows(
+        batch, w, text_col, id_col, emit_text=False
+    )
+    if not seg_par.size:
+        return pa.table(
+            {"seg_hash": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64())}
+        )
+    pairs = np.stack([seg_par, seg_hash.astype(np.int64)], axis=1)
+    uniq = np.unique(pairs, axis=0)
+    return pa.table(
+        {
+            "seg_hash": pa.array(uniq[:, 1], pa.int64()),
+            "doc_id": pa.array(doc_ids[uniq[:, 0]], pa.int64()),
+        }
+    )
+
+
+class _StripFlagged:
+    """Pass-2 actor stage (broadcast path): re-segment, drop segments
+    whose hash is in the flagged set, reassemble ``text_clean``. The
+    flagged-hash array arrives as ``[ray.put(np.ndarray)]`` — fetched
+    once per actor, looked up with ``searchsorted`` per batch."""
+
+    def __init__(self, flagged_ref, w: int, text_col: str, id_col: str) -> None:
+        ref = flagged_ref[0] if isinstance(flagged_ref, (list, tuple)) else flagged_ref
+        self.flagged = ray.get(ref) if not isinstance(ref, np.ndarray) else ref
+        self.w = w
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        doc_ids, seg_par, _seg_no, seg_hash, seg_text, n_segs = _segment_rows(
+            batch, self.w, self.text_col, self.id_col, emit_text=True
+        )
+        n_rows = len(batch)
+        if not seg_par.size:
+            z = np.zeros(n_rows, dtype=np.int64)
+            return pa.table(
+                {
+                    "doc_id": pa.array(doc_ids, pa.int64()),
+                    "n_segs": pa.array(z),
+                    "n_removed": pa.array(z),
+                    "text_clean": pa.array([""] * n_rows, pa.string()),
+                }
+            )
+        h = seg_hash.astype(np.int64)
+        pos = np.searchsorted(self.flagged, h)
+        pos_c = np.minimum(pos, max(self.flagged.size - 1, 0))
+        flagged = (
+            (self.flagged[pos_c] == h) if self.flagged.size else np.zeros(h.size, bool)
+        )
+        removed_per_row = np.bincount(
+            seg_par[flagged], minlength=n_rows
+        ).astype(np.int64)
+        keep = ~flagged
+        kept_par = seg_par[keep]
+        kept_counts = np.bincount(kept_par, minlength=n_rows).astype(np.int64)
+        kept_text = seg_text.filter(pa.array(keep))
+        # kept segments stay doc-contiguous → one ListArray + join again
+        offsets = np.append(
+            np.cumsum(kept_counts) - kept_counts, int(kept_counts.sum())
+        ).astype(np.int32)
+        clean = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), kept_text), " "
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "n_segs": pa.array(n_segs.astype(np.int64)),
+                "n_removed": pa.array(removed_per_row),
+                "text_clean": clean,
+            }
+        )
+
+
+def boilerplate_strip(
+    documents: rd.Dataset,
+    w: int = 8,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """→ (doc_id, n_segs, n_removed, text_clean): remove every
+    non-overlapping ``w``-token segment (final partial tail included)
+    that occurs in >= ``min_df`` DISTINCT documents — the line-level
+    dedup of C4 / RefinedWeb ("remove duplicated lines across pages",
+    Penedo et al. arXiv:2306.01116 §4.2; Raffel et al. arXiv:1910.10683
+    §2.2) restated over tokenizer segments, since the synthetic corpus
+    has no newlines. Unlike ``dup_span_stats`` (which SCORES overlap)
+    this REWRITES the corpus — the cleaned text is the training-data
+    export.
+
+    Scale shape: pass 1 ships slim distinct ``(seg_hash, doc_id)`` rows
+    into a bucketed df count; only hashes with df >= min_df survive —
+    a side table bounded by the volume of REPEATED content, not the
+    corpus. Below ``DRIVER_FASTPATH_ROWS`` that set broadcasts via
+    ``ray.put`` into a pass-2 actor pool (corpus text never shuffles);
+    above it, segment rows exchange ONCE by seg_hash against the
+    flagged set and reassemble with ONE doc-keyed exchange.
+    """
+    from ..config import DRIVER_FASTPATH_ROWS
+    from ..stages.grouping import bucketed_group_apply
+
+    pairs = documents.map_batches(
+        _distinct_doc_seg_stage,
+        fn_kwargs={"w": w, "text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow",
+    )
+
+    def df_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        # (seg_hash, doc_id) rows are globally distinct → group size = df
+        cnt = bucket.groupby("seg_hash", sort=False)["doc_id"].size()
+        hot = cnt[cnt >= min_df]
+        return pd.DataFrame({"seg_hash": hot.index.to_numpy(np.int64)})
+
+    # materialize the POST-aggregation result (repeated-content-sized,
+    # not corpus-sized) so count + consume don't re-run the corpus pass
+    flagged_ds = bucketed_group_apply(
+        pairs, ["seg_hash"], df_bucket, n_buckets=n_buckets
+    ).materialize()
+    n_flagged = flagged_ds.count()
+
+    if n_flagged <= DRIVER_FASTPATH_ROWS:
+        # flagged set is repeated-content-sized (annotated driver
+        # collect, gated) — broadcast once, stream the corpus through
+        # the strip actors
+        if n_flagged:
+            flagged = np.sort(
+                np.asarray(
+                    [r["seg_hash"] for r in flagged_ds.take_all()], dtype=np.int64
+                )
+            )
+        else:
+            flagged = np.array([], dtype=np.int64)
+        flagged_ref = [ray.put(flagged)]
+        return documents.map_batches(
+            _StripFlagged,
+            fn_constructor_kwargs={
+                "flagged_ref": flagged_ref,
+                "w": w,
+                "text_col": text_col,
+                "id_col": id_col,
+            },
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+            batch_size=1024,
+        )
+
+    # ---- distributed fallback: exchange segments by hash, then by doc
+    def seg_rows_stage(batch: pa.Table) -> pa.Table:
+        doc_ids, seg_par, seg_no, seg_hash, seg_text, _ = _segment_rows(
+            batch, w, text_col, id_col, emit_text=True
+        )
+        return pa.table(
+            {
+                "seg_hash": pa.array(seg_hash.astype(np.int64), pa.int64()),
+                "doc_id": pa.array(doc_ids[seg_par], pa.int64()),
+                "seg_no": pa.array(seg_no, pa.int64()),
+                "seg_text": seg_text,
+                "is_flag": pa.array(np.zeros(seg_par.size, dtype=np.int8), pa.int8()),
+            }
+        )
+
+    segs = documents.map_batches(seg_rows_stage, batch_format="pyarrow")
+    flag_rows = flagged_ds.map_batches(
+        lambda t: pa.table(
+            {
+                "seg_hash": t["seg_hash"],
+                "doc_id": pa.array(np.full(len(t), -1, np.int64)),
+                "seg_no": pa.array(np.full(len(t), -1, np.int64)),
+                "seg_text": pa.array([""] * len(t), pa.string()),
+                "is_flag": pa.array(np.ones(len(t), dtype=np.int8), pa.int8()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def mark_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        hot = set(bucket.loc[bucket["is_flag"] == 1, "seg_hash"].to_numpy())
+        rows = bucket[bucket["is_flag"] == 0]
+        out = rows[["doc_id", "seg_no", "seg_text"]].copy()
+        out["removed"] = rows["seg_hash"].isin(hot).to_numpy().astype(np.int8)
+        return out
+
+    marked = bucketed_group_apply(
+        segs.union(flag_rows), ["seg_hash"], mark_bucket, n_buckets=n_buckets
+    )
+
+    def rebuild_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        bucket = bucket.sort_values(["doc_id", "seg_no"], kind="stable")
+        grp = bucket.groupby("doc_id", sort=False)
+        kept = bucket[bucket["removed"] == 0]
+        text = kept.groupby("doc_id", sort=False)["seg_text"].agg(" ".join)
+        out = pd.DataFrame(
+            {
+                "doc_id": grp.size().index.to_numpy(np.int64),
+                "n_segs": grp.size().to_numpy(np.int64),
+                "n_removed": grp["removed"].sum().to_numpy(np.int64),
+            }
+        )
+        out["text_clean"] = (
+            text.reindex(out["doc_id"].to_numpy()).fillna("").to_numpy()
+        )
+        return out
+
+    rebuilt = bucketed_group_apply(marked, ["doc_id"], rebuild_bucket, n_buckets=32)
+
+    # docs with zero tokens never produced a segment row — union their
+    # zero rows so every input doc keeps an output row
+    def zero_rows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        _, _, _, _, _, n_segs = _segment_rows(batch, w, text_col, id_col, False)
+        empty_mask = n_segs == 0
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)[empty_mask]
+        z = np.zeros(ids.size, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "n_segs": pa.array(z),
+                "n_removed": pa.array(z),
+                "text_clean": pa.array([""] * ids.size, pa.string()),
+            }
+        )
+
+    empties = documents.map_batches(zero_rows, batch_format="pyarrow")
+    return rebuilt.union(empties)

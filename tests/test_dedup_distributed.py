@@ -285,3 +285,61 @@ def test_duplicated_doc_id_input_same_pair_set(corpus, monkeypatch):
             assert _pair_frame(gen(duped), cols).equals(clean)
         finally:
             monkeypatch.undo()
+
+
+def _boiler_reference(rows, w, min_df):
+    """Plain-Python oracle for boilerplate_strip."""
+    from search_engine_skillbox_ray.functions.tokenize import tokenize
+
+    segs = {}
+    per_doc = {}
+    for r in rows:
+        toks = tokenize(r["text"])
+        dsegs = [
+            " ".join(toks[i : i + w]) for i in range(0, len(toks), w)
+        ]
+        per_doc[r["doc_id"]] = dsegs
+        for s in set(dsegs):
+            segs.setdefault(s, set()).add(r["doc_id"])
+    flagged = {s for s, d in segs.items() if len(d) >= min_df}
+    out = {}
+    for did, dsegs in per_doc.items():
+        kept = [s for s in dsegs if s not in flagged]
+        out[did] = (
+            len(dsegs),
+            sum(1 for s in dsegs if s in flagged),
+            " ".join(kept),
+        )
+    return out
+
+
+def _boiler_frame(ds):
+    df = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return df[["doc_id", "n_segs", "n_removed", "text_clean"]]
+
+
+@pytest.mark.parametrize("force_distributed", [False, True])
+def test_boilerplate_strip_paths(corpus, monkeypatch, force_distributed):
+    from search_engine_skillbox_ray.pipelines.dedup import boilerplate_strip
+
+    if force_distributed:
+        monkeypatch.setattr(config, "DRIVER_FASTPATH_ROWS", 0)
+    w, min_df = 8, 2
+    got = _boiler_frame(boilerplate_strip(corpus, w=w, min_df=min_df, n_buckets=8))
+    rows = corpus.take_all()
+    ref = _boiler_reference(rows, w, min_df)
+    assert len(got) == len(ref)
+    assert got["doc_id"].tolist() == sorted(ref)
+    for _, r in got.iterrows():
+        n_segs, n_removed, text_clean = ref[r["doc_id"]]
+        assert r["n_segs"] == n_segs, r["doc_id"]
+        assert r["n_removed"] == n_removed, r["doc_id"]
+        assert r["text_clean"] == text_clean, r["doc_id"]
+    # the planted exact dups MUST be fully stripped (all segments shared)
+    dup_ids = [r["doc_id"] for r in rows if r["doc_id"] >= 1000 and r["doc_id"] < 2000]
+    stripped = got.set_index("doc_id")
+    for did in dup_ids:
+        assert stripped.loc[did, "n_removed"] == stripped.loc[did, "n_segs"]
+        assert stripped.loc[did, "text_clean"] == ""
+    # and non-duplicated docs keep text: at least one doc survives intact
+    assert (got["n_removed"] == 0).any()

@@ -229,6 +229,9 @@ def test_oracle_keys_subset(entry_mod):
     # round 4: ST1 morphology model (stateful lemmatizer in the
     # tokenizer actor slot; df = doc-set union across surface forms)
     "doc_term_tf_lemma", "term_df_lemma", "search_lemma",
+    # round 4: C4/RefinedWeb-style boilerplate segment removal (corpus
+    # rewrite: cleaned text export)
+    "boilerplate_strip",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
