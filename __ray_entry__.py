@@ -393,6 +393,29 @@ def q_search_bm25(sf_dir: str):
     return pd.DataFrame({"doc_id": doc_ids.astype(np.int64), "score": np.round(scores, 6)})
 
 
+def q_search_sum_tf(sf_dir: str):
+    """O3 parity (reference dead code, now served): rank pages by raw
+    term-frequency mass Σ tf over the query lemmas, no idf —
+    repository/IndexRepository.java:13-18's ORDER BY SUM(rank) DESC.
+    Integer sums are exact in float64, so score is emitted as int64."""
+    eng = _engine(sf_dir, scorer="sumtf", float32_scores=False)
+    doc_ids, scores, _ = eng.search_scores(SEARCH_QUERY)
+    return pd.DataFrame(
+        {"doc_id": doc_ids.astype(np.int64), "score": scores.astype(np.int64)}
+    )
+
+
+def q_search_sum_tf_site(sf_dir: str):
+    """O3 site-scoped variant (IndexRepository.java:19-24): same Σ tf
+    ranking restricted to one site's pages via the posting site scope."""
+    eng = _engine(sf_dir, scorer="sumtf", float32_scores=False)
+    site = f"https://{SEARCH_SITE_SOURCE}.example"
+    doc_ids, scores, _ = eng.search_scores(SEARCH_QUERY, site=site)
+    return pd.DataFrame(
+        {"doc_id": doc_ids.astype(np.int64), "score": scores.astype(np.int64)}
+    )
+
+
 def q_search_rrf(sf_dir: str):
     """Reciprocal-rank fusion of the tf-idf and BM25 rankings (the
     hybrid-search combiner): fused(d) = 1/(k0+rank_tfidf) +
@@ -1898,6 +1921,8 @@ _DRIVER_PRIORITY = [
     "ann_ivf_topk",
     "media_decode",
     "media_frames",
+    "search_sum_tf",
+    "search_sum_tf_site",
     "doc_term_tf_lemma",
     "term_df_lemma",
     "search_lemma",
@@ -1980,6 +2005,8 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "search_conjunctive": q_search_conjunctive,
         "search_site_scoped": q_search_site_scoped,
         "search_bm25": q_search_bm25,
+        "search_sum_tf": q_search_sum_tf,
+        "search_sum_tf_site": q_search_sum_tf_site,
         "search_rrf": q_search_rrf,
         "search_hybrid": q_search_hybrid,
         "search_count": q_search_count,
@@ -2771,6 +2798,23 @@ SELECT s.doc_id, ROUND(s.score, 6) AS score FROM scores s
 JOIN (SELECT doc_id FROM tf WHERE term IN ({terms_in})
       GROUP BY doc_id HAVING count(DISTINCT term) = {n_terms}) m
   ON s.doc_id = m.doc_id
+""",
+        # O3: ORDER BY SUM(rank) DESC — raw tf mass per page over the
+        # query terms (IndexRepository.java:13-18); the site variant
+        # (:19-24) scopes postings to one source's documents
+        "search_sum_tf": f"""
+WITH tf AS ({_TF}), q(term) AS (VALUES {_terms_values()})
+SELECT tf.doc_id, SUM(tf.tf)::BIGINT AS score
+FROM tf JOIN q ON tf.term = q.term GROUP BY tf.doc_id
+""",
+        "search_sum_tf_site": f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE source = '{scope_site}'),
+tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text),
+        '[^\\p{{L}}]+'), x -> x <> '')) AS term FROM d),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+q(term) AS (VALUES {_terms_values()})
+SELECT tf.doc_id, SUM(tf.tf)::BIGINT AS score
+FROM tf JOIN q ON tf.term = q.term GROUP BY tf.doc_id
 """,
         "search_site_scoped": f"""
 WITH d AS (SELECT doc_id, text FROM documents WHERE source = '{scope_site}'),

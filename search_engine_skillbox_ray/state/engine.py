@@ -438,6 +438,16 @@ class SearchEngine:
                 w = idf[t] * (tf * (self.k1 + 1.0)) / denom
                 np.add.at(scores, inverse[pos: pos + d.size], w)
                 pos += d.size
+        elif self.scorer == "sumtf":
+            # O3 parity: ORDER BY SUM(rank) DESC — raw term-frequency
+            # mass per page, no idf (reference dead code, now served:
+            # repository/IndexRepository.java:13-24 global and :19-24
+            # site-scoped via the same site_id posting scope). Integer
+            # sums in float64 are exact, so oracle hashing is stable.
+            pos = 0
+            for _, d, tf in non_empty:
+                np.add.at(scores, inverse[pos: pos + d.size], tf.astype(np.float64))
+                pos += d.size
         else:
             pos = 0
             for t, d, tf in non_empty:
