@@ -499,6 +499,40 @@ def q_quality(sf_dir: str):
     return quality_ds(_documents(sf_dir))
 
 
+def q_pii_scrub(sf_dir: str):
+    """PII scrubbing over the corpus. The synthetic corpus contains no
+    PII-shaped spans, so the query first APPENDS deterministic
+    doc_id-derived spans (emails on doc_id%7==0, IPv4 on %11==0, phone
+    on %13==0) — the SQL oracle performs the identical concatenation —
+    then runs the one-pass count+redact operator. Exercises both the
+    hit and the no-hit (pass-through) paths."""
+    from search_engine_skillbox_ray.pipelines.textstats import pii_scrub_ds
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        text = batch.column("text").to_pandas().to_numpy(dtype=object)
+        out = text.copy()
+        m7 = ids % 7 == 0
+        out[m7] = [
+            f"{t} reach user{i}@mail.example fast"
+            for t, i in zip(out[m7], ids[m7])
+        ]
+        m11 = ids % 11 == 0
+        out[m11] = [
+            f"{t} node 10.{i % 256}.0.{i % 200 + 1} up"
+            for t, i in zip(out[m11], ids[m11])
+        ]
+        m13 = ids % 13 == 0
+        out[m13] = [
+            f"{t} call +1-555-{i % 10000:04d} now"
+            for t, i in zip(out[m13], ids[m13])
+        ]
+        return pa.table({"doc_id": batch.column("doc_id"), "text": pa.array(list(out), pa.string())})
+
+    docs = _documents(sf_dir).map_batches(inject, batch_format="pyarrow")
+    return pii_scrub_ds(docs)
+
+
 def q_fingerprint(sf_dir: str):
     from search_engine_skillbox_ray.pipelines.textstats import fingerprints_ds
 
@@ -1923,6 +1957,7 @@ _DRIVER_PRIORITY = [
     "media_frames",
     "search_sum_tf",
     "search_sum_tf_site",
+    "pii_scrub",
     "doc_term_tf_lemma",
     "term_df_lemma",
     "search_lemma",
@@ -2014,6 +2049,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "quality": q_quality,
+        "pii_scrub": q_pii_scrub,
         "fingerprint": q_fingerprint,
         "langid": q_langid,
         "phrase_scan": q_phrase_scan,
@@ -2691,6 +2727,37 @@ scores AS (
   FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
   GROUP BY tf.doc_id)
 """
+    from search_engine_skillbox_ray.pipelines.textstats import PII_PATTERNS
+
+    # PII scrub mirror: patterns imported from the SAME tuple the operator
+    # applies (RE2 on both sides), injection CASEs mirror q_pii_scrub
+    _pii_aug = """
+SELECT doc_id,
+  text
+  || CASE WHEN doc_id % 7 = 0 THEN ' reach user' || doc_id || '@mail.example fast' ELSE '' END
+  || CASE WHEN doc_id % 11 = 0 THEN ' node 10.' || (doc_id % 256) || '.0.' || (doc_id % 200 + 1) || ' up' ELSE '' END
+  || CASE WHEN doc_id % 13 = 0 THEN ' call +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' now' ELSE '' END
+  AS text
+FROM documents"""
+    _pii_counts = ",\n  ".join(
+        "length(regexp_extract_all(text, '{p}'))::BIGINT AS n_{n}".format(
+            p=pat.replace("'", "''"), n=name
+        )
+        for name, pat, _ in PII_PATTERNS
+    )
+    _pii_red = "text"
+    for name, pat, tag in PII_PATTERNS:
+        _pii_red = "regexp_replace({x}, '{p}', '{t}', 'g')".format(
+            x=_pii_red, p=pat.replace("'", "''"), t=tag
+        )
+    pii_scrub_sql = f"""
+WITH aug AS ({_pii_aug})
+SELECT doc_id,
+  {_pii_counts},
+  {_pii_red} AS text_redacted
+FROM aug
+"""
+
     from search_engine_skillbox_ray.functions.lemmatize import (
         lemmatize_form as _lem_form,
         DEFAULT_EXCEPTIONS as _LEM_EXC,
@@ -2799,6 +2866,7 @@ JOIN (SELECT doc_id FROM tf WHERE term IN ({terms_in})
       GROUP BY doc_id HAVING count(DISTINCT term) = {n_terms}) m
   ON s.doc_id = m.doc_id
 """,
+        "pii_scrub": pii_scrub_sql,
         # O3: ORDER BY SUM(rank) DESC — raw tf mass per page over the
         # query terms (IndexRepository.java:13-18); the site variant
         # (:19-24) scopes postings to one source's documents

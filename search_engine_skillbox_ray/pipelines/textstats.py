@@ -2466,3 +2466,51 @@ def facet_counts_ds(
         )
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (round 4)
+# ---------------------------------------------------------------------------
+
+# RE2 patterns shared verbatim between pyarrow.compute (RE2) and DuckDB
+# (also RE2) — byte-identical match semantics on both sides, so the
+# redacted text hashes equal. Order matters: email is redacted before
+# ip/phone so an address's host part can't be re-matched as an IP.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,2}-\d{3}-\d{4}", "<PHONE>"),
+)
+
+
+def pii_scrub_ds(
+    documents: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """→ (doc_id, n_email, n_ip, n_phone, text_redacted): count and
+    redact PII-shaped spans (emails, IPv4 literals, phone numbers) —
+    the scrubbing pass every public training-data pipeline runs before
+    export (e.g. BigScience ROOTS, Laurençon et al. arXiv:2303.03915
+    §3; the reference has no curation surface, SURVEY §2).
+
+    Counts are taken on the ORIGINAL text; redaction applies the
+    patterns sequentially in ``PII_PATTERNS`` order. One stateless
+    vectorized ``map_batches`` pass (RE2 kernels over the whole column),
+    zero shuffle, corpus-scale safe.
+    """
+
+    def stage(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        cols: dict[str, pa.Array | pa.ChunkedArray] = {id_col: batch.column(id_col)}
+        red = text
+        for name, pat, tag in PII_PATTERNS:
+            cols[f"n_{name}"] = pc.cast(pc.count_substring_regex(text, pat), pa.int64())
+            red = pc.replace_substring_regex(red, pat, tag)
+        cols["text_redacted"] = red
+        return pa.table(cols)
+
+    return documents.select_columns([id_col, text_col]).map_batches(
+        stage, batch_format="pyarrow"
+    )

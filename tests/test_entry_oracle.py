@@ -101,6 +101,8 @@ def test_oracle_keys_subset(entry_mod):
     "events_follow",
     # round 4: O3 parity — ORDER BY SUM(rank) DESC, global + site-scoped
     "search_sum_tf", "search_sum_tf_site",
+    # round 4: PII count+redact scrub (RE2 parity, injected fixtures)
+    "pii_scrub",
     # round 3: BPE-ish pre-token counting (RE2 parity with DuckDB)
     "token_count_bpe",
     # round 3: Gopher-shape repetition signals, global bigram counts,
