@@ -21,6 +21,7 @@ suite instead, where the pure-Python oracle carries the same cast).
 from __future__ import annotations
 
 import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
@@ -389,6 +390,45 @@ def q_search_site_scoped(sf_dir: str):
 
 def q_search_bm25(sf_dir: str):
     eng = _engine(sf_dir, scorer="bm25", k1=BM25_K1, b=BM25_B, float32_scores=False)
+    doc_ids, scores, _ = eng.search_scores(SEARCH_QUERY)
+    return pd.DataFrame({"doc_id": doc_ids.astype(np.int64), "score": np.round(scores, 6)})
+
+
+RECENCY_HALF_LIFE = 30.0  # days; prior = HL / (HL + age_days)
+
+
+def q_search_recency(sf_dir: str):
+    """Freshness-boosted BM25: score × a static per-doc recency prior
+    served from a (doc_id, prior) side table the engine loads like its
+    doc_len array (``SearchEngine(prior_path=...)``) — the slot real web
+    ranking uses for pagerank / freshness / quality priors. The driver's
+    documents table carries no timestamp, so age_days is the documented
+    deterministic stand-in ``doc_id % 365`` (the pages-fixture path
+    derives real ages from warc_ts via ``write_recency_priors``, which
+    is what the pytest exercises). Rational decay (pure +,*,/ in
+    float64), not exp(): bit-identical between numpy and DuckDB."""
+    import ray.data as rd
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    pri_dir = f"/tmp/ses_recency_priors_{tag}"
+    hl = RECENCY_HALF_LIFE
+
+    def prior_batch(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        age = (ids % 365).astype(np.float64)
+        return pa.table({"doc_id": ids, "prior": hl / (hl + age)})
+
+    import shutil as _sh
+
+    if os.path.exists(pri_dir):
+        _sh.rmtree(pri_dir)
+    rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+        prior_batch, batch_format="pyarrow"
+    ).write_parquet(pri_dir)
+    eng = _engine(
+        sf_dir, scorer="bm25", k1=BM25_K1, b=BM25_B,
+        float32_scores=False, prior_path=pri_dir,
+    )
     doc_ids, scores, _ = eng.search_scores(SEARCH_QUERY)
     return pd.DataFrame({"doc_id": doc_ids.astype(np.int64), "score": np.round(scores, 6)})
 
@@ -2010,6 +2050,10 @@ _DRIVER_PRIORITY = [
     "near_dup_vs_snapshot",
     "dedup_index_query",
     "dedup_index_delete",
+    # round-4 session-7 additions (self-check green; driver priority
+    # for round 5 — the 50-sample prefix is already full of
+    # never-driver-verified entries)
+    "search_recency",
 ]
 
 
@@ -2040,6 +2084,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "search_conjunctive": q_search_conjunctive,
         "search_site_scoped": q_search_site_scoped,
         "search_bm25": q_search_bm25,
+        "search_recency": q_search_recency,
         "search_sum_tf": q_search_sum_tf,
         "search_sum_tf_site": q_search_sum_tf_site,
         "search_rrf": q_search_rrf,
@@ -2915,6 +2960,32 @@ scores AS (
        CROSS JOIN n CROSS JOIN avgdl
   GROUP BY tf.doc_id)
 SELECT doc_id, ROUND(score, 6) AS score FROM scores
+""",
+        # freshness-boosted BM25: the BM25 CTE verbatim × the rational
+        # recency prior HL/(HL + age_days), age_days = doc_id % 365 (the
+        # documented deterministic stand-in — the documents table has no
+        # timestamp; warc_ts-derived priors are pytest-covered). Sum-
+        # then-multiply on both sides → identical float64.
+        "search_recency": f"""
+WITH tf AS ({_TF}),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM ({_TOK}) GROUP BY doc_id),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+avgdl AS (SELECT sum(dl) / (SELECT n FROM n) AS avgdl FROM dl),
+q(term) AS (VALUES {_terms_values()}),
+df AS (SELECT q.term, count(DISTINCT tf.doc_id)::BIGINT AS df
+       FROM q LEFT JOIN tf ON tf.term = q.term GROUP BY q.term),
+scores AS (
+  SELECT tf.doc_id,
+         SUM(ln((n.n + 1.0) / (df.df + 1.0)) * (tf.tf * ({BM25_K1} + 1.0)) /
+             (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / avgdl.avgdl))) AS score
+  FROM tf JOIN df ON tf.term = df.term
+       JOIN dl ON dl.doc_id = tf.doc_id
+       CROSS JOIN n CROSS JOIN avgdl
+  GROUP BY tf.doc_id)
+SELECT doc_id,
+       ROUND(score * ({RECENCY_HALF_LIFE} /
+             ({RECENCY_HALF_LIFE} + CAST(doc_id % 365 AS DOUBLE))), 6) AS score
+FROM scores
 """,
         # reciprocal-rank fusion of the tf·idf and BM25 rankings: both
         # score CTEs are verbatim copies of their own oracles; ranks

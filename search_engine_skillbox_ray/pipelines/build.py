@@ -644,3 +644,65 @@ def build_index_from_documents_table(
     return build_index_from_docs(
         docs, index_dir, sites, cfg, input_token=input_token, input_files=in_files
     )
+
+
+def write_recency_priors(
+    index_dir: str | Path,
+    out_dir: str | Path,
+    *,
+    now_us: int,
+    half_life_days: float = 30.0,
+) -> int:
+    """Static freshness priors from the index's own doc store: for every
+    doc with a crawl timestamp (``ts_us``, projected from the input
+    table's ``warc_ts`` at prepare time), write
+
+        prior(doc) = half_life / (half_life + age_days)
+
+    as a (doc_id, prior) Parquet directory the engine loads via
+    ``SearchEngine(prior_path=...)``. Rational decay, not exp(): pure
+    +,*,/ in float64 is bit-identical between numpy and any SQL oracle,
+    while libm exp() may differ in the last ulp.
+
+    Distributed: one Ray Data pass over the doc shards, column-pruned to
+    (doc_id, ts_us); docs without ts_us are skipped (engine defaults
+    their prior to 1.0). Output is one file per input block, so a
+    256-node build writes priors shard-parallel next to its doc shards.
+    Returns the number of prior rows written. ``now_us`` is explicit —
+    priors are a build artifact stamped with their as-of time, never a
+    hidden wall-clock read."""
+    import pyarrow.parquet as _pq
+
+    idx = Path(index_dir)
+    files = [
+        str(f)
+        for pat in ("docs-*.parquet", "delta-seg-*.parquet", "delta-[0-9]*.parquet")
+        for f in sorted((idx / "docs").glob(pat))
+    ]
+    # delta shards from the updater carry no crawl time — skip them
+    # (their docs default to prior 1.0 in the engine); fail loud only
+    # when NOTHING has a timestamp
+    files = [f for f in files if "ts_us" in _pq.read_schema(f).names]
+    if not files:
+        raise ValueError(
+            f"{idx}/docs has no ts_us column — build the index from a pages "
+            "table with warc_ts, or supply priors from another source"
+        )
+    out = Path(out_dir)
+    if out.exists():
+        shutil.rmtree(out)
+    out.mkdir(parents=True)
+    hl = float(half_life_days)
+
+    def prior_batch(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False).astype(np.float64)
+        age_days = np.maximum(0.0, (float(now_us) - ts) / 86_400e6)
+        return pa.table(
+            {"doc_id": ids, "prior": hl / (hl + age_days)}
+        )
+
+    ds = rd.read_parquet(files, columns=["doc_id", "ts_us"])
+    ds = ds.map_batches(prior_batch, batch_format="pyarrow")
+    ds.write_parquet(str(out))
+    return sum(_pq.read_metadata(f).num_rows for f in out.glob("*.parquet"))

@@ -450,17 +450,21 @@ def finalize_docs(batch: pa.Table, id_map=None) -> pa.Table:
     )
     if not isinstance(doc_ids, (pa.Array, pa.ChunkedArray)):
         doc_ids = pa.array(doc_ids, type=pa.int64())
-    return pa.table(
-        {
-            "doc_id": doc_ids,
-            "site_id": batch.column("site_id"),
-            "url": batch.column("url"),
-            "path": batch.column("path"),
-            "text": batch.column("text"),
-            "doc_len": pa.array(doc_len, type=pa.int32()),
-            "lang": lang,
-        }
-    )
+    cols = {
+        "doc_id": doc_ids,
+        "site_id": batch.column("site_id"),
+        "url": batch.column("url"),
+        "path": batch.column("path"),
+        "text": batch.column("text"),
+        "doc_len": pa.array(doc_len, type=pa.int32()),
+        "lang": lang,
+    }
+    # crawl time rides into the doc store when the input carried it
+    # (input_hint warc_ts) — freshness priors (build.write_recency_priors)
+    # derive from the index's own shards, no side channel to the source
+    if "warc_ts" in batch.column_names:
+        cols["ts_us"] = pa.compute.cast(batch.column("warc_ts"), pa.int64())
+    return pa.table(cols)
 
 
 @ray.remote(num_cpus=1, num_returns=2)

@@ -68,6 +68,7 @@ class SearchEngine:
         float32_scores: bool = True,
         docs_in_memory: bool = True,
         docs_shard: tuple[int, int] | None = None,
+        prior_path: str | Path | None = None,
     ) -> None:
         self.index_dir = Path(index_dir)
         self.mode = mode
@@ -104,6 +105,13 @@ class SearchEngine:
         self.max_cached_buckets = 4096
         self._decoded: dict[tuple[str, int | None], tuple[np.ndarray, np.ndarray, int]] = {}
         self._doclen: tuple[np.ndarray, np.ndarray] | None = None
+        # static per-doc prior (the pagerank / freshness slot of web
+        # ranking): a (doc_id, prior) Parquet file or directory; scores
+        # multiply by prior post-retrieval, docs absent from the table
+        # score prior 1.0. Loaded lazily like doc_len — at cluster scale
+        # this is a doc-attribute array sharded with the doc store.
+        self.prior_path = Path(prior_path) if prior_path is not None else None
+        self._prior: tuple[np.ndarray, np.ndarray] | None = None
         self._docs_dataset = None
         self._docs_locator = None
         # bounded LRU of decoded doc row groups for the memory-light
@@ -383,6 +391,32 @@ class SearchEngine:
                     out[i] = float(delta["doc_len"])
         return out
 
+    def _prior_lookup(self, doc_ids: np.ndarray) -> np.ndarray:
+        """Static doc prior per docID (1.0 when absent) — consulted once
+        per query over the candidate set, same sorted-array shape as
+        ``_doc_len_lookup``."""
+        if self._prior is None:
+            import pyarrow.dataset as pads
+
+            p = self.prior_path
+            files = (
+                sorted(str(f) for f in p.glob("*.parquet")) if p.is_dir() else [str(p)]
+            )
+            tbl = pads.dataset(files, format="parquet").to_table(
+                columns=["doc_id", "prior"]
+            )
+            ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pri = tbl["prior"].to_numpy(zero_copy_only=False).astype(np.float64)
+            order = np.argsort(ids)
+            self._prior = (ids[order], pri[order])
+        ids, pri = self._prior
+        out = np.ones(doc_ids.size, np.float64)
+        if ids.size:
+            idx = np.clip(np.searchsorted(ids, doc_ids), 0, len(ids) - 1)
+            hit = ids[idx] == doc_ids
+            out[hit] = pri[idx[hit]]
+        return out
+
     def _query_lemmas(self, query: str) -> list[str]:
         """M9 + optional morphology model: tokenize, map through the
         index's lemma model when present, order-preserving distinct."""
@@ -457,6 +491,11 @@ class SearchEngine:
         if keep_docs is not None:
             mask = np.isin(uniq, keep_docs, assume_unique=True)
             uniq, scores = uniq[mask], scores[mask]
+
+        if self.prior_path is not None:
+            # static prior boost: sum-then-multiply, so the oracle SQL's
+            # SUM(...) * prior reproduces the identical float64 value
+            scores = scores * self._prior_lookup(uniq)
 
         out_scores = scores.astype(np.float32) if self.float32_scores else scores  # float cast, :146
         # deterministic (score desc, doc_id asc) — documented tie deviation

@@ -236,6 +236,8 @@ def test_oracle_keys_subset(entry_mod):
     # round 4: C4/RefinedWeb-style boilerplate segment removal (corpus
     # rewrite: cleaned text export)
     "boilerplate_strip",
+    # round 4: static doc-prior serving slot (freshness-decayed BM25)
+    "search_recency",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
