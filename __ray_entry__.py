@@ -394,6 +394,22 @@ def q_search_bm25(sf_dir: str):
     return pd.DataFrame({"doc_id": doc_ids.astype(np.int64), "score": np.round(scores, 6)})
 
 
+PREFIX_QUERY, PREFIX_MAX_EXP = "s", 50  # wildcard s* over the index vocab
+
+
+def q_search_prefix(sf_dir: str):
+    """Prefix (wildcard ``s*``) retrieval: expand against the index's
+    own vocabulary (term columns of the bucket segments — vocabulary-
+    sized metadata, never postings), capped at max_expansions sorted
+    terms (Lucene's MultiTermQuery rule), then the standard disjunctive
+    tf·idf ranking where each expanded term keeps its OWN df/idf."""
+    eng = _engine(sf_dir, float32_scores=False)
+    doc_ids, scores, _ = eng.search_prefix_scores(
+        PREFIX_QUERY, max_expansions=PREFIX_MAX_EXP
+    )
+    return pd.DataFrame({"doc_id": doc_ids.astype(np.int64), "score": np.round(scores, 6)})
+
+
 RECENCY_HALF_LIFE = 30.0  # days; prior = HL / (HL + age_days)
 
 
@@ -958,6 +974,15 @@ def q_lm_doc_score(sf_dir: str):
     from search_engine_skillbox_ray.pipelines.textstats import lm_doc_score_ds
 
     return lm_doc_score_ds(_documents(sf_dir))
+
+
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet-style head/middle/tail tertiles of the unigram-LM score,
+    per source — the bucketed-quality curation split (Wenzek et al.
+    2020), with exact per-source percentile_disc thresholds."""
+    from search_engine_skillbox_ray.pipelines.textstats import ccnet_buckets_ds
+
+    return ccnet_buckets_ds(_documents(sf_dir))
 
 
 def q_doc_chunks(sf_dir: str):
@@ -2054,6 +2079,8 @@ _DRIVER_PRIORITY = [
     # for round 5 — the 50-sample prefix is already full of
     # never-driver-verified entries)
     "search_recency",
+    "search_prefix",
+    "ccnet_buckets",
 ]
 
 
@@ -2085,6 +2112,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "search_site_scoped": q_search_site_scoped,
         "search_bm25": q_search_bm25,
         "search_recency": q_search_recency,
+        "search_prefix": q_search_prefix,
         "search_sum_tf": q_search_sum_tf,
         "search_sum_tf_site": q_search_sum_tf_site,
         "search_rrf": q_search_rrf,
@@ -2129,6 +2157,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "bigram_lm_score": q_bigram_lm_score,
         "pack_sequences": q_pack_sequences,
         "lm_doc_score": q_lm_doc_score,
+        "ccnet_buckets": q_ccnet_buckets,
         "doc_chunks": q_doc_chunks,
         "proximity": q_proximity,
         "near_search": q_near_search,
@@ -2961,6 +2990,23 @@ scores AS (
   GROUP BY tf.doc_id)
 SELECT doc_id, ROUND(score, 6) AS score FROM scores
 """,
+        # prefix (wildcard) retrieval: q = the sorted capped expansion of
+        # the prefix against the corpus's distinct tokens (== the index
+        # vocabulary), then the disjunctive tf·idf CTE verbatim. Binary
+        # UTF-8 ORDER BY == Python codepoint sort for the expansion cap.
+        "search_prefix": f"""
+WITH tf AS ({_TF}),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+q AS (SELECT term FROM (SELECT DISTINCT term FROM ({_TOK}))
+      WHERE term LIKE '{PREFIX_QUERY}%' ORDER BY term LIMIT {PREFIX_MAX_EXP}),
+df AS (SELECT q.term, count(DISTINCT tf.doc_id)::BIGINT AS df
+       FROM q LEFT JOIN tf ON tf.term = q.term GROUP BY q.term),
+scores AS (
+  SELECT tf.doc_id, SUM(tf.tf * ln((n.n + 1.0) / (df.df + 1.0))) AS score
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+  GROUP BY tf.doc_id)
+SELECT doc_id, ROUND(score, 6) AS score FROM scores
+""",
         # freshness-boosted BM25: the BM25 CTE verbatim × the rational
         # recency prior HL/(HL + age_days), age_days = doc_id % 365 (the
         # documented deterministic stand-in — the documents table has no
@@ -3624,6 +3670,29 @@ s AS (SELECT tf.doc_id, SUM(tf.tf * ln(cf.cf::DOUBLE / tot.t)) AS s,
 SELECT d.doc_id, COALESCE(s.n, 0)::BIGINT AS n_tokens,
        ROUND(COALESCE(s.s / s.n, 0.0), 6) AS avg_logprob
 FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+""",
+        # CCNet tertile mirror: the lm_doc_score CTE verbatim (rounded
+        # score), per-source percentile_disc thresholds, identical
+        # <=q1/<=q2 bucket rule on identical doubles
+        "ccnet_buckets": f"""
+WITH tok AS ({_TOK}),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+cf AS (SELECT term, count(*)::BIGINT AS cf FROM tok GROUP BY term),
+tot AS (SELECT count(*)::BIGINT AS t FROM tok),
+s AS (SELECT tf.doc_id, SUM(tf.tf * ln(cf.cf::DOUBLE / tot.t)) AS s,
+             SUM(tf.tf)::BIGINT AS n
+      FROM tf JOIN cf USING (term) CROSS JOIN tot GROUP BY tf.doc_id),
+sc AS (SELECT d.doc_id, d.source, ROUND(COALESCE(s.s / s.n, 0.0), 6) AS score
+       FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id),
+q AS (SELECT source,
+             percentile_disc({1 / 3!r}) WITHIN GROUP (ORDER BY score) AS q1,
+             percentile_disc({2 / 3!r}) WITHIN GROUP (ORDER BY score) AS q2
+      FROM sc GROUP BY source)
+SELECT sc.doc_id, sc.source, sc.score,
+       CASE WHEN sc.score <= q.q1 THEN 'tail'
+            WHEN sc.score <= q.q2 THEN 'middle'
+            ELSE 'head' END AS bucket
+FROM sc JOIN q USING (source)
 """,
         # chunking mirror: DuckDB range() starts + 1-based INCLUSIVE list
         # slices; ' '-join matches the operator's binary_join

@@ -1162,8 +1162,10 @@ def pack_sequences_ds(
     return tagged.groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
 
 
-def lm_doc_score_ds(documents: rd.Dataset) -> rd.Dataset:
-    """→ (doc_id, n_tokens, avg_logprob) — unigram language-model
+def lm_doc_score_ds(
+    documents: rd.Dataset, carry_cols: tuple[str, ...] = ()
+) -> rd.Dataset:
+    """→ (doc_id, n_tokens, avg_logprob[, *carry_cols]) — unigram language-model
     surprisal score per document (the CCNet / Wenzek et al. 2020 quality
     signal, with the corpus itself as the LM): logprob(t) = ln(cf_t /
     total_tokens), per-doc mean over tokens. Low (very negative) scores
@@ -1223,17 +1225,18 @@ def lm_doc_score_ds(documents: rd.Dataset) -> rd.Dataset:
             uc = (ukey % nv).astype(np.int64)
             np.add.at(s, up, tf.astype(np.float64) * lp_arr[uc])
         avg = np.where(cnt > 0, s / np.maximum(cnt, 1), 0.0)
-        return pa.table(
-            {
-                "doc_id": pa.array(doc_ids, pa.int64()),
-                "n_tokens": pa.array(cnt.astype(np.int64), pa.int64()),
-                "avg_logprob": pa.array(np.round(avg, 6), pa.float64()),
-            }
-        )
+        cols = {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "n_tokens": pa.array(cnt.astype(np.int64), pa.int64()),
+            "avg_logprob": pa.array(np.round(avg, 6), pa.float64()),
+        }
+        for c in carry_cols:  # pass-through labels (e.g. source)
+            cols[c] = batch.column(c)
+        return pa.table(cols)
 
-    return documents.select_columns(["doc_id", "text"]).map_batches(
-        score, batch_format="pyarrow"
-    )
+    return documents.select_columns(
+        ["doc_id", "text", *carry_cols]
+    ).map_batches(score, batch_format="pyarrow")
 
 
 def doc_chunks_ds(
@@ -2514,3 +2517,86 @@ def pii_scrub_ds(
     return documents.select_columns([id_col, text_col]).map_batches(
         stage, batch_format="pyarrow"
     )
+
+
+def ccnet_buckets_ds(
+    documents: rd.Dataset, ps: tuple[float, float] = (1 / 3, 2 / 3)
+) -> rd.Dataset:
+    """→ (doc_id, source, score, bucket) — CCNet-style quality buckets
+    (Wenzek et al. 2020 §4.3): per SOURCE, split documents into
+    head / middle / tail tertiles of the unigram-LM score (``score`` =
+    rounded ``avg_logprob`` from ``lm_doc_score_ds``; higher = more
+    fluent). CCNet buckets per language by perplexity; the synthetic
+    corpus's stratification key is ``source``. Bucket rule: score ≤ q1 →
+    'tail', ≤ q2 → 'middle', else 'head', with q1/q2 the exact
+    percentile_disc values of the per-source score distribution.
+
+    Scale shape: one scored pass (vocab-sized LM broadcast inside
+    ``lm_doc_score_ds``), materialized ONCE as a slim (doc_id, source,
+    score) table; thresholds come from a (source, score) value-count
+    histogram — scores are ROUNDED to 1e-6 over the bounded ln-prob
+    range, so the histogram is bounded by the value range, not the
+    corpus (the counting-sort argument of ``doclen_quantiles``); the
+    per-source disc quantile is read off cumulative counts driver-side
+    (histogram-sized), broadcast, and assignment is a shuffle-free
+    second pass over the materialized scores."""
+    import math
+
+    import ray
+
+    scored = (
+        lm_doc_score_ds(documents, carry_cols=("source",))
+        .select_columns(["doc_id", "source", "avg_logprob"])
+        .materialize()
+    )  # slim doc-sized table; at extreme scale park it as Parquet instead
+
+    def hist_partials(t: pa.Table) -> pa.Table:
+        g = t.group_by(["source", "avg_logprob"]).aggregate([("doc_id", "count")])
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "score": g.column("avg_logprob"),
+                "cnt": pc.cast(g.column("doc_id_count"), pa.int64()),
+            }
+        )
+
+    hist = (
+        scored.map_batches(hist_partials, batch_format="pyarrow")
+        .groupby(["source", "score"])
+        .sum("cnt")
+        .to_pandas()
+    )  # (source, rounded score) histogram — value-range bounded
+    hist = hist.sort_values(["source", "score"]).reset_index(drop=True)
+    thresholds: dict[str, tuple[float, float]] = {}
+    for src, grp in hist.groupby("source", sort=False):
+        vals = grp["score"].to_numpy(np.float64)
+        cum = grp["sum(cnt)"].to_numpy(np.int64).cumsum()
+        total = int(cum[-1])
+        qs = []
+        for p in ps:
+            rank = max(1, math.ceil(p * total))  # double math == DuckDB's
+            qs.append(float(vals[np.searchsorted(cum, rank, side="left")]))
+        thresholds[str(src)] = (qs[0], qs[1])
+    th_ref = ray.put(thresholds)
+
+    def assign(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        th = _ray.get(th_ref)
+        score = t["avg_logprob"].to_numpy(zero_copy_only=False)
+        denc = t["source"].combine_chunks().dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        srcs = denc.dictionary.to_pylist()
+        q1 = np.array([th[s][0] for s in srcs], np.float64)[codes]
+        q2 = np.array([th[s][1] for s in srcs], np.float64)[codes]
+        bucket = np.where(score <= q1, "tail", np.where(score <= q2, "middle", "head"))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "source": t["source"],
+                "score": t["avg_logprob"],
+                "bucket": pa.array(bucket.tolist(), pa.string()),
+            }
+        )
+
+    return scored.map_batches(assign, batch_format="pyarrow")

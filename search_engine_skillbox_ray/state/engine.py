@@ -44,6 +44,7 @@ from pathlib import Path
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..functions.snippets import extract_title, generate_snippet
@@ -416,6 +417,36 @@ class SearchEngine:
             hit = ids[idx] == doc_ids
             out[hit] = pri[idx[hit]]
         return out
+
+    def expand_prefix(self, prefix: str, max_expansions: int = 50) -> list[str]:
+        """All live vocabulary terms starting with ``prefix`` — sorted,
+        capped deterministically at ``max_expansions`` (Lucene's
+        MultiTermQuery rule). Terms hash to buckets, so a prefix scan
+        reads the term column of EVERY bucket segment — vocabulary-sized
+        metadata, never postings; delta-layer terms are unioned in so
+        expansion sees LSM state."""
+        if not prefix:
+            return []
+        out: set[str] = set()
+        for f in sorted((self.index_dir / "postings").glob("bucket=*.parquet")):
+            arr = pq.read_table(f, columns=["term"])["term"]
+            out.update(arr.filter(pc.starts_with(arr, prefix)).to_pylist())
+        out.update(
+            t for (t, _s) in self._delta_terms if t.startswith(prefix)
+        )
+        return sorted(out)[:max_expansions]
+
+    def search_prefix_scores(
+        self, prefix: str, *, max_expansions: int = 50, site: str | None = None
+    ) -> tuple[np.ndarray, np.ndarray, list[str]]:
+        """Prefix (wildcard ``prefix*``) retrieval: expand against the
+        index vocabulary, then the standard disjunctive ranking over the
+        expanded terms — each with its OWN df/idf (Lucene scoring-rewrite
+        semantics, not constant-score)."""
+        terms = self.expand_prefix(prefix, max_expansions)
+        if not terms:
+            return np.empty(0, np.int64), np.empty(0, np.float64), []
+        return self.search_scores(" ".join(terms), site=site)
 
     def _query_lemmas(self, query: str) -> list[str]:
         """M9 + optional morphology model: tokenize, map through the

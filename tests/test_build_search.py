@@ -342,3 +342,24 @@ def test_search_excluding_semantics(built):
     # excluding an absent term is a no-op too
     d3, _ = eng.search_excluding("ва слово", "absentwordzz")
     assert d3.tolist() == base_docs.tolist()
+
+
+def test_prefix_expansion_matches_vocabulary(built):
+    """expand_prefix == the sorted capped prefix-slice of the oracle's
+    vocabulary, and prefix search == disjunctive search over exactly the
+    expanded terms."""
+    _, eng, oracle, _ = built
+    vocab = sorted(oracle.tf)
+    for prefix in {t[0] for t in vocab[:50]} | {"zzz"}:
+        want = sorted(t for t in vocab if t.startswith(prefix))[:50]
+        got = eng.expand_prefix(prefix, max_expansions=50)
+        assert got == want, prefix
+    some = next(t[:2] for t in vocab if len(t) >= 2)
+    exp = eng.expand_prefix(some, max_expansions=50)
+    assert exp
+    d1, s1, _ = eng.search_prefix_scores(some, max_expansions=50)
+    d2, s2, _ = eng.search_scores(" ".join(exp))
+    assert d1.tolist() == d2.tolist()
+    assert s1.tolist() == s2.tolist()
+    # empty prefix expands to nothing (not the whole vocabulary)
+    assert eng.expand_prefix("") == []

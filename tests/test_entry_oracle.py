@@ -238,6 +238,10 @@ def test_oracle_keys_subset(entry_mod):
     "boilerplate_strip",
     # round 4: static doc-prior serving slot (freshness-decayed BM25)
     "search_recency",
+    # round 4: wildcard prefix retrieval (vocab expansion + disjunctive)
+    "search_prefix",
+    # round 4: CCNet-style per-source head/middle/tail quality tertiles
+    "ccnet_buckets",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
