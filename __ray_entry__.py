@@ -410,6 +410,21 @@ def q_search_prefix(sf_dir: str):
     return pd.DataFrame({"doc_id": doc_ids.astype(np.int64), "score": np.round(scores, 6)})
 
 
+SITE_COLLAPSE_K = 2  # host-crowding rule: top-k results per site
+
+
+def q_search_collapse(sf_dir: str):
+    """Host-crowding collapse (the 'two results per site' SERP rule):
+    the disjunctive match set keeps only the top SITE_COLLAPSE_K docs
+    per site, ranked (rounded score desc, doc_id) — site resolution via
+    the engine's doc_id→site_id attribute array (loaded like doc_len)."""
+    eng = _engine(sf_dir, float32_scores=False)
+    doc_ids, scores, _ = eng.search_collapsed(
+        SEARCH_QUERY, per_site=SITE_COLLAPSE_K
+    )
+    return pd.DataFrame({"doc_id": doc_ids.astype(np.int64), "score": scores})
+
+
 RECENCY_HALF_LIFE = 30.0  # days; prior = HL / (HL + age_days)
 
 
@@ -2081,6 +2096,7 @@ _DRIVER_PRIORITY = [
     "search_recency",
     "search_prefix",
     "ccnet_buckets",
+    "search_collapse",
 ]
 
 
@@ -2113,6 +2129,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "search_bm25": q_search_bm25,
         "search_recency": q_search_recency,
         "search_prefix": q_search_prefix,
+        "search_collapse": q_search_collapse,
         "search_sum_tf": q_search_sum_tf,
         "search_sum_tf_site": q_search_sum_tf_site,
         "search_rrf": q_search_rrf,
@@ -2989,6 +3006,18 @@ scores AS (
        CROSS JOIN n CROSS JOIN avgdl
   GROUP BY tf.doc_id)
 SELECT doc_id, ROUND(score, 6) AS score FROM scores
+""",
+        # host-crowding collapse: the disjunctive scores CTE verbatim,
+        # then row_number over (source, rounded score desc, doc_id) —
+        # engine site_id ↔ documents.source is 1:1 (source≙site)
+        "search_collapse": tfidf_scores
+        + f""",
+ranked AS (
+  SELECT s.doc_id, ROUND(s.score, 6) AS score,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY ROUND(s.score, 6) DESC, s.doc_id) AS rn
+  FROM scores s JOIN documents d ON d.doc_id = s.doc_id)
+SELECT doc_id, score FROM ranked WHERE rn <= {SITE_COLLAPSE_K}
 """,
         # prefix (wildcard) retrieval: q = the sorted capped expansion of
         # the prefix against the corpus's distinct tokens (== the index

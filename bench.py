@@ -337,6 +337,14 @@ def bench_sf_queries() -> dict:
         "coupling_pairs",
         "dedup_clusters",
         "cross_source_pairs",
+        # round 4 operators
+        "pii_scrub",
+        "boilerplate_strip",
+        "search_sum_tf",
+        "search_lemma",
+        "search_recency",
+        "search_prefix",
+        "ccnet_buckets",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

@@ -113,6 +113,7 @@ class SearchEngine:
         # this is a doc-attribute array sharded with the doc store.
         self.prior_path = Path(prior_path) if prior_path is not None else None
         self._prior: tuple[np.ndarray, np.ndarray] | None = None
+        self._docsite: tuple[np.ndarray, np.ndarray] | None = None
         self._docs_dataset = None
         self._docs_locator = None
         # bounded LRU of decoded doc row groups for the memory-light
@@ -417,6 +418,60 @@ class SearchEngine:
             hit = ids[idx] == doc_ids
             out[hit] = pri[idx[hit]]
         return out
+
+    def _doc_site_lookup(self, doc_ids: np.ndarray) -> np.ndarray:
+        """site_id per docID (-1 when unknown) — same sorted-array shape
+        as ``_doc_len_lookup``; delta-layer docs resolve from their live
+        row."""
+        if self._docsite is None:
+            import pyarrow.dataset as pads
+
+            tbl = pads.dataset(self._docs_files(), format="parquet").to_table(
+                columns=["doc_id", "site_id"]
+            )
+            ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            sid = tbl["site_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.argsort(ids)
+            self._docsite = (ids[order], sid[order])
+        ids, sid = self._docsite
+        out = np.full(doc_ids.size, -1, np.int64)
+        if ids.size:
+            idx = np.clip(np.searchsorted(ids, doc_ids), 0, len(ids) - 1)
+            hit = ids[idx] == doc_ids
+            out[hit] = sid[idx[hit]]
+        if self._delta_docs:
+            for i, d in enumerate(doc_ids.tolist()):
+                delta = self._delta_docs.get(int(d))
+                if delta is not None:
+                    out[i] = int(delta["site_id"])
+        return out
+
+    def search_collapsed(
+        self, query: str, *, per_site: int = 1, site: str | None = None
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Host-crowding collapse (the 'two results per site' rule of
+        web SERPs): the scored match set keeps only the top
+        ``per_site`` docs per site, ranked (ROUND(score, 6) desc,
+        doc_id) — rounding makes the collapse float-order-proof against
+        a SQL mirror. → (doc_ids, rounded scores, site_ids), in
+        collapsed ranking order."""
+        d, s, _ = self.search_scores(query, site=site)
+        if d.size == 0:
+            return d, np.empty(0, np.float64), np.empty(0, np.int64)
+        r = np.round(s.astype(np.float64), 6)
+        sites = self._doc_site_lookup(d)
+        order = np.lexsort((d, -r))
+        d, r, sites = d[order], r[order], sites[order]
+        n = d.size
+        # cumcount per site in ranking order, fully vectorized
+        o2 = np.lexsort((np.arange(n), sites))  # stable: by site, rank order kept
+        s2 = sites[o2]
+        starts = np.flatnonzero(np.r_[True, s2[1:] != s2[:-1]])
+        counts = np.diff(np.r_[starts, n])
+        cc = np.empty(n, np.int64)
+        cc[o2] = np.arange(n) - np.repeat(starts, counts)
+        keep = cc < per_site
+        return d[keep], r[keep], sites[keep]
 
     def expand_prefix(self, prefix: str, max_expansions: int = 50) -> list[str]:
         """All live vocabulary terms starting with ``prefix`` — sorted,

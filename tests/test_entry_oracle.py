@@ -242,6 +242,8 @@ def test_oracle_keys_subset(entry_mod):
     "search_prefix",
     # round 4: CCNet-style per-source head/middle/tail quality tertiles
     "ccnet_buckets",
+    # round 4: host-crowding collapse (top-k results per site)
+    "search_collapse",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
