@@ -991,6 +991,20 @@ def q_lm_doc_score(sf_dir: str):
     return lm_doc_score_ds(_documents(sf_dir))
 
 
+TEXTRANK_ITERS, TEXTRANK_TOPK = 8, 5
+
+
+def q_textrank_keywords(sf_dir: str):
+    """TextRank keyword extraction: per-doc PageRank over the adjacent-
+    token co-occurrence graph, in deterministic integer fixed point so
+    the unrolled BIGINT SQL mirror is bit-exact."""
+    from search_engine_skillbox_ray.pipelines.textstats import textrank_keywords_ds
+
+    return textrank_keywords_ds(
+        _documents(sf_dir), n_iters=TEXTRANK_ITERS, topk=TEXTRANK_TOPK
+    )
+
+
 def q_ccnet_buckets(sf_dir: str):
     """CCNet-style head/middle/tail tertiles of the unigram-LM score,
     per source — the bucketed-quality curation split (Wenzek et al.
@@ -2097,6 +2111,7 @@ _DRIVER_PRIORITY = [
     "search_prefix",
     "ccnet_buckets",
     "search_collapse",
+    "textrank_keywords",
 ]
 
 
@@ -2175,6 +2190,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q_pack_sequences,
         "lm_doc_score": q_lm_doc_score,
         "ccnet_buckets": q_ccnet_buckets,
+        "textrank_keywords": q_textrank_keywords,
         "doc_chunks": q_doc_chunks,
         "proximity": q_proximity,
         "near_search": q_near_search,
@@ -2250,6 +2266,48 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
 def _terms_values() -> str:
     terms = SEARCH_QUERY.split()
     return ", ".join(f"('{t}')" for t in terms)
+
+
+def _textrank_oracle() -> str:
+    """Mirror of ``textstats.textrank_keywords_ds``: per-doc PageRank on
+    the undirected adjacent-token graph, in INTEGER fixed point (SCALE
+    1e6, damping 85//100, floor division at every step), unrolled as
+    TEXTRANK_ITERS chained BIGINT CTEs — identical integers to the numpy
+    kernel, so no float summation-order risk at all."""
+    head = f"""
+WITH tl AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+            '[^\\p{{L}}]+'), x -> x <> '') AS toks FROM documents),
+pos AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS i FROM tl),
+adj AS (SELECT p1.doc_id, p1.term AS a, p2.term AS b
+        FROM pos p1 JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.i = p1.i + 1
+        WHERE p1.term <> p2.term),
+und AS (SELECT doc_id, least(a, b) AS lo, greatest(a, b) AS hi,
+               count(*)::BIGINT AS w
+        FROM adj GROUP BY doc_id, lo, hi),
+edges AS (SELECT doc_id, lo AS u, hi AS v, w FROM und
+          UNION ALL SELECT doc_id, hi AS u, lo AS v, w FROM und),
+nodes AS (SELECT DISTINCT doc_id, term FROM pos),
+wsum AS (SELECT doc_id, u, SUM(w)::BIGINT AS wt FROM edges GROUP BY doc_id, u),
+s0 AS (SELECT doc_id, term, 1000000::BIGINT AS s FROM nodes)"""
+    steps = "".join(
+        f""",
+s{i + 1} AS (SELECT n.doc_id, n.term,
+       150000 + (85 * COALESCE(SUM((e.w * s.s) // ws.wt), 0)::BIGINT) // 100 AS s
+       FROM nodes n
+       LEFT JOIN edges e ON e.doc_id = n.doc_id AND e.v = n.term
+       LEFT JOIN s{i} s ON s.doc_id = e.doc_id AND s.term = e.u
+       LEFT JOIN wsum ws ON ws.doc_id = e.doc_id AND ws.u = e.u
+       GROUP BY n.doc_id, n.term)"""
+        for i in range(TEXTRANK_ITERS)
+    )
+    return (
+        head
+        + steps
+        + f"""
+SELECT doc_id, term, s AS score FROM s{TEXTRANK_ITERS}
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term) <= {TEXTRANK_TOPK}
+"""
+    )
 
 
 def _mmr_oracle() -> str:
@@ -3700,6 +3758,8 @@ SELECT d.doc_id, COALESCE(s.n, 0)::BIGINT AS n_tokens,
        ROUND(COALESCE(s.s / s.n, 0.0), 6) AS avg_logprob
 FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
 """,
+        # TextRank in integer fixed point — see _textrank_oracle
+        "textrank_keywords": _textrank_oracle(),
         # CCNet tertile mirror: the lm_doc_score CTE verbatim (rounded
         # score), per-source percentile_disc thresholds, identical
         # <=q1/<=q2 bucket rule on identical doubles

@@ -345,6 +345,8 @@ def bench_sf_queries() -> dict:
         "search_recency",
         "search_prefix",
         "ccnet_buckets",
+        "search_collapse",
+        "textrank_keywords",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

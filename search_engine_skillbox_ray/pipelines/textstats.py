@@ -2600,3 +2600,117 @@ def ccnet_buckets_ds(
         )
 
     return scored.map_batches(assign, batch_format="pyarrow")
+
+
+def textrank_keywords_ds(
+    documents: rd.Dataset, n_iters: int = 8, topk: int = 5
+) -> rd.Dataset:
+    """→ (doc_id, term, score) — TextRank keyword extraction (Mihalcea &
+    Tarau 2004): per document, PageRank over the undirected co-occurrence
+    graph of adjacent distinct tokens (window 2, edge weight = adjacency
+    count), top-``topk`` terms by (score desc, term).
+
+    Deterministic INTEGER fixed point (the ``hits`` trick): SCALE 1e6,
+    s0 = SCALE, and each iteration is
+
+        s'(v) = (15·SCALE)//100 + (85 · Σ_u (w(u,v)·s(u)) // W(u)) // 100
+
+    — floor division everywhere, so 8 unrolled BIGINT CTEs in the SQL
+    mirror reproduce the exact integers (damping 0.85 as 85//100; the
+    float TextRank's summation-order ambiguity never appears). Values
+    stay ≤ ~n_nodes·SCALE·w (mass-conserving update), far inside int64.
+
+    Scale shape: documents are independent — a pure shuffle-free
+    ``map_batches`` flat map; the whole batch's graphs are built and
+    iterated as ONE set of numpy arrays (no per-doc Python loop)."""
+    import functools
+
+    return documents.select_columns(["doc_id", "text"]).map_batches(
+        functools.partial(textrank_batch, n_iters=n_iters, topk=topk),
+        batch_format="pyarrow",
+    )
+
+
+def textrank_batch(batch: pa.Table, *, n_iters: int = 8, topk: int = 5) -> pa.Table:
+    """One-batch TextRank kernel (see ``textrank_keywords_ds``) —
+    module-level so the property suite can drive it on raw Arrow tables
+    without a Ray session."""
+    from ..functions.hashing import flat_nonempty_tokens
+
+    SCALE = 1_000_000
+    BASE = (15 * SCALE) // 100
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    toks, parents, _ = flat_nonempty_tokens(batch.column("text"))
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "term": pa.array([], pa.string()),
+            "score": pa.array([], pa.int64()),
+        }
+    )
+    if not len(toks):
+        return empty
+    denc = toks.dictionary_encode()
+    raw_codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = np.asarray(denc.dictionary.to_pylist(), dtype=object)
+    # re-encode by SORTED vocabulary so numeric code order == string
+    # order (dictionary codes are first-appearance order)
+    vorder = np.argsort(vocab, kind="stable")
+    rank = np.empty(len(vocab), np.int64)
+    rank[vorder] = np.arange(len(vocab))
+    codes = rank[raw_codes]
+    svocab = vocab[vorder]
+    nv = np.int64(len(svocab))
+
+    # nodes: distinct (doc, term) over ALL tokens (isolated terms
+    # keep the base score)
+    node_keys = np.unique(parents.astype(np.int64) * nv + codes)
+    n_nodes = node_keys.size
+
+    # undirected adjacency edges: consecutive distinct tokens in doc
+    adj = parents[1:] == parents[:-1]
+    a, b = codes[:-1][adj], codes[1:][adj]
+    d_ = parents[:-1][adj].astype(np.int64)
+    ne = a != b
+    a, b, d_ = a[ne], b[ne], d_[ne]
+    s = np.zeros(n_nodes, np.int64)
+    if a.size:
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        pair_keys = (d_ * nv + lo) * nv + hi
+        upair, w = np.unique(pair_keys, return_counts=True)
+        w = w.astype(np.int64)
+        u_lo = (upair // nv) % nv
+        u_hi = upair % nv
+        u_doc = upair // (nv * nv)
+        # directed both ways
+        eu = np.concatenate([u_doc * nv + u_lo, u_doc * nv + u_hi])
+        ev = np.concatenate([u_doc * nv + u_hi, u_doc * nv + u_lo])
+        ew = np.concatenate([w, w])
+        ui = np.searchsorted(node_keys, eu)
+        vi = np.searchsorted(node_keys, ev)
+        W = np.zeros(n_nodes, np.int64)
+        np.add.at(W, ui, ew)
+        s[:] = SCALE
+        for _ in range(n_iters):
+            acc = np.zeros(n_nodes, np.int64)
+            np.add.at(acc, vi, (ew * s[ui]) // W[ui])
+            s = BASE + (85 * acc) // 100
+    else:
+        # no edges at all in this batch: every node converges to BASE
+        s[:] = BASE
+
+    nd = node_keys // nv
+    nc = node_keys % nv
+    term_strs = svocab[nc]
+    order = np.lexsort((term_strs, -s, nd))
+    nd_o, s_o, ts_o = nd[order], s[order], term_strs[order]
+    starts = np.flatnonzero(np.r_[True, nd_o[1:] != nd_o[:-1]])
+    cc = np.arange(nd_o.size) - np.repeat(starts, np.diff(np.r_[starts, nd_o.size]))
+    keep = cc < topk
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids[nd_o[keep]], pa.int64()),
+            "term": pa.array(ts_o[keep].tolist(), pa.string()),
+            "score": pa.array(s_o[keep], pa.int64()),
+        }
+    )

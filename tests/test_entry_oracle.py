@@ -244,6 +244,8 @@ def test_oracle_keys_subset(entry_mod):
     "ccnet_buckets",
     # round 4: host-crowding collapse (top-k results per site)
     "search_collapse",
+    # round 4: TextRank keywords (integer-fixed-point PageRank per doc)
+    "textrank_keywords",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))

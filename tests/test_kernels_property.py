@@ -85,3 +85,76 @@ def test_ordered_adjacency_property(rows_a, rows_b):
         if n:
             exp[d] = n
     assert dict(zip(got_d.tolist(), got_c.tolist())) == exp
+
+
+@st.composite
+def _docs_strategy(draw):
+    vocab = ["a", "b", "c", "ab", "ba", "cc"]
+    n_docs = draw(st.integers(1, 5))
+    return [
+        " ".join(
+            draw(st.lists(st.sampled_from(vocab), min_size=0, max_size=12))
+        )
+        for _ in range(n_docs)
+    ]
+
+
+@settings(max_examples=40, deadline=None)
+@given(_docs_strategy())
+def test_textrank_fixed_point_property(texts):
+    """Vectorized batch TextRank kernel == a per-doc pure-Python
+    reference of the same integer recurrence (random tiny corpora,
+    including empty docs, single-token docs and repeated tokens)."""
+    import pyarrow as pa
+
+    from search_engine_skillbox_ray.functions.tokenize import tokenize
+
+    SCALE, ITERS, TOPK = 1_000_000, 8, 5
+    BASE = (15 * SCALE) // 100
+
+    # ---- reference: per-doc dict/loop implementation ----
+    want: list[tuple[int, str, int]] = []
+    for doc_id, text in enumerate(texts):
+        toks = tokenize(text)
+        if not toks:
+            continue
+        nodes = sorted(set(toks))
+        w: dict[tuple[str, str], int] = {}
+        for x, y in zip(toks, toks[1:]):
+            if x != y:
+                k = (min(x, y), max(x, y))
+                w[k] = w.get(k, 0) + 1
+        out_w: dict[str, int] = {}
+        for (x, y), c in w.items():
+            out_w[x] = out_w.get(x, 0) + c
+            out_w[y] = out_w.get(y, 0) + c
+        s = {t: SCALE for t in nodes}
+        for _ in range(ITERS):
+            s2 = {}
+            for v in nodes:
+                acc = 0
+                for (x, y), c in w.items():
+                    if y == v:
+                        acc += (c * s[x]) // out_w[x]
+                    if x == v:
+                        acc += (c * s[y]) // out_w[y]
+                s2[v] = BASE + (85 * acc) // 100
+            s = s2
+        ranked = sorted(nodes, key=lambda t: (-s[t], t))[:TOPK]
+        want += [(doc_id, t, s[t]) for t in ranked]
+
+    # ---- kernel under test, run directly on one Arrow batch ----
+    from search_engine_skillbox_ray.pipelines.textstats import textrank_batch
+
+    tbl = pa.table(
+        {"doc_id": list(range(len(texts))), "text": pa.array(texts, pa.string())}
+    )
+    got_tbl = textrank_batch(tbl, n_iters=ITERS, topk=TOPK)
+    got = sorted(
+        zip(
+            got_tbl["doc_id"].to_pylist(),
+            got_tbl["term"].to_pylist(),
+            got_tbl["score"].to_pylist(),
+        )
+    )
+    assert got == sorted(want)
