@@ -991,6 +991,26 @@ def q_lm_doc_score(sf_dir: str):
     return lm_doc_score_ds(_documents(sf_dir))
 
 
+PERC_QUERIES = (  # stored-query alert set: common / multi-word / dup /
+    "merge batch",  # absent / digits-only (lemma-less, matches nothing)
+    "scan",
+    "stream sort fast",
+    "absentwordxyz scan",
+    "Batch BATCH merge",
+    "42 17",
+)
+
+
+def q_percolate(sf_dir: str):
+    """Percolation (stored-query alerting): every (query_id, doc_id)
+    AND-match of the registered query set against the corpus stream —
+    queries compile once per actor (the stateful-stage pattern), docs
+    stream shuffle-free."""
+    from search_engine_skillbox_ray.pipelines.percolate import percolate_ds
+
+    return percolate_ds(_documents(sf_dir), list(PERC_QUERIES))
+
+
 TEXTRANK_ITERS, TEXTRANK_TOPK = 8, 5
 
 
@@ -2112,6 +2132,7 @@ _DRIVER_PRIORITY = [
     "ccnet_buckets",
     "search_collapse",
     "textrank_keywords",
+    "percolate",
 ]
 
 
@@ -2191,6 +2212,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "lm_doc_score": q_lm_doc_score,
         "ccnet_buckets": q_ccnet_buckets,
         "textrank_keywords": q_textrank_keywords,
+        "percolate": q_percolate,
         "doc_chunks": q_doc_chunks,
         "proximity": q_proximity,
         "near_search": q_near_search,
@@ -2266,6 +2288,19 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
 def _terms_values() -> str:
     terms = SEARCH_QUERY.split()
     return ", ".join(f"('{t}')" for t in terms)
+
+
+def _perc_values() -> str:
+    """(query_id, lemma) VALUES from the SAME query_lemmas the
+    percolation actors compile with — the two sides cannot drift."""
+    from search_engine_skillbox_ray.functions.tokenize import query_lemmas
+
+    rows = [
+        f"({qid}, '{t}')"
+        for qid, q in enumerate(PERC_QUERIES)
+        for t in query_lemmas(q)
+    ]
+    return ", ".join(rows)
 
 
 def _textrank_oracle() -> str:
@@ -3760,6 +3795,19 @@ FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
 """,
         # TextRank in integer fixed point — see _textrank_oracle
         "textrank_keywords": _textrank_oracle(),
+        # percolation: (query_id, lemma) VALUES built with the SAME
+        # query_lemmas the actors compile with (distinct per query;
+        # digit-only queries contribute no rows), AND = distinct-hit
+        # count equals the query's lemma count
+        "percolate": f"""
+WITH tf AS ({_TF}),
+q(query_id, term) AS (VALUES {_perc_values()}),
+need AS (SELECT query_id, count(*)::BIGINT AS n FROM q GROUP BY query_id),
+hit AS (SELECT q.query_id, tf.doc_id, count(DISTINCT tf.term)::BIGINT AS h
+        FROM q JOIN tf ON tf.term = q.term GROUP BY q.query_id, tf.doc_id)
+SELECT hit.query_id::BIGINT AS query_id, hit.doc_id
+FROM hit JOIN need USING (query_id) WHERE hit.h = need.n
+""",
         # CCNet tertile mirror: the lm_doc_score CTE verbatim (rounded
         # score), per-source percentile_disc thresholds, identical
         # <=q1/<=q2 bucket rule on identical doubles

@@ -347,6 +347,7 @@ def bench_sf_queries() -> dict:
         "ccnet_buckets",
         "search_collapse",
         "textrank_keywords",
+        "percolate",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

@@ -246,6 +246,8 @@ def test_oracle_keys_subset(entry_mod):
     "search_collapse",
     # round 4: TextRank keywords (integer-fixed-point PageRank per doc)
     "textrank_keywords",
+    # round 4: percolation (stored-query alerting, AND semantics)
+    "percolate",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
