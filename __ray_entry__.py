@@ -991,6 +991,13 @@ def q_lm_doc_score(sf_dir: str):
     return lm_doc_score_ds(_documents(sf_dir))
 
 
+def q_search_explain(sf_dir: str):
+    """Lucene-explain-style breakdown: per (matching doc, query lemma)
+    the tf, idf and tf·idf contribution — the ranking-audit surface."""
+    eng = _engine(sf_dir, float32_scores=False)
+    return eng.explain_scores(SEARCH_QUERY)
+
+
 PERC_QUERIES = (  # stored-query alert set: common / multi-word / dup /
     "merge batch",  # absent / digits-only (lemma-less, matches nothing)
     "scan",
@@ -2133,6 +2140,7 @@ _DRIVER_PRIORITY = [
     "search_collapse",
     "textrank_keywords",
     "percolate",
+    "search_explain",
 ]
 
 
@@ -2213,6 +2221,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "ccnet_buckets": q_ccnet_buckets,
         "textrank_keywords": q_textrank_keywords,
         "percolate": q_percolate,
+        "search_explain": q_search_explain,
         "doc_chunks": q_doc_chunks,
         "proximity": q_proximity,
         "near_search": q_near_search,
@@ -3795,6 +3804,19 @@ FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
 """,
         # TextRank in integer fixed point — see _textrank_oracle
         "textrank_keywords": _textrank_oracle(),
+        # explain: per (matching doc, query lemma) tf/idf/contribution —
+        # the tf CTE joined to the query-term df, no aggregation at all
+        "search_explain": f"""
+WITH tf AS ({_TF}),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+q(term) AS (VALUES {_terms_values()}),
+df AS (SELECT q.term, count(DISTINCT tf.doc_id)::BIGINT AS df
+       FROM q LEFT JOIN tf ON tf.term = q.term GROUP BY q.term)
+SELECT tf.doc_id, tf.term, tf.tf,
+       ROUND(ln((n.n + 1.0) / (df.df + 1.0)), 6) AS idf,
+       ROUND(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)), 6) AS contrib
+FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+""",
         # percolation: (query_id, lemma) VALUES built with the SAME
         # query_lemmas the actors compile with (distinct per query;
         # digit-only queries contribute no rows), AND = distinct-hit

@@ -348,6 +348,7 @@ def bench_sf_queries() -> dict:
         "search_collapse",
         "textrank_keywords",
         "percolate",
+        "search_explain",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

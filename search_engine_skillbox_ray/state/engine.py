@@ -473,6 +473,54 @@ class SearchEngine:
         keep = cc < per_site
         return d[keep], r[keep], sites[keep]
 
+    def explain_scores(
+        self, query: str, site: str | None = None
+    ) -> "pa.Table":
+        """Lucene-explain-style score breakdown: one row per (matching
+        doc, query lemma) with tf, idf and the term's contribution to
+        the disjunctive tf·idf score — the serving-debug surface that
+        makes ranking auditable. Reads the same postings the scorer
+        reads; no extra state."""
+        lemmas = self._query_lemmas(query)
+        site_id, known = self._resolve_site(site)
+        n_total = self._total_pages(site_id, known)
+        out_d: list[np.ndarray] = []
+        out_t: list[str] = []
+        out_tf: list[np.ndarray] = []
+        out_idf: list[float] = []
+        if n_total > 0:
+            for t in lemmas:
+                d, tf, df = self.term_postings(t, site_id)
+                if not d.size:
+                    continue
+                idf = math.log((n_total + 1) / (df + 1))
+                out_d.append(d)
+                out_t += [t] * d.size
+                out_tf.append(tf.astype(np.int64))
+                out_idf += [idf] * d.size
+        if not out_d:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "idf": pa.array([], pa.float64()),
+                    "contrib": pa.array([], pa.float64()),
+                }
+            )
+        d = np.concatenate(out_d)
+        tf = np.concatenate(out_tf)
+        idf = np.asarray(out_idf, np.float64)
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.int64()),
+                "term": pa.array(out_t, pa.string()),
+                "tf": pa.array(tf, pa.int64()),
+                "idf": pa.array(np.round(idf, 6), pa.float64()),
+                "contrib": pa.array(np.round(tf.astype(np.float64) * idf, 6), pa.float64()),
+            }
+        )
+
     def expand_prefix(self, prefix: str, max_expansions: int = 50) -> list[str]:
         """All live vocabulary terms starting with ``prefix`` — sorted,
         capped deterministically at ``max_expansions`` (Lucene's

@@ -248,6 +248,8 @@ def test_oracle_keys_subset(entry_mod):
     "textrank_keywords",
     # round 4: percolation (stored-query alerting, AND semantics)
     "percolate",
+    # round 4: explain (per-term tf/idf score breakdown)
+    "search_explain",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
