@@ -410,6 +410,86 @@ def q_search_prefix(sf_dir: str):
     return pd.DataFrame({"doc_id": doc_ids.astype(np.int64), "score": np.round(scores, 6)})
 
 
+SUFFIX_QUERY, SUFFIX_MAX_EXP = "w", 50  # leading wildcard *w
+FUZZY_TERMS, FUZZY_MAX_EXP = ("mege", "sow", "ky"), 50  # →merge; →{row,slow}; →key
+MSM = 2  # minimum-should-match threshold (OR=1 < msm < AND=n)
+PAGE_SIZE = 10  # keyset (search_after) page size
+SYNONYMS = {"merge": ("join",), "fast": ("quick",)}  # quick: absent-term path
+SYN_QUERY = "merge fast"
+
+
+def q_search_msm(sf_dir: str):
+    """Minimum-should-match retrieval: the disjunctive tf·idf match set
+    kept only where ≥ MSM distinct query lemmas hit — BooleanQuery
+    minimumNumberShouldMatch, the OR/AND middle ground."""
+    eng = _engine(sf_dir, float32_scores=False)
+    doc_ids, scores = eng.search_msm_scores(SEARCH_QUERY, msm=MSM)
+    return pd.DataFrame({"doc_id": doc_ids.astype(np.int64), "score": np.round(scores, 6)})
+
+
+def q_search_suffix(sf_dir: str):
+    """Leading-wildcard (``*w``) retrieval: the REVERSED-term dictionary
+    answers the suffix range with one binary search (Lucene's
+    ReversedWildcardFilter — no vocab regex scan), expansions capped
+    sorted, then disjunctive tf·idf with per-term idf."""
+    eng = _engine(sf_dir, float32_scores=False)
+    doc_ids, scores, _ = eng.search_suffix_scores(
+        SUFFIX_QUERY, max_expansions=SUFFIX_MAX_EXP
+    )
+    return pd.DataFrame({"doc_id": doc_ids.astype(np.int64), "score": np.round(scores, 6)})
+
+
+def q_search_fuzzy(sf_dir: str):
+    """Fuzzy retrieval (FuzzyQuery maxEdits=1): each query token expands
+    to its edit-distance-≤1 vocabulary neighbours via length-bucketed
+    numpy char-matrix kernels (no per-candidate Python distance), the
+    distinct union ranked disjunctively with per-term idf."""
+    eng = _engine(sf_dir, float32_scores=False)
+    doc_ids, scores, _ = eng.search_fuzzy_scores(
+        " ".join(FUZZY_TERMS), max_expansions=FUZZY_MAX_EXP
+    )
+    return pd.DataFrame({"doc_id": doc_ids.astype(np.int64), "score": np.round(scores, 6)})
+
+
+def q_search_after(sf_dir: str):
+    """Keyset (search_after) pagination: fetch page 1, take its last
+    (rounded score, doc_id) as the cursor, then page 2 strictly after
+    the cursor — O(matches) deep paging, no offset re-scan."""
+    eng = _engine(sf_dir, float32_scores=False)
+    p1_docs, p1_scores = eng.search_after_scores(SEARCH_QUERY, None, limit=PAGE_SIZE)
+    if p1_docs.size == 0:
+        return pd.DataFrame({"doc_id": np.empty(0, np.int64), "score": np.empty(0, np.float64)})
+    after = (float(p1_scores[-1]), int(p1_docs[-1]))
+    doc_ids, scores = eng.search_after_scores(SEARCH_QUERY, after, limit=PAGE_SIZE)
+    return pd.DataFrame({"doc_id": doc_ids.astype(np.int64), "score": scores})
+
+
+def q_search_synonyms(sf_dir: str):
+    """Query-time synonym expansion (SynonymQuery scoring-rewrite): each
+    lemma followed by its mapped synonyms, order-preserving distinct,
+    disjunctive tf·idf with per-term idf; expansions absent from the
+    vocabulary contribute df=0 and nothing else."""
+    eng = _engine(sf_dir, float32_scores=False)
+    doc_ids, scores, _ = eng.search_synonym_scores(SYN_QUERY, SYNONYMS)
+    return pd.DataFrame({"doc_id": doc_ids.astype(np.int64), "score": np.round(scores, 6)})
+
+
+def q_significant_terms(sf_dir: str):
+    """Significant-terms aggregation (ES JLH): per corpus term the
+    foreground (result-set) vs background document frequency and the
+    JLH disproportion score — 'what is this result set about'. The
+    foreground doc set is ray.put-broadcast (result-sized); per-batch
+    Arrow group_by partials pre-aggregate before one vocab-sized
+    groupby."""
+    from search_engine_skillbox_ray.pipelines.textstats import significant_terms_ds
+
+    eng = _engine(sf_dir, float32_scores=False)
+    docs, _, _ = eng.search_scores(SEARCH_QUERY)
+    site_id, known = eng._resolve_site(None)
+    bg_n = eng._total_pages(site_id, known)
+    return significant_terms_ds(_documents(sf_dir), docs, int(docs.size), int(bg_n))
+
+
 SITE_COLLAPSE_K = 2  # host-crowding rule: top-k results per site
 
 
@@ -2141,6 +2221,12 @@ _DRIVER_PRIORITY = [
     "textrank_keywords",
     "percolate",
     "search_explain",
+    "search_msm",
+    "search_suffix",
+    "search_fuzzy",
+    "search_after",
+    "search_synonyms",
+    "significant_terms",
 ]
 
 
@@ -2222,6 +2308,12 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "textrank_keywords": q_textrank_keywords,
         "percolate": q_percolate,
         "search_explain": q_search_explain,
+        "search_msm": q_search_msm,
+        "search_suffix": q_search_suffix,
+        "search_fuzzy": q_search_fuzzy,
+        "search_after": q_search_after,
+        "search_synonyms": q_search_synonyms,
+        "significant_terms": q_significant_terms,
         "doc_chunks": q_doc_chunks,
         "proximity": q_proximity,
         "near_search": q_near_search,
@@ -2297,6 +2389,16 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
 def _terms_values() -> str:
     terms = SEARCH_QUERY.split()
     return ", ".join(f"('{t}')" for t in terms)
+
+
+def _syn_values() -> str:
+    """Distinct synonym-expanded term VALUES — built from the SAME
+    SYN_QUERY/SYNONYMS constants the engine expands with."""
+    out: list[str] = []
+    for t in SYN_QUERY.split():
+        out.append(t)
+        out.extend(SYNONYMS.get(t, ()))
+    return ", ".join(f"('{t}')" for t in dict.fromkeys(out))
 
 
 def _perc_values() -> str:
@@ -3804,6 +3906,91 @@ FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
 """,
         # TextRank in integer fixed point — see _textrank_oracle
         "textrank_keywords": _textrank_oracle(),
+        # minimum-should-match: disjunctive scores ∩ docs hitting >= MSM
+        # distinct query terms
+        "search_msm": tfidf_scores
+        + f"""
+SELECT s.doc_id, ROUND(s.score, 6) AS score FROM scores s
+JOIN (SELECT doc_id FROM tf WHERE term IN ({terms_in})
+      GROUP BY doc_id HAVING count(DISTINCT term) >= {MSM}) m
+  ON s.doc_id = m.doc_id
+""",
+        # leading wildcard *suffix: q = the sorted capped set of distinct
+        # corpus tokens ending with the suffix (== the reversed-dictionary
+        # range), then the disjunctive tf·idf CTE verbatim
+        "search_suffix": f"""
+WITH tf AS ({_TF}),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+q AS (SELECT term FROM (SELECT DISTINCT term FROM ({_TOK}))
+      WHERE term LIKE '%{SUFFIX_QUERY}' ORDER BY term LIMIT {SUFFIX_MAX_EXP}),
+df AS (SELECT q.term, count(DISTINCT tf.doc_id)::BIGINT AS df
+       FROM q LEFT JOIN tf ON tf.term = q.term GROUP BY q.term),
+scores AS (
+  SELECT tf.doc_id, SUM(tf.tf * ln((n.n + 1.0) / (df.df + 1.0))) AS score
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+  GROUP BY tf.doc_id)
+SELECT doc_id, ROUND(score, 6) AS score FROM scores
+""",
+        # fuzzy (maxEdits=1): per query token the levenshtein<=1 vocab
+        # neighbours, capped sorted per token (the engine's per-term
+        # expansion cap), distinct union, disjunctive tf·idf
+        "search_fuzzy": f"""
+WITH tf AS ({_TF}),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+vocab AS (SELECT DISTINCT term FROM ({_TOK})),
+qt(qterm) AS (VALUES {", ".join(f"('{t}')" for t in FUZZY_TERMS)}),
+q AS (SELECT DISTINCT term FROM (
+    SELECT qt.qterm, v.term,
+           row_number() OVER (PARTITION BY qt.qterm ORDER BY v.term) AS rn
+    FROM vocab v JOIN qt ON levenshtein(v.term, qt.qterm) <= 1) WHERE rn <= {FUZZY_MAX_EXP}),
+df AS (SELECT q.term, count(DISTINCT tf.doc_id)::BIGINT AS df
+       FROM q LEFT JOIN tf ON tf.term = q.term GROUP BY q.term),
+scores AS (
+  SELECT tf.doc_id, SUM(tf.tf * ln((n.n + 1.0) / (df.df + 1.0))) AS score
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+  GROUP BY tf.doc_id)
+SELECT doc_id, ROUND(score, 6) AS score FROM scores
+""",
+        # keyset page 2: strictly after the rank-PAGE_SIZE row in
+        # (rounded score desc, doc_id) order == rank window (P, 2P]
+        "search_after": tfidf_scores
+        + f"""
+SELECT doc_id, score FROM (
+  SELECT doc_id, ROUND(score, 6) AS score,
+         row_number() OVER (ORDER BY ROUND(score, 6) DESC, doc_id) AS rn
+  FROM scores)
+WHERE rn > {PAGE_SIZE} AND rn <= {2 * PAGE_SIZE}
+""",
+        # synonym expansion: q = the Python-expanded distinct term list
+        # (the same SYNONYMS map the engine applies), per-term idf
+        "search_synonyms": f"""
+WITH tf AS ({_TF}),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+q(term) AS (VALUES {_syn_values()}),
+df AS (SELECT q.term, count(DISTINCT tf.doc_id)::BIGINT AS df
+       FROM q LEFT JOIN tf ON tf.term = q.term GROUP BY q.term),
+scores AS (
+  SELECT tf.doc_id, SUM(tf.tf * ln((n.n + 1.0) / (df.df + 1.0))) AS score
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+  GROUP BY tf.doc_id)
+SELECT doc_id, ROUND(score, 6) AS score FROM scores
+""",
+        # significant terms (JLH): fg/bg doc frequencies over the
+        # disjunctive result set vs the corpus; identical left-to-right
+        # float64 expression on both sides, ROUND 6
+        "significant_terms": f"""
+WITH tf AS ({_TF}),
+n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM tf),
+q(term) AS (VALUES {_terms_values()}),
+fgd AS (SELECT DISTINCT tf.doc_id FROM tf JOIN q ON tf.term = q.term),
+fgn AS (SELECT count(*)::DOUBLE AS fgn FROM fgd),
+bg AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS bg FROM tf GROUP BY term),
+fg AS (SELECT tf.term, count(DISTINCT tf.doc_id)::BIGINT AS fg
+       FROM tf JOIN fgd ON tf.doc_id = fgd.doc_id GROUP BY tf.term)
+SELECT fg.term, fg.fg, bg.bg,
+       ROUND((fg.fg / fgn.fgn - bg.bg / n.n) * (fg.fg / fgn.fgn) / (bg.bg / n.n), 6) AS score
+FROM fg JOIN bg ON fg.term = bg.term CROSS JOIN fgn CROSS JOIN n
+""",
         # explain: per (matching doc, query lemma) tf/idf/contribution —
         # the tf CTE joined to the query-term df, no aggregation at all
         "search_explain": f"""

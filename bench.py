@@ -349,6 +349,12 @@ def bench_sf_queries() -> dict:
         "textrank_keywords",
         "percolate",
         "search_explain",
+        "search_msm",
+        "search_suffix",
+        "search_fuzzy",
+        "search_after",
+        "search_synonyms",
+        "significant_terms",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

@@ -2471,6 +2471,95 @@ def facet_counts_ds(
     return agg.map_batches(fin, batch_format="pyarrow")
 
 
+def significant_terms_ds(
+    documents: rd.Dataset,
+    fg_doc_ids: np.ndarray,
+    fg_n: int,
+    bg_n: int,
+) -> rd.Dataset:
+    """→ (term, fg, bg, score): the significant-terms aggregation (the
+    ES JLH heuristic) over a search result set — terms DISPROPORTIONATELY
+    frequent in the foreground (matching docs) vs the corpus background,
+    the "what is this result set about" facet. fg/bg are document
+    frequencies; score = (fg% − bg%) · fg% / bg%, fg% = fg / |results|,
+    bg% = bg / N.
+
+    Scale shape: the foreground doc_id set is broadcast ONCE via
+    ``ray.put`` (result-sized, never corpus-sized) and probed with one
+    searchsorted per batch; each batch pre-aggregates per-term
+    (fg, bg) partials with an Arrow group_by (a doc's rows never span
+    batches, so within-batch distinct (doc, term) is globally
+    distinct), then one vocabulary-sized groupby-sum finishes — the
+    exchange moves per-batch vocabularies, not token occurrences."""
+    import ray
+
+    from ..functions.hashing import flat_nonempty_tokens
+
+    ids = np.unique(np.asarray(fg_doc_ids, np.int64))
+    ref = ray.put(ids)
+    fgn, bgn = float(fg_n), float(bg_n)
+
+    empty = pa.table(
+        {
+            "term": pa.array([], pa.string()),
+            "fg": pa.array([], pa.int64()),
+            "bg": pa.array([], pa.int64()),
+        }
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        toks, parents, _ = flat_nonempty_tokens(batch.column("text"))
+        if len(toks) == 0:
+            return empty
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        sids = ray.get(ref)
+        # distinct (doc, term) inside the batch == globally distinct
+        pairs = pa.table(
+            {"doc_id": pa.array(d[parents], pa.int64()), "term": toks}
+        ).group_by(["doc_id", "term"]).aggregate([])
+        pd_ = pairs.column("doc_id").to_numpy(zero_copy_only=False)
+        if sids.size:
+            pos = np.minimum(np.searchsorted(sids, pd_), sids.size - 1)
+            infg = (sids[pos] == pd_).astype(np.int64)
+        else:
+            infg = np.zeros(pd_.size, np.int64)
+        t = pa.table({"term": pairs.column("term"), "fg": pa.array(infg, pa.int64())})
+        g = t.group_by(["term"]).aggregate([("fg", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                "term": g.column("term"),
+                "fg": pc.cast(g.column("fg_sum"), pa.int64()),
+                "bg": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    agg = (
+        documents.select_columns(["doc_id", "text"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("term")
+        .sum(["fg", "bg"])
+    )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        fg = batch.column("sum(fg)").to_numpy(zero_copy_only=False).astype(np.int64)
+        bg = batch.column("sum(bg)").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = fg > 0  # ES semantics: only terms present in the foreground
+        fg, bg = fg[keep], bg[keep]
+        fgp = fg / fgn
+        bgp = bg / bgn
+        score = (fgp - bgp) * fgp / bgp  # JLH, left-to-right like the SQL
+        return pa.table(
+            {
+                "term": batch.column("term").filter(pa.array(keep)),
+                "fg": pa.array(fg, pa.int64()),
+                "bg": pa.array(bg, pa.int64()),
+                "score": pa.array(np.round(score, 6), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # PII scrubbing (round 4)
 # ---------------------------------------------------------------------------

@@ -99,6 +99,13 @@ class SearchEngine:
             self._lemmatizer = DictLemmatizer(_lm)
         self._term_cache: dict[str, list[dict]] = {}
         self._bucket_cache: dict[int, dict[str, list[dict]]] = {}
+        # vocabulary caches for multi-term query rewrites (suffix/fuzzy):
+        # built lazily from segment term columns ∪ delta terms — the same
+        # union expand_prefix scans, amortized across expansions. The
+        # reversed copy serves leading-wildcard (*suffix) lookups as a
+        # binary-search range, Lucene's ReversedWildcardFilter trick.
+        self._vocab_arr: np.ndarray | None = None
+        self._rev_sorted: tuple[np.ndarray, np.ndarray] | None = None
         # cache whole decoded buckets (one parquet read amortized over all
         # its terms). At cluster scale each query actor caches only the
         # buckets it serves; bound with max_cached_buckets.
@@ -550,6 +557,179 @@ class SearchEngine:
         if not terms:
             return np.empty(0, np.int64), np.empty(0, np.float64), []
         return self.search_scores(" ".join(terms), site=site)
+
+    def _vocab(self) -> np.ndarray:
+        """Sorted live vocabulary (segment term columns ∪ delta terms),
+        cached. Vocabulary-sized metadata — never postings; the same
+        union expand_prefix scans per call, read once here. At cluster
+        scale each query actor holds one copy (the term dictionary is
+        the classic resident structure of a search node)."""
+        if self._vocab_arr is None:
+            out: set[str] = set()
+            for f in sorted((self.index_dir / "postings").glob("bucket=*.parquet")):
+                out.update(pq.read_table(f, columns=["term"])["term"].to_pylist())
+            out.update(t for (t, _s) in self._delta_terms)
+            self._vocab_arr = np.array(sorted(out), dtype=object)
+        return self._vocab_arr
+
+    def expand_suffix(self, suffix: str, max_expansions: int = 50) -> list[str]:
+        """Leading-wildcard (``*suffix``) expansion: binary-search the
+        REVERSED-term dictionary for the reversed-suffix prefix range —
+        O(log V) per lookup after a one-time reversed sort, the
+        ReversedWildcardFilter technique (vs. a full vocab regex scan).
+        Returns sorted original terms capped at max_expansions (the
+        MultiTermQuery rule, same cap policy as expand_prefix)."""
+        if not suffix:
+            return []
+        if self._rev_sorted is None:
+            vocab = self._vocab()
+            rev = np.array([t[::-1] for t in vocab], dtype=object)
+            order = np.argsort(rev)
+            self._rev_sorted = (rev[order], vocab[order])
+        rev_arr, orig = self._rev_sorted
+        key = suffix[::-1]
+        lo = np.searchsorted(rev_arr, key, side="left")
+        hi = np.searchsorted(rev_arr, key + "\U0010ffff", side="left")
+        return sorted(orig[lo:hi].tolist())[:max_expansions]
+
+    def expand_fuzzy(self, term: str, max_expansions: int = 50) -> list[str]:
+        """Edit-distance-≤1 expansion against the live vocabulary
+        (Lucene FuzzyQuery with maxEdits=1): exact match, one
+        substitution (same length, Hamming 1), or one insertion /
+        deletion (length ±1, split-point check). Vectorized: vocab
+        terms are length-bucketed into fixed-width char matrices and
+        compared with numpy equality kernels — no per-candidate Python
+        distance call. Returns sorted terms capped at max_expansions."""
+        if not term:
+            return []
+        vocab = self._vocab()
+        if vocab.size == 0:
+            return []
+        lens = np.fromiter((len(t) for t in vocab), np.int64, vocab.size)
+        L = len(term)
+        qv = np.frombuffer(term.encode("utf-32-le"), dtype=np.uint32)
+        hits: list[str] = []
+
+        def _chars(sub: np.ndarray, width: int) -> np.ndarray:
+            # fixed-width char matrix: one utf-32 decode per length bucket
+            buf = "".join(sub.tolist()).encode("utf-32-le")
+            return np.frombuffer(buf, dtype=np.uint32).reshape(-1, width)
+
+        def _split_ok(pre_eq: np.ndarray, suf_eq: np.ndarray) -> np.ndarray:
+            # ∃ split p: all pre_eq[:, :p] AND all suf_eq[:, p:]. Greedy:
+            # the longest matching prefix is the optimal split (a smaller
+            # p only adds suffix positions to satisfy).
+            pre = np.cumprod(pre_eq, axis=1)
+            sufall = np.cumprod(suf_eq[:, ::-1], axis=1)[:, ::-1].astype(bool)
+            full = pre[:, -1].astype(bool)  # p = k → empty suffix, ok
+            out = full.copy()
+            idx = np.where(~full)[0]
+            out[idx] = sufall[idx, pre.argmin(axis=1)[idx]]
+            return out
+
+        same = vocab[lens == L]
+        if same.size:  # 0 or 1 substitution: Hamming ≤ 1
+            hits += same[(_chars(same, L) != qv).sum(axis=1) <= 1].tolist()
+        longer = vocab[lens == L + 1]
+        if longer.size:  # candidate = query + 1 inserted char
+            m = _chars(longer, L + 1)
+            hits += longer[_split_ok(m[:, :L] == qv, m[:, 1:] == qv)].tolist()
+        if L >= 2:
+            shorter = vocab[lens == L - 1]
+            if shorter.size:  # candidate = query - 1 deleted char
+                m = _chars(shorter, L - 1)
+                hits += shorter[_split_ok(m == qv[: L - 1], m == qv[1:])].tolist()
+        return sorted(set(hits))[:max_expansions]
+
+    def search_suffix_scores(
+        self, suffix: str, *, max_expansions: int = 50, site: str | None = None
+    ) -> tuple[np.ndarray, np.ndarray, list[str]]:
+        """Leading-wildcard (``*suffix``) retrieval: reversed-dictionary
+        expansion, then the standard disjunctive ranking — each expanded
+        term with its OWN df/idf (scoring-rewrite semantics)."""
+        terms = self.expand_suffix(suffix, max_expansions)
+        if not terms:
+            return np.empty(0, np.int64), np.empty(0, np.float64), []
+        return self.search_scores(" ".join(terms), site=site)
+
+    def search_fuzzy_scores(
+        self, query: str, *, max_expansions: int = 50, site: str | None = None
+    ) -> tuple[np.ndarray, np.ndarray, list[str]]:
+        """Fuzzy retrieval (per-token maxEdits=1): every query lemma
+        expands to its edit-distance-≤1 vocabulary neighbours; the
+        distinct union (order-preserving, first-seen) feeds the standard
+        disjunctive ranking with per-term idf."""
+        expanded: list[str] = []
+        for t in self._query_lemmas(query):
+            expanded += self.expand_fuzzy(t, max_expansions)
+        terms = list(dict.fromkeys(expanded))
+        if not terms:
+            return np.empty(0, np.int64), np.empty(0, np.float64), []
+        return self.search_scores(" ".join(terms), site=site)
+
+    def search_synonym_scores(
+        self,
+        query: str,
+        synonyms: dict[str, tuple[str, ...]],
+        site: str | None = None,
+    ) -> tuple[np.ndarray, np.ndarray, list[str]]:
+        """Query-time synonym expansion (SynonymQuery, scoring-rewrite
+        variant: each expansion keeps its OWN df/idf): every query lemma
+        is followed by its mapped synonyms, order-preserving distinct,
+        then the standard disjunctive ranking. The map is query-node
+        state (an actor would hold it in ``__init__``); expansions
+        absent from the vocabulary contribute df=0 and no postings."""
+        out: list[str] = []
+        for t in self._query_lemmas(query):
+            out.append(t)
+            out.extend(synonyms.get(t, ()))
+        terms = list(dict.fromkeys(out))
+        if not terms:
+            return np.empty(0, np.int64), np.empty(0, np.float64), []
+        return self.search_scores(" ".join(terms), site=site)
+
+    def search_msm_scores(
+        self, query: str, msm: int = 2, site: str | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Minimum-should-match retrieval (BooleanQuery
+        minimumNumberShouldMatch): disjunctive scores kept only for docs
+        matching ≥ msm DISTINCT query lemmas — the middle ground between
+        OR (msm=1) and AND (msm=len(lemmas)). One extra membership mask
+        per lemma over the already-read postings; no new IO."""
+        docs, scores, lemmas = self.search_scores(query, site)
+        if msm <= 1 or not docs.size:
+            return docs, scores
+        site_id, _ = self._resolve_site(site)
+        nhits = np.zeros(docs.size, np.int64)
+        for t in lemmas:
+            d, _, _ = self.term_postings(t, site_id)
+            if d.size:
+                nhits += np.isin(docs, d, assume_unique=True)
+        keep = nhits >= msm
+        return docs[keep], scores[keep]
+
+    def search_after_scores(
+        self,
+        query: str,
+        after: tuple[float, int] | None,
+        limit: int = 10,
+        site: str | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Keyset (search_after) pagination: the page strictly after the
+        cursor (score, doc_id) in (rounded-score desc, doc_id asc) order
+        — O(matches) filtering instead of offset re-scans, the
+        deep-pagination pattern (ES search_after / Lucene searchAfter).
+        Scores are rounded to 6 dp BEFORE ordering so cursors are stable
+        across float32/float64 serving replicas."""
+        docs, scores, _ = self.search_scores(query, site)
+        r = np.round(scores.astype(np.float64), 6)
+        order = np.lexsort((docs, -r))
+        docs, r = docs[order], r[order]
+        if after is not None:
+            cs, cd = float(after[0]), int(after[1])
+            mask = (r < cs) | ((r == cs) & (docs > cd))
+            docs, r = docs[mask], r[mask]
+        return docs[:limit], r[:limit]
 
     def _query_lemmas(self, query: str) -> list[str]:
         """M9 + optional morphology model: tokenize, map through the

@@ -250,6 +250,13 @@ def test_oracle_keys_subset(entry_mod):
     "percolate",
     # round 4: explain (per-term tf/idf score breakdown)
     "search_explain",
+    # round 4: serving-surface widening
+    "search_msm",
+    "search_suffix",
+    "search_fuzzy",
+    "search_after",
+    "search_synonyms",
+    "significant_terms",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
