@@ -363,3 +363,101 @@ def test_prefix_expansion_matches_vocabulary(built):
     assert s1.tolist() == s2.tolist()
     # empty prefix expands to nothing (not the whole vocabulary)
     assert eng.expand_prefix("") == []
+
+def test_suffix_expansion_matches_vocabulary(built):
+    """expand_suffix (reversed-dictionary binary search) == the sorted
+    capped suffix-slice of the oracle vocabulary; suffix search ==
+    disjunctive search over exactly the expanded terms."""
+    _, eng, oracle, _ = built
+    vocab = sorted(oracle.tf)
+    for suffix in {t[-1] for t in vocab[:50]} | {t[-2:] for t in vocab[:20] if len(t) >= 2} | {"zzzq"}:
+        want = sorted(t for t in vocab if t.endswith(suffix))[:50]
+        got = eng.expand_suffix(suffix, max_expansions=50)
+        assert got == want, suffix
+    some = next(t[-2:] for t in vocab if len(t) >= 3)
+    exp = eng.expand_suffix(some, max_expansions=50)
+    assert exp
+    d1, s1, _ = eng.search_suffix_scores(some, max_expansions=50)
+    d2, s2, _ = eng.search_scores(" ".join(exp))
+    assert d1.tolist() == d2.tolist()
+    assert s1.tolist() == s2.tolist()
+    assert eng.expand_suffix("") == []
+
+
+def _lev(a: str, b: str) -> int:
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+    return dp[len(b)]
+
+
+def test_fuzzy_expansion_matches_brute_levenshtein(built):
+    """expand_fuzzy (vectorized char-matrix kernels) == brute-force
+    Levenshtein<=1 over the vocabulary, for in-vocab terms, misspellings
+    and absent terms — including the 1-char and unicode edges."""
+    _, eng, oracle, _ = built
+    vocab = sorted(oracle.tf)
+    probes = set(vocab[:15])
+    probes |= {t[1:] for t in vocab[:10] if len(t) >= 2}          # deletion
+    probes |= {t + "x" for t in vocab[:10]}                        # insertion
+    probes |= {("z" + t[1:]) for t in vocab[:10]}                  # substitution
+    probes |= {"q", "zzzzzzzz"}
+    for q in probes:
+        want = sorted(t for t in vocab if _lev(q, t) <= 1)[:50]
+        got = eng.expand_fuzzy(q, max_expansions=50)
+        assert got == want, q
+    assert eng.expand_fuzzy("") == []
+
+
+def test_msm_between_or_and_and(built):
+    """search_msm_scores: msm=1 == OR; msm=n_lemmas ⊇ AND-mode match
+    set; every kept doc hits >= msm distinct lemmas with its OR score."""
+    _, eng, oracle, _ = built
+    q = "ва слово"
+    or_docs, or_scores, lemmas = eng.search_scores(q)
+    d1, s1 = eng.search_msm_scores(q, msm=1)
+    assert d1.tolist() == or_docs.tolist()
+    n = len(lemmas)
+    dn, sn = eng.search_msm_scores(q, msm=n)
+    # msm=n == conjunctive semantics: docs containing every lemma
+    per_term = [set(eng.search_scores(t)[0].tolist()) for t in lemmas]
+    want_and = set.intersection(*per_term) if per_term else set()
+    assert set(dn.tolist()) == want_and
+    # scores are the unchanged OR scores of the surviving docs
+    pos = {int(d): float(s) for d, s in zip(or_docs, or_scores)}
+    assert all(abs(pos[int(d)] - float(s)) < 1e-12 for d, s in zip(dn, sn))
+
+
+def test_search_after_keyset_pagination(built):
+    """Chaining search_after pages reconstructs the full (rounded score
+    desc, doc_id) ranking exactly once, with no overlaps or gaps."""
+    _, eng, _, _ = built
+    q = "ва слово"
+    docs, scores, _ = eng.search_scores(q)
+    r = np.round(scores.astype(np.float64), 6)
+    order = np.lexsort((docs, -r))
+    want = list(zip(docs[order].tolist(), r[order].tolist()))
+    got, after = [], None
+    while True:
+        d, s = eng.search_after_scores(q, after, limit=7)
+        if d.size == 0:
+            break
+        got += list(zip(d.tolist(), s.tolist()))
+        after = (float(s[-1]), int(d[-1]))
+    assert got == want
+
+
+def test_synonym_expansion_scoring(built):
+    """search_synonym_scores == disjunctive search over the expanded
+    distinct terms; unknown expansions change nothing."""
+    _, eng, oracle, _ = built
+    vocab = sorted(oracle.tf)
+    a, b = vocab[0], vocab[1]
+    d1, s1, _ = eng.search_synonym_scores(a, {a: (b,)})
+    d2, s2, _ = eng.search_scores(f"{a} {b}")
+    assert d1.tolist() == d2.tolist() and s1.tolist() == s2.tolist()
+    d3, s3, _ = eng.search_synonym_scores(a, {a: ("absentzzz",)})
+    d4, s4, _ = eng.search_scores(f"{a} absentzzz")
+    assert d3.tolist() == d4.tolist() and s3.tolist() == s4.tolist()
