@@ -490,6 +490,30 @@ def q_significant_terms(sf_dir: str):
     return significant_terms_ds(_documents(sf_dir), docs, int(docs.size), int(bg_n))
 
 
+TV_DOCS = (0, 2, 11)  # term-vectors probe docs
+
+
+def q_term_vectors(sf_dir: str):
+    """Fetch-time term vectors (ES `_termvectors` realtime re-analysis):
+    per probe doc the (term, 0-based position) rows — the forward-index
+    view an inverted index cannot answer without re-tokenizing. The
+    probe filter is pushed ahead of tokenization."""
+    from search_engine_skillbox_ray.pipelines.textstats import term_vectors_ds
+
+    return term_vectors_ds(_documents(sf_dir), TV_DOCS)
+
+
+def q_search_smart(sf_dir: str):
+    """SMART lnc.ltc cosine ranking (Salton/Buckley vector space): doc
+    side 1+ln(tf) cosine-normalized by the FULL doc vector norm, query
+    side idf-weighted and normalized — the classic VSM alternative to
+    tf·idf/BM25, computed in one tokenize pass (norm + query tf rows
+    per batch) plus match-sized aggregates."""
+    from search_engine_skillbox_ray.pipelines.textstats import smart_scores_ds
+
+    return smart_scores_ds(_documents(sf_dir), SEARCH_QUERY.split())
+
+
 SITE_COLLAPSE_K = 2  # host-crowding rule: top-k results per site
 
 
@@ -2227,6 +2251,8 @@ _DRIVER_PRIORITY = [
     "search_after",
     "search_synonyms",
     "significant_terms",
+    "term_vectors",
+    "search_smart",
 ]
 
 
@@ -2314,6 +2340,8 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "search_after": q_search_after,
         "search_synonyms": q_search_synonyms,
         "significant_terms": q_significant_terms,
+        "term_vectors": q_term_vectors,
+        "search_smart": q_search_smart,
         "doc_chunks": q_doc_chunks,
         "proximity": q_proximity,
         "near_search": q_near_search,
@@ -3990,6 +4018,36 @@ fg AS (SELECT tf.term, count(DISTINCT tf.doc_id)::BIGINT AS fg
 SELECT fg.term, fg.fg, bg.bg,
        ROUND((fg.fg / fgn.fgn - bg.bg / n.n) * (fg.fg / fgn.fgn) / (bg.bg / n.n), 6) AS score
 FROM fg JOIN bg ON fg.term = bg.term CROSS JOIN fgn CROSS JOIN n
+""",
+        # term vectors: tokenize-with-positions of the probe docs,
+        # 0-based positions (generate_subscripts is 1-based)
+        "term_vectors": f"""
+WITH tl AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+            '[^\\p{{L}}]+'), x -> x <> '') AS toks
+            FROM documents WHERE doc_id IN ({", ".join(str(i) for i in TV_DOCS)}))
+SELECT doc_id, unnest(toks) AS term,
+       (generate_subscripts(toks, 1) - 1)::BIGINT AS pos
+FROM tl
+""",
+        # SMART lnc.ltc: doc (1+ln tf)/||doc||, query idf/||query||,
+        # identical per-element expression order on both sides, ROUND 6
+        "search_smart": f"""
+WITH tf AS ({_TF}),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+nrm AS (SELECT doc_id, sqrt(SUM(pow(1.0 + ln(tf), 2))) AS nrm FROM tf GROUP BY doc_id),
+q(term) AS (VALUES {_terms_values()}),
+df AS (SELECT q.term, count(DISTINCT tf.doc_id)::BIGINT AS df
+       FROM q LEFT JOIN tf ON tf.term = q.term GROUP BY q.term),
+qn AS (SELECT sqrt(SUM(pow(ln((n.n + 1.0) / (df.df + 1.0)), 2))) AS qn
+       FROM df CROSS JOIN n),
+scores AS (
+  SELECT tf.doc_id,
+         SUM((1.0 + ln(tf.tf)) / nrm.nrm * ln((n.n + 1.0) / (df.df + 1.0)) / qn.qn) AS score
+  FROM tf JOIN df ON tf.term = df.term
+       JOIN nrm ON nrm.doc_id = tf.doc_id
+       CROSS JOIN n CROSS JOIN qn
+  GROUP BY tf.doc_id)
+SELECT doc_id, ROUND(score, 6) AS score FROM scores
 """,
         # explain: per (matching doc, query lemma) tf/idf/contribution —
         # the tf CTE joined to the query-term df, no aggregation at all

@@ -355,6 +355,8 @@ def bench_sf_queries() -> dict:
         "search_after",
         "search_synonyms",
         "significant_terms",
+        "term_vectors",
+        "search_smart",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

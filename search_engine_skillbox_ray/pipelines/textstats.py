@@ -2560,6 +2560,158 @@ def significant_terms_ds(
     return agg.map_batches(fin, batch_format="pyarrow")
 
 
+def term_vectors_ds(documents: rd.Dataset, doc_ids) -> rd.Dataset:
+    """→ (doc_id, term, pos): fetch-time TERM VECTORS for a probe doc
+    set (the ES `_termvectors` API with realtime re-analysis — an
+    inverted index is term-major, so per-doc vectors come from
+    re-tokenizing the stored document, not from posting scans).
+    Positions are 0-based over the nonempty-token sequence (the same
+    convention the positional index stores). The probe filter is pushed
+    ahead of tokenization so only probe rows are analyzed."""
+    from ..functions.hashing import flat_nonempty_tokens
+
+    ids = sorted({int(i) for i in doc_ids})
+    pred = " or ".join(f"doc_id == {i}" for i in ids) or "doc_id < 0"
+    sub = documents.select_columns(["doc_id", "text"]).filter(expr=pred)
+
+    def tv(batch: pa.Table) -> pa.Table:
+        toks, parents, counts = flat_nonempty_tokens(batch.column("text"))
+        if len(toks) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "pos": pa.array([], pa.int64()),
+                }
+            )
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.cumsum(counts) - counts
+        pos = np.arange(len(toks), dtype=np.int64) - starts[parents]
+        return pa.table(
+            {
+                "doc_id": pa.array(d[parents], pa.int64()),
+                "term": toks,
+                "pos": pa.array(pos, pa.int64()),
+            }
+        )
+
+    return sub.map_batches(tv, batch_format="pyarrow")
+
+
+def smart_scores_ds(documents: rd.Dataset, query_terms: list[str]) -> rd.Dataset:
+    """→ (doc_id, score): SMART lnc.ltc cosine ranking — docs weighted
+    l (1+ln tf) n (no idf) c (cosine-normalized by the FULL doc vector
+    norm), the query weighted l t (idf = ln((N+1)/(df+1))) c. The
+    classic vector-space alternative to tf·idf/BM25 (Salton & Buckley's
+    SMART notation).
+
+    Scale shape: ONE tokenize pass per batch computes the per-doc
+    vector norm AND the query-term tf rows (a doc's rows never span an
+    input batch); only query-matching rows leave the map (match-sized,
+    not corpus-sized). That match-sized set is materialized once and
+    re-read for the tiny df aggregate and the final score, both
+    query-vocabulary- or match-sized exchanges."""
+    import math
+
+    from ..functions.hashing import flat_nonempty_tokens
+
+    qset = sorted(set(query_terms))
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "term": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+            "nrm": pa.array([], pa.float64()),
+            "docs_seen": pa.array([], pa.int64()),
+        }
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        toks, parents, _ = flat_nonempty_tokens(batch.column("text"))
+        if len(toks) == 0:
+            return empty
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        pairs = (
+            pa.table({"doc_id": pa.array(d[parents], pa.int64()), "term": toks})
+            .group_by(["doc_id", "term"])
+            .aggregate([([], "count_all")])
+        )
+        pd_ = pairs.column("doc_id").to_numpy(zero_copy_only=False)
+        tf = pairs.column("count_all").to_numpy(zero_copy_only=False).astype(np.int64)
+        w = 1.0 + np.log(tf)
+        # full-vector norm per doc (docs are whole within a batch)
+        uniq, inv = np.unique(pd_, return_inverse=True)
+        sq = np.zeros(uniq.size, np.float64)
+        np.add.at(sq, inv, w * w)
+        nrm = np.sqrt(sq)
+        hit = pc.is_in(pairs.column("term"), value_set=pa.array(qset, pa.string()))
+        hitn = hit.to_numpy(zero_copy_only=False)
+        n_docs = np.int64(uniq.size)  # docs with >=1 token, this batch
+        out = pa.table(
+            {
+                "doc_id": pa.array(pd_[hitn], pa.int64()),
+                "term": pairs.column("term").filter(hit),
+                "tf": pa.array(tf[hitn], pa.int64()),
+                "nrm": pa.array(nrm[inv][hitn], pa.float64()),
+                "docs_seen": pa.array(np.zeros(hitn.sum(), np.int64), pa.int64()),
+            }
+        )
+        # one marker row per batch carries the distinct-doc count for N
+        marker = pa.table(
+            {
+                "doc_id": pa.array([-1], pa.int64()),
+                "term": pa.array([""], pa.string()),
+                "tf": pa.array([0], pa.int64()),
+                "nrm": pa.array([0.0], pa.float64()),
+                "docs_seen": pa.array([n_docs], pa.int64()),
+            }
+        )
+        return pa.concat_tables([out, marker])
+
+    # match-sized (+ one marker row per batch) — safe to materialize
+    matched = (
+        documents.select_columns(["doc_id", "text"])
+        .map_batches(partials, batch_format="pyarrow")
+        .materialize()
+    )
+    n_total = int(matched.sum("docs_seen") or 0)
+    rows = matched.filter(expr="doc_id >= 0")
+    dft = rows.groupby("term").count().to_pandas()  # query-vocabulary-sized
+    df = {str(r["term"]): int(r["count()"]) for _, r in dft.iterrows()}
+    idf = {t: math.log((n_total + 1.0) / (df.get(t, 0) + 1.0)) for t in qset}
+    qn = math.sqrt(sum(v * v for v in idf.values()))
+    idf_ref = idf
+
+    def score(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "w": pa.array([], pa.float64())}
+            )
+        tf = batch.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        nrm = batch.column("nrm").to_numpy(zero_copy_only=False)
+        terms = batch.column("term").to_pylist()
+        iv = np.asarray([idf_ref[t] for t in terms], np.float64)
+        w = (1.0 + np.log(tf)) / nrm * iv / qn
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "w": pa.array(w, pa.float64())}
+        )
+
+    agg = rows.map_batches(score, batch_format="pyarrow").groupby("doc_id").sum("w")
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "score": pa.array(
+                    np.round(t["sum(w)"].to_numpy(zero_copy_only=False), 6),
+                    pa.float64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII scrubbing (round 4)
 # ---------------------------------------------------------------------------

@@ -257,6 +257,8 @@ def test_oracle_keys_subset(entry_mod):
     "search_after",
     "search_synonyms",
     "significant_terms",
+    "term_vectors",
+    "search_smart",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
