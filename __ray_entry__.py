@@ -514,6 +514,24 @@ def q_search_smart(sf_dir: str):
     return smart_scores_ds(_documents(sf_dir), SEARCH_QUERY.split())
 
 
+def q_segment_stats(sf_dir: str):
+    """Index introspection (segment browser): per-bucket physical stats
+    of the POSITIONAL index — segment row count, distinct terms, Σdf,
+    Σcf — read from the segment metadata columns, never decoding
+    postings. The SQL oracle recomputes the SAME partitioning from the
+    raw corpus via md5_number_lower(term) % n_buckets == md5_u64, so
+    this validates the physical layout itself."""
+    from search_engine_skillbox_ray.pipelines.posindex import (
+        build_positional_index,
+        segment_stats,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/ses_posidx_{tag}"
+    build_positional_index(_documents(sf_dir), d, n_buckets=8, input_token=sf_dir)
+    return segment_stats(d)
+
+
 SITE_COLLAPSE_K = 2  # host-crowding rule: top-k results per site
 
 
@@ -2253,6 +2271,7 @@ _DRIVER_PRIORITY = [
     "significant_terms",
     "term_vectors",
     "search_smart",
+    "segment_stats",
 ]
 
 
@@ -2342,6 +2361,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "significant_terms": q_significant_terms,
         "term_vectors": q_term_vectors,
         "search_smart": q_search_smart,
+        "segment_stats": q_segment_stats,
         "doc_chunks": q_doc_chunks,
         "proximity": q_proximity,
         "near_search": q_near_search,
@@ -4002,6 +4022,19 @@ scores AS (
   FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
   GROUP BY tf.doc_id)
 SELECT doc_id, ROUND(score, 6) AS score FROM scores
+""",
+        # physical-layout introspection: recompute the bucket partitioning
+        # from the raw corpus — md5_number_lower == md5_u64 (hashing.py:57),
+        # n_buckets=8 == the entry index's BuildConfig
+        "segment_stats": f"""
+WITH tok AS ({_TOK}),
+per AS (SELECT term, count(*)::BIGINT AS cf,
+               count(DISTINCT doc_id)::BIGINT AS df
+        FROM tok GROUP BY term),
+b AS (SELECT (md5_number_lower(term) % 8)::BIGINT AS bucket, term, df, cf FROM per)
+SELECT bucket, count(*)::BIGINT AS n_rows, count(DISTINCT term)::BIGINT AS n_terms,
+       SUM(df)::BIGINT AS sum_df, SUM(cf)::BIGINT AS sum_cf
+FROM b GROUP BY bucket
 """,
         # significant terms (JLH): fg/bg doc frequencies over the
         # disjunctive result set vs the corpus; identical left-to-right

@@ -357,6 +357,7 @@ def bench_sf_queries() -> dict:
         "significant_terms",
         "term_vectors",
         "search_smart",
+        "segment_stats",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

@@ -36,6 +36,7 @@ from pathlib import Path
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray.data as rd
@@ -1148,3 +1149,81 @@ def champion_topk(
             "score": pa.array(rounded[order], pa.float64()),
         }
     )
+
+
+def segment_stats(index_dir: str) -> pa.Table:
+    """→ (bucket, n_rows, n_terms, sum_df, sum_cf) over the positional
+    index's segment files — the index-introspection surface (Lucene's
+    segment browser): physical layout statistics read straight from the
+    segment METADATA columns (term, df, cf); posting bytes are never
+    decoded. Because the posting bucket is md5_u64(term) % n_buckets ==
+    DuckDB ``md5_number_lower(term) % n`` (hashing.py:57), a SQL oracle
+    can recompute the SAME partitioning from the raw corpus and verify
+    the physical layout end to end.
+
+    Counts cover base AND delta segment rows (n_rows > n_terms once LSM
+    appends add per-term delta rows); the reserved doc-length rows
+    (term == DOCLEN_TERM, bucket == n_buckets) are excluded. One
+    streamed Dataset read + per-batch Arrow group_by partials; both
+    exchanges are bucket- or vocabulary-sized."""
+    import ray.data as rd
+
+    files = sorted(str(f) for f in Path(index_dir).glob("bucket=*.parquet"))
+    empty = pa.table(
+        {
+            "bucket": pa.array([], pa.int64()),
+            "n_rows": pa.array([], pa.int64()),
+            "n_terms": pa.array([], pa.int64()),
+            "sum_df": pa.array([], pa.int64()),
+            "sum_cf": pa.array([], pa.int64()),
+        }
+    )
+    if not files:
+        return empty
+    ds = rd.read_parquet(files, columns=["bucket", "term", "df", "cf"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["term"], DOCLEN_TERM))
+        g = t.group_by(["bucket", "term"]).aggregate(
+            [("df", "sum"), ("cf", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "bucket": pc.cast(g["bucket"], pa.int64()),
+                "term": g["term"],
+                "n_rows": pc.cast(g["count_all"], pa.int64()),
+                "sum_df": pc.cast(g["df_sum"], pa.int64()),
+                "sum_cf": pc.cast(g["cf_sum"], pa.int64()),
+            }
+        )
+
+    per_term = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["bucket", "term"])
+        .sum(["n_rows", "sum_df", "sum_cf"])
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by(["bucket"]).aggregate(
+            [
+                ("sum(n_rows)", "sum"),
+                ("sum(sum_df)", "sum"),
+                ("sum(sum_cf)", "sum"),
+                ([], "count_all"),
+            ]
+        )
+        return pa.table(
+            {
+                "bucket": pc.cast(g["bucket"], pa.int64()),
+                "n_rows": pc.cast(g["sum(n_rows)_sum"], pa.int64()),
+                "n_terms": pc.cast(g["count_all"], pa.int64()),
+                "sum_df": pc.cast(g["sum(sum_df)_sum"], pa.int64()),
+                "sum_cf": pc.cast(g["sum(sum_cf)_sum"], pa.int64()),
+            }
+        )
+
+    # vocabulary-sized: a term lives in ONE bucket, so the per-bucket
+    # reduce can run inside map_groups on the bucket-grouped rows
+    out = per_term.groupby("bucket").map_groups(finish, batch_format="pyarrow")
+    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)  # 8 rows
+    return tbl.cast(empty.schema) if tbl.num_rows else empty

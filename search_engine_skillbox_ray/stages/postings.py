@@ -237,3 +237,4 @@ class BucketSegmentWriter:
                 "n_postings": pa.array([n_postings], pa.int64()),
             }
         )
+

@@ -259,6 +259,7 @@ def test_oracle_keys_subset(entry_mod):
     "significant_terms",
     "term_vectors",
     "search_smart",
+    "segment_stats",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
