@@ -514,6 +514,30 @@ def q_search_smart(sf_dir: str):
     return smart_scores_ds(_documents(sf_dir), SEARCH_QUERY.split())
 
 
+def q_phrase_index_asof(sf_dir: str):
+    """Point-in-time (as-of) read of the LSM positional index: build on
+    the WHOLE table, tombstone the ODD doc_ids, then serve the probes
+    AS OF the fresh-build state (seq -1) — time travel must un-do the
+    delete and reproduce the whole-table position-join oracle."""
+    import shutil
+
+    from search_engine_skillbox_ray.pipelines.posindex import (
+        build_positional_index,
+        delete_documents,
+        phrase_search,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/ses_posidx_asof_{tag}"
+    shutil.rmtree(d, ignore_errors=True)  # delete mutates: fresh per run
+    build_positional_index(_documents(sf_dir), d, n_buckets=8, input_token=sf_dir)
+    ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"]).column(
+        "doc_id"
+    ).to_numpy()
+    delete_documents(d, ids[ids % 2 == 1], input_token=f"{sf_dir}-odd-del")
+    return phrase_search(d, PHRASES, as_of=-1)
+
+
 def q_segment_stats(sf_dir: str):
     """Index introspection (segment browser): per-bucket physical stats
     of the POSITIONAL index — segment row count, distinct terms, Σdf,
@@ -2272,6 +2296,7 @@ _DRIVER_PRIORITY = [
     "term_vectors",
     "search_smart",
     "segment_stats",
+    "phrase_index_asof",
 ]
 
 
@@ -2362,6 +2387,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "term_vectors": q_term_vectors,
         "search_smart": q_search_smart,
         "segment_stats": q_segment_stats,
+        "phrase_index_asof": q_phrase_index_asof,
         "doc_chunks": q_doc_chunks,
         "proximity": q_proximity,
         "near_search": q_near_search,
@@ -3702,6 +3728,8 @@ LEFT JOIN tot ON tot.doc_id = d.doc_id
         # same whole-table answer
         "phrase_index": _phrase_oracle(),
         "phrase_index_ingest": _phrase_oracle(),
+        # as-of -1 un-does the tombstone: the whole-table oracle again
+        "phrase_index_asof": _phrase_oracle(),
         # phrase-boosted ranking: tf·idf (idf over total corpus count)
         # plus PBOOST per ordered-adjacent pair occurrence; ranked on the
         # ROUNDED score so ordering is float-noise-proof on both sides

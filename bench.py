@@ -358,6 +358,7 @@ def bench_sf_queries() -> dict:
         "term_vectors",
         "search_smart",
         "segment_stats",
+        "phrase_index_asof",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

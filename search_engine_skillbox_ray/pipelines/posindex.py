@@ -171,14 +171,19 @@ def _filter_tombstoned(docs, cnts, flat, dead):
     return docs[keep], cnts[keep], flat[np.repeat(keep, cnts)]
 
 
-def _load_term(out: Path, n_buckets: int, term: str, tombs=None):
+def _load_term(out: Path, n_buckets: int, term: str, tombs=None, as_of=None):
     """→ (doc_ids ascending int64, counts int64, flat positions int64)
     or None — merged across the base bucket file and any LSM delta
     segments (appends carry NEW doc ids, so the merge is a disjoint
     doc-order interleave), with tombstoned docs filtered out per
-    segment seq (a tombstone kills only docs written before it)."""
+    segment seq (a tombstone kills only docs written before it).
+    ``as_of`` (a seq number) gives a POINT-IN-TIME read: delta segments
+    newer than it are skipped (the caller filters tombstones the same
+    way); a base file whose compaction already folded newer seqs raises
+    — that history is physically gone (Lucene PIT-reader semantics:
+    time travel only reaches still-present segments)."""
     b = int(md5_u64([term])[0] % np.uint64(n_buckets))
-    return _load_posting(out, b, term, tombs)
+    return _load_posting(out, b, term, tombs, as_of=as_of)
 
 
 def _load_doclens(out: Path, n_buckets: int, tombs=None):
@@ -193,7 +198,7 @@ def _load_doclens(out: Path, n_buckets: int, tombs=None):
     return docs, flat
 
 
-def _load_posting(out: Path, b: int, term: str, tombs=None):
+def _load_posting(out: Path, b: int, term: str, tombs=None, as_of=None):
     files = [out / f"bucket={b:05d}.parquet"] + sorted(
         out.glob(f"bucket={b:05d}.delta-*.parquet")
     )
@@ -201,6 +206,17 @@ def _load_posting(out: Path, b: int, term: str, tombs=None):
     for f in files:
         if not f.exists():
             continue
+        if as_of is not None:
+            src_seq = _base_seq(f) if "delta-" not in f.name else _delta_seq(f)
+            if src_seq > as_of:
+                if "delta-" not in f.name:
+                    raise ValueError(
+                        f"as_of={as_of}: base segment {f.name} is current "
+                        f"through seq {src_seq} — compaction folded that "
+                        "history away; point-in-time reads only reach "
+                        "still-present segments"
+                    )
+                continue  # delta newer than the read point
         tbl = pq.read_table(f, filters=[("term", "==", term)])
         if not len(tbl):
             continue
@@ -245,13 +261,16 @@ def _load_posting(out: Path, b: int, term: str, tombs=None):
 
 
 def phrase_search(
-    index_dir: str, phrases: list[str]
+    index_dir: str, phrases: list[str], as_of: int | None = None
 ) -> pa.Table:
     """→ (doc_id, phrase_id, n_occurrences): exact ordered-adjacent
     occurrence counts per probe phrase, served from the positional
     index — only the phrases' terms' posting rows are read. Overlapping
     occurrences count; identical semantics (and SQL oracle) to the
-    corpus-scan ``PhraseScan``."""
+    corpus-scan ``PhraseScan``. ``as_of`` gives a POINT-IN-TIME read:
+    only segments and tombstones with seq <= as_of apply (-1 = the
+    fresh-build state); raises if compaction already folded that
+    history away."""
     from ..stages.tokenizer import token_lists
 
     out = Path(index_dir)
@@ -262,12 +281,14 @@ def phrase_search(
         norm = norm.combine_chunks()
     phrase_terms = [[t for t in row if t] for row in norm.to_pylist()]
 
-    tombs = _tombstones(out)
+    tombs = [
+        (s, a) for s, a in _tombstones(out) if as_of is None or s <= as_of
+    ]
     cache: dict[str, tuple | None] = {}
 
     def load(t: str):
         if t not in cache:
-            cache[t] = _load_term(out, nb, t, tombs)
+            cache[t] = _load_term(out, nb, t, tombs, as_of=as_of)
         return cache[t]
 
     out_doc, out_pid, out_cnt = [], [], []

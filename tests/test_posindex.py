@@ -603,3 +603,62 @@ def test_champion_topk_serving(ray_session, tmp_path):
     # champion_k large → all matching docs score, exhaustive ranking
     full = champion_topk(str(d), "merge batch", k=10, champion_k=100).to_pandas()
     assert set(full["doc_id"]) == {1, 2, 3}
+
+
+def test_point_in_time_reads(ray_session, tmp_path):
+    """as_of semantics across a build → append → delete lifecycle:
+    as_of=-1 sees only the fresh build; as_of=append_seq sees the
+    appended state (delete un-done); as_of=None sees the live state;
+    after compaction folds that history, as_of raises."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.posindex import (
+        append_documents,
+        build_positional_index,
+        compact_positional_index,
+        delete_documents,
+        phrase_search,
+    )
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def parity(p):
+        return docs.map_batches(
+            lambda t, p=p: t.filter(pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), p)),
+            batch_format="pyarrow",
+        )
+
+    even_dir, full_dir, lsm_dir = tmp_path / "even", tmp_path / "full", tmp_path / "lsm"
+    build_positional_index(parity(0), str(even_dir), n_buckets=4, input_token="even")
+    build_positional_index(docs, str(full_dir), n_buckets=4, input_token="full")
+    build_positional_index(parity(0), str(lsm_dir), n_buckets=4, input_token="even")
+    a = append_documents(str(lsm_dir), parity(1), input_token="odd")
+    append_seq = a["seq"] if isinstance(a, dict) and "seq" in a else 0
+    ids = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id"]
+    ).column("doc_id").to_numpy()
+    delete_documents(str(lsm_dir), ids[ids % 4 == 1], input_token="del")
+
+    phrases = ["table scan", "hash join", "batch batch batch"]
+
+    def snap(d, **kw):
+        return phrase_search(str(d), phrases, **kw).to_pandas().sort_values(
+            ["phrase_id", "doc_id"]).reset_index(drop=True)
+
+    # time zero: the fresh-build (even) state
+    assert snap(lsm_dir, as_of=-1).equals(snap(even_dir))
+    # after the append, before the delete: the whole corpus
+    assert snap(lsm_dir, as_of=append_seq).equals(snap(full_dir))
+    # live state: delete applied — strictly fewer or equal rows
+    live = snap(lsm_dir)
+    assert len(live) <= len(snap(full_dir))
+    assert not live.equals(snap(full_dir))
+    # compaction folds history: PIT reads into the folded range raise
+    compact_positional_index(str(lsm_dir))
+    assert snap(lsm_dir).equals(live)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="folded"):
+        snap(lsm_dir, as_of=-1)
