@@ -514,6 +514,19 @@ def q_search_smart(sf_dir: str):
     return smart_scores_ds(_documents(sf_dir), SEARCH_QUERY.split())
 
 
+BOOL_QUERY = "(merge OR batch) AND fast AND NOT join"
+
+
+def q_search_boolean(sf_dir: str):
+    """Nested boolean retrieval: ``(merge OR batch) AND fast AND NOT
+    join`` — set algebra over posting lists for the match set, scores
+    from the positive leaves only (Lucene BooleanQuery semantics). The
+    reference's flat OR/AND query language generalized."""
+    eng = _engine(sf_dir, float32_scores=False)
+    doc_ids, scores = eng.search_boolean_scores(BOOL_QUERY)
+    return pd.DataFrame({"doc_id": doc_ids.astype(np.int64), "score": np.round(scores, 6)})
+
+
 def q_phrase_index_asof(sf_dir: str):
     """Point-in-time (as-of) read of the LSM positional index: build on
     the WHOLE table, tombstone the ODD doc_ids, then serve the probes
@@ -2297,6 +2310,7 @@ _DRIVER_PRIORITY = [
     "search_smart",
     "segment_stats",
     "phrase_index_asof",
+    "search_boolean",
 ]
 
 
@@ -2388,6 +2402,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "search_smart": q_search_smart,
         "segment_stats": q_segment_stats,
         "phrase_index_asof": q_phrase_index_asof,
+        "search_boolean": q_search_boolean,
         "doc_chunks": q_doc_chunks,
         "proximity": q_proximity,
         "near_search": q_near_search,
@@ -3990,6 +4005,21 @@ SELECT s.doc_id, ROUND(s.score, 6) AS score FROM scores s
 JOIN (SELECT doc_id FROM tf WHERE term IN ({terms_in})
       GROUP BY doc_id HAVING count(DISTINCT term) >= {MSM}) m
   ON s.doc_id = m.doc_id
+""",
+        # nested boolean: match set via per-doc hit flags, scores = the
+        # disjunctive CTE over the positive leaves (merge/batch/fast ==
+        # SEARCH_QUERY terms, so tfidf_scores is reused verbatim)
+        "search_boolean": tfidf_scores
+        + """,
+hits AS (SELECT doc_id,
+    MAX(CASE WHEN term = 'merge' THEN 1 ELSE 0 END) AS h_merge,
+    MAX(CASE WHEN term = 'batch' THEN 1 ELSE 0 END) AS h_batch,
+    MAX(CASE WHEN term = 'fast' THEN 1 ELSE 0 END) AS h_fast,
+    MAX(CASE WHEN term = 'join' THEN 1 ELSE 0 END) AS h_join
+  FROM tf GROUP BY doc_id)
+SELECT s.doc_id, ROUND(s.score, 6) AS score
+FROM scores s JOIN hits h ON h.doc_id = s.doc_id
+WHERE (h.h_merge = 1 OR h.h_batch = 1) AND h.h_fast = 1 AND h.h_join = 0
 """,
         # leading wildcard *suffix: q = the sorted capped set of distinct
         # corpus tokens ending with the suffix (== the reversed-dictionary

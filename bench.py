@@ -359,6 +359,7 @@ def bench_sf_queries() -> dict:
         "search_smart",
         "segment_stats",
         "phrase_index_asof",
+        "search_boolean",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

@@ -667,6 +667,71 @@ class SearchEngine:
             return np.empty(0, np.int64), np.empty(0, np.float64), []
         return self.search_scores(" ".join(terms), site=site)
 
+    def search_boolean_scores(
+        self, query: str, site: str | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Nested boolean retrieval (``(a OR b) AND c AND NOT d``):
+        the match set is set algebra over posting doc-id lists
+        (sorted-array union/intersect/diff — one posting read per
+        distinct leaf); the score is the disjunctive tf·idf sum over
+        the POSITIVE leaves a doc contains (Lucene BooleanQuery:
+        prohibited clauses never score). A pure negation raises — no
+        corpus-complement scans."""
+        from ..functions.boolquery import And, Not, Or, Term, parse, positive_terms
+
+        ast = parse(query)
+        site_id, _ = self._resolve_site(site)
+
+        def leaf_docs(text: str) -> np.ndarray:
+            lemmas = self._query_lemmas(text)
+            sets = []
+            for t in lemmas:
+                d, _, _ = self.term_postings(t, site_id)
+                if d.size:
+                    sets.append(d)
+            if not sets:
+                return np.empty(0, np.int64)
+            out = sets[0]
+            for s in sets[1:]:  # multi-lemma leaf == OR over its lemmas
+                out = np.union1d(out, s)
+            return out
+
+        def eval_node(n) -> np.ndarray:
+            if isinstance(n, Term):
+                return leaf_docs(n.text)
+            if isinstance(n, Not):
+                raise ValueError(
+                    "pure negation has no match set (Lucene semantics: "
+                    "NOT is only valid inside AND)"
+                )
+            if isinstance(n, Or):
+                out = np.empty(0, np.int64)
+                for p in n.parts:
+                    if isinstance(p, Not):
+                        raise ValueError("OR over a negative clause")
+                    out = np.union1d(out, eval_node(p))
+                return out
+            pos = [p for p in n.parts if not isinstance(p, Not)]
+            neg = [p.child for p in n.parts if isinstance(p, Not)]
+            if not pos:
+                raise ValueError("AND of only negative clauses")
+            out = eval_node(pos[0])
+            for p in pos[1:]:
+                out = _intersect_sorted(out, eval_node(p))
+            for p in neg:
+                if out.size == 0:
+                    break
+                out = out[~np.isin(out, eval_node(p), assume_unique=True)]
+            return out
+
+        match = eval_node(ast)
+        if match.size == 0:
+            return match, np.empty(0, np.float64)
+        terms = " ".join(positive_terms(ast))
+        docs, scores, _ = self.search_scores(terms, site)
+        keep = np.isin(docs, match, assume_unique=True)
+        return docs[keep], scores[keep].astype(np.float64)
+
     def search_synonym_scores(
         self,
         query: str,

@@ -461,3 +461,33 @@ def test_synonym_expansion_scoring(built):
     d3, s3, _ = eng.search_synonym_scores(a, {a: ("absentzzz",)})
     d4, s4, _ = eng.search_scores(f"{a} absentzzz")
     assert d3.tolist() == d4.tolist() and s3.tolist() == s4.tolist()
+
+
+def test_boolean_query_algebra(built):
+    """search_boolean_scores == hand-computed set algebra over per-term
+    match sets, with unchanged OR scores; parser edges raise."""
+    import pytest
+
+    _, eng, oracle, _ = built
+    vocab = sorted(oracle.tf)
+    a, b, c, d = vocab[0], vocab[1], vocab[2], vocab[3]
+    sets = {t: set(eng.search_scores(t)[0].tolist()) for t in (a, b, c, d)}
+    want = (sets[a] | sets[b]) & sets[c] - sets[d]
+    docs, scores = eng.search_boolean_scores(f"({a} OR {b}) AND {c} AND NOT {d}")
+    assert set(docs.tolist()) == want
+    # scores equal the disjunctive scores over the positive leaves
+    od, os_, _ = eng.search_scores(f"{a} {b} {c}")
+    pos = {int(x): float(s) for x, s in zip(od, os_)}
+    assert all(abs(pos[int(x)] - float(s)) < 1e-12 for x, s in zip(docs, scores))
+    # implicit AND: "x y" == "x AND y"
+    d1, _ = eng.search_boolean_scores(f"{a} {c}")
+    d2, _ = eng.search_boolean_scores(f"{a} AND {c}")
+    assert d1.tolist() == d2.tolist()
+    assert set(d1.tolist()) == sets[a] & sets[c]
+    # precedence: OR loosest — "a OR b AND c" == "a OR (b AND c)"
+    d3, _ = eng.search_boolean_scores(f"{a} OR {b} AND {c}")
+    assert set(d3.tolist()) == sets[a] | (sets[b] & sets[c])
+    for bad in (f"NOT {a}", f"{a} OR NOT {b}", f"NOT {a} AND NOT {b}",
+                f"({a}", f"{a} )", "AND"):
+        with pytest.raises(ValueError):
+            eng.search_boolean_scores(bad)

@@ -261,6 +261,7 @@ def test_oracle_keys_subset(entry_mod):
     "search_smart",
     "segment_stats",
     "phrase_index_asof",
+    "search_boolean",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
