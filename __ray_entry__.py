@@ -514,6 +514,30 @@ def q_search_smart(sf_dir: str):
     return smart_scores_ds(_documents(sf_dir), SEARCH_QUERY.split())
 
 
+VG_CHECKPOINTS = (50, 100, 200, 500, 1000, 2000, 5000)  # Heap's-law probes
+LEAK_K = 5  # cross-source leakage window (tokens)
+
+
+def q_vocab_growth(sf_dir: str):
+    """Heap's-law vocabulary growth: distinct terms within the first c
+    docs per checkpoint — per-batch (term, min doc_id) combiners, one
+    vocab-sized groupby-min, checkpoint-sized final exchange."""
+    from search_engine_skillbox_ray.pipelines.textstats import vocab_growth_ds
+
+    return vocab_growth_ds(_documents(sf_dir), VG_CHECKPOINTS)
+
+
+def q_source_leakage(sf_dir: str):
+    """Cross-source n-gram leakage matrix: per source pair the count of
+    distinct shared 5-token windows (syndication / feed-overlap audit).
+    Window hashes are md5-mod-Mersenne61 (SQL-identical); sources fold
+    into per-hash bitmasks so the exchange never exceeds the distinct
+    (hash, source) set."""
+    from search_engine_skillbox_ray.pipelines.dedup import source_ngram_leakage_ds
+
+    return source_ngram_leakage_ds(_documents(sf_dir), _sources(sf_dir), k=LEAK_K)
+
+
 BOOL_QUERY = "(merge OR batch) AND fast AND NOT join"
 
 
@@ -2311,6 +2335,8 @@ _DRIVER_PRIORITY = [
     "segment_stats",
     "phrase_index_asof",
     "search_boolean",
+    "vocab_growth",
+    "source_leakage",
 ]
 
 
@@ -2403,6 +2429,8 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "segment_stats": q_segment_stats,
         "phrase_index_asof": q_phrase_index_asof,
         "search_boolean": q_search_boolean,
+        "vocab_growth": q_vocab_growth,
+        "source_leakage": q_source_leakage,
         "doc_chunks": q_doc_chunks,
         "proximity": q_proximity,
         "near_search": q_near_search,
@@ -3111,6 +3139,7 @@ scores AS (
   FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
   GROUP BY tf.doc_id)
 """
+    from search_engine_skillbox_ray.functions.hashing import MERSENNE61 as _M61
     from search_engine_skillbox_ray.pipelines.textstats import PII_PATTERNS
 
     # PII scrub mirror: patterns imported from the SAME tuple the operator
@@ -4005,6 +4034,30 @@ SELECT s.doc_id, ROUND(s.score, 6) AS score FROM scores s
 JOIN (SELECT doc_id FROM tf WHERE term IN ({terms_in})
       GROUP BY doc_id HAVING count(DISTINCT term) >= {MSM}) m
   ON s.doc_id = m.doc_id
+""",
+        # Heap's law: distinct terms whose first (min) doc_id < checkpoint
+        "vocab_growth": f"""
+WITH tf AS ({_TF}),
+first AS (SELECT term, MIN(doc_id) AS fd FROM tf GROUP BY term),
+cp(c) AS (VALUES {", ".join(f"({c})" for c in VG_CHECKPOINTS)})
+SELECT cp.c::BIGINT AS checkpoint,
+       (SELECT count(*)::BIGINT FROM first WHERE first.fd < cp.c) AS vocab_size
+FROM cp
+""",
+        # cross-source leakage: distinct (source, window-hash) self-join,
+        # window hash == md5_number_lower(joined) % MERSENNE61 (the
+        # dup_spans convention; list slices 1-based inclusive)
+        "source_leakage": f"""
+WITH tl AS (SELECT source, list_filter(regexp_split_to_array(lower(text),
+            '[^\\p{{L}}]+'), x -> x <> '') AS toks FROM documents),
+wraw AS (SELECT source, unnest(CASE WHEN len(toks) >= {LEAK_K} THEN
+        list_transform(range(1, len(toks) - {LEAK_K} + 2), i ->
+          md5_number_lower(array_to_string(toks[i:i+{LEAK_K - 1}], ' ')) % {_M61})
+      ELSE CAST([] AS UBIGINT[]) END) AS wh FROM tl),
+w AS (SELECT DISTINCT source, wh FROM wraw)
+SELECT a.source AS source_a, b.source AS source_b, count(*)::BIGINT AS shared
+FROM w a JOIN w b ON a.wh = b.wh AND a.source < b.source
+GROUP BY a.source, b.source
 """,
         # nested boolean: match set via per-doc hit flags, scores = the
         # disjunctive CTE over the positive leaves (merge/batch/fast ==

@@ -360,6 +360,8 @@ def bench_sf_queries() -> dict:
         "segment_stats",
         "phrase_index_asof",
         "search_boolean",
+        "vocab_growth",
+        "source_leakage",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

@@ -2687,3 +2687,106 @@ def boilerplate_strip(
 
     empties = documents.map_batches(zero_rows, batch_format="pyarrow")
     return rebuilt.union(empties)
+
+
+# --------------------------------------------------------------------------
+# Cross-source n-gram leakage matrix (corpus governance)
+# --------------------------------------------------------------------------
+
+
+def source_ngram_leakage_ds(
+    documents: rd.Dataset, sources: list[str], k: int = 5
+) -> rd.Dataset:
+    """→ (source_a, source_b, shared): for every source pair (a < b),
+    the number of DISTINCT k-token windows occurring in BOTH sources —
+    the cross-source contamination / syndication matrix of a web corpus
+    (which feeds overlap, mirrors, wire-copy). Window hash ==
+    ``md5_u64(joined) % MERSENNE61`` == the DuckDB ``md5_number_lower``
+    expression, so a SQL oracle can recompute it exactly.
+
+    Scale shape: each batch reuses the vectorized window-hash stage and
+    pre-distincts (source, hash); one groupby makes the pairs globally
+    distinct; a second groupby ORs sources into a PER-HASH BITMASK
+    (sum of 2^src over distinct rows == OR, ≤ 62 sources per matrix);
+    each mask block then folds into a tiny source×source partial count
+    — no per-hash Python grouping, no pair blow-up beyond the final
+    matrix."""
+    srcs = sorted(set(sources))
+    if len(srcs) > 62:
+        raise ValueError("bitmask leakage matrix supports <= 62 sources; "
+                         "shard the source set and union the matrices")
+    idx = {s: i for i, s in enumerate(srcs)}
+    n_src = len(srcs)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        codes = np.asarray(
+            [idx[s] for s in batch.column("source").to_pylist()], np.int64
+        )
+        b2 = pa.table(
+            {"doc_id": pa.array(codes, pa.int64()), "text": batch.column("text")}
+        )
+        t = _window_hash_stage(b2, k)
+        g = t.group_by(["doc_id", "win_hash"]).aggregate([])
+        return pa.table({"src": g["doc_id"], "win_hash": g["win_hash"]})
+
+    dist = (
+        documents.select_columns(["source", "text"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["win_hash", "src"])
+        .count()  # global distinct (hash, source)
+    )
+
+    def to_mask(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "win_hash": t["win_hash"],
+                "mask": pa.array(np.int64(1) << src, pa.int64()),
+            }
+        )
+
+    masks = (
+        dist.map_batches(to_mask, batch_format="pyarrow")
+        .groupby("win_hash")
+        .sum("mask")  # distinct rows → sum of 2^src == bitwise OR
+    )
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        m = t["sum(mask)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        acc = np.zeros((n_src, n_src), np.int64)
+        uniq, cnt = np.unique(m, return_counts=True)
+        for mask, c in zip(uniq.tolist(), cnt.tolist()):
+            bits = [i for i in range(n_src) if (mask >> i) & 1]
+            for x in range(len(bits)):
+                for y in range(x + 1, len(bits)):
+                    acc[bits[x], bits[y]] += c
+        ii, jj = np.nonzero(acc)
+        return pa.table(
+            {
+                "sa": pa.array(ii.astype(np.int64), pa.int64()),
+                "sb": pa.array(jj.astype(np.int64), pa.int64()),
+                "shared": pa.array(acc[ii, jj], pa.int64()),
+            }
+        )
+
+    pairs = (
+        masks.map_batches(pair_partials, batch_format="pyarrow")
+        .groupby(["sa", "sb"])
+        .sum("shared")
+    )
+    names = pa.array(srcs, pa.string())
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        sa = t["sa"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sb = t["sb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "source_a": names.take(pa.array(sa)),
+                "source_b": names.take(pa.array(sb)),
+                "shared": pc.cast(t["sum(shared)"], pa.int64()),
+            }
+        )
+
+    return pairs.map_batches(finish, batch_format="pyarrow")

@@ -2712,6 +2712,64 @@ def smart_scores_ds(documents: rd.Dataset, query_terms: list[str]) -> rd.Dataset
     )
 
 
+def vocab_growth_ds(documents: rd.Dataset, checkpoints: tuple[int, ...]) -> rd.Dataset:
+    """→ (checkpoint, vocab_size): Heap's-law vocabulary growth — the
+    number of distinct terms seen within the first ``c`` documents
+    (doc_id < c; ids are dense), per checkpoint. The tokenizer-budget /
+    corpus-diversity profiling curve of a web corpus.
+
+    Scale shape: per-batch Arrow group_by computes (term, min doc_id)
+    partials (the combiner), one vocabulary-sized groupby-min reduces,
+    then each block folds its first-doc values into per-checkpoint
+    partial counts — the final exchange is checkpoint-count-sized."""
+    from ..functions.hashing import flat_nonempty_tokens
+
+    cps = np.asarray(sorted(set(int(c) for c in checkpoints)), np.int64)
+
+    def firsts(batch: pa.Table) -> pa.Table:
+        toks, parents, _ = flat_nonempty_tokens(batch.column("text"))
+        if len(toks) == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "fd": pa.array([], pa.int64())}
+            )
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({"term": toks, "fd": pa.array(d[parents], pa.int64())})
+        g = t.group_by(["term"]).aggregate([("fd", "min")])
+        return pa.table({"term": g["term"], "fd": g["fd_min"]})
+
+    first = (
+        documents.select_columns(["doc_id", "text"])
+        .map_batches(firsts, batch_format="pyarrow")
+        .groupby("term")
+        .min("fd")
+    )
+
+    def counts(t: pa.Table) -> pa.Table:
+        fd = np.sort(t["min(fd)"].to_numpy(zero_copy_only=False).astype(np.int64))
+        n = np.searchsorted(fd, cps, side="left")  # fd < c
+        return pa.table(
+            {
+                "checkpoint": pa.array(cps, pa.int64()),
+                "vocab_size": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        first.map_batches(counts, batch_format="pyarrow")
+        .groupby("checkpoint")
+        .sum("vocab_size")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "checkpoint": pc.cast(t["checkpoint"], pa.int64()),
+                    "vocab_size": pc.cast(t["sum(vocab_size)"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII scrubbing (round 4)
 # ---------------------------------------------------------------------------

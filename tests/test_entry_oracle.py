@@ -262,6 +262,8 @@ def test_oracle_keys_subset(entry_mod):
     "segment_stats",
     "phrase_index_asof",
     "search_boolean",
+    "vocab_growth",
+    "source_leakage",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
