@@ -538,6 +538,17 @@ def q_source_leakage(sf_dir: str):
     return source_ngram_leakage_ds(_documents(sf_dir), _sources(sf_dir), k=LEAK_K)
 
 
+def q_retention_cohorts(sf_dir: str):
+    """Retention cohorts over the event stream: users bucketed by the
+    epoch-week of their first event; per (cohort, week-offset) the
+    distinct active users — batch-level (user, week) distinct
+    combiners, per-user offset fold in map_groups, matrix-sized
+    reduce."""
+    from search_engine_skillbox_ray.pipelines.windows import retention_cohorts
+
+    return retention_cohorts(_events(sf_dir))
+
+
 BOOL_QUERY = "(merge OR batch) AND fast AND NOT join"
 
 
@@ -2337,6 +2348,7 @@ _DRIVER_PRIORITY = [
     "search_boolean",
     "vocab_growth",
     "source_leakage",
+    "retention_cohorts",
 ]
 
 
@@ -2431,6 +2443,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "search_boolean": q_search_boolean,
         "vocab_growth": q_vocab_growth,
         "source_leakage": q_source_leakage,
+        "retention_cohorts": q_retention_cohorts,
         "doc_chunks": q_doc_chunks,
         "proximity": q_proximity,
         "near_search": q_near_search,
@@ -4034,6 +4047,18 @@ SELECT s.doc_id, ROUND(s.score, 6) AS score FROM scores s
 JOIN (SELECT doc_id FROM tf WHERE term IN ({terms_in})
       GROUP BY doc_id HAVING count(DISTINCT term) >= {MSM}) m
   ON s.doc_id = m.doc_id
+""",
+        # retention: cohort by epoch-week of first event; distinct active
+        # users per (cohort, offset) — // is floor, ts are post-epoch
+        "retention_cohorts": """
+WITH w AS (SELECT DISTINCT user_id,
+        (date_diff('day', DATE '1970-01-01', ts::DATE) // 7)::BIGINT AS week
+        FROM events),
+f AS (SELECT user_id, MIN(week) AS w0 FROM w GROUP BY user_id)
+SELECT f.w0 AS cohort_week, (w.week - f.w0)::BIGINT AS week_offset,
+       count(DISTINCT w.user_id)::BIGINT AS n_users
+FROM w JOIN f ON w.user_id = f.user_id
+GROUP BY f.w0, w.week - f.w0
 """,
         # Heap's law: distinct terms whose first (min) doc_id < checkpoint
         "vocab_growth": f"""

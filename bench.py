@@ -362,6 +362,7 @@ def bench_sf_queries() -> dict:
         "search_boolean",
         "vocab_growth",
         "source_leakage",
+        "retention_cohorts",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

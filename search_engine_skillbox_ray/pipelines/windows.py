@@ -532,3 +532,57 @@ def funnel_counts(
             }
         )
     )
+
+
+def retention_cohorts(events: rd.Dataset, ts_col: str = "ts") -> rd.Dataset:
+    """→ (cohort_week, week_offset, n_users): classic retention-cohort
+    analysis — users grouped by the epoch-week of their FIRST event;
+    for each (cohort, weeks-since-cohort) the count of distinct users
+    active that week.
+
+    Scale shape: each batch pre-distincts (user_id, week) with an Arrow
+    group_by (the combiner); one user+week-keyed groupby makes the
+    pairs globally distinct; the per-user offset fold runs inside
+    ``map_groups`` over user groups (a user's distinct weeks — tiny);
+    the final exchange is cohort-matrix-sized. Week = floor(days since
+    epoch / 7), identical to the SQL mirror's date_diff // 7."""
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        epoch_us = pc.cast(batch.column(ts_col), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        week = epoch_us // (7 * 86_400 * 1_000_000)  # post-epoch ts: floor
+        t = pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "week": pa.array(week.astype(np.int64), pa.int64()),
+            }
+        )
+        return t.group_by(["user_id", "week"]).aggregate([])
+
+    dist = (
+        events.select_columns(["user_id", ts_col])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby(["user_id", "week"])
+        .count()
+    )
+
+    def offsets(g: pd.DataFrame) -> pd.DataFrame:
+        w = g["week"].to_numpy(np.int64)
+        w0 = int(w.min())
+        return pd.DataFrame(
+            {"cohort_week": w0, "week_offset": w - w0, "n_users": 1}
+        )
+
+    per_user = dist.groupby("user_id").map_groups(offsets, batch_format="pandas")
+    agg = per_user.groupby(["cohort_week", "week_offset"]).sum("n_users")
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "cohort_week": pc.cast(t["cohort_week"], pa.int64()),
+                "week_offset": pc.cast(t["week_offset"], pa.int64()),
+                "n_users": pc.cast(t["sum(n_users)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -264,6 +264,7 @@ def test_oracle_keys_subset(entry_mod):
     "search_boolean",
     "vocab_growth",
     "source_leakage",
+    "retention_cohorts",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
