@@ -538,6 +538,19 @@ def q_source_leakage(sf_dir: str):
     return source_ngram_leakage_ds(_documents(sf_dir), _sources(sf_dir), k=LEAK_K)
 
 
+QL_MU = 100.0  # Dirichlet smoothing mass (exactly representable)
+
+
+def q_search_ql(sf_dir: str):
+    """Query-likelihood ranking (Dirichlet smoothing): Σ ln((tf + μ·p_t)
+    / (dl + μ)) over every query lemma — absent terms contribute the
+    smoothed background mass. The third classic ranking family next to
+    tf·idf/BM25 and the SMART VSM."""
+    eng = _engine(sf_dir, float32_scores=False)
+    doc_ids, scores = eng.search_ql_scores(SEARCH_QUERY, mu=QL_MU)
+    return pd.DataFrame({"doc_id": doc_ids.astype(np.int64), "score": np.round(scores, 6)})
+
+
 def q_retention_cohorts(sf_dir: str):
     """Retention cohorts over the event stream: users bucketed by the
     epoch-week of their first event; per (cohort, week-offset) the
@@ -2349,6 +2362,7 @@ _DRIVER_PRIORITY = [
     "vocab_growth",
     "source_leakage",
     "retention_cohorts",
+    "search_ql",
 ]
 
 
@@ -2444,6 +2458,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "vocab_growth": q_vocab_growth,
         "source_leakage": q_source_leakage,
         "retention_cohorts": q_retention_cohorts,
+        "search_ql": q_search_ql,
         "doc_chunks": q_doc_chunks,
         "proximity": q_proximity,
         "near_search": q_near_search,
@@ -4047,6 +4062,26 @@ SELECT s.doc_id, ROUND(s.score, 6) AS score FROM scores s
 JOIN (SELECT doc_id FROM tf WHERE term IN ({terms_in})
       GROUP BY doc_id HAVING count(DISTINCT term) >= {MSM}) m
   ON s.doc_id = m.doc_id
+""",
+        # query likelihood, Dirichlet smoothing: every query term scores
+        # every candidate doc (COALESCE 0 for absent terms); cf==0 terms
+        # are excluded on both sides (no probability mass to smooth)
+        "search_ql": f"""
+WITH tf AS ({_TF}),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM ({_TOK}) GROUP BY doc_id),
+ctot AS (SELECT count(*)::DOUBLE AS c FROM ({_TOK})),
+q(term) AS (VALUES {_terms_values()}),
+cf AS (SELECT q.term, SUM(tf.tf)::DOUBLE AS cf
+       FROM q JOIN tf ON tf.term = q.term GROUP BY q.term),
+cand AS (SELECT DISTINCT tf.doc_id FROM tf JOIN q ON tf.term = q.term),
+scores AS (
+  SELECT cand.doc_id,
+         SUM(ln((COALESCE(tf.tf, 0) + {QL_MU} * (cf.cf / ctot.c)) / (dl.dl + {QL_MU}))) AS score
+  FROM cand CROSS JOIN cf
+  LEFT JOIN tf ON tf.doc_id = cand.doc_id AND tf.term = cf.term
+  JOIN dl ON dl.doc_id = cand.doc_id CROSS JOIN ctot
+  GROUP BY cand.doc_id)
+SELECT doc_id, ROUND(score, 6) AS score FROM scores
 """,
         # retention: cohort by epoch-week of first event; distinct active
         # users per (cohort, offset) — // is floor, ts are post-epoch

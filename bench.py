@@ -363,6 +363,7 @@ def bench_sf_queries() -> dict:
         "vocab_growth",
         "source_leakage",
         "retention_cohorts",
+        "search_ql",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

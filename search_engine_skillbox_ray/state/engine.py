@@ -732,6 +732,47 @@ class SearchEngine:
         keep = np.isin(docs, match, assume_unique=True)
         return docs[keep], scores[keep].astype(np.float64)
 
+    def search_ql_scores(
+        self, query: str, mu: float = 100.0, site: str | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Query-likelihood ranking with Dirichlet smoothing (Zhai &
+        Lafferty): score(d) = Σ_t ln((tf_td + μ·cf_t/|C|) / (dl_d + μ))
+        over ALL query lemmas (absent terms contribute the smoothed
+        background mass — unlike tf·idf, a missing term still costs),
+        evaluated on the OR match set. cf comes free from the posting
+        read (Σtf); |C| and doc lengths are the index's resident
+        statistics — no extra IO beyond the disjunctive read."""
+        lemmas = self._query_lemmas(query)
+        if not lemmas:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        site_id, known = self._resolve_site(site)
+        if self._total_pages(site_id, known) <= 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        per_term = [self.term_postings(t, site_id) for t in lemmas]
+        non_empty = [(t, d, tf) for t, (d, tf, _) in zip(lemmas, per_term) if d.size]
+        if not non_empty:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        c_total = float(self.stats["sum_doc_len"])
+        union = non_empty[0][1]
+        for _, d, _ in non_empty[1:]:
+            union = np.union1d(union, d)
+        dl = self._doc_len_lookup(union).astype(np.float64)
+        mu = float(mu)
+        score = np.zeros(union.size, np.float64)
+        for t, (d, tf, _) in zip(lemmas, per_term):
+            p = float(tf.sum()) / c_total if d.size else 0.0
+            tfv = np.zeros(union.size, np.float64)
+            if d.size:
+                tfv[np.searchsorted(union, d)] = tf.astype(np.float64)
+            # a term with cf == 0 has no probability mass anywhere: the
+            # smoothed estimate is 0 and ln() undefined — skip it (the
+            # SQL mirror's q VALUES list does the same by construction)
+            if p <= 0.0:
+                continue
+            score += np.log((tfv + mu * p) / (dl + mu))
+        order = np.lexsort((union, -score))
+        return union[order], score[order]
+
     def search_synonym_scores(
         self,
         query: str,

@@ -265,6 +265,7 @@ def test_oracle_keys_subset(entry_mod):
     "vocab_growth",
     "source_leakage",
     "retention_cohorts",
+    "search_ql",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
