@@ -538,6 +538,16 @@ def q_source_leakage(sf_dir: str):
     return source_ngram_leakage_ds(_documents(sf_dir), _sources(sf_dir), k=LEAK_K)
 
 
+def q_fertility_stats(sf_dir: str):
+    """Tokenizer fertility per source: docs, tokens, chars and the
+    chars-per-token ratio — the context-budget profile of an LLM data
+    mix. One tokenize pass, per-batch group_by partials, source-sized
+    reduce."""
+    from search_engine_skillbox_ray.pipelines.textstats import fertility_stats_ds
+
+    return fertility_stats_ds(_documents(sf_dir))
+
+
 QL_MU = 100.0  # Dirichlet smoothing mass (exactly representable)
 
 
@@ -2363,6 +2373,7 @@ _DRIVER_PRIORITY = [
     "source_leakage",
     "retention_cohorts",
     "search_ql",
+    "fertility_stats",
 ]
 
 
@@ -2459,6 +2470,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "source_leakage": q_source_leakage,
         "retention_cohorts": q_retention_cohorts,
         "search_ql": q_search_ql,
+        "fertility_stats": q_fertility_stats,
         "doc_chunks": q_doc_chunks,
         "proximity": q_proximity,
         "near_search": q_near_search,
@@ -4062,6 +4074,19 @@ SELECT s.doc_id, ROUND(s.score, 6) AS score FROM scores s
 JOIN (SELECT doc_id FROM tf WHERE term IN ({terms_in})
       GROUP BY doc_id HAVING count(DISTINCT term) >= {MSM}) m
   ON s.doc_id = m.doc_id
+""",
+        # tokenizer fertility: chars-per-token per source, ratio in
+        # float64 after integer sums, ROUND 6
+        "fertility_stats": f"""
+WITH tl AS (SELECT source, n_chars, len(list_filter(regexp_split_to_array(
+        lower(text), '[^\\p{{L}}]+'), x -> x <> ''))::BIGINT AS n_tokens
+        FROM documents)
+SELECT source, count(*)::BIGINT AS n_docs, SUM(n_tokens)::BIGINT AS n_tokens,
+       SUM(n_chars)::BIGINT AS n_chars,
+       ROUND(CASE WHEN SUM(n_tokens) > 0
+             THEN SUM(n_chars)::DOUBLE / greatest(SUM(n_tokens), 1)::DOUBLE
+             ELSE 0.0 END, 6) AS chars_per_token
+FROM tl GROUP BY source
 """,
         # query likelihood, Dirichlet smoothing: every query term scores
         # every candidate doc (COALESCE 0 for absent terms); cf==0 terms

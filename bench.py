@@ -364,6 +364,7 @@ def bench_sf_queries() -> dict:
         "source_leakage",
         "retention_cohorts",
         "search_ql",
+        "fertility_stats",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

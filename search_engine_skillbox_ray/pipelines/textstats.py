@@ -2712,6 +2712,62 @@ def smart_scores_ds(documents: rd.Dataset, query_terms: list[str]) -> rd.Dataset
     )
 
 
+def fertility_stats_ds(documents: rd.Dataset) -> rd.Dataset:
+    """→ (source, n_docs, n_tokens, n_chars, chars_per_token): the
+    tokenizer-fertility / compression profile per source — how many
+    characters one token covers, the budgeting statistic of an LLM
+    data mix (a low chars-per-token source burns context). One
+    tokenize pass with per-batch Arrow group_by partials, then a
+    source-count-sized groupby-sum; the ratio is a single float64
+    division, rounded to 6 dp on both sides of the oracle."""
+    from ..functions.hashing import flat_nonempty_tokens
+
+    def partials(batch: pa.Table) -> pa.Table:
+        _, _, counts = flat_nonempty_tokens(batch.column("text"))
+        t = pa.table(
+            {
+                "source": batch.column("source"),
+                "n_docs": pa.array(np.ones(len(batch), np.int64), pa.int64()),
+                "n_tokens": pa.array(counts.astype(np.int64), pa.int64()),
+                "n_chars": batch.column("n_chars").cast(pa.int64()),
+            }
+        )
+        g = t.group_by(["source"]).aggregate(
+            [("n_docs", "sum"), ("n_tokens", "sum"), ("n_chars", "sum")]
+        )
+        return pa.table(
+            {
+                "source": g["source"],
+                "n_docs": g["n_docs_sum"],
+                "n_tokens": g["n_tokens_sum"],
+                "n_chars": g["n_chars_sum"],
+            }
+        )
+
+    agg = (
+        documents.select_columns(["source", "text", "n_chars"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("source")
+        .sum(["n_docs", "n_tokens", "n_chars"])
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        tok = t["sum(n_tokens)"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ch = t["sum(n_chars)"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cpt = np.where(tok > 0, ch / np.maximum(tok, 1.0), 0.0)
+        return pa.table(
+            {
+                "source": t["source"],
+                "n_docs": pc.cast(t["sum(n_docs)"], pa.int64()),
+                "n_tokens": pc.cast(t["sum(n_tokens)"], pa.int64()),
+                "n_chars": pc.cast(t["sum(n_chars)"], pa.int64()),
+                "chars_per_token": pa.array(np.round(cpt, 6), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
 def vocab_growth_ds(documents: rd.Dataset, checkpoints: tuple[int, ...]) -> rd.Dataset:
     """→ (checkpoint, vocab_size): Heap's-law vocabulary growth — the
     number of distinct terms seen within the first ``c`` documents
