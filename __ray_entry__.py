@@ -538,6 +538,44 @@ def q_source_leakage(sf_dir: str):
     return source_ngram_leakage_ds(_documents(sf_dir), _sources(sf_dir), k=LEAK_K)
 
 
+def q_index_merge(sf_dir: str):
+    """Shard-parallel index construction: build the EVEN and ODD halves
+    as independent indexes, merge their segments (the builder's own
+    vectorized partial-merge kernel, one Ray task per bucket), then run
+    the standard disjunctive search on the MERGED index — must equal
+    the whole-corpus tfidf oracle exactly (df/N/doc ids all sum)."""
+    import shutil
+
+    import search_engine_skillbox_ray as ses
+    from search_engine_skillbox_ray.pipelines.build import merge_indexes
+    from search_engine_skillbox_ray.state.engine import SearchEngine
+
+    docs = _documents(sf_dir)
+
+    def _parity(p: int):
+        return lambda t: t.filter(pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), p))
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # global source catalog shared by both shards so site ids agree even
+    # if one parity happens to miss a source at tiny scale
+    all_sources = sorted(docs.unique("source"))
+    halves = []
+    for p in (0, 1):
+        d = f"/tmp/ses_idx_half{p}_{tag}"
+        half = docs.map_batches(_parity(p), batch_format="pyarrow")
+        ses.build_index_from_documents_table(
+            half, d, ses.BuildConfig(n_buckets=8),
+            input_token=f"{sf_dir}-h{p}-gs", sources=all_sources,
+        )
+        halves.append(d)
+    merged = f"/tmp/ses_idx_merged_{tag}"
+    shutil.rmtree(merged, ignore_errors=True)  # merge writes: fresh per run
+    merge_indexes(halves[0], halves[1], merged)
+    eng = SearchEngine(merged, float32_scores=False)
+    doc_ids, scores, _ = eng.search_scores(SEARCH_QUERY)
+    return pd.DataFrame({"doc_id": doc_ids.astype(np.int64), "score": np.round(scores, 6)})
+
+
 def q_fertility_stats(sf_dir: str):
     """Tokenizer fertility per source: docs, tokens, chars and the
     chars-per-token ratio — the context-budget profile of an LLM data
@@ -2374,6 +2412,7 @@ _DRIVER_PRIORITY = [
     "retention_cohorts",
     "search_ql",
     "fertility_stats",
+    "index_merge",
 ]
 
 
@@ -2471,6 +2510,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": q_retention_cohorts,
         "search_ql": q_search_ql,
         "fertility_stats": q_fertility_stats,
+        "index_merge": q_index_merge,
         "doc_chunks": q_doc_chunks,
         "proximity": q_proximity,
         "near_search": q_near_search,
@@ -3268,6 +3308,10 @@ SELECT term, ROUND(ln((n.n + 1.0) / (count(DISTINCT doc_id) + 1.0)), 6) AS idf
 FROM tok CROSS JOIN n GROUP BY term, n.n
 """,
         "search_disjunctive": tfidf_scores
+        + "SELECT doc_id, ROUND(score, 6) AS score FROM scores",
+        # shard-built + merged index must reproduce the whole-corpus
+        # disjunctive ranking bit for bit (df/N/doc ids all sum)
+        "index_merge": tfidf_scores
         + "SELECT doc_id, ROUND(score, 6) AS score FROM scores",
         # faceted search: per-source hit count + rounded-score mass of
         # the disjunctive result set (identical per-doc addends; the

@@ -365,6 +365,7 @@ def bench_sf_queries() -> dict:
         "retention_cohorts",
         "search_ql",
         "fertility_stats",
+        "index_merge",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

@@ -20,6 +20,7 @@ filtered out BEFORE the shuffle.
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import time
 from dataclasses import dataclass, field
@@ -28,6 +29,7 @@ from pathlib import Path
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 import ray
 import ray.data as rd
@@ -632,9 +634,16 @@ def build_index_from_documents_table(
     cfg: BuildConfig | None = None,
     *,
     input_token: str = "",
+    sources: list[str] | None = None,
 ) -> BuildResult:
-    """Build over the driver's testdata ``documents`` table (source≙site)."""
-    sources = sorted(documents.unique("source"))
+    """Build over the driver's testdata ``documents`` table (source≙site).
+
+    ``sources`` overrides the site catalog — required for shard-parallel
+    builds (`merge_indexes`): each shard must be built against the GLOBAL
+    source list so site ids agree across shards even when a shard happens
+    to miss a source entirely."""
+    if sources is None:
+        sources = sorted(documents.unique("source"))
     sites = sites_for_sources(sources)
     docs = docs_from_documents(documents, sources)
     # fingerprint exactly the documents table when input_token is its dir
@@ -706,3 +715,81 @@ def write_recency_priors(
     ds = ds.map_batches(prior_batch, batch_format="pyarrow")
     ds.write_parquet(str(out))
     return sum(_pq.read_metadata(f).num_rows for f in out.glob("*.parquet"))
+
+
+def merge_indexes(dir_a: str | Path, dir_b: str | Path, out_dir: str | Path) -> dict:
+    """Merge two independently-built indexes over DISJOINT doc sets into
+    one — shard-parallel index construction (build each corpus shard
+    where its data lives, merge segments after), the way large engines
+    scale indexing beyond one job. Posting rows re-merge with the same
+    vectorized ``merge_segment_rows`` kernel the builder uses for salted
+    partials (bulk decode → lexsort → bulk re-encode); doc-store shards
+    are copied file-wise (content-hashed names — no collisions); stats
+    are exact sums. Requires equal n_buckets/block_size and identical
+    site tables (shards of one corpus); duplicate doc ids across shards
+    are an upstream error and fail loudly inside the merge kernel.
+
+    Scale shape: one Ray task per bucket (the bucket IS the unit of
+    physical parallelism; each task touches only its two segment files),
+    driver work is stats-sized. LSM state (deltas/tombstones) must be
+    compacted away before merging — raises otherwise."""
+    a, b, out = Path(dir_a), Path(dir_b), Path(out_dir)
+    sa = json.loads((a / "stats.json").read_text())
+    sb = json.loads((b / "stats.json").read_text())
+    if sa["n_buckets"] != sb["n_buckets"] or sa["block_size"] != sb["block_size"]:
+        raise ValueError("merge requires equal n_buckets and block_size")
+    if sa["sites"] != sb["sites"]:
+        raise ValueError("merge requires identical site tables (same corpus sharded)")
+    for d in (a, b):
+        if (d / "tombstones.json").exists() or (d / "postings_delta").exists():
+            raise ValueError(f"{d}: compact LSM state before merging")
+    nb = int(sa["n_buckets"])
+    (out / "postings").mkdir(parents=True, exist_ok=True)
+    (out / "docs").mkdir(parents=True, exist_ok=True)
+
+    @ray.remote
+    def merge_bucket(bucket: int) -> int:
+        fa = a / "postings" / f"bucket={bucket:05d}.parquet"
+        fb = b / "postings" / f"bucket={bucket:05d}.parquet"
+        parts = [pq.read_table(f) for f in (fa, fb) if f.exists()]
+        if not parts:
+            return 0
+        merged = merge_segment_rows(pa.concat_tables(parts), out_salt=-1)
+        final = out / "postings" / f"bucket={bucket:05d}.parquet"
+        tmp = out / "postings" / f"bucket={bucket:05d}.parquet.tmp"
+        pq.write_table(merged, tmp, row_group_size=4096)
+        os.replace(tmp, final)
+        return len(merged)
+
+    n_terms = sum(ray.get([merge_bucket.remote(i) for i in range(nb)]))
+
+    for src in (a, b):
+        for f in sorted((src / "docs").glob("*.parquet")):
+            dst = out / "docs" / f.name
+            if not dst.exists():
+                shutil.copy2(f, dst)
+
+    site_stats: dict[str, dict] = {}
+    for s in (sa, sb):
+        for k, v in s.get("site_stats", {}).items():
+            acc = site_stats.setdefault(
+                k, {"n_docs": 0, "n_docs_indexed": 0, "sum_doc_len": 0}
+            )
+            for f in acc:
+                acc[f] += int(v.get(f, 0))
+    stats = {
+        "block_size": sa["block_size"],
+        "n_buckets": nb,
+        "n_docs": int(sa["n_docs"]) + int(sb["n_docs"]),
+        "n_docs_indexed": int(sa["n_docs_indexed"]) + int(sb["n_docs_indexed"]),
+        "sum_doc_len": int(sa["sum_doc_len"]) + int(sb["sum_doc_len"]),
+        "sites": sa["sites"],
+        "site_stats": site_stats,
+    }
+    atomic_write_json(out / "stats.json", stats)
+    atomic_write_json(
+        out / "manifest.json",
+        {"merged_from": [str(a), str(b)], "n_terms_rows": n_terms},
+    )
+    atomic_write_json(out / "docs.done.json", {"dir": "docs", "merged": True})
+    return {"n_term_rows": n_terms, "n_docs": stats["n_docs"]}

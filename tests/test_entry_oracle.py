@@ -267,6 +267,7 @@ def test_oracle_keys_subset(entry_mod):
     "retention_cohorts",
     "search_ql",
     "fertility_stats",
+    "index_merge",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
