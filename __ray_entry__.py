@@ -45,6 +45,9 @@ CONTAIN_THRESHOLD, CONTAIN_SAMPLE, CONTAIN_MIN_HITS, CONTAIN_MAX_DF = 0.6, 8, 2,
 EMB_PLANES, EMB_SEED, EMB_THRESHOLD = 4, 42, 0.35
 LSH_PLANES, LSH_PROBES = 4, 11
 IVF_LISTS, IVF_PROBE, IVF_TRAIN = 8, 4, 2048
+# SemDeDup drop threshold on round(cos,6); clusters/training shared
+# with the IVF quantizer so the oracle reuses its centroid VALUES
+SEMDEDUP_THRESHOLD = 0.35
 PQ_M, PQ_KSUB, PQ_TRAIN, PQ_SEED = 4, 16, 2048, 42
 PQ_RERANK = 64
 SIMHASH_MAX_HAMMING = 3
@@ -574,6 +577,19 @@ def q_index_merge(sf_dir: str):
     eng = SearchEngine(merged, float32_scores=False)
     doc_ids, scores, _ = eng.search_scores(SEARCH_QUERY)
     return pd.DataFrame({"doc_id": doc_ids.astype(np.int64), "score": np.round(scores, 6)})
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup (arXiv:2303.09540): k-means clusters + within-cluster
+    triangular cosine pruning — per vector (cluster, keep). Shares the
+    IVF quantizer recipe (min-id sample, seeded k-means), so the oracle
+    reuses the SAME centroid VALUES as ann_ivf_topk."""
+    from search_engine_skillbox_ray.pipelines.semdedup import semdedup_keep
+
+    return semdedup_keep(
+        _embeddings(sf_dir), n_clusters=IVF_LISTS, train_sample=IVF_TRAIN,
+        seed=42, threshold=SEMDEDUP_THRESHOLD,
+    )
 
 
 def q_fertility_stats(sf_dir: str):
@@ -2413,6 +2429,7 @@ _DRIVER_PRIORITY = [
     "search_ql",
     "fertility_stats",
     "index_merge",
+    "semdedup",
 ]
 
 
@@ -2511,6 +2528,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "search_ql": q_search_ql,
         "fertility_stats": q_fertility_stats,
         "index_merge": q_index_merge,
+        "semdedup": q_semdedup,
         "doc_chunks": q_doc_chunks,
         "proximity": q_proximity,
         "near_search": q_near_search,
@@ -5014,6 +5032,25 @@ SELECT CAST(query_id AS INTEGER) AS query_id,
        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) - 1 AS INTEGER) AS rank,
        vec_id, ROUND(cos, 6) AS cosine
 FROM sc QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) <= {ANN_K}
+""",
+        # SemDeDup: same centroid VALUES as ann_ivf_topk (shared
+        # quantizer recipe); drop rule = EXISTS an earlier-id same-
+        # cluster vector with ROUND(cos,6) >= threshold
+        "semdedup": f"""
+WITH cent(c, w) AS (VALUES {_ivf_centroid_values()}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+d AS (SELECT e.vec_id, c.c, list_distance(e.v, c.w) AS dist FROM e, cent c),
+assign AS (SELECT vec_id, c AS cluster FROM (
+  SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn FROM d)
+  WHERE rn = 1),
+av AS (SELECT a.vec_id, a.cluster, e.v FROM assign a JOIN e USING (vec_id))
+SELECT o.vec_id, o.cluster,
+  CASE WHEN EXISTS (
+    SELECT 1 FROM av p
+    WHERE p.cluster = o.cluster AND p.vec_id < o.vec_id
+      AND ROUND(list_cosine_similarity(p.v, o.v), 6) >= {SEMDEDUP_THRESHOLD}
+  ) THEN 0 ELSE 1 END::BIGINT AS keep
+FROM av o
 """,
         "media_decode": f"""
 SELECT CAST(media_id AS BIGINT) AS media_id, media_type,

@@ -366,6 +366,7 @@ def bench_sf_queries() -> dict:
         "search_ql",
         "fertility_stats",
         "index_merge",
+        "semdedup",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

@@ -268,6 +268,7 @@ def test_oracle_keys_subset(entry_mod):
     "search_ql",
     "fertility_stats",
     "index_merge",
+    "semdedup",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
