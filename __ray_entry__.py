@@ -48,6 +48,13 @@ IVF_LISTS, IVF_PROBE, IVF_TRAIN = 8, 4, 2048
 # SemDeDup drop threshold on round(cos,6); clusters/training shared
 # with the IVF quantizer so the oracle reuses its centroid VALUES
 SEMDEDUP_THRESHOLD = 0.35
+# DSIR hashed-n-gram importance weights: target source, bucket count,
+# Laplace smoothing — shared verbatim with the SQL mirror
+DSIR_TARGET, DSIR_BUCKETS, DSIR_ALPHA = "src3", 256, 0.5
+WSAMPLE_K, WSAMPLE_SALT = 25, "ses-wrs"  # A-ES weighted sample
+# relational (TPC-H-shaped) probes over lineitem/orders/customer
+Q1_CUTOFF = "1999-06-30"
+Q3_SEGMENT, Q3_DATE, Q3_K = "BUILDING", "1998-06-30", 10
 PQ_M, PQ_KSUB, PQ_TRAIN, PQ_SEED = 4, 16, 2048, 42
 PQ_RERANK = 64
 SIMHASH_MAX_HAMMING = 3
@@ -135,6 +142,12 @@ def _events(sf_dir: str):
     import ray.data as rd
 
     return rd.read_parquet(f"{sf_dir}/events.parquet")
+
+
+def _table(sf_dir: str, name: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet")
 
 
 def _sources(sf_dir: str) -> list[str]:
@@ -589,6 +602,47 @@ def q_semdedup(sf_dir: str):
     return semdedup_keep(
         _embeddings(sf_dir), n_clusters=IVF_LISTS, train_sample=IVF_TRAIN,
         seed=42, threshold=SEMDEDUP_THRESHOLD,
+    )
+
+
+def q_dsir_weights(sf_dir: str):
+    """DSIR (arXiv:2302.03169) hashed-n-gram importance weights against
+    the ``DSIR_TARGET`` source — two shuffle-free streaming passes
+    (B-sized count partials → broadcast λ → per-doc score)."""
+    from search_engine_skillbox_ray.pipelines.selection import dsir_weights
+
+    return dsir_weights(
+        _documents(sf_dir), target_source=DSIR_TARGET,
+        n_buckets=DSIR_BUCKETS, alpha=DSIR_ALPHA,
+    )
+
+
+def q_weighted_sample(sf_dir: str):
+    """Efraimidis–Spirakis weighted sample without replacement
+    (weight = token count, key = -ln(u)/w on round 9, md5 uniforms)."""
+    from search_engine_skillbox_ray.pipelines.selection import weighted_sample_topk
+
+    return weighted_sample_topk(_documents(sf_dir), WSAMPLE_K, salt=WSAMPLE_SALT)
+
+
+def q_rel_pricing(sf_dir: str):
+    """TPC-H Q1-shaped pricing summary over lineitem — integer-cents
+    money math, per-batch partials, group-sized driver fold."""
+    from search_engine_skillbox_ray.pipelines.relational import pricing_summary
+
+    return pricing_summary(_table(sf_dir, "lineitem"), cutoff_iso=Q1_CUTOFF)
+
+
+def q_rel_ship_priority(sf_dir: str):
+    """TPC-H Q3-shaped shipping priority: broadcast semi-join customer→
+    orders→lineitem, integer-cents revenue, top-k by (revenue desc,
+    orderkey)."""
+    from search_engine_skillbox_ray.pipelines.relational import ship_priority
+
+    return ship_priority(
+        _table(sf_dir, "customer"), _table(sf_dir, "orders"),
+        _table(sf_dir, "lineitem"),
+        segment=Q3_SEGMENT, date_iso=Q3_DATE, k=Q3_K,
     )
 
 
@@ -2430,6 +2484,10 @@ _DRIVER_PRIORITY = [
     "fertility_stats",
     "index_merge",
     "semdedup",
+    "dsir_weights",
+    "weighted_sample",
+    "rel_pricing",
+    "rel_ship_priority",
 ]
 
 
@@ -2529,6 +2587,10 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "fertility_stats": q_fertility_stats,
         "index_merge": q_index_merge,
         "semdedup": q_semdedup,
+        "dsir_weights": q_dsir_weights,
+        "weighted_sample": q_weighted_sample,
+        "rel_pricing": q_rel_pricing,
+        "rel_ship_priority": q_rel_ship_priority,
         "doc_chunks": q_doc_chunks,
         "proximity": q_proximity,
         "near_search": q_near_search,
@@ -5032,6 +5094,89 @@ SELECT CAST(query_id AS INTEGER) AS query_id,
        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) - 1 AS INTEGER) AS rank,
        vec_id, ROUND(cos, 6) AS cosine
 FROM sc QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) <= {ANN_K}
+""",
+        # DSIR: hashed unigram+bigram features (md5_number_lower == the
+        # engine's md5_u64), α-smoothed log-ratio λ per bucket, per-doc
+        # Σ λ — identical expression shape to pipelines/selection.py
+        "dsir_weights": f"""
+WITH tl AS (SELECT doc_id, source, list_filter(regexp_split_to_array(lower(text),
+            '[^\\p{{L}}]+'), x -> x <> '') AS toks FROM documents),
+tok AS (SELECT doc_id, source, unnest(toks) AS term,
+               generate_subscripts(toks, 1) AS pos FROM tl),
+feat AS (
+  SELECT doc_id, source, md5_number_lower(term) % {DSIR_BUCKETS} AS bucket FROM tok
+  UNION ALL
+  SELECT a.doc_id, a.source, md5_number_lower(a.term || ' ' || b.term) % {DSIR_BUCKETS}
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+rawc AS (SELECT bucket, count(*)::DOUBLE AS c FROM feat GROUP BY bucket),
+tgtc AS (SELECT bucket, count(*)::DOUBLE AS c FROM feat
+         WHERE source = '{DSIR_TARGET}' GROUP BY bucket),
+tot AS (SELECT (SELECT sum(c) FROM rawc) AS r,
+               (SELECT coalesce(sum(c), 0) FROM tgtc) AS t),
+lam AS (SELECT g.range AS bucket,
+          ln((coalesce(tc.c, 0) + {DSIR_ALPHA}) / (tot.t + {DSIR_ALPHA * DSIR_BUCKETS}))
+        - ln((coalesce(rc.c, 0) + {DSIR_ALPHA}) / (tot.r + {DSIR_ALPHA * DSIR_BUCKETS})) AS lam
+        FROM range({DSIR_BUCKETS}) g
+        LEFT JOIN rawc rc ON rc.bucket = g.range
+        LEFT JOIN tgtc tc ON tc.bucket = g.range
+        CROSS JOIN tot),
+sc AS (SELECT f.doc_id, SUM(l.lam) AS logw
+       FROM feat f JOIN lam l ON l.bucket = f.bucket GROUP BY f.doc_id)
+SELECT d.doc_id, ROUND(COALESCE(sc.logw, 0), 6) AS logw,
+       (ROUND(COALESCE(sc.logw, 0), 6) > 0)::BIGINT AS selected
+FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+""",
+        # A-ES weighted sample: exponential-race keys on md5 uniforms,
+        # ranked on ROUND(key, 9) with doc_id tie-break
+        "weighted_sample": f"""
+WITH n AS (SELECT doc_id, len(list_filter(regexp_split_to_array(lower(text),
+           '[^\\p{{L}}]+'), x -> x <> ''))::DOUBLE AS w FROM documents),
+k AS (SELECT doc_id, w,
+        ROUND(-ln((md5_number_lower(doc_id::VARCHAR || ':{WSAMPLE_SALT}')::DOUBLE + 1)
+                  / 18446744073709551616.0) / w, 9) AS key
+      FROM n WHERE w > 0)
+SELECT doc_id, w::BIGINT AS weight, key,
+       row_number() OVER (ORDER BY key, doc_id)::BIGINT AS rank
+FROM k QUALIFY rank <= {WSAMPLE_K}
+""",
+        # TPC-H Q1 shape: exact integer-cents sums (FLOOR(x*100+0.5) on
+        # both sides), one int→double cast at the very end
+        "rel_pricing": f"""
+WITH f AS (SELECT l_returnflag, l_linestatus,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT) AS price_c,
+         CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT) AS disc_pct,
+         CAST(FLOOR(l_tax*100 + 0.5) AS BIGINT) AS tax_pct
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}')
+SELECT l_returnflag, l_linestatus,
+  SUM(qty)::BIGINT AS sum_qty,
+  ROUND(CAST(SUM(price_c) AS DOUBLE) / 100.0, 6) AS sum_base_price,
+  ROUND(CAST(SUM(price_c*(100-disc_pct)) AS DOUBLE) / 10000.0, 6) AS sum_disc_price,
+  ROUND(CAST(SUM(price_c*(100-disc_pct)*(100+tax_pct)) AS DOUBLE) / 1000000.0, 6) AS sum_charge,
+  ROUND(CAST(SUM(qty) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+  ROUND(CAST(SUM(price_c) AS DOUBLE) / 100.0 / COUNT(*), 6) AS avg_price,
+  ROUND(CAST(SUM(disc_pct) AS DOUBLE) / 100.0 / COUNT(*), 6) AS avg_disc,
+  COUNT(*)::BIGINT AS count_order
+FROM f GROUP BY l_returnflag, l_linestatus
+""",
+        # TPC-H Q3 shape: revenue in integer cents×10^2 (exact rank key)
+        "rel_ship_priority": f"""
+SELECT l.l_orderkey,
+  ROUND(CAST(SUM(CAST(FLOOR(l.l_extendedprice*100+0.5) AS BIGINT)
+                 * (100 - CAST(FLOOR(l.l_discount*100+0.5) AS BIGINT))) AS DOUBLE)
+        / 10000.0, 6) AS revenue,
+  o.o_orderdate
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+  AND o.o_orderdate < TIMESTAMP '{Q3_DATE}'
+  AND l.l_shipdate > TIMESTAMP '{Q3_DATE}'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY SUM(CAST(FLOOR(l.l_extendedprice*100+0.5) AS BIGINT)
+             * (100 - CAST(FLOOR(l.l_discount*100+0.5) AS BIGINT))) DESC,
+         l.l_orderkey
+LIMIT {Q3_K}
 """,
         # SemDeDup: same centroid VALUES as ann_ivf_topk (shared
         # quantizer recipe); drop rule = EXISTS an earlier-id same-

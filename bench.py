@@ -367,6 +367,10 @@ def bench_sf_queries() -> dict:
         "fertility_stats",
         "index_merge",
         "semdedup",
+        "dsir_weights",
+        "weighted_sample",
+        "rel_pricing",
+        "rel_ship_priority",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

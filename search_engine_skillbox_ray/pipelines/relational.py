@@ -1,0 +1,271 @@
+"""Relational analytics over the warehouse-shaped side tables
+(lineitem / orders / customer) — the engine is not text-only.
+
+Both operators follow the engine's shuffle discipline:
+
+* ``pricing_summary`` (TPC-H Q1 shape) — ALL money math in integer
+  cents (``floor(x*100 + 0.5)``, the explicit half-up rule numpy and
+  SQL share), per-batch partial aggregation into ≤ 6 group rows, then
+  one tiny groupby. Averages divide the exact integer sums at the end,
+  so float summation order can never differ from the oracle.
+* ``ship_priority`` (TPC-H Q3 shape) — the small side (filtered
+  customer keys, then filtered order rows) broadcasts via ``ray.put``
+  into a lineitem ``map_batches`` filter-join; revenue accumulates in
+  integer cents per order with per-batch combining. The broadcast is
+  gated on ``DRIVER_FASTPATH_ROWS``; above it the same semantics run
+  as a ``sized_join`` hash exchange.
+
+int64 cent products: price_cents(≤~10^7) × (100−disc) × (100+tax)
+≤ ~10^11 per row; a single group would overflow int64 only past ~10^7
+rows per partial batch — partials are batch-sized, and the final fold
+uses Python ints (arbitrary precision) on the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from ..config import DRIVER_FASTPATH_ROWS
+from ..stages.grouping import sized_join
+
+
+def _cents(x: np.ndarray) -> np.ndarray:
+    """floor(x*100 + 0.5) → int64 — matches SQL FLOOR(x*100 + 0.5)
+    exactly (no banker's rounding ambiguity)."""
+    return np.floor(x * 100.0 + 0.5).astype(np.int64)
+
+
+def pricing_summary(lineitem: rd.Dataset, *, cutoff_iso: str) -> pd.DataFrame:
+    """TPC-H Q1 pricing summary: per (l_returnflag, l_linestatus) over
+    rows with ``l_shipdate <= cutoff``, exact-integer sums of quantity /
+    base price / discounted price / charged price plus averages and row
+    count. Money sums are computed in cents and divided by 100 at the
+    very end; disc_price = price·(1−disc) and charge =
+    price·(1−disc)·(1+tax) are integer products of cent quantities
+    (divided by 10^4 / 10^6 once at the end).
+
+    Scale shape: column-pruned read, the filter and the cents partial
+    aggregation happen per batch, the exchange carries ≤ (6 groups ×
+    n_batches) rows; final fold is group-count-sized on the driver with
+    Python-int accumulators (overflow-proof)."""
+    cutoff = np.datetime64(cutoff_iso, "us")
+
+    cols = [
+        "l_returnflag", "l_linestatus", "l_shipdate",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    ]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False)
+        keep = ship.astype("datetime64[us]") <= cutoff
+        if not keep.any():
+            return pa.table(
+                {
+                    "l_returnflag": pa.array([], pa.string()),
+                    "l_linestatus": pa.array([], pa.string()),
+                    "sum_qty": pa.array([], pa.int64()),
+                    "sum_base_c": pa.array([], pa.int64()),
+                    "sum_disc_c4": pa.array([], pa.int64()),
+                    "sum_charge_c6": pa.array([], pa.int64()),
+                    "sum_disc_pct": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        sub = batch.filter(pa.array(keep))
+        flag = sub.column("l_returnflag").to_pandas().to_numpy()
+        stat = sub.column("l_linestatus").to_pandas().to_numpy()
+        qty = sub.column("l_quantity").to_numpy(zero_copy_only=False)
+        price_c = _cents(sub.column("l_extendedprice").to_numpy(zero_copy_only=False))
+        disc_pct = _cents(sub.column("l_discount").to_numpy(zero_copy_only=False))
+        tax_pct = _cents(sub.column("l_tax").to_numpy(zero_copy_only=False))
+        disc_c4 = price_c * (100 - disc_pct)          # cents ×10^2
+        charge_c6 = disc_c4 * (100 + tax_pct)         # cents ×10^4
+        keys = pd.MultiIndex.from_arrays([flag, stat])
+        df = pd.DataFrame(
+            {
+                "sum_qty": qty.astype(np.int64),
+                "sum_base_c": price_c,
+                "sum_disc_c4": disc_c4,
+                "sum_charge_c6": charge_c6,
+                "sum_disc_pct": disc_pct,
+                "n": np.ones(len(qty), np.int64),
+            },
+            index=keys,
+        )
+        agg = df.groupby(level=[0, 1], sort=False).sum()
+        return pa.table(
+            {
+                "l_returnflag": pa.array([k[0] for k in agg.index], pa.string()),
+                "l_linestatus": pa.array([k[1] for k in agg.index], pa.string()),
+                **{c: pa.array(agg[c].to_numpy(), pa.int64()) for c in agg.columns},
+            }
+        )
+
+    partials = lineitem.select_columns(cols).map_batches(
+        partial, batch_format="pyarrow", batch_size=16384
+    )
+    # group-count × batch-count rows — bounded driver fold in Python ints
+    acc: dict[tuple[str, str], list[int]] = {}
+    for ref in partials.to_arrow_refs():
+        t = ray.get(ref)
+        d = t.to_pydict()
+        for i in range(len(t)):
+            key = (d["l_returnflag"][i], d["l_linestatus"][i])
+            row = acc.setdefault(key, [0, 0, 0, 0, 0, 0])
+            row[0] += d["sum_qty"][i]
+            row[1] += d["sum_base_c"][i]
+            row[2] += d["sum_disc_c4"][i]
+            row[3] += d["sum_charge_c6"][i]
+            row[4] += d["sum_disc_pct"][i]
+            row[5] += d["n"][i]
+
+    rows = []
+    for (flag, stat) in sorted(acc):
+        sq, sb, sd4, sc6, sdp, n = acc[(flag, stat)]
+        rows.append(
+            {
+                "l_returnflag": flag,
+                "l_linestatus": stat,
+                # float(int) FIRST, divide after — the same int→double
+                # cast order as the oracle's CAST(SUM(..) AS DOUBLE)/k,
+                # so a >2^53 sum rounds identically on both sides
+                "sum_qty": sq,
+                "sum_base_price": round(float(sb) / 100.0, 6),
+                "sum_disc_price": round(float(sd4) / 10_000.0, 6),
+                "sum_charge": round(float(sc6) / 1_000_000.0, 6),
+                "avg_qty": round(float(sq) / n, 6),
+                "avg_price": round(float(sb) / 100.0 / n, 6),
+                "avg_disc": round(float(sdp) / 100.0 / n, 6),
+                "count_order": n,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def ship_priority(
+    customer: rd.Dataset,
+    orders: rd.Dataset,
+    lineitem: rd.Dataset,
+    *,
+    segment: str,
+    date_iso: str,
+    k: int = 10,
+) -> pd.DataFrame:
+    """TPC-H Q3 shipping priority: top-k orders by revenue
+    (Σ price·(1−disc), integer cents) over customers in ``segment``,
+    orders placed before ``date`` with lineitems shipped after it.
+    → (l_orderkey, revenue, o_orderdate[us]) ranked by (revenue desc,
+    l_orderkey).
+
+    Scale shape: customer keys (segment-filtered, key-only) broadcast
+    into an orders filter; the surviving (orderkey → orderdate) map
+    broadcasts into a lineitem filter-join when it fits
+    ``DRIVER_FASTPATH_ROWS``, else the same per-order partials run
+    through a ``sized_join`` hash exchange. Revenue partials combine
+    per batch, so the final exchange is order-count-, not
+    lineitem-count-, sized."""
+    date = np.datetime64(date_iso, "us")
+
+    cust_keys = set()
+    ckeys = customer.select_columns(["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.filter(pc.equal(t.column("c_mktsegment"), segment)).select(
+            ["c_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    for ref in ckeys.to_arrow_refs():
+        cust_keys.update(ray.get(ref).column("c_custkey").to_pylist())
+    ck_ref = [ray.put(np.array(sorted(cust_keys), np.int64))]
+
+    def order_filter(batch: pa.Table) -> pa.Table:
+        ck = ray.get(ck_ref[0])
+        keys = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        od = batch.column("o_orderdate").to_numpy(zero_copy_only=False)
+        keep = (od.astype("datetime64[us]") < date) & np.isin(keys, ck)
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey").filter(pa.array(keep)),
+                "o_orderdate": batch.column("o_orderdate").filter(pa.array(keep)),
+            }
+        )
+
+    sel_orders = orders.select_columns(
+        ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(order_filter, batch_format="pyarrow")
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False)
+        keep = ship.astype("datetime64[us]") > date
+        sub = batch.filter(pa.array(keep))
+        okey = sub.column("l_orderkey").to_numpy(zero_copy_only=False)
+        price_c = _cents(sub.column("l_extendedprice").to_numpy(zero_copy_only=False))
+        disc_pct = _cents(sub.column("l_discount").to_numpy(zero_copy_only=False))
+        rev_c4 = price_c * (100 - disc_pct)
+        uk, inv = np.unique(okey, return_inverse=True)
+        sums = np.bincount(inv, weights=rev_c4.astype(np.float64))
+        # exact: rev_c4 ≤ ~10^11, batch sums ≤ 2^53 — integer-exact in
+        # float64; re-cast and fold as int64
+        return pa.table(
+            {
+                "l_orderkey": pa.array(uk, pa.int64()),
+                "rev_c4": pa.array(sums.astype(np.int64)),
+            }
+        )
+
+    li = lineitem.select_columns(
+        ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"]
+    ).map_batches(li_partial, batch_format="pyarrow", batch_size=16384)
+
+    n_orders = sel_orders.count()
+    if n_orders <= DRIVER_FASTPATH_ROWS:
+        # driver fastpath: order map is small — fold per-order revenue
+        # locally, join in memory
+        omap: dict[int, object] = {}
+        for ref in sel_orders.to_arrow_refs():
+            t = ray.get(ref)
+            for okey, od in zip(
+                t.column("o_orderkey").to_pylist(),
+                t.column("o_orderdate").to_pylist(),
+            ):
+                omap[okey] = od
+        rev: dict[int, int] = {}
+        for ref in li.to_arrow_refs():
+            t = ray.get(ref)
+            for okey, rc in zip(
+                t.column("l_orderkey").to_pylist(), t.column("rev_c4").to_pylist()
+            ):
+                if okey in omap:
+                    rev[okey] = rev.get(okey, 0) + rc
+        top = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return pd.DataFrame(
+            {
+                "l_orderkey": [t[0] for t in top],
+                "revenue": [round(float(t[1]) / 10_000.0, 6) for t in top],
+                "o_orderdate": [omap[t[0]] for t in top],
+            }
+        )
+
+    # distributed path: per-order revenue via groupby, hash join to the
+    # filtered orders, distributed sort for the top-k
+    rev_ds = li.groupby("l_orderkey").sum("rev_c4")
+    joined = sized_join(
+        rev_ds,
+        sel_orders.map_batches(
+            lambda t: t.rename_columns(["l_orderkey", "o_orderdate"]),
+            batch_format="pyarrow",
+        ),
+        ("l_orderkey",),
+    )
+    out = (
+        joined.sort(["sum(rev_c4)", "l_orderkey"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    out["revenue"] = (out["sum(rev_c4)"].astype(np.float64) / 10_000.0).round(6)
+    return out[["l_orderkey", "revenue", "o_orderdate"]]

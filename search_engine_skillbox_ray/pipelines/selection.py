@@ -1,0 +1,189 @@
+"""Training-data selection operators.
+
+* ``dsir_weights`` — Data Selection via Importance Resampling (Xie et
+  al. 2023, arXiv:2302.03169): hashed-n-gram bag-of-features importance
+  weights of each raw document against a target distribution. Two
+  streaming passes over the text, ZERO shuffle: pass 1 folds per-batch
+  bucket-count partials (fixed ``n_buckets``-sized arrays) on the
+  driver; the log-ratio vector λ broadcasts via ``ray.put``; pass 2
+  re-tokenizes and scores each doc as Σ_features λ[h(feature)].
+* ``weighted_sample_topk`` — deterministic weighted sampling WITHOUT
+  replacement (Efraimidis–Spirakis A-ES via the exponential race):
+  doc d wins rank r iff its key ``-ln(u_d)/w_d`` is the r-th smallest,
+  with ``u_d`` a reproducible md5-derived uniform. Keys are compared on
+  the 9-decimal-rounded value with a doc_id tie-break so the DuckDB
+  oracle ranks identically; per-batch bottom-k partials keep the
+  exchange at ≤ k rows per batch.
+
+Feature hashing is ``md5_u64 == DuckDB md5_number_lower`` (see
+``functions/hashing.py``); unigrams hash the token, bigrams hash
+``a || ' ' || b``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from ..functions.hashing import flat_nonempty_tokens, md5_u64
+
+
+def _feature_buckets(
+    texts, n_buckets: int
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """(bucket ids, parent doc index per feature, n_docs) for the
+    unigram + adjacent-bigram hashed features of a text column.
+    Hashing dictionary-encodes first so md5 runs once per distinct
+    token/bigram in the batch."""
+    toks, parents, _counts = flat_nonempty_tokens(texts)
+    n_docs = len(texts)
+    if not len(toks):
+        return np.empty(0, np.int64), np.empty(0, np.int64), n_docs
+    # unigrams: hash once per distinct token
+    dict_arr = toks.dictionary_encode()
+    codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uni_h = md5_u64(dict_arr.dictionary.to_pylist())
+    uni_b = (uni_h % np.uint64(n_buckets)).astype(np.int64)[codes]
+    # adjacent bigrams (same doc): join neighbours with one Arrow kernel
+    adj = parents[1:] == parents[:-1]
+    if adj.any():
+        a = toks.slice(0, len(toks) - 1).filter(pa.array(adj))
+        b = toks.slice(1).filter(pa.array(adj))
+        joined = pc.binary_join_element_wise(a, b, " ")
+        jd = joined.dictionary_encode()
+        jcodes = jd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        bi_h = md5_u64(jd.dictionary.to_pylist())
+        bi_b = (bi_h % np.uint64(n_buckets)).astype(np.int64)[jcodes]
+        bi_parents = parents[:-1][adj]
+        buckets = np.concatenate([uni_b, bi_b])
+        fparents = np.concatenate([parents, bi_parents])
+    else:
+        buckets, fparents = uni_b, parents
+    return buckets, fparents, n_docs
+
+
+def dsir_weights(
+    documents: rd.Dataset,
+    *,
+    target_source: str,
+    n_buckets: int = 256,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> rd.Dataset:
+    """Per-doc DSIR log importance weight against the docs of
+    ``target_source``: ``logw(d) = Σ_f λ[h(f)]`` with
+
+        λ_b = ln((tgt_b + α) / (T + α·B)) − ln((raw_b + α) / (R + α·B))
+
+    over unigram+bigram hashed features (α-smoothed multinomials; raw =
+    the WHOLE corpus including the target, as in the paper's setup).
+    → (doc_id, logw[r6], selected) with ``selected = round(logw,6) > 0``
+    (doc looks more target- than raw-like).
+
+    Scale shape: the bucket distributions are B-sized per-batch
+    partials folded on the driver (batch-count-bounded, no shuffle);
+    λ broadcasts once; scoring is a second stateless streaming pass.
+    Per-doc summation runs in token order via ``np.bincount`` weights —
+    the SQL mirror sums the same addends and both sides round to 6."""
+
+    def count_partials(batch: pa.Table) -> pa.Table:
+        buckets, fparents, _n = _feature_buckets(batch.column(text_col), n_buckets)
+        src = batch.column(source_col).to_numpy(zero_copy_only=False)
+        raw = np.bincount(buckets, minlength=n_buckets).astype(np.int64)
+        is_tgt = (src == target_source)[fparents]
+        tgt = np.bincount(buckets[is_tgt], minlength=n_buckets).astype(np.int64)
+        return pa.table({"raw": pa.array([raw.tolist()]), "tgt": pa.array([tgt.tolist()])})
+
+    raw_tot = np.zeros(n_buckets, np.int64)
+    tgt_tot = np.zeros(n_buckets, np.int64)
+    partials = documents.select_columns([text_col, source_col]).map_batches(
+        count_partials, batch_format="pyarrow", batch_size=4096
+    )
+    for ref in partials.to_arrow_refs():
+        t = ray.get(ref)
+        for row in range(len(t)):
+            raw_tot += np.asarray(t.column("raw")[row].as_py(), np.int64)
+            tgt_tot += np.asarray(t.column("tgt")[row].as_py(), np.int64)
+
+    big_r = float(raw_tot.sum())
+    big_t = float(tgt_tot.sum())
+    # same expression SHAPE as the SQL oracle: two ln()s, float64 counts
+    lam = np.log((tgt_tot + alpha) / (big_t + alpha * n_buckets)) - np.log(
+        (raw_tot + alpha) / (big_r + alpha * n_buckets)
+    )
+    lam_ref = [ray.put(lam)]
+
+    def score(batch: pa.Table) -> pa.Table:
+        buckets, fparents, n = _feature_buckets(batch.column(text_col), n_buckets)
+        lw = ray.get(lam_ref[0])
+        logw = np.bincount(fparents, weights=lw[buckets], minlength=n)
+        logw_r = np.round(logw, 6)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "logw": pa.array(logw_r, pa.float64()),
+                "selected": pa.array((logw_r > 0).astype(np.int64)),
+            }
+        )
+
+    return documents.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow", batch_size=4096
+    )
+
+
+def weighted_sample_topk(
+    documents: rd.Dataset,
+    k: int,
+    *,
+    salt: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Weighted sample without replacement, weight = token count:
+    the k docs with the SMALLEST exponential-race key ``-ln(u)/w``
+    (u = (md5_u64(f"{doc_id}:{salt}") + 1) / 2^64). Zero-token docs are
+    excluded (they have no sampling mass). → (doc_id, weight, key[r9],
+    rank), ranked by (key, doc_id).
+
+    Per-batch bottom-k partials; the driver merge holds ≤ k·n_batches
+    rows (annotated small collect)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _toks, _parents, counts = flat_nonempty_tokens(batch.column(text_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        w = counts.astype(np.float64)
+        keep = w > 0
+        ids, w = ids[keep], w[keep]
+        u = (md5_u64([f"{i}:{salt}" for i in ids]).astype(np.float64) + 1.0) / float(
+            2**64
+        )
+        key = np.round(-np.log(u) / w, 9)
+        if len(ids) > k:
+            idx = np.lexsort((ids, key))[:k]
+            ids, w, key = ids[idx], w[idx], key[idx]
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "weight": pa.array(w.astype(np.int64)),
+                "key": pa.array(key, pa.float64()),
+            }
+        )
+
+    slim = documents.select_columns([id_col, text_col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=4096
+    )
+    # ≤ k rows per batch — bounded driver merge
+    t = pa.concat_tables(ray.get(slim.to_arrow_refs()))
+    ids = t.column(id_col).to_numpy(zero_copy_only=False)
+    key = t.column("key").to_numpy(zero_copy_only=False)
+    idx = np.lexsort((ids, key))[: min(k, len(ids))]
+    sub = t.take(pa.array(idx))
+    return sub.append_column(
+        "rank", pa.array(np.arange(1, len(sub) + 1, dtype=np.int64))
+    )

@@ -269,6 +269,10 @@ def test_oracle_keys_subset(entry_mod):
     "fertility_stats",
     "index_merge",
     "semdedup",
+    "dsir_weights",
+    "weighted_sample",
+    "rel_pricing",
+    "rel_ship_priority",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
