@@ -586,7 +586,7 @@ def q_index_merge(sf_dir: str):
         halves.append(d)
     merged = f"/tmp/ses_idx_merged_{tag}"
     shutil.rmtree(merged, ignore_errors=True)  # merge writes: fresh per run
-    merge_indexes(halves[0], halves[1], merged)
+    merge_indexes(halves, merged)
     eng = SearchEngine(merged, float32_scores=False)
     doc_ids, scores, _ = eng.search_scores(SEARCH_QUERY)
     return pd.DataFrame({"doc_id": doc_ids.astype(np.int64), "score": np.round(scores, 6)})

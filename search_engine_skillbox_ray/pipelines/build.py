@@ -717,41 +717,47 @@ def write_recency_priors(
     return sum(_pq.read_metadata(f).num_rows for f in out.glob("*.parquet"))
 
 
-def merge_indexes(dir_a: str | Path, dir_b: str | Path, out_dir: str | Path) -> dict:
-    """Merge two independently-built indexes over DISJOINT doc sets into
-    one — shard-parallel index construction (build each corpus shard
-    where its data lives, merge segments after), the way large engines
-    scale indexing beyond one job. Posting rows re-merge with the same
-    vectorized ``merge_segment_rows`` kernel the builder uses for salted
-    partials (bulk decode → lexsort → bulk re-encode); doc-store shards
-    are copied file-wise (content-hashed names — no collisions); stats
-    are exact sums. Requires equal n_buckets/block_size and identical
-    site tables (shards of one corpus); duplicate doc ids across shards
-    are an upstream error and fail loudly inside the merge kernel.
+def merge_indexes(dirs, out_dir: str | Path) -> dict:
+    """Merge k (>=2) independently-built indexes over DISJOINT doc sets
+    into one — shard-parallel index construction (build each corpus
+    shard where its data lives, merge segments after), the way large
+    engines scale indexing beyond one job. Posting rows re-merge with
+    the same vectorized ``merge_segment_rows`` kernel the builder uses
+    for salted partials (bulk decode -> lexsort -> bulk re-encode);
+    doc-store shards are copied file-wise (content-hashed names — no
+    collisions); stats are exact sums. Requires equal
+    n_buckets/block_size and identical site tables (shards of one
+    corpus); duplicate doc ids across shards are an upstream error and
+    fail loudly inside the merge kernel.
 
     Scale shape: one Ray task per bucket (the bucket IS the unit of
-    physical parallelism; each task touches only its two segment files),
+    physical parallelism; each task touches only its k segment files),
     driver work is stats-sized. LSM state (deltas/tombstones) must be
     compacted away before merging — raises otherwise."""
-    a, b, out = Path(dir_a), Path(dir_b), Path(out_dir)
-    sa = json.loads((a / "stats.json").read_text())
-    sb = json.loads((b / "stats.json").read_text())
-    if sa["n_buckets"] != sb["n_buckets"] or sa["block_size"] != sb["block_size"]:
-        raise ValueError("merge requires equal n_buckets and block_size")
-    if sa["sites"] != sb["sites"]:
-        raise ValueError("merge requires identical site tables (same corpus sharded)")
-    for d in (a, b):
+    srcs = [Path(d) for d in dirs]
+    if len(srcs) < 2:
+        raise ValueError("merge_indexes needs at least two source indexes")
+    out = Path(out_dir)
+    stats_all = [json.loads((d / "stats.json").read_text()) for d in srcs]
+    s0 = stats_all[0]
+    for d, s in zip(srcs[1:], stats_all[1:]):
+        if s["n_buckets"] != s0["n_buckets"] or s["block_size"] != s0["block_size"]:
+            raise ValueError("merge requires equal n_buckets and block_size")
+        if s["sites"] != s0["sites"]:
+            raise ValueError(
+                "merge requires identical site tables (same corpus sharded)"
+            )
+    for d in srcs:
         if (d / "tombstones.json").exists() or (d / "postings_delta").exists():
             raise ValueError(f"{d}: compact LSM state before merging")
-    nb = int(sa["n_buckets"])
+    nb = int(s0["n_buckets"])
     (out / "postings").mkdir(parents=True, exist_ok=True)
     (out / "docs").mkdir(parents=True, exist_ok=True)
 
     @ray.remote
     def merge_bucket(bucket: int) -> int:
-        fa = a / "postings" / f"bucket={bucket:05d}.parquet"
-        fb = b / "postings" / f"bucket={bucket:05d}.parquet"
-        parts = [pq.read_table(f) for f in (fa, fb) if f.exists()]
+        files = [d / "postings" / f"bucket={bucket:05d}.parquet" for d in srcs]
+        parts = [pq.read_table(f) for f in files if f.exists()]
         if not parts:
             return 0
         merged = merge_segment_rows(pa.concat_tables(parts), out_salt=-1)
@@ -763,14 +769,14 @@ def merge_indexes(dir_a: str | Path, dir_b: str | Path, out_dir: str | Path) -> 
 
     n_terms = sum(ray.get([merge_bucket.remote(i) for i in range(nb)]))
 
-    for src in (a, b):
+    for src in srcs:
         for f in sorted((src / "docs").glob("*.parquet")):
             dst = out / "docs" / f.name
             if not dst.exists():
                 shutil.copy2(f, dst)
 
     site_stats: dict[str, dict] = {}
-    for s in (sa, sb):
+    for s in stats_all:
         for k, v in s.get("site_stats", {}).items():
             acc = site_stats.setdefault(
                 k, {"n_docs": 0, "n_docs_indexed": 0, "sum_doc_len": 0}
@@ -778,18 +784,18 @@ def merge_indexes(dir_a: str | Path, dir_b: str | Path, out_dir: str | Path) -> 
             for f in acc:
                 acc[f] += int(v.get(f, 0))
     stats = {
-        "block_size": sa["block_size"],
+        "block_size": s0["block_size"],
         "n_buckets": nb,
-        "n_docs": int(sa["n_docs"]) + int(sb["n_docs"]),
-        "n_docs_indexed": int(sa["n_docs_indexed"]) + int(sb["n_docs_indexed"]),
-        "sum_doc_len": int(sa["sum_doc_len"]) + int(sb["sum_doc_len"]),
-        "sites": sa["sites"],
+        "n_docs": sum(int(s["n_docs"]) for s in stats_all),
+        "n_docs_indexed": sum(int(s["n_docs_indexed"]) for s in stats_all),
+        "sum_doc_len": sum(int(s["sum_doc_len"]) for s in stats_all),
+        "sites": s0["sites"],
         "site_stats": site_stats,
     }
     atomic_write_json(out / "stats.json", stats)
     atomic_write_json(
         out / "manifest.json",
-        {"merged_from": [str(a), str(b)], "n_terms_rows": n_terms},
+        {"merged_from": [str(d) for d in srcs], "n_terms_rows": n_terms},
     )
     atomic_write_json(out / "docs.done.json", {"dir": "docs", "merged": True})
     return {"n_term_rows": n_terms, "n_docs": stats["n_docs"]}

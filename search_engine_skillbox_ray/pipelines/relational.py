@@ -31,7 +31,6 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-from ..config import DRIVER_FASTPATH_ROWS
 from ..stages.grouping import sized_join
 
 
@@ -221,6 +220,10 @@ def ship_priority(
     li = lineitem.select_columns(
         ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"]
     ).map_batches(li_partial, batch_format="pyarrow", batch_size=16384)
+
+    # function-local import so tests can monkeypatch config (the gated
+    # dual-path convention shared with pipelines/dedup.py)
+    from ..config import DRIVER_FASTPATH_ROWS
 
     n_orders = sel_orders.count()
     if n_orders <= DRIVER_FASTPATH_ROWS:

@@ -1,0 +1,119 @@
+"""Relational + selection operators: the distributed (sized_join) path
+of ship_priority must equal the broadcast fastpath; weighted sampling
+and DSIR obey their stated invariants."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from tests.conftest import requires_solo_ray
+
+SF = "/root/testdata/sf0.001"
+
+
+def _tables():
+    import ray.data as rd
+
+    return (
+        rd.read_parquet(f"{SF}/customer.parquet"),
+        rd.read_parquet(f"{SF}/orders.parquet"),
+        rd.read_parquet(f"{SF}/lineitem.parquet"),
+    )
+
+
+@requires_solo_ray
+def test_ship_priority_distributed_matches_fastpath(ray_session, monkeypatch):
+    from search_engine_skillbox_ray import config
+    from search_engine_skillbox_ray.pipelines import relational
+
+    c, o, li = _tables()
+    kw = dict(segment="BUILDING", date_iso="1998-06-30", k=10)
+    fast = relational.ship_priority(c, o, li, **kw)
+    monkeypatch.setattr(config, "DRIVER_FASTPATH_ROWS", 0)
+    dist = relational.ship_priority(c, o, li, **kw)
+    pd.testing.assert_frame_equal(
+        fast.reset_index(drop=True),
+        dist.reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_pricing_summary_matches_pandas(ray_session):
+    import pyarrow.parquet as pq
+
+    from search_engine_skillbox_ray.pipelines.relational import pricing_summary
+
+    import ray.data as rd
+
+    li = pq.read_table(f"{SF}/lineitem.parquet")
+    got = pricing_summary(rd.from_arrow(li), cutoff_iso="1999-06-30")
+    df = li.to_pandas()
+    df = df[df.l_shipdate <= pd.Timestamp("1999-06-30")]
+    cents = lambda x: np.floor(x * 100 + 0.5).astype(np.int64)
+    df["qty"] = df.l_quantity.astype(np.int64)
+    df["pc"] = cents(df.l_extendedprice)
+    df["dp"] = cents(df.l_discount)
+    df["tp"] = cents(df.l_tax)
+    g = df.groupby(["l_returnflag", "l_linestatus"])
+    exp_n = g.size()
+    for (flag, stat), row in got.set_index(["l_returnflag", "l_linestatus"]).iterrows():
+        grp = g.get_group((flag, stat))
+        assert row["count_order"] == len(grp)
+        assert row["sum_qty"] == grp["qty"].sum()
+        assert row["sum_base_price"] == round(float(grp["pc"].sum()) / 100.0, 6)
+        disc = (grp["pc"] * (100 - grp["dp"])).sum()
+        assert row["sum_disc_price"] == round(float(disc) / 10_000.0, 6)
+    assert got["count_order"].sum() == exp_n.sum()
+
+
+def test_weighted_sample_respects_weights(ray_session):
+    # a doc with 100x the tokens should enter the sample far more often
+    # than a 1-token doc across salts; also: deterministic given a salt
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.selection import weighted_sample_topk
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(40), pa.int64()),
+            "text": pa.array(
+                ["big " * 200 if i < 4 else "small" for i in range(40)]
+            ),
+        }
+    )
+    ds = rd.from_arrow(docs)
+    a = weighted_sample_topk(ds, 5, salt="s1")
+    b = weighted_sample_topk(ds, 5, salt="s1")
+    assert a.column("doc_id").to_pylist() == b.column("doc_id").to_pylist()
+    hits = 0
+    for salt in ("s1", "s2", "s3", "s4"):
+        t = weighted_sample_topk(ds, 5, salt=salt)
+        hits += sum(1 for d in t.column("doc_id").to_pylist() if d < 4)
+    # 4 heavy docs hold 800/836 of the mass; they should dominate
+    assert hits >= 12
+
+
+def test_dsir_prefers_target_lookalikes(ray_session):
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.selection import dsir_weights
+
+    rows = []
+    for i in range(30):
+        rows.append((i, "alpha beta gamma delta", "tgt" if i < 10 else "raw"))
+    for i in range(30, 60):
+        rows.append((i, "zeta eta theta iota", "raw"))
+    docs = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "source": pa.array([r[2] for r in rows]),
+        }
+    )
+    out = dsir_weights(
+        rd.from_arrow(docs), target_source="tgt", n_buckets=64
+    ).to_pandas().set_index("doc_id")
+    # docs sharing the target's vocabulary outscore the disjoint ones
+    assert out.loc[15, "logw"] > out.loc[45, "logw"]
+    assert (out.loc[:29, "logw"] > out.loc[30:, "logw"].max()).all()
