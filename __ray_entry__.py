@@ -52,6 +52,8 @@ SEMDEDUP_THRESHOLD = 0.35
 # Laplace smoothing — shared verbatim with the SQL mirror
 DSIR_TARGET, DSIR_BUCKETS, DSIR_ALPHA = "src3", 256, 0.5
 WSAMPLE_K, WSAMPLE_SALT = 25, "ses-wrs"  # A-ES weighted sample
+CTX_TERM, CTX_PREFIXES, CTX_K = "merge", ("b", "s", "a"), 5  # bigram completion
+HH_K = 50  # heavy hitters: every term with cnt > n_tokens/HH_K
 # relational (TPC-H-shaped) probes over lineitem/orders/customer
 Q1_CUTOFF = "1999-06-30"
 Q3_SEGMENT, Q3_DATE, Q3_K = "BUILDING", "1998-06-30", 10
@@ -644,6 +646,22 @@ def q_rel_ship_priority(sf_dir: str):
         _table(sf_dir, "lineitem"),
         segment=Q3_SEGMENT, date_iso=Q3_DATE, k=Q3_K,
     )
+
+
+def q_complete_context(sf_dir: str):
+    """Bigram-LM type-ahead: best continuations of CTX_TERM per prefix
+    (bigram cnt desc, term asc) — continuation-vocab-sized exchange."""
+    from search_engine_skillbox_ray.pipelines.textstats import complete_context_ds
+
+    return complete_context_ds(_documents(sf_dir), CTX_TERM, CTX_PREFIXES, k=CTX_K)
+
+
+def q_heavy_hitters(sf_dir: str):
+    """EXACT frequent terms (cnt > n/HH_K) via a Misra–Gries candidate
+    sketch (k-sized exchange) + exact recount of the candidates."""
+    from search_engine_skillbox_ray.pipelines.textstats import heavy_hitters_ds
+
+    return heavy_hitters_ds(_documents(sf_dir), k=HH_K)
 
 
 def q_fertility_stats(sf_dir: str):
@@ -2488,6 +2506,8 @@ _DRIVER_PRIORITY = [
     "weighted_sample",
     "rel_pricing",
     "rel_ship_priority",
+    "complete_context",
+    "heavy_hitters",
 ]
 
 
@@ -2591,6 +2611,8 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": q_weighted_sample,
         "rel_pricing": q_rel_pricing,
         "rel_ship_priority": q_rel_ship_priority,
+        "complete_context": q_complete_context,
+        "heavy_hitters": q_heavy_hitters,
         "doc_chunks": q_doc_chunks,
         "proximity": q_proximity,
         "near_search": q_near_search,
@@ -5094,6 +5116,28 @@ SELECT CAST(query_id AS INTEGER) AS query_id,
        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) - 1 AS INTEGER) AS rank,
        vec_id, ROUND(cos, 6) AS cosine
 FROM sc QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) <= {ANN_K}
+""",
+        # bigram-LM completion: continuations of CTX_TERM per prefix
+        "complete_context": f"""
+WITH tl AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+            '[^\\p{{L}}]+'), x -> x <> '') AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term,
+               generate_subscripts(toks, 1) AS pos FROM tl),
+big AS (SELECT b.term AS term, count(*)::BIGINT AS cnt
+        FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        WHERE a.term = '{CTX_TERM}' GROUP BY b.term),
+p(prefix) AS (VALUES {", ".join(f"('{p}')" for p in CTX_PREFIXES)}),
+r AS (SELECT p.prefix, big.term, big.cnt,
+        row_number() OVER (PARTITION BY p.prefix
+                           ORDER BY big.cnt DESC, big.term) AS rank
+      FROM p JOIN big ON starts_with(big.term, p.prefix))
+SELECT prefix, term, cnt, rank::BIGINT AS rank FROM r WHERE rank <= {CTX_K}
+""",
+        # heavy hitters: the MG sketch only bounds candidates — the
+        # final answer is exact, so the oracle is a plain HAVING
+        "heavy_hitters": f"""
+SELECT term, count(*)::BIGINT AS cnt FROM ({_TOK}) GROUP BY term
+HAVING count(*) > (SELECT count(*) FROM ({_TOK}))::DOUBLE / {HH_K}
 """,
         # DSIR: hashed unigram+bigram features (md5_number_lower == the
         # engine's md5_u64), α-smoothed log-ratio λ per bucket, per-doc

@@ -371,6 +371,8 @@ def bench_sf_queries() -> dict:
         "weighted_sample",
         "rel_pricing",
         "rel_ship_priority",
+        "complete_context",
+        "heavy_hitters",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

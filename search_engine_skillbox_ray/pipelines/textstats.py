@@ -16,6 +16,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data as rd
 
 from ..stages.tokenizer import token_lists
@@ -3067,5 +3068,182 @@ def textrank_batch(batch: pa.Table, *, n_iters: int = 8, topk: int = 5) -> pa.Ta
             "doc_id": pa.array(doc_ids[nd_o[keep]], pa.int64()),
             "term": pa.array(ts_o[keep].tolist(), pa.string()),
             "score": pa.array(s_o[keep], pa.int64()),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# Context-aware completion + Misra–Gries heavy hitters
+# --------------------------------------------------------------------------
+
+
+def complete_context_ds(
+    documents: rd.Dataset, context: str, prefixes: tuple[str, ...], k: int = 5
+) -> pa.Table:
+    """Context-aware type-ahead: the ``k`` best completions per prefix
+    given the PREVIOUS query term — candidates are corpus bigram
+    continuations of ``context`` whose second term starts with the
+    prefix, ranked by (bigram count desc, term asc). The bigram-LM
+    upgrade of ``complete_prefix_ds``.
+
+    Scale shape: the per-batch combiner keeps only bigrams whose first
+    term IS the context (the exchange is continuation-vocabulary-sized,
+    one row per distinct next-term), one groupby-sum, then a driver
+    merge of ≤ |prefixes|·k rows."""
+    from ..functions.hashing import flat_nonempty_tokens
+
+    empty = pa.table(
+        {"term": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        toks, parents, _ = flat_nonempty_tokens(batch.column("text"))
+        if len(toks) < 2:
+            return empty
+        adj = (parents[:-1] == parents[1:]) & (
+            pc.equal(toks.slice(0, len(toks) - 1), context).to_numpy(
+                zero_copy_only=False
+            )
+        )
+        if not adj.any():
+            return empty
+        idx = np.flatnonzero(adj)
+        nxt = toks.take(pa.array(idx + 1))
+        g = pa.table({"term": nxt}).group_by("term").aggregate([("term", "count")])
+        return pa.table(
+            {"term": g.column("term"), "cnt": pc.cast(g.column("term_count"), pa.int64())}
+        )
+
+    cont = (
+        documents.select_columns(["text"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("term")
+        .sum("cnt")
+    )
+
+    out_chunks = []
+    for ref in ray.get(cont.to_arrow_refs()):
+        t = ref if isinstance(ref, pa.Table) else ref
+        out_chunks.append(t)
+    # continuation vocabulary of ONE context term — tiny by construction
+    full = (
+        pa.concat_tables(out_chunks)
+        if out_chunks
+        else pa.table({"term": pa.array([], pa.string()),
+                       "sum(cnt)": pa.array([], pa.int64())})
+    )
+    terms = full.column("term").to_numpy(zero_copy_only=False)
+    cnts = full.column("sum(cnt)").to_numpy(zero_copy_only=False)
+    rows = {"prefix": [], "term": [], "cnt": [], "rank": []}
+    for p in prefixes:
+        m = np.array([str(t).startswith(p) for t in terms], bool)
+        if not m.any():
+            continue
+        ts, cs = terms[m], cnts[m]
+        order = np.lexsort((ts, -cs))[: min(k, len(ts))]
+        for r, i in enumerate(order, 1):
+            rows["prefix"].append(p)
+            rows["term"].append(str(ts[i]))
+            rows["cnt"].append(int(cs[i]))
+            rows["rank"].append(r)
+    return pa.table(
+        {
+            "prefix": pa.array(rows["prefix"], pa.string()),
+            "term": pa.array(rows["term"], pa.string()),
+            "cnt": pa.array(rows["cnt"], pa.int64()),
+            "rank": pa.array(rows["rank"], pa.int64()),
+        }
+    )
+
+
+def _mg_compress(counts: dict, k: int) -> dict:
+    """Misra–Gries compression to ≤ k counters: subtract the (k+1)-th
+    largest count from every counter, drop non-positive — the mergeable-
+    summaries fold (Agarwal et al., PODS'12), which preserves the
+    guarantee that every term with true count > n/k survives."""
+    if len(counts) <= k:
+        return counts
+    vals = sorted(counts.values(), reverse=True)
+    d = vals[k]
+    return {t: c - d for t, c in counts.items() if c > d}
+
+
+def heavy_hitters_ds(documents: rd.Dataset, k: int = 50) -> pa.Table:
+    """EXACT frequent-terms via a Misra–Gries candidate pass + exact
+    recount: → (term, cnt) for every term with cnt > n_tokens/k.
+
+    Pass 1 ships one ≤k-counter MG summary per batch (the sketch — the
+    exchange is k-sized regardless of vocabulary); the driver folds
+    them with MG compression, which provably retains every true heavy
+    hitter. Pass 2 recounts ONLY the ≤k candidates exactly (broadcast
+    `is_in` + bincount partials). The final answer is exact — the
+    sketch only bounds the candidate set — so a plain GROUP BY/HAVING
+    oracle matches hash-for-hash."""
+    from ..functions.hashing import flat_nonempty_tokens
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        toks, _, _ = flat_nonempty_tokens(batch.column("text"))
+        n = len(toks)
+        if not n:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        g = pa.table({"term": toks}).group_by("term").aggregate([("term", "count")])
+        counts = dict(
+            zip(g.column("term").to_pylist(), g.column("term_count").to_pylist())
+        )
+        mg = _mg_compress(counts, k)
+        terms = ["\x00total"] + list(mg)  # NUL-prefixed: no \p{L} token collides
+        cnts = [n] + [mg[t] for t in mg]
+        return pa.table(
+            {"term": pa.array(terms, pa.string()), "cnt": pa.array(cnts, pa.int64())}
+        )
+
+    acc: dict[str, int] = {}
+    total = 0
+    parts = documents.select_columns(["text"]).map_batches(
+        mg_partial, batch_format="pyarrow"
+    )
+    for ref in parts.to_arrow_refs():
+        t = ray.get(ref)
+        for term, c in zip(t.column("term").to_pylist(), t.column("cnt").to_pylist()):
+            if term == "\x00total":
+                total += c
+            else:
+                acc[term] = acc.get(term, 0) + c
+        acc = _mg_compress(acc, k)
+
+    cands = sorted(acc)
+    if not cands:
+        return pa.table(
+            {"term": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+        )
+    cand_arr = pa.array(cands, pa.string())
+
+    def recount(batch: pa.Table) -> pa.Table:
+        toks, _, _ = flat_nonempty_tokens(batch.column("text"))
+        if not len(toks):
+            return pa.table(
+                {"term": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        idx = pc.index_in(toks, value_set=cand_arr)
+        valid = idx.to_numpy(zero_copy_only=False)
+        hit = valid[~np.isnan(valid.astype(np.float64))].astype(np.int64) if valid.dtype.kind == "f" else valid[valid >= 0]
+        cnt = np.bincount(hit, minlength=len(cands)).astype(np.int64)
+        return pa.table({"term": cand_arr, "cnt": pa.array(cnt)})
+
+    ex: dict[str, int] = {c: 0 for c in cands}
+    rp = documents.select_columns(["text"]).map_batches(recount, batch_format="pyarrow")
+    for ref in rp.to_arrow_refs():
+        t = ray.get(ref)
+        for term, c in zip(t.column("term").to_pylist(), t.column("cnt").to_pylist()):
+            ex[term] += c
+
+    thresh = total / k
+    keep = [(t, c) for t, c in sorted(ex.items()) if c > thresh]
+    return pa.table(
+        {
+            "term": pa.array([t for t, _ in keep], pa.string()),
+            "cnt": pa.array([c for _, c in keep], pa.int64()),
         }
     )

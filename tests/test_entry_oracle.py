@@ -273,6 +273,8 @@ def test_oracle_keys_subset(entry_mod):
     "weighted_sample",
     "rel_pricing",
     "rel_ship_priority",
+    "complete_context",
+    "heavy_hitters",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
