@@ -57,6 +57,7 @@ HH_K = 50  # heavy hitters: every term with cnt > n_tokens/HH_K
 # relational (TPC-H-shaped) probes over lineitem/orders/customer
 Q1_CUTOFF = "1999-06-30"
 Q3_SEGMENT, Q3_DATE, Q3_K = "BUILDING", "1998-06-30", 10
+Q5_REGION, Q5_FROM, Q5_TO = "ASIA", "1996-01-01", "1999-01-01"
 PQ_M, PQ_KSUB, PQ_TRAIN, PQ_SEED = 4, 16, 2048, 42
 PQ_RERANK = 64
 SIMHASH_MAX_HAMMING = 3
@@ -645,6 +646,20 @@ def q_rel_ship_priority(sf_dir: str):
         _table(sf_dir, "customer"), _table(sf_dir, "orders"),
         _table(sf_dir, "lineitem"),
         segment=Q3_SEGMENT, date_iso=Q3_DATE, k=Q3_K,
+    )
+
+
+def q_rel_region_revenue(sf_dir: str):
+    """TPC-H Q5-shaped star join: revenue per nation of a region —
+    broadcast dimension chain region→nation→customer, gated order-map
+    broadcast with sized_join fallback for the one fact-fact edge."""
+    from search_engine_skillbox_ray.pipelines.relational import region_revenue
+
+    return region_revenue(
+        _table(sf_dir, "customer"), _table(sf_dir, "orders"),
+        _table(sf_dir, "lineitem"), _table(sf_dir, "nation"),
+        _table(sf_dir, "region"),
+        region_name=Q5_REGION, date_from_iso=Q5_FROM, date_to_iso=Q5_TO,
     )
 
 
@@ -2508,6 +2523,7 @@ _DRIVER_PRIORITY = [
     "rel_ship_priority",
     "complete_context",
     "heavy_hitters",
+    "rel_region_revenue",
 ]
 
 
@@ -2613,6 +2629,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "rel_ship_priority": q_rel_ship_priority,
         "complete_context": q_complete_context,
         "heavy_hitters": q_heavy_hitters,
+        "rel_region_revenue": q_rel_region_revenue,
         "doc_chunks": q_doc_chunks,
         "proximity": q_proximity,
         "near_search": q_near_search,
@@ -5116,6 +5133,22 @@ SELECT CAST(query_id AS INTEGER) AS query_id,
        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) - 1 AS INTEGER) AS rank,
        vec_id, ROUND(cos, 6) AS cosine
 FROM sc QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) <= {ANN_K}
+""",
+        # TPC-H Q5 shape: star-join revenue per nation, integer cents
+        "rel_region_revenue": f"""
+SELECT n.n_name,
+  ROUND(CAST(SUM(CAST(FLOOR(l.l_extendedprice*100+0.5) AS BIGINT)
+                 * (100 - CAST(FLOOR(l.l_discount*100+0.5) AS BIGINT))) AS DOUBLE)
+        / 10000.0, 6) AS revenue
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE r.r_name = '{Q5_REGION}'
+  AND o.o_orderdate >= TIMESTAMP '{Q5_FROM}'
+  AND o.o_orderdate < TIMESTAMP '{Q5_TO}'
+GROUP BY n.n_name
 """,
         # bigram-LM completion: continuations of CTX_TERM per prefix
         "complete_context": f"""

@@ -373,6 +373,7 @@ def bench_sf_queries() -> dict:
         "rel_ship_priority",
         "complete_context",
         "heavy_hitters",
+        "rel_region_revenue",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

@@ -272,3 +272,158 @@ def ship_priority(
     )
     out["revenue"] = (out["sum(rev_c4)"].astype(np.float64) / 10_000.0).round(6)
     return out[["l_orderkey", "revenue", "o_orderdate"]]
+
+
+def region_revenue(
+    customer: rd.Dataset,
+    orders: rd.Dataset,
+    lineitem: rd.Dataset,
+    nation,
+    region,
+    *,
+    region_name: str,
+    date_from_iso: str,
+    date_to_iso: str,
+) -> pd.DataFrame:
+    """TPC-H Q5-shaped revenue per nation: Σ price·(1−disc) (integer
+    cents) of lineitems belonging to orders placed in [date_from,
+    date_to) by customers of ``region_name``. → (n_name, revenue).
+
+    Join chain and scale shape: nation⨝region are DIMENSIONS (tens of
+    rows) — read whole and broadcast; customer projects to a
+    custkey→nation_name map restricted to the region (broadcast, the
+    classic replicated-dimension star join); orders filter+project to
+    orderkey→custkey per batch against the broadcast customer keys;
+    lineitem revenue partials combine per batch on orderkey. The only
+    fact-fact edge (lineitem⨝orders) resolves against the filtered
+    order map — gated on ``DRIVER_FASTPATH_ROWS`` with a ``sized_join``
+    fallback, same dual-path discipline as ``ship_priority``."""
+    d0 = np.datetime64(date_from_iso, "us")
+    d1 = np.datetime64(date_to_iso, "us")
+
+    # dimensions: tens of rows by definition — driver-side collect
+    nat = pa.concat_tables(ray.get(nation.to_arrow_refs()))
+    reg = pa.concat_tables(ray.get(region.to_arrow_refs()))
+    rkeys = {
+        rk
+        for rk, rn in zip(
+            reg.column("r_regionkey").to_pylist(), reg.column("r_name").to_pylist()
+        )
+        if rn == region_name
+    }
+    nat_name = {
+        nk: nn
+        for nk, nn, nr in zip(
+            nat.column("n_nationkey").to_pylist(),
+            nat.column("n_name").to_pylist(),
+            nat.column("n_regionkey").to_pylist(),
+        )
+        if nr in rkeys
+    }
+    nat_ref = [ray.put(nat_name)]
+
+    def cust_map(batch: pa.Table) -> pa.Table:
+        nm = ray.get(nat_ref[0])
+        nk = batch.column("c_nationkey").to_numpy(zero_copy_only=False)
+        keep = np.isin(nk, np.array(sorted(nm), np.int64))
+        return pa.table(
+            {
+                "c_custkey": batch.column("c_custkey").filter(pa.array(keep)),
+                "c_nationkey": batch.column("c_nationkey").filter(pa.array(keep)),
+            }
+        )
+
+    cust = customer.select_columns(["c_custkey", "c_nationkey"]).map_batches(
+        cust_map, batch_format="pyarrow"
+    )
+    # region customers: broadcast custkey→nationkey (a fifth of the
+    # customer dimension; at cluster scale flip to sized_join like the
+    # order map below — same gate)
+    c2n: dict[int, int] = {}
+    for ref in cust.to_arrow_refs():
+        t = ray.get(ref)
+        c2n.update(
+            zip(t.column("c_custkey").to_pylist(), t.column("c_nationkey").to_pylist())
+        )
+    c2n_ref = [ray.put(c2n)]
+
+    def order_map(batch: pa.Table) -> pa.Table:
+        m = ray.get(c2n_ref[0])
+        od = batch.column("o_orderdate").to_numpy(zero_copy_only=False)
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        ckeys = np.array(sorted(m), np.int64)
+        keep = (
+            (od.astype("datetime64[us]") >= d0)
+            & (od.astype("datetime64[us]") < d1)
+            & np.isin(ck, ckeys)
+        )
+        ok = batch.column("o_orderkey").to_numpy(zero_copy_only=False)[keep]
+        nk = np.array([m[c] for c in ck[keep]], np.int64)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ok, pa.int64()),
+                "nationkey": pa.array(nk, pa.int64()),
+            }
+        )
+
+    sel_orders = orders.select_columns(
+        ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(order_map, batch_format="pyarrow")
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        okey = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        price_c = _cents(batch.column("l_extendedprice").to_numpy(zero_copy_only=False))
+        disc_pct = _cents(batch.column("l_discount").to_numpy(zero_copy_only=False))
+        rev_c4 = price_c * (100 - disc_pct)
+        uk, inv = np.unique(okey, return_inverse=True)
+        sums = np.bincount(inv, weights=rev_c4.astype(np.float64))
+        return pa.table(
+            {
+                "l_orderkey": pa.array(uk, pa.int64()),
+                "rev_c4": pa.array(sums.astype(np.int64)),
+            }
+        )
+
+    li = lineitem.select_columns(
+        ["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_partial, batch_format="pyarrow", batch_size=16384)
+
+    from ..config import DRIVER_FASTPATH_ROWS
+
+    rev_by_nation: dict[int, int] = {}
+    if sel_orders.count() <= DRIVER_FASTPATH_ROWS:
+        o2n: dict[int, int] = {}
+        for ref in sel_orders.to_arrow_refs():
+            t = ray.get(ref)
+            o2n.update(
+                zip(t.column("o_orderkey").to_pylist(), t.column("nationkey").to_pylist())
+            )
+        for ref in li.to_arrow_refs():
+            t = ray.get(ref)
+            for okey, rc in zip(
+                t.column("l_orderkey").to_pylist(), t.column("rev_c4").to_pylist()
+            ):
+                nk = o2n.get(okey)
+                if nk is not None:
+                    rev_by_nation[nk] = rev_by_nation.get(nk, 0) + rc
+    else:
+        rev_ds = li.groupby("l_orderkey").sum("rev_c4")
+        joined = sized_join(
+            rev_ds,
+            sel_orders.map_batches(
+                lambda t: t.rename_columns(["l_orderkey", "nationkey"]),
+                batch_format="pyarrow",
+            ),
+            ("l_orderkey",),
+        )
+        agg = joined.groupby("nationkey").sum("sum(rev_c4)").to_pandas()
+        rev_by_nation = dict(
+            zip(agg["nationkey"].astype(int), agg["sum(sum(rev_c4))"].astype(int))
+        )
+
+    rows = sorted(
+        (nat_name[nk], round(float(rc) / 10_000.0, 6))
+        for nk, rc in rev_by_nation.items()
+    )
+    return pd.DataFrame({"n_name": [r[0] for r in rows],
+                         "revenue": [r[1] for r in rows]})

@@ -39,6 +39,27 @@ def test_ship_priority_distributed_matches_fastpath(ray_session, monkeypatch):
     )
 
 
+@requires_solo_ray
+def test_region_revenue_distributed_matches_fastpath(ray_session, monkeypatch):
+    import ray.data as rd
+
+    from search_engine_skillbox_ray import config
+    from search_engine_skillbox_ray.pipelines import relational
+
+    c, o, li = _tables()
+    n = rd.read_parquet(f"{SF}/nation.parquet")
+    r = rd.read_parquet(f"{SF}/region.parquet")
+    kw = dict(region_name="ASIA", date_from_iso="1996-01-01",
+              date_to_iso="1999-01-01")
+    fast = relational.region_revenue(c, o, li, n, r, **kw)
+    monkeypatch.setattr(config, "DRIVER_FASTPATH_ROWS", 0)
+    dist = relational.region_revenue(c, o, li, n, r, **kw)
+    pd.testing.assert_frame_equal(
+        fast.reset_index(drop=True), dist.reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
 def test_pricing_summary_matches_pandas(ray_session):
     import pyarrow.parquet as pq
 
