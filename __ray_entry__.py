@@ -54,6 +54,9 @@ DSIR_TARGET, DSIR_BUCKETS, DSIR_ALPHA = "src3", 256, 0.5
 WSAMPLE_K, WSAMPLE_SALT = 25, "ses-wrs"  # A-ES weighted sample
 CTX_TERM, CTX_PREFIXES, CTX_K = "merge", ("b", "s", "a"), 5  # bigram completion
 HH_K = 50  # heavy hitters: every term with cnt > n_tokens/HH_K
+# tf-idf cosine similarity join over the rare vocabulary (df cap is
+# part of the vector definition, so the posting expansion is exact)
+COSPAIR_THRESHOLD, COSPAIR_MAX_DF = 0.8, 32
 # relational (TPC-H-shaped) probes over lineitem/orders/customer
 Q1_CUTOFF = "1999-06-30"
 Q3_SEGMENT, Q3_DATE, Q3_K = "BUILDING", "1998-06-30", 10
@@ -660,6 +663,17 @@ def q_rel_region_revenue(sf_dir: str):
         _table(sf_dir, "lineitem"), _table(sf_dir, "nation"),
         _table(sf_dir, "region"),
         region_name=Q5_REGION, date_from_iso=Q5_FROM, date_to_iso=Q5_TO,
+    )
+
+
+def q_cosine_text_pairs(sf_dir: str):
+    """All-pairs sparse tf-idf cosine join over the rare vocabulary
+    (Bayardo-style, df-capped) — lexical near-dup pairs with exact
+    per-pair cosine."""
+    from search_engine_skillbox_ray.pipelines.dedup import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(
+        _documents(sf_dir), threshold=COSPAIR_THRESHOLD, max_df=COSPAIR_MAX_DF
     )
 
 
@@ -2524,6 +2538,7 @@ _DRIVER_PRIORITY = [
     "complete_context",
     "heavy_hitters",
     "rel_region_revenue",
+    "cosine_text_pairs",
 ]
 
 
@@ -2630,6 +2645,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "complete_context": q_complete_context,
         "heavy_hitters": q_heavy_hitters,
         "rel_region_revenue": q_rel_region_revenue,
+        "cosine_text_pairs": q_cosine_text_pairs,
         "doc_chunks": q_doc_chunks,
         "proximity": q_proximity,
         "near_search": q_near_search,
@@ -5133,6 +5149,22 @@ SELECT CAST(query_id AS INTEGER) AS query_id,
        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) - 1 AS INTEGER) AS rank,
        vec_id, ROUND(cos, 6) AS cosine
 FROM sc QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) <= {ANN_K}
+""",
+        # tf-idf cosine pairs over the rare (df-capped) vocabulary:
+        # identical w/norm expression shapes; round(cos,6) on both sides
+        "cosine_text_pairs": f"""
+WITH tf AS ({_TF}),
+nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tf GROUP BY term),
+v AS (SELECT tf.doc_id, tf.term, tf.tf * ln((nn.n + 1.0) / (df.df + 1.0)) AS w
+      FROM tf JOIN df USING (term) CROSS JOIN nn WHERE df.df <= {COSPAIR_MAX_DF}),
+nrm AS (SELECT doc_id, sqrt(SUM(w*w)) AS norm FROM v GROUP BY doc_id),
+vn AS (SELECT v.doc_id, v.term, v.w / nrm.norm AS wn FROM v JOIN nrm USING (doc_id)),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.wn * b.wn) AS cos
+      FROM vn a JOIN vn b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b, ROUND(cos, 6) AS cosine FROM p
+WHERE ROUND(cos, 6) >= {COSPAIR_THRESHOLD}
 """,
         # TPC-H Q5 shape: star-join revenue per nation, integer cents
         "rel_region_revenue": f"""

@@ -374,6 +374,7 @@ def bench_sf_queries() -> dict:
         "complete_context",
         "heavy_hitters",
         "rel_region_revenue",
+        "cosine_text_pairs",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

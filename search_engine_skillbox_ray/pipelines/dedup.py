@@ -2790,3 +2790,166 @@ def source_ngram_leakage_ds(
         )
 
     return pairs.map_batches(finish, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Sparse tf-idf cosine all-pairs similarity join (lexical near-dup)
+# --------------------------------------------------------------------------
+
+
+def tfidf_cosine_pairs(
+    documents: rd.Dataset,
+    *,
+    threshold: float = 0.8,
+    max_df: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """All-pairs sparse tf·idf cosine similarity join: (doc_a < doc_b,
+    cosine[r6]) for every pair with round(cos, 6) ≥ threshold, where
+    vectors are tf·idf over the RARE vocabulary only (df ≤ ``max_df``
+    — hub terms are dropped from the vector definition itself, which
+    is what makes the posting-based pair expansion exact rather than a
+    candidate heuristic: non-shared terms contribute 0, and every
+    shared rare term's posting group emits the pair's partial product).
+
+    Scale shape (Bayardo-style similarity join, simplified by the df
+    cap): one vocab-sized df exchange (per-batch distinct combiner →
+    groupby), the capped-df map broadcasts via ``ray.put``; the scoring
+    pass emits normalized (term, doc, wn) posting rows for rare terms
+    only; per-term groups expand ≤ df²/2 ≤ max_df·df/2 pair partials —
+    the pair exchange is bounded by max_df × rare-posting count; one
+    (doc_a, doc_b) groupby-sum finishes. idf = ln((N+1)/(df+1)) with
+    N = total document count."""
+    import pyarrow.compute as pc
+
+    from ..stages.grouping import bucketed_group_apply
+
+    n_total = documents.count()
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        toks, parents, _ = flat_nonempty_tokens(batch.column(text_col))
+        if not len(toks):
+            return pa.table(
+                {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+            )
+        g = (
+            pa.table({"term": toks, "p": pa.array(parents)})
+            .group_by(["term", "p"])
+            .aggregate([])
+            .group_by("term")
+            .aggregate([("term", "count")])
+        )
+        return pa.table(
+            {"term": g.column("term"), "df": pc.cast(g.column("term_count"), pa.int64())}
+        )
+
+    dfs = (
+        documents.select_columns([text_col])
+        .map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .sum("df")
+    )
+
+    # capped-df map: rare vocabulary only — strictly smaller than the
+    # full vocab broadcast the keyword extractor already uses
+    rare: dict[str, int] = {}
+    for ref in dfs.to_arrow_refs():
+        t = ray.get(ref)
+        terms = t.column("term").to_pylist()
+        vals = t.column("sum(df)").to_pylist()
+        for term, d in zip(terms, vals):
+            if d <= max_df:
+                rare[term] = int(d)
+    rare_terms = pa.array(sorted(rare), pa.string())
+    rare_df = np.array([rare[t] for t in sorted(rare)], np.float64)
+    rare_ref = [ray.put((rare_terms, rare_df))]
+
+    def score(batch: pa.Table) -> pa.Table:
+        toks, parents, _ = flat_nonempty_tokens(batch.column(text_col))
+        empty = pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                id_col: pa.array([], pa.int64()),
+                "wn": pa.array([], pa.float64()),
+            }
+        )
+        if not len(toks):
+            return empty
+        rt, rdf = ray.get(rare_ref[0])
+        g = (
+            pa.table({"term": toks, "p": pa.array(parents)})
+            .group_by(["term", "p"])
+            .aggregate([("p", "count")])
+        )
+        gt = g.column("term")
+        gp = g.column("p").to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = g.column("p_count").to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = pc.index_in(gt, value_set=rt)
+        iv = idx.to_numpy(zero_copy_only=False)
+        hit = ~np.isnan(iv.astype(np.float64)) if iv.dtype.kind == "f" else iv >= 0
+        if not hit.any():
+            return empty
+        code = iv.astype(np.float64)[hit].astype(np.int64)
+        w = tf[hit] * np.log((n_total + 1.0) / (rdf[code] + 1.0))
+        p = gp[hit]
+        norm2 = np.bincount(p, weights=w * w, minlength=len(batch))
+        norm = np.sqrt(norm2)
+        wn = w / norm[p]
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "term": gt.filter(pa.array(hit)),
+                id_col: pa.array(ids[p], pa.int64()),
+                "wn": pa.array(wn, pa.float64()),
+            }
+        )
+
+    postings = documents.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+    def term_pairs(grp: pd.DataFrame) -> pd.DataFrame:
+        a_out, b_out, p_out = [], [], []
+        for _, g in grp.groupby("term", sort=False):
+            if len(g) < 2:
+                continue
+            ids = g[id_col].to_numpy(np.int64)
+            wn = g["wn"].to_numpy(np.float64)
+            order = np.argsort(ids)
+            ids, wn = ids[order], wn[order]
+            ii, jj = np.triu_indices(len(ids), k=1)
+            a_out.append(ids[ii])
+            b_out.append(ids[jj])
+            p_out.append(wn[ii] * wn[jj])
+        if not a_out:
+            return pd.DataFrame(
+                {
+                    "doc_a": np.array([], np.int64),
+                    "doc_b": np.array([], np.int64),
+                    "prod": np.array([], np.float64),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(a_out),
+                "doc_b": np.concatenate(b_out),
+                "prod": np.concatenate(p_out),
+            }
+        )
+
+    pairs = bucketed_group_apply(postings, ["term"], term_pairs, n_buckets=32)
+    summed = pairs.groupby(["doc_a", "doc_b"]).sum("prod")
+
+    def finish(t: pa.Table) -> pa.Table:
+        cos = np.round(t.column("sum(prod)").to_numpy(zero_copy_only=False), 6)
+        keep = cos >= threshold
+        return pa.table(
+            {
+                "doc_a": t.column("doc_a").filter(pa.array(keep)),
+                "doc_b": t.column("doc_b").filter(pa.array(keep)),
+                "cosine": pa.array(cos[keep], pa.float64()),
+            }
+        )
+
+    return summed.map_batches(finish, batch_format="pyarrow")
