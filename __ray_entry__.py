@@ -57,6 +57,9 @@ HH_K = 50  # heavy hitters: every term with cnt > n_tokens/HH_K
 # tf-idf cosine similarity join over the rare vocabulary (df cap is
 # part of the vector definition, so the posting expansion is exact)
 COSPAIR_THRESHOLD, COSPAIR_MAX_DF = 0.8, 32
+# media dedup: planted exact/near duplicates + perceptual fingerprints
+MEDIA_DUP_EXACT_EVERY, MEDIA_DUP_NEAR_EVERY = 7, 11
+MEDIA_NEAR_THRESHOLD, MEDIA_NEAR_PLANES = 0.99, 4
 # relational (TPC-H-shaped) probes over lineitem/orders/customer
 Q1_CUTOFF = "1999-06-30"
 Q3_SEGMENT, Q3_DATE, Q3_K = "BUILDING", "1998-06-30", 10
@@ -674,6 +677,41 @@ def q_cosine_text_pairs(sf_dir: str):
 
     return tfidf_cosine_pairs(
         _documents(sf_dir), threshold=COSPAIR_THRESHOLD, max_df=COSPAIR_MAX_DF
+    )
+
+
+def _media_dup_table():
+    from search_engine_skillbox_ray.pipelines.multimodal import (
+        make_media_table_with_dups,
+    )
+
+    return make_media_table_with_dups(
+        MEDIA_N, seed=MEDIA_SEED,
+        exact_every=MEDIA_DUP_EXACT_EVERY, near_every=MEDIA_DUP_NEAR_EVERY,
+    )
+
+
+def q_media_dedup(sf_dir: str):
+    """Exact binary dedup over media payloads (planted copies): md5
+    where the bytes live, slim (digest, media_id) exchange, keep-min."""
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.multimodal import media_dedup_ds
+
+    return media_dedup_ds(rd.from_arrow(_media_dup_table()))
+
+
+def q_media_near_pairs(sf_dir: str):
+    """Perceptual near-dup media pairs: centered byte-histogram
+    fingerprints through the generic hyperplane-LSH embedding near-dup
+    operator (exact copies cos 1.0, planted perturbations ≈ 0.999)."""
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.multimodal import media_near_pairs_ds
+
+    return media_near_pairs_ds(
+        rd.from_arrow(_media_dup_table()),
+        threshold=MEDIA_NEAR_THRESHOLD, n_planes=MEDIA_NEAR_PLANES, seed=42,
     )
 
 
@@ -2539,6 +2577,8 @@ _DRIVER_PRIORITY = [
     "heavy_hitters",
     "rel_region_revenue",
     "cosine_text_pairs",
+    "media_dedup",
+    "media_near_pairs",
 ]
 
 
@@ -2646,6 +2686,8 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": q_heavy_hitters,
         "rel_region_revenue": q_rel_region_revenue,
         "cosine_text_pairs": q_cosine_text_pairs,
+        "media_dedup": q_media_dedup,
+        "media_near_pairs": q_media_near_pairs,
         "doc_chunks": q_doc_chunks,
         "proximity": q_proximity,
         "near_search": q_near_search,
@@ -3335,6 +3377,60 @@ def _ivf_centroid_values() -> str:
         vec = ", ".join(repr(float(v)) for v in cents[ci])
         rows.append(f"({ci}, [{vec}]::DOUBLE[])")
     return ", ".join(rows)
+
+
+def _media_dedup_values() -> str:
+    """Expected exact-dedup rows derived INDEPENDENTLY of the pipeline:
+    md5 each fixture payload here, keep = min media_id per digest."""
+    import hashlib
+
+    t = _media_dup_table()
+    ids = t.column("media_id").to_pylist()
+    digests = [hashlib.md5(p).hexdigest() for p in t.column("payload").to_pylist()]
+    first: dict[str, int] = {}
+    for i, d in sorted(zip(ids, digests)):
+        first.setdefault(d, i)
+    return ", ".join(
+        f"({i}, '{d}', {1 if first[d] == i else 0})" for i, d in zip(ids, digests)
+    )
+
+
+def _media_near_values() -> str:
+    """Expected perceptual near-dup pairs, recomputed here from the
+    documented SESM layout (4-byte magic + 7-byte header): centered
+    byte-mod-16 histogram direction rounded 6, seed-42 hyperplane
+    buckets, in-bucket cosine on round(·,6) ≥ MEDIA_NEAR_THRESHOLD —
+    the same arithmetic shapes as dedup.embedding_near_pairs."""
+    t = _media_dup_table()
+    ids = np.array(t.column("media_id").to_pylist(), np.int64)
+    vecs = np.empty((len(ids), MEDIA_FEAT_DIM), np.float64)
+    for r, p in enumerate(t.column("payload").to_pylist()):
+        body = np.frombuffer(p[11:], np.uint8)
+        h = np.bincount(body % MEDIA_FEAT_DIM, minlength=MEDIA_FEAT_DIM).astype(
+            np.float64
+        )
+        c = h - h.mean()
+        vecs[r] = np.round(c / max(np.linalg.norm(c), 1e-300), 6)
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((MEDIA_FEAT_DIM, MEDIA_NEAR_PLANES))
+    signs = (vecs @ planes) > 0
+    keys = np.zeros(len(ids), np.int64)
+    for p in range(MEDIA_NEAR_PLANES):
+        keys |= signs[:, p].astype(np.int64) << p
+    norms = np.linalg.norm(vecs, axis=1)
+    rows = []
+    for b in np.unique(keys):
+        m = keys == b
+        bids, bv, bn = ids[m], vecs[m], norms[m]
+        order = np.argsort(bids)
+        bids, bv, bn = bids[order], bv[order], bn[order]
+        sims = (bv @ bv.T) / np.maximum(np.outer(bn, bn), 1e-300)
+        ii, jj = np.triu_indices(len(bids), k=1)
+        simr = np.round(sims[ii, jj], 6)
+        good = simr >= MEDIA_NEAR_THRESHOLD
+        for i, j, s in zip(ii[good], jj[good], simr[good]):
+            rows.append(f"({bids[i]}, {bids[j]}, {s!r})")
+    return ", ".join(sorted(rows))
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5305,6 +5401,16 @@ SELECT o.vec_id, o.cluster,
       AND ROUND(list_cosine_similarity(p.v, o.v), 6) >= {SEMDEDUP_THRESHOLD}
   ) THEN 0 ELSE 1 END::BIGINT AS keep
 FROM av o
+""",
+        "media_dedup": f"""
+SELECT CAST(media_id AS BIGINT) AS media_id, digest,
+       CAST(keep AS BIGINT) AS keep
+FROM (VALUES {_media_dedup_values()}) AS t(media_id, digest, keep)
+""",
+        "media_near_pairs": f"""
+SELECT CAST(vec_a AS BIGINT) AS vec_a, CAST(vec_b AS BIGINT) AS vec_b,
+       CAST(cosine AS DOUBLE) AS cosine
+FROM (VALUES {_media_near_values()}) AS t(vec_a, vec_b, cosine)
 """,
         "media_decode": f"""
 SELECT CAST(media_id AS BIGINT) AS media_id, media_type,

@@ -375,6 +375,8 @@ def bench_sf_queries() -> dict:
         "heavy_hitters",
         "rel_region_revenue",
         "cosine_text_pairs",
+        "media_dedup",
+        "media_near_pairs",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

@@ -204,3 +204,140 @@ def frame_sample_ds(media: rd.Dataset, every_k: int = 2, concurrency=(1, 4)) -> 
         batch_size=32,
         concurrency=concurrency,
     )
+
+
+def make_media_table_with_dups(
+    n: int, seed: int = 42, exact_every: int = 7, near_every: int = 11
+) -> pa.Table:
+    """The media fixture plus planted duplicates: an EXACT byte copy of
+    row i (new id n+i) for i % exact_every == 0, and a NEAR copy (first
+    three body bytes bumped by one — a tiny perceptual perturbation)
+    with id 2n+i for i % near_every == 0."""
+    base = make_media_table(n, seed)
+    ids = base.column("media_id").to_pylist()
+    kinds = base.column("media_type").to_pylist()
+    payloads = base.column("payload").to_pylist()
+    urls = base.column("source_url").to_pylist()
+    for i in range(0, n, exact_every):
+        ids.append(n + i)
+        kinds.append(kinds[i])
+        payloads.append(payloads[i])
+        urls.append(f"https://media.example/copy/{i}")
+    for i in range(0, n, near_every):
+        b = bytearray(payloads[i])
+        for k in range(11, 14):
+            b[k] = (b[k] + 1) % 256
+        ids.append(2 * n + i)
+        kinds.append(kinds[i])
+        payloads.append(bytes(b))
+        urls.append(f"https://media.example/near/{i}")
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "media_type": pa.array(kinds, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "source_url": pa.array(urls, pa.string()),
+        }
+    )
+
+
+def media_dedup_ds(media: rd.Dataset) -> rd.Dataset:
+    """Exact binary dedup over media payloads: → (media_id, digest,
+    keep) with keep = 1 on the smallest media_id of each md5 group.
+
+    Scale shape: the payload is hashed where it lives; only the slim
+    (digest, media_id) rows enter the digest-bucketed exchange — binary
+    bytes never shuffle. Hashing is per-row by nature (md5 of one blob)
+    but runs the C md5 over zero-copy buffer views."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..stages.grouping import bucketed_group_apply
+
+    def sig(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        arr = batch.column("payload").combine_chunks()
+        bufs = arr.buffers()
+        off = np.frombuffer(bufs[1], np.int32)[arr.offset : arr.offset + n + 1].astype(np.int64)
+        data = np.frombuffer(bufs[2], np.uint8)
+        digests = [
+            hashlib.md5(data[off[i] : off[i + 1]].tobytes()).hexdigest()
+            for i in range(n)
+        ]
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "digest": pa.array(digests, pa.string()),
+            }
+        )
+
+    slim = media.map_batches(sig, batch_format="pyarrow", batch_size=64)
+
+    def per_group(grp: "pd.DataFrame") -> "pd.DataFrame":
+        keep = grp.groupby("digest")["media_id"].transform("min") == grp["media_id"]
+        out = grp.copy()
+        out["keep"] = keep.astype(np.int64)
+        return out
+
+    return bucketed_group_apply(slim, ["digest"], per_group, n_buckets=16)
+
+
+def media_fingerprint_ds(media: rd.Dataset, dim: int = 16) -> rd.Dataset:
+    """Perceptual fingerprint per payload: the CENTERED, L2-normalized
+    byte-mod-``dim`` histogram of the body, rounded to 6 decimals —
+    random payloads land near-orthogonal (measured max cos ≈ 0.81)
+    while small perturbations stay ≥ 0.999. → (media_id, embedding),
+    ready for the generic embedding near-dup / ANN operators."""
+
+    def stage(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {
+                    "media_id": pa.array([], pa.int64()),
+                    "embedding": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        arr = batch.column("payload").combine_chunks()
+        bufs = arr.buffers()
+        off = np.frombuffer(bufs[1], np.int32)[arr.offset : arr.offset + n + 1].astype(np.int64)
+        data = np.frombuffer(bufs[2], np.uint8)
+        base = int(off[0])
+        mods = data[base : int(off[-1])] % np.uint8(dim)
+        bs, be = off[:-1] + 11 - base, off[1:] - base
+        vec = np.empty((n, dim), np.float64)
+        for i in range(n):
+            h = np.bincount(mods[bs[i] : be[i]], minlength=dim).astype(np.float64)
+            c = h - h.mean()
+            vec[i] = np.round(c / max(np.linalg.norm(c), 1e-300), 6)
+        col = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int32) * dim, pa.int32()),
+            pa.array(vec.reshape(-1), pa.float64()),
+        )
+        return pa.table({"media_id": batch.column("media_id"), "embedding": col})
+
+    return media.map_batches(stage, batch_format="pyarrow", batch_size=32)
+
+
+def media_near_pairs_ds(
+    media: rd.Dataset,
+    *,
+    threshold: float = 0.99,
+    n_planes: int = 4,
+    seed: int = 42,
+) -> rd.Dataset:
+    """Perceptual near-duplicate media pairs: centered-histogram
+    fingerprints through the generic hyperplane-LSH + in-bucket verify
+    operator (`dedup.embedding_near_pairs`) — exact-copy pairs score
+    cos 1.0, tiny perturbations ≈ 0.999, unrelated payloads ≤ ~0.81."""
+    from .dedup import embedding_near_pairs
+
+    return embedding_near_pairs(
+        media_fingerprint_ds(media),
+        threshold=threshold,
+        n_planes=n_planes,
+        seed=seed,
+        id_col="media_id",
+        vec_col="embedding",
+    )

@@ -277,6 +277,8 @@ def test_oracle_keys_subset(entry_mod):
     "heavy_hitters",
     "rel_region_revenue",
     "cosine_text_pairs",
+    "media_dedup",
+    "media_near_pairs",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
