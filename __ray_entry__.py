@@ -60,6 +60,7 @@ COSPAIR_THRESHOLD, COSPAIR_MAX_DF = 0.8, 32
 # media dedup: planted exact/near duplicates + perceptual fingerprints
 MEDIA_DUP_EXACT_EVERY, MEDIA_DUP_NEAR_EVERY = 7, 11
 MEDIA_NEAR_THRESHOLD, MEDIA_NEAR_PLANES = 0.99, 4
+EWMA_ALPHA = 0.3  # per-user time-decayed aggregate
 # relational (TPC-H-shaped) probes over lineitem/orders/customer
 Q1_CUTOFF = "1999-06-30"
 Q3_SEGMENT, Q3_DATE, Q3_K = "BUILDING", "1998-06-30", 10
@@ -713,6 +714,15 @@ def q_media_near_pairs(sf_dir: str):
         rd.from_arrow(_media_dup_table()),
         threshold=MEDIA_NEAR_THRESHOLD, n_planes=MEDIA_NEAR_PLANES, seed=42,
     )
+
+
+def q_user_ewma(sf_dir: str):
+    """Per-user EWMA of event values in (ts, event_id) order — power-
+    sum form (identical addends to the SQL mirror), one user-bucketed
+    exchange."""
+    from search_engine_skillbox_ray.pipelines.windows import user_ewma
+
+    return user_ewma(_events(sf_dir), alpha=EWMA_ALPHA)
 
 
 def q_complete_context(sf_dir: str):
@@ -2579,6 +2589,7 @@ _DRIVER_PRIORITY = [
     "cosine_text_pairs",
     "media_dedup",
     "media_near_pairs",
+    "user_ewma",
 ]
 
 
@@ -2688,6 +2699,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "cosine_text_pairs": q_cosine_text_pairs,
         "media_dedup": q_media_dedup,
         "media_near_pairs": q_media_near_pairs,
+        "user_ewma": q_user_ewma,
         "doc_chunks": q_doc_chunks,
         "proximity": q_proximity,
         "near_search": q_near_search,
@@ -5401,6 +5413,17 @@ SELECT o.vec_id, o.cluster,
       AND ROUND(list_cosine_similarity(p.v, o.v), 6) >= {SEMDEDUP_THRESHOLD}
   ) THEN 0 ELSE 1 END::BIGINT AS keep
 FROM av o
+""",
+        # EWMA in power-sum form: identical addends, round(·,6) bridges
+        # the summation order
+        "user_ewma": f"""
+WITH e AS (SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+           FROM events)
+SELECT user_id, count(*)::BIGINT AS n_events,
+       ROUND(SUM({EWMA_ALPHA} * pow(1.0 - {EWMA_ALPHA}, n - rn) * value), 6) AS ewma
+FROM e GROUP BY user_id
 """,
         "media_dedup": f"""
 SELECT CAST(media_id AS BIGINT) AS media_id, digest,

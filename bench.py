@@ -377,6 +377,7 @@ def bench_sf_queries() -> dict:
         "cosine_text_pairs",
         "media_dedup",
         "media_near_pairs",
+        "user_ewma",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

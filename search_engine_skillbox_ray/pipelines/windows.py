@@ -586,3 +586,59 @@ def retention_cohorts(events: rd.Dataset, ts_col: str = "ts") -> rd.Dataset:
         ),
         batch_format="pyarrow",
     )
+
+
+def user_ewma(
+    events: rd.Dataset,
+    alpha: float = 0.3,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    val_col: str = "value",
+) -> rd.Dataset:
+    """→ (user_id, n_events, ewma[r6]): zero-initialized exponentially
+    weighted moving average of ``value`` per user over (ts, event_id)
+    order — the time-decayed per-entity aggregate of engagement /
+    fraud-velocity features:
+
+        ewma(u) = Σ_{i=1..n} α · (1−α)^{n−i} · v_i
+
+    Computed in the POWER-SUM form on both sides (one vectorized
+    weights·values dot per user here, ``SUM(α·pow(1−α, n−rn)·v)`` in
+    the oracle) rather than the sequential recurrence — identical
+    addends, so round(·,6) bridges summation order.
+
+    Scale shape: same single user-bucketed exchange as
+    :func:`asof_prev_event`, one vectorized segment pass per bucket."""
+    from ..stages.grouping import bucketed_group_apply
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "user_id": np.array([], np.int64),
+                "n_events": np.array([], np.int64),
+                "ewma": np.array([], np.float64),
+            }
+        )
+        if not len(bucket):
+            return empty
+        g = bucket.sort_values([user_col, ts_col, id_col], kind="mergesort")
+        users = g[user_col].to_numpy(dtype=np.int64)
+        vals = g[val_col].to_numpy(dtype=np.float64)
+        starts = np.flatnonzero(np.r_[True, users[1:] != users[:-1]])
+        lens = np.diff(np.r_[starts, users.size])
+        # exponent n - rn per row, vectorized across all segments
+        ends = starts + lens
+        k = (np.repeat(ends, lens) - 1) - np.arange(users.size)
+        w = alpha * np.power(1.0 - alpha, k.astype(np.float64))
+        contrib = w * vals
+        sums = np.add.reduceat(contrib, starts)
+        return pd.DataFrame(
+            {
+                "user_id": users[starts],
+                "n_events": lens.astype(np.int64),
+                "ewma": np.round(sums, 6),
+            }
+        )
+
+    return bucketed_group_apply(events, [user_col], per_bucket, n_buckets=32)

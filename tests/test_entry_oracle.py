@@ -279,6 +279,7 @@ def test_oracle_keys_subset(entry_mod):
     "cosine_text_pairs",
     "media_dedup",
     "media_near_pairs",
+    "user_ewma",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
