@@ -61,6 +61,8 @@ COSPAIR_THRESHOLD, COSPAIR_MAX_DF = 0.8, 32
 MEDIA_DUP_EXACT_EVERY, MEDIA_DUP_NEAR_EVERY = 7, 11
 MEDIA_NEAR_THRESHOLD, MEDIA_NEAR_PLANES = 0.99, 4
 EWMA_ALPHA = 0.3  # per-user time-decayed aggregate
+ZIPF_TOP_M = 1000  # rank-frequency fit over the top-M vocabulary
+Q4_FROM, Q4_TO, Q4_LATE_DAYS = "1996-01-01", "1999-01-01", 90
 # relational (TPC-H-shaped) probes over lineitem/orders/customer
 Q1_CUTOFF = "1999-06-30"
 Q3_SEGMENT, Q3_DATE, Q3_K = "BUILDING", "1998-06-30", 10
@@ -723,6 +725,27 @@ def q_user_ewma(sf_dir: str):
     from search_engine_skillbox_ray.pipelines.windows import user_ewma
 
     return user_ewma(_events(sf_dir), alpha=EWMA_ALPHA)
+
+
+def q_zipf_fit(sf_dir: str):
+    """One-row corpus-health signature: least-squares ln(cf)~ln(rank)
+    slope/intercept over the top-M vocabulary."""
+    from search_engine_skillbox_ray.pipelines.textstats import zipf_fit_ds
+
+    return zipf_fit_ds(_documents(sf_dir), top_m=ZIPF_TOP_M)
+
+
+def q_rel_order_priority(sf_dir: str):
+    """TPC-H Q4-shaped EXISTS semi-join: orders (in a window) with at
+    least one lineitem shipped > late_days after the order date,
+    counted per priority — per-order max(l_shipdate) combiner, gated
+    broadcast resolve with sized_join fallback."""
+    from search_engine_skillbox_ray.pipelines.relational import order_priority_counts
+
+    return order_priority_counts(
+        _table(sf_dir, "orders"), _table(sf_dir, "lineitem"),
+        date_from_iso=Q4_FROM, date_to_iso=Q4_TO, late_days=Q4_LATE_DAYS,
+    )
 
 
 def q_complete_context(sf_dir: str):
@@ -2590,6 +2613,8 @@ _DRIVER_PRIORITY = [
     "media_dedup",
     "media_near_pairs",
     "user_ewma",
+    "zipf_fit",
+    "rel_order_priority",
 ]
 
 
@@ -2700,6 +2725,8 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "media_dedup": q_media_dedup,
         "media_near_pairs": q_media_near_pairs,
         "user_ewma": q_user_ewma,
+        "zipf_fit": q_zipf_fit,
+        "rel_order_priority": q_rel_order_priority,
         "doc_chunks": q_doc_chunks,
         "proximity": q_proximity,
         "near_search": q_near_search,
@@ -5413,6 +5440,30 @@ SELECT o.vec_id, o.cluster,
       AND ROUND(list_cosine_similarity(p.v, o.v), 6) >= {SEMDEDUP_THRESHOLD}
   ) THEN 0 ELSE 1 END::BIGINT AS keep
 FROM av o
+""",
+        # Zipf fit: five scalar sums, expression shape repeated verbatim
+        "zipf_fit": f"""
+WITH cf AS (SELECT term, count(*)::BIGINT AS cf FROM ({_TOK}) GROUP BY term),
+r AS (SELECT cf, row_number() OVER (ORDER BY cf DESC, term) AS rank FROM cf),
+top AS (SELECT ln(rank::DOUBLE) AS x, ln(cf::DOUBLE) AS y FROM r
+        WHERE rank <= {ZIPF_TOP_M}),
+s AS (SELECT count(*)::DOUBLE AS m, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*y) AS sxy, SUM(x*x) AS sxx FROM top)
+SELECT ROUND((m*sxy - sx*sy) / (m*sxx - sx*sx), 6) AS slope,
+       ROUND((sy - ((m*sxy - sx*sy) / (m*sxx - sx*sx)) * sx) / m, 6) AS intercept,
+       m::BIGINT AS n_terms
+FROM s
+""",
+        # TPC-H Q4 shape: EXISTS collapses to per-order max(l_shipdate)
+        "rel_order_priority": f"""
+SELECT o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{Q4_FROM}'
+  AND o.o_orderdate < TIMESTAMP '{Q4_TO}'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL {Q4_LATE_DAYS} DAY)
+GROUP BY o_orderpriority
 """,
         # EWMA in power-sum form: identical addends, round(·,6) bridges
         # the summation order

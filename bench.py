@@ -378,6 +378,8 @@ def bench_sf_queries() -> dict:
         "media_dedup",
         "media_near_pairs",
         "user_ewma",
+        "zipf_fit",
+        "rel_order_priority",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

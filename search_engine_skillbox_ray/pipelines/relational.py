@@ -427,3 +427,117 @@ def region_revenue(
     )
     return pd.DataFrame({"n_name": [r[0] for r in rows],
                          "revenue": [r[1] for r in rows]})
+
+
+def order_priority_counts(
+    orders: rd.Dataset,
+    lineitem: rd.Dataset,
+    *,
+    date_from_iso: str,
+    date_to_iso: str,
+    late_days: int = 90,
+) -> pd.DataFrame:
+    """TPC-H Q4-shaped EXISTS semi-join: per order priority, how many
+    orders in [date_from, date_to) have at least one lineitem shipped
+    more than ``late_days`` after the order date.
+    → (o_orderpriority, order_count).
+
+    Scale shape: the EXISTS collapses to max(l_shipdate) per order — a
+    per-batch combiner, then one order-count-sized groupby-max; the
+    orders side filters in its own pass and resolves against the max
+    map (gated broadcast / sized_join fallback). Neither fact table
+    ever shuffles at row grain."""
+    d0 = np.datetime64(date_from_iso, "us")
+    d1 = np.datetime64(date_to_iso, "us")
+    late_us = np.int64(late_days) * 86_400_000_000
+
+    def li_max(batch: pa.Table) -> pa.Table:
+        okey = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        ).astype(np.int64)
+        uk, inv = np.unique(okey, return_inverse=True)
+        mx = np.full(len(uk), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mx, inv, ship)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(uk, pa.int64()),
+                "max_ship_us": pa.array(mx, pa.int64()),
+            }
+        )
+
+    li = lineitem.select_columns(["l_orderkey", "l_shipdate"]).map_batches(
+        li_max, batch_format="pyarrow", batch_size=16384
+    ).groupby("l_orderkey").max("max_ship_us")
+
+    def o_filter(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        )
+        keep = (od >= d0) & (od < d1)
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey").filter(pa.array(keep)),
+                "o_orderpriority": batch.column("o_orderpriority").filter(
+                    pa.array(keep)
+                ),
+                "odate_us": pa.array(od.astype(np.int64)[keep], pa.int64()),
+            }
+        )
+
+    sel = orders.select_columns(
+        ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(o_filter, batch_format="pyarrow")
+
+    from ..config import DRIVER_FASTPATH_ROWS
+
+    counts: dict[str, int] = {}
+    if sel.count() <= DRIVER_FASTPATH_ROWS:
+        mx: dict[int, int] = {}
+        for ref in li.to_arrow_refs():
+            t = ray.get(ref)
+            mx.update(
+                zip(
+                    t.column("l_orderkey").to_pylist(),
+                    t.column("max(max_ship_us)").to_pylist(),
+                )
+            )
+        for ref in sel.to_arrow_refs():
+            t = ray.get(ref)
+            for ok, pr, od in zip(
+                t.column("o_orderkey").to_pylist(),
+                t.column("o_orderpriority").to_pylist(),
+                t.column("odate_us").to_pylist(),
+            ):
+                ms = mx.get(ok)
+                if ms is not None and ms > od + late_us:
+                    counts[pr] = counts.get(pr, 0) + 1
+    else:
+        joined = sized_join(
+            sel,
+            li.map_batches(
+                lambda t: t.rename_columns(["o_orderkey", "max(max_ship_us)"]),
+                batch_format="pyarrow",
+            ),
+            ("o_orderkey",),
+        )
+        def late(batch: pa.Table) -> pa.Table:
+            ms = batch.column("max(max_ship_us)").to_numpy(zero_copy_only=False)
+            od = batch.column("odate_us").to_numpy(zero_copy_only=False)
+            keep = ms > od + late_us
+            return pa.table(
+                {"o_orderpriority": batch.column("o_orderpriority").filter(pa.array(keep))}
+            )
+        agg = (
+            joined.map_batches(late, batch_format="pyarrow")
+            .groupby("o_orderpriority")
+            .count()
+            .to_pandas()
+        )
+        counts = dict(zip(agg["o_orderpriority"], agg["count()"].astype(int)))
+
+    rows = sorted(counts.items())
+    return pd.DataFrame(
+        {"o_orderpriority": [r[0] for r in rows],
+         "order_count": [r[1] for r in rows]}
+    )

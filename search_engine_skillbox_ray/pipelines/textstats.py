@@ -3247,3 +3247,69 @@ def heavy_hitters_ds(documents: rd.Dataset, k: int = 50) -> pa.Table:
             "cnt": pa.array([c for _, c in keep], pa.int64()),
         }
     )
+
+
+def zipf_fit_ds(documents: rd.Dataset, top_m: int = 1000) -> pa.Table:
+    """Zipf rank-frequency fit over the top-``top_m`` vocabulary: least-
+    squares slope/intercept of ln(cf) on ln(rank) (rank by cf desc,
+    term asc) — the one-row corpus-health signature (natural text
+    slopes ≈ −1; template/spam corpora flatten or step).
+    → (slope[r6], intercept[r6], n_terms).
+
+    Scale shape: vocab-sized cf exchange (per-batch combiner), then
+    per-block partial top-m (any global top-m row is inside its block's
+    top-m, so the union is a superset) with a ≤ m·n_blocks driver
+    merge; the regression is five scalar sums whose expression shape
+    the SQL mirror repeats verbatim."""
+    from ..functions.hashing import flat_nonempty_tokens
+
+    def cf_partials(batch: pa.Table) -> pa.Table:
+        toks, _, _ = flat_nonempty_tokens(batch.column("text"))
+        if not len(toks):
+            return pa.table(
+                {"term": pa.array([], pa.string()), "cf": pa.array([], pa.int64())}
+            )
+        g = pa.table({"term": toks}).group_by("term").aggregate([("term", "count")])
+        return pa.table(
+            {"term": g.column("term"), "cf": pc.cast(g.column("term_count"), pa.int64())}
+        )
+
+    vocab = (
+        documents.select_columns(["text"])
+        .map_batches(cf_partials, batch_format="pyarrow")
+        .groupby("term")
+        .sum("cf")
+    )
+
+    def topm(batch: pa.Table) -> pa.Table:
+        terms = batch.column("term").to_numpy(zero_copy_only=False)
+        cfs = batch.column("sum(cf)").to_numpy(zero_copy_only=False)
+        if len(terms) > top_m:
+            idx = np.lexsort((terms, -cfs))[:top_m]
+            terms, cfs = terms[idx], cfs[idx]
+        return pa.table(
+            {
+                "term": pa.array(terms.tolist(), pa.string()),
+                "cf": pa.array(cfs, pa.int64()),
+            }
+        )
+
+    parts = [ray.get(r) for r in vocab.map_batches(topm, batch_format="pyarrow").to_arrow_refs()]
+    t = pa.concat_tables([p for p in parts if len(p)])
+    terms = np.array(t.column("term").to_pylist())
+    cfs = t.column("cf").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((terms, -cfs))[: min(top_m, len(terms))]
+    cfs = cfs[order]
+    m = float(len(cfs))
+    x = np.log(np.arange(1, len(cfs) + 1, dtype=np.float64))
+    y = np.log(cfs.astype(np.float64))
+    sx, sy, sxy, sxx = x.sum(), y.sum(), (x * y).sum(), (x * x).sum()
+    slope = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    intercept = (sy - slope * sx) / m
+    return pa.table(
+        {
+            "slope": pa.array([round(slope, 6)], pa.float64()),
+            "intercept": pa.array([round(intercept, 6)], pa.float64()),
+            "n_terms": pa.array([int(m)], pa.int64()),
+        }
+    )

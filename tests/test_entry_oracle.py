@@ -280,6 +280,8 @@ def test_oracle_keys_subset(entry_mod):
     "media_dedup",
     "media_near_pairs",
     "user_ewma",
+    "zipf_fit",
+    "rel_order_priority",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))

@@ -60,6 +60,24 @@ def test_region_revenue_distributed_matches_fastpath(ray_session, monkeypatch):
     )
 
 
+@requires_solo_ray
+def test_order_priority_distributed_matches_fastpath(ray_session, monkeypatch):
+    import ray.data as rd
+
+    from search_engine_skillbox_ray import config
+    from search_engine_skillbox_ray.pipelines import relational
+
+    _, o, li = _tables()
+    kw = dict(date_from_iso="1996-01-01", date_to_iso="1999-01-01", late_days=90)
+    fast = relational.order_priority_counts(o, li, **kw)
+    monkeypatch.setattr(config, "DRIVER_FASTPATH_ROWS", 0)
+    dist = relational.order_priority_counts(o, li, **kw)
+    pd.testing.assert_frame_equal(
+        fast.reset_index(drop=True), dist.reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
 def test_pricing_summary_matches_pandas(ray_session):
     import pyarrow.parquet as pq
 
