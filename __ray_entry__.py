@@ -2487,6 +2487,62 @@ def q_streaming_ingest(sf_dir: str):
     )
 
 
+def q_index_merge_ingest(sf_dir: str):
+    """Merged indexes are LIVE: build quarter-shards (doc_id%4 ∈ {0,2})
+    independently, k-way merge them, then stream the ODD half in via
+    ``IndexUpdater.index_pages`` (LSM delta on TOP of the merged base)
+    — the live (doc_id, term, tf) view must equal term frequencies over
+    the EVEN+ODD = 3/4 table slice (doc_id%4 != 3), proving the merge
+    output participates in the full ingest lifecycle."""
+    import shutil
+
+    import search_engine_skillbox_ray as ses
+    from search_engine_skillbox_ray.pipelines.build import merge_indexes
+    from search_engine_skillbox_ray.sources.pages import (
+        docs_from_documents,
+        sites_for_sources,
+    )
+
+    docs = _documents(sf_dir)
+    sources = _sources(sf_dir)
+
+    def _mod4(*vals):
+        def f(t):
+            m = pc.bit_wise_and(t.column("doc_id"), 3)
+            keep = pc.is_in(m, value_set=pa.array(list(vals), pa.int64()))
+            return t.filter(keep)
+
+        return f
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    shards = []
+    for p in (0, 2):
+        d = f"/tmp/ses_mi_shard{p}_{tag}"
+        ses.build_index_from_documents_table(
+            docs.map_batches(_mod4(p), batch_format="pyarrow"), d,
+            ses.BuildConfig(n_buckets=8),
+            input_token=f"{sf_dir}-mi-{p}", sources=sources,
+        )
+        shards.append(d)
+    idx = f"/tmp/ses_mi_merged_{tag}"
+    shutil.rmtree(idx, ignore_errors=True)  # ingestion mutates: fresh per run
+    merge_indexes(shards, idx)
+    odd = docs.map_batches(_mod4(1), batch_format="pyarrow")
+    r = ses.IndexUpdater(idx).index_pages(docs_from_documents(odd, sources))
+    assert r["result"], r
+    eng = ses.SearchEngine(idx)
+    dump = eng.dump_doc_term_tf()
+    hyd = eng._hydrate(np.unique(dump["doc_id"].to_numpy(zero_copy_only=False)))
+    orig = {k: int(v["path"].rsplit("/", 1)[1]) for k, v in hyd.items()}
+    doc_ids = np.fromiter(
+        (orig[int(d)] for d in dump["doc_id"].to_pylist()),
+        dtype=np.int64, count=len(dump),
+    )
+    return pa.table(
+        {"doc_id": pa.array(doc_ids), "term": dump["term"], "tf": dump["tf"]}
+    )
+
+
 # ------------------------------------------------------------ contract
 def entry() -> Any:
     """Flagship: build the index over sf0.001 documents, run the search
@@ -2615,6 +2671,7 @@ _DRIVER_PRIORITY = [
     "user_ewma",
     "zipf_fit",
     "rel_order_priority",
+    "index_merge_ingest",
 ]
 
 
@@ -2727,6 +2784,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "user_ewma": q_user_ewma,
         "zipf_fit": q_zipf_fit,
         "rel_order_priority": q_rel_order_priority,
+        "index_merge_ingest": q_index_merge_ingest,
         "doc_chunks": q_doc_chunks,
         "proximity": q_proximity,
         "near_search": q_near_search,
@@ -5441,6 +5499,12 @@ SELECT o.vec_id, o.cluster,
   ) THEN 0 ELSE 1 END::BIGINT AS keep
 FROM av o
 """,
+        # merged base + LSM delta ingest: live tf over the 3/4 slice
+        "index_merge_ingest": (
+            "SELECT doc_id, term, count(*)::BIGINT AS tf FROM ("
+            + _TOK
+            + ") WHERE doc_id % 4 != 3 GROUP BY doc_id, term"
+        ),
         # Zipf fit: five scalar sums, expression shape repeated verbatim
         "zipf_fit": f"""
 WITH cf AS (SELECT term, count(*)::BIGINT AS cf FROM ({_TOK}) GROUP BY term),

@@ -380,6 +380,7 @@ def bench_sf_queries() -> dict:
         "user_ewma",
         "zipf_fit",
         "rel_order_priority",
+        "index_merge_ingest",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

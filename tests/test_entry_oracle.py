@@ -282,6 +282,7 @@ def test_oracle_keys_subset(entry_mod):
     "user_ewma",
     "zipf_fit",
     "rel_order_priority",
+    "index_merge_ingest",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
