@@ -61,6 +61,8 @@ COSPAIR_THRESHOLD, COSPAIR_MAX_DF = 0.8, 32
 MEDIA_DUP_EXACT_EVERY, MEDIA_DUP_NEAR_EVERY = 7, 11
 MEDIA_NEAR_THRESHOLD, MEDIA_NEAR_PLANES = 0.99, 4
 EWMA_ALPHA = 0.3  # per-user time-decayed aggregate
+RANGE_JOIN_W_S = 7200  # global (keyless) time-range join window
+MOVAVG_WINDOW = 3  # per-user trailing moving-average window (rows)
 ZIPF_TOP_M = 1000  # rank-frequency fit over the top-M vocabulary
 Q4_FROM, Q4_TO, Q4_LATE_DAYS = "1996-01-01", "1999-01-01", 90
 # relational (TPC-H-shaped) probes over lineitem/orders/customer
@@ -725,6 +727,26 @@ def q_user_ewma(sf_dir: str):
     from search_engine_skillbox_ray.pipelines.windows import user_ewma
 
     return user_ewma(_events(sf_dir), alpha=EWMA_ALPHA)
+
+
+def q_events_range_join(sf_dir: str):
+    """GLOBAL (keyless) time-range join: per signup event, count/value-
+    sum of click events from ANY user in (t, t+W] — bucket-replication
+    exchange (anchors + 2x followers slim rows), aggregated before the
+    pair set ever materializes."""
+    from search_engine_skillbox_ray.pipelines.windows import time_range_join
+
+    return time_range_join(
+        _events(sf_dir), "signup", "click", within_s=RANGE_JOIN_W_S
+    )
+
+
+def q_user_moving_avg(sf_dir: str):
+    """SQL window function AVG OVER (PARTITION BY user ORDER BY ts ROWS
+    w-1 PRECEDING) as one user-bucketed exchange + prefix-sum kernel."""
+    from search_engine_skillbox_ray.pipelines.windows import user_moving_avg
+
+    return user_moving_avg(_events(sf_dir), window=MOVAVG_WINDOW)
 
 
 def q_zipf_fit(sf_dir: str):
@@ -2672,6 +2694,9 @@ _DRIVER_PRIORITY = [
     "zipf_fit",
     "rel_order_priority",
     "index_merge_ingest",
+    # round-4 session-8 additions
+    "events_range_join",
+    "user_moving_avg",
 ]
 
 
@@ -2782,6 +2807,8 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "media_dedup": q_media_dedup,
         "media_near_pairs": q_media_near_pairs,
         "user_ewma": q_user_ewma,
+        "events_range_join": q_events_range_join,
+        "user_moving_avg": q_user_moving_avg,
         "zipf_fit": q_zipf_fit,
         "rel_order_priority": q_rel_order_priority,
         "index_merge_ingest": q_index_merge_ingest,
@@ -5539,6 +5566,26 @@ WITH e AS (SELECT user_id, value,
 SELECT user_id, count(*)::BIGINT AS n_events,
        ROUND(SUM({EWMA_ALPHA} * pow(1.0 - {EWMA_ALPHA}, n - rn) * value), 6) AS ewma
 FROM e GROUP BY user_id
+""",
+        # keyless non-equi time join: DuckDB's IEJoin is the oracle for
+        # the bucket-replication implementation
+        "events_range_join": f"""
+SELECT a.event_id,
+       count(b.event_id)::BIGINT AS n_follow,
+       round(COALESCE(sum(b.value), 0.0), 6)::DOUBLE AS sum_value
+FROM events a LEFT JOIN events b
+  ON b.event_type = 'click'
+ AND epoch_us(b.ts) > epoch_us(a.ts)
+ AND epoch_us(b.ts) <= epoch_us(a.ts) + {RANGE_JOIN_W_S * 1_000_000}
+WHERE a.event_type = 'signup'
+GROUP BY a.event_id
+""",
+        "user_moving_avg": f"""
+SELECT event_id,
+       round(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN {MOVAVG_WINDOW - 1} PRECEDING AND CURRENT ROW), 6)::DOUBLE
+         AS mov_avg
+FROM events
 """,
         "media_dedup": f"""
 SELECT CAST(media_id AS BIGINT) AS media_id, digest,

@@ -642,3 +642,186 @@ def user_ewma(
         )
 
     return bucketed_group_apply(events, [user_col], per_bucket, n_buckets=32)
+
+
+def time_range_join(
+    events: rd.Dataset,
+    anchor_type: str = "signup",
+    follow_type: str = "click",
+    within_s: int = 7200,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    val_col: str = "value",
+    type_col: str = "event_type",
+) -> rd.Dataset:
+    """→ (event_id, n_follow, sum_value[r6]): GLOBAL (keyless) range
+    join — for every anchor-typed event, the count and value-sum of
+    follow-typed events from ANY user with ts in ``(t, t + within_s]``.
+    Anchors with no follower keep a zero row (left-join semantics).
+
+    This is the pure non-equi time join :func:`follow_within` cannot
+    express (there the user key bounds the exchange; here no key
+    exists). Scale shape — the canonical BUCKET-REPLICATION range
+    join: the timeline is cut into ``within_s``-wide buckets; anchors
+    route to their own bucket only, followers replicate to their own
+    bucket AND the previous one (a window of length W starting in
+    bucket b ends in b or b+1, never further). One hash exchange of
+    ``anchors + 2·followers`` slim rows; inside a bucket, followers
+    are sorted once by (target_bucket, ts) and every anchor resolves
+    with two ``np.searchsorted`` + a prefix-sum difference. No pair
+    blow-up: the join output is aggregated per anchor before it ever
+    materializes. Partitioning assumption: bucket id is a pure
+    function of ts, so co-location is exact by construction; skew is
+    bounded by the event rate per W-wide time slice.
+    """
+    from ..stages.grouping import bucketed_group_apply
+
+    within_us = int(within_s) * 1_000_000
+
+    def explode(batch: pa.Table) -> pa.Table:
+        et = batch.column(type_col)
+        amask = pc.equal(et, anchor_type)
+        fmask = pc.equal(et, follow_type)
+        a = batch.filter(amask)
+        f = batch.filter(fmask)
+        # normalize to MICROSECONDS regardless of the column's stored
+        # unit (parquet is us; in-memory pandas frames arrive as ns)
+        a_ts = (
+            a.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        f_ts = (
+            f.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        a_id = a.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        f_val = f.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        ab = a_ts // within_us
+        fb = f_ts // within_us
+        # follower copies: own bucket + previous bucket
+        tb = np.concatenate([ab, fb, fb - 1])
+        ts_us = np.concatenate([a_ts, f_ts, f_ts])
+        role = np.concatenate(
+            [np.zeros(len(a_id), np.int8), np.ones(2 * len(f_ts), np.int8)]
+        )
+        eid = np.concatenate([a_id, np.zeros(2 * len(f_ts), np.int64)])
+        val = np.concatenate([np.zeros(len(a_id), np.float64), f_val, f_val])
+        return pa.table(
+            {
+                "tbucket": pa.array(tb, pa.int64()),
+                "role": pa.array(role, pa.int8()),
+                "ts_us": pa.array(ts_us, pa.int64()),
+                "event_id": pa.array(eid, pa.int64()),
+                "value": pa.array(val, pa.float64()),
+            }
+        )
+
+    slim = events.select_columns([id_col, ts_col, val_col, type_col]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "event_id": np.array([], np.int64),
+                "n_follow": np.array([], np.int64),
+                "sum_value": np.array([], np.float64),
+            }
+        )
+        a = bucket[bucket["role"] == 0]
+        if not len(a):
+            return empty
+        aid = a["event_id"].to_numpy(dtype=np.int64)
+        at = a["ts_us"].to_numpy(dtype=np.int64)
+        atb = a["tbucket"].to_numpy(dtype=np.int64)
+        n_follow = np.zeros(len(a), np.int64)
+        sum_value = np.zeros(len(a), np.float64)
+        f = bucket[bucket["role"] == 1]
+        if len(f):
+            # composite MONOTONIC key: tbucket·3W + in-bucket offset.
+            # A copy targeted at bucket b has ts ∈ [b·W, (b+2)·W), so the
+            # offset lies in [0, 2W) — strictly inside the 3W stride —
+            # and ONE global searchsorted replaces per-segment searches.
+            ftb = f["tbucket"].to_numpy(dtype=np.int64)
+            ft = f["ts_us"].to_numpy(dtype=np.int64)
+            fkey = ftb * (3 * within_us) + (ft - ftb * within_us)
+            order = np.argsort(fkey, kind="mergesort")
+            fkey = fkey[order]
+            csum = np.concatenate(
+                ([0.0], np.cumsum(f["value"].to_numpy(dtype=np.float64)[order]))
+            )
+            # anchor at time t in bucket b: window (t, t+W] maps to
+            # offsets (t−b·W, t−b·W+W] ⊂ (0, 2W] — never crosses into
+            # the next bucket's stride
+            akey = atb * (3 * within_us) + (at - atb * within_us)
+            lo = np.searchsorted(fkey, akey, side="right")
+            hi = np.searchsorted(fkey, akey + within_us, side="right")
+            n_follow = hi - lo
+            sum_value = csum[hi] - csum[lo]
+        return pd.DataFrame(
+            {
+                "event_id": aid,
+                "n_follow": n_follow,
+                "sum_value": np.round(sum_value, 6),
+            }
+        )
+
+    # the physical shuffle key is the time bucket: every follower copy
+    # targeted at bucket b co-locates with the anchors of bucket b
+    return bucketed_group_apply(slim, ["tbucket"], per_bucket, n_buckets=32)
+
+
+def user_moving_avg(
+    events: rd.Dataset,
+    window: int = 3,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    val_col: str = "value",
+) -> rd.Dataset:
+    """→ (event_id, mov_avg[r6]): per-user trailing moving average of
+    ``value`` over the last ``window`` events in (ts, event_id) order —
+    the SQL window function ``AVG(value) OVER (PARTITION BY user ORDER
+    BY ts, event_id ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)``.
+
+    Scale shape: one user-bucketed exchange (same as
+    :func:`asof_prev_event`); inside a bucket one mergesort + one
+    prefix-sum serves every user's windows (prefix differences clipped
+    at each user's segment start — no per-row Python). round(·,6)
+    bridges the prefix-difference vs in-order summation gap on windows
+    of ``window`` doubles."""
+    from ..stages.grouping import bucketed_group_apply
+
+    w = int(window)
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "event_id": np.array([], np.int64),
+                "mov_avg": np.array([], np.float64),
+            }
+        )
+        if not len(bucket):
+            return empty
+        g = bucket.sort_values([user_col, ts_col, id_col], kind="mergesort")
+        users = g[user_col].to_numpy(dtype=np.int64)
+        vals = g[val_col].to_numpy(dtype=np.float64)
+        eid = g[id_col].to_numpy(dtype=np.int64)
+        n = users.size
+        starts = np.flatnonzero(np.r_[True, users[1:] != users[:-1]])
+        seg_start_per_row = np.repeat(starts, np.diff(np.r_[starts, n]))
+        idx = np.arange(n)
+        lo = np.maximum(idx - (w - 1), seg_start_per_row)
+        csum = np.concatenate(([0.0], np.cumsum(vals)))
+        sums = csum[idx + 1] - csum[lo]
+        cnts = (idx + 1 - lo).astype(np.float64)
+        return pd.DataFrame(
+            {"event_id": eid, "mov_avg": np.round(sums / cnts, 6)}
+        )
+
+    return bucketed_group_apply(
+        events.select_columns([id_col, user_col, ts_col, val_col]),
+        [user_col],
+        per_bucket,
+        n_buckets=32,
+    )

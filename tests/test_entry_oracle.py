@@ -283,6 +283,8 @@ def test_oracle_keys_subset(entry_mod):
     "zipf_fit",
     "rel_order_priority",
     "index_merge_ingest",
+    "events_range_join",
+    "user_moving_avg",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))

@@ -1342,3 +1342,127 @@ def test_facet_counts_empty_result_set(ray_session):
     out = facet_counts_ds(ds, np.array([], np.int64), np.array([], np.float64))
     assert out.schema().names == ["source", "n_docs", "sum_score"]
     assert out.count() == 0
+
+
+def test_time_range_join_boundaries(ray_session):
+    """Keyless time-range join: followers exactly at t are EXCLUDED,
+    exactly at t+W INCLUDED, and matches work across the replication
+    bucket boundary (follower in bucket b+1 of an anchor in b)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.windows import time_range_join
+
+    W = 100  # seconds
+    base = np.int64(1_700_000_000_000_000)  # epoch us
+
+    def ev(eid, off_s, etype, val=1.0):
+        return {
+            "event_id": eid,
+            "ts": pd.Timestamp(base + np.int64(off_s * 1_000_000), unit="us"),
+            "user_id": eid % 3,
+            "event_type": etype,
+            "value": float(val),
+        }
+
+    rows = [
+        ev(1, 10, "signup"),          # window (10, 110]
+        ev(2, 10, "click", 5.0),      # AT anchor ts -> excluded
+        ev(3, 110, "click", 7.0),     # AT t+W -> included
+        ev(4, 111, "click", 9.0),     # just past -> excluded
+        ev(5, 95, "signup"),          # window (95, 195] crosses bucket edge
+        ev(6, 150, "click", 2.0),     # bucket b+1 of anchor 5; also in 1's? 150>110 no
+        ev(7, 400, "signup"),         # no followers
+    ]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = (
+        time_range_join(ds, "signup", "click", within_s=W)
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    assert out.loc[1, "n_follow"] == 1 and out.loc[1, "sum_value"] == 7.0
+    # clicks at 110 (7.0), 111 (9.0) and 150 (2.0) all lie in (95, 195]
+    assert out.loc[5, "n_follow"] == 3 and out.loc[5, "sum_value"] == 18.0
+    assert out.loc[7, "n_follow"] == 0 and out.loc[7, "sum_value"] == 0.0
+    assert len(out) == 3
+
+
+def test_time_range_join_matches_bruteforce(ray_session):
+    """Random events: bucket-replication result == O(n^2) reference."""
+    import pandas as pd
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.windows import time_range_join
+
+    rng = np.random.default_rng(7)
+    n = 400
+    base = np.int64(1_700_000_000_000_000)
+    ts = base + rng.integers(0, 3_600_000_000, n)  # 1h span, us
+    types = rng.choice(["signup", "click", "view"], n)
+    vals = np.round(rng.uniform(0, 10, n), 3)
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(ts, unit="us"),
+            "user_id": rng.integers(0, 5, n),
+            "event_type": types,
+            "value": vals,
+        }
+    )
+    W = 120
+    out = (
+        time_range_join(rd.from_pandas(df), "signup", "click", within_s=W)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    a = df[df.event_type == "signup"]
+    f = df[df.event_type == "click"]
+    at = a.ts.astype("int64").to_numpy() // 1000  # ns -> us
+    ft = f.ts.astype("int64").to_numpy() // 1000
+    exp_n, exp_s = [], []
+    for t in at:
+        m = (ft > t) & (ft <= t + W * 1_000_000)
+        exp_n.append(int(m.sum()))
+        exp_s.append(round(float(f.value.to_numpy()[m].sum()), 6))
+    assert (out.n_follow.to_numpy() == np.array(exp_n)).all()
+    assert np.allclose(out.sum_value.to_numpy(), np.array(exp_s), atol=1e-6)
+
+
+def test_user_moving_avg_matches_pandas(ray_session):
+    """Per-user trailing moving average == pandas rolling(min_periods=1)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.windows import user_moving_avg
+
+    rng = np.random.default_rng(11)
+    n = 300
+    base = np.int64(1_700_000_000_000_000)
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(base + rng.integers(0, 10**9, n), unit="us"),
+            "user_id": rng.integers(0, 7, n),
+            "value": np.round(rng.uniform(0, 100, n), 3),
+        }
+    )
+    out = (
+        user_moving_avg(rd.from_pandas(df), window=3)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    ref = (
+        df.sort_values(["user_id", "ts", "event_id"])
+        .assign(
+            mov_avg=lambda d: d.groupby("user_id")["value"]
+            .rolling(3, min_periods=1)
+            .mean()
+            .to_numpy()
+        )
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert np.allclose(out.mov_avg.to_numpy(), np.round(ref.mov_avg.to_numpy(), 6), atol=1e-6)
