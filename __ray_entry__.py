@@ -62,6 +62,7 @@ MEDIA_DUP_EXACT_EVERY, MEDIA_DUP_NEAR_EVERY = 7, 11
 MEDIA_NEAR_THRESHOLD, MEDIA_NEAR_PLANES = 0.99, 4
 EWMA_ALPHA = 0.3  # per-user time-decayed aggregate
 RANGE_JOIN_W_S = 7200  # global (keyless) time-range join window
+NB_TEST_MOD = 4  # Naive-Bayes holdout: doc_id % mod == 0 is scored
 MOVAVG_WINDOW = 3  # per-user trailing moving-average window (rows)
 ZIPF_TOP_M = 1000  # rank-frequency fit over the top-M vocabulary
 Q4_FROM, Q4_TO, Q4_LATE_DAYS = "1996-01-01", "1999-01-01", 90
@@ -739,6 +740,15 @@ def q_events_range_join(sf_dir: str):
     return time_range_join(
         _events(sf_dir), "signup", "click", within_s=RANGE_JOIN_W_S
     )
+
+
+def q_nb_classify(sf_dir: str):
+    """Multinomial NB source classifier trained on doc_id%4!=0 and
+    scoring the holdout — integer fixed-point log weights (floor on
+    both sides), one (source,term) exchange + broadcast model."""
+    from search_engine_skillbox_ray.pipelines.selection import nb_classify
+
+    return nb_classify(_documents(sf_dir), test_mod=NB_TEST_MOD)
 
 
 def q_user_moving_avg(sf_dir: str):
@@ -2697,6 +2707,7 @@ _DRIVER_PRIORITY = [
     # round-4 session-8 additions
     "events_range_join",
     "user_moving_avg",
+    "nb_classify",
 ]
 
 
@@ -2809,6 +2820,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "user_ewma": q_user_ewma,
         "events_range_join": q_events_range_join,
         "user_moving_avg": q_user_moving_avg,
+        "nb_classify": q_nb_classify,
         "zipf_fit": q_zipf_fit,
         "rel_order_priority": q_rel_order_priority,
         "index_merge_ingest": q_index_merge_ingest,
@@ -5586,6 +5598,42 @@ SELECT event_id,
          ROWS BETWEEN {MOVAVG_WINDOW - 1} PRECEDING AND CURRENT ROW), 6)::DOUBLE
          AS mov_avg
 FROM events
+""",
+
+        # NB classifier: integer fixed point — floor(ln(·)·1e6) on both
+        # sides, so the per-doc class score is an exact BIGINT sum
+        "nb_classify": f"""
+WITH tok AS ({_TOK}),
+train_docs AS (SELECT doc_id, source FROM documents WHERE doc_id % {NB_TEST_MOD} <> 0),
+test_tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+            WHERE doc_id % {NB_TEST_MOD} = 0 GROUP BY 1, 2),
+cnt AS (SELECT d.source, t.term, count(*)::BIGINT AS c
+        FROM tok t JOIN train_docs d USING (doc_id) GROUP BY 1, 2),
+tot AS (SELECT source, sum(c)::BIGINT AS tot FROM cnt GROUP BY 1),
+vocab AS (SELECT count(DISTINCT term)::BIGINT AS v FROM cnt),
+ntr AS (SELECT count(*)::BIGINT AS n FROM train_docs),
+prior AS (SELECT source,
+            floor(ln(count(*)::DOUBLE / (SELECT n FROM ntr)) * 1000000)::BIGINT AS lp
+          FROM train_docs GROUP BY source),
+lw AS (SELECT cnt.source, cnt.term,
+              floor(ln((c + 1)::DOUBLE / (tot + (SELECT v FROM vocab))) * 1000000)::BIGINT AS l
+       FROM cnt JOIN tot USING (source)),
+l0 AS (SELECT source,
+              floor(ln(1.0 / (tot + (SELECT v FROM vocab))) * 1000000)::BIGINT AS l0
+       FROM tot),
+scores AS (
+  SELECT d.doc_id, p.source,
+         p.lp + COALESCE(sum(tt.tf * COALESCE(lw.l, l0.l0)), 0) AS score
+  FROM (SELECT doc_id FROM documents WHERE doc_id % {NB_TEST_MOD} = 0) d
+  CROSS JOIN prior p
+  JOIN l0 ON l0.source = p.source
+  LEFT JOIN test_tf tt ON tt.doc_id = d.doc_id
+  LEFT JOIN lw ON lw.source = p.source AND lw.term = tt.term
+  GROUP BY d.doc_id, p.source, p.lp),
+ranked AS (SELECT doc_id, source, score,
+           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, source ASC) AS rn
+           FROM scores)
+SELECT doc_id, source AS pred_source, score FROM ranked WHERE rn = 1
 """,
         "media_dedup": f"""
 SELECT CAST(media_id AS BIGINT) AS media_id, digest,

@@ -187,3 +187,182 @@ def weighted_sample_topk(
     return sub.append_column(
         "rank", pa.array(np.arange(1, len(sub) + 1, dtype=np.int64))
     )
+
+
+def nb_classify(
+    documents: rd.Dataset,
+    *,
+    test_mod: int = 4,
+    scale: int = 1_000_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> rd.Dataset:
+    """Multinomial Naive Bayes source classifier, trained and served
+    distributed: docs with ``doc_id % test_mod != 0`` train the model,
+    the rest are scored → (doc_id, pred_source, score).
+
+    Deterministic INTEGER fixed point (the TextRank trick): every log
+    is ``floor(ln(x) · scale)`` as int64 — floor (not round) so numpy
+    and DuckDB agree bit-for-bit regardless of rounding mode — and a
+    doc's class score
+
+        score(d,c) = prior(c) + Σ_t tf(d,t) · L(c,t)
+
+    is a pure integer sum, identical in any summation order. Laplace
+    smoothing: L(c,t) = floor(ln((cnt+1)/(tot_c+V))·scale), unseen
+    terms take L0(c) = floor(ln(1/(tot_c+V))·scale); prior(c) =
+    floor(ln(n_c/n_train)·scale). Ties break to the lexicographically
+    smallest source.
+
+    Scale shape: ONE (source,term)-keyed exchange builds the count
+    model (per-batch np.unique combiners pre-aggregate, so the shuffle
+    moves batch-distinct partials, not tokens); the fitted model is a
+    VOCABULARY-sized table — collected and broadcast once via
+    ``ray.put`` like every other vocab-sized side model in this engine
+    (the cluster-scale alternative is a term-keyed join of test tf
+    rows against the weight table). Scoring is a stateless streaming
+    pass: per batch, one C×hits matrix gather + np.bincount per class
+    (C ≈ #sources vectorized passes, no per-row Python)."""
+    from ..functions.hashing import flat_nonempty_tokens
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        """(source, term, cnt) batch-local combiner over TRAIN docs."""
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (ids % test_mod) != 0
+        sub = batch.filter(pa.array(keep))
+        if not len(sub):
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "term": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        toks, parents, _ = flat_nonempty_tokens(sub.column(text_col))
+        src = sub.column(source_col).dictionary_encode()
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        scodes = src.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        snames = np.asarray(src.dictionary.to_pylist(), dtype=object)
+        if not len(toks):
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "term": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        tdict = toks.dictionary_encode()
+        tcodes = tdict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        tnames = np.asarray(tdict.dictionary.to_pylist(), dtype=object)
+        combo = scodes[parents] * np.int64(len(tnames)) + tcodes
+        uniq, cnt = np.unique(combo, return_counts=True)
+        return pa.table(
+            {
+                "source": pa.array(snames[(uniq // len(tnames))], pa.string()),
+                "term": pa.array(tnames[(uniq % len(tnames))], pa.string()),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    counts = (
+        documents.select_columns([id_col, text_col, source_col])
+        .map_batches(count_partial, batch_format="pyarrow", batch_size=4096)
+        .groupby(["source", "term"])
+        .sum("cnt")
+    )
+    # vocabulary-sized model collect (annotated): C·V weight rows
+    model_t = pa.concat_tables(ray.get(counts.to_arrow_refs()))
+    m_src = np.asarray(model_t.column("source").to_pylist(), dtype=object)
+    m_term = np.asarray(model_t.column("term").to_pylist(), dtype=object)
+    m_cnt = model_t.column("sum(cnt)").to_numpy(zero_copy_only=False).astype(np.int64)
+
+    # per-class doc counts for the prior (class-count-sized aggregate)
+    def train_only(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array((ids % test_mod) != 0))
+
+    tr_docs = (
+        documents.select_columns([id_col, source_col])
+        .map_batches(train_only, batch_format="pyarrow")
+        .groupby(source_col)
+        .count()
+        .to_pandas()
+    )
+    classes = np.sort(np.union1d(m_src, tr_docs[source_col].to_numpy(dtype=object)))
+    c_index = {c: i for i, c in enumerate(classes)}
+    n_c = np.zeros(len(classes), np.int64)
+    for s, k in zip(tr_docs[source_col], tr_docs["count()"]):
+        n_c[c_index[s]] = k
+    n_train = int(n_c.sum())
+
+    vocab = np.sort(np.unique(m_term))
+    v_size = len(vocab)
+    import pandas as pd
+
+    v_index = pd.Index(vocab)
+    tot_c = np.zeros(len(classes), np.int64)
+    np.add.at(tot_c, [c_index[s] for s in m_src], m_cnt)
+
+    # integer fixed-point weights: floor on BOTH sides (numpy / DuckDB)
+    L = np.empty((len(classes), v_size), np.int64)
+    denom = (tot_c + v_size).astype(np.float64)
+    l0 = np.floor(np.log(1.0 / denom) * scale).astype(np.int64)
+    L[:] = l0[:, None]
+    rows = np.asarray([c_index[s] for s in m_src], np.int64)
+    cols = v_index.get_indexer(m_term)
+    L[rows, cols] = np.floor(
+        np.log((m_cnt + 1).astype(np.float64) / denom[rows]) * scale
+    ).astype(np.int64)
+    prior = np.floor(
+        np.log(n_c.astype(np.float64) / float(n_train)) * scale
+    ).astype(np.int64)
+
+    model_ref = [ray.put((vocab, L, l0, prior, np.asarray(classes, dtype=object)))]
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (ids % test_mod) == 0
+        sub = batch.filter(pa.array(keep))
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "pred_source": pa.array([], pa.string()),
+                "score": pa.array([], pa.int64()),
+            }
+        )
+        if not len(sub):
+            return empty
+        vocab_, L_, l0_, prior_, classes_ = ray.get(model_ref[0])
+        vi = pd.Index(vocab_)
+        sids = sub.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        toks, parents, _ = flat_nonempty_tokens(sub.column(text_col))
+        n = len(sids)
+        scores = np.tile(prior_[:, None], (1, n))
+        if len(toks):
+            tdict = toks.dictionary_encode()
+            tcodes = tdict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            tnames = tdict.dictionary.to_pylist()
+            code2vidx = vi.get_indexer(tnames)  # -1 = out of vocabulary
+            vidx = code2vidx[tcodes]
+            seen = vidx >= 0
+            for ci in range(len(classes_)):
+                w = np.where(seen, L_[ci][np.maximum(vidx, 0)], l0_[ci])
+                scores[ci] += np.bincount(parents, weights=w, minlength=n).astype(
+                    np.int64
+                )
+        best = np.argmax(scores, axis=0)  # first max → smallest source
+        return pa.table(
+            {
+                id_col: pa.array(sids, pa.int64()),
+                "pred_source": pa.array(
+                    np.asarray(classes_, dtype=object)[best], pa.string()
+                ),
+                "score": pa.array(scores[best, np.arange(n)], pa.int64()),
+            }
+        )
+
+    return documents.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow", batch_size=4096
+    )

@@ -285,6 +285,7 @@ def test_oracle_keys_subset(entry_mod):
     "index_merge_ingest",
     "events_range_join",
     "user_moving_avg",
+    "nb_classify",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))

@@ -1466,3 +1466,33 @@ def test_user_moving_avg_matches_pandas(ray_session):
         .reset_index(drop=True)
     )
     assert np.allclose(out.mov_avg.to_numpy(), np.round(ref.mov_avg.to_numpy(), 6), atol=1e-6)
+
+
+def test_nb_classify_separable(ray_session):
+    """Two clearly-separable vocabularies: NB recovers the source of
+    every held-out doc; zero-token holdout docs still get a row."""
+    import pandas as pd
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.selection import nb_classify
+
+    rows = []
+    for i in range(40):
+        src = "alpha" if i % 2 == 0 else "beta"
+        text = ("apple orange pear " if src == "alpha" else "stone iron copper ") * 4
+        rows.append({"doc_id": i, "text": text, "source": src})
+    rows.append({"doc_id": 40, "text": "", "source": "alpha"})  # empty holdout
+    out = (
+        nb_classify(rd.from_pandas(pd.DataFrame(rows)), test_mod=4)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    holdout = [i for i in range(41) if i % 4 == 0]
+    assert sorted(out.index) == holdout
+    for i in holdout:
+        if i == 40:
+            continue  # empty doc: prior-only argmax, no vocabulary signal
+        want = "alpha" if i % 2 == 0 else "beta"
+        assert out.loc[i, "pred_source"] == want
+    assert out.loc[40, "pred_source"] in {"alpha", "beta"}
