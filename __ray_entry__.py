@@ -63,6 +63,7 @@ MEDIA_NEAR_THRESHOLD, MEDIA_NEAR_PLANES = 0.99, 4
 EWMA_ALPHA = 0.3  # per-user time-decayed aggregate
 RANGE_JOIN_W_S = 7200  # global (keyless) time-range join window
 NB_TEST_MOD = 4  # Naive-Bayes holdout: doc_id % mod == 0 is scored
+DQ_SHORT_CHARS, DQ_STALE_ISO = 100, "1996-01-01"  # expectation suite
 MOVAVG_WINDOW = 3  # per-user trailing moving-average window (rows)
 ZIPF_TOP_M = 1000  # rank-frequency fit over the top-M vocabulary
 Q4_FROM, Q4_TO, Q4_LATE_DAYS = "1996-01-01", "1999-01-01", 90
@@ -740,6 +741,28 @@ def q_events_range_join(sf_dir: str):
     return time_range_join(
         _events(sf_dir), "signup", "click", within_s=RANGE_JOIN_W_S
     )
+
+
+def q_dq_checks(sf_dir: str):
+    """Data-quality expectation suite: per-check violation counts —
+    streaming partial counts, broadcast-dimension fk check, distinct-
+    key fact-fact fk via sized_join."""
+    from search_engine_skillbox_ray.pipelines.dataquality import dq_checks
+
+    return dq_checks(
+        _documents(sf_dir), _table(sf_dir, "orders"),
+        _table(sf_dir, "customer"), _table(sf_dir, "lineitem"),
+        short_chars=DQ_SHORT_CHARS, stale_before_iso=DQ_STALE_ISO,
+    )
+
+
+def q_rel_rollup(sf_dir: str):
+    """GROUP BY ROLLUP (flag, status): finest grouping set computed
+    once with integer-cents combiners, ancestors derived from the
+    6-row detail."""
+    from search_engine_skillbox_ray.pipelines.relational import rollup_pricing
+
+    return rollup_pricing(_table(sf_dir, "lineitem"))
 
 
 def q_nb_classify(sf_dir: str):
@@ -2708,6 +2731,8 @@ _DRIVER_PRIORITY = [
     "events_range_join",
     "user_moving_avg",
     "nb_classify",
+    "dq_checks",
+    "rel_rollup",
 ]
 
 
@@ -2821,6 +2846,8 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "events_range_join": q_events_range_join,
         "user_moving_avg": q_user_moving_avg,
         "nb_classify": q_nb_classify,
+        "dq_checks": q_dq_checks,
+        "rel_rollup": q_rel_rollup,
         "zipf_fit": q_zipf_fit,
         "rel_order_priority": q_rel_order_priority,
         "index_merge_ingest": q_index_merge_ingest,
@@ -5634,6 +5661,41 @@ ranked AS (SELECT doc_id, source, score,
            row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, source ASC) AS rn
            FROM scores)
 SELECT doc_id, source AS pred_source, score FROM ranked WHERE rn = 1
+""",
+
+        "dq_checks": f"""
+SELECT check_name, violations FROM (
+  SELECT 'docs_dup_doc_id' AS check_name,
+         (count(*) - count(DISTINCT doc_id))::BIGINT AS violations FROM documents
+  UNION ALL SELECT 'docs_empty_text',
+         count(*) FILTER (WHERE text IS NULL OR length(text) = 0)::BIGINT FROM documents
+  UNION ALL SELECT 'docs_n_chars_mismatch',
+         count(*) FILTER (WHERE length(COALESCE(text, '')) <> n_chars)::BIGINT FROM documents
+  UNION ALL SELECT 'docs_short_text',
+         count(*) FILTER (WHERE n_chars < {DQ_SHORT_CHARS})::BIGINT FROM documents
+  UNION ALL SELECT 'fk_lineitem_orders',
+         count(DISTINCT l.l_orderkey) FILTER (WHERE o.o_orderkey IS NULL)::BIGINT
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+  UNION ALL SELECT 'fk_orders_customer',
+         count(*) FILTER (WHERE c.c_custkey IS NULL)::BIGINT
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  UNION ALL SELECT 'lineitem_discount_range',
+         count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1)::BIGINT FROM lineitem
+  UNION ALL SELECT 'orders_stale',
+         count(*) FILTER (WHERE o_orderdate < TIMESTAMP '{DQ_STALE_ISO}')::BIGINT FROM orders
+)
+""",
+        # rollup: 'ALL' markers instead of NULLs so the three grouping
+        # sets share one stable hashable schema
+        "rel_rollup": """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       sum(l_quantity)::BIGINT AS sum_qty,
+       round(CAST(sum(FLOOR(l_extendedprice * 100 + 0.5)) AS DOUBLE) / 100.0, 6)
+         AS sum_base_price,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
         "media_dedup": f"""
 SELECT CAST(media_id AS BIGINT) AS media_id, digest,

@@ -541,3 +541,84 @@ def order_priority_counts(
         {"o_orderpriority": [r[0] for r in rows],
          "order_count": [r[1] for r in rows]}
     )
+
+
+def rollup_pricing(lineitem: rd.Dataset) -> pd.DataFrame:
+    """GROUP BY ROLLUP (l_returnflag, l_linestatus) over the whole
+    lineitem table → exact sums at THREE levels: (flag, status) detail,
+    per-flag subtotals, and the grand total — rolled-up key columns
+    carry the literal marker ``'ALL'`` (the flag/status domains are
+    single letters, no collision) so every level lands in one table
+    with a stable hashable schema.
+
+    → (l_returnflag, l_linestatus, sum_qty, sum_base_price, count_order)
+
+    Scale shape: ONE pass builds the finest level with the same
+    integer-cents per-batch combiners as :func:`pricing_summary`
+    (exchange ≤ 6 groups × n_batches rows); the two coarser levels are
+    derived by re-aggregating the 6-row detail result on the driver —
+    exact integer folds, no second scan, no extra shuffle. This is the
+    textbook rollup plan: compute the finest grouping set once, derive
+    ancestors from it."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flag = batch.column("l_returnflag").to_pandas().to_numpy()
+        stat = batch.column("l_linestatus").to_pandas().to_numpy()
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        price_c = _cents(batch.column("l_extendedprice").to_numpy(zero_copy_only=False))
+        keys = pd.MultiIndex.from_arrays([flag, stat])
+        df = pd.DataFrame(
+            {
+                "sum_qty": qty.astype(np.int64),
+                "sum_base_c": price_c,
+                "n": np.ones(len(qty), np.int64),
+            },
+            index=keys,
+        )
+        agg = df.groupby(level=[0, 1], sort=False).sum()
+        return pa.table(
+            {
+                "l_returnflag": pa.array([k[0] for k in agg.index], pa.string()),
+                "l_linestatus": pa.array([k[1] for k in agg.index], pa.string()),
+                **{c: pa.array(agg[c].to_numpy(), pa.int64()) for c in agg.columns},
+            }
+        )
+
+    partials = lineitem.select_columns(
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"]
+    ).map_batches(partial, batch_format="pyarrow", batch_size=16384)
+
+    # detail fold: ≤ 6 groups, Python-int accumulators
+    acc: dict[tuple[str, str], list[int]] = {}
+    for ref in partials.to_arrow_refs():
+        t = ray.get(ref)
+        d = t.to_pydict()
+        for i in range(len(t)):
+            key = (d["l_returnflag"][i], d["l_linestatus"][i])
+            row = acc.setdefault(key, [0, 0, 0])
+            row[0] += d["sum_qty"][i]
+            row[1] += d["sum_base_c"][i]
+            row[2] += d["n"][i]
+
+    # derive the ancestor grouping sets from the detail level
+    by_flag: dict[str, list[int]] = {}
+    total = [0, 0, 0]
+    for (flag, _stat), row in acc.items():
+        frow = by_flag.setdefault(flag, [0, 0, 0])
+        for j in range(3):
+            frow[j] += row[j]
+            total[j] += row[j]
+
+    def emit(flag: str, stat: str, row: list[int]) -> dict:
+        return {
+            "l_returnflag": flag,
+            "l_linestatus": stat,
+            "sum_qty": row[0],
+            "sum_base_price": round(float(row[1]) / 100.0, 6),
+            "count_order": row[2],
+        }
+
+    rows = [emit(f, s, acc[(f, s)]) for (f, s) in sorted(acc)]
+    rows += [emit(f, "ALL", by_flag[f]) for f in sorted(by_flag)]
+    rows.append(emit("ALL", "ALL", total))
+    return pd.DataFrame(rows)

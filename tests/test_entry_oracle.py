@@ -286,6 +286,8 @@ def test_oracle_keys_subset(entry_mod):
     "events_range_join",
     "user_moving_avg",
     "nb_classify",
+    "dq_checks",
+    "rel_rollup",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))

@@ -156,3 +156,68 @@ def test_dsir_prefers_target_lookalikes(ray_session):
     # docs sharing the target's vocabulary outscore the disjoint ones
     assert out.loc[15, "logw"] > out.loc[45, "logw"]
     assert (out.loc[:29, "logw"] > out.loc[30:, "logw"].max()).all()
+
+
+def test_rollup_levels_consistent(ray_session):
+    """Rollup invariants: per-flag subtotals equal the sum of their
+    detail rows; the grand total equals the sum of the subtotals."""
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.relational import rollup_pricing
+
+    df = rollup_pricing(
+        rd.read_parquet("/root/testdata/sf0.001/lineitem.parquet")
+    )
+    detail = df[(df.l_returnflag != "ALL") & (df.l_linestatus != "ALL")]
+    subs = df[(df.l_returnflag != "ALL") & (df.l_linestatus == "ALL")]
+    total = df[(df.l_returnflag == "ALL") & (df.l_linestatus == "ALL")]
+    assert len(total) == 1
+    assert detail.count_order.sum() == total.count_order.iloc[0]
+    assert subs.count_order.sum() == total.count_order.iloc[0]
+    for flag, grp in detail.groupby("l_returnflag"):
+        row = subs[subs.l_returnflag == flag]
+        assert int(grp.sum_qty.sum()) == int(row.sum_qty.iloc[0])
+
+
+def test_dq_checks_planted_violations(ray_session):
+    """Planted dirt: duplicate ids, empty text, bad n_chars, orphan fk
+    and out-of-range discount are each counted by the right check."""
+    import pandas as pd
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.dataquality import dq_checks
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 1, 2, 3],
+            "text": ["hello world", "hello world", "", "x" * 200],
+            "n_chars": [11, 11, 0, 999],  # 999 mismatches len 200
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [10, 11],
+            "o_custkey": [100, 999],  # 999 missing from customer
+            "o_orderdate": pd.to_datetime(["1995-06-01", "1997-01-01"]),
+        }
+    )
+    customer = pd.DataFrame({"c_custkey": [100]})
+    lineitem = pd.DataFrame(
+        {
+            "l_orderkey": [10, 12],  # 12 orphan
+            "l_discount": [0.05, 1.5],  # 1.5 out of range
+        }
+    )
+    out = dq_checks(
+        rd.from_pandas(docs), rd.from_pandas(orders),
+        rd.from_pandas(customer), rd.from_pandas(lineitem),
+        short_chars=100, stale_before_iso="1996-01-01",
+    ).to_pandas().set_index("check_name")["violations"]
+    assert out["docs_dup_doc_id"] == 1
+    assert out["docs_empty_text"] == 1
+    assert out["docs_n_chars_mismatch"] == 1
+    assert out["docs_short_text"] == 3  # 11, 11, 0 chars
+    assert out["fk_orders_customer"] == 1
+    assert out["fk_lineitem_orders"] == 1
+    assert out["lineitem_discount_range"] == 1
+    assert out["orders_stale"] == 1
