@@ -64,6 +64,8 @@ EWMA_ALPHA = 0.3  # per-user time-decayed aggregate
 RANGE_JOIN_W_S = 7200  # global (keyless) time-range join window
 NB_TEST_MOD = 4  # Naive-Bayes holdout: doc_id % mod == 0 is scored
 DQ_SHORT_CHARS, DQ_STALE_ISO = 100, "1996-01-01"  # expectation suite
+SIF_DIMS, SIF_A = 4, 1e-3  # hashed SIF document embeddings
+Q6_FROM, Q6_TO, Q6_LO, Q6_HI, Q6_QTY = "1996-01-01", "1997-01-01", 0.02, 0.06, 25.0
 MOVAVG_WINDOW = 3  # per-user trailing moving-average window (rows)
 ZIPF_TOP_M = 1000  # rank-frequency fit over the top-M vocabulary
 Q4_FROM, Q4_TO, Q4_LATE_DAYS = "1996-01-01", "1999-01-01", 90
@@ -740,6 +742,26 @@ def q_events_range_join(sf_dir: str):
 
     return time_range_join(
         _events(sf_dir), "signup", "click", within_s=RANGE_JOIN_W_S
+    )
+
+
+def q_sif_embeddings(sf_dir: str):
+    """SIF document embeddings over md5-hashed token vectors — vocab-
+    sized cf model broadcast, streaming pass 2, no doc-row shuffle."""
+    from search_engine_skillbox_ray.pipelines.textstats import sif_embed_ds
+
+    return sif_embed_ds(_documents(sf_dir), n_dims=SIF_DIMS, a=SIF_A)
+
+
+def q_rel_revenue_filter(sf_dir: str):
+    """TPC-H Q6-shaped predicate-aggregate: integer cent·pct revenue
+    over a pruned streaming scan."""
+    from search_engine_skillbox_ray.pipelines.relational import revenue_filter
+
+    return revenue_filter(
+        _table(sf_dir, "lineitem"),
+        date_from_iso=Q6_FROM, date_to_iso=Q6_TO,
+        disc_lo=Q6_LO, disc_hi=Q6_HI, qty_max=Q6_QTY,
     )
 
 
@@ -2733,6 +2755,8 @@ _DRIVER_PRIORITY = [
     "nb_classify",
     "dq_checks",
     "rel_rollup",
+    "sif_embeddings",
+    "rel_revenue_filter",
 ]
 
 
@@ -2847,6 +2871,8 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "user_moving_avg": q_user_moving_avg,
         "nb_classify": q_nb_classify,
         "dq_checks": q_dq_checks,
+        "sif_embeddings": q_sif_embeddings,
+        "rel_revenue_filter": q_rel_revenue_filter,
         "rel_rollup": q_rel_rollup,
         "zipf_fit": q_zipf_fit,
         "rel_order_priority": q_rel_order_priority,
@@ -5696,6 +5722,35 @@ SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
        count(*)::BIGINT AS count_order
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+
+        # SIF embeddings: hashed token vectors are md5-exact on both
+        # sides; (tf·w)·v association and round(·,6) bridge sum order
+        "sif_embeddings": f"""
+WITH tf AS ({_TF}),
+tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS T FROM tf),
+cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM tf GROUP BY term),
+w AS (SELECT term, {SIF_A} / ({SIF_A} + CAST(cf AS DOUBLE) / (SELECT T FROM tot)) AS w
+      FROM cf),
+dims AS (SELECT unnest(generate_series(0, {SIF_DIMS - 1})) AS dim),
+v AS (SELECT cf.term, dims.dim,
+             CAST(md5_number_lower(cf.term || ':' || dims.dim) AS DOUBLE)
+               / 9223372036854775808.0 - 1.0 AS v
+      FROM cf CROSS JOIN dims)
+SELECT tf.doc_id, v.dim::BIGINT AS dim,
+       round(sum((tf.tf * w.w) * v.v), 6) AS emb
+FROM tf JOIN w ON w.term = tf.term JOIN v ON v.term = tf.term
+GROUP BY tf.doc_id, v.dim
+""",
+        "rel_revenue_filter": f"""
+SELECT round(CAST(sum(FLOOR(l_extendedprice * 100 + 0.5)
+                     * FLOOR(l_discount * 100 + 0.5)) AS DOUBLE) / 10000.0, 6)
+         AS revenue,
+       count(*)::BIGINT AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_FROM}' AND l_shipdate < TIMESTAMP '{Q6_TO}'
+  AND FLOOR(l_discount * 100 + 0.5) BETWEEN {int(Q6_LO * 100 + 0.5)} AND {int(Q6_HI * 100 + 0.5)}
+  AND l_quantity < {Q6_QTY}
 """,
         "media_dedup": f"""
 SELECT CAST(media_id AS BIGINT) AS media_id, digest,

@@ -622,3 +622,68 @@ def rollup_pricing(lineitem: rd.Dataset) -> pd.DataFrame:
     rows += [emit(f, "ALL", by_flag[f]) for f in sorted(by_flag)]
     rows.append(emit("ALL", "ALL", total))
     return pd.DataFrame(rows)
+
+
+def revenue_filter(
+    lineitem: rd.Dataset,
+    *,
+    date_from_iso: str,
+    date_to_iso: str,
+    disc_lo: float,
+    disc_hi: float,
+    qty_max: float,
+) -> pd.DataFrame:
+    """TPC-H Q6 shape: forecast-revenue-change scan —
+
+        SELECT sum(l_extendedprice · l_discount) WHERE shipdate ∈
+        [from, to) AND discount ∈ [lo, hi] AND quantity < qty_max
+
+    Money math in integer cent·pct units (price_c × disc_pct, ×10⁴),
+    summed as int64 per batch and Python ints on the driver; the one
+    double division happens at the very end, so the oracle's
+    CAST(SUM(...) AS DOUBLE)/1e4 rounds identically.
+
+    → one row (revenue, n_rows). Scale shape: pure column-pruned
+    streaming scan, per-batch partial sums, batch-count-sized fold —
+    the cheapest possible plan for a predicate-aggregate."""
+    lo_c = int(np.floor(disc_lo * 100 + 0.5))
+    hi_c = int(np.floor(disc_hi * 100 + 0.5))
+    d_from = np.datetime64(date_from_iso, "us")
+    d_to = np.datetime64(date_to_iso, "us")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        )
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        disc_pct = _cents(batch.column("l_discount").to_numpy(zero_copy_only=False))
+        keep = (
+            (ship >= d_from)
+            & (ship < d_to)
+            & (disc_pct >= lo_c)
+            & (disc_pct <= hi_c)
+            & (qty < qty_max)
+        )
+        price_c = _cents(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        )[keep]
+        rev_c4 = int((price_c * disc_pct[keep]).sum())
+        return pa.table(
+            {
+                "rev_c4": pa.array([rev_c4], pa.int64()),
+                "n": pa.array([int(keep.sum())], pa.int64()),
+            }
+        )
+
+    partials = lineitem.select_columns(
+        ["l_shipdate", "l_quantity", "l_extendedprice", "l_discount"]
+    ).map_batches(partial, batch_format="pyarrow", batch_size=16384)
+    rev, n = 0, 0
+    for ref in partials.to_arrow_refs():
+        t = ray.get(ref)
+        for i in range(len(t)):
+            rev += t.column("rev_c4")[i].as_py()
+            n += t.column("n")[i].as_py()
+    return pd.DataFrame(
+        [{"revenue": round(float(rev) / 10_000.0, 6), "n_rows": n}]
+    )

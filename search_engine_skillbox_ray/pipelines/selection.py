@@ -272,8 +272,9 @@ def nb_classify(
         .groupby(["source", "term"])
         .sum("cnt")
     )
-    # vocabulary-sized model collect (annotated): C·V weight rows
-    model_t = pa.concat_tables(ray.get(counts.to_arrow_refs()))
+    # vocabulary-sized model collect (annotated): C·V weight rows —
+    # zero-row groupby blocks carry an empty schema, drop them
+    model_t = pa.concat_tables([t for t in ray.get(counts.to_arrow_refs()) if len(t)])
     m_src = np.asarray(model_t.column("source").to_pylist(), dtype=object)
     m_term = np.asarray(model_t.column("term").to_pylist(), dtype=object)
     m_cnt = model_t.column("sum(cnt)").to_numpy(zero_copy_only=False).astype(np.int64)

@@ -3121,10 +3121,9 @@ def complete_context_ds(
         .sum("cnt")
     )
 
-    out_chunks = []
-    for ref in ray.get(cont.to_arrow_refs()):
-        t = ref if isinstance(ref, pa.Table) else ref
-        out_chunks.append(t)
+    # drop zero-row blocks: Ray 2.49 groupby outputs can emit empty
+    # blocks with an EMPTY schema, which poisons pa.concat_tables
+    out_chunks = [t for t in ray.get(cont.to_arrow_refs()) if len(t)]
     # continuation vocabulary of ONE context term — tiny by construction
     full = (
         pa.concat_tables(out_chunks)
@@ -3312,4 +3311,111 @@ def zipf_fit_ds(documents: rd.Dataset, top_m: int = 1000) -> pa.Table:
             "intercept": pa.array([round(intercept, 6)], pa.float64()),
             "n_terms": pa.array([int(m)], pa.int64()),
         }
+    )
+
+
+def sif_embed_ds(
+    documents: rd.Dataset,
+    *,
+    n_dims: int = 4,
+    a: float = 1e-3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """→ (doc_id, dim, emb[r6]): SIF-style document embeddings (Arora
+    et al. 2017 "A Simple but Tough-to-Beat Baseline") over
+    deterministic HASHED token vectors — no model file needed, yet the
+    output is a real dense representation downstream ANN / clustering
+    operators can consume:
+
+        emb_j(d) = Σ_t tf(d,t) · w(t) · v_j(t)
+        w(t)    = a / (a + cf(t)/T)          (SIF frequency damping)
+        v_j(t)  = md5_u64(t‖':'‖j)/2^63 − 1  ∈ [−1, 1)
+
+    md5_u64 == DuckDB md5_number_lower, so the oracle reproduces the
+    vectors bit-for-bit; addends are identical doubles on both sides
+    ((tf·w)·v in this exact association) and round(·,6) bridges the
+    summation order.
+
+    Scale shape: pass 1 is the standard vocab-sized cf aggregate
+    (per-batch combiners → one term groupby → driver collect, the same
+    annotated vocabulary-sized side model every scorer here uses);
+    the (w, v) model broadcasts once via ``ray.put``; pass 2 streams —
+    per batch ONE np.unique over (doc,term) codes and ``n_dims``
+    bincount calls. No shuffle touches doc rows."""
+    from ..functions.hashing import flat_nonempty_tokens, md5_u64
+
+    def cf_partial(batch: pa.Table) -> pa.Table:
+        toks, _parents, _ = flat_nonempty_tokens(batch.column(text_col))
+        if not len(toks):
+            return pa.table(
+                {"term": pa.array([], pa.string()), "cf": pa.array([], pa.int64())}
+            )
+        d = toks.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = np.bincount(codes, minlength=len(d.dictionary)).astype(np.int64)
+        return pa.table({"term": d.dictionary, "cf": pa.array(cnt)})
+
+    cf_t = pa.concat_tables(
+        [
+            t
+            for t in ray.get(
+                documents.select_columns([text_col])
+                .map_batches(cf_partial, batch_format="pyarrow", batch_size=4096)
+                .groupby("term")
+                .sum("cf")
+                .to_arrow_refs()
+            )
+            if len(t)  # zero-row groupby blocks carry an empty schema
+        ]
+    )  # vocabulary-sized collect (annotated)
+    vocab = np.asarray(cf_t.column("term").to_pylist(), dtype=object)
+    order = np.argsort(vocab)
+    vocab = vocab[order]
+    cf = cf_t.column("sum(cf)").to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    big_t = float(cf.sum())
+    w = a / (a + cf.astype(np.float64) / big_t)
+    v = np.empty((n_dims, len(vocab)), np.float64)
+    for j in range(n_dims):
+        v[j] = md5_u64([f"{t}:{j}" for t in vocab]).astype(np.float64) / float(
+            2**63
+        ) - 1.0
+    model_ref = [ray.put((vocab, w, v))]
+
+    def embed(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        vocab_, w_, v_ = ray.get(model_ref[0])
+        vi = pd.Index(vocab_)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        toks, parents, _ = flat_nonempty_tokens(batch.column(text_col))
+        n = len(ids)
+        emb = np.zeros((n_dims, n), np.float64)
+        has = np.zeros(n, bool)
+        if len(toks):
+            d = toks.dictionary_encode()
+            codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            code2v = vi.get_indexer(d.dictionary.to_pylist())
+            # per-(doc, term) tf so the addend is SQL's tf·w·v exactly
+            combo = parents * np.int64(len(code2v)) + codes
+            uniq, tf = np.unique(combo, return_counts=True)
+            up = uniq // len(code2v)
+            uv = code2v[uniq % len(code2v)]
+            has[up] = True
+            tfw = tf.astype(np.float64) * w_[uv]
+            for j in range(n_dims):
+                emb[j] = np.bincount(up, weights=tfw * v_[j][uv], minlength=n)
+        # zero-token docs emit NO rows (the oracle's tf join drops them)
+        out_ids = np.repeat(ids[has], n_dims)
+        out_dim = np.tile(np.arange(n_dims, dtype=np.int64), int(has.sum()))
+        return pa.table(
+            {
+                id_col: pa.array(out_ids, pa.int64()),
+                "dim": pa.array(out_dim, pa.int64()),
+                "emb": pa.array(np.round(emb.T[has].ravel(), 6), pa.float64()),
+            }
+        )
+
+    return documents.select_columns([id_col, text_col]).map_batches(
+        embed, batch_format="pyarrow", batch_size=4096
     )

@@ -288,6 +288,8 @@ def test_oracle_keys_subset(entry_mod):
     "nb_classify",
     "dq_checks",
     "rel_rollup",
+    "sif_embeddings",
+    "rel_revenue_filter",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))

@@ -1496,3 +1496,35 @@ def test_nb_classify_separable(ray_session):
         want = "alpha" if i % 2 == 0 else "beta"
         assert out.loc[i, "pred_source"] == want
     assert out.loc[40, "pred_source"] in {"alpha", "beta"}
+
+
+def test_sif_embed_shape_and_determinism(ray_session):
+    """SIF embeddings: 4 rows per tokenful doc, zero-token docs
+    dropped, identical across two runs, and frequency damping makes a
+    stopword-heavy doc's norm smaller than a rare-word doc's."""
+    import pandas as pd
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.textstats import sif_embed_ds
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "the the the the the the the the",   # all stopword-ish
+                "quixotic zephyr",                    # rare terms
+                "",                                    # zero tokens
+                "the quixotic brown fox",
+            ],
+        }
+    )
+    a = sif_embed_ds(rd.from_pandas(docs)).to_pandas()
+    b = sif_embed_ds(rd.from_pandas(docs)).to_pandas()
+    a = a.sort_values(["doc_id", "dim"]).reset_index(drop=True)
+    b = b.sort_values(["doc_id", "dim"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert sorted(a.doc_id.unique()) == [0, 1, 3]
+    assert (a.groupby("doc_id").size() == 4).all()
+    norm = a.groupby("doc_id")["emb"].apply(lambda e: float(np.sqrt((e**2).sum())))
+    # 8x 'the' (cf 10/14 of corpus) is damped far below two rare terms
+    assert norm[0] < norm[1]

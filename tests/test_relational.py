@@ -221,3 +221,29 @@ def test_dq_checks_planted_violations(ray_session):
     assert out["fk_lineitem_orders"] == 1
     assert out["lineitem_discount_range"] == 1
     assert out["orders_stale"] == 1
+
+
+def test_revenue_filter_matches_pandas(ray_session):
+    """Q6 scan == pandas reference on the same integer-cents rule."""
+    import pandas as pd
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.relational import revenue_filter
+
+    li = pd.read_parquet("/root/testdata/sf0.001/lineitem.parquet")
+    got = revenue_filter(
+        rd.read_parquet("/root/testdata/sf0.001/lineitem.parquet"),
+        date_from_iso="1996-01-01", date_to_iso="1997-01-01",
+        disc_lo=0.02, disc_hi=0.06, qty_max=25.0,
+    )
+    pc_ = np.floor(li.l_extendedprice.to_numpy() * 100 + 0.5).astype(np.int64)
+    dc = np.floor(li.l_discount.to_numpy() * 100 + 0.5).astype(np.int64)
+    ship = li.l_shipdate.to_numpy().astype("datetime64[us]")
+    keep = (
+        (ship >= np.datetime64("1996-01-01"))
+        & (ship < np.datetime64("1997-01-01"))
+        & (dc >= 2) & (dc <= 6)
+        & (li.l_quantity.to_numpy() < 25.0)
+    )
+    assert got.n_rows.iloc[0] == int(keep.sum())
+    assert got.revenue.iloc[0] == round(float((pc_[keep] * dc[keep]).sum()) / 1e4, 6)
