@@ -65,6 +65,7 @@ RANGE_JOIN_W_S = 7200  # global (keyless) time-range join window
 NB_TEST_MOD = 4  # Naive-Bayes holdout: doc_id % mod == 0 is scored
 DQ_SHORT_CHARS, DQ_STALE_ISO = 100, "1996-01-01"  # expectation suite
 SIF_DIMS, SIF_A = 4, 1e-3  # hashed SIF document embeddings
+PASSAGE_K = 10  # top-k passages (chunk-granular retrieval)
 Q6_FROM, Q6_TO, Q6_LO, Q6_HI, Q6_QTY = "1996-01-01", "1997-01-01", 0.02, 0.06, 25.0
 MOVAVG_WINDOW = 3  # per-user trailing moving-average window (rows)
 ZIPF_TOP_M = 1000  # rank-frequency fit over the top-M vocabulary
@@ -742,6 +743,17 @@ def q_events_range_join(sf_dir: str):
 
     return time_range_join(
         _events(sf_dir), "signup", "click", within_s=RANGE_JOIN_W_S
+    )
+
+
+def q_search_passages(sf_dir: str):
+    """Chunk-granular retrieval: top-k passages by tf·ln((Nc+1)/(df+1))
+    with chunk-level df — one streaming scan, matches-sized slim fold."""
+    from search_engine_skillbox_ray.pipelines.textstats import search_passages_ds
+
+    return search_passages_ds(
+        _documents(sf_dir), SEARCH_QUERY.split(), k=PASSAGE_K,
+        chunk_len=CHUNK_LEN, stride=CHUNK_STRIDE,
     )
 
 
@@ -2757,6 +2769,7 @@ _DRIVER_PRIORITY = [
     "rel_rollup",
     "sif_embeddings",
     "rel_revenue_filter",
+    "search_passages",
 ]
 
 
@@ -2872,6 +2885,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "nb_classify": q_nb_classify,
         "dq_checks": q_dq_checks,
         "sif_embeddings": q_sif_embeddings,
+        "search_passages": q_search_passages,
         "rel_revenue_filter": q_rel_revenue_filter,
         "rel_rollup": q_rel_rollup,
         "zipf_fit": q_zipf_fit,
@@ -5751,6 +5765,30 @@ FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '{Q6_FROM}' AND l_shipdate < TIMESTAMP '{Q6_TO}'
   AND FLOOR(l_discount * 100 + 0.5) BETWEEN {int(Q6_LO * 100 + 0.5)} AND {int(Q6_HI * 100 + 0.5)}
   AND l_quantity < {Q6_QTY}
+""",
+
+        # passage retrieval: chunk slices replicate the doc_chunks CTE;
+        # both sides rank the ROUNDED score with (doc_id, chunk_id) ties
+        "search_passages": f"""
+WITH tl AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+            '[^\\p{{L}}]+'), x -> x <> '') AS toks FROM documents),
+c AS (SELECT doc_id, toks, unnest(CASE WHEN len(toks) > 0 THEN
+        range(0, len(toks), {CHUNK_STRIDE}) ELSE CAST([] AS BIGINT[]) END) AS tok_start
+      FROM tl),
+ct AS (SELECT doc_id, (tok_start // {CHUNK_STRIDE})::BIGINT AS chunk_id,
+         toks[tok_start + 1 : least(tok_start + {CHUNK_LEN}, len(toks))] AS ctoks
+       FROM c),
+nc AS (SELECT count(*)::BIGINT AS n FROM ct),
+q(term) AS (VALUES {_terms_values()}),
+tf AS (SELECT ct.doc_id, ct.chunk_id, q.term,
+         len(list_filter(ctoks, x -> x = q.term))::BIGINT AS tf
+       FROM ct CROSS JOIN q),
+df AS (SELECT term, count(*) FILTER (WHERE tf > 0)::BIGINT AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id, tf.chunk_id,
+         round(sum(tf.tf * ln(((SELECT n FROM nc) + 1.0) / (df.df + 1.0))), 6) AS score
+       FROM tf JOIN df USING (term) WHERE tf.tf > 0 GROUP BY 1, 2)
+SELECT doc_id, chunk_id, score FROM sc
+ORDER BY score DESC, doc_id, chunk_id LIMIT {PASSAGE_K}
 """,
         "media_dedup": f"""
 SELECT CAST(media_id AS BIGINT) AS media_id, digest,

@@ -3419,3 +3419,108 @@ def sif_embed_ds(
     return documents.select_columns([id_col, text_col]).map_batches(
         embed, batch_format="pyarrow", batch_size=4096
     )
+
+
+def search_passages_ds(
+    documents: rd.Dataset,
+    query_terms: list[str],
+    *,
+    k: int = 10,
+    chunk_len: int = 16,
+    stride: int = 8,
+) -> pa.Table:
+    """→ (doc_id, chunk_id, score[r6]) top-``k`` PASSAGES for a bag of
+    query terms — the RAG retrieval step after :func:`doc_chunks_ds`:
+    chunks are scored ``Σ_t tf(chunk,t) · ln((Nc+1)/(df_t+1))`` with
+    chunk-level df/N (passage-granular idf, not doc-granular), ranked
+    (score desc, doc_id, chunk_id).
+
+    Scale shape: ONE streaming pass over the chunk stream (the chunker
+    is a shuffle-free flat map, so this whole operator is one scan of
+    documents). Each batch emits a SLIM table: per-chunk tf rows for
+    the query terms only (matches-sized) plus one chunk-count marker
+    row per batch (term='', tf=n_chunks). The driver fold is therefore
+    bounded by matches + batch count — the same annotated small-result
+    collect as the champion-list builder; at cluster scale the same
+    slim rows feed a (term) groupby for df and a per-block top-k merge
+    instead."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import flat_nonempty_tokens
+
+    qt = sorted(dict.fromkeys(query_terms))
+    chunks = doc_chunks_ds(documents, chunk_len=chunk_len, stride=stride)
+
+    def slim(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        toks, parents, _ = flat_nonempty_tokens(batch.column("chunk_text"))
+        out_doc, out_chunk, out_term, out_tf = [], [], [], []
+        if len(toks):
+            dids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            cids = batch.column("chunk_id").to_numpy(zero_copy_only=False)
+            for t in qt:
+                hit = pc.equal(toks, t).to_numpy(zero_copy_only=False)
+                if not hit.any():
+                    continue
+                tf = np.bincount(parents[hit], minlength=n)
+                nz = np.flatnonzero(tf)
+                out_doc.append(dids[nz])
+                out_chunk.append(cids[nz])
+                out_term.append(np.full(len(nz), t, dtype=object))
+                out_tf.append(tf[nz])
+        out_doc.append(np.array([-1], np.int64))  # batch chunk-count marker
+        out_chunk.append(np.array([-1], np.int64))
+        out_term.append(np.array([""], dtype=object))
+        out_tf.append(np.array([n], np.int64))
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_doc).astype(np.int64)),
+                "chunk_id": pa.array(np.concatenate(out_chunk).astype(np.int64)),
+                "term": pa.array(np.concatenate(out_term), pa.string()),
+                "tf": pa.array(np.concatenate(out_tf).astype(np.int64)),
+            }
+        )
+
+    t = pa.concat_tables(
+        [
+            x
+            for x in ray.get(
+                chunks.map_batches(slim, batch_format="pyarrow").to_arrow_refs()
+            )
+            if len(x)
+        ]
+    )
+    terms = t.column("term").to_numpy(zero_copy_only=False)
+    is_marker = terms == ""
+    n_chunks = int(t.column("tf").to_numpy(zero_copy_only=False)[is_marker].sum())
+    m = t.filter(pa.array(~is_marker))
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "chunk_id": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        }
+    )
+    if not len(m):
+        return empty
+    mt = m.column("term").to_numpy(zero_copy_only=False)
+    df = {q: int((mt == q).sum()) for q in qt}
+    idf = {q: np.log((n_chunks + 1.0) / (df[q] + 1.0)) for q in qt}
+    w = np.array([idf[q] for q in mt], np.float64)
+    contrib = m.column("tf").to_numpy(zero_copy_only=False).astype(np.float64) * w
+    dids = m.column("doc_id").to_numpy(zero_copy_only=False)
+    cids = m.column("chunk_id").to_numpy(zero_copy_only=False)
+    key = pd.MultiIndex.from_arrays([dids, cids])
+    s = pd.Series(contrib, index=key).groupby(level=[0, 1], sort=False).sum()
+    sc = np.round(s.to_numpy(np.float64), 6)
+    dd = s.index.get_level_values(0).to_numpy(np.int64)
+    cc = s.index.get_level_values(1).to_numpy(np.int64)
+    order = np.lexsort((cc, dd, -sc))[: min(k, len(sc))]
+    return pa.table(
+        {
+            "doc_id": pa.array(dd[order], pa.int64()),
+            "chunk_id": pa.array(cc[order], pa.int64()),
+            "score": pa.array(sc[order], pa.float64()),
+        }
+    )

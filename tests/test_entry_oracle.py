@@ -290,6 +290,7 @@ def test_oracle_keys_subset(entry_mod):
     "rel_rollup",
     "sif_embeddings",
     "rel_revenue_filter",
+    "search_passages",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))

@@ -1528,3 +1528,31 @@ def test_sif_embed_shape_and_determinism(ray_session):
     norm = a.groupby("doc_id")["emb"].apply(lambda e: float(np.sqrt((e**2).sum())))
     # 8x 'the' (cf 10/14 of corpus) is damped far below two rare terms
     assert norm[0] < norm[1]
+
+
+def test_search_passages_planted(ray_session):
+    """A planted dense passage outranks a diffuse one; ranking is
+    (score desc, doc_id, chunk_id); k truncates."""
+    import pandas as pd
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.textstats import search_passages_ds
+
+    filler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                filler * 2 + "merge batch merge batch " + filler,  # dense hit
+                filler + "merge " + filler * 3,                     # single hit
+                filler * 4,                                          # no hits
+            ],
+        }
+    )
+    out = search_passages_ds(
+        rd.from_pandas(docs), ["merge", "batch"], k=5, chunk_len=16, stride=8
+    ).to_pandas()
+    assert len(out) >= 2
+    assert out.doc_id.iloc[0] == 0            # dense passage wins
+    assert 2 not in set(out.doc_id)           # no-hit doc absent
+    assert (out.score.to_numpy()[:-1] >= out.score.to_numpy()[1:]).all()
