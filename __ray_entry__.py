@@ -66,6 +66,8 @@ NB_TEST_MOD = 4  # Naive-Bayes holdout: doc_id % mod == 0 is scored
 DQ_SHORT_CHARS, DQ_STALE_ISO = 100, "1996-01-01"  # expectation suite
 SIF_DIMS, SIF_A = 4, 1e-3  # hashed SIF document embeddings
 PASSAGE_K = 10  # top-k passages (chunk-granular retrieval)
+OUTLIER_Z = 2.5  # global z-score outlier threshold
+WQ_WINDOW_S = 3600  # exact per-window quantiles (tumbling, seconds)
 Q6_FROM, Q6_TO, Q6_LO, Q6_HI, Q6_QTY = "1996-01-01", "1997-01-01", 0.02, 0.06, 25.0
 MOVAVG_WINDOW = 3  # per-user trailing moving-average window (rows)
 ZIPF_TOP_M = 1000  # rank-frequency fit over the top-M vocabulary
@@ -744,6 +746,23 @@ def q_events_range_join(sf_dir: str):
     return time_range_join(
         _events(sf_dir), "signup", "click", within_s=RANGE_JOIN_W_S
     )
+
+
+def q_value_outliers(sf_dir: str):
+    """Global z-score outliers over the event stream: (n, Σx, Σx²)
+    moment partials → two broadcast scalars → stateless filter; both
+    sides compare the ROUNDED z to the threshold."""
+    from search_engine_skillbox_ray.pipelines.windows import value_outliers
+
+    return value_outliers(_events(sf_dir), z_thresh=OUTLIER_Z)
+
+
+def q_window_quantiles(sf_dir: str):
+    """Exact per-tumbling-window p50/p95 (percentile_disc semantics) —
+    one window-bucketed exchange, vectorized position gather."""
+    from search_engine_skillbox_ray.pipelines.windows import window_quantiles
+
+    return window_quantiles(_events(sf_dir), window_s=WQ_WINDOW_S)
 
 
 def q_search_passages(sf_dir: str):
@@ -2770,6 +2789,8 @@ _DRIVER_PRIORITY = [
     "sif_embeddings",
     "rel_revenue_filter",
     "search_passages",
+    "value_outliers",
+    "window_quantiles",
 ]
 
 
@@ -2886,6 +2907,8 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "dq_checks": q_dq_checks,
         "sif_embeddings": q_sif_embeddings,
         "search_passages": q_search_passages,
+        "value_outliers": q_value_outliers,
+        "window_quantiles": q_window_quantiles,
         "rel_revenue_filter": q_rel_revenue_filter,
         "rel_rollup": q_rel_rollup,
         "zipf_fit": q_zipf_fit,
@@ -5789,6 +5812,27 @@ sc AS (SELECT tf.doc_id, tf.chunk_id,
        FROM tf JOIN df USING (term) WHERE tf.tf > 0 GROUP BY 1, 2)
 SELECT doc_id, chunk_id, score FROM sc
 ORDER BY score DESC, doc_id, chunk_id LIMIT {PASSAGE_K}
+""",
+
+        # z on BOTH sides is rounded before the threshold compare, so
+        # a ~1e-13 summation-order wiggle in mu/sd cannot flip a row
+        "value_outliers": f"""
+WITH s AS (SELECT count(*)::DOUBLE AS n, sum(value)::DOUBLE AS s1,
+                  sum(value * value)::DOUBLE AS s2 FROM events),
+ms AS (SELECT s1 / n AS mu, sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0)) AS sd
+       FROM s)
+SELECT event_id, round((value - ms.mu) / ms.sd, 6) AS z
+FROM events, ms
+WHERE abs(round((value - ms.mu) / ms.sd, 6)) > {OUTLIER_Z}
+""",
+        "window_quantiles": f"""
+SELECT ((epoch_us(ts) // {WQ_WINDOW_S * 1_000_000}) * {WQ_WINDOW_S})::BIGINT
+         AS window_start,
+       count(*)::BIGINT AS n_events,
+       percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+       percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS p95
+FROM events
+GROUP BY window_start
 """,
         "media_dedup": f"""
 SELECT CAST(media_id AS BIGINT) AS media_id, digest,

@@ -27,7 +27,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-from ..stages.grouping import sized_join
+from ..stages.grouping import drop_empty_blocks, sized_join
 
 
 def _fold_count(ds: rd.Dataset) -> int:
@@ -107,24 +107,20 @@ def dq_checks(
         .groupby("doc_id")
         .sum("cnt")
     )
-    dup = per_key.map_batches(
-        lambda t: pa.table(
+    def dup_partial(t: pa.Table) -> pa.Table:
+        # zero-row groupby blocks can carry an empty schema
+        if not len(t) or "sum(cnt)" not in t.column_names:
+            return pa.table({"v": pa.array([0], pa.int64())})
+        return pa.table(
             {
                 "v": pa.array(
-                    [
-                        int(
-                            pc.sum(
-                                pc.subtract(t.column("sum(cnt)"), 1)
-                            ).as_py()
-                            or 0
-                        )
-                    ],
+                    [int(pc.sum(pc.subtract(t.column("sum(cnt)"), 1)).as_py() or 0)],
                     pa.int64(),
                 )
             }
-        ),
-        batch_format="pyarrow",
-    )
+        )
+
+    dup = per_key.map_batches(dup_partial, batch_format="pyarrow")
     results["docs_dup_doc_id"] = _fold_count(dup)
 
     # ---- orders: fk + staleness in ONE pass (broadcast dimension) ---
@@ -182,14 +178,18 @@ def dq_checks(
         k = batch.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({"l_orderkey": pa.array(np.unique(k))})
 
-    li_keys = (
+    def key_only(t: pa.Table) -> pa.Table:
+        if not len(t) or "l_orderkey" not in t.column_names:
+            return pa.table({"l_orderkey": pa.array([], pa.int64())})
+        return t.select(["l_orderkey"])
+
+    li_keys = drop_empty_blocks(
         lineitem.select_columns(["l_orderkey"])
         .map_batches(lik_partial, batch_format="pyarrow")
         .groupby("l_orderkey")
         .count()
-        .map_batches(
-            lambda t: t.select(["l_orderkey"]), batch_format="pyarrow"
-        )
+        .map_batches(key_only, batch_format="pyarrow")
+        .materialize()
     )
     ord_keys = orders.select_columns(["o_orderkey"]).map_batches(
         lambda t: pa.table(

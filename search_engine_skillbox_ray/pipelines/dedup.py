@@ -2856,6 +2856,8 @@ def tfidf_cosine_pairs(
     rare: dict[str, int] = {}
     for ref in dfs.to_arrow_refs():
         t = ray.get(ref)
+        if not len(t):  # zero-row groupby blocks carry an empty schema
+            continue
         terms = t.column("term").to_pylist()
         vals = t.column("sum(df)").to_pylist()
         for term, d in zip(terms, vals):

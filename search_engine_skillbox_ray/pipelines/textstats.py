@@ -3281,6 +3281,11 @@ def zipf_fit_ds(documents: rd.Dataset, top_m: int = 1000) -> pa.Table:
     )
 
     def topm(batch: pa.Table) -> pa.Table:
+        if not len(batch) or "term" not in batch.column_names:
+            # zero-row groupby blocks can carry an empty schema
+            return pa.table(
+                {"term": pa.array([], pa.string()), "cf": pa.array([], pa.int64())}
+            )
         terms = batch.column("term").to_numpy(zero_copy_only=False)
         cfs = batch.column("sum(cf)").to_numpy(zero_copy_only=False)
         if len(terms) > top_m:

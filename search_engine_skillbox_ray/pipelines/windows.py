@@ -825,3 +825,132 @@ def user_moving_avg(
         per_bucket,
         n_buckets=32,
     )
+
+
+def value_outliers(
+    events: rd.Dataset,
+    z_thresh: float = 2.5,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    val_col: str = "value",
+) -> rd.Dataset:
+    """→ (event_id, z[r6]): global z-score outliers of ``value`` —
+    events with ``|round(z,6)| > z_thresh`` where z = (x−μ)/σ over the
+    WHOLE stream (population σ). The monitoring primitive: two
+    broadcast scalars gate a streaming scan.
+
+    Scale shape: pass 1 folds (n, Σx, Σx²) per-batch moment partials
+    on the driver (batch-count-bounded, the curation-score pattern);
+    μ, σ broadcast via ``ray.put``; pass 2 is a stateless filter. Both
+    sides compare the ROUNDED z against the threshold, so a summation-
+    order wiggle of ~1e-13 in μ/σ can never flip membership."""
+    import ray
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = batch.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "n": pa.array([float(len(x))], pa.float64()),
+                "s1": pa.array([float(x.sum())], pa.float64()),
+                "s2": pa.array([float((x * x).sum())], pa.float64()),
+            }
+        )
+
+    n = s1 = s2 = 0.0
+    for ref in (
+        events.select_columns([val_col])
+        .map_batches(moments, batch_format="pyarrow")
+        .to_arrow_refs()
+    ):
+        t = ray.get(ref)
+        if len(t):
+            n += float(np.sum(t.column("n").to_numpy(zero_copy_only=False)))
+            s1 += float(np.sum(t.column("s1").to_numpy(zero_copy_only=False)))
+            s2 += float(np.sum(t.column("s2").to_numpy(zero_copy_only=False)))
+    mu = s1 / max(n, 1.0)
+    sd = float(np.sqrt(max(s2 / max(n, 1.0) - mu * mu, 0.0)))
+    ref_ms = [ray.put((mu, sd))]
+
+    def flag(batch: pa.Table) -> pa.Table:
+        m, s = ray.get(ref_ms[0])
+        x = batch.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        z = np.round((x - m) / s, 6) if s > 0 else np.zeros(len(x))
+        keep = np.abs(z) > z_thresh
+        return pa.table(
+            {
+                "event_id": pa.array(
+                    batch.column(id_col).to_numpy(zero_copy_only=False)[keep].astype(
+                        np.int64
+                    )
+                ),
+                "z": pa.array(z[keep], pa.float64()),
+            }
+        )
+
+    return events.select_columns([id_col, val_col]).map_batches(
+        flag, batch_format="pyarrow"
+    )
+
+
+def window_quantiles(
+    events: rd.Dataset,
+    window_s: int = 3600,
+    ps: tuple = (0.5, 0.95),
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> rd.Dataset:
+    """→ (window_start, n_events, p50, p95): EXACT per-tumbling-window
+    discrete quantiles of ``value`` (``percentile_disc`` semantics —
+    the smallest element whose cumulative rank ≥ q, i.e. the sorted
+    element at position ceil(q·n)). The latency-dashboard primitive.
+
+    Scale shape: one window-bucketed exchange (rows carry only
+    (window, value)); per bucket ONE mergesort over (window, value)
+    serves every window's quantiles via vectorized position gather —
+    no per-window Python. Exact values, not sketches: window
+    populations are rate-bounded, so a window's rows always fit a
+    bucket worker (the HLL/CMS sketches elsewhere cover the unbounded
+    case)."""
+    from ..stages.grouping import bucketed_group_apply
+
+    win_us = int(window_s) * 1_000_000
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ts = (
+            batch.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "window_start": pa.array((ts // win_us) * (win_us // 1_000_000)),
+                "value": batch.column(val_col),
+            }
+        )
+
+    slim = events.select_columns([ts_col, val_col]).map_batches(
+        tag, batch_format="pyarrow"
+    )
+
+    def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        cols = {"window_start": np.array([], np.int64),
+                "n_events": np.array([], np.int64)}
+        for p in ps:
+            cols[f"p{int(p * 100)}"] = np.array([], np.float64)
+        if not len(bucket):
+            return pd.DataFrame(cols)
+        g = bucket.sort_values(["window_start", "value"], kind="mergesort")
+        w = g["window_start"].to_numpy(dtype=np.int64)
+        v = g["value"].to_numpy(dtype=np.float64)
+        starts = np.flatnonzero(np.r_[True, w[1:] != w[:-1]])
+        lens = np.diff(np.r_[starts, w.size])
+        out = {
+            "window_start": w[starts],
+            "n_events": lens.astype(np.int64),
+        }
+        for p in ps:
+            # percentile_disc: sorted element at ceil(p*n) (1-based)
+            pos = starts + np.ceil(p * lens).astype(np.int64) - 1
+            out[f"p{int(p * 100)}"] = v[pos]
+        return pd.DataFrame(out)
+
+    return bucketed_group_apply(slim, ["window_start"], per_bucket, n_buckets=32)

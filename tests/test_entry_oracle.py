@@ -291,6 +291,8 @@ def test_oracle_keys_subset(entry_mod):
     "sif_embeddings",
     "rel_revenue_filter",
     "search_passages",
+    "value_outliers",
+    "window_quantiles",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
