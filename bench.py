@@ -381,6 +381,17 @@ def bench_sf_queries() -> dict:
         "zipf_fit",
         "rel_order_priority",
         "index_merge_ingest",
+        # round-4 session-8 additions
+        "events_range_join",
+        "user_moving_avg",
+        "nb_classify",
+        "dq_checks",
+        "rel_rollup",
+        "sif_embeddings",
+        "rel_revenue_filter",
+        "search_passages",
+        "value_outliers",
+        "window_quantiles",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

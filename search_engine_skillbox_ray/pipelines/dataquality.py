@@ -8,12 +8,14 @@ key-shaped:
 * ``orders → customer``: the dimension keyset broadcasts once via
   ``ray.put`` (dimension-sized, same pattern as the Q5 star join) and
   each orders batch counts misses locally — zero shuffle.
-* ``lineitem → orders``: both sides are fact-sized, so the check
-  shuffles only DISTINCT keys — per-batch ``np.unique`` combiners feed
-  a keyed groupby, then a ``sized_join`` left join against the slim
-  orders keyset counts the orphans.
-* ``documents doc_id uniqueness``: one keyed groupby of per-batch
-  (doc_id, cnt) combiners; violations = Σ (cnt − 1).
+* ``lineitem → orders``: gated dual path — under
+  ``DRIVER_FASTPATH_ROWS`` the sorted orders keyset broadcasts and each
+  batch ships back only its ORPHAN distinct keys (violation-sized);
+  above it, per-batch distinct keys feed a keyed groupby + slim
+  ``sized_join`` left join (keys-only exchange).
+* ``documents doc_id uniqueness``: gated dual path — key-sized driver
+  fold of per-batch (distinct id, cnt) partials under the gate, a
+  keyed groupby (violations = Σ cnt − 1) above it.
 
 → one small table ``(check_name, violations)`` sorted by name.
 """
@@ -27,6 +29,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from ..config import DRIVER_FASTPATH_ROWS
 from ..stages.grouping import drop_empty_blocks, sized_join
 
 
@@ -93,7 +96,7 @@ def dq_checks(
     results["docs_n_chars_mismatch"] = acc["mismatch"]
     results["docs_short_text"] = acc["short"]
 
-    # ---- documents: primary-key uniqueness (keyed combiner) ---------
+    # ---- documents: primary-key uniqueness (gated dual path) ---------
     def id_partial(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         uniq, cnt = np.unique(ids, return_counts=True)
@@ -101,27 +104,46 @@ def dq_checks(
             {"doc_id": pa.array(uniq), "cnt": pa.array(cnt.astype(np.int64))}
         )
 
-    per_key = (
-        documents.select_columns(["doc_id"])
-        .map_batches(id_partial, batch_format="pyarrow")
-        .groupby("doc_id")
-        .sum("cnt")
+    id_parts = documents.select_columns(["doc_id"]).map_batches(
+        id_partial, batch_format="pyarrow"
     )
-    def dup_partial(t: pa.Table) -> pa.Table:
-        # zero-row groupby blocks can carry an empty schema
-        if not len(t) or "sum(cnt)" not in t.column_names:
-            return pa.table({"v": pa.array([0], pa.int64())})
-        return pa.table(
-            {
-                "v": pa.array(
-                    [int(pc.sum(pc.subtract(t.column("sum(cnt)"), 1)).as_py() or 0)],
-                    pa.int64(),
-                )
-            }
-        )
+    n_docs_total = documents.count()
+    if n_docs_total <= DRIVER_FASTPATH_ROWS:
+        # key-sized driver fold: per-batch (distinct id, cnt) partials,
+        # one np.unique on the concatenated key column — violations =
+        # Σ cnt − #distinct, identical to the exchange's Σ (cnt − 1)
+        total, all_ids = 0, []
+        for ref in id_parts.to_arrow_refs():
+            t = ray.get(ref)
+            if len(t):
+                total += int(pc.sum(t.column("cnt")).as_py() or 0)
+                all_ids.append(t.column("doc_id").to_numpy(zero_copy_only=False))
+        distinct = len(np.unique(np.concatenate(all_ids))) if all_ids else 0
+        results["docs_dup_doc_id"] = total - distinct
+    else:
+        per_key = id_parts.groupby("doc_id").sum("cnt")
 
-    dup = per_key.map_batches(dup_partial, batch_format="pyarrow")
-    results["docs_dup_doc_id"] = _fold_count(dup)
+        def dup_partial(t: pa.Table) -> pa.Table:
+            # zero-row groupby blocks can carry an empty schema
+            if not len(t) or "sum(cnt)" not in t.column_names:
+                return pa.table({"v": pa.array([0], pa.int64())})
+            return pa.table(
+                {
+                    "v": pa.array(
+                        [
+                            int(
+                                pc.sum(pc.subtract(t.column("sum(cnt)"), 1)).as_py()
+                                or 0
+                            )
+                        ],
+                        pa.int64(),
+                    )
+                }
+            )
+
+        results["docs_dup_doc_id"] = _fold_count(
+            per_key.map_batches(dup_partial, batch_format="pyarrow")
+        )
 
     # ---- orders: fk + staleness in ONE pass (broadcast dimension) ---
     cust_keys = np.sort(
@@ -171,48 +193,108 @@ def dq_checks(
         )
     )
 
-    # orphan ORDER KEYS referenced by lineitem but absent from orders:
-    # shuffle only distinct keys (np.unique combiner per batch), then a
-    # slim left sized_join against the orders keyset
+    # orphan ORDER KEYS referenced by lineitem but absent from orders —
+    # gated dual path. Fast path (orders keyset under the driver gate):
+    # broadcast the sorted o_orderkey array, each lineitem batch ships
+    # back only its ORPHAN distinct keys (violation-sized by
+    # assumption), one np.unique on the driver dedups across batches.
+    # Above the gate: per-batch distinct keys → sized_join left against
+    # the orders keyset (both sides fact-shaped, keys-only exchange).
     def lik_partial(batch: pa.Table) -> pa.Table:
         k = batch.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({"l_orderkey": pa.array(np.unique(k))})
 
-    def key_only(t: pa.Table) -> pa.Table:
-        if not len(t) or "l_orderkey" not in t.column_names:
-            return pa.table({"l_orderkey": pa.array([], pa.int64())})
-        return t.select(["l_orderkey"])
+    n_orders_total = orders.count()
+    if n_orders_total <= DRIVER_FASTPATH_ROWS:
+        ord_sorted = np.sort(
+            orders.select_columns(["o_orderkey"])
+            .to_pandas()["o_orderkey"]
+            .to_numpy(dtype=np.int64)
+        )
+        ok_ref = [ray.put(ord_sorted)]
 
-    li_keys = drop_empty_blocks(
-        lineitem.select_columns(["l_orderkey"])
-        .map_batches(lik_partial, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .count()
-        .map_batches(key_only, batch_format="pyarrow")
-        .materialize()
-    )
-    ord_keys = orders.select_columns(["o_orderkey"]).map_batches(
-        lambda t: pa.table(
-            {
-                "l_orderkey": t.column("o_orderkey"),
-                "present": pa.array(np.ones(len(t), np.int8)),
-            }
-        ),
-        batch_format="pyarrow",
-    )
-    joined = sized_join(li_keys, ord_keys, on=("l_orderkey",), join_type="left_outer")
-    orphan = joined.map_batches(
-        lambda t: pa.table(
-            {
-                "v": pa.array(
-                    [int(pc.sum(pc.cast(pc.is_null(t.column("present")), pa.int64())).as_py() or 0)],
-                    pa.int64(),
+        def orphan_keys(batch: pa.Table) -> pa.Table:
+            keys = ray.get(ok_ref[0])
+            k = (
+                batch.column("l_orderkey")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            k = np.unique(k)
+            pos = np.searchsorted(keys, k)
+            miss = (pos >= len(keys)) | (keys[np.minimum(pos, len(keys) - 1)] != k)
+            return pa.table({"l_orderkey": pa.array(k[miss])})
+
+        orphan_parts = [
+            t
+            for t in ray.get(
+                lineitem.select_columns(["l_orderkey"])
+                .map_batches(orphan_keys, batch_format="pyarrow")
+                .to_arrow_refs()
+            )
+            if len(t)
+        ]
+        results["fk_lineitem_orders"] = (
+            len(
+                np.unique(
+                    np.concatenate(
+                        [
+                            t.column("l_orderkey").to_numpy(zero_copy_only=False)
+                            for t in orphan_parts
+                        ]
+                    )
                 )
-            }
-        ),
-        batch_format="pyarrow",
-    )
-    results["fk_lineitem_orders"] = _fold_count(orphan)
+            )
+            if orphan_parts
+            else 0
+        )
+    else:
+        def key_only(t: pa.Table) -> pa.Table:
+            if not len(t) or "l_orderkey" not in t.column_names:
+                return pa.table({"l_orderkey": pa.array([], pa.int64())})
+            return t.select(["l_orderkey"])
+
+        li_keys = drop_empty_blocks(
+            lineitem.select_columns(["l_orderkey"])
+            .map_batches(lik_partial, batch_format="pyarrow")
+            .groupby("l_orderkey")
+            .count()
+            .map_batches(key_only, batch_format="pyarrow")
+            .materialize()
+        )
+        ord_keys = orders.select_columns(["o_orderkey"]).map_batches(
+            lambda t: pa.table(
+                {
+                    "l_orderkey": t.column("o_orderkey"),
+                    "present": pa.array(np.ones(len(t), np.int8)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        joined = sized_join(
+            li_keys, ord_keys, on=("l_orderkey",), join_type="left_outer"
+        )
+        orphan = joined.map_batches(
+            lambda t: pa.table(
+                {
+                    "v": pa.array(
+                        [
+                            int(
+                                pc.sum(
+                                    pc.cast(
+                                        pc.is_null(t.column("present")), pa.int64()
+                                    )
+                                ).as_py()
+                                or 0
+                            )
+                        ],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        results["fk_lineitem_orders"] = _fold_count(orphan)
 
     names = sorted(results)
     return pa.table(

@@ -247,3 +247,23 @@ def test_revenue_filter_matches_pandas(ray_session):
     )
     assert got.n_rows.iloc[0] == int(keep.sum())
     assert got.revenue.iloc[0] == round(float((pc_[keep] * dc[keep]).sum()) / 1e4, 6)
+
+
+def test_dq_checks_distributed_path_parity(ray_session, monkeypatch):
+    """Forced above-gate: the keyed-exchange fallbacks produce the same
+    counts as the driver fast paths."""
+    import ray.data as rd
+
+    import search_engine_skillbox_ray.pipelines.dataquality as dq
+
+    sf = "/root/testdata/sf0.001"
+    args = [
+        rd.read_parquet(f"{sf}/documents.parquet"),
+        rd.read_parquet(f"{sf}/orders.parquet"),
+        rd.read_parquet(f"{sf}/customer.parquet"),
+        rd.read_parquet(f"{sf}/lineitem.parquet"),
+    ]
+    fast = dq.dq_checks(*args).to_pandas()
+    monkeypatch.setattr(dq, "DRIVER_FASTPATH_ROWS", 1)
+    slow = dq.dq_checks(*args).to_pandas()
+    assert fast.equals(slow)
