@@ -748,6 +748,17 @@ def q_events_range_join(sf_dir: str):
     )
 
 
+def q_rel_enrich(sf_dir: str):
+    """Denormalization ETL: orders hydrated customer→nation→region —
+    broadcast dims under the gate, sized_join fallback above."""
+    from search_engine_skillbox_ray.pipelines.relational import enrich_orders
+
+    return enrich_orders(
+        _table(sf_dir, "orders"), _table(sf_dir, "customer"),
+        _table(sf_dir, "nation"), _table(sf_dir, "region"),
+    )
+
+
 def q_value_outliers(sf_dir: str):
     """Global z-score outliers over the event stream: (n, Σx, Σx²)
     moment partials → two broadcast scalars → stateless filter; both
@@ -2791,6 +2802,7 @@ _DRIVER_PRIORITY = [
     "search_passages",
     "value_outliers",
     "window_quantiles",
+    "rel_enrich",
 ]
 
 
@@ -2908,6 +2920,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "sif_embeddings": q_sif_embeddings,
         "search_passages": q_search_passages,
         "value_outliers": q_value_outliers,
+        "rel_enrich": q_rel_enrich,
         "window_quantiles": q_window_quantiles,
         "rel_revenue_filter": q_rel_revenue_filter,
         "rel_rollup": q_rel_rollup,
@@ -5833,6 +5846,15 @@ SELECT ((epoch_us(ts) // {WQ_WINDOW_S * 1_000_000}) * {WQ_WINDOW_S})::BIGINT
        percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS p95
 FROM events
 GROUP BY window_start
+""",
+
+        "rel_enrich": """
+SELECT o.o_orderkey, o.o_totalprice,
+       c.c_name, c.c_mktsegment, n.n_name, r.r_name
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
 """,
         "media_dedup": f"""
 SELECT CAST(media_id AS BIGINT) AS media_id, digest,

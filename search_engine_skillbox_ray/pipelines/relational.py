@@ -687,3 +687,126 @@ def revenue_filter(
     return pd.DataFrame(
         [{"revenue": round(float(rev) / 10_000.0, 6), "n_rows": n}]
     )
+
+
+def enrich_orders(
+    orders: rd.Dataset,
+    customer: rd.Dataset,
+    nation: rd.Dataset,
+    region: rd.Dataset,
+) -> rd.Dataset:
+    """Denormalization ETL: orders hydrated through the dimension chain
+    customer → nation → region →
+    (o_orderkey, o_totalprice, c_name, c_mktsegment, n_name, r_name).
+    The "wide fact table" prep every BI export / feature join runs.
+
+    Scale shape: nation/region are constant-sized and always broadcast;
+    the customer attribute map broadcasts under ``DRIVER_FASTPATH_ROWS``
+    (dimension-sized, the Q5 pattern), else the one genuinely large
+    edge runs as a ``sized_join`` hash exchange and ONLY the nation/
+    region hydration stays broadcast. Output streams — no driver
+    materialization of the fact side."""
+    from ..config import DRIVER_FASTPATH_ROWS
+
+    nat = pa.concat_tables(ray.get(nation.to_arrow_refs()))
+    reg = pa.concat_tables(ray.get(region.to_arrow_refs()))
+    n_key = nat.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    n_name = np.asarray(nat.column("n_name").to_pylist(), dtype=object)
+    n_reg = nat.column("n_regionkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    r_key = reg.column("r_regionkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    r_name = np.asarray(reg.column("r_name").to_pylist(), dtype=object)
+    r_order = np.argsort(r_key)
+    n_order = np.argsort(n_key)
+    n_key, n_name, n_reg = n_key[n_order], n_name[n_order], n_reg[n_order]
+    r_key, r_name = r_key[r_order], r_name[r_order]
+    # nation → (name, region name) resolved once on the driver
+    n_rname = r_name[np.searchsorted(r_key, n_reg)]
+    dim_ref = [ray.put((n_key, n_name, n_rname))]
+
+    def hydrate_nation(batch: pa.Table, nk_col: str) -> pa.Table:
+        nk, nn, nr = ray.get(dim_ref[0])
+        keys = batch.column(nk_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(nk, keys)
+        out = batch.drop_columns([nk_col])
+        out = out.append_column("n_name", pa.array(nn[pos], pa.string()))
+        return out.append_column("r_name", pa.array(nr[pos], pa.string()))
+
+    n_cust = customer.count()
+    if n_cust <= DRIVER_FASTPATH_ROWS:
+        ct = pa.concat_tables(
+            ray.get(
+                customer.select_columns(
+                    ["c_custkey", "c_name", "c_mktsegment", "c_nationkey"]
+                ).to_arrow_refs()
+            )
+        )
+        ckey = ct.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        corder = np.argsort(ckey)
+        cust_ref = [
+            ray.put(
+                (
+                    ckey[corder],
+                    np.asarray(ct.column("c_name").to_pylist(), dtype=object)[corder],
+                    np.asarray(ct.column("c_mktsegment").to_pylist(), dtype=object)[
+                        corder
+                    ],
+                    ct.column("c_nationkey")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)[corder],
+                )
+            )
+        ]
+
+        def hydrate(batch: pa.Table) -> pa.Table:
+            ck, cn, cm, cnat = ray.get(cust_ref[0])
+            keys = (
+                batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+            )
+            pos = np.searchsorted(ck, keys)
+            mid = pa.table(
+                {
+                    "o_orderkey": batch.column("o_orderkey"),
+                    "o_totalprice": batch.column("o_totalprice"),
+                    "c_name": pa.array(cn[pos], pa.string()),
+                    "c_mktsegment": pa.array(cm[pos], pa.string()),
+                    "c_nationkey": pa.array(cnat[pos], pa.int64()),
+                }
+            )
+            return hydrate_nation(mid, "c_nationkey")
+
+        return orders.select_columns(
+            ["o_orderkey", "o_custkey", "o_totalprice"]
+        ).map_batches(hydrate, batch_format="pyarrow")
+
+    # above the gate: hash-exchange the one large edge, broadcast the rest
+    from ..stages.grouping import sized_join
+
+    slim_cust = customer.select_columns(
+        ["c_custkey", "c_name", "c_mktsegment", "c_nationkey"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t.column("c_custkey"),
+                "c_name": t.column("c_name"),
+                "c_mktsegment": t.column("c_mktsegment"),
+                "c_nationkey": pc.cast(t.column("c_nationkey"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = sized_join(
+        orders.select_columns(["o_orderkey", "o_custkey", "o_totalprice"]),
+        slim_cust,
+        on=("o_custkey",),
+    )
+    return joined.map_batches(
+        lambda t: hydrate_nation(
+            t.select(
+                ["o_orderkey", "o_totalprice", "c_name", "c_mktsegment", "c_nationkey"]
+            ),
+            "c_nationkey",
+        ),
+        batch_format="pyarrow",
+    )

@@ -293,6 +293,7 @@ def test_oracle_keys_subset(entry_mod):
     "search_passages",
     "value_outliers",
     "window_quantiles",
+    "rel_enrich",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))

@@ -267,3 +267,35 @@ def test_dq_checks_distributed_path_parity(ray_session, monkeypatch):
     monkeypatch.setattr(dq, "DRIVER_FASTPATH_ROWS", 1)
     slow = dq.dq_checks(*args).to_pandas()
     assert fast.equals(slow)
+
+
+def test_enrich_orders_distributed_path_parity(ray_session, monkeypatch):
+    """Forced above-gate: the sized_join edge produces the same enriched
+    rows as the broadcast fast path."""
+    import ray.data as rd
+
+    import search_engine_skillbox_ray.pipelines.relational as rel
+
+    sf = "/root/testdata/sf0.001"
+    args = [
+        rd.read_parquet(f"{sf}/orders.parquet"),
+        rd.read_parquet(f"{sf}/customer.parquet"),
+        rd.read_parquet(f"{sf}/nation.parquet"),
+        rd.read_parquet(f"{sf}/region.parquet"),
+    ]
+    cols = ["o_orderkey", "o_totalprice", "c_name", "c_mktsegment", "n_name", "r_name"]
+    fast = (
+        rel.enrich_orders(*args).to_pandas()[cols]
+        .sort_values("o_orderkey").reset_index(drop=True)
+    )
+
+    import search_engine_skillbox_ray.config as cfg
+    monkeypatch.setattr(rel, "DRIVER_FASTPATH_ROWS", 1, raising=False)
+    # enrich_orders imports the gate inside the function body — patch the
+    # config module attribute it reads
+    monkeypatch.setattr(cfg, "DRIVER_FASTPATH_ROWS", 1)
+    slow = (
+        rel.enrich_orders(*args).to_pandas()[cols]
+        .sort_values("o_orderkey").reset_index(drop=True)
+    )
+    assert fast.equals(slow)
