@@ -748,6 +748,14 @@ def q_events_range_join(sf_dir: str):
     )
 
 
+def q_json_props_stats(sf_dir: str):
+    """Semi-structured extraction: one vectorized RE2 extract over the
+    JSON props column, group-sized partials, single driver fold."""
+    from search_engine_skillbox_ray.pipelines.windows import json_props_stats
+
+    return json_props_stats(_events(sf_dir))
+
+
 def q_rel_enrich(sf_dir: str):
     """Denormalization ETL: orders hydrated customer→nation→region —
     broadcast dims under the gate, sized_join fallback above."""
@@ -2803,6 +2811,7 @@ _DRIVER_PRIORITY = [
     "value_outliers",
     "window_quantiles",
     "rel_enrich",
+    "json_props_stats",
 ]
 
 
@@ -2921,6 +2930,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "search_passages": q_search_passages,
         "value_outliers": q_value_outliers,
         "rel_enrich": q_rel_enrich,
+        "json_props_stats": q_json_props_stats,
         "window_quantiles": q_window_quantiles,
         "rel_revenue_filter": q_rel_revenue_filter,
         "rel_rollup": q_rel_rollup,
@@ -5855,6 +5865,24 @@ FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
+""",
+
+        # the SAME RE2 pattern runs on both sides (pyarrow
+        # extract_regex == DuckDB regexp_extract), pinning extraction
+        # semantics including missing keys
+        "json_props_stats": r"""
+WITH x AS (SELECT event_type,
+             regexp_extract(props, '"k":\s*(-?\d+)', 1) AS v
+           FROM events)
+SELECT event_type,
+       count(*)::BIGINT AS n,
+       count(*) FILTER (WHERE v IS NULL OR v = '')::BIGINT AS n_missing,
+       COALESCE(sum(v::BIGINT) FILTER (WHERE v <> ''), 0)::BIGINT AS sum_k,
+       min(v::BIGINT) FILTER (WHERE v <> '')::BIGINT AS min_k,
+       max(v::BIGINT) FILTER (WHERE v <> '')::BIGINT AS max_k,
+       round(COALESCE(sum(v::BIGINT) FILTER (WHERE v <> ''), 0)::DOUBLE
+             / greatest(count(*) FILTER (WHERE v <> ''), 1), 6) AS avg_k
+FROM x GROUP BY event_type
 """,
         "media_dedup": f"""
 SELECT CAST(media_id AS BIGINT) AS media_id, digest,

@@ -392,6 +392,8 @@ def bench_sf_queries() -> dict:
         "search_passages",
         "value_outliers",
         "window_quantiles",
+        "rel_enrich",
+        "json_props_stats",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

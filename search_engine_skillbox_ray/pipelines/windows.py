@@ -954,3 +954,108 @@ def window_quantiles(
         return pd.DataFrame(out)
 
     return bucketed_group_apply(slim, ["window_start"], per_bucket, n_buckets=32)
+
+
+def json_props_stats(
+    events: rd.Dataset,
+    key: str = "k",
+    type_col: str = "event_type",
+    props_col: str = "props",
+) -> rd.Dataset:
+    """→ (event_type, n, n_missing, sum_k, min_k, max_k, avg_k[r6]):
+    semi-structured extraction — pull integer field ``key`` out of the
+    JSON ``props`` column with ONE vectorized RE2 ``extract_regex``
+    (no per-row json.loads) and aggregate per event type. The
+    log-analytics shape: parse where the bytes live, ship only
+    group-sized partials.
+
+    Scale shape: per-batch partial aggregation into ≤ types rows
+    (count/sum/min/max are all mergeable), one tiny groupby, exact
+    integer sums; avg divides the exact integers at the end. The same
+    RE2 pattern runs in the DuckDB oracle, so extraction semantics
+    (including rows where the key is absent → n_missing) are pinned."""
+    pattern = '"' + key + '":\\s*(?P<v>-?\\d+)'
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch.column(type_col)
+        ex = pc.extract_regex(batch.column(props_col), pattern)
+        v = pc.struct_field(ex, "v")
+        ok = pc.is_valid(v).to_numpy(zero_copy_only=False)
+        vals = np.where(
+            ok,
+            pc.cast(pc.fill_null(v, "0"), pa.int64()).to_numpy(zero_copy_only=False),
+            0,
+        )
+        tdict = et.dictionary_encode()
+        if isinstance(tdict, pa.ChunkedArray):
+            tdict = tdict.combine_chunks()
+        codes = tdict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        names = tdict.dictionary.to_pylist()
+        ntypes = len(names)
+        n = np.bincount(codes, minlength=ntypes).astype(np.int64)
+        nmiss = np.bincount(codes[~ok], minlength=ntypes).astype(np.int64)
+        sums = np.bincount(codes, weights=np.where(ok, vals, 0), minlength=ntypes)
+        mins = np.full(ntypes, np.iinfo(np.int64).max, np.int64)
+        maxs = np.full(ntypes, np.iinfo(np.int64).min, np.int64)
+        okc = codes[ok]
+        if okc.size:
+            np.minimum.at(mins, okc, vals[ok])
+            np.maximum.at(maxs, okc, vals[ok])
+        return pa.table(
+            {
+                type_col: pa.array(names, pa.string()),
+                "n": pa.array(n),
+                "n_missing": pa.array(nmiss),
+                "sum_k": pa.array(sums.astype(np.int64)),
+                "min_k": pa.array(mins),
+                "max_k": pa.array(maxs),
+            }
+        )
+
+    import ray
+
+    # ONE scan: partials are (types × batches)-sized — fold them all on
+    # the driver (annotated small collect); no groupby needed at all
+    parts = [
+        t
+        for t in ray.get(
+            events.select_columns([type_col, props_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if len(t)
+    ]
+    acc: dict[str, list[int]] = {}
+    for t in parts:
+        d = t.to_pydict()
+        for i in range(len(t)):
+            row = acc.setdefault(
+                d[type_col][i],
+                [0, 0, 0, np.iinfo(np.int64).max, np.iinfo(np.int64).min],
+            )
+            row[0] += d["n"][i]
+            row[1] += d["n_missing"][i]
+            row[2] += d["sum_k"][i]
+            row[3] = min(row[3], d["min_k"][i])
+            row[4] = max(row[4], d["max_k"][i])
+    names = sorted(acc)
+    n = np.array([acc[x][0] for x in names], np.int64)
+    nm = np.array([acc[x][1] for x in names], np.int64)
+    sk = np.array([acc[x][2] for x in names], np.int64)
+    present = (n - nm).astype(np.float64)
+    avg = np.round(
+        np.where(present > 0, sk.astype(np.float64) / np.maximum(present, 1), 0.0), 6
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                type_col: pa.array(names, pa.string()),
+                "n": pa.array(n),
+                "n_missing": pa.array(nm),
+                "sum_k": pa.array(sk),
+                "min_k": pa.array([acc[x][3] for x in names], pa.int64()),
+                "max_k": pa.array([acc[x][4] for x in names], pa.int64()),
+                "avg_k": pa.array(avg, pa.float64()),
+            }
+        )
+    )

@@ -294,6 +294,7 @@ def test_oracle_keys_subset(entry_mod):
     "value_outliers",
     "window_quantiles",
     "rel_enrich",
+    "json_props_stats",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
