@@ -67,6 +67,7 @@ DQ_SHORT_CHARS, DQ_STALE_ISO = 100, "1996-01-01"  # expectation suite
 SIF_DIMS, SIF_A = 4, 1e-3  # hashed SIF document embeddings
 PASSAGE_K = 10  # top-k passages (chunk-granular retrieval)
 OUTLIER_Z = 2.5  # global z-score outlier threshold
+TOP_PARTS_K = 10  # parts leaderboard size
 WQ_WINDOW_S = 3600  # exact per-window quantiles (tumbling, seconds)
 Q6_FROM, Q6_TO, Q6_LO, Q6_HI, Q6_QTY = "1996-01-01", "1997-01-01", 0.02, 0.06, 25.0
 MOVAVG_WINDOW = 3  # per-user trailing moving-average window (rows)
@@ -745,6 +746,17 @@ def q_events_range_join(sf_dir: str):
 
     return time_range_join(
         _events(sf_dir), "signup", "click", within_s=RANGE_JOIN_W_S
+    )
+
+
+def q_rel_top_parts(sf_dir: str):
+    """Top-k parts by discounted revenue with distinct-supplier counts
+    — partkey-sized combiner exchange, dimension broadcast hydrate,
+    driver-side k-pick (no global sort)."""
+    from search_engine_skillbox_ray.pipelines.relational import top_parts_by_revenue
+
+    return top_parts_by_revenue(
+        _table(sf_dir, "lineitem"), _table(sf_dir, "part"), k=TOP_PARTS_K
     )
 
 
@@ -2812,6 +2824,7 @@ _DRIVER_PRIORITY = [
     "window_quantiles",
     "rel_enrich",
     "json_props_stats",
+    "rel_top_parts",
 ]
 
 
@@ -2931,6 +2944,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "value_outliers": q_value_outliers,
         "rel_enrich": q_rel_enrich,
         "json_props_stats": q_json_props_stats,
+        "rel_top_parts": q_rel_top_parts,
         "window_quantiles": q_window_quantiles,
         "rel_revenue_filter": q_rel_revenue_filter,
         "rel_rollup": q_rel_rollup,
@@ -5883,6 +5897,21 @@ SELECT event_type,
        round(COALESCE(sum(v::BIGINT) FILTER (WHERE v <> ''), 0)::DOUBLE
              / greatest(count(*) FILTER (WHERE v <> ''), 1), 6) AS avg_k
 FROM x GROUP BY event_type
+""",
+
+        "rel_top_parts": f"""
+WITH rev AS (
+  SELECT l_partkey,
+    sum(FLOOR(l_extendedprice * 100 + 0.5)
+        * (100 - FLOOR(l_discount * 100 + 0.5)))::BIGINT AS rev_c4,
+    count(*)::BIGINT AS n_rows,
+    count(DISTINCT l_suppkey)::BIGINT AS n_suppliers
+  FROM lineitem GROUP BY 1)
+SELECT r.l_partkey AS p_partkey, p.p_name, p.p_brand,
+       round(CAST(rev_c4 AS DOUBLE) / 10000.0, 6) AS revenue,
+       n_suppliers, n_rows
+FROM rev r JOIN part p ON p.p_partkey = r.l_partkey
+ORDER BY rev_c4 DESC, r.l_partkey LIMIT {TOP_PARTS_K}
 """,
         "media_dedup": f"""
 SELECT CAST(media_id AS BIGINT) AS media_id, digest,

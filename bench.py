@@ -394,6 +394,7 @@ def bench_sf_queries() -> dict:
         "window_quantiles",
         "rel_enrich",
         "json_props_stats",
+        "rel_top_parts",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

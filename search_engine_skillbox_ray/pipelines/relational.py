@@ -810,3 +810,98 @@ def enrich_orders(
         ),
         batch_format="pyarrow",
     )
+
+
+def top_parts_by_revenue(
+    lineitem: rd.Dataset,
+    part: rd.Dataset,
+    *,
+    k: int = 10,
+) -> pd.DataFrame:
+    """→ top-``k`` parts by discounted revenue, hydrated with the part
+    name/brand and the number of DISTINCT suppliers that shipped them —
+    (p_partkey, p_name, p_brand, revenue, n_suppliers, n_rows), ranked
+    (revenue desc, p_partkey).
+
+    Scale shape: revenue accumulates in integer cents×pct per
+    (partkey) with per-batch combiners — the exchange is partkey-sized
+    partials, and because every combiner emits ≤ distinct-parts rows,
+    the driver fold is (parts × batches)-bounded. Distinct suppliers
+    per part fold as per-batch (part, supplier) unique pairs — pair
+    cardinality is bounded by the real assignment (TPC-H ships each
+    part from ≤ a handful of suppliers). Part names broadcast
+    (dimension-sized). Ranking picks k on the driver from the
+    parts-sized aggregate — no global sort."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        price_c = _cents(batch.column("l_extendedprice").to_numpy(zero_copy_only=False))
+        disc_pct = _cents(batch.column("l_discount").to_numpy(zero_copy_only=False))
+        rev_c4 = price_c * (100 - disc_pct)
+        uniq, inv = np.unique(pk, return_inverse=True)
+        rev = np.bincount(inv, weights=rev_c4.astype(np.float64), minlength=len(uniq))
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        # distinct (part, supplier) pairs this batch
+        pair = np.unique(pk * np.int64(1 << 20) + sk)
+        pad = max(len(uniq), len(pair))
+        def _pad(a, fill=0):
+            out = np.full(pad, fill, np.int64)
+            out[: len(a)] = a
+            return out
+        return pa.table(
+            {
+                "p_partkey": pa.array(_pad(uniq, -1)),
+                "rev_c4": pa.array(_pad(rev.astype(np.int64))),
+                "n_rows": pa.array(_pad(n)),
+                "pair": pa.array(_pad(pair, -1)),
+            }
+        )
+
+    acc_rev: dict[int, int] = {}
+    acc_n: dict[int, int] = {}
+    pairs: set = set()
+    parts_stream = lineitem.select_columns(
+        ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(partial, batch_format="pyarrow", batch_size=16384)
+    for ref in parts_stream.to_arrow_refs():
+        t = ray.get(ref)
+        if not len(t):
+            continue
+        d = t.to_pydict()
+        for pk_, rv, n_ in zip(d["p_partkey"], d["rev_c4"], d["n_rows"]):
+            if pk_ >= 0:
+                acc_rev[pk_] = acc_rev.get(pk_, 0) + rv
+                acc_n[pk_] = acc_n.get(pk_, 0) + n_
+        pairs.update(p for p in d["pair"] if p >= 0)
+
+    sup_per_part: dict[int, int] = {}
+    for p in pairs:
+        key = p >> 20
+        sup_per_part[key] = sup_per_part.get(key, 0) + 1
+
+    top = sorted(acc_rev, key=lambda x: (-acc_rev[x], x))[:k]
+    pt = pa.concat_tables(
+        ray.get(part.select_columns(["p_partkey", "p_name", "p_brand"]).to_arrow_refs())
+    )
+    pkeys = pt.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(pkeys)
+    pkeys = pkeys[order]
+    pname = np.asarray(pt.column("p_name").to_pylist(), dtype=object)[order]
+    pbrand = np.asarray(pt.column("p_brand").to_pylist(), dtype=object)[order]
+    rows = []
+    for pk_ in top:
+        pos = int(np.searchsorted(pkeys, pk_))
+        rows.append(
+            {
+                "p_partkey": pk_,
+                "p_name": pname[pos] if pos < len(pkeys) and pkeys[pos] == pk_ else "",
+                "p_brand": (
+                    pbrand[pos] if pos < len(pkeys) and pkeys[pos] == pk_ else ""
+                ),
+                "revenue": round(float(acc_rev[pk_]) / 10_000.0, 6),
+                "n_suppliers": sup_per_part.get(pk_, 0),
+                "n_rows": acc_n[pk_],
+            }
+        )
+    return pd.DataFrame(rows)

@@ -295,6 +295,7 @@ def test_oracle_keys_subset(entry_mod):
     "window_quantiles",
     "rel_enrich",
     "json_props_stats",
+    "rel_top_parts",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
