@@ -749,6 +749,62 @@ def q_events_range_join(sf_dir: str):
     )
 
 
+def q_jsonl_roundtrip(sf_dir: str):
+    """JSONL sink+source roundtrip: sharded resumable writer, ray
+    read_json back — content fidelity proven by the full-table hash."""
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.sources.formats import export_jsonl
+
+    d = export_jsonl(_documents(sf_dir), input_token=f"jsonl:{sf_dir}")
+    return rd.read_json(d).select_columns(
+        ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
+def q_csv_roundtrip(sf_dir: str):
+    """CSV sink+source roundtrip (Arrow typed writer, quoted newlines
+    survive) — same resumable shard layout."""
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.sources.formats import export_csv
+
+    d = export_csv(_documents(sf_dir), input_token=f"csv:{sf_dir}")
+    return rd.read_csv(d).select_columns(
+        ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
+def q_partitioned_export(sf_dir: str):
+    """Hive-partitioned Parquet sink (lang=…/) via Ray's own
+    write_parquet(partition_cols) + partition-pruned read-back counts."""
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.sources.formats import export_partitioned_parquet
+
+    d = export_partitioned_parquet(
+        _documents(sf_dir), "lang", input_token=f"hive:{sf_dir}"
+    )
+    return (
+        rd.read_parquet(d)
+        .groupby("lang")
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "lang": t.column("lang"),
+                    "n_docs": pc.cast(t.column("count()"), pa.int64()),
+                }
+            )
+            if len(t) and "lang" in t.column_names
+            else pa.table(
+                {"lang": pa.array([], pa.string()), "n_docs": pa.array([], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def q_rel_top_parts(sf_dir: str):
     """Top-k parts by discounted revenue with distinct-supplier counts
     — partkey-sized combiner exchange, dimension broadcast hydrate,
@@ -2825,6 +2881,9 @@ _DRIVER_PRIORITY = [
     "rel_enrich",
     "json_props_stats",
     "rel_top_parts",
+    "jsonl_roundtrip",
+    "csv_roundtrip",
+    "partitioned_export",
 ]
 
 
@@ -2945,6 +3004,9 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "rel_enrich": q_rel_enrich,
         "json_props_stats": q_json_props_stats,
         "rel_top_parts": q_rel_top_parts,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "csv_roundtrip": q_csv_roundtrip,
+        "partitioned_export": q_partitioned_export,
         "window_quantiles": q_window_quantiles,
         "rel_revenue_filter": q_rel_revenue_filter,
         "rel_rollup": q_rel_rollup,
@@ -5913,6 +5975,18 @@ SELECT r.l_partkey AS p_partkey, p.p_name, p.p_brand,
 FROM rev r JOIN part p ON p.p_partkey = r.l_partkey
 ORDER BY rev_c4 DESC, r.l_partkey LIMIT {TOP_PARTS_K}
 """,
+
+        # format roundtrips: the oracle is the ORIGINAL table — the
+        # hash proves the sink+source pair is lossless
+        "jsonl_roundtrip": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
+        "csv_roundtrip": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
+        "partitioned_export": (
+            "SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang"
+        ),
         "media_dedup": f"""
 SELECT CAST(media_id AS BIGINT) AS media_id, digest,
        CAST(keep AS BIGINT) AS keep

@@ -395,6 +395,9 @@ def bench_sf_queries() -> dict:
         "rel_enrich",
         "json_props_stats",
         "rel_top_parts",
+        "jsonl_roundtrip",
+        "csv_roundtrip",
+        "partitioned_export",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

@@ -296,6 +296,9 @@ def test_oracle_keys_subset(entry_mod):
     "rel_enrich",
     "json_props_stats",
     "rel_top_parts",
+    "jsonl_roundtrip",
+    "csv_roundtrip",
+    "partitioned_export",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
