@@ -749,6 +749,19 @@ def q_events_range_join(sf_dir: str):
     )
 
 
+def q_rel_supplier_nations(sf_dir: str):
+    """Per-nation supplier census with region context — dimension
+    combiners, integer-cents balances."""
+    from search_engine_skillbox_ray.pipelines.relational import (
+        supplier_nation_profile,
+    )
+
+    return supplier_nation_profile(
+        _table(sf_dir, "supplier"), _table(sf_dir, "nation"),
+        _table(sf_dir, "region"),
+    )
+
+
 def q_jsonl_roundtrip(sf_dir: str):
     """JSONL sink+source roundtrip: sharded resumable writer, ray
     read_json back — content fidelity proven by the full-table hash."""
@@ -2884,6 +2897,7 @@ _DRIVER_PRIORITY = [
     "jsonl_roundtrip",
     "csv_roundtrip",
     "partitioned_export",
+    "rel_supplier_nations",
 ]
 
 
@@ -3005,6 +3019,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "json_props_stats": q_json_props_stats,
         "rel_top_parts": q_rel_top_parts,
         "jsonl_roundtrip": q_jsonl_roundtrip,
+        "rel_supplier_nations": q_rel_supplier_nations,
         "csv_roundtrip": q_csv_roundtrip,
         "partitioned_export": q_partitioned_export,
         "window_quantiles": q_window_quantiles,
@@ -5987,6 +6002,17 @@ ORDER BY rev_c4 DESC, r.l_partkey LIMIT {TOP_PARTS_K}
         "partitioned_export": (
             "SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang"
         ),
+
+        "rel_supplier_nations": """
+SELECT n.n_name, r.r_name,
+       count(*)::BIGINT AS n_suppliers,
+       round(CAST(sum(FLOOR(s.s_acctbal * 100 + 0.5)) AS DOUBLE) / 100.0, 6)
+         AS total_acctbal
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY n.n_name, r.r_name
+""",
         "media_dedup": f"""
 SELECT CAST(media_id AS BIGINT) AS media_id, digest,
        CAST(keep AS BIGINT) AS keep

@@ -905,3 +905,73 @@ def top_parts_by_revenue(
             }
         )
     return pd.DataFrame(rows)
+
+
+def supplier_nation_profile(
+    supplier: rd.Dataset,
+    nation: rd.Dataset,
+    region: rd.Dataset,
+) -> pd.DataFrame:
+    """→ (n_name, r_name, n_suppliers, total_acctbal): per-nation
+    supplier census with region rollup context — the remaining star
+    dimension (supplier) wired through nation→region.
+
+    Scale shape: supplier streams with per-batch (nationkey → count,
+    balance-cents) combiners; nation/region resolve on the driver
+    (constant-sized). Balance sums in integer cents, divided once."""
+    nat = pa.concat_tables(ray.get(nation.to_arrow_refs()))
+    reg = pa.concat_tables(ray.get(region.to_arrow_refs()))
+    n_key = nat.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    n_name = np.asarray(nat.column("n_name").to_pylist(), dtype=object)
+    n_reg = nat.column("n_regionkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    r_key = reg.column("r_regionkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    r_name = np.asarray(reg.column("r_name").to_pylist(), dtype=object)
+    ro = np.argsort(r_key)
+    no = np.argsort(n_key)
+    n_key, n_name, n_reg = n_key[no], n_name[no], n_reg[no]
+    r_name_for_n = r_name[ro][np.searchsorted(r_key[ro], n_reg)]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nk = batch.column("s_nationkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        bal_c = _cents(batch.column("s_acctbal").to_numpy(zero_copy_only=False))
+        uniq, inv = np.unique(nk, return_inverse=True)
+        return pa.table(
+            {
+                "nk": pa.array(uniq),
+                "n": pa.array(np.bincount(inv, minlength=len(uniq)).astype(np.int64)),
+                "bal_c": pa.array(
+                    np.bincount(
+                        inv, weights=bal_c.astype(np.float64), minlength=len(uniq)
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    acc: dict[int, list[int]] = {}
+    for ref in (
+        supplier.select_columns(["s_nationkey", "s_acctbal"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_arrow_refs()
+    ):
+        t = ray.get(ref)
+        if not len(t):
+            continue
+        d = t.to_pydict()
+        for nk_, n_, b_ in zip(d["nk"], d["n"], d["bal_c"]):
+            row = acc.setdefault(nk_, [0, 0])
+            row[0] += n_
+            row[1] += b_
+    rows = []
+    for nk_ in sorted(acc):
+        pos = int(np.searchsorted(n_key, nk_))
+        rows.append(
+            {
+                "n_name": n_name[pos],
+                "r_name": r_name_for_n[pos],
+                "n_suppliers": acc[nk_][0],
+                "total_acctbal": round(float(acc[nk_][1]) / 100.0, 6),
+            }
+        )
+    return pd.DataFrame(rows).sort_values("n_name").reset_index(drop=True)

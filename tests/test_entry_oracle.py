@@ -299,6 +299,7 @@ def test_oracle_keys_subset(entry_mod):
     "jsonl_roundtrip",
     "csv_roundtrip",
     "partitioned_export",
+    "rel_supplier_nations",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
