@@ -442,33 +442,17 @@ def order_priority_counts(
     more than ``late_days`` after the order date.
     → (o_orderpriority, order_count).
 
-    Scale shape: the EXISTS collapses to max(l_shipdate) per order — a
-    per-batch combiner, then one order-count-sized groupby-max; the
-    orders side filters in its own pass and resolves against the max
-    map (gated broadcast / sized_join fallback). Neither fact table
-    ever shuffles at row grain."""
+    Scale shape: below the driver gate the filtered orders broadcast
+    ONCE (``ray.put`` of sorted orderkey/orderdate arrays) and the
+    lineitem scan emits only the DISTINCT late orderkeys it saw — a
+    shuffle-free semi-join whose exchange is the late-hit set, not a
+    per-order groupby (the 4-lineitems-per-order combiner compresses
+    nothing, so the old groupby-max shuffled at fact-row grain).
+    Above the gate the EXISTS collapses to max(l_shipdate) per order
+    resolved through a ``sized_join`` hash exchange."""
     d0 = np.datetime64(date_from_iso, "us")
     d1 = np.datetime64(date_to_iso, "us")
     late_us = np.int64(late_days) * 86_400_000_000
-
-    def li_max(batch: pa.Table) -> pa.Table:
-        okey = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
-        ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False).astype(
-            "datetime64[us]"
-        ).astype(np.int64)
-        uk, inv = np.unique(okey, return_inverse=True)
-        mx = np.full(len(uk), np.iinfo(np.int64).min, np.int64)
-        np.maximum.at(mx, inv, ship)
-        return pa.table(
-            {
-                "l_orderkey": pa.array(uk, pa.int64()),
-                "max_ship_us": pa.array(mx, pa.int64()),
-            }
-        )
-
-    li = lineitem.select_columns(["l_orderkey", "l_shipdate"]).map_batches(
-        li_max, batch_format="pyarrow", batch_size=16384
-    ).groupby("l_orderkey").max("max_ship_us")
 
     def o_filter(batch: pa.Table) -> pa.Table:
         od = batch.column("o_orderdate").to_numpy(zero_copy_only=False).astype(
@@ -487,32 +471,78 @@ def order_priority_counts(
 
     sel = orders.select_columns(
         ["o_orderkey", "o_orderdate", "o_orderpriority"]
-    ).map_batches(o_filter, batch_format="pyarrow")
+    ).map_batches(o_filter, batch_format="pyarrow").materialize()
 
     from ..config import DRIVER_FASTPATH_ROWS
 
     counts: dict[str, int] = {}
     if sel.count() <= DRIVER_FASTPATH_ROWS:
-        mx: dict[int, int] = {}
-        for ref in li.to_arrow_refs():
-            t = ray.get(ref)
-            mx.update(
-                zip(
-                    t.column("l_orderkey").to_pylist(),
-                    t.column("max(max_ship_us)").to_pylist(),
-                )
+        # Driver fastpath: broadcast the (sorted orderkey, orderdate)
+        # arrays of the selected window once; each lineitem batch emits
+        # only the DISTINCT orderkeys whose shipdate is late. No shuffle.
+        parts = [p for p in (ray.get(r) for r in sel.to_arrow_refs()) if p.num_rows]
+        if not parts:
+            return pd.DataFrame({"o_orderpriority": [], "order_count": []})
+        st = pa.concat_tables(parts)
+        okeys = st.column("o_orderkey").to_numpy(zero_copy_only=False)
+        odates = st.column("odate_us").to_numpy(zero_copy_only=False)
+        prios = st.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        order = np.argsort(okeys, kind="stable")
+        okeys, odates, prios = okeys[order], odates[order], prios[order]
+        sel_ref = ray.put((okeys, odates))
+
+        def li_late(batch: pa.Table) -> pa.Table:
+            sk, sd = ray.get(sel_ref)
+            lk = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+            ship = batch.column("l_shipdate").to_numpy(
+                zero_copy_only=False
+            ).astype("datetime64[us]").astype(np.int64)
+            pos = np.searchsorted(sk, lk)
+            pos[pos == len(sk)] = 0
+            hit = (sk[pos] == lk) & (ship > sd[pos] + late_us)
+            return pa.table(
+                {"late_key": pa.array(np.unique(lk[hit]), pa.int64())}
             )
-        for ref in sel.to_arrow_refs():
-            t = ray.get(ref)
-            for ok, pr, od in zip(
-                t.column("o_orderkey").to_pylist(),
-                t.column("o_orderpriority").to_pylist(),
-                t.column("odate_us").to_pylist(),
-            ):
-                ms = mx.get(ok)
-                if ms is not None and ms > od + late_us:
-                    counts[pr] = counts.get(pr, 0) + 1
+
+        late_parts = [
+            ray.get(r)
+            for r in lineitem.select_columns(["l_orderkey", "l_shipdate"])
+            .map_batches(li_late, batch_format="pyarrow", batch_size=65536)
+            .to_arrow_refs()
+        ]
+        lk_all = np.unique(
+            np.concatenate(
+                [
+                    p.column("late_key").to_numpy(zero_copy_only=False)
+                    for p in late_parts
+                    if p.num_rows
+                ]
+                or [np.empty(0, np.int64)]
+            )
+        )
+        pos = np.searchsorted(okeys, lk_all)
+        late_prios = prios[pos]
+        for pr, c in zip(*np.unique(late_prios, return_counts=True)):
+            counts[str(pr)] = int(c)
     else:
+        def li_max(batch: pa.Table) -> pa.Table:
+            okey = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+            ship = batch.column("l_shipdate").to_numpy(
+                zero_copy_only=False
+            ).astype("datetime64[us]").astype(np.int64)
+            uk, inv = np.unique(okey, return_inverse=True)
+            mx = np.full(len(uk), np.iinfo(np.int64).min, np.int64)
+            np.maximum.at(mx, inv, ship)
+            return pa.table(
+                {
+                    "l_orderkey": pa.array(uk, pa.int64()),
+                    "max_ship_us": pa.array(mx, pa.int64()),
+                }
+            )
+
+        li = lineitem.select_columns(["l_orderkey", "l_shipdate"]).map_batches(
+            li_max, batch_format="pyarrow", batch_size=16384
+        ).groupby("l_orderkey").max("max_ship_us")
         joined = sized_join(
             sel,
             li.map_batches(
