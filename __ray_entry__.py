@@ -73,6 +73,10 @@ Q6_FROM, Q6_TO, Q6_LO, Q6_HI, Q6_QTY = "1996-01-01", "1997-01-01", 0.02, 0.06, 2
 MOVAVG_WINDOW = 3  # per-user trailing moving-average window (rows)
 ZIPF_TOP_M = 1000  # rank-frequency fit over the top-M vocabulary
 Q4_FROM, Q4_TO, Q4_LATE_DAYS = "1996-01-01", "1999-01-01", 90
+Q13_EXCLUDE = "5-LOW"  # Q13-shaped: the filtered-out order class
+Q11_NUM, Q11_DEN = 12, 10_000  # Q11-shaped value-share threshold
+Q22_NATIONS = (1, 3, 5, 7, 9, 11, 13)  # Q22-shaped nation subset
+Q22_SINCE = "2001-01-01"  # dormant = no order on/after this date
 # relational (TPC-H-shaped) probes over lineitem/orders/customer
 Q1_CUTOFF = "1999-06-30"
 Q3_SEGMENT, Q3_DATE, Q3_K = "BUILDING", "1998-06-30", 10
@@ -759,6 +763,43 @@ def q_rel_supplier_nations(sf_dir: str):
     return supplier_nation_profile(
         _table(sf_dir, "supplier"), _table(sf_dir, "nation"),
         _table(sf_dir, "region"),
+    )
+
+
+def q_rel_custdist(sf_dir: str):
+    """TPC-H Q13-shaped aggregate-of-aggregate: customers bucketed by
+    their (non-excluded) order count, zero bucket included — custkey
+    combiner exchange, histogram combiner, two scalar counts."""
+    from search_engine_skillbox_ray.pipelines.relational import (
+        customer_order_distribution,
+    )
+
+    return customer_order_distribution(
+        _table(sf_dir, "customer"), _table(sf_dir, "orders"),
+        exclude_priority=Q13_EXCLUDE,
+    )
+
+
+def q_rel_value_parts(sf_dir: str):
+    """TPC-H Q11-shaped global-scalar HAVING: parts whose discounted
+    revenue exceeds num/den of the table total — exact integer
+    cent·pct sums, arbitrary-precision threshold compare."""
+    from search_engine_skillbox_ray.pipelines.relational import important_parts
+
+    return important_parts(
+        _table(sf_dir, "lineitem"), fraction_num=Q11_NUM, fraction_den=Q11_DEN,
+    )
+
+
+def q_rel_idle_customers(sf_dir: str):
+    """TPC-H Q22-shaped anti-join + exact scalar-average HAVING:
+    rich-but-orderless customers per nation — two scalar partials,
+    distinct-custkey combiner, gated broadcast anti-join."""
+    from search_engine_skillbox_ray.pipelines.relational import idle_customers
+
+    return idle_customers(
+        _table(sf_dir, "customer"), _table(sf_dir, "orders"),
+        nationkeys=Q22_NATIONS, since_iso=Q22_SINCE,
     )
 
 
@@ -2898,6 +2939,10 @@ _DRIVER_PRIORITY = [
     "csv_roundtrip",
     "partitioned_export",
     "rel_supplier_nations",
+    # round-4 session-9 additions
+    "rel_custdist",
+    "rel_value_parts",
+    "rel_idle_customers",
 ]
 
 
@@ -3020,6 +3065,9 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "rel_top_parts": q_rel_top_parts,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "rel_supplier_nations": q_rel_supplier_nations,
+        "rel_custdist": q_rel_custdist,
+        "rel_value_parts": q_rel_value_parts,
+        "rel_idle_customers": q_rel_idle_customers,
         "csv_roundtrip": q_csv_roundtrip,
         "partitioned_export": q_partitioned_export,
         "window_quantiles": q_window_quantiles,
@@ -6012,6 +6060,54 @@ FROM supplier s
 JOIN nation n ON s.s_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY n.n_name, r.r_name
+""",
+        # Q13 shape: LEFT JOIN keeps the zero-order bucket
+        "rel_custdist": f"""
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '{Q13_EXCLUDE}'
+  GROUP BY c.c_custkey
+) t
+GROUP BY c_count
+""",
+        # Q11 shape: HAVING compares exact integer cent·pct units
+        "rel_value_parts": f"""
+WITH pv AS (
+  SELECT l_partkey,
+         sum(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS HUGEINT)
+             * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS HUGEINT)))
+           AS val_c4
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT sum(val_c4) AS total FROM pv)
+SELECT l_partkey::BIGINT AS l_partkey,
+       round(CAST(val_c4 AS DOUBLE) / 10000.0, 6) AS value
+FROM pv, tot
+WHERE val_c4 * {Q11_DEN} > total * {Q11_NUM}
+""",
+        # Q22 shape: bal·n > sum multiplies the average through — both
+        # sides compare exact integers, no float threshold
+        "rel_idle_customers": f"""
+WITH c0 AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+  FROM customer
+  WHERE c_nationkey IN {Q22_NATIONS!r}
+),
+s AS (SELECT sum(bal_c)::HUGEINT AS sum_c, count(*)::HUGEINT AS n
+      FROM c0 WHERE bal_c > 0)
+SELECT c_nationkey::BIGINT AS c_nationkey,
+       count(*)::BIGINT AS numcust,
+       round(CAST(sum(bal_c) AS DOUBLE) / 100.0, 6) AS totacctbal
+FROM c0, s
+WHERE bal_c::HUGEINT * s.n > s.sum_c
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c0.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '{Q22_SINCE}')
+GROUP BY c_nationkey
 """,
         "media_dedup": f"""
 SELECT CAST(media_id AS BIGINT) AS media_id, digest,

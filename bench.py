@@ -398,6 +398,11 @@ def bench_sf_queries() -> dict:
         "jsonl_roundtrip",
         "csv_roundtrip",
         "partitioned_export",
+        "rel_supplier_nations",
+        # round-4 session-9 additions
+        "rel_custdist",
+        "rel_value_parts",
+        "rel_idle_customers",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

@@ -1005,3 +1005,325 @@ def supplier_nation_profile(
             }
         )
     return pd.DataFrame(rows).sort_values("n_name").reset_index(drop=True)
+
+
+def customer_order_distribution(
+    customer: rd.Dataset,
+    orders: rd.Dataset,
+    *,
+    exclude_priority: str = "5-LOW",
+) -> pd.DataFrame:
+    """TPC-H Q13-shaped aggregate-of-aggregate: distribution of
+    customers by how many (non-``exclude_priority``) orders they
+    placed, INCLUDING the zero-order bucket (the LEFT JOIN semantics).
+    → (c_count, custdist).
+
+    Scale shape: orders filter + per-batch custkey-count combiner →
+    one customer-grain exchange (orders-per-customer compresses ~10×);
+    the count histogram is another combiner whose exchange is at most
+    (distinct order counts × batches) rows; the zero bucket falls out
+    of two scalar counts (total customers − customers with ≥1 order) —
+    the customer table itself never shuffles."""
+
+    def o_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.not_equal(batch.column("o_orderpriority"), exclude_priority)
+        ck = batch.column("o_custkey").filter(keep).to_numpy(zero_copy_only=False)
+        uk, cnt = np.unique(ck, return_counts=True)
+        return pa.table(
+            {
+                "c_custkey": pa.array(uk, pa.int64()),
+                "n_orders": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    per_cust = (
+        orders.select_columns(["o_custkey", "o_orderpriority"])
+        .map_batches(o_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("c_custkey")
+        .sum("n_orders")
+    )
+
+    # histogram combiner: (order-count value → #customers) per block,
+    # then a bounded driver fold (distinct count values ≪ customers)
+    def h_partial(batch: pa.Table) -> pa.Table:
+        n = batch.column("sum(n_orders)").to_numpy(zero_copy_only=False)
+        uv, cnt = np.unique(n, return_counts=True)
+        return pa.table(
+            {
+                "c_count": pa.array(uv.astype(np.int64)),
+                "custdist": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    hist: dict[int, int] = {}
+    n_with_orders = 0
+    for ref in per_cust.map_batches(
+        h_partial, batch_format="pyarrow"
+    ).to_arrow_refs():
+        t = ray.get(ref)
+        if not len(t):
+            continue
+        d = t.to_pydict()
+        for v, c in zip(d["c_count"], d["custdist"]):
+            hist[v] = hist.get(v, 0) + c
+            n_with_orders += c
+
+    n_customers = customer.count()
+    zero = n_customers - n_with_orders
+    if zero:
+        hist[0] = hist.get(0, 0) + zero
+
+    rows = sorted(hist.items(), key=lambda kv: (-kv[1], -kv[0]))
+    return pd.DataFrame(
+        {
+            "c_count": [r[0] for r in rows],
+            "custdist": [r[1] for r in rows],
+        }
+    )
+
+
+def important_parts(
+    lineitem: rd.Dataset,
+    *,
+    fraction_num: int = 12,
+    fraction_den: int = 10_000,
+) -> pd.DataFrame:
+    """TPC-H Q11-shaped global-scalar HAVING: parts whose discounted
+    revenue exceeds ``fraction_num/fraction_den`` of the WHOLE table's
+    revenue. → (l_partkey, value) with value = revenue in dollars.
+
+    The revenue unit is the exact integer cent·pct product
+    (floor(price·100+0.5) × (100−floor(disc·100+0.5))), so both the
+    per-part sums and the global total are exact integers and the
+    HAVING compares ``value·den > total·num`` in arbitrary-precision
+    ints — no float threshold can disagree with the oracle.
+
+    Scale shape: ONE pass of per-batch (partkey → cent·pct) combiners →
+    a part-grain exchange (line-items-per-part compresses well); the
+    global total folds from the same partials; the HAVING filters the
+    part-grain table with two broadcast ints."""
+
+    def p_partial(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        price_c = _cents(batch.column("l_extendedprice").to_numpy(zero_copy_only=False))
+        disc_pct = _cents(batch.column("l_discount").to_numpy(zero_copy_only=False))
+        val = price_c * (100 - disc_pct)
+        uk, inv = np.unique(pk, return_inverse=True)
+        sums = np.zeros(len(uk), np.int64)
+        np.add.at(sums, inv, val)
+        return pa.table(
+            {
+                "l_partkey": pa.array(uk, pa.int64()),
+                "val_c4": pa.array(sums),
+            }
+        )
+
+    per_part = (
+        lineitem.select_columns(["l_partkey", "l_extendedprice", "l_discount"])
+        .map_batches(p_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("l_partkey")
+        .sum("val_c4")
+        .materialize()
+    )
+
+    # global total from the part-grain table (part-count-sized scan)
+    total = 0
+    parts: list[pa.Table] = []
+    for ref in per_part.to_arrow_refs():
+        t = ray.get(ref)
+        if not len(t):
+            continue
+        parts.append(t)
+        total += int(
+            np.sum(t.column("sum(val_c4)").to_numpy(zero_copy_only=False), dtype=object)
+        )
+
+    rows = []
+    for t in parts:
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        v = t.column("sum(val_c4)").to_numpy(zero_copy_only=False)
+        keep = v.astype(object) * fraction_den > total * fraction_num
+        for k_, v_ in zip(pk[keep], v[keep]):
+            rows.append((int(k_), round(float(int(v_)) / 10_000.0, 6)))
+    rows.sort()
+    return pd.DataFrame(
+        {
+            "l_partkey": [r[0] for r in rows],
+            "value": [r[1] for r in rows],
+        }
+    )
+
+
+def idle_customers(
+    customer: rd.Dataset,
+    orders: rd.Dataset,
+    *,
+    nationkeys: tuple[int, ...] = (1, 3, 5, 7, 9, 11, 13),
+    since_iso: str = "2001-01-01",
+) -> pd.DataFrame:
+    """TPC-H Q22-shaped anti-join + exact scalar-average HAVING:
+    customers from ``nationkeys`` whose account balance exceeds the
+    average POSITIVE balance of that nation set AND who placed no order
+    on/after ``since_iso`` (dormant accounts), grouped per nation.
+    → (c_nationkey, numcust, totacctbal).
+
+    The average is never materialized as a float: balances are integer
+    cents, and the predicate ``bal_c · n > sum_c`` multiplies through
+    by the count, so both sides compare exact integers.
+
+    Scale shape: pass 1 over customer folds two scalars (Σ positive
+    cents, count) from per-batch partials; the distinct order custkeys
+    come from a per-batch unique combiner → one customer-grain
+    exchange; the anti-join resolves below ``DRIVER_FASTPATH_ROWS`` via
+    a broadcast sorted key array (``ray.put`` once), else through a
+    LEFT ``sized_join`` null-probe. Customer rows never shuffle."""
+    nk_arr = np.asarray(sorted(nationkeys), np.int64)
+
+    def c_partial(batch: pa.Table) -> pa.Table:
+        nk = batch.column("c_nationkey").to_numpy(zero_copy_only=False)
+        bal_c = _cents(batch.column("c_acctbal").to_numpy(zero_copy_only=False))
+        pos = np.searchsorted(nk_arr, nk)
+        pos[pos == len(nk_arr)] = 0
+        in_set = nk_arr[pos] == nk
+        keep = in_set & (bal_c > 0)
+        return pa.table(
+            {
+                "sum_c": pa.array([int(bal_c[keep].sum())], pa.int64()),
+                "n": pa.array([int(keep.sum())], pa.int64()),
+            }
+        )
+
+    sum_c, n_pos = 0, 0
+    for ref in (
+        customer.select_columns(["c_nationkey", "c_acctbal"])
+        .map_batches(c_partial, batch_format="pyarrow", batch_size=65536)
+        .to_arrow_refs()
+    ):
+        t = ray.get(ref)
+        d = t.to_pydict()
+        sum_c += sum(d["sum_c"])
+        n_pos += sum(d["n"])
+    if n_pos == 0:
+        return pd.DataFrame(
+            {
+                "c_nationkey": pd.Series([], dtype=np.int64),
+                "numcust": pd.Series([], dtype=np.int64),
+                "totacctbal": pd.Series([], dtype=np.float64),
+            }
+        )
+
+    since = np.datetime64(since_iso, "us")
+
+    def o_keys(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        )
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)[od >= since]
+        return pa.table({"c_custkey": pa.array(np.unique(ck), pa.int64())})
+
+    has_order = (
+        orders.select_columns(["o_custkey", "o_orderdate"])
+        .map_batches(o_keys, batch_format="pyarrow", batch_size=65536)
+        .groupby("c_custkey")
+        .count()
+        .materialize()
+    )
+
+    from ..config import DRIVER_FASTPATH_ROWS
+
+    acc: dict[int, list[int]] = {}
+
+    def fold(nk: np.ndarray, bal_c: np.ndarray) -> None:
+        for nk_, b_ in zip(nk, bal_c):
+            row = acc.setdefault(int(nk_), [0, 0])
+            row[0] += 1
+            row[1] += int(b_)
+
+    if has_order.count() <= DRIVER_FASTPATH_ROWS:
+        keys = np.sort(
+            np.concatenate(
+                [
+                    ray.get(r).column("c_custkey").to_numpy(zero_copy_only=False)
+                    for r in has_order.to_arrow_refs()
+                ]
+                or [np.empty(0, np.int64)]
+            )
+        )
+        keys_ref = ray.put(keys)
+
+        def c_anti(batch: pa.Table) -> pa.Table:
+            ks = ray.get(keys_ref)
+            ck = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+            nk = batch.column("c_nationkey").to_numpy(zero_copy_only=False)
+            bal_c = _cents(batch.column("c_acctbal").to_numpy(zero_copy_only=False))
+            pos = np.searchsorted(nk_arr, nk)
+            pos[pos == len(nk_arr)] = 0
+            in_set = nk_arr[pos] == nk
+            # bal·n > sum compares exact ints (python ints via object)
+            rich = bal_c.astype(object) * n_pos > sum_c
+            kp = np.searchsorted(ks, ck)
+            kp[kp == len(ks)] = 0
+            no_order = ~(ks[kp] == ck) if len(ks) else np.ones(len(ck), bool)
+            keep = in_set & rich.astype(bool) & no_order
+            return pa.table(
+                {
+                    "nk": pa.array(nk[keep], pa.int64()),
+                    "bal_c": pa.array(bal_c[keep], pa.int64()),
+                }
+            )
+
+        for ref in (
+            customer.select_columns(["c_custkey", "c_nationkey", "c_acctbal"])
+            .map_batches(c_anti, batch_format="pyarrow", batch_size=65536)
+            .to_arrow_refs()
+        ):
+            t = ray.get(ref)
+            if len(t):
+                d = t.to_pydict()
+                fold(np.asarray(d["nk"]), np.asarray(d["bal_c"]))
+    else:
+        def c_pred(batch: pa.Table) -> pa.Table:
+            ck = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+            nk = batch.column("c_nationkey").to_numpy(zero_copy_only=False)
+            bal_c = _cents(batch.column("c_acctbal").to_numpy(zero_copy_only=False))
+            pos = np.searchsorted(nk_arr, nk)
+            pos[pos == len(nk_arr)] = 0
+            in_set = nk_arr[pos] == nk
+            rich = (bal_c.astype(object) * n_pos > sum_c).astype(bool)
+            keep = in_set & rich
+            return pa.table(
+                {
+                    "c_custkey": pa.array(ck[keep], pa.int64()),
+                    "nk": pa.array(nk[keep], pa.int64()),
+                    "bal_c": pa.array(bal_c[keep], pa.int64()),
+                }
+            )
+
+        cand = customer.select_columns(
+            ["c_custkey", "c_nationkey", "c_acctbal"]
+        ).map_batches(c_pred, batch_format="pyarrow", batch_size=65536)
+        joined = sized_join(
+            cand, has_order, ("c_custkey",), join_type="left_outer"
+        )
+        def anti(batch: pa.Table) -> pa.Table:
+            miss = pc.is_null(batch.column("count()"))
+            sub = batch.filter(miss)
+            return pa.table(
+                {"nk": sub.column("nk"), "bal_c": sub.column("bal_c")}
+            )
+        for ref in joined.map_batches(
+            anti, batch_format="pyarrow"
+        ).to_arrow_refs():
+            t = ray.get(ref)
+            if len(t):
+                d = t.to_pydict()
+                fold(np.asarray(d["nk"]), np.asarray(d["bal_c"]))
+
+    rows = sorted(acc.items())
+    return pd.DataFrame(
+        {
+            "c_nationkey": [r[0] for r in rows],
+            "numcust": [r[1][0] for r in rows],
+            "totacctbal": [round(float(r[1][1]) / 100.0, 6) for r in rows],
+        }
+    )

@@ -300,6 +300,8 @@ def test_oracle_keys_subset(entry_mod):
     "csv_roundtrip",
     "partitioned_export",
     "rel_supplier_nations",
+    # round 4 session 9: Q13/Q11/Q22-shaped relational probes
+    "rel_custdist", "rel_value_parts", "rel_idle_customers",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))

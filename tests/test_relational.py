@@ -299,3 +299,70 @@ def test_enrich_orders_distributed_path_parity(ray_session, monkeypatch):
         .sort_values("o_orderkey").reset_index(drop=True)
     )
     assert fast.equals(slow)
+
+
+def test_custdist_zero_bucket_and_totals(ray_session):
+    """Q13 shape: Σ custdist == #customers; the zero bucket equals the
+    customers with no qualifying orders (pandas reference)."""
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.relational import (
+        customer_order_distribution,
+    )
+
+    got = customer_order_distribution(
+        rd.read_parquet(f"{SF}/customer.parquet"),
+        rd.read_parquet(f"{SF}/orders.parquet"),
+        exclude_priority="5-LOW",
+    )
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    per = (
+        orders[orders.o_orderpriority != "5-LOW"]
+        .groupby("o_custkey").size()
+        .reindex(cust.c_custkey, fill_value=0)
+    )
+    exp = per.value_counts()
+    assert got.custdist.sum() == len(cust)
+    for _, row in got.iterrows():
+        assert exp.get(row.c_count, 0) == row.custdist
+
+
+def test_important_parts_threshold_exact(ray_session):
+    """Q11 shape: every returned part's integer value share exceeds the
+    threshold; every omitted part's does not (pandas reference)."""
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.relational import important_parts
+
+    num, den = 12, 10_000
+    got = important_parts(
+        rd.read_parquet(f"{SF}/lineitem.parquet"),
+        fraction_num=num, fraction_den=den,
+    )
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    pc_ = np.floor(li.l_extendedprice.to_numpy() * 100 + 0.5).astype(np.int64)
+    dc = np.floor(li.l_discount.to_numpy() * 100 + 0.5).astype(np.int64)
+    li["val"] = pc_ * (100 - dc)
+    per = li.groupby("l_partkey")["val"].sum()
+    total = int(per.sum())
+    exp = {int(k) for k, v in per.items() if int(v) * den > total * num}
+    assert set(got.l_partkey) == exp
+
+
+@requires_solo_ray
+def test_idle_customers_distributed_matches_fastpath(ray_session, monkeypatch):
+    import ray.data as rd
+
+    from search_engine_skillbox_ray import config
+    from search_engine_skillbox_ray.pipelines import relational
+
+    c, o, _ = _tables()
+    kw = dict(nationkeys=(1, 3, 5, 7, 9, 11, 13), since_iso="2001-01-01")
+    fast = relational.idle_customers(c, o, **kw)
+    monkeypatch.setattr(config, "DRIVER_FASTPATH_ROWS", 0)
+    dist = relational.idle_customers(c, o, **kw)
+    pd.testing.assert_frame_equal(
+        fast.reset_index(drop=True), dist.reset_index(drop=True),
+        check_dtype=False,
+    )
