@@ -803,6 +803,20 @@ def q_rel_idle_customers(sf_dir: str):
     )
 
 
+def q_cdc_merge(sf_dir: str):
+    """CDC MERGE INTO: fold a deterministic insert/update/delete change
+    stream (derived from documents) into a snapshot — last-writer-wins
+    per key, one hash-bucketed keyed exchange, delete→re-insert proven
+    by the seq ordering."""
+    from search_engine_skillbox_ray.pipelines.cdc import (
+        cdc_apply,
+        derive_document_changes,
+    )
+
+    snap, chg = derive_document_changes(_documents(sf_dir))
+    return cdc_apply(snap, chg, key="doc_id")
+
+
 def q_jsonl_roundtrip(sf_dir: str):
     """JSONL sink+source roundtrip: sharded resumable writer, ray
     read_json back — content fidelity proven by the full-table hash."""
@@ -2943,6 +2957,7 @@ _DRIVER_PRIORITY = [
     "rel_custdist",
     "rel_value_parts",
     "rel_idle_customers",
+    "cdc_merge",
 ]
 
 
@@ -3068,6 +3083,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "rel_custdist": q_rel_custdist,
         "rel_value_parts": q_rel_value_parts,
         "rel_idle_customers": q_rel_idle_customers,
+        "cdc_merge": q_cdc_merge,
         "csv_roundtrip": q_csv_roundtrip,
         "partitioned_export": q_partitioned_export,
         "window_quantiles": q_window_quantiles,
@@ -6060,6 +6076,37 @@ FROM supplier s
 JOIN nation n ON s.s_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY n.n_name, r.r_name
+""",
+        # CDC merge: the union+row_number mirror of last-writer-wins;
+        # op 1 = delete, seq 0 = snapshot; the derivation CTEs replicate
+        # derive_document_changes verbatim
+        "cdc_merge": """
+WITH snap AS (
+  SELECT doc_id, text, lang, source, n_chars, 0 AS seq, 0 AS op
+  FROM documents WHERE doc_id % 3 <> 2
+),
+chg AS (
+  SELECT doc_id, text, lang, source, n_chars + 1000 AS n_chars,
+         1 AS seq, 0 AS op
+  FROM documents WHERE doc_id % 4 = 1
+  UNION ALL
+  SELECT doc_id, text, lang, source, n_chars, 2, 0
+  FROM documents WHERE doc_id % 3 = 2
+  UNION ALL
+  SELECT doc_id, text, lang, source, n_chars, 3, 1
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, text, 're', source, n_chars, 4, 0
+  FROM documents WHERE doc_id % 10 = 0
+),
+uni AS (SELECT * FROM snap UNION ALL SELECT * FROM chg),
+last AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) rn
+    FROM uni
+  ) WHERE rn = 1
+)
+SELECT doc_id, text, lang, source, n_chars FROM last WHERE op <> 1
 """,
         # Q13 shape: LEFT JOIN keeps the zero-order bucket
         "rel_custdist": f"""

@@ -403,6 +403,7 @@ def bench_sf_queries() -> dict:
         "rel_custdist",
         "rel_value_parts",
         "rel_idle_customers",
+        "cdc_merge",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

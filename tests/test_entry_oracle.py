@@ -302,6 +302,8 @@ def test_oracle_keys_subset(entry_mod):
     "rel_supplier_nations",
     # round 4 session 9: Q13/Q11/Q22-shaped relational probes
     "rel_custdist", "rel_value_parts", "rel_idle_customers",
+    # round 4 session 9: CDC MERGE INTO (last-writer-wins fold)
+    "cdc_merge",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
