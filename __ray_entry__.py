@@ -89,6 +89,7 @@ SIMHASH_MAX_HAMMING = 3
 PR_ITERS, PR_DAMP_NUM, PR_DAMP_DEN, PR_SCALE = 5, 85, 100, 10**12
 # HITS: L1-normalized integer fixed point; scale^2 must fit int64
 HITS_ITERS, HITS_SCALE = 3, 10**9
+AA_MAX_DEGREE = 256  # Adamic-Adar wedge-centre degree cap (contract)
 MEDIA_N, MEDIA_SEED, MEDIA_FEAT_DIM, MEDIA_FRAME_BYTES, MEDIA_EVERY_K = 200, 13, 16, 64, 2
 # the driver runs oracle SQL at sf0.01; the one data-dependent oracle
 # constant (IVF centroids) is derived from this dir — tests override it
@@ -2614,6 +2615,30 @@ def q_dup_triangles(sf_dir: str):
     return triangle_counts(pairs, src_col="doc_a", dst_col="doc_b", out_col="doc_id")
 
 
+def q_link_predict(sf_dir: str):
+    """Adamic–Adar link prediction over the in-site hyperlink graph
+    (undirected): non-adjacent page pairs sharing common neighbours,
+    scored Σ 1/ln(deg(z)) — pages that "should" link. Wedge expansion
+    degree-capped by contract (mirrored in SQL); near-dup pair graphs
+    are cliques (no open wedges), so the link graph is the honest
+    fixture."""
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.functions.links import extract_links_ds
+    from search_engine_skillbox_ray.pipelines.graph import adamic_adar_pairs
+    from search_engine_skillbox_ray.sources.fixtures import generate_pages_table
+    from search_engine_skillbox_ray.sources.pages import derive_sites
+
+    pages = rd.from_arrow(generate_pages_table(300, n_sites=2, seed=13))
+    sites = derive_sites(pages)
+    return adamic_adar_pairs(
+        extract_links_ds(pages, sites),
+        src_col="src_url", dst_col="dst_url",
+        out_a="url_a", out_b="url_b",
+        max_center_degree=AA_MAX_DEGREE,
+    )
+
+
 def q_dedup_index_query(sf_dir: str):
     """Streaming-ingest dedup: persisted MinHash LSH index (built on
     doc_id%4==0, LSM-appended with %4==2 — frozen hashing params),
@@ -2958,6 +2983,7 @@ _DRIVER_PRIORITY = [
     "rel_value_parts",
     "rel_idle_customers",
     "cdc_merge",
+    "link_predict",
 ]
 
 
@@ -3084,6 +3110,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "rel_value_parts": q_rel_value_parts,
         "rel_idle_customers": q_rel_idle_customers,
         "cdc_merge": q_cdc_merge,
+        "link_predict": q_link_predict,
         "csv_roundtrip": q_csv_roundtrip,
         "partitioned_export": q_partitioned_export,
         "window_quantiles": q_window_quantiles,
@@ -6107,6 +6134,27 @@ last AS (
   ) WHERE rn = 1
 )
 SELECT doc_id, text, lang, source, n_chars FROM last WHERE op <> 1
+""",
+        # Adamic-Adar over the minhash near-dup graph: adjacency both
+        # ways, wedge centres degree-capped exactly like the operator,
+        # NOT EXISTS removes real edges; round(·,6) bridges sum order
+        "link_predict": f"""
+WITH p AS (SELECT src_url, dst_url
+           FROM (VALUES {_link_graph_values()}) t(src_url, dst_url)),
+u AS (SELECT DISTINCT least(src_url, dst_url) AS a,
+             greatest(src_url, dst_url) AS b
+      FROM p WHERE src_url <> dst_url),
+n AS (SELECT a AS node, b AS nbr FROM u UNION ALL SELECT b, a FROM u),
+deg AS (SELECT node, count(*)::BIGINT AS d FROM n GROUP BY node),
+w AS (SELECT least(x.nbr, y.nbr) AS pa, greatest(x.nbr, y.nbr) AS pb,
+             1.0 / ln(CAST(dz.d AS DOUBLE)) AS w
+      FROM n x JOIN n y ON y.node = x.node AND x.nbr < y.nbr
+      JOIN deg dz ON dz.node = x.node
+      WHERE dz.d <= {AA_MAX_DEGREE}),
+s AS (SELECT pa, pb, round(sum(w), 6) AS aa_score FROM w GROUP BY pa, pb)
+SELECT s.pa AS url_a, s.pb AS url_b, s.aa_score
+FROM s
+WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.a = s.pa AND u.b = s.pb)
 """,
         # Q13 shape: LEFT JOIN keeps the zero-order bucket
         "rel_custdist": f"""

@@ -404,6 +404,7 @@ def bench_sf_queries() -> dict:
         "rel_value_parts",
         "rel_idle_customers",
         "cdc_merge",
+        "link_predict",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

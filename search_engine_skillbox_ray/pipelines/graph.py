@@ -1076,3 +1076,222 @@ def triangle_counts(
         return out.rename(columns={"url": out_col})
 
     return bucketed_group_apply(unioned, ["url"], final, n_buckets=32)
+
+
+# ------------------------------------------------- Adamic-Adar link scores
+def adamic_adar_pairs(
+    edges: rd.Dataset,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    out_a: str = "doc_a",
+    out_b: str = "doc_b",
+    *,
+    max_center_degree: int = 256,
+) -> rd.Dataset:
+    """Link prediction over an undirected pair graph: for every
+    NON-adjacent pair (a, b) sharing at least one common neighbour,
+    the Adamic–Adar score Σ_z 1/ln(deg(z)) over the common neighbours
+    z — high-degree hubs contribute little, shared RARE neighbours a
+    lot. Over the near-dup graph this surfaces "missing" duplicate
+    edges LSH banding narrowly missed; over a link graph, pages that
+    should link. → (out_a, out_b, aa_score), score ROUNDed to 6 (the
+    addend multiset is identical on both sides; rounding bridges float
+    summation order, same doctrine as the PMI/SIF oracles).
+
+    Scale shape: wedge enumeration is the classic quadratic hot spot —
+    a degree-D centre emits D(D−1)/2 candidate pairs, so centres above
+    ``max_center_degree`` are EXCLUDED by contract (the df-cap
+    doctrine: the cap is part of the operator's semantics and the SQL
+    oracle applies the same cap; a 1M-degree hub contributes ~0 per
+    pair anyway — 1/ln(10^6) ≈ 0.07 — while costing 10^12 wedges).
+    Below ``DRIVER_FASTPATH_ROWS`` edge rows the whole graph resolves
+    driver-locally (near-dup pair sets are corpus-tiny); above, the
+    adjacency exchanges once (bucketed by node), wedges exchange once
+    (bucketed by pair), and the anti-join against the edge set runs as
+    a LEFT ``sized_join`` null-probe. Every exchange is edge- or
+    wedge-sized; deg ≥ 2 for any wedge centre so ln() is never 0."""
+    import pandas as pd
+
+    import ray
+
+    from ..config import DRIVER_FASTPATH_ROWS
+    from ..stages.grouping import (
+        bucketed_group_apply,
+        drop_empty_blocks,
+        sized_join,
+    )
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column(src_col)
+        d = batch.column(dst_col)
+        keep = pc.not_equal(s, d)
+        s, d = s.filter(keep), d.filter(keep)
+        lo = pc.min_element_wise(s, d)
+        hi = pc.max_element_wise(s, d)
+        g = pa.table({"a": lo, "b": hi}).group_by(["a", "b"]).aggregate([])
+        return pa.table({"a": g.column("a"), "b": g.column("b")})
+
+    canoned = drop_empty_blocks(
+        edges.map_batches(canon, batch_format="pyarrow").materialize()
+    )
+    node_type = (
+        canoned.schema().base_schema.field("a").type
+        if canoned.count()
+        else pa.int64()
+    )
+    empty = pa.table(
+        {
+            out_a: pa.array([], node_type),
+            out_b: pa.array([], node_type),
+            "aa_score": pa.array([], pa.float64()),
+        }
+    )
+    n_edge_rows = canoned.count()
+    if n_edge_rows == 0:
+        return rd.from_arrow(empty)
+
+    if n_edge_rows <= DRIVER_FASTPATH_ROWS:
+        et = pa.concat_tables(
+            [t for t in ray.get(canoned.to_arrow_refs()) if len(t)]
+        )
+        a = np.asarray(et.column("a").to_pylist(), dtype=object)
+        b = np.asarray(et.column("b").to_pylist(), dtype=object)
+        nodes, codes = np.unique(np.concatenate([a, b]), return_inverse=True)
+        ca, cb = codes[: len(a)], codes[len(a):]
+        nn = len(nodes)
+        upk = np.unique(
+            np.minimum(ca, cb).astype(np.int64) * nn
+            + np.maximum(ca, cb).astype(np.int64)
+        )
+        ca, cb = (upk // nn).astype(np.int64), (upk % nn).astype(np.int64)
+        deg = np.bincount(ca, minlength=nn) + np.bincount(cb, minlength=nn)
+        # adjacency grouped by centre
+        ctr = np.concatenate([ca, cb])
+        oth = np.concatenate([cb, ca])
+        order = np.lexsort((oth, ctr))
+        ctr, oth = ctr[order], oth[order]
+        starts = np.flatnonzero(np.diff(ctr, prepend=ctr[0] - 1) != 0)
+        lens = np.diff(np.append(starts, ctr.size))
+        acc: dict[int, float] = {}
+        for s0, ln in zip(starts, lens):
+            if ln < 2 or ln > max_center_degree:
+                continue
+            w = 1.0 / np.log(float(ln))
+            outs = oth[s0:s0 + ln]  # sorted by lexsort
+            ii, jj = np.triu_indices(int(ln), k=1)
+            pk = outs[ii] * nn + outs[jj]
+            for p in pk:
+                acc[int(p)] = acc.get(int(p), 0.0) + w
+        if not acc:
+            return rd.from_arrow(empty)
+        edge_set = set(int(x) for x in upk)
+        items = sorted(
+            (p, v) for p, v in acc.items() if p not in edge_set
+        )
+        if not items:
+            return rd.from_arrow(empty)
+        pcode = np.asarray([p for p, _ in items], np.int64)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    out_a: pa.array(list(nodes[pcode // nn]), node_type),
+                    out_b: pa.array(list(nodes[pcode % nn]), node_type),
+                    "aa_score": pa.array(
+                        [round(v, 6) for _, v in items], pa.float64()
+                    ),
+                }
+            )
+        )
+
+    # ---- distributed path: adjacency exchange → wedge exchange → anti-join
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"])
+
+    uniq = drop_empty_blocks(
+        bucketed_group_apply(canoned, ["a", "b"], dedup_bucket).materialize()
+    )
+
+    def adj(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        batch.column("a").combine_chunks().cast(node_type),
+                        batch.column("b").combine_chunks().cast(node_type),
+                    ]
+                ),
+                "nbr": pa.concat_arrays(
+                    [
+                        batch.column("b").combine_chunks().cast(node_type),
+                        batch.column("a").combine_chunks().cast(node_type),
+                    ]
+                ),
+            }
+        )
+
+    adjacency = uniq.map_batches(adj, batch_format="pyarrow")
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        outs_a, outs_b, ws = [], [], []
+        for _, grp in g.groupby("node", sort=False):
+            d = len(grp)
+            if d < 2 or d > max_center_degree:
+                continue
+            w = 1.0 / np.log(float(d))
+            nb = np.sort(grp["nbr"].to_numpy())
+            ii, jj = np.triu_indices(d, k=1)
+            outs_a.append(nb[ii])
+            outs_b.append(nb[jj])
+            ws.append(np.full(ii.size, w))
+        if not outs_a:
+            return pd.DataFrame({"pa": [], "pb": [], "w": []})
+        return pd.DataFrame(
+            {
+                "pa": np.concatenate(outs_a),
+                "pb": np.concatenate(outs_b),
+                "w": np.concatenate(ws),
+            }
+        )
+
+    wedge_ds = drop_empty_blocks(
+        bucketed_group_apply(adjacency, ["node"], wedges).materialize()
+    )
+    if wedge_ds.count() == 0:
+        return rd.from_arrow(empty)
+
+    def sum_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["pa", "pb"], sort=False)["w"].sum().reset_index()
+        return out
+
+    scored = drop_empty_blocks(
+        bucketed_group_apply(wedge_ds, ["pa", "pb"], sum_bucket).materialize()
+    )
+
+    def as_edge(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "pa": batch.column("a").combine_chunks().cast(node_type),
+                "pb": batch.column("b").combine_chunks().cast(node_type),
+                "is_edge": pa.array(np.ones(len(batch), np.int8)),
+            }
+        )
+
+    joined = sized_join(
+        scored,
+        uniq.map_batches(as_edge, batch_format="pyarrow"),
+        ("pa", "pb"),
+        join_type="left_outer",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        keep = pc.is_null(batch.column("is_edge"))
+        sub = batch.filter(keep)
+        return pa.table(
+            {
+                out_a: sub.column("pa"),
+                out_b: sub.column("pb"),
+                "aa_score": pc.round(sub.column("w"), 6),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")

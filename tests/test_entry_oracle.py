@@ -304,6 +304,8 @@ def test_oracle_keys_subset(entry_mod):
     "rel_custdist", "rel_value_parts", "rel_idle_customers",
     # round 4 session 9: CDC MERGE INTO (last-writer-wins fold)
     "cdc_merge",
+    # round 4 session 9: Adamic-Adar link prediction (wedge exchange)
+    "link_predict",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))

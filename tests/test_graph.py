@@ -245,3 +245,58 @@ def test_triangle_counts_vs_bruteforce(ray_session, monkeypatch):
         rd.from_items(irows), src_col="doc_a", dst_col="doc_b", out_col="doc_id"
     ).to_pandas()
     assert dict(zip(g2["doc_id"], g2["n_triangles"])) == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0, 6: 0}
+
+
+def test_adamic_adar_vs_bruteforce(ray_session, monkeypatch):
+    """AA scores equal the brute-force common-neighbour scan on a random
+    graph with duplicated/reversed edges — fastpath AND forced-
+    distributed path; existing edges are excluded; the degree cap
+    excludes wedge centres above it on both sides."""
+    import itertools
+
+    import numpy as np
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.graph import adamic_adar_pairs
+
+    rng = np.random.default_rng(9)
+    nodes = [f"n{i:02d}" for i in range(14)]
+    edges = set()
+    for _ in range(30):
+        a, b = rng.choice(14, 2, replace=False)
+        edges.add((nodes[min(a, b)], nodes[max(a, b)]))
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    cap = 5  # binds for some hubs in this graph
+    exp = {}
+    for a, b in itertools.combinations(nodes, 2):
+        if (a, b) in edges:
+            continue
+        s = sum(
+            1.0 / np.log(len(adj[z]))
+            for z in adj[a] & adj[b]
+            if 2 <= len(adj[z]) <= cap
+        )
+        if s > 0:
+            exp[(a, b)] = round(s, 6)
+
+    rows = [{"src_url": a, "dst_url": b} for a, b in edges]
+    rows += [{"src_url": b, "dst_url": a} for a, b in list(edges)[:10]]
+    got = adamic_adar_pairs(
+        rd.from_items(rows), src_col="src_url", dst_col="dst_url",
+        out_a="url_a", out_b="url_b", max_center_degree=cap,
+    ).to_pandas()
+    assert {
+        (r.url_a, r.url_b): r.aa_score for r in got.itertuples()
+    } == exp
+
+    monkeypatch.setattr(config, "DRIVER_FASTPATH_ROWS", 0)
+    dist = adamic_adar_pairs(
+        rd.from_items(rows), src_col="src_url", dst_col="dst_url",
+        out_a="url_a", out_b="url_b", max_center_degree=cap,
+    ).to_pandas()
+    assert {
+        (r.url_a, r.url_b): r.aa_score for r in dist.itertuples()
+    } == exp
