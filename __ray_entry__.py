@@ -2264,6 +2264,25 @@ def q_batch_search(sf_dir: str):
 
 
 
+EVAL_K, EVAL_REL_MOD = 10, 4  # IR-eval depth and synthetic qrel grades
+
+
+def q_search_eval(sf_dir: str):
+    """IR evaluation harness: MRR + NDCG@k of the engine's own rankings
+    against deterministic synthetic qrels (md5(query:doc_id) % 4) —
+    the eval loop a retrieval stack runs after every index change,
+    streamed through a warm-engine actor pool."""
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.state.engine import ranking_eval
+
+    idx = _index_dir(sf_dir)
+    queries_ds = rd.from_items([{"query": q} for q in BATCH_QUERIES])
+    return ranking_eval(
+        queries_ds, idx, k=EVAL_K, rel_mod=EVAL_REL_MOD, concurrency=(1, 2)
+    )
+
+
 def q_more_like_this(sf_dir: str):
     """Related-document retrieval over the inverted index: top-k docs
     by TF-IDF dot product against each seed doc's term vector — the
@@ -2984,6 +3003,7 @@ _DRIVER_PRIORITY = [
     "rel_idle_customers",
     "cdc_merge",
     "link_predict",
+    "search_eval",
 ]
 
 
@@ -3111,6 +3131,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "rel_idle_customers": q_rel_idle_customers,
         "cdc_merge": q_cdc_merge,
         "link_predict": q_link_predict,
+        "search_eval": q_search_eval,
         "csv_roundtrip": q_csv_roundtrip,
         "partitioned_export": q_partitioned_export,
         "window_quantiles": q_window_quantiles,
@@ -4474,6 +4495,59 @@ SELECT q.query,
        COALESCE(t.doc_id, -1)::BIGINT AS top_doc_id,
        COALESCE(ROUND(t.score, 6), 0.0)::DOUBLE AS top_score
 FROM qs q LEFT JOIN top t ON t.query = q.query AND t.rn = 1
+""",
+        # IR eval: the ranking CTE reuses the batch_search score shape;
+        # qrels are md5_number_lower(query:doc) % mod on both sides;
+        # ranks order by ROUND(score,6) so float sum order can't flip
+        # them; round(·,6) bridges the log2 addend sums
+        "search_eval": f"""
+WITH tf AS ({_TF}),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+qs(query) AS (VALUES {_batch_query_values()[0]}),
+qt(query, term) AS (VALUES {_batch_query_values()[1]}),
+df AS (SELECT qt.query, qt.term, count(DISTINCT tf.doc_id)::BIGINT AS df
+       FROM qt LEFT JOIN tf ON tf.term = qt.term GROUP BY qt.query, qt.term),
+scores AS (
+  SELECT df.query, tf.doc_id, SUM(tf.tf * ln((n.n + 1.0) / (df.df + 1.0))) AS score
+  FROM df JOIN tf ON tf.term = df.term CROSS JOIN n
+  GROUP BY df.query, tf.doc_id),
+ranked AS (
+  SELECT query, doc_id,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY ROUND(score, 6) DESC, doc_id) AS rn
+  FROM scores),
+graded AS (
+  SELECT query, doc_id, rn,
+         CAST(md5_number_lower(query || ':' || CAST(doc_id AS VARCHAR))
+              % {EVAL_REL_MOD} AS BIGINT) AS rel
+  FROM ranked),
+stats AS (
+  SELECT query, count(*)::BIGINT AS n_matched,
+         sum(CASE WHEN rel >= 1 THEN 1 ELSE 0 END)::BIGINT AS n_rel,
+         min(CASE WHEN rel >= 1 THEN rn END) AS first_rel
+  FROM graded GROUP BY query),
+dcg AS (
+  SELECT query,
+         sum((pow(2.0, rel) - 1.0) / log2(CAST(rn + 1 AS DOUBLE))) AS dcg
+  FROM graded WHERE rn <= {EVAL_K} GROUP BY query),
+ideal AS (
+  SELECT query, rel,
+         row_number() OVER (PARTITION BY query ORDER BY rel DESC, doc_id) AS irn
+  FROM graded),
+idcg AS (
+  SELECT query,
+         sum((pow(2.0, rel) - 1.0) / log2(CAST(irn + 1 AS DOUBLE))) AS idcg
+  FROM ideal WHERE irn <= {EVAL_K} GROUP BY query)
+SELECT q.query,
+       COALESCE(st.n_matched, 0)::BIGINT AS n_matched,
+       COALESCE(st.n_rel, 0)::BIGINT AS n_rel,
+       COALESCE(round(1.0 / st.first_rel, 6), 0.0)::DOUBLE AS mrr,
+       (CASE WHEN COALESCE(i.idcg, 0.0) > 0.0
+             THEN round(d.dcg / i.idcg, 6) ELSE 0.0 END)::DOUBLE AS ndcg_at_k
+FROM qs q
+LEFT JOIN stats st USING (query)
+LEFT JOIN dcg d USING (query)
+LEFT JOIN idcg i USING (query)
 """,
         # more-like-this: tfidf-dot-product related docs. The engine
         # multiplies contributions left-associatively ((tf_seed·idf)·

@@ -405,6 +405,7 @@ def bench_sf_queries() -> dict:
         "rel_idle_customers",
         "cdc_merge",
         "link_predict",
+        "search_eval",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

@@ -1581,6 +1581,80 @@ def batch_search(queries_ds, index_dir: str, concurrency=(1, 4)):
     )
 
 
+class RankingEvaluator:
+    """``map_batches`` stage for IR-metric evaluation of the engine's own
+    rankings: each actor holds a warm SearchEngine; per query it scores
+    the full disjunctive match set, grades every matched doc with a
+    DETERMINISTIC synthetic qrel (``md5_u64(query:doc_id) % rel_mod`` —
+    the md5 == DuckDB ``md5_number_lower`` bridge, so the SQL oracle
+    reproduces the judgments bit-for-bit) and emits MRR over the full
+    ranking plus NDCG@k where the ideal ranking is the match set's own
+    top-k relevance grades. Ranks order by (round(score,6) desc, doc_id)
+    so float summation order can never flip a rank on either side."""
+
+    def __init__(self, index_dir: str, k: int = 10, rel_mod: int = 4) -> None:
+        self.engine = SearchEngine(index_dir, float32_scores=False)
+        self.k = int(k)
+        self.rel_mod = int(rel_mod)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import md5_u64
+
+        out = {"query": [], "n_matched": [], "n_rel": [],
+               "mrr": [], "ndcg_at_k": []}
+        for q in batch.column("query").to_pylist():
+            d, s, _ = self.engine.search_scores(q)
+            out["query"].append(q)
+            out["n_matched"].append(int(d.size))
+            if d.size == 0:
+                out["n_rel"].append(0)
+                out["mrr"].append(0.0)
+                out["ndcg_at_k"].append(0.0)
+                continue
+            order = np.lexsort((d, -np.round(s, 6)))
+            dd = d[order]
+            rel = (
+                md5_u64([f"{q}:{int(x)}" for x in dd]) % np.uint64(self.rel_mod)
+            ).astype(np.int64)
+            out["n_rel"].append(int((rel >= 1).sum()))
+            hit = np.flatnonzero(rel >= 1)
+            out["mrr"].append(
+                round(1.0 / float(hit[0] + 1), 6) if hit.size else 0.0
+            )
+            k = min(self.k, rel.size)
+            ranks = np.arange(1, k + 1, dtype=np.float64)
+            gains = np.power(2.0, rel[:k].astype(np.float64)) - 1.0
+            dcg = float(np.sum(gains / np.log2(ranks + 1.0)))
+            ideal = np.sort(rel.astype(np.float64))[::-1][:k]
+            idcg = float(
+                np.sum((np.power(2.0, ideal) - 1.0) / np.log2(ranks + 1.0))
+            )
+            out["ndcg_at_k"].append(round(dcg / idcg, 6) if idcg > 0 else 0.0)
+        return pa.table(
+            {
+                "query": pa.array(out["query"], pa.string()),
+                "n_matched": pa.array(out["n_matched"], pa.int64()),
+                "n_rel": pa.array(out["n_rel"], pa.int64()),
+                "mrr": pa.array(out["mrr"], pa.float64()),
+                "ndcg_at_k": pa.array(out["ndcg_at_k"], pa.float64()),
+            }
+        )
+
+
+def ranking_eval(queries_ds, index_dir: str, k: int = 10, rel_mod: int = 4,
+                 concurrency=(1, 4)):
+    """Evaluate the engine's rankings against deterministic synthetic
+    qrels → (query, n_matched, n_rel, mrr, ndcg_at_k)."""
+    return queries_ds.map_batches(
+        RankingEvaluator,
+        fn_constructor_kwargs={
+            "index_dir": str(index_dir), "k": k, "rel_mod": rel_mod,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
 class MoreLikeThisBatch:
     """``map_batches`` stage for batch related-document retrieval: each
     actor holds a warm SearchEngine and expands a column of seed doc ids

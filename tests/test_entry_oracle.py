@@ -306,6 +306,8 @@ def test_oracle_keys_subset(entry_mod):
     "cdc_merge",
     # round 4 session 9: Adamic-Adar link prediction (wedge exchange)
     "link_predict",
+    # round 4 session 9: IR evaluation (MRR / NDCG@k, synthetic qrels)
+    "search_eval",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
