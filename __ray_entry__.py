@@ -77,6 +77,18 @@ Q13_EXCLUDE = "5-LOW"  # Q13-shaped: the filtered-out order class
 Q11_NUM, Q11_DEN = 12, 10_000  # Q11-shaped value-share threshold
 Q22_NATIONS = (1, 3, 5, 7, 9, 11, 13)  # Q22-shaped nation subset
 Q22_SINCE = "2001-01-01"  # dormant = no order on/after this date
+Q10_FLAG, Q10_FROM, Q10_TO, Q10_K = "R", "1996-01-01", "1997-01-01", 20
+Q18_MIN_QTY, Q18_K = 250, 100  # Q18-shaped large-volume threshold
+Q17_BRAND = "Brand#13"  # Q17-shaped small-quantity brand slice
+# Q19-shaped disjunctive brackets: (brand, qty_lo, qty_hi, size_lo, size_hi)
+Q19_BRACKETS = (
+    ("Brand#13", 1, 15, 1, 10),
+    ("Brand#22", 10, 25, 1, 20),
+    ("Brand#25", 20, 35, 1, 30),
+)
+Q14_TYPE, Q14_FROM, Q14_TO = "PROMO", "1996-01-01", "1997-01-01"
+Q16_EXCLUDE_BRAND = "Brand#13"
+Q16_SIZES = (1, 5, 9, 13, 17, 21, 25, 29)
 # relational (TPC-H-shaped) probes over lineitem/orders/customer
 Q1_CUTOFF = "1999-06-30"
 Q3_SEGMENT, Q3_DATE, Q3_K = "BUILDING", "1998-06-30", 10
@@ -801,6 +813,83 @@ def q_rel_idle_customers(sf_dir: str):
     return idle_customers(
         _table(sf_dir, "customer"), _table(sf_dir, "orders"),
         nationkeys=Q22_NATIONS, since_iso=Q22_SINCE,
+    )
+
+
+def q_rel_returned_items(sf_dir: str):
+    """TPC-H Q10-shaped returned-item report: top-k customers by
+    returned-lineitem revenue in a date window — order-grain combiners,
+    gated broadcast/sized_join, key-set dimension hydration."""
+    from search_engine_skillbox_ray.pipelines.relational import (
+        returned_item_revenue,
+    )
+
+    return returned_item_revenue(
+        _table(sf_dir, "customer"), _table(sf_dir, "orders"),
+        _table(sf_dir, "lineitem"), _table(sf_dir, "nation"),
+        returnflag=Q10_FLAG, from_iso=Q10_FROM, to_iso=Q10_TO, k=Q10_K,
+    )
+
+
+def q_rel_big_orders(sf_dir: str):
+    """TPC-H Q18-shaped large-volume orders: HAVING sum(qty) > t in
+    exact centi-units, survivor-set key hydration of orders/customer."""
+    from search_engine_skillbox_ray.pipelines.relational import big_volume_orders
+
+    return big_volume_orders(
+        _table(sf_dir, "customer"), _table(sf_dir, "orders"),
+        _table(sf_dir, "lineitem"), min_qty=Q18_MIN_QTY, k=Q18_K,
+    )
+
+
+def q_rel_small_qty(sf_dir: str):
+    """TPC-H Q17-shaped correlated-average probe: avg yearly revenue of
+    below-0.2×part-average-quantity lineitems for one brand — exact
+    5·q·n < Σq integer predicate, brand-slice broadcast model."""
+    from search_engine_skillbox_ray.pipelines.relational import (
+        small_quantity_revenue,
+    )
+
+    return small_quantity_revenue(
+        _table(sf_dir, "lineitem"), _table(sf_dir, "part"), brand=Q17_BRAND,
+    )
+
+
+def q_rel_brackets(sf_dir: str):
+    """TPC-H Q19-shaped disjunctive-bracket revenue: partkey → bracket
+    bitmask broadcast, one stateless shuffle-free lineitem pass."""
+    from search_engine_skillbox_ray.pipelines.relational import bracket_revenue
+
+    return bracket_revenue(
+        _table(sf_dir, "lineitem"), _table(sf_dir, "part"),
+        brackets=list(Q19_BRACKETS),
+    )
+
+
+def q_rel_promo_share(sf_dir: str):
+    """TPC-H Q14-shaped promotion share: 100·promo/total discounted
+    revenue in a ship window — is-promo dimension bitmap broadcast,
+    two integer scalars."""
+    from search_engine_skillbox_ray.pipelines.relational import (
+        promo_revenue_share,
+    )
+
+    return promo_revenue_share(
+        _table(sf_dir, "lineitem"), _table(sf_dir, "part"),
+        promo_type=Q14_TYPE, from_iso=Q14_FROM, to_iso=Q14_TO,
+    )
+
+
+def q_rel_supplier_variety(sf_dir: str):
+    """TPC-H Q16-shaped supplier-variety census: distinct suppliers per
+    (brand, type, size) over the observed part–supplier relation —
+    distinct-pair combiners, two keyed exchanges, dimension broadcasts."""
+    from search_engine_skillbox_ray.pipelines.relational import supplier_variety
+
+    return supplier_variety(
+        _table(sf_dir, "lineitem"), _table(sf_dir, "part"),
+        _table(sf_dir, "supplier"),
+        exclude_brand=Q16_EXCLUDE_BRAND, sizes=Q16_SIZES,
     )
 
 
@@ -3004,6 +3093,12 @@ _DRIVER_PRIORITY = [
     "cdc_merge",
     "link_predict",
     "search_eval",
+    "rel_returned_items",
+    "rel_big_orders",
+    "rel_small_qty",
+    "rel_brackets",
+    "rel_promo_share",
+    "rel_supplier_variety",
 ]
 
 
@@ -3127,6 +3222,12 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "rel_supplier_nations": q_rel_supplier_nations,
         "rel_custdist": q_rel_custdist,
+        "rel_returned_items": q_rel_returned_items,
+        "rel_big_orders": q_rel_big_orders,
+        "rel_small_qty": q_rel_small_qty,
+        "rel_brackets": q_rel_brackets,
+        "rel_promo_share": q_rel_promo_share,
+        "rel_supplier_variety": q_rel_supplier_variety,
         "rel_value_parts": q_rel_value_parts,
         "rel_idle_customers": q_rel_idle_customers,
         "cdc_merge": q_cdc_merge,
@@ -6277,6 +6378,106 @@ WHERE bal_c::HUGEINT * s.n > s.sum_c
                   WHERE o.o_custkey = c0.c_custkey
                     AND o.o_orderdate >= TIMESTAMP '{Q22_SINCE}')
 GROUP BY c_nationkey
+""",
+        # Q10 shape: revenue in exact cent·pct units, rank on the int
+        "rel_returned_items": f"""
+WITH rev AS (
+  SELECT o.o_custkey,
+         sum(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (100 - CAST(FLOOR(l.l_discount * 100 + 0.5) AS BIGINT)))
+           AS rev_c4
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_returnflag = '{Q10_FLAG}'
+    AND o.o_orderdate >= TIMESTAMP '{Q10_FROM}'
+    AND o.o_orderdate <  TIMESTAMP '{Q10_TO}'
+  GROUP BY o.o_custkey
+)
+SELECT c.c_custkey::BIGINT AS c_custkey, c.c_name,
+       round(CAST(rev.rev_c4 AS DOUBLE) / 10000.0, 6) AS revenue,
+       round(c.c_acctbal, 6) AS c_acctbal, n.n_name
+FROM rev
+JOIN customer c ON c.c_custkey = rev.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+ORDER BY rev.rev_c4 DESC, c.c_custkey
+LIMIT {Q10_K}
+""",
+        # Q18 shape: HAVING in exact centi-units; rank on price cents
+        "rel_big_orders": f"""
+WITH q AS (
+  SELECT l_orderkey,
+         sum(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS qty_c
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) > {Q18_MIN_QTY} * 100
+)
+SELECT o.o_custkey::BIGINT AS c_custkey, o.o_orderkey::BIGINT AS o_orderkey,
+       o.o_orderdate,
+       round(CAST(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS DOUBLE)
+             / 100.0, 6) AS total_price,
+       round(CAST(q.qty_c AS DOUBLE) / 100.0, 6) AS sum_qty
+FROM q JOIN orders o ON o.o_orderkey = q.l_orderkey
+ORDER BY CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) DESC,
+         o.o_orderdate, o.o_orderkey
+LIMIT {Q18_K}
+""",
+        # Q17 shape: the correlated average compares exact ints
+        # (5·q_c·n < Σq_c), revenue in cents / 7 years
+        "rel_small_qty": f"""
+WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = '{Q17_BRAND}'),
+st AS (
+  SELECT l_partkey,
+         sum(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS sum_qc,
+         count(*)::BIGINT AS n
+  FROM lineitem JOIN pk ON pk.p_partkey = lineitem.l_partkey
+  GROUP BY l_partkey
+)
+SELECT round(CAST(COALESCE(sum(
+         CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)), 0) AS DOUBLE)
+       / 100.0 / 7.0, 6) AS avg_yearly
+FROM lineitem l
+JOIN st ON st.l_partkey = l.l_partkey
+WHERE 5 * CAST(FLOOR(l.l_quantity * 100 + 0.5) AS BIGINT) * st.n < st.sum_qc
+""",
+        # Q19 shape: disjunctive brackets, exact cent·pct revenue
+        "rel_brackets": f"""
+SELECT round(CAST(COALESCE(sum(
+         CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS HUGEINT)
+         * (100 - CAST(FLOOR(l.l_discount * 100 + 0.5) AS HUGEINT))), 0)
+       AS DOUBLE) / 10000.0, 6) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE {" OR ".join(
+    f"(p.p_brand = '{b}'"
+    f" AND CAST(FLOOR(l.l_quantity * 100 + 0.5) AS BIGINT) BETWEEN {q0 * 100} AND {q1 * 100}"
+    f" AND p.p_size BETWEEN {s0} AND {s1})"
+    for b, q0, q1, s0, s1 in Q19_BRACKETS)}
+""",
+        # Q14 shape: 100·promo/total, both exact cent·pct ints
+        "rel_promo_share": f"""
+WITH w AS (
+  SELECT l.l_partkey,
+         CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS HUGEINT)
+         * (100 - CAST(FLOOR(l.l_discount * 100 + 0.5) AS HUGEINT)) AS rev
+  FROM lineitem l
+  WHERE l.l_shipdate >= TIMESTAMP '{Q14_FROM}'
+    AND l.l_shipdate <  TIMESTAMP '{Q14_TO}'
+)
+SELECT round(100.0 * CAST(sum(CASE WHEN p.p_type = '{Q14_TYPE}' THEN w.rev
+                                   ELSE 0 END) AS DOUBLE)
+             / CAST(sum(w.rev) AS DOUBLE), 6) AS promo_revenue
+FROM w JOIN part p ON p.p_partkey = w.l_partkey
+""",
+        # Q16 shape: distinct suppliers per (brand,type,size) over the
+        # observed part–supplier relation, negative-balance suppliers
+        # excluded
+        "rel_supplier_variety": f"""
+SELECT p.p_brand, p.p_type, p.p_size::BIGINT AS p_size,
+       count(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> '{Q16_EXCLUDE_BRAND}'
+  AND p.p_size IN {Q16_SIZES!r}
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
 """,
         "media_dedup": f"""
 SELECT CAST(media_id AS BIGINT) AS media_id, digest,

@@ -1327,3 +1327,620 @@ def idle_customers(
             "totacctbal": [round(float(r[1][1]) / 100.0, 6) for r in rows],
         }
     )
+
+
+def returned_item_revenue(
+    customer: rd.Dataset,
+    orders: rd.Dataset,
+    lineitem: rd.Dataset,
+    nation: rd.Dataset,
+    *,
+    returnflag: str = "R",
+    from_iso: str,
+    to_iso: str,
+    k: int = 20,
+) -> pd.DataFrame:
+    """TPC-H Q10-shaped returned-item report: per customer, the revenue
+    (Σ price·(1−disc), exact integer cents) lost to lineitems flagged
+    ``returnflag`` on orders placed in ``[from, to)``; top-``k``
+    customers hydrated with name / balance / nation.
+    → (c_custkey, c_name, revenue, c_acctbal, n_name) ranked by
+    (revenue desc, c_custkey).
+
+    Scale shape: lineitem shrinks to per-order rev_c4 combiners BEFORE
+    any exchange; the date-windowed (orderkey → custkey) map broadcasts
+    when it fits ``DRIVER_FASTPATH_ROWS``, else a ``sized_join`` hash
+    exchange carries order-grain rows only.  Customer hydration touches
+    exactly the k winning keys (isin filter over the dimension read),
+    and the 25-row nation table broadcasts.  Lineitem / customer never
+    shuffle at fact grain."""
+    lo = np.datetime64(from_iso, "us")
+    hi = np.datetime64(to_iso, "us")
+
+    def o_filter(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate").to_numpy(zero_copy_only=False)
+        odu = od.astype("datetime64[us]")
+        keep = (odu >= lo) & (odu < hi)
+        m = pa.array(keep)
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey").filter(m),
+                "o_custkey": batch.column("o_custkey").filter(m),
+            }
+        )
+
+    sel_orders = orders.select_columns(
+        ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(o_filter, batch_format="pyarrow")
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch.column("l_returnflag"), returnflag)
+        sub = batch.filter(keep)
+        okey = sub.column("l_orderkey").to_numpy(zero_copy_only=False)
+        price_c = _cents(sub.column("l_extendedprice").to_numpy(zero_copy_only=False))
+        disc_pct = _cents(sub.column("l_discount").to_numpy(zero_copy_only=False))
+        rev_c4 = price_c * (100 - disc_pct)
+        uk, inv = np.unique(okey, return_inverse=True)
+        sums = np.zeros(len(uk), np.int64)
+        np.add.at(sums, inv, rev_c4)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(uk, pa.int64()),
+                "rev_c4": pa.array(sums),
+            }
+        )
+
+    li = lineitem.select_columns(
+        ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"]
+    ).map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
+
+    from ..config import DRIVER_FASTPATH_ROWS
+
+    n_orders = sel_orders.count()
+    rev_by_cust: dict[int, int] = {}
+    if n_orders <= DRIVER_FASTPATH_ROWS:
+        # driver fastpath: date window keeps the order map small
+        omap: dict[int, int] = {}
+        for ref in sel_orders.to_arrow_refs():
+            t = ray.get(ref)
+            for ok, ck in zip(
+                t.column("o_orderkey").to_pylist(), t.column("o_custkey").to_pylist()
+            ):
+                omap[ok] = ck
+        for ref in li.to_arrow_refs():
+            t = ray.get(ref)
+            for ok, rc in zip(
+                t.column("l_orderkey").to_pylist(), t.column("rev_c4").to_pylist()
+            ):
+                ck = omap.get(ok)
+                if ck is not None:
+                    rev_by_cust[ck] = rev_by_cust.get(ck, 0) + rc
+    else:
+        # distributed: order-grain revenue ⨝ order map → custkey combiner
+        rev_ds = li.groupby("l_orderkey").sum("rev_c4")
+        joined = sized_join(
+            rev_ds,
+            sel_orders.map_batches(
+                lambda t: t.rename_columns(["l_orderkey", "o_custkey"]),
+                batch_format="pyarrow",
+            ),
+            ("l_orderkey",),
+        )
+
+        def c_partial(batch: pa.Table) -> pa.Table:
+            ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+            rv = batch.column("sum(rev_c4)").to_numpy(zero_copy_only=False)
+            uk, inv = np.unique(ck, return_inverse=True)
+            sums = np.zeros(len(uk), np.int64)
+            np.add.at(sums, inv, rv)
+            return pa.table(
+                {
+                    "o_custkey": pa.array(uk, pa.int64()),
+                    "rev_c4": pa.array(sums),
+                }
+            )
+
+        per_cust = (
+            joined.map_batches(c_partial, batch_format="pyarrow")
+            .groupby("o_custkey")
+            .sum("rev_c4")
+        )
+        for ref in per_cust.to_arrow_refs():
+            t = ray.get(ref)
+            if not len(t) or "o_custkey" not in t.column_names:
+                continue  # zero-row empty-schema groupby block (Ray 2.49)
+            for ck, rc in zip(
+                t.column("o_custkey").to_pylist(), t.column("sum(rev_c4)").to_pylist()
+            ):
+                rev_by_cust[ck] = rev_by_cust.get(ck, 0) + rc
+
+    top = sorted(rev_by_cust.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    win_keys = np.array(sorted(t[0] for t in top), np.int64)
+    wk_ref = ray.put(win_keys)
+
+    def c_hydrate(batch: pa.Table) -> pa.Table:
+        ks = ray.get(wk_ref)
+        ck = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ks, ck)
+        pos[pos == len(ks)] = 0
+        keep = (ks[pos] == ck) if len(ks) else np.zeros(len(ck), bool)
+        return batch.filter(pa.array(keep)).select(
+            ["c_custkey", "c_name", "c_acctbal", "c_nationkey"]
+        )
+
+    cust_rows: dict[int, tuple] = {}
+    hyd = customer.select_columns(
+        ["c_custkey", "c_name", "c_acctbal", "c_nationkey"]
+    ).map_batches(c_hydrate, batch_format="pyarrow")
+    for ref in hyd.to_arrow_refs():
+        t = ray.get(ref)
+        for r in t.to_pylist():
+            cust_rows[r["c_custkey"]] = (r["c_name"], r["c_acctbal"], r["c_nationkey"])
+
+    nmap = {
+        r["n_nationkey"]: r["n_name"]
+        for ref in nation.select_columns(["n_nationkey", "n_name"]).to_arrow_refs()
+        for r in ray.get(ref).to_pylist()
+    }
+
+    return pd.DataFrame(
+        {
+            "c_custkey": [ck for ck, _ in top],
+            "c_name": [cust_rows[ck][0] for ck, _ in top],
+            "revenue": [round(float(rc) / 10_000.0, 6) for _, rc in top],
+            "c_acctbal": [round(float(cust_rows[ck][1]), 6) for ck, _ in top],
+            "n_name": [nmap[cust_rows[ck][2]] for ck, _ in top],
+        }
+    )
+
+
+def big_volume_orders(
+    customer: rd.Dataset,
+    orders: rd.Dataset,
+    lineitem: rd.Dataset,
+    *,
+    min_qty: int,
+    k: int = 100,
+) -> pd.DataFrame:
+    """TPC-H Q18-shaped large-volume-order report: orders whose total
+    lineitem quantity exceeds ``min_qty``, hydrated with the customer
+    and order attributes.  → (c_custkey, o_orderkey, o_orderdate,
+    total_price, sum_qty) ranked by (total_price desc, o_orderdate asc,
+    o_orderkey asc), top ``k``.
+
+    Quantities fold as exact integer centi-units (floor(q·100+0.5)), so
+    the HAVING compares ints; ranking uses integer price cents.  Scale
+    shape: lineitem → per-order qty combiners → ONE order-grain
+    exchange; the survivor set (a tail of the distribution) is
+    collected and orders/customer are hydrated by key-set filters —
+    fact tables never shuffle at row grain."""
+    thresh_c = int(min_qty) * 100
+
+    def q_partial(batch: pa.Table) -> pa.Table:
+        okey = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        qc = _cents(batch.column("l_quantity").to_numpy(zero_copy_only=False))
+        uk, inv = np.unique(okey, return_inverse=True)
+        sums = np.zeros(len(uk), np.int64)
+        np.add.at(sums, inv, qc)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(uk, pa.int64()),
+                "qty_c": pa.array(sums),
+            }
+        )
+
+    per_order = (
+        lineitem.select_columns(["l_orderkey", "l_quantity"])
+        .map_batches(q_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("l_orderkey")
+        .sum("qty_c")
+    )
+
+    big: dict[int, int] = {}
+    for ref in per_order.to_arrow_refs():
+        t = ray.get(ref)
+        if not len(t) or "l_orderkey" not in t.column_names:
+            continue
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        qc = t.column("sum(qty_c)").to_numpy(zero_copy_only=False)
+        keep = qc > thresh_c
+        for a, b in zip(ok[keep], qc[keep]):
+            big[int(a)] = int(b)
+
+    ok_keys = np.array(sorted(big), np.int64)
+    ok_ref = ray.put(ok_keys)
+
+    def o_hydrate(batch: pa.Table) -> pa.Table:
+        ks = ray.get(ok_ref)
+        okv = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ks, okv)
+        pos[pos == len(ks)] = 0
+        keep = (ks[pos] == okv) if len(ks) else np.zeros(len(okv), bool)
+        return batch.filter(pa.array(keep))
+
+    orows = []
+    for ref in (
+        orders.select_columns(["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+        .map_batches(o_hydrate, batch_format="pyarrow")
+        .to_arrow_refs()
+    ):
+        orows.extend(ray.get(ref).to_pylist())
+
+    rows = [
+        (
+            int(r["o_custkey"]),
+            int(r["o_orderkey"]),
+            r["o_orderdate"],
+            int(np.floor(r["o_totalprice"] * 100.0 + 0.5)),
+            big[r["o_orderkey"]],
+        )
+        for r in orows
+    ]
+    rows.sort(key=lambda r: (-r[3], np.datetime64(r[2], "us").astype(np.int64), r[1]))
+    rows = rows[:k]
+    return pd.DataFrame(
+        {
+            "c_custkey": [r[0] for r in rows],
+            "o_orderkey": [r[1] for r in rows],
+            "o_orderdate": [r[2] for r in rows],
+            "total_price": [round(float(r[3]) / 100.0, 6) for r in rows],
+            "sum_qty": [round(float(r[4]) / 100.0, 6) for r in rows],
+        }
+    )
+
+
+def small_quantity_revenue(
+    lineitem: rd.Dataset,
+    part: rd.Dataset,
+    *,
+    brand: str,
+) -> pd.DataFrame:
+    """TPC-H Q17-shaped lost-revenue probe: average yearly revenue that
+    would be lost if small-quantity orders (quantity < 0.2 × the part's
+    own average quantity) for parts of ``brand`` were no longer filled.
+    → one row (avg_yearly).
+
+    The correlated-average predicate is made exact-integer: q < 0.2 ·
+    (Σq / n)  ⇔  5·q_c·n < Σq_c with q_c = floor(q·100+0.5), compared
+    in arbitrary precision.  Scale shape: the brand's partkeys broadcast
+    (single-brand dimension slice); pass 1 folds per-part (Σq_c, n)
+    combiners — the exchange is ≤ |brand parts| × batches rows; pass 2
+    is a stateless broadcast-predicate filter summing price cents."""
+    pk_set: list[int] = []
+    pfilt = part.select_columns(["p_partkey", "p_brand"]).map_batches(
+        lambda t: t.filter(pc.equal(t.column("p_brand"), brand)).select(["p_partkey"]),
+        batch_format="pyarrow",
+    )
+    for ref in pfilt.to_arrow_refs():
+        pk_set.extend(ray.get(ref).column("p_partkey").to_pylist())
+    pk_arr = np.array(sorted(pk_set), np.int64)
+    pk_ref = ray.put(pk_arr)
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        ks = ray.get(pk_ref)
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ks, pk)
+        pos[pos == len(ks)] = 0
+        keep = (ks[pos] == pk) if len(ks) else np.zeros(len(pk), bool)
+        sub = batch.filter(pa.array(keep))
+        pkk = sub.column("l_partkey").to_numpy(zero_copy_only=False)
+        qc = _cents(sub.column("l_quantity").to_numpy(zero_copy_only=False))
+        uk, inv = np.unique(pkk, return_inverse=True)
+        s = np.zeros(len(uk), np.int64)
+        n = np.zeros(len(uk), np.int64)
+        np.add.at(s, inv, qc)
+        np.add.at(n, inv, 1)
+        return pa.table(
+            {
+                "l_partkey": pa.array(uk, pa.int64()),
+                "sum_qc": pa.array(s),
+                "n": pa.array(n),
+            }
+        )
+
+    li_cols = lineitem.select_columns(["l_partkey", "l_quantity", "l_extendedprice"])
+    stats: dict[int, tuple[int, int]] = {}
+    for ref in (
+        li_cols.select_columns(["l_partkey", "l_quantity"])
+        .map_batches(qty_partial, batch_format="pyarrow", batch_size=65536)
+        .to_arrow_refs()
+    ):
+        t = ray.get(ref)
+        for r in t.to_pylist():
+            s0, n0 = stats.get(r["l_partkey"], (0, 0))
+            stats[r["l_partkey"]] = (s0 + r["sum_qc"], n0 + r["n"])
+
+    # brand-parts-sized broadcast model: partkey → (Σq_c, n)
+    mk = np.array(sorted(stats), np.int64)
+    ms = np.array([stats[x][0] for x in mk], np.int64)
+    mn = np.array([stats[x][1] for x in mk], np.int64)
+    model_ref = ray.put((mk, ms, mn))
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        kk, ss, nn = ray.get(model_ref)
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(kk, pk)
+        pos[pos == len(kk)] = 0
+        hit = (kk[pos] == pk) if len(kk) else np.zeros(len(pk), bool)
+        qc = _cents(batch.column("l_quantity").to_numpy(zero_copy_only=False))
+        # 5·q_c·n < Σq_c — int64 is ample: q_c ≤ 5000, n ≤ 10^7 at 100 TB
+        small = hit & (5 * qc * np.where(hit, nn[pos], 0) < np.where(hit, ss[pos], 1))
+        price_c = _cents(batch.column("l_extendedprice").to_numpy(zero_copy_only=False))
+        tot = int(price_c[small].sum())
+        return pa.table({"rev_c": pa.array([tot], pa.int64())})
+
+    total_c = 0
+    for ref in li_cols.map_batches(
+        rev_partial, batch_format="pyarrow", batch_size=65536
+    ).to_arrow_refs():
+        t = ray.get(ref)
+        total_c += int(np.sum(t.column("rev_c").to_numpy(zero_copy_only=False)))
+
+    return pd.DataFrame({"avg_yearly": [round(total_c / 100.0 / 7.0, 6)]})
+
+
+def bracket_revenue(
+    lineitem: rd.Dataset,
+    part: rd.Dataset,
+    *,
+    brackets: list[tuple[str, int, int, int, int]],
+) -> pd.DataFrame:
+    """TPC-H Q19-shaped disjunctive-bracket revenue: Σ price·(1−disc)
+    over lineitems matching ANY (brand, qty∈[qmin,qmax],
+    size∈[smin,smax]) bracket.  → one row (revenue).
+
+    Scale shape: the part dimension collapses to a partkey → bracket-
+    mask broadcast (each part pre-evaluates its size/brand half of each
+    bracket); the lineitem pass is a stateless vectorized filter with
+    per-batch scalar partials — no shuffle at all."""
+    # part side: per partkey, the bitmask of brackets whose brand+size
+    # half it satisfies
+    def p_mask(batch: pa.Table) -> pa.Table:
+        pk = batch.column("p_partkey").to_numpy(zero_copy_only=False)
+        pb = batch.column("p_brand").to_pandas().to_numpy()
+        ps = batch.column("p_size").to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = np.zeros(len(pk), np.int64)
+        for i, (brand, _q0, _q1, s0, s1) in enumerate(brackets):
+            mask |= ((pb == brand) & (ps >= s0) & (ps <= s1)).astype(np.int64) << i
+        keep = mask > 0
+        return pa.table(
+            {
+                "p_partkey": pa.array(pk[keep], pa.int64()),
+                "mask": pa.array(mask[keep]),
+            }
+        )
+
+    pks: list[int] = []
+    msks: list[int] = []
+    for ref in (
+        part.select_columns(["p_partkey", "p_brand", "p_size"])
+        .map_batches(p_mask, batch_format="pyarrow")
+        .to_arrow_refs()
+    ):
+        t = ray.get(ref)
+        pks.extend(t.column("p_partkey").to_pylist())
+        msks.extend(t.column("mask").to_pylist())
+    order = np.argsort(np.array(pks, np.int64), kind="stable")
+    pk_arr = np.array(pks, np.int64)[order]
+    mask_arr = np.array(msks, np.int64)[order]
+    q0 = np.array([b[1] for b in brackets], np.int64) * 100
+    q1 = np.array([b[2] for b in brackets], np.int64) * 100
+    model_ref = ray.put((pk_arr, mask_arr, q0, q1))
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        kk, mm, lo, hi = ray.get(model_ref)
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(kk, pk)
+        pos[pos == len(kk)] = 0
+        hit = (kk[pos] == pk) if len(kk) else np.zeros(len(pk), bool)
+        qc = _cents(batch.column("l_quantity").to_numpy(zero_copy_only=False))
+        match = np.zeros(len(pk), bool)
+        pm = np.where(hit, mm[pos], 0)
+        for i in range(len(lo)):
+            match |= (pm >> i & 1).astype(bool) & (qc >= lo[i]) & (qc <= hi[i])
+        price_c = _cents(batch.column("l_extendedprice").to_numpy(zero_copy_only=False))
+        disc_pct = _cents(batch.column("l_discount").to_numpy(zero_copy_only=False))
+        rev = price_c[match] * (100 - disc_pct[match])
+        return pa.table({"rev_c4": pa.array([int(rev.sum())], pa.int64())})
+
+    total = 0
+    for ref in (
+        lineitem.select_columns(
+            ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]
+        )
+        .map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
+        .to_arrow_refs()
+    ):
+        total += int(
+            np.sum(ray.get(ref).column("rev_c4").to_numpy(zero_copy_only=False))
+        )
+    return pd.DataFrame({"revenue": [round(total / 10_000.0, 6)]})
+
+
+def promo_revenue_share(
+    lineitem: rd.Dataset,
+    part: rd.Dataset,
+    *,
+    promo_type: str,
+    from_iso: str,
+    to_iso: str,
+) -> pd.DataFrame:
+    """TPC-H Q14-shaped promotion share: 100 × promo discounted revenue
+    / total discounted revenue over lineitems shipped in ``[from, to)``.
+    → one row (promo_revenue).
+
+    Scale shape: partkey → is-promo flag broadcasts (dimension bitmap);
+    one stateless lineitem pass keeps two integer scalar partials per
+    batch.  Both numerator and denominator are exact cent·pct ints, so
+    the final division is the only float op."""
+    lo = np.datetime64(from_iso, "us")
+    hi = np.datetime64(to_iso, "us")
+
+    pks: list[int] = []
+    for ref in (
+        part.select_columns(["p_partkey", "p_type"])
+        .map_batches(
+            lambda t: t.filter(pc.equal(t.column("p_type"), promo_type)).select(
+                ["p_partkey"]
+            ),
+            batch_format="pyarrow",
+        )
+        .to_arrow_refs()
+    ):
+        pks.extend(ray.get(ref).column("p_partkey").to_pylist())
+    promo_ref = ray.put(np.array(sorted(pks), np.int64))
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        ks = ray.get(promo_ref)
+        ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False)
+        su = ship.astype("datetime64[us]")
+        sub = batch.filter(pa.array((su >= lo) & (su < hi)))
+        pk = sub.column("l_partkey").to_numpy(zero_copy_only=False)
+        price_c = _cents(sub.column("l_extendedprice").to_numpy(zero_copy_only=False))
+        disc_pct = _cents(sub.column("l_discount").to_numpy(zero_copy_only=False))
+        rev = price_c * (100 - disc_pct)
+        pos = np.searchsorted(ks, pk)
+        pos[pos == len(ks)] = 0
+        promo = (ks[pos] == pk) if len(ks) else np.zeros(len(pk), bool)
+        return pa.table(
+            {
+                "promo_c4": pa.array([int(rev[promo].sum())], pa.int64()),
+                "total_c4": pa.array([int(rev.sum())], pa.int64()),
+            }
+        )
+
+    pnum = 0
+    pden = 0
+    for ref in (
+        lineitem.select_columns(
+            ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"]
+        )
+        .map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
+        .to_arrow_refs()
+    ):
+        t = ray.get(ref)
+        pnum += int(np.sum(t.column("promo_c4").to_numpy(zero_copy_only=False)))
+        pden += int(np.sum(t.column("total_c4").to_numpy(zero_copy_only=False)))
+    share = 100.0 * pnum / pden if pden else 0.0
+    return pd.DataFrame({"promo_revenue": [round(share, 6)]})
+
+
+def supplier_variety(
+    lineitem: rd.Dataset,
+    part: rd.Dataset,
+    supplier: rd.Dataset,
+    *,
+    exclude_brand: str,
+    sizes: tuple[int, ...],
+) -> pd.DataFrame:
+    """TPC-H Q16-shaped supplier-variety census: distinct suppliers per
+    (p_brand, p_type, p_size) over the observed part–supplier relation
+    (distinct lineitem pairs), excluding ``exclude_brand`` parts and
+    suppliers with negative balance (the complaint-set analog).
+    → (p_brand, p_type, p_size, supplier_cnt) ranked by (cnt desc,
+    brand, type, size).
+
+    Scale shape: per-batch distinct-(partkey,suppkey) combiners shrink
+    the fact table to the partsupp relation BEFORE one composite-key
+    exchange; the part dimension (brand/type/size) and the excluded
+    supplier keys broadcast; the final distinct count runs over
+    group-grain rows only."""
+    # excluded suppliers (dimension-sized)
+    bad: list[int] = []
+    for ref in (
+        supplier.select_columns(["s_suppkey", "s_acctbal"])
+        .map_batches(
+            lambda t: t.filter(pc.less(t.column("s_acctbal"), 0.0)).select(
+                ["s_suppkey"]
+            ),
+            batch_format="pyarrow",
+        )
+        .to_arrow_refs()
+    ):
+        bad.extend(ray.get(ref).column("s_suppkey").to_pylist())
+    bad_ref = ray.put(np.array(sorted(bad), np.int64))
+
+    # part dimension slice: partkey → (brand, type, size), pre-filtered
+    pk_l: list[int] = []
+    dims: list[tuple[str, str, int]] = []
+    szs = set(int(s) for s in sizes)
+    for ref in (
+        part.select_columns(["p_partkey", "p_brand", "p_type", "p_size"])
+        .to_arrow_refs()
+    ):
+        for r in ray.get(ref).to_pylist():
+            if r["p_brand"] != exclude_brand and int(r["p_size"]) in szs:
+                pk_l.append(r["p_partkey"])
+                dims.append((r["p_brand"], r["p_type"], int(r["p_size"])))
+    order = np.argsort(np.array(pk_l, np.int64), kind="stable")
+    pk_arr = np.array(pk_l, np.int64)[order]
+    dims = [dims[i] for i in order]
+    groups = sorted(set(dims))
+    gmap = {g: i for i, g in enumerate(groups)}
+    gid_arr = np.array([gmap[d] for d in dims], np.int64)
+    pk_ref = ray.put(pk_arr)
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        ks = ray.get(pk_ref)
+        excl = ray.get(bad_ref)
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ks, pk)
+        pos[pos == len(ks)] = 0
+        keep = (ks[pos] == pk) if len(ks) else np.zeros(len(pk), bool)
+        if len(excl):
+            bp = np.searchsorted(excl, sk)
+            bp[bp == len(excl)] = 0
+            keep &= ~(excl[bp] == sk)
+        pk, sk = pk[keep], sk[keep]
+        # composite pair key (suppkey < 2^20 at any realistic census)
+        pair = np.unique(pk * (1 << 20) + sk)
+        return pa.table({"pair": pa.array(pair, pa.int64())})
+
+    pairs = (
+        lineitem.select_columns(["l_partkey", "l_suppkey"])
+        .map_batches(pair_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("pair")
+        .count()
+    )
+
+    # second distinct: (group, suppkey) — a same-group supplier serving
+    # two parts must count once.  Map pair → composite (group id,
+    # suppkey) key, per-batch unique, ONE more keyed exchange; the
+    # driver then folds distinct group-supplier rows with a vectorized
+    # bincount over the group-grain result.
+    def gs_partial(batch: pa.Table) -> pa.Table:
+        pv = batch.column("pair").to_numpy(zero_copy_only=False)
+        pk = pv >> 20
+        sk = pv & ((1 << 20) - 1)
+        pos = np.searchsorted(pk_arr, pk)
+        pos[pos == len(pk_arr)] = 0
+        hit = (pk_arr[pos] == pk) if len(pk_arr) else np.zeros(len(pk), bool)
+        gs = np.unique(gid_arr[pos[hit]] * (1 << 20) + sk[hit])
+        return pa.table({"gs": pa.array(gs, pa.int64())})
+
+    gs_ds = pairs.map_batches(
+        gs_partial, batch_format="pyarrow"
+    ).groupby("gs").count()
+
+    per_group = np.zeros(len(groups), np.int64)
+    for ref in gs_ds.to_arrow_refs():
+        t = ray.get(ref)
+        if not len(t) or "gs" not in t.column_names:
+            continue
+        g = t.column("gs").to_numpy(zero_copy_only=False) >> 20
+        per_group += np.bincount(g, minlength=len(groups))
+
+    rows = sorted(
+        ((groups[i][0], groups[i][1], groups[i][2], int(c))
+         for i, c in enumerate(per_group) if c),
+        key=lambda r: (-r[3], r[0], r[1], r[2]),
+    )
+    return pd.DataFrame(
+        {
+            "p_brand": [r[0] for r in rows],
+            "p_type": [r[1] for r in rows],
+            "p_size": [r[2] for r in rows],
+            "supplier_cnt": [r[3] for r in rows],
+        }
+    )

@@ -308,6 +308,9 @@ def test_oracle_keys_subset(entry_mod):
     "link_predict",
     # round 4 session 9: IR evaluation (MRR / NDCG@k, synthetic qrels)
     "search_eval",
+    # round 4 session 9: Q10/Q18/Q17/Q19/Q14/Q16-shaped relational probes
+    "rel_returned_items", "rel_big_orders", "rel_small_qty",
+    "rel_brackets", "rel_promo_share", "rel_supplier_variety",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))

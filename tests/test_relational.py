@@ -366,3 +366,69 @@ def test_idle_customers_distributed_matches_fastpath(ray_session, monkeypatch):
         fast.reset_index(drop=True), dist.reset_index(drop=True),
         check_dtype=False,
     )
+
+
+@requires_solo_ray
+def test_returned_items_distributed_matches_fastpath(ray_session, monkeypatch):
+    import ray.data as rd
+
+    from search_engine_skillbox_ray import config
+    from search_engine_skillbox_ray.pipelines import relational
+
+    c, o, li = _tables()
+    n = rd.read_parquet(f"{SF}/nation.parquet")
+    kw = dict(returnflag="R", from_iso="1996-01-01", to_iso="1997-01-01", k=20)
+    fast = relational.returned_item_revenue(c, o, li, n, **kw)
+    monkeypatch.setattr(config, "DRIVER_FASTPATH_ROWS", 0)
+    dist = relational.returned_item_revenue(c, o, li, n, **kw)
+    pd.testing.assert_frame_equal(
+        fast.reset_index(drop=True),
+        dist.reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_big_orders_threshold_and_rank(ray_session):
+    """Every reported order exceeds the centi-unit threshold; ranking is
+    (price desc, date, orderkey); sums match a pandas recount."""
+    import ray.data as rd
+
+    c, o, li = _tables()
+    from search_engine_skillbox_ray.pipelines.relational import big_volume_orders
+
+    out = big_volume_orders(c, o, li, min_qty=250, k=100)
+    ldf = pd.read_parquet(f"{SF}/lineitem.parquet")
+    qc = np.floor(ldf["l_quantity"].to_numpy() * 100 + 0.5).astype(np.int64)
+    per = pd.DataFrame({"k": ldf["l_orderkey"], "q": qc}).groupby("k")["q"].sum()
+    expect = set(per[per > 25000].index)
+    assert set(out["o_orderkey"]) <= expect
+    assert len(out) == min(100, len(expect))
+    for ok_, sq in zip(out["o_orderkey"], out["sum_qty"]):
+        assert abs(per[ok_] / 100.0 - sq) < 1e-9
+    pr = out["total_price"].to_numpy()
+    assert (np.diff(np.floor(pr * 100 + 0.5)) <= 0).all()
+
+
+def test_small_qty_predicate_exact(ray_session):
+    """The 5·q·n < Σq integer predicate equals the float 0.2·avg rule on
+    this data, and the returned scalar matches a pandas recount."""
+    import ray.data as rd
+
+    _, _, li = _tables()
+    p = rd.read_parquet(f"{SF}/part.parquet")
+    from search_engine_skillbox_ray.pipelines.relational import (
+        small_quantity_revenue,
+    )
+
+    out = small_quantity_revenue(li, p, brand="Brand#13")
+    ldf = pd.read_parquet(f"{SF}/lineitem.parquet")
+    pdf = pd.read_parquet(f"{SF}/part.parquet")
+    pks = set(pdf[pdf["p_brand"] == "Brand#13"]["p_partkey"])
+    sub = ldf[ldf["l_partkey"].isin(pks)].copy()
+    sub["qc"] = np.floor(sub["l_quantity"].to_numpy() * 100 + 0.5).astype(np.int64)
+    st = sub.groupby("l_partkey")["qc"].agg(["sum", "count"])
+    sub = sub.join(st, on="l_partkey")
+    keep = 5 * sub["qc"] * sub["count"] < sub["sum"]
+    pc_ = np.floor(sub.loc[keep, "l_extendedprice"].to_numpy() * 100 + 0.5)
+    expect = round(pc_.astype(np.int64).sum() / 100.0 / 7.0, 6)
+    assert abs(out["avg_yearly"].iloc[0] - expect) < 1e-6
