@@ -1128,6 +1128,10 @@ def q_fertility_stats(sf_dir: str):
 
 
 QL_MU = 100.0  # Dirichlet smoothing mass (exactly representable)
+JM_LAMBDA = 0.5  # Jelinek-Mercer mixture weight (exactly representable)
+STOP_NUM, STOP_DEN = 3, 10  # stopword rule: df ≥ 30% of the corpus
+CORI_SHARDS, CORI_B = 8, 0.4  # CORI resource selection (Callan 1995)
+BM25F_LEAD, BM25F_WL, BM25F_WB = 32, 2.0, 1.0  # lead/body fielded BM25
 
 
 def q_search_ql(sf_dir: str):
@@ -1138,6 +1142,80 @@ def q_search_ql(sf_dir: str):
     eng = _engine(sf_dir, float32_scores=False)
     doc_ids, scores = eng.search_ql_scores(SEARCH_QUERY, mu=QL_MU)
     return pd.DataFrame({"doc_id": doc_ids.astype(np.int64), "score": np.round(scores, 6)})
+
+
+def q_search_ql_jm(sf_dir: str):
+    """Query-likelihood ranking with Jelinek–Mercer smoothing: Σ ln(
+    (1−λ)·tf/dl + λ·cf/|C|) — the fixed-mixture sibling of the
+    Dirichlet scorer, served from the same index reads."""
+    eng = _engine(sf_dir, float32_scores=False)
+    doc_ids, scores = eng.search_jm_scores(SEARCH_QUERY, lam=JM_LAMBDA)
+    return pd.DataFrame(
+        {"doc_id": doc_ids.astype(np.int64), "score": np.round(scores, 6)}
+    )
+
+
+def q_ltr_features(sf_dir: str):
+    """Learning-to-rank feature export: per OR-candidate doc the classic
+    feature vector (n_matched, Σtf, dl, tfidf, bm25) straight from the
+    index's posting reads — reranker training-set prep."""
+    eng = _engine(sf_dir, float32_scores=False)
+    return eng.ltr_features(SEARCH_QUERY)
+
+
+def q_search_bm25f(sf_dir: str):
+    """Fielded BM25F over derived lead/body fields: weighted tf and ONE
+    shared saturation/normalization (w_lead·tf_lead + w_body·tf_body) —
+    the title-boost ranking shape of a web engine, as a shuffle-free
+    two-pass corpus scan."""
+    from search_engine_skillbox_ray.pipelines.textstats import bm25f_scores_ds
+
+    return bm25f_scores_ds(
+        _documents(sf_dir), SEARCH_QUERY,
+        lead_len=BM25F_LEAD, w_lead=BM25F_WL, w_body=BM25F_WB,
+        k1=BM25_K1, b=BM25_B,
+    )
+
+
+def q_shard_selection(sf_dir: str):
+    """CORI resource selection over a doc_id-hash sharding: per shard
+    the Σ-belief of the query terms — the selective-search router that
+    keeps a 10^12-doc query off most of the cluster."""
+    from search_engine_skillbox_ray.pipelines.textstats import cori_shard_scores
+
+    return cori_shard_scores(
+        _documents(sf_dir), SEARCH_QUERY, n_shards=CORI_SHARDS, b=CORI_B,
+    )
+
+
+def q_stopword_candidates(sf_dir: str):
+    """Corpus-driven stopword-list generation: terms whose df reaches
+    STOP_NUM/STOP_DEN of the corpus — exact integer threshold, one
+    term-grain exchange."""
+    from search_engine_skillbox_ray.pipelines.textstats import (
+        stopword_candidates_ds,
+    )
+
+    return stopword_candidates_ds(
+        _documents(sf_dir), ratio_num=STOP_NUM, ratio_den=STOP_DEN,
+    )
+
+
+def q_mixture_plan(sf_dir: str):
+    """Token-budget mixture planning: per-source natural token share vs
+    a deterministic target weight → the sampling factor a training-mix
+    builder applies. One tokenize pass, source-grain exchange."""
+    from search_engine_skillbox_ray.pipelines.selection import mixture_plan_ds
+
+    return mixture_plan_ds(_documents(sf_dir))
+
+
+def q_rel_cube(sf_dir: str):
+    """GROUP BY CUBE (returnflag, linestatus): all four grouping sets
+    from ONE scan — finest-set combiners, driver-side exact folds."""
+    from search_engine_skillbox_ray.pipelines.relational import cube_pricing
+
+    return cube_pricing(_table(sf_dir, "lineitem"))
 
 
 def q_retention_cohorts(sf_dir: str):
@@ -3099,6 +3177,13 @@ _DRIVER_PRIORITY = [
     "rel_brackets",
     "rel_promo_share",
     "rel_supplier_variety",
+    "search_ql_jm",
+    "ltr_features",
+    "search_bm25f",
+    "shard_selection",
+    "stopword_candidates",
+    "mixture_plan",
+    "rel_cube",
 ]
 
 
@@ -3222,6 +3307,13 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "rel_supplier_nations": q_rel_supplier_nations,
         "rel_custdist": q_rel_custdist,
+        "search_ql_jm": q_search_ql_jm,
+        "ltr_features": q_ltr_features,
+        "search_bm25f": q_search_bm25f,
+        "shard_selection": q_shard_selection,
+        "stopword_candidates": q_stopword_candidates,
+        "mixture_plan": q_mixture_plan,
+        "rel_cube": q_rel_cube,
         "rel_returned_items": q_rel_returned_items,
         "rel_big_orders": q_rel_big_orders,
         "rel_small_qty": q_rel_small_qty,
@@ -6478,6 +6570,145 @@ WHERE p.p_brand <> '{Q16_EXCLUDE_BRAND}'
   AND p.p_size IN {Q16_SIZES!r}
   AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
 GROUP BY p.p_brand, p.p_type, p.p_size
+""",
+        # Jelinek-Mercer QL: the Dirichlet mirror with the linear mixture
+        "search_ql_jm": f"""
+WITH tf AS ({_TF}),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM ({_TOK}) GROUP BY doc_id),
+ctot AS (SELECT count(*)::DOUBLE AS c FROM ({_TOK})),
+q(term) AS (VALUES {_terms_values()}),
+cf AS (SELECT q.term, SUM(tf.tf)::DOUBLE AS cf
+       FROM q JOIN tf ON tf.term = q.term GROUP BY q.term),
+cand AS (SELECT DISTINCT tf.doc_id FROM tf JOIN q ON tf.term = q.term),
+scores AS (
+  SELECT cand.doc_id,
+         SUM(ln((1.0 - {JM_LAMBDA}) * COALESCE(tf.tf, 0) / dl.dl
+                + {JM_LAMBDA} * (cf.cf / ctot.c))) AS score
+  FROM cand CROSS JOIN cf
+  LEFT JOIN tf ON tf.doc_id = cand.doc_id AND tf.term = cf.term
+  JOIN dl ON dl.doc_id = cand.doc_id CROSS JOIN ctot
+  GROUP BY cand.doc_id)
+SELECT doc_id, ROUND(score, 6) AS score FROM scores
+""",
+        # LTR features: the tfidf + bm25 serving formulas verbatim, plus
+        # the tf/dl aggregates every reranker trains on
+        "ltr_features": f"""
+WITH tf AS ({_TF}),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM ({_TOK}) GROUP BY doc_id),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+avgdl AS (SELECT sum(dl) / (SELECT n FROM n) AS avgdl FROM dl),
+q(term) AS (VALUES {_terms_values()}),
+df AS (SELECT q.term, count(DISTINCT tf.doc_id)::BIGINT AS df
+       FROM q LEFT JOIN tf ON tf.term = q.term GROUP BY q.term)
+SELECT tf.doc_id,
+       count(*)::BIGINT AS n_matched,
+       sum(tf.tf)::BIGINT AS sum_tf,
+       CAST(any_value(dl.dl) AS BIGINT) AS dl,
+       ROUND(SUM(tf.tf * ln((n.n + 1.0) / (df.df + 1.0))), 6) AS tfidf,
+       ROUND(SUM(ln((n.n + 1.0) / (df.df + 1.0)) * (tf.tf * ({BM25_K1} + 1.0)) /
+             (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / avgdl.avgdl))), 6)
+         AS bm25
+FROM tf JOIN df ON tf.term = df.term
+     JOIN dl ON dl.doc_id = tf.doc_id
+     CROSS JOIN n CROSS JOIN avgdl
+GROUP BY tf.doc_id
+""",
+        # BM25F: weighted-field tf + ONE shared normalization; field =
+        # token position vs the lead cutoff (1-based subscripts)
+        "search_bm25f": f"""
+WITH tl AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+            '[^\\p{{L}}]+'), x -> x <> '') AS toks FROM documents),
+tkp AS (SELECT doc_id, unnest(toks) AS term,
+               generate_subscripts(toks, 1) AS pos FROM tl),
+q(term) AS (VALUES {_terms_values()}),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+dlw AS (SELECT doc_id,
+               {BM25F_WL} * LEAST(len(toks), {BM25F_LEAD})
+               + {BM25F_WB} * GREATEST(len(toks) - {BM25F_LEAD}, 0) AS dlw
+        FROM tl),
+avgdlw AS (SELECT sum(dlw) / (SELECT n FROM n) AS a FROM dlw),
+df AS (SELECT q.term, count(DISTINCT tkp.doc_id)::BIGINT AS df
+       FROM q LEFT JOIN tkp ON tkp.term = q.term GROUP BY q.term),
+ftf AS (SELECT tkp.doc_id, tkp.term,
+               {BM25F_WL} * sum(CASE WHEN pos <= {BM25F_LEAD} THEN 1 ELSE 0 END)
+               + {BM25F_WB} * sum(CASE WHEN pos > {BM25F_LEAD} THEN 1 ELSE 0 END)
+                 AS tfw
+        FROM tkp JOIN q ON q.term = tkp.term
+        GROUP BY tkp.doc_id, tkp.term)
+SELECT ftf.doc_id,
+       ROUND(SUM(ln((n.n + 1.0) / (df.df + 1.0)) * (ftf.tfw * ({BM25_K1} + 1.0)) /
+             (ftf.tfw + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dlw.dlw / avgdlw.a))), 6)
+         AS score
+FROM ftf JOIN df ON df.term = ftf.term
+     JOIN dlw ON dlw.doc_id = ftf.doc_id
+     CROSS JOIN n CROSS JOIN avgdlw
+GROUP BY ftf.doc_id
+""",
+        # CORI: per-(shard, term) belief b + (1-b)·T·I over the full
+        # shard × query-term grid (absent terms contribute the baseline)
+        "shard_selection": f"""
+WITH tl AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+            '[^\\p{{L}}]+'), x -> x <> '') AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM tl),
+q(term) AS (VALUES {_terms_values()}),
+cw AS (SELECT (doc_id % {CORI_SHARDS})::BIGINT AS shard, count(*)::DOUBLE AS cw
+       FROM tok GROUP BY 1),
+df AS (SELECT (doc_id % {CORI_SHARDS})::BIGINT AS shard, tok.term,
+              count(DISTINCT doc_id)::DOUBLE AS df
+       FROM tok JOIN q ON q.term = tok.term GROUP BY 1, 2),
+r AS (SELECT term, count(*)::DOUBLE AS r FROM df GROUP BY term),
+acw AS (SELECT sum(cw) / {CORI_SHARDS}.0 AS a FROM cw),
+shards AS (SELECT unnest(generate_series(0, {CORI_SHARDS - 1}))::BIGINT AS shard),
+grid AS (SELECT s.shard, r.term, r.r,
+                COALESCE(df.df, 0.0) AS df, COALESCE(cw.cw, 0.0) AS cw
+         FROM shards s CROSS JOIN r
+         LEFT JOIN df ON df.shard = s.shard AND df.term = r.term
+         LEFT JOIN cw ON cw.shard = s.shard)
+SELECT shard,
+       ROUND(SUM({CORI_B} + (1.0 - {CORI_B})
+             * (df / (df + 50.0 + 150.0 * cw / acw.a))
+             * (ln(({CORI_SHARDS} + 0.5) / r) / ln({CORI_SHARDS} + 1.0))), 6) AS score,
+       SUM(CASE WHEN df > 0 THEN 1 ELSE 0 END)::BIGINT AS n_terms
+FROM grid CROSS JOIN acw
+GROUP BY shard
+""",
+        # stopwords: exact integer threshold df·den ≥ num·N
+        "stopword_candidates": f"""
+WITH tf AS ({_TF}),
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+d AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tf GROUP BY term)
+SELECT d.term, d.df,
+       ROUND(CAST(d.df AS DOUBLE) / CAST(n.n AS DOUBLE), 6) AS ratio
+FROM d CROSS JOIN n
+WHERE d.df * {STOP_DEN} >= {STOP_NUM} * n.n
+""",
+        # mixture plan: target weight = ((source index mod 4)+1)/Σ —
+        # pure-arithmetic weights the oracle rebuilds
+        "mixture_plan": """
+WITH tc AS (SELECT source,
+            sum(len(list_filter(regexp_split_to_array(lower(text),
+              '[^\\p{L}]+'), x -> x <> '')))::BIGINT AS n_tokens
+            FROM documents GROUP BY source),
+w AS (SELECT source, n_tokens,
+             ((CAST(substr(source, 4) AS INT) % 4) + 1)::BIGINT AS raw
+      FROM tc),
+t AS (SELECT sum(n_tokens)::DOUBLE AS tt, sum(raw)::DOUBLE AS ww FROM w)
+SELECT w.source, w.n_tokens,
+       ROUND(w.n_tokens / t.tt, 6) AS natural_share,
+       ROUND(w.raw / t.ww, 6) AS target_weight,
+       ROUND((w.raw / t.ww) / (w.n_tokens / t.tt), 6) AS sample_factor
+FROM w CROSS JOIN t
+""",
+        # CUBE: all four grouping sets, 'ALL' markers
+        "rel_cube": """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       sum(l_quantity)::BIGINT AS sum_qty,
+       round(CAST(sum(FLOOR(l_extendedprice * 100 + 0.5)) AS DOUBLE) / 100.0, 6)
+         AS sum_base_price,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
         "media_dedup": f"""
 SELECT CAST(media_id AS BIGINT) AS media_id, digest,

@@ -1944,3 +1944,80 @@ def supplier_variety(
             "supplier_cnt": [r[3] for r in rows],
         }
     )
+
+
+def cube_pricing(lineitem: rd.Dataset) -> pd.DataFrame:
+    """GROUP BY CUBE (l_returnflag, l_linestatus): all FOUR grouping
+    sets — detail, per-flag, per-status, grand total — with the same
+    integer-cents exactness and ``'ALL'`` markers as
+    :func:`rollup_pricing` (which covers the rollup lattice only).
+
+    → (l_returnflag, l_linestatus, sum_qty, sum_base_price, count_order)
+
+    Scale shape: identical to the rollup — ONE scan builds the finest
+    grouping set via per-batch combiners; all three coarser sets are
+    exact integer folds of the ≤6-row detail on the driver."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flag = batch.column("l_returnflag").to_pandas().to_numpy()
+        stat = batch.column("l_linestatus").to_pandas().to_numpy()
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        price_c = _cents(batch.column("l_extendedprice").to_numpy(zero_copy_only=False))
+        keys = pd.MultiIndex.from_arrays([flag, stat])
+        df = pd.DataFrame(
+            {
+                "sum_qty": qty.astype(np.int64),
+                "sum_base_c": price_c,
+                "n": np.ones(len(qty), np.int64),
+            },
+            index=keys,
+        )
+        agg = df.groupby(level=[0, 1], sort=False).sum()
+        return pa.table(
+            {
+                "l_returnflag": pa.array([k[0] for k in agg.index], pa.string()),
+                "l_linestatus": pa.array([k[1] for k in agg.index], pa.string()),
+                **{c: pa.array(agg[c].to_numpy(), pa.int64()) for c in agg.columns},
+            }
+        )
+
+    partials = lineitem.select_columns(
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"]
+    ).map_batches(partial, batch_format="pyarrow", batch_size=16384)
+
+    acc: dict[tuple[str, str], list[int]] = {}
+    for ref in partials.to_arrow_refs():
+        t = ray.get(ref)
+        d = t.to_pydict()
+        for i in range(len(t)):
+            key = (d["l_returnflag"][i], d["l_linestatus"][i])
+            row = acc.setdefault(key, [0, 0, 0])
+            row[0] += d["sum_qty"][i]
+            row[1] += d["sum_base_c"][i]
+            row[2] += d["n"][i]
+
+    by_flag: dict[str, list[int]] = {}
+    by_stat: dict[str, list[int]] = {}
+    total = [0, 0, 0]
+    for (flag, stat), row in acc.items():
+        frow = by_flag.setdefault(flag, [0, 0, 0])
+        srow = by_stat.setdefault(stat, [0, 0, 0])
+        for j in range(3):
+            frow[j] += row[j]
+            srow[j] += row[j]
+            total[j] += row[j]
+
+    def emit(flag: str, stat: str, row: list[int]) -> dict:
+        return {
+            "l_returnflag": flag,
+            "l_linestatus": stat,
+            "sum_qty": row[0],
+            "sum_base_price": round(float(row[1]) / 100.0, 6),
+            "count_order": row[2],
+        }
+
+    rows = [emit(f, s, acc[(f, s)]) for (f, s) in sorted(acc)]
+    rows += [emit(f, "ALL", by_flag[f]) for f in sorted(by_flag)]
+    rows += [emit("ALL", s, by_stat[s]) for s in sorted(by_stat)]
+    rows.append(emit("ALL", "ALL", total))
+    return pd.DataFrame(rows)

@@ -367,3 +367,69 @@ def nb_classify(
     return documents.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pyarrow", batch_size=4096
     )
+
+
+def mixture_plan_ds(documents: rd.Dataset) -> "pd.DataFrame":
+    """→ (source, n_tokens, natural_share, target_weight, sample_factor):
+    token-budget mixture planning — given the corpus's natural per-source
+    token distribution and a target mixture weight per source, emit the
+    per-source sampling factor (>1 = upsample / repeat epochs, <1 =
+    subsample) a training-data pipeline applies before packing.
+
+    Target weights are a deterministic function of the source name
+    (raw = (source index mod 4) + 1, normalized) so the DuckDB oracle
+    reproduces them with arithmetic alone — swap in a real weights dict
+    at deployment.  Scale shape: ONE tokenize pass with per-batch
+    (source, token-count) combiners → a source-grain exchange; all the
+    planning math runs on the source-count-sized result."""
+    import pandas as pd
+
+    from ..functions.hashing import flat_nonempty_tokens
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, _, counts = flat_nonempty_tokens(batch.column("text"))
+        t = pa.table(
+            {
+                "source": batch.column("source"),
+                "n_tokens": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+        g = t.group_by("source").aggregate([("n_tokens", "sum")])
+        return pa.table(
+            {"source": g.column("source"), "n_tokens": g.column("n_tokens_sum")}
+        )
+
+    agg = (
+        documents.select_columns(["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .sum("n_tokens")
+    )
+
+    toks: dict[str, int] = {}
+    for ref in agg.to_arrow_refs():
+        t = ray.get(ref)
+        if not len(t) or "source" not in t.column_names:
+            continue
+        for s, n in zip(
+            t.column("source").to_pylist(), t.column("sum(n_tokens)").to_pylist()
+        ):
+            toks[s] = toks.get(s, 0) + n
+
+    sources = sorted(toks)
+    raw = np.array([(int(s[3:]) % 4) + 1 for s in sources], np.int64)
+    nt = np.array([toks[s] for s in sources], np.int64)
+    total = float(nt.sum())
+    wsum = float(raw.sum())
+    natural = nt.astype(np.float64) / total
+    target = raw.astype(np.float64) / wsum
+    factor = target / natural
+    return pd.DataFrame(
+        {
+            "source": sources,
+            "n_tokens": nt,
+            "natural_share": np.round(natural, 6),
+            "target_weight": np.round(target, 6),
+            "sample_factor": np.round(factor, 6),
+        }
+    )

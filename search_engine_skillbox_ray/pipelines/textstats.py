@@ -3529,3 +3529,297 @@ def search_passages_ds(
             "score": pa.array(sc[order], pa.float64()),
         }
     )
+
+
+def stopword_candidates_ds(
+    documents: rd.Dataset, *, ratio_num: int = 3, ratio_den: int = 10
+) -> rd.Dataset:
+    """→ (term, df, ratio): corpus-driven stopword-list generation —
+    terms whose document frequency reaches ``ratio_num/ratio_den`` of
+    the corpus (the classic build-your-own-stoplist rule; reference's
+    tokenizer has no stoplist, this derives one from the data).
+
+    The threshold compares exact integers (df·den ≥ num·N), so no float
+    boundary can disagree with the oracle; ``ratio`` is a single
+    rounded division for display.  Scale shape: per-batch per-doc
+    distinct-term combiners → ONE term-grain exchange; N comes from
+    dataset metadata (no extra pass); the survivor set is
+    stoplist-sized."""
+    from ..functions.hashing import flat_nonempty_tokens
+
+    n_docs = documents.count()
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        toks, parents, _ = flat_nonempty_tokens(batch.column("text"))
+        if not len(toks):
+            return pa.table(
+                {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+            )
+        pairs = pa.table({"term": toks, "p": pa.array(parents, pa.int64())})
+        dis = pairs.group_by(["term", "p"]).aggregate([])
+        g = dis.group_by("term").aggregate([("p", "count")])
+        return pa.table(
+            {"term": g.column("term"), "df": pc.cast(g.column("p_count"), pa.int64())}
+        )
+
+    per_term = (
+        documents.select_columns(["text"])
+        .map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .sum("df")
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        if not len(t) or "term" not in t.column_names:
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                    "ratio": pa.array([], pa.float64()),
+                }
+            )
+        df = t.column("sum(df)").to_numpy(zero_copy_only=False)
+        keep = df * ratio_den >= ratio_num * n_docs
+        dfk = df[keep]
+        return pa.table(
+            {
+                "term": t.column("term").filter(pa.array(keep)),
+                "df": pa.array(dfk, pa.int64()),
+                "ratio": pa.array(
+                    np.round(dfk.astype(np.float64) / float(n_docs), 6), pa.float64()
+                ),
+            }
+        )
+
+    return per_term.map_batches(fin, batch_format="pyarrow")
+
+
+def cori_shard_scores(
+    documents: rd.Dataset,
+    query: str,
+    *,
+    n_shards: int = 8,
+    b: float = 0.4,
+) -> "pd.DataFrame":
+    """→ (shard, score, n_terms): CORI resource selection (Callan et
+    al. 1995) over a doc_id-hash sharding — the selective-search
+    primitive that lets a 10^12-doc cluster route a query to the few
+    index shards worth searching instead of broadcasting it.
+
+    Per query term t and shard s: T = df_st / (df_st + 50 + 150·cw_s /
+    avg_cw) (df-to-shard-size saturation), I = ln((S+0.5)/R_t) /
+    ln(S+1) (shard-level idf, R_t = #shards containing t), belief =
+    b + (1−b)·T·I; score(s) = Σ_t belief.  Terms absent corpus-wide
+    contribute nothing; terms absent in one shard contribute the
+    baseline b there (T=0).
+
+    Scale shape: ONE tokenize pass emits per-batch (shard, term,
+    df-partial) rows for the |q| query terms plus per-shard token-count
+    sentinels — the exchange is (S·|q| + S) × batches rows folded on
+    the driver; the corpus never shuffles.  At cluster scale the same
+    statistics come straight from per-shard index metadata (segment
+    df/cf), making selection a metadata-only operation."""
+    import pandas as pd
+
+    from ..functions.hashing import flat_nonempty_tokens
+    from ..functions.tokenize import query_lemmas
+
+    terms = query_lemmas(query)
+    if not terms:
+        return pd.DataFrame({"shard": [], "score": [], "n_terms": []})
+    tset = sorted(set(terms))
+    t_ref = ray.put(np.array(tset))
+
+    CW = "\x00cw"  # sentinel term: per-shard token count
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qt = ray.get(t_ref)
+        toks, parents, counts = flat_nonempty_tokens(batch.column("text"))
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        shard = (doc % n_shards).astype(np.int64)
+        rows_s: list[int] = []
+        rows_t: list[str] = []
+        rows_v: list[int] = []
+        # per-shard token-count sentinels
+        sh_tok = np.zeros(n_shards, np.int64)
+        np.add.at(sh_tok, shard, counts)
+        for s in np.nonzero(sh_tok)[0]:
+            rows_s.append(int(s))
+            rows_t.append(CW)
+            rows_v.append(int(sh_tok[s]))
+        if len(toks):
+            tv = toks.to_numpy(zero_copy_only=False)
+            for t in qt:
+                hit_parents = np.unique(parents[tv == t])
+                if not hit_parents.size:
+                    continue
+                sh, cnt = np.unique(shard[hit_parents], return_counts=True)
+                for s_, c_ in zip(sh, cnt):
+                    rows_s.append(int(s_))
+                    rows_t.append(str(t))
+                    rows_v.append(int(c_))
+        return pa.table(
+            {
+                "shard": pa.array(rows_s, pa.int64()),
+                "term": pa.array(rows_t, pa.string()),
+                "v": pa.array(rows_v, pa.int64()),
+            }
+        )
+
+    cw = np.zeros(n_shards, np.int64)
+    df: dict[str, np.ndarray] = {t: np.zeros(n_shards, np.int64) for t in tset}
+    for ref in (
+        documents.select_columns(["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_arrow_refs()
+    ):
+        t = ray.get(ref)
+        for s_, t_, v_ in zip(
+            t.column("shard").to_pylist(),
+            t.column("term").to_pylist(),
+            t.column("v").to_pylist(),
+        ):
+            if t_ == CW:
+                cw[s_] += v_
+            else:
+                df[t_][s_] += v_
+
+    S = float(n_shards)
+    avg_cw = float(cw.sum()) / S
+    score = np.zeros(n_shards, np.float64)
+    n_terms = np.zeros(n_shards, np.int64)
+    for t in tset:
+        d = df[t].astype(np.float64)
+        R = float((df[t] > 0).sum())
+        if R == 0.0:
+            continue
+        T = d / (d + 50.0 + 150.0 * cw.astype(np.float64) / avg_cw)
+        I = np.log((S + 0.5) / R) / np.log(S + 1.0)
+        score += b + (1.0 - b) * T * I
+        n_terms += (df[t] > 0).astype(np.int64)
+
+    order = np.lexsort((np.arange(n_shards), -np.round(score, 6)))
+    return pd.DataFrame(
+        {
+            "shard": order.astype(np.int64),
+            "score": np.round(score[order], 6),
+            "n_terms": n_terms[order],
+        }
+    )
+
+
+def bm25f_scores_ds(
+    documents: rd.Dataset,
+    query: str,
+    *,
+    lead_len: int = 32,
+    w_lead: float = 2.0,
+    w_body: float = 1.0,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> rd.Dataset:
+    """→ (doc_id, score): fielded BM25F ranking (Robertson/Zaragoza
+    2004, simple weighted-field variant) with two derived fields — the
+    LEAD (first ``lead_len`` tokens, the title/abstract analog of a
+    plain-text corpus) weighted ``w_lead`` and the BODY weighted
+    ``w_body``.  Weighted tf  tfw = w_l·tf_lead + w_b·tf_body and
+    weighted length dlw = w_l·len_lead + w_b·len_body feed ONE BM25
+    saturation (per-field-weight, single normalization — the property
+    that distinguishes BM25F from naively summing per-field BM25).
+
+    score(d) = Σ_t idf_t · tfw·(k1+1) / (tfw + k1·(1−b+b·dlw/avgdlw)),
+    idf = ln((N+1)/(df+1)) (the serving convention), N = corpus size.
+
+    Scale shape: pass 1 folds scalar partials (Σdlw, per-term df —
+    |q|+1 numbers per batch); pass 2 is a stateless scoring scan
+    emitting only matching docs.  No shuffle in either pass."""
+    from ..functions.hashing import flat_nonempty_tokens
+    from ..functions.tokenize import query_lemmas
+
+    terms = sorted(set(query_lemmas(query)))
+    n_docs = documents.count()
+    if not terms or n_docs == 0:
+        return rd.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+            )
+        )
+    t_ref = ray.put(np.array(terms))
+
+    def _fields(batch: pa.Table):
+        """Shared tokenize preamble → (parents, lead-mask, token values,
+        per-row kept-token counts)."""
+        toks, parents, counts = flat_nonempty_tokens(batch.column("text"))
+        if not len(toks):
+            return None
+        starts = np.zeros(len(batch), np.int64)
+        np.cumsum(counts[:-1], out=starts[1:] if len(counts) > 1 else starts[:0])
+        pos = np.arange(len(parents)) - starts[parents]
+        return toks.to_numpy(zero_copy_only=False), parents, pos < lead_len, counts
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        qt = ray.get(t_ref)
+        f = _fields(batch)
+        out_df = np.zeros(len(qt), np.int64)
+        dlw_sum = 0.0
+        if f is not None:
+            tv, parents, lead, counts = f
+            lead_len_per = np.minimum(counts, lead_len)
+            dlw = w_lead * lead_len_per + w_body * np.maximum(counts - lead_len, 0)
+            dlw_sum = float(dlw.sum())
+            for i, t in enumerate(qt):
+                out_df[i] = np.unique(parents[tv == t]).size
+        cols = {"dlw_sum": pa.array([dlw_sum], pa.float64())}
+        for i, t in enumerate(ray.get(t_ref)):
+            cols[f"df_{i}"] = pa.array([int(out_df[i])], pa.int64())
+        return pa.table(cols)
+
+    dlw_total = 0.0
+    dfs = np.zeros(len(terms), np.int64)
+    for ref in (
+        documents.select_columns(["text"])
+        .map_batches(stats_partial, batch_format="pyarrow")
+        .to_arrow_refs()
+    ):
+        t = ray.get(ref)
+        dlw_total += float(np.sum(t.column("dlw_sum").to_numpy(zero_copy_only=False)))
+        for i in range(len(terms)):
+            dfs[i] += int(np.sum(t.column(f"df_{i}").to_numpy(zero_copy_only=False)))
+
+    avgdlw = dlw_total / float(n_docs)
+    idf = np.log((n_docs + 1.0) / (dfs.astype(np.float64) + 1.0))
+    model_ref = ray.put((np.array(terms), idf))
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        qt, idfv = ray.get(model_ref)
+        f = _fields(batch)
+        if f is None:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+            )
+        tv, parents, lead, counts = f
+        n = len(batch)
+        lead_len_per = np.minimum(counts, lead_len)
+        dlw = w_lead * lead_len_per + w_body * np.maximum(counts - lead_len, 0)
+        score = np.zeros(n, np.float64)
+        matched = np.zeros(n, bool)
+        for i in range(len(qt)):
+            hit = tv == qt[i]
+            tf_lead = np.bincount(parents[hit & lead], minlength=n)
+            tf_body = np.bincount(parents[hit & ~lead], minlength=n)
+            tfw = w_lead * tf_lead + w_body * tf_body
+            has = tfw > 0
+            matched |= has
+            denom = tfw + k1 * (1.0 - b + b * dlw / avgdlw)
+            score += np.where(has, idfv[i] * (tfw * (k1 + 1.0)) / denom, 0.0)
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[matched], pa.int64()),
+                "score": pa.array(np.round(score[matched], 6), pa.float64()),
+            }
+        )
+
+    return documents.select_columns(["doc_id", "text"]).map_batches(
+        score_partial, batch_format="pyarrow"
+    )

@@ -773,6 +773,45 @@ class SearchEngine:
         order = np.lexsort((union, -score))
         return union[order], score[order]
 
+    def search_jm_scores(
+        self, query: str, lam: float = 0.5, site: str | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Query-likelihood ranking with Jelinek–Mercer smoothing (the
+        linear-interpolation sibling of :meth:`search_ql_scores`):
+        score(d) = Σ_t ln((1−λ)·tf_td/dl_d + λ·cf_t/|C|) over ALL query
+        lemmas, evaluated on the OR match set.  JM smooths with a
+        fixed mixture weight instead of Dirichlet's length-adaptive μ —
+        the classic pair every LM-ranking study reports side by side.
+        Same IO shape as Dirichlet: one posting read per term, resident
+        doc lengths, no extra scans."""
+        lemmas = self._query_lemmas(query)
+        if not lemmas:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        site_id, known = self._resolve_site(site)
+        if self._total_pages(site_id, known) <= 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        per_term = [self.term_postings(t, site_id) for t in lemmas]
+        if not any(d.size for d, _, _ in per_term):
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        c_total = float(self.stats["sum_doc_len"])
+        union = np.empty(0, np.int64)
+        for d, _, _ in per_term:
+            if d.size:
+                union = np.union1d(union, d)
+        dl = self._doc_len_lookup(union).astype(np.float64)
+        lam = float(lam)
+        score = np.zeros(union.size, np.float64)
+        for t, (d, tf, _) in zip(lemmas, per_term):
+            p = float(tf.sum()) / c_total if d.size else 0.0
+            if p <= 0.0:
+                continue  # cf == 0: no mass anywhere (mirrors Dirichlet)
+            tfv = np.zeros(union.size, np.float64)
+            if d.size:
+                tfv[np.searchsorted(union, d)] = tf.astype(np.float64)
+            score += np.log((1.0 - lam) * tfv / dl + lam * p)
+        order = np.lexsort((union, -score))
+        return union[order], score[order]
+
     def search_synonym_scores(
         self,
         query: str,
@@ -921,6 +960,69 @@ class SearchEngine:
         # deterministic (score desc, doc_id asc) — documented tie deviation
         order = np.lexsort((uniq, -out_scores))
         return uniq[order], out_scores[order], lemmas
+
+    def ltr_features(self, query: str, site: str | None = None) -> "pa.Table":
+        """Learning-to-rank feature export: one row per candidate doc
+        (the OR match set) with the classic LTR feature vector —
+        (doc_id, n_matched, sum_tf, dl, tfidf, bm25).  This is the
+        dataset-prep step for training a reranker: the engine computes
+        the features it already serves (one posting read per term,
+        resident doc lengths), the rows go to the training pipeline.
+
+        tfidf uses the serving idf ln((N+1)/(df+1)); bm25 the serving
+        (k1, b); both in float64 so the SQL mirror reproduces every
+        addend.  Sorted (doc_id asc)."""
+        lemmas = self._query_lemmas(query)
+        site_id, known = self._resolve_site(site)
+        n_total = self._total_pages(site_id, known)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_matched": pa.array([], pa.int64()),
+                "sum_tf": pa.array([], pa.int64()),
+                "dl": pa.array([], pa.int64()),
+                "tfidf": pa.array([], pa.float64()),
+                "bm25": pa.array([], pa.float64()),
+            }
+        )
+        if not lemmas or n_total <= 0:
+            return empty
+        per_term = [self.term_postings(t, site_id) for t in lemmas]
+        non_empty = [
+            (t, d, tf, df) for t, (d, tf, df) in zip(lemmas, per_term) if d.size
+        ]
+        if not non_empty:
+            return empty
+        union = non_empty[0][1]
+        for _, d, _, _ in non_empty[1:]:
+            union = np.union1d(union, d)
+        dl = self._doc_len_lookup(union).astype(np.float64)
+        avgdl = max(
+            1.0, self.stats["sum_doc_len"] / max(1, self.stats["n_docs_indexed"])
+        )
+        n_matched = np.zeros(union.size, np.int64)
+        sum_tf = np.zeros(union.size, np.int64)
+        tfidf = np.zeros(union.size, np.float64)
+        bm25 = np.zeros(union.size, np.float64)
+        for t, d, tf, df in non_empty:
+            idf = math.log((n_total + 1) / (df + 1))
+            pos = np.searchsorted(union, d)
+            n_matched[pos] += 1
+            sum_tf[pos] += tf.astype(np.int64)
+            tff = tf.astype(np.float64)
+            tfidf[pos] += tff * idf
+            denom = tff + self.k1 * (1.0 - self.b + self.b * dl[pos] / avgdl)
+            bm25[pos] += idf * (tff * (self.k1 + 1.0)) / denom
+        return pa.table(
+            {
+                "doc_id": pa.array(union, pa.int64()),
+                "n_matched": pa.array(n_matched),
+                "sum_tf": pa.array(sum_tf),
+                "dl": pa.array(dl.astype(np.int64)),
+                "tfidf": pa.array(np.round(tfidf, 6), pa.float64()),
+                "bm25": pa.array(np.round(bm25, 6), pa.float64()),
+            }
+        )
 
     def search_excluding(
         self, query: str, exclude: str, site: str | None = None

@@ -311,6 +311,11 @@ def test_oracle_keys_subset(entry_mod):
     # round 4 session 9: Q10/Q18/Q17/Q19/Q14/Q16-shaped relational probes
     "rel_returned_items", "rel_big_orders", "rel_small_qty",
     "rel_brackets", "rel_promo_share", "rel_supplier_variety",
+    # round 4 session 9: IR serving + curation widening — JM-smoothed
+    # QL, LTR feature export, fielded BM25F, CORI shard selection,
+    # stopword generation, mixture planning, CUBE grouping sets
+    "search_ql_jm", "ltr_features", "search_bm25f", "shard_selection",
+    "stopword_candidates", "mixture_plan", "rel_cube",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
