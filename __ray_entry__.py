@@ -89,6 +89,9 @@ Q19_BRACKETS = (
 Q14_TYPE, Q14_FROM, Q14_TO = "PROMO", "1996-01-01", "1997-01-01"
 Q16_EXCLUDE_BRAND = "Brand#13"
 Q16_SIZES = (1, 5, 9, 13, 17, 21, 25, 29)
+Q7_NATION_A, Q7_NATION_B = "NATION_3", "NATION_8"
+Q7_FROM, Q7_TO = "1995-01-01", "2001-01-01"
+Q15_FROM, Q15_TO = "1996-01-01", "1997-01-01"
 # relational (TPC-H-shaped) probes over lineitem/orders/customer
 Q1_CUTOFF = "1999-06-30"
 Q3_SEGMENT, Q3_DATE, Q3_K = "BUILDING", "1998-06-30", 10
@@ -890,6 +893,36 @@ def q_rel_supplier_variety(sf_dir: str):
         _table(sf_dir, "lineitem"), _table(sf_dir, "part"),
         _table(sf_dir, "supplier"),
         exclude_brand=Q16_EXCLUDE_BRAND, sizes=Q16_SIZES,
+    )
+
+
+def q_rel_nation_trade(sf_dir: str):
+    """TPC-H Q7-shaped bilateral trade volume: per (supp nation, cust
+    nation, ship year) revenue between two nations — dimension
+    broadcasts, gated (orderkey → cust-nation) map, pair×year-sized
+    fold."""
+    from search_engine_skillbox_ray.pipelines.relational import (
+        nation_trade_volume,
+    )
+
+    return nation_trade_volume(
+        _table(sf_dir, "customer"), _table(sf_dir, "orders"),
+        _table(sf_dir, "lineitem"), _table(sf_dir, "supplier"),
+        _table(sf_dir, "nation"),
+        nation_a=Q7_NATION_A, nation_b=Q7_NATION_B,
+        from_iso=Q7_FROM, to_iso=Q7_TO,
+    )
+
+
+def q_rel_top_supplier(sf_dir: str):
+    """TPC-H Q15-shaped top supplier: max-revenue supplier(s) in a ship
+    window, ties returned — supplier-grain combiner exchange, winner-key
+    dimension hydration."""
+    from search_engine_skillbox_ray.pipelines.relational import top_supplier
+
+    return top_supplier(
+        _table(sf_dir, "lineitem"), _table(sf_dir, "supplier"),
+        from_iso=Q15_FROM, to_iso=Q15_TO,
     )
 
 
@@ -3184,6 +3217,8 @@ _DRIVER_PRIORITY = [
     "stopword_candidates",
     "mixture_plan",
     "rel_cube",
+    "rel_nation_trade",
+    "rel_top_supplier",
 ]
 
 
@@ -3314,6 +3349,8 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "stopword_candidates": q_stopword_candidates,
         "mixture_plan": q_mixture_plan,
         "rel_cube": q_rel_cube,
+        "rel_nation_trade": q_rel_nation_trade,
+        "rel_top_supplier": q_rel_top_supplier,
         "rel_returned_items": q_rel_returned_items,
         "rel_big_orders": q_rel_big_orders,
         "rel_small_qty": q_rel_small_qty,
@@ -6570,6 +6607,43 @@ WHERE p.p_brand <> '{Q16_EXCLUDE_BRAND}'
   AND p.p_size IN {Q16_SIZES!r}
   AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
 GROUP BY p.p_brand, p.p_type, p.p_size
+""",
+        # Q7 shape: bilateral trade, exact cent·pct revenue per
+        # (supp nation, cust nation, ship year)
+        "rel_nation_trade": f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l.l_shipdate)::BIGINT AS l_year,
+       round(CAST(sum(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS HUGEINT)
+             * (100 - CAST(FLOOR(l.l_discount * 100 + 0.5) AS HUGEINT)))
+             AS DOUBLE) / 10000.0, 6) AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+WHERE sn.n_name IN ('{Q7_NATION_A}', '{Q7_NATION_B}')
+  AND cn.n_name IN ('{Q7_NATION_A}', '{Q7_NATION_B}')
+  AND sn.n_name <> cn.n_name
+  AND l.l_shipdate >= TIMESTAMP '{Q7_FROM}'
+  AND l.l_shipdate <  TIMESTAMP '{Q7_TO}'
+GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+""",
+        # Q15 shape: max-revenue supplier(s) with ties, exact int compare
+        "rel_top_supplier": f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS HUGEINT)
+             * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS HUGEINT))) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_FROM}'
+    AND l_shipdate <  TIMESTAMP '{Q15_TO}'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey::BIGINT AS s_suppkey, s.s_name,
+       round(CAST(rev.r AS DOUBLE) / 10000.0, 6) AS total_revenue
+FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+WHERE rev.r = (SELECT max(r) FROM rev)
 """,
         # Jelinek-Mercer QL: the Dirichlet mirror with the linear mixture
         "search_ql_jm": f"""

@@ -406,6 +406,21 @@ def bench_sf_queries() -> dict:
         "cdc_merge",
         "link_predict",
         "search_eval",
+        "rel_returned_items",
+        "rel_big_orders",
+        "rel_small_qty",
+        "rel_brackets",
+        "rel_promo_share",
+        "rel_supplier_variety",
+        "search_ql_jm",
+        "ltr_features",
+        "search_bm25f",
+        "shard_selection",
+        "stopword_candidates",
+        "mixture_plan",
+        "rel_cube",
+        "rel_nation_trade",
+        "rel_top_supplier",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

@@ -2021,3 +2021,290 @@ def cube_pricing(lineitem: rd.Dataset) -> pd.DataFrame:
     rows += [emit("ALL", s, by_stat[s]) for s in sorted(by_stat)]
     rows.append(emit("ALL", "ALL", total))
     return pd.DataFrame(rows)
+
+
+def nation_trade_volume(
+    customer: rd.Dataset,
+    orders: rd.Dataset,
+    lineitem: rd.Dataset,
+    supplier: rd.Dataset,
+    nation: rd.Dataset,
+    *,
+    nation_a: str,
+    nation_b: str,
+    from_iso: str,
+    to_iso: str,
+) -> pd.DataFrame:
+    """TPC-H Q7-shaped bilateral trade volume: revenue shipped between
+    ``nation_a`` suppliers and ``nation_b`` customers (and vice versa)
+    per ship-year over ``[from, to)``.
+    → (supp_nation, cust_nation, l_year, revenue) sorted by the three
+    keys.
+
+    Scale shape: supplier (suppkey → nation flag) and the 25-row nation
+    table broadcast; the customer-key slice for the two nations
+    broadcasts into an orders filter, producing an (orderkey →
+    cust-nation) map that broadcasts below ``DRIVER_FASTPATH_ROWS`` and
+    hash-joins (``sized_join``) above it.  Lineitem folds per-batch
+    (year, pair) integer-cent partials — the final exchange is
+    2 pairs × years-sized."""
+    lo = np.datetime64(from_iso, "us")
+    hi = np.datetime64(to_iso, "us")
+
+    nmap = {
+        r["n_name"]: r["n_nationkey"]
+        for ref in nation.select_columns(["n_nationkey", "n_name"]).to_arrow_refs()
+        for r in ray.get(ref).to_pylist()
+    }
+    nk_a, nk_b = nmap[nation_a], nmap[nation_b]
+
+    # suppkey → 0 (nation_a) / 1 (nation_b); suppliers elsewhere dropped
+    sk_l: list[int] = []
+    sn_l: list[int] = []
+    for ref in supplier.select_columns(["s_suppkey", "s_nationkey"]).to_arrow_refs():
+        for r in ray.get(ref).to_pylist():
+            if r["s_nationkey"] == nk_a:
+                sk_l.append(r["s_suppkey"]); sn_l.append(0)
+            elif r["s_nationkey"] == nk_b:
+                sk_l.append(r["s_suppkey"]); sn_l.append(1)
+    s_order = np.argsort(np.array(sk_l, np.int64), kind="stable")
+    sk_arr = np.array(sk_l, np.int64)[s_order]
+    sn_arr = np.array(sn_l, np.int64)[s_order]
+    supp_ref = ray.put((sk_arr, sn_arr))
+
+    # custkey slice for the two nations → orders filter → orderkey map
+    ck_l: list[int] = []
+    cn_l: list[int] = []
+    for ref in customer.select_columns(["c_custkey", "c_nationkey"]).to_arrow_refs():
+        for r in ray.get(ref).to_pylist():
+            if r["c_nationkey"] == nk_a:
+                ck_l.append(r["c_custkey"]); cn_l.append(0)
+            elif r["c_nationkey"] == nk_b:
+                ck_l.append(r["c_custkey"]); cn_l.append(1)
+    c_order = np.argsort(np.array(ck_l, np.int64), kind="stable")
+    ck_arr = np.array(ck_l, np.int64)[c_order]
+    cn_arr = np.array(cn_l, np.int64)[c_order]
+    cust_ref = ray.put((ck_arr, cn_arr))
+
+    def o_map(batch: pa.Table) -> pa.Table:
+        ck, cn = ray.get(cust_ref)
+        keys = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ck, keys)
+        pos[pos == len(ck)] = 0
+        keep = (ck[pos] == keys) if len(ck) else np.zeros(len(keys), bool)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(
+                    batch.column("o_orderkey").to_numpy(zero_copy_only=False)[keep],
+                    pa.int64(),
+                ),
+                "cnat": pa.array(cn[pos[keep]], pa.int64()),
+            }
+        )
+
+    sel_orders = orders.select_columns(["o_orderkey", "o_custkey"]).map_batches(
+        o_map, batch_format="pyarrow"
+    )
+
+    def li_partial(omap_ref):
+        def fn(batch: pa.Table) -> pa.Table:
+            sk, sn = ray.get(supp_ref)
+            ok_arr, oc_arr = ray.get(omap_ref)
+            ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False)
+            su = ship.astype("datetime64[us]")
+            win = (su >= lo) & (su < hi)
+            skey = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+            spos = np.searchsorted(sk, skey)
+            spos[spos == len(sk)] = 0
+            shit = (sk[spos] == skey) if len(sk) else np.zeros(len(skey), bool)
+            okey = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+            opos = np.searchsorted(ok_arr, okey)
+            opos[opos == len(ok_arr)] = 0
+            ohit = (ok_arr[opos] == okey) if len(ok_arr) else np.zeros(len(okey), bool)
+            keep = win & shit & ohit
+            if not keep.any():
+                return pa.table(
+                    {
+                        "snat": pa.array([], pa.int64()),
+                        "cnat": pa.array([], pa.int64()),
+                        "l_year": pa.array([], pa.int64()),
+                        "rev_c4": pa.array([], pa.int64()),
+                    }
+                )
+            snat = sn[spos[keep]]
+            cnat = oc_arr[opos[keep]]
+            cross = snat != cnat  # (a→b) or (b→a) only
+            sub = batch.filter(pa.array(keep))
+            year = (
+                su[keep].astype("datetime64[Y]").astype(np.int64) + 1970
+            )
+            price_c = _cents(sub.column("l_extendedprice").to_numpy(zero_copy_only=False))
+            disc_pct = _cents(sub.column("l_discount").to_numpy(zero_copy_only=False))
+            rev = price_c * (100 - disc_pct)
+            snat, cnat, year, rev = snat[cross], cnat[cross], year[cross], rev[cross]
+            key = snat * (1 << 32) + cnat * (1 << 16) + (year - 1970)
+            uk, inv = np.unique(key, return_inverse=True)
+            sums = np.zeros(len(uk), np.int64)
+            np.add.at(sums, inv, rev)
+            return pa.table(
+                {
+                    "snat": pa.array(uk >> 32, pa.int64()),
+                    "cnat": pa.array((uk >> 16) & 0xFFFF, pa.int64()),
+                    "l_year": pa.array((uk & 0xFFFF) + 1970, pa.int64()),
+                    "rev_c4": pa.array(sums),
+                }
+            )
+
+        return fn
+
+    from ..config import DRIVER_FASTPATH_ROWS
+
+    n_sel = sel_orders.count()
+    acc: dict[tuple[int, int, int], int] = {}
+    li_cols = lineitem.select_columns(
+        ["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"]
+    )
+    if n_sel <= DRIVER_FASTPATH_ROWS:
+        ok_l: list[int] = []
+        oc_l: list[int] = []
+        for ref in sel_orders.to_arrow_refs():
+            t = ray.get(ref)
+            ok_l.extend(t.column("o_orderkey").to_pylist())
+            oc_l.extend(t.column("cnat").to_pylist())
+        o_order = np.argsort(np.array(ok_l, np.int64), kind="stable")
+        omap_ref = ray.put(
+            (np.array(ok_l, np.int64)[o_order], np.array(oc_l, np.int64)[o_order])
+        )
+        for ref in li_cols.map_batches(
+            li_partial(omap_ref), batch_format="pyarrow", batch_size=65536
+        ).to_arrow_refs():
+            t = ray.get(ref)
+            for r in t.to_pylist():
+                k = (r["snat"], r["cnat"], r["l_year"])
+                acc[k] = acc.get(k, 0) + r["rev_c4"]
+    else:
+        # distributed: per-order revenue+year+snat partials hash-join
+        # the (orderkey → cnat) map, then a pair×year-grain fold
+        def li_order_partial(batch: pa.Table) -> pa.Table:
+            sk, sn = ray.get(supp_ref)
+            ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False)
+            su = ship.astype("datetime64[us]")
+            win = (su >= lo) & (su < hi)
+            skey = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+            spos = np.searchsorted(sk, skey)
+            spos[spos == len(sk)] = 0
+            shit = (sk[spos] == skey) if len(sk) else np.zeros(len(skey), bool)
+            keep = win & shit
+            sub = batch.filter(pa.array(keep))
+            year = su[keep].astype("datetime64[Y]").astype(np.int64) + 1970
+            price_c = _cents(sub.column("l_extendedprice").to_numpy(zero_copy_only=False))
+            disc_pct = _cents(sub.column("l_discount").to_numpy(zero_copy_only=False))
+            rev = price_c * (100 - disc_pct)
+            okey = sub.column("l_orderkey").to_numpy(zero_copy_only=False)
+            key = okey * 4 * (1 << 16) + sn[spos[keep]] * (1 << 16) + (year - 1970)
+            uk, inv = np.unique(key, return_inverse=True)
+            sums = np.zeros(len(uk), np.int64)
+            np.add.at(sums, inv, rev)
+            return pa.table(
+                {
+                    "o_orderkey": pa.array(uk // (4 * (1 << 16)), pa.int64()),
+                    "snat": pa.array((uk >> 16) & 3, pa.int64()),
+                    "l_year": pa.array((uk & 0xFFFF) + 1970, pa.int64()),
+                    "rev_c4": pa.array(sums),
+                }
+            )
+
+        per_order = li_cols.map_batches(
+            li_order_partial, batch_format="pyarrow", batch_size=65536
+        )
+        joined = sized_join(per_order, sel_orders, ("o_orderkey",))
+        for ref in joined.to_arrow_refs():
+            t = ray.get(ref)
+            if not len(t) or "snat" not in t.column_names:
+                continue
+            for r in t.to_pylist():
+                if r["snat"] == r["cnat"]:
+                    continue
+                k = (r["snat"], r["cnat"], r["l_year"])
+                acc[k] = acc.get(k, 0) + r["rev_c4"]
+
+    names = {0: nation_a, 1: nation_b}
+    rows = sorted(acc.items())
+    return pd.DataFrame(
+        {
+            "supp_nation": [names[k[0]] for k, _ in rows],
+            "cust_nation": [names[k[1]] for k, _ in rows],
+            "l_year": [k[2] for k, _ in rows],
+            "revenue": [round(float(v) / 10_000.0, 6) for _, v in rows],
+        }
+    )
+
+
+def top_supplier(
+    lineitem: rd.Dataset,
+    supplier: rd.Dataset,
+    *,
+    from_iso: str,
+    to_iso: str,
+) -> pd.DataFrame:
+    """TPC-H Q15-shaped top supplier: the supplier(s) with the maximum
+    revenue (Σ price·(1−disc), exact integer cent·pct) over lineitems
+    shipped in ``[from, to)`` — ties all returned (the view/MAX
+    semantics).  → (s_suppkey, s_name, total_revenue) sorted by key.
+
+    Scale shape: per-batch suppkey combiners → ONE supplier-grain
+    exchange; the max + tie filter folds over supplier-grain rows; only
+    winner keys hydrate the supplier dimension."""
+    lo = np.datetime64(from_iso, "us")
+    hi = np.datetime64(to_iso, "us")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False)
+        su = ship.astype("datetime64[us]")
+        sub = batch.filter(pa.array((su >= lo) & (su < hi)))
+        sk = sub.column("l_suppkey").to_numpy(zero_copy_only=False)
+        price_c = _cents(sub.column("l_extendedprice").to_numpy(zero_copy_only=False))
+        disc_pct = _cents(sub.column("l_discount").to_numpy(zero_copy_only=False))
+        rev = price_c * (100 - disc_pct)
+        uk, inv = np.unique(sk, return_inverse=True)
+        sums = np.zeros(len(uk), np.int64)
+        np.add.at(sums, inv, rev)
+        return pa.table(
+            {"l_suppkey": pa.array(uk, pa.int64()), "rev_c4": pa.array(sums)}
+        )
+
+    per_supp = (
+        lineitem.select_columns(
+            ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"]
+        )
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("l_suppkey")
+        .sum("rev_c4")
+    )
+
+    rev: dict[int, int] = {}
+    for ref in per_supp.to_arrow_refs():
+        t = ray.get(ref)
+        if not len(t) or "l_suppkey" not in t.column_names:
+            continue
+        for k, v in zip(
+            t.column("l_suppkey").to_pylist(), t.column("sum(rev_c4)").to_pylist()
+        ):
+            rev[k] = rev.get(k, 0) + v
+    if not rev:
+        return pd.DataFrame({"s_suppkey": [], "s_name": [], "total_revenue": []})
+    best = max(rev.values())
+    winners = sorted(k for k, v in rev.items() if v == best)
+
+    smap = {
+        r["s_suppkey"]: r["s_name"]
+        for ref in supplier.select_columns(["s_suppkey", "s_name"]).to_arrow_refs()
+        for r in ray.get(ref).to_pylist()
+    }
+    return pd.DataFrame(
+        {
+            "s_suppkey": winners,
+            "s_name": [smap[k] for k in winners],
+            "total_revenue": [round(float(best) / 10_000.0, 6)] * len(winners),
+        }
+    )

@@ -316,6 +316,8 @@ def test_oracle_keys_subset(entry_mod):
     # stopword generation, mixture planning, CUBE grouping sets
     "search_ql_jm", "ltr_features", "search_bm25f", "shard_selection",
     "stopword_candidates", "mixture_plan", "rel_cube",
+    # round 4 session 9: Q7/Q15-shaped relational probes
+    "rel_nation_trade", "rel_top_supplier",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))

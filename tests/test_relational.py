@@ -432,3 +432,25 @@ def test_small_qty_predicate_exact(ray_session):
     pc_ = np.floor(sub.loc[keep, "l_extendedprice"].to_numpy() * 100 + 0.5)
     expect = round(pc_.astype(np.int64).sum() / 100.0 / 7.0, 6)
     assert abs(out["avg_yearly"].iloc[0] - expect) < 1e-6
+
+
+@requires_solo_ray
+def test_nation_trade_distributed_matches_fastpath(ray_session, monkeypatch):
+    import ray.data as rd
+
+    from search_engine_skillbox_ray import config
+    from search_engine_skillbox_ray.pipelines import relational
+
+    c, o, li = _tables()
+    s = rd.read_parquet(f"{SF}/supplier.parquet")
+    n = rd.read_parquet(f"{SF}/nation.parquet")
+    kw = dict(nation_a="NATION_3", nation_b="NATION_8",
+              from_iso="1995-01-01", to_iso="2001-01-01")
+    fast = relational.nation_trade_volume(c, o, li, s, n, **kw)
+    monkeypatch.setattr(config, "DRIVER_FASTPATH_ROWS", 0)
+    dist = relational.nation_trade_volume(c, o, li, s, n, **kw)
+    pd.testing.assert_frame_equal(
+        fast.reset_index(drop=True),
+        dist.reset_index(drop=True),
+        check_dtype=False,
+    )
