@@ -896,6 +896,56 @@ def q_rel_supplier_variety(sf_dir: str):
     )
 
 
+ANCHOR_QUERY = "prev next"  # the fixture's anchor vocabulary
+DATE_HIST_WEEK_DAYS = 7  # result-set date histogram bucket width
+
+
+def q_search_anchor(sf_dir: str):
+    """Anchor-text ranking: targets scored by incoming-anchor tf·idf —
+    the rank-for-words-you-don't-contain web signal, over the link
+    fixture (structural VALUES oracle, the anchor_terms convention)."""
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.functions.links import anchor_search_ds
+    from search_engine_skillbox_ray.sources.fixtures import generate_pages_table
+    from search_engine_skillbox_ray.sources.pages import derive_sites
+
+    pages = rd.from_arrow(generate_pages_table(300, n_sites=2, seed=13))
+    sites = derive_sites(pages)
+    return anchor_search_ds(pages, sites, ANCHOR_QUERY)
+
+
+def q_search_date_histogram(sf_dir: str):
+    """Date-histogram aggregation over the result set: the disjunctive
+    match set bucketed by crawl week (deterministic doc_id%365 age
+    stand-in, the search_recency convention) with per-bucket doc count
+    and score mass — the time-facet every search UI renders."""
+    eng = _engine(sf_dir, float32_scores=False)
+    docs, scores, _ = eng.search_scores(SEARCH_QUERY)
+    week = (docs.astype(np.int64) % 365) // DATE_HIST_WEEK_DAYS
+    uw = np.unique(week)
+    mass = np.zeros(uw.size, np.float64)
+    cnt = np.zeros(uw.size, np.int64)
+    pos = np.searchsorted(uw, week)
+    np.add.at(mass, pos, scores.astype(np.float64))
+    np.add.at(cnt, pos, 1)
+    return pd.DataFrame(
+        {"week": uw, "n_docs": cnt, "score_mass": np.round(mass, 6)}
+    )
+
+
+def q_kmeans_inertia(sf_dir: str):
+    """Per-cluster k-means inertia (member count + within-cluster SSE)
+    over the IVF quantizer's own deterministic centroids — the
+    clustering-drift monitor of an embedding curation pipeline."""
+    from search_engine_skillbox_ray.pipelines.ann import kmeans_inertia
+
+    return kmeans_inertia(
+        _embeddings(sf_dir), n_clusters=IVF_LISTS, train_sample=IVF_TRAIN,
+        seed=42,
+    )
+
+
 def q_rel_nation_trade(sf_dir: str):
     """TPC-H Q7-shaped bilateral trade volume: per (supp nation, cust
     nation, ship year) revenue between two nations — dimension
@@ -3219,6 +3269,9 @@ _DRIVER_PRIORITY = [
     "rel_cube",
     "rel_nation_trade",
     "rel_top_supplier",
+    "search_anchor",
+    "search_date_histogram",
+    "kmeans_inertia",
 ]
 
 
@@ -3351,6 +3404,9 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "rel_cube": q_rel_cube,
         "rel_nation_trade": q_rel_nation_trade,
         "rel_top_supplier": q_rel_top_supplier,
+        "search_anchor": q_search_anchor,
+        "search_date_histogram": q_search_date_histogram,
+        "kmeans_inertia": q_kmeans_inertia,
         "rel_returned_items": q_rel_returned_items,
         "rel_big_orders": q_rel_big_orders,
         "rel_small_qty": q_rel_small_qty,
@@ -6607,6 +6663,43 @@ WHERE p.p_brand <> '{Q16_EXCLUDE_BRAND}'
   AND p.p_size IN {Q16_SIZES!r}
   AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
 GROUP BY p.p_brand, p.p_type, p.p_size
+""",
+        # anchor ranking: idf over the structural anchor VALUES
+        "search_anchor": f"""
+WITH a AS (SELECT dst_url, term, count(*)::BIGINT AS cnt
+           FROM (VALUES {_anchor_values()}) AS t(dst_url, term)
+           GROUP BY dst_url, term),
+n AS (SELECT count(DISTINCT dst_url)::DOUBLE AS n FROM a),
+q(term) AS (VALUES {", ".join(f"('{t}')" for t in sorted(set(ANCHOR_QUERY.split())))}),
+df AS (SELECT q.term, count(DISTINCT a.dst_url)::BIGINT AS df
+       FROM q LEFT JOIN a ON a.term = q.term GROUP BY q.term)
+SELECT a.dst_url,
+       ROUND(SUM(a.cnt * ln((n.n + 1.0) / (df.df + 1.0))), 6) AS score
+FROM a JOIN df ON df.term = a.term CROSS JOIN n
+GROUP BY a.dst_url
+""",
+        # result-set date histogram: the disjunctive scores CTE + the
+        # deterministic doc_id%365 crawl-age stand-in, weekly buckets
+        "search_date_histogram": tfidf_scores
+        + f"""
+SELECT ((doc_id % 365) // {DATE_HIST_WEEK_DAYS})::BIGINT AS week,
+       count(*)::BIGINT AS n_docs,
+       ROUND(SUM(score), 6) AS score_mass
+FROM scores GROUP BY 1
+""",
+        # k-means inertia: same centroid VALUES + (dist, c) assignment
+        # as ann_ivf_topk; inertia = Σ dist² per cluster
+        "kmeans_inertia": f"""
+WITH cent(c, w) AS (VALUES {_ivf_centroid_values()}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+d AS (SELECT e.vec_id, c.c, list_distance(e.v, c.w) AS dist FROM e, cent c),
+assign AS (SELECT vec_id, c AS lst, dist FROM (
+  SELECT vec_id, c, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn FROM d)
+  WHERE rn = 1)
+SELECT lst::BIGINT AS lst, count(*)::BIGINT AS n_vecs,
+       ROUND(SUM(dist * dist), 6) AS inertia
+FROM assign GROUP BY lst
 """,
         # Q7 shape: bilateral trade, exact cent·pct revenue per
         # (supp nation, cust nation, ship year)

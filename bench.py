@@ -421,6 +421,9 @@ def bench_sf_queries() -> dict:
         "rel_cube",
         "rel_nation_trade",
         "rel_top_supplier",
+        "search_anchor",
+        "search_date_histogram",
+        "kmeans_inertia",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

@@ -207,3 +207,103 @@ def anchor_terms_ds(pages, sites: list[dict]):
         ),
         batch_format="pyarrow",
     )
+
+
+def anchor_search_ds(pages, sites: list[dict], query: str):
+    """→ (dst_url, score): anchor-text ranking — pages scored by the
+    tf·idf of INCOMING anchor terms matching the query (a page ranks
+    for words it never contains; the signal that made early web search
+    work).  idf is anchor-corpus-level: N = link targets with any
+    anchor, df(t) = targets with anchor term t, idf = ln((N+1)/(df+1))
+    (the serving convention); score(d) = Σ_t cnt(d,t)·idf(t).
+
+    Scale shape: the (dst_url, term, cnt) aggregation is
+    :func:`anchor_terms_ds` (per-batch combiners + one keyed exchange);
+    term stats fold from per-batch distinct-dst partials — safe because
+    (dst, term) rows are globally unique after that groupby; N is one
+    key-grain count.  The query-term idf map broadcasts into a final
+    stateless scoring pass."""
+    import numpy as np
+    import ray
+
+    from .tokenize import tokenize
+
+    terms = sorted(set(tokenize(query)))
+    agg = anchor_terms_ds(pages, sites).materialize()
+    if not terms:
+        return agg.map_batches(
+            lambda t: pa.table(
+                {
+                    "dst_url": pa.array([], pa.string()),
+                    "score": pa.array([], pa.float64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    # N: distinct link targets (key-grain count through one exchange)
+    n_targets = agg.groupby("dst_url").count().count()
+
+    # df per query term: (dst, term) rows are unique → per-batch counts
+    # sum exactly
+    t_arr = np.array(terms)
+    t_ref = ray.put(t_arr)
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        qt = ray.get(t_ref)
+        tv = batch.column("term").to_numpy(zero_copy_only=False)
+        cnts = np.array([(tv == t).sum() for t in qt], np.int64)
+        return pa.table(
+            {"term": pa.array(qt, pa.string()), "df": pa.array(cnts, pa.int64())}
+        )
+
+    df_map: dict[str, int] = {t: 0 for t in terms}
+    for ref in agg.map_batches(df_partial, batch_format="pyarrow").to_arrow_refs():
+        t = ray.get(ref)
+        for name, c in zip(t.column("term").to_pylist(), t.column("df").to_pylist()):
+            df_map[name] += c
+    dfs = np.array([df_map[t] for t in terms], np.int64)
+
+    idf = np.log((n_targets + 1.0) / (dfs.astype(np.float64) + 1.0))
+    model_ref = ray.put((t_arr, idf))
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        qt, idfv = ray.get(model_ref)
+        tv = batch.column("term").to_numpy(zero_copy_only=False)
+        cnt = batch.column("cnt").to_numpy(zero_copy_only=False).astype(np.float64)
+        w = np.zeros(len(tv), np.float64)
+        hit = np.zeros(len(tv), bool)
+        for i, t in enumerate(qt):
+            m = tv == t
+            hit |= m
+            w[m] = cnt[m] * idfv[i]
+        return pa.table(
+            {
+                "dst_url": batch.column("dst_url").filter(pa.array(hit)),
+                "contrib": pa.array(w[hit], pa.float64()),
+            }
+        )
+
+    scored = (
+        agg.map_batches(score_partial, batch_format="pyarrow")
+        .groupby("dst_url")
+        .sum("contrib")
+    )
+    return scored.map_batches(
+        lambda t: pa.table(
+            {
+                "dst_url": t["dst_url"],
+                "score": pa.array(
+                    np.round(
+                        t["sum(contrib)"].to_numpy(zero_copy_only=False), 6
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+        if len(t) and "dst_url" in t.column_names
+        else pa.table(
+            {"dst_url": pa.array([], pa.string()), "score": pa.array([], pa.float64())}
+        ),
+        batch_format="pyarrow",
+    )

@@ -842,3 +842,77 @@ def embedding_covariance(
         )
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def kmeans_inertia(
+    embeddings: rd.Dataset,
+    *,
+    n_clusters: int = 8,
+    train_sample: int = 2048,
+    seed: int = 42,
+) -> "pd.DataFrame":
+    """→ (lst, n_vecs, inertia): clustering-quality monitoring — per
+    k-means cluster the member count and the within-cluster sum of
+    squared distances (the inertia a curation pipeline tracks to decide
+    when embeddings have drifted enough to re-train its IVF / SemDeDup
+    quantizers).
+
+    The centroids are the SAME deterministic recipe the persisted IVF
+    index trains with (min-vec_id sample + seeded :func:`_kmeans_lite`),
+    so the DuckDB oracle rebuilds them as VALUES; assignment breaks
+    distance ties on the lower list id (the shared convention).
+
+    Scale shape: centroids broadcast; ONE pass of per-batch (cluster →
+    n, Σ‖x−c‖²) partials — the exchange is k-sized per batch; no
+    shuffle of the vectors themselves."""
+    import pandas as pd
+
+    from ..functions.vectors import embedding_vectors
+
+    sample = deterministic_train_vectors(
+        embeddings.select_columns(["vec_id", "embedding"]), train_sample
+    )
+    cents = _kmeans_lite(sample, n_clusters, seed=seed)
+    c_ref = ray.put(cents.astype(np.float64))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        v = embedding_vectors(batch.column("embedding")).astype(np.float64)
+        # squared euclid per centroid; argmin ties → lower list id
+        d2 = ((v[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        lst = np.argmin(d2, axis=1)
+        best = d2[np.arange(len(v)), lst]
+        n = np.bincount(lst, minlength=len(c)).astype(np.int64)
+        s = np.zeros(len(c), np.float64)
+        np.add.at(s, lst, best)
+        keep = n > 0
+        return pa.table(
+            {
+                "lst": pa.array(np.nonzero(keep)[0].astype(np.int64)),
+                "n_vecs": pa.array(n[keep]),
+                "inertia": pa.array(s[keep], pa.float64()),
+            }
+        )
+
+    agg = (
+        embeddings.select_columns(["embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lst")
+        .sum(["n_vecs", "inertia"])
+    )
+    rows: dict[int, tuple[int, float]] = {}
+    for ref in agg.to_arrow_refs():
+        t = ray.get(ref)
+        if not len(t) or "lst" not in t.column_names:
+            continue
+        for r in t.to_pylist():
+            n0, s0 = rows.get(r["lst"], (0, 0.0))
+            rows[r["lst"]] = (n0 + r["sum(n_vecs)"], s0 + r["sum(inertia)"])
+    keys = sorted(rows)
+    return pd.DataFrame(
+        {
+            "lst": keys,
+            "n_vecs": [rows[k][0] for k in keys],
+            "inertia": [round(rows[k][1], 6) for k in keys],
+        }
+    )

@@ -318,6 +318,9 @@ def test_oracle_keys_subset(entry_mod):
     "stopword_candidates", "mixture_plan", "rel_cube",
     # round 4 session 9: Q7/Q15-shaped relational probes
     "rel_nation_trade", "rel_top_supplier",
+    # round 4 session 9: anchor-text ranking, result-set date histogram,
+    # k-means inertia (clustering-drift monitor)
+    "search_anchor", "search_date_histogram", "kmeans_inertia",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
