@@ -946,6 +946,55 @@ def q_kmeans_inertia(sf_dir: str):
     )
 
 
+Q8_NATION, Q8_REGION, Q8_TYPE = "NATION_3", "EUROPE", "ECONOMY"
+Q8_FROM, Q8_TO = "1995-01-01", "1999-01-01"
+
+
+def q_rel_market_share(sf_dir: str):
+    """TPC-H Q8-shaped market share: per order-year the share of a part
+    type's revenue (into one region's customers) supplied by one nation
+    — three dimension broadcasts, gated (orderkey → year) map,
+    years-sized exact-integer fold."""
+    from search_engine_skillbox_ray.pipelines.relational import market_share
+
+    return market_share(
+        _table(sf_dir, "customer"), _table(sf_dir, "orders"),
+        _table(sf_dir, "lineitem"), _table(sf_dir, "supplier"),
+        _table(sf_dir, "nation"), _table(sf_dir, "region"),
+        _table(sf_dir, "part"),
+        target_nation=Q8_NATION, region_name=Q8_REGION, part_type=Q8_TYPE,
+        from_iso=Q8_FROM, to_iso=Q8_TO,
+    )
+
+
+def q_link_ppr(sf_dir: str):
+    """Personalized PageRank from the '/p/0' seed pages over the link
+    fixture's in-site graph — random-walk-with-restart related-page
+    scores, bit-exact vs the unrolled integer SQL mirror."""
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.functions.links import extract_links_ds
+    from search_engine_skillbox_ray.pipelines.graph import personalized_pagerank
+    from search_engine_skillbox_ray.sources.fixtures import generate_pages_table
+    from search_engine_skillbox_ray.sources.pages import derive_sites
+
+    tbl = generate_pages_table(300, n_sites=2, seed=13)
+    pages = rd.from_arrow(tbl)
+    sites = derive_sites(pages)
+    bases: set[str] = set()
+    for u in tbl["url"].to_pylist():
+        nu = u.split("#")[0].replace("://www.", "://")
+        if nu.endswith("/"):
+            nu = nu[:-1]
+        if "/p/" in nu:
+            bases.add(nu.rsplit("/p/", 1)[0])
+    seeds = sorted(f"{b}/p/0" for b in bases)
+    return personalized_pagerank(
+        extract_links_ds(pages, sites), seeds, iterations=PR_ITERS,
+        damping_num=PR_DAMP_NUM, damping_den=PR_DAMP_DEN, scale=PR_SCALE,
+    )
+
+
 def q_rel_nation_trade(sf_dir: str):
     """TPC-H Q7-shaped bilateral trade volume: per (supp nation, cust
     nation, ship year) revenue between two nations — dimension
@@ -3272,6 +3321,8 @@ _DRIVER_PRIORITY = [
     "search_anchor",
     "search_date_histogram",
     "kmeans_inertia",
+    "rel_market_share",
+    "link_ppr",
 ]
 
 
@@ -3407,6 +3458,8 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "search_anchor": q_search_anchor,
         "search_date_histogram": q_search_date_histogram,
         "kmeans_inertia": q_kmeans_inertia,
+        "rel_market_share": q_rel_market_share,
+        "link_ppr": q_link_ppr,
         "rel_returned_items": q_rel_returned_items,
         "rel_big_orders": q_rel_big_orders,
         "rel_small_qty": q_rel_small_qty,
@@ -3914,6 +3967,42 @@ def _link_graph_values() -> str:
             rows.append(f"('{nu}', '{base}/p/{i - 1}')")
         rows.append(f"('{nu}', '{base}/p/{i + 1}')")
     return ", ".join(rows)
+
+
+def _ppr_sql() -> str:
+    """Unrolled fixed-point PERSONALIZED PageRank mirror (teleport to
+    the '/p/0' seed pages only) over the structural link VALUES — same
+    associative integer arithmetic as ``_pagerank_sql``, with a
+    seed-dependent base/init vector."""
+    scale, dn, dd, iters = PR_SCALE, PR_DAMP_NUM, PR_DAMP_DEN, PR_ITERS
+    ctes = [f"""edges AS (
+  SELECT DISTINCT src_url AS s, dst_url AS d
+  FROM (VALUES {_link_graph_values()}) t(src_url, dst_url)),
+nodes AS (SELECT s AS u FROM edges UNION SELECT d FROM edges),
+seeds AS (SELECT u FROM nodes WHERE u LIKE '%/p/0'),
+ns AS (SELECT count(*) AS n FROM seeds),
+outdeg AS (SELECT s AS u, count(*)::BIGINT AS od FROM edges GROUP BY s),
+r0 AS (SELECT n.u,
+       CASE WHEN n.u IN (SELECT u FROM seeds)
+            THEN CAST({scale} AS BIGINT) // (SELECT n FROM ns)
+            ELSE 0 END AS r
+       FROM nodes n)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""c{i} AS (
+  SELECT e.d AS u, SUM(r.r // o.od) AS c
+  FROM edges e JOIN r{i - 1} r ON r.u = e.s JOIN outdeg o ON o.u = e.s
+  GROUP BY e.d),
+r{i} AS (
+  SELECT n.u,
+         CAST(CASE WHEN n.u IN (SELECT u FROM seeds)
+              THEN ({dd - dn} * (CAST({scale} AS BIGINT) // (SELECT n FROM ns))) // {dd}
+              ELSE 0 END
+              + ({dn} * COALESCE(c.c, 0)) // {dd} AS BIGINT) AS r
+  FROM nodes n LEFT JOIN c{i} c ON c.u = n.u)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT u AS url, r AS ppr FROM r{iters}"
+    )
 
 
 def _anchor_values() -> str:
@@ -6701,6 +6790,34 @@ SELECT lst::BIGINT AS lst, count(*)::BIGINT AS n_vecs,
        ROUND(SUM(dist * dist), 6) AS inertia
 FROM assign GROUP BY lst
 """,
+        # Q8 shape: per-year market share — exact int sums, one division
+        "rel_market_share": f"""
+WITH pk AS (SELECT p_partkey FROM part WHERE p_type = '{Q8_TYPE}'),
+rn AS (SELECT n_nationkey FROM nation JOIN region
+        ON region.r_regionkey = nation.n_regionkey
+       WHERE region.r_name = '{Q8_REGION}'),
+o AS (SELECT o_orderkey, year(o_orderdate)::BIGINT AS o_year
+      FROM orders JOIN customer ON customer.c_custkey = orders.o_custkey
+      WHERE customer.c_nationkey IN (SELECT n_nationkey FROM rn)
+        AND o_orderdate >= TIMESTAMP '{Q8_FROM}'
+        AND o_orderdate <  TIMESTAMP '{Q8_TO}'),
+li AS (SELECT o.o_year,
+              CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS HUGEINT)
+              * (100 - CAST(FLOOR(l.l_discount * 100 + 0.5) AS HUGEINT)) AS rev,
+              CASE WHEN s.s_nationkey =
+                   (SELECT n_nationkey FROM nation WHERE n_name = '{Q8_NATION}')
+                   THEN 1 ELSE 0 END AS is_nat
+       FROM lineitem l
+       JOIN pk ON pk.p_partkey = l.l_partkey
+       JOIN o ON o.o_orderkey = l.l_orderkey
+       JOIN supplier s ON s.s_suppkey = l.l_suppkey)
+SELECT o_year,
+       ROUND(CAST(sum(CASE WHEN is_nat = 1 THEN rev ELSE 0 END) AS DOUBLE)
+             / CAST(sum(rev) AS DOUBLE), 6) AS mkt_share
+FROM li GROUP BY o_year
+""",
+        # personalized PageRank: unrolled integer mirror, seed teleport
+        "link_ppr": _ppr_sql(),
         # Q7 shape: bilateral trade, exact cent·pct revenue per
         # (supp nation, cust nation, ship year)
         "rel_nation_trade": f"""

@@ -424,6 +424,8 @@ def bench_sf_queries() -> dict:
         "search_anchor",
         "search_date_histogram",
         "kmeans_inertia",
+        "rel_market_share",
+        "link_ppr",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

@@ -34,6 +34,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+import ray
 import ray.data as rd
 
 _EMPTY_COMPONENTS = pa.table(
@@ -1295,3 +1297,213 @@ def adamic_adar_pairs(
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def _ppr_driver(
+    src: np.ndarray,
+    dst: np.ndarray,
+    seed_keys: np.ndarray,
+    *,
+    iterations: int,
+    damping_num: int,
+    damping_den: int,
+    scale: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized fixed-point personalized PageRank: teleport mass goes
+    ONLY to the seed nodes.  rank_0(v) = scale//|S| for seeds else 0;
+    rank(v) = seed_base(v) + (dn·Σ_{u→v} rank(u)//outdeg(u)) // dd with
+    seed_base = ((dd−dn)·(scale//|S|))//dd on seeds, 0 elsewhere.
+    Pure int64 floor arithmetic — associative, so the unrolled SQL
+    mirror is bit-exact."""
+    nodes, codes = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    s = codes[: src.size]
+    d = codes[src.size:]
+    n = nodes.size
+    is_seed = np.isin(nodes, seed_keys)
+    n_seeds = int(is_seed.sum())
+    if n_seeds == 0:
+        return nodes, np.zeros(n, np.int64)
+    r0 = scale // n_seeds
+    base = ((damping_den - damping_num) * r0) // damping_den
+    outdeg = np.bincount(s, minlength=n).astype(np.int64)
+    safe_deg = np.maximum(outdeg, 1)
+    rank = np.where(is_seed, r0, 0).astype(np.int64)
+    for _ in range(iterations):
+        share = rank[s] // safe_deg[s]
+        contrib = np.zeros(n, np.int64)
+        np.add.at(contrib, d, share)
+        rank = np.where(is_seed, base, 0) + (damping_num * contrib) // damping_den
+    return nodes, rank
+
+
+def personalized_pagerank(
+    edges: rd.Dataset,
+    seeds: list[str],
+    *,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    iterations: int = 5,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**12,
+) -> rd.Dataset:
+    """(src, dst) edges + seed urls → (url, ppr:int64 fixed-point) —
+    random-walk-with-restart relatedness FROM the seed set (related-page
+    discovery / topic-sensitive ranking; Haveliwala 2002).  Teleport
+    lands only on seeds; everything else follows the global PageRank
+    recipe (same damping, same fixed-point scale, duplicate edges
+    collapsed, seeds outside the node set ignored).
+
+    Scale shape: identical to :func:`pagerank` — slim distinct-edge
+    exchange, node/edge-grain joins per iteration in the distributed
+    path, driver fastpath below ``DRIVER_FASTPATH_ROWS``; the seed set
+    broadcasts (it is query-sized)."""
+    from ..config import DRIVER_FASTPATH_ROWS
+    from ..stages.grouping import drop_empty_blocks, sized_join
+
+    def slim(batch: pa.Table) -> pa.Table:
+        t = pa.table({"s": batch.column(src_col), "d": batch.column(dst_col)})
+        return t.group_by(["s", "d"]).aggregate([]).select(["s", "d"])
+
+    slim_edges = edges.map_batches(slim, batch_format="pyarrow").materialize()
+    n_edges = slim_edges.count()
+    empty = pa.table(
+        {"url": pa.array([], pa.string()), "ppr": pa.array([], pa.int64())}
+    )
+    if n_edges == 0:
+        return rd.from_arrow(empty)
+
+    seed_arr = np.array(sorted(set(seeds)))
+
+    if n_edges <= DRIVER_FASTPATH_ROWS:
+        tbl = pa.concat_tables(
+            [pa.table(b) for b in slim_edges.iter_batches(batch_format="pyarrow")]
+        )
+        tbl = tbl.group_by(["s", "d"]).aggregate([]).select(["s", "d"])
+        nodes, rank = _ppr_driver(
+            tbl.column("s").to_numpy(zero_copy_only=False),
+            tbl.column("d").to_numpy(zero_copy_only=False),
+            seed_arr,
+            iterations=iterations, damping_num=damping_num,
+            damping_den=damping_den, scale=scale,
+        )
+        return rd.from_arrow(
+            pa.table({"url": pa.array(nodes), "ppr": pa.array(rank, pa.int64())})
+        )
+
+    # ---- distributed path: the pagerank skeleton with a seed-dependent
+    # base/init vector (seed set broadcast) ----
+    from ..stages.grouping import bucketed_group_apply
+
+    def dedup_bucket(g):
+        return g.drop_duplicates(subset=["s", "d"])
+
+    slim_edges = drop_empty_blocks(bucketed_group_apply(
+        slim_edges, ["s", "d"], dedup_bucket, n_buckets=64
+    ).materialize())
+
+    def both_endpoints(batch: pa.Table) -> pa.Table:
+        u = pa.concat_arrays(
+            [batch.column("s").combine_chunks().cast(pa.string()),
+             batch.column("d").combine_chunks().cast(pa.string())]
+        )
+        return pa.table({"u": u.unique()})
+
+    nodes_ds = (
+        slim_edges.map_batches(both_endpoints, batch_format="pyarrow")
+        .groupby("u").count()
+        .map_batches(lambda b: b.select(["u"]), batch_format="pyarrow")
+        .materialize()
+    )
+    nodes_ds = drop_empty_blocks(nodes_ds)
+
+    seed_ref = ray.put(seed_arr)
+
+    def count_seeds(batch: pa.Table) -> pa.Table:
+        sd = ray.get(seed_ref)
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        return pa.table({"c": pa.array([int(np.isin(u, sd).sum())], pa.int64())})
+
+    n_seeds = 0
+    for ref in nodes_ds.map_batches(count_seeds, batch_format="pyarrow").to_arrow_refs():
+        n_seeds += int(
+            np.sum(ray.get(ref).column("c").to_numpy(zero_copy_only=False))
+        )
+    if n_seeds == 0:
+        return rd.from_arrow(empty)
+    r0 = scale // n_seeds
+    base = ((damping_den - damping_num) * r0) // damping_den
+
+    def partial_deg(batch: pa.Table) -> pa.Table:
+        t = pa.table({"u": batch.column("s"),
+                      "c": pa.array(np.ones(len(batch), dtype=np.int64))})
+        return t.group_by("u").aggregate([("c", "sum")]).rename_columns(["u", "c"])
+
+    outdeg = (
+        slim_edges.map_batches(partial_deg, batch_format="pyarrow")
+        .groupby("u").sum("c")
+        .map_batches(
+            lambda b: pa.table({"u": b.column("u"),
+                                "od": pc.cast(b.column("sum(c)"), pa.int64())}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    outdeg = drop_empty_blocks(outdeg)
+
+    def init_rank(batch: pa.Table) -> pa.Table:
+        sd = ray.get(seed_ref)
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        r = np.where(np.isin(u, sd), r0, 0).astype(np.int64)
+        return pa.table({"u": batch.column("u"), "r": pa.array(r)})
+
+    ranks = nodes_ds.map_batches(init_rank, batch_format="pyarrow").materialize()
+
+    for _ in range(iterations):
+        share = drop_empty_blocks(sized_join(ranks, outdeg, ("u",)).map_batches(
+            lambda b: pa.table({
+                "s": b.column("u"),
+                "sh": pa.array(
+                    b.column("r").to_numpy(zero_copy_only=False)
+                    // b.column("od").to_numpy(zero_copy_only=False),
+                    pa.int64(),
+                ),
+            }),
+            batch_format="pyarrow",
+        ).materialize())
+
+        def partial_contrib(batch: pa.Table) -> pa.Table:
+            t = pa.table({"d": batch.column("d"), "c": batch.column("sh")})
+            return t.group_by("d").aggregate([("c", "sum")]).rename_columns(["d", "c"])
+
+        contrib = (
+            sized_join(slim_edges, share, ("s",))
+            .map_batches(partial_contrib, batch_format="pyarrow")
+            .groupby("d").sum("c")
+            .map_batches(
+                lambda b: pa.table({"u": b.column("d"),
+                                    "c": pc.cast(b.column("sum(c)"), pa.int64())}),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        contrib = drop_empty_blocks(contrib)
+
+        def fold_rank(b: pa.Table, _base=base) -> pa.Table:
+            sd = ray.get(seed_ref)
+            u = b.column("u").to_numpy(zero_copy_only=False)
+            c = b.column("c").fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            r = np.where(np.isin(u, sd), _base, 0) + (damping_num * c) // damping_den
+            return pa.table({"u": b.column("u"), "r": pa.array(r, pa.int64())})
+
+        ranks = (
+            sized_join(nodes_ds, contrib, ("u",), join_type="left_outer")
+            .map_batches(fold_rank, batch_format="pyarrow")
+            .materialize()
+        )
+        ranks = drop_empty_blocks(ranks)
+
+    return ranks.map_batches(
+        lambda b: pa.table({"url": b.column("u"), "ppr": b.column("r")}),
+        batch_format="pyarrow",
+    )

@@ -2308,3 +2308,233 @@ def top_supplier(
             "total_revenue": [round(float(best) / 10_000.0, 6)] * len(winners),
         }
     )
+
+
+def market_share(
+    customer: rd.Dataset,
+    orders: rd.Dataset,
+    lineitem: rd.Dataset,
+    supplier: rd.Dataset,
+    nation: rd.Dataset,
+    region: rd.Dataset,
+    part: rd.Dataset,
+    *,
+    target_nation: str,
+    region_name: str,
+    part_type: str,
+    from_iso: str,
+    to_iso: str,
+) -> pd.DataFrame:
+    """TPC-H Q8-shaped market share: per order-year, the share of
+    ``part_type`` revenue (into ``region_name`` customers' orders)
+    supplied by ``target_nation``.  → (o_year, mkt_share).
+
+    Scale shape: part (type slice), supplier (nation flag) and the
+    region's customer keys broadcast as dimension lookups; the filtered
+    (orderkey → order-year) map broadcasts under
+    ``DRIVER_FASTPATH_ROWS`` and hash-joins above it; lineitem folds
+    per-batch (year → total, target) integer-cent partials — the final
+    exchange is years-sized.  Both sums are exact ints; the share is
+    one rounded division per year."""
+    lo = np.datetime64(from_iso, "us")
+    hi = np.datetime64(to_iso, "us")
+
+    nmap = {
+        r["n_nationkey"]: (r["n_name"], r["n_regionkey"])
+        for ref in nation.select_columns(
+            ["n_nationkey", "n_name", "n_regionkey"]
+        ).to_arrow_refs()
+        for r in ray.get(ref).to_pylist()
+    }
+    rmap = {
+        r["r_name"]: r["r_regionkey"]
+        for ref in region.select_columns(["r_regionkey", "r_name"]).to_arrow_refs()
+        for r in ray.get(ref).to_pylist()
+    }
+    region_key = rmap[region_name]
+    region_nations = {k for k, (_, rk) in nmap.items() if rk == region_key}
+    target_key = next(k for k, (nm, _) in nmap.items() if nm == target_nation)
+
+    # part dimension slice
+    pks: list[int] = []
+    for ref in (
+        part.select_columns(["p_partkey", "p_type"])
+        .map_batches(
+            lambda t: t.filter(pc.equal(t.column("p_type"), part_type)).select(
+                ["p_partkey"]
+            ),
+            batch_format="pyarrow",
+        )
+        .to_arrow_refs()
+    ):
+        pks.extend(ray.get(ref).column("p_partkey").to_pylist())
+    pk_ref = ray.put(np.array(sorted(pks), np.int64))
+
+    # supplier → is-target-nation flag
+    sk_l = []
+    for ref in supplier.select_columns(["s_suppkey", "s_nationkey"]).to_arrow_refs():
+        for r in ray.get(ref).to_pylist():
+            if r["s_nationkey"] == target_key:
+                sk_l.append(r["s_suppkey"])
+    sk_ref = ray.put(np.array(sorted(sk_l), np.int64))
+
+    # region customers → orders filter → (orderkey → order-year) map
+    ck_l = []
+    for ref in customer.select_columns(["c_custkey", "c_nationkey"]).to_arrow_refs():
+        for r in ray.get(ref).to_pylist():
+            if r["c_nationkey"] in region_nations:
+                ck_l.append(r["c_custkey"])
+    ck_ref = ray.put(np.array(sorted(ck_l), np.int64))
+
+    def o_map(batch: pa.Table) -> pa.Table:
+        ck = ray.get(ck_ref)
+        keys = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        od = batch.column("o_orderdate").to_numpy(zero_copy_only=False)
+        odu = od.astype("datetime64[us]")
+        pos = np.searchsorted(ck, keys)
+        pos[pos == len(ck)] = 0
+        keep = ((ck[pos] == keys) if len(ck) else np.zeros(len(keys), bool)) & (
+            odu >= lo
+        ) & (odu < hi)
+        year = odu[keep].astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table(
+            {
+                "o_orderkey": pa.array(
+                    batch.column("o_orderkey").to_numpy(zero_copy_only=False)[keep],
+                    pa.int64(),
+                ),
+                "o_year": pa.array(year, pa.int64()),
+            }
+        )
+
+    sel_orders = orders.select_columns(
+        ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(o_map, batch_format="pyarrow")
+
+    def li_year_partial(omap_ref):
+        def fn(batch: pa.Table) -> pa.Table:
+            pk_s = ray.get(pk_ref)
+            sk_s = ray.get(sk_ref)
+            ok_arr, oy_arr = ray.get(omap_ref)
+            pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+            ppos = np.searchsorted(pk_s, pk)
+            ppos[ppos == len(pk_s)] = 0
+            phit = (pk_s[ppos] == pk) if len(pk_s) else np.zeros(len(pk), bool)
+            okey = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+            opos = np.searchsorted(ok_arr, okey)
+            opos[opos == len(ok_arr)] = 0
+            ohit = (ok_arr[opos] == okey) if len(ok_arr) else np.zeros(len(okey), bool)
+            keep = phit & ohit
+            if not keep.any():
+                return pa.table(
+                    {
+                        "o_year": pa.array([], pa.int64()),
+                        "total_c4": pa.array([], pa.int64()),
+                        "nat_c4": pa.array([], pa.int64()),
+                    }
+                )
+            sub = batch.filter(pa.array(keep))
+            year = oy_arr[opos[keep]]
+            skey = sub.column("l_suppkey").to_numpy(zero_copy_only=False)
+            spos = np.searchsorted(sk_s, skey)
+            spos[spos == len(sk_s)] = 0
+            is_nat = (sk_s[spos] == skey) if len(sk_s) else np.zeros(len(skey), bool)
+            price_c = _cents(sub.column("l_extendedprice").to_numpy(zero_copy_only=False))
+            disc_pct = _cents(sub.column("l_discount").to_numpy(zero_copy_only=False))
+            rev = price_c * (100 - disc_pct)
+            uy, inv = np.unique(year, return_inverse=True)
+            tot = np.zeros(len(uy), np.int64)
+            nat = np.zeros(len(uy), np.int64)
+            np.add.at(tot, inv, rev)
+            np.add.at(nat, inv, np.where(is_nat, rev, 0))
+            return pa.table(
+                {
+                    "o_year": pa.array(uy, pa.int64()),
+                    "total_c4": pa.array(tot),
+                    "nat_c4": pa.array(nat),
+                }
+            )
+
+        return fn
+
+    from ..config import DRIVER_FASTPATH_ROWS
+
+    n_sel = sel_orders.count()
+    li_cols = lineitem.select_columns(
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    )
+    acc: dict[int, list[int]] = {}
+    if n_sel <= DRIVER_FASTPATH_ROWS:
+        ok_l: list[int] = []
+        oy_l: list[int] = []
+        for ref in sel_orders.to_arrow_refs():
+            t = ray.get(ref)
+            ok_l.extend(t.column("o_orderkey").to_pylist())
+            oy_l.extend(t.column("o_year").to_pylist())
+        order = np.argsort(np.array(ok_l, np.int64), kind="stable")
+        omap_ref = ray.put(
+            (np.array(ok_l, np.int64)[order], np.array(oy_l, np.int64)[order])
+        )
+        parts_ds = li_cols.map_batches(
+            li_year_partial(omap_ref), batch_format="pyarrow", batch_size=65536
+        )
+        for ref in parts_ds.to_arrow_refs():
+            t = ray.get(ref)
+            for r in t.to_pylist():
+                row = acc.setdefault(r["o_year"], [0, 0])
+                row[0] += r["total_c4"]
+                row[1] += r["nat_c4"]
+    else:
+        # distributed: per-(order, is_nat) partials ⨝ the year map
+        def li_order_partial(batch: pa.Table) -> pa.Table:
+            pk_s = ray.get(pk_ref)
+            sk_s = ray.get(sk_ref)
+            pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+            ppos = np.searchsorted(pk_s, pk)
+            ppos[ppos == len(pk_s)] = 0
+            phit = (pk_s[ppos] == pk) if len(pk_s) else np.zeros(len(pk), bool)
+            sub = batch.filter(pa.array(phit))
+            skey = sub.column("l_suppkey").to_numpy(zero_copy_only=False)
+            spos = np.searchsorted(sk_s, skey)
+            spos[spos == len(sk_s)] = 0
+            is_nat = (sk_s[spos] == skey) if len(sk_s) else np.zeros(len(skey), bool)
+            price_c = _cents(sub.column("l_extendedprice").to_numpy(zero_copy_only=False))
+            disc_pct = _cents(sub.column("l_discount").to_numpy(zero_copy_only=False))
+            rev = price_c * (100 - disc_pct)
+            okey = sub.column("l_orderkey").to_numpy(zero_copy_only=False)
+            key = okey * 2 + is_nat.astype(np.int64)
+            uk, inv = np.unique(key, return_inverse=True)
+            sums = np.zeros(len(uk), np.int64)
+            np.add.at(sums, inv, rev)
+            return pa.table(
+                {
+                    "o_orderkey": pa.array(uk // 2, pa.int64()),
+                    "is_nat": pa.array(uk % 2, pa.int64()),
+                    "rev_c4": pa.array(sums),
+                }
+            )
+
+        per_order = li_cols.map_batches(
+            li_order_partial, batch_format="pyarrow", batch_size=65536
+        )
+        joined = sized_join(per_order, sel_orders, ("o_orderkey",))
+        for ref in joined.to_arrow_refs():
+            t = ray.get(ref)
+            if not len(t) or "o_year" not in t.column_names:
+                continue
+            for r in t.to_pylist():
+                row = acc.setdefault(r["o_year"], [0, 0])
+                row[0] += r["rev_c4"]
+                if r["is_nat"]:
+                    row[1] += r["rev_c4"]
+
+    years = sorted(acc)
+    return pd.DataFrame(
+        {
+            "o_year": years,
+            "mkt_share": [
+                round(float(acc[y][1]) / float(acc[y][0]), 6) if acc[y][0] else 0.0
+                for y in years
+            ],
+        }
+    )

@@ -321,6 +321,8 @@ def test_oracle_keys_subset(entry_mod):
     # round 4 session 9: anchor-text ranking, result-set date histogram,
     # k-means inertia (clustering-drift monitor)
     "search_anchor", "search_date_histogram", "kmeans_inertia",
+    # round 4 session 9: Q8-shaped market share + personalized PageRank
+    "rel_market_share", "link_ppr",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))

@@ -300,3 +300,50 @@ def test_adamic_adar_vs_bruteforce(ray_session, monkeypatch):
     assert {
         (r.url_a, r.url_b): r.aa_score for r in dist.itertuples()
     } == exp
+
+
+@requires_solo_ray
+def test_ppr_distributed_matches_fastpath(ray_session, monkeypatch):
+    """Personalized PageRank: the distributed node/edge-join path must
+    reproduce the driver fastpath bit-for-bit (integer arithmetic)."""
+    import ray.data as rd
+
+    from search_engine_skillbox_ray import config
+    from search_engine_skillbox_ray.pipelines.graph import personalized_pagerank
+
+    edges = rd.from_items(
+        [
+            {"src_url": "a", "dst_url": "b"},
+            {"src_url": "b", "dst_url": "c"},
+            {"src_url": "c", "dst_url": "a"},
+            {"src_url": "a", "dst_url": "c"},
+            {"src_url": "d", "dst_url": "a"},
+        ]
+    )
+    fast = (
+        personalized_pagerank(edges, ["a"], iterations=4)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    monkeypatch.setattr(config, "DRIVER_FASTPATH_ROWS", 0)
+    dist = (
+        personalized_pagerank(edges, ["a"], iterations=4)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert fast.equals(dist)
+    # teleport concentrates mass on/near the seed
+    r = dict(zip(fast["url"], fast["ppr"]))
+    assert r["a"] > r["d"]
+
+
+def test_ppr_seed_outside_graph_is_empty(ray_session):
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.graph import personalized_pagerank
+
+    edges = rd.from_items([{"src_url": "a", "dst_url": "b"}])
+    out = personalized_pagerank(edges, ["zzz"]).to_pandas()
+    assert (out["ppr"] == 0).all()

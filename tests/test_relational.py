@@ -454,3 +454,27 @@ def test_nation_trade_distributed_matches_fastpath(ray_session, monkeypatch):
         dist.reset_index(drop=True),
         check_dtype=False,
     )
+
+
+@requires_solo_ray
+def test_market_share_distributed_matches_fastpath(ray_session, monkeypatch):
+    import ray.data as rd
+
+    from search_engine_skillbox_ray import config
+    from search_engine_skillbox_ray.pipelines import relational
+
+    c, o, li = _tables()
+    s = rd.read_parquet(f"{SF}/supplier.parquet")
+    n = rd.read_parquet(f"{SF}/nation.parquet")
+    r = rd.read_parquet(f"{SF}/region.parquet")
+    p = rd.read_parquet(f"{SF}/part.parquet")
+    kw = dict(target_nation="NATION_3", region_name="EUROPE",
+              part_type="ECONOMY", from_iso="1995-01-01", to_iso="1999-01-01")
+    fast = relational.market_share(c, o, li, s, n, r, p, **kw)
+    monkeypatch.setattr(config, "DRIVER_FASTPATH_ROWS", 0)
+    dist = relational.market_share(c, o, li, s, n, r, p, **kw)
+    pd.testing.assert_frame_equal(
+        fast.reset_index(drop=True),
+        dist.reset_index(drop=True),
+        check_dtype=False,
+    )
