@@ -995,6 +995,27 @@ def q_link_ppr(sf_dir: str):
     )
 
 
+WINDOW_TOPK_K = 3  # windowed leaders: top-k users per hour
+
+
+def q_window_leaders(sf_dir: str):
+    """Windowed leaders: top-k users by exact integer-cent value sum per
+    tumbling hour — (window, user) combiners, one keyed exchange,
+    rank-select inside group blocks."""
+    from search_engine_skillbox_ray.pipelines.windows import window_topk_users
+
+    return window_topk_users(_events(sf_dir), window_s=3600, k=WINDOW_TOPK_K)
+
+
+def q_normalize_text(sf_dir: str):
+    """C4-style normalization rewrite: lowercase + whitespace collapse +
+    trim, streamed with zero-copy Arrow kernels (RE2 on both sides);
+    fidelity proven by the full-table hash."""
+    from search_engine_skillbox_ray.pipelines.textstats import normalize_text_ds
+
+    return normalize_text_ds(_documents(sf_dir))
+
+
 def q_rel_nation_trade(sf_dir: str):
     """TPC-H Q7-shaped bilateral trade volume: per (supp nation, cust
     nation, ship year) revenue between two nations — dimension
@@ -3323,6 +3344,8 @@ _DRIVER_PRIORITY = [
     "kmeans_inertia",
     "rel_market_share",
     "link_ppr",
+    "window_leaders",
+    "normalize_text",
 ]
 
 
@@ -3460,6 +3483,8 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "kmeans_inertia": q_kmeans_inertia,
         "rel_market_share": q_rel_market_share,
         "link_ppr": q_link_ppr,
+        "window_leaders": q_window_leaders,
+        "normalize_text": q_normalize_text,
         "rel_returned_items": q_rel_returned_items,
         "rel_big_orders": q_rel_big_orders,
         "rel_small_qty": q_rel_small_qty,
@@ -6789,6 +6814,28 @@ assign AS (SELECT vec_id, c AS lst, dist FROM (
 SELECT lst::BIGINT AS lst, count(*)::BIGINT AS n_vecs,
        ROUND(SUM(dist * dist), 6) AS inertia
 FROM assign GROUP BY lst
+""",
+        # windowed leaders: exact integer-cent ranking, ties on user_id
+        "window_leaders": f"""
+WITH vc AS (SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start,
+                   user_id,
+                   sum(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS v_c
+            FROM events GROUP BY 1, 2)
+SELECT window_start::BIGINT AS window_start,
+       (row_number() OVER (PARTITION BY window_start
+                           ORDER BY v_c DESC, user_id))::BIGINT AS rank,
+       user_id::BIGINT AS user_id, v_c
+FROM vc
+QUALIFY row_number() OVER (PARTITION BY window_start
+                           ORDER BY v_c DESC, user_id) <= {WINDOW_TOPK_K}
+""",
+        # normalization rewrite: lower + RE2 whitespace collapse + trim
+        "normalize_text": """
+SELECT doc_id,
+       TRIM(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS text_norm,
+       length(TRIM(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '))::BIGINT
+         AS n_chars_norm
+FROM documents
 """,
         # Q8 shape: per-year market share — exact int sums, one division
         "rel_market_share": f"""

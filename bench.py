@@ -426,6 +426,8 @@ def bench_sf_queries() -> dict:
         "kmeans_inertia",
         "rel_market_share",
         "link_ppr",
+        "window_leaders",
+        "normalize_text",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

@@ -3823,3 +3823,37 @@ def bm25f_scores_ds(
     return documents.select_columns(["doc_id", "text"]).map_batches(
         score_partial, batch_format="pyarrow"
     )
+
+
+def normalize_text_ds(documents: rd.Dataset) -> rd.Dataset:
+    """→ (doc_id, text_norm, n_chars_norm): C4-style text normalization
+    rewrite — lowercase, collapse every whitespace run to one space,
+    strip the ends.  The cleanup pass a web corpus runs before
+    tokenize/dedup so byte-level noise (tabs, CRLF, double spaces)
+    cannot split otherwise-identical documents.
+
+    RE2 semantics on BOTH sides (pyarrow and DuckDB both compile RE2),
+    so the ``\\s+`` class is identical by construction.  Scale shape:
+    stateless zero-copy Arrow kernels per batch, no shuffle — the
+    rewrite streams."""
+
+    def norm(batch: pa.Table) -> pa.Table:
+        txt = batch.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        low = pc.utf8_lower(txt)
+        one = pc.replace_substring_regex(low, r"\s+", " ")
+        # after the collapse only ASCII spaces can touch the ends; trim
+        # exactly those (TRIM-parity with the SQL mirror)
+        out = pc.utf8_trim(one, " ")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text_norm": out,
+                "n_chars_norm": pc.cast(pc.utf8_length(out), pa.int64()),
+            }
+        )
+
+    return documents.select_columns(["doc_id", "text"]).map_batches(
+        norm, batch_format="pyarrow"
+    )

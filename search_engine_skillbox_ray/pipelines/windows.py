@@ -1059,3 +1059,78 @@ def json_props_stats(
             }
         )
     )
+
+
+def window_topk_users(
+    events: rd.Dataset,
+    *,
+    window_s: int = 3600,
+    k: int = 3,
+) -> rd.Dataset:
+    """→ (window_start, rank, user_id, total_c): per tumbling window the
+    top-``k`` users by value sum — the "window leaders" dashboard query
+    (top talkers / top spenders per hour).
+
+    Value sums fold as exact integer cents (floor(v·100+0.5)), so the
+    (sum desc, user_id asc) ranking can never flip on float summation
+    order.  Scale shape: per-batch (window, user) combiners → ONE keyed
+    exchange; the per-window top-k runs inside the groupby output
+    blocks ((window, user) grain, k-sized result)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        epoch = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        win = (epoch // (1_000_000 * window_s)) * window_s
+        user = batch.column("user_id").to_numpy(zero_copy_only=False)
+        vc = np.floor(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        key = win * (1 << 20) + user  # user_id < 2^20 in this corpus
+        uk, inv = np.unique(key, return_inverse=True)
+        sums = np.zeros(len(uk), np.int64)
+        np.add.at(sums, inv, vc)
+        return pa.table(
+            {
+                "wu": pa.array(uk, pa.int64()),
+                "v_c": pa.array(sums),
+            }
+        )
+
+    agg = (
+        events.select_columns(["ts", "user_id", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("wu")
+        .sum("v_c")
+    )
+
+    # per-window top-k over (window, user)-grain rows: decode the key,
+    # ONE window-keyed exchange, vectorized rank-select per group block
+    def decode(batch: pa.Table) -> pa.Table:
+        if not len(batch) or "wu" not in batch.column_names:
+            return pa.table(
+                {
+                    "window_start": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "v_c": pa.array([], pa.int64()),
+                }
+            )
+        wu = batch.column("wu").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "window_start": pa.array(wu >> 20, pa.int64()),
+                "user_id": pa.array(wu & ((1 << 20) - 1), pa.int64()),
+                "v_c": batch.column("sum(v_c)"),
+            }
+        )
+
+    def topk_group(g):
+        g = g.sort_values(
+            ["v_c", "user_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g[["window_start", "rank", "user_id", "v_c"]]
+
+    return (
+        agg.map_batches(decode, batch_format="pyarrow")
+        .groupby("window_start")
+        .map_groups(topk_group, batch_format="pandas")
+    )

@@ -323,6 +323,8 @@ def test_oracle_keys_subset(entry_mod):
     "search_anchor", "search_date_histogram", "kmeans_inertia",
     # round 4 session 9: Q8-shaped market share + personalized PageRank
     "rel_market_share", "link_ppr",
+    # round 4 session 9: windowed leaders + normalization rewrite
+    "window_leaders", "normalize_text",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
