@@ -1016,6 +1016,33 @@ def q_normalize_text(sf_dir: str):
     return normalize_text_ds(_documents(sf_dir))
 
 
+CLARITY_TOPK = 10  # clarity: result-set LM over the top-k docs
+PSI_BUCKET_CHARS, PSI_BUCKETS = 200, 10
+
+
+def q_query_clarity(sf_dir: str):
+    """Clarity query-performance predictor: KL(result-set LM ‖ corpus
+    LM) over the top-k disjunctive docs — the trigger signal for
+    expansion / spell-correction fallbacks."""
+    from search_engine_skillbox_ray.pipelines.textstats import query_clarity_ds
+
+    eng = _engine(sf_dir, float32_scores=False)
+    docs, scores, _ = eng.search_scores(SEARCH_QUERY)
+    order = np.lexsort((docs, -np.round(scores.astype(np.float64), 6)))[:CLARITY_TOPK]
+    return query_clarity_ds(_documents(sf_dir), docs[order])
+
+
+def q_psi_drift(sf_dir: str):
+    """PSI drift monitor: per-bucket population-stability contributions
+    of the doc-length distribution between the even/odd corpus halves —
+    the between-snapshot ingest check."""
+    from search_engine_skillbox_ray.pipelines.textstats import psi_drift_ds
+
+    return psi_drift_ds(
+        _documents(sf_dir), bucket_chars=PSI_BUCKET_CHARS, n_buckets=PSI_BUCKETS,
+    )
+
+
 def q_rel_nation_trade(sf_dir: str):
     """TPC-H Q7-shaped bilateral trade volume: per (supp nation, cust
     nation, ship year) revenue between two nations — dimension
@@ -3346,6 +3373,8 @@ _DRIVER_PRIORITY = [
     "link_ppr",
     "window_leaders",
     "normalize_text",
+    "query_clarity",
+    "psi_drift",
 ]
 
 
@@ -3485,6 +3514,8 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "link_ppr": q_link_ppr,
         "window_leaders": q_window_leaders,
         "normalize_text": q_normalize_text,
+        "query_clarity": q_query_clarity,
+        "psi_drift": q_psi_drift,
         "rel_returned_items": q_rel_returned_items,
         "rel_big_orders": q_rel_big_orders,
         "rel_small_qty": q_rel_small_qty,
@@ -6814,6 +6845,40 @@ assign AS (SELECT vec_id, c AS lst, dist FROM (
 SELECT lst::BIGINT AS lst, count(*)::BIGINT AS n_vecs,
        ROUND(SUM(dist * dist), 6) AS inertia
 FROM assign GROUP BY lst
+""",
+        # clarity: KL(result LM || corpus LM) over the rounded top-k
+        "query_clarity": tfidf_scores
+        + f""",
+top AS (SELECT doc_id FROM scores
+        QUALIFY row_number() OVER (ORDER BY ROUND(score, 6) DESC, doc_id)
+                <= {CLARITY_TOPK}),
+rt AS (SELECT tf.term, sum(tf.tf)::BIGINT AS tf
+       FROM tf JOIN top USING (doc_id) GROUP BY tf.term),
+rtot AS (SELECT sum(tf)::DOUBLE AS t FROM rt),
+cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM tf GROUP BY term),
+ctot AS (SELECT count(*)::DOUBLE AS c FROM ({_TOK}))
+SELECT ROUND(SUM((rt.tf / rtot.t) * ln((rt.tf / rtot.t) / (cf.cf / ctot.c))), 6)
+         AS clarity,
+       count(*)::BIGINT AS n_terms
+FROM rt JOIN cf USING (term) CROSS JOIN rtot CROSS JOIN ctot
+""",
+        # PSI: Laplace-smoothed per-bucket contributions, exact counts
+        "psi_drift": f"""
+WITH c AS (SELECT LEAST(n_chars // {PSI_BUCKET_CHARS}, {PSI_BUCKETS - 1})::BIGINT AS bucket,
+                  (doc_id % 2)::BIGINT AS half, count(*)::BIGINT AS cnt
+           FROM documents GROUP BY 1, 2),
+b AS (SELECT unnest(generate_series(0, {PSI_BUCKETS - 1}))::BIGINT AS bucket),
+a AS (SELECT b.bucket,
+             COALESCE((SELECT cnt FROM c WHERE c.bucket = b.bucket AND half = 0), 0) AS n_a,
+             COALESCE((SELECT cnt FROM c WHERE c.bucket = b.bucket AND half = 1), 0) AS n_b
+      FROM b),
+t AS (SELECT sum(n_a)::DOUBLE AS ta, sum(n_b)::DOUBLE AS tb FROM a)
+SELECT a.bucket, a.n_a::BIGINT AS n_a, a.n_b::BIGINT AS n_b,
+       ROUND(((a.n_a + 1.0) / (t.ta + {PSI_BUCKETS})
+              - (a.n_b + 1.0) / (t.tb + {PSI_BUCKETS}))
+             * ln(((a.n_a + 1.0) / (t.ta + {PSI_BUCKETS}))
+                  / ((a.n_b + 1.0) / (t.tb + {PSI_BUCKETS}))), 6) AS contrib
+FROM a CROSS JOIN t
 """,
         # windowed leaders: exact integer-cent ranking, ties on user_id
         "window_leaders": f"""

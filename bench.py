@@ -428,6 +428,8 @@ def bench_sf_queries() -> dict:
         "link_ppr",
         "window_leaders",
         "normalize_text",
+        "query_clarity",
+        "psi_drift",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

@@ -3857,3 +3857,160 @@ def normalize_text_ds(documents: rd.Dataset) -> rd.Dataset:
     return documents.select_columns(["doc_id", "text"]).map_batches(
         norm, batch_format="pyarrow"
     )
+
+
+def query_clarity_ds(
+    documents: rd.Dataset,
+    top_doc_ids: "np.ndarray",
+) -> "pd.DataFrame":
+    """→ one row (clarity, n_terms): the Clarity query-performance
+    predictor (Cronen-Townsend et al. 2002) — KL divergence between the
+    result set's language model and the corpus LM.  A high-clarity
+    query retrieves a topically-tight set (its LM diverges from the
+    background); ambiguous queries score near 0.  Serving uses it to
+    decide when to trigger expansion / spell correction.
+
+    P(t|R) = Σ_{d∈R} tf / Σ_{d∈R} dl (MLE over the concatenated result
+    docs), P(t|C) = cf/|C|; clarity = Σ_{t∈R} P(t|R)·ln(P(t|R)/P(t|C)).
+
+    Scale shape: the top-k doc-id set broadcasts; ONE tokenize pass
+    folds (corpus cf partials) + (result-set tf partials, k docs' worth
+    of terms) — no shuffle; the divergence folds over the result-set
+    vocabulary only."""
+    import pandas as pd
+
+    from ..functions.hashing import flat_nonempty_tokens
+
+    ids_ref = ray.put(np.sort(np.asarray(top_doc_ids, np.int64)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = ray.get(ids_ref)
+        toks, parents, counts = flat_nonempty_tokens(batch.column("text"))
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        total = int(counts.sum())
+        terms: list[str] = ["\x00total"]
+        tfs: list[int] = [total]
+        in_r: list[bool] = [False]
+        if len(toks):
+            pos = np.searchsorted(ids, doc)
+            pos[pos == len(ids)] = 0
+            hit_doc = (ids[pos] == doc) if len(ids) else np.zeros(len(doc), bool)
+            tv = toks.to_numpy(zero_copy_only=False)
+            # corpus cf over the RESULT-SET vocabulary only (the sum
+            # runs over t∈R): restrict cf partials to terms present in
+            # the hit docs of ANY batch — emit cf for every term in this
+            # batch (vocab-sized), plus tf rows for hit docs
+            hit_tok = hit_doc[parents]
+            if hit_tok.any():
+                ut, cnt = np.unique(tv[hit_tok], return_counts=True)
+                terms += [str(t) for t in ut]
+                tfs += cnt.tolist()
+                in_r += [True] * len(ut)
+            ut_all, cnt_all = np.unique(tv, return_counts=True)
+            terms += [str(t) for t in ut_all]
+            tfs += cnt_all.tolist()
+            in_r += [False] * len(ut_all)
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+                "in_r": pa.array(in_r, pa.bool_()),
+            }
+        )
+
+    c_total = 0
+    cf: dict[str, int] = {}
+    rtf: dict[str, int] = {}
+    for ref in (
+        documents.select_columns(["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_arrow_refs()
+    ):
+        t = ray.get(ref)
+        for term, v, inr in zip(
+            t.column("term").to_pylist(),
+            t.column("tf").to_pylist(),
+            t.column("in_r").to_pylist(),
+        ):
+            if term == "\x00total":
+                c_total += v
+            elif inr:
+                rtf[term] = rtf.get(term, 0) + v
+            else:
+                cf[term] = cf.get(term, 0) + v
+
+    r_total = sum(rtf.values())
+    if not r_total or not c_total:
+        return pd.DataFrame({"clarity": [0.0], "n_terms": [0]})
+    clarity = 0.0
+    for term in sorted(rtf):
+        p_r = rtf[term] / r_total
+        p_c = cf[term] / c_total
+        clarity += p_r * np.log(p_r / p_c)
+    return pd.DataFrame(
+        {"clarity": [round(float(clarity), 6)], "n_terms": [len(rtf)]}
+    )
+
+
+def psi_drift_ds(
+    documents: rd.Dataset,
+    *,
+    bucket_chars: int = 200,
+    n_buckets: int = 10,
+) -> rd.Dataset:
+    """→ (bucket, n_a, n_b, contrib): Population Stability Index drift
+    check between the corpus's even- and odd-doc_id halves over the
+    doc-length distribution (n_chars // bucket_chars, clamped to
+    ``n_buckets``) — the standard "did this batch drift?" monitor a
+    100 TB ingest runs between snapshots.  Laplace +1 smoothing on both
+    halves keeps every ln finite and deterministic.
+
+    contrib = (pA − pB)·ln(pA/pB) per bucket with pX = (n_x+1)/(N_x+B);
+    PSI = Σ contrib (the caller sums — per-bucket rows keep the report
+    auditable).  Scale shape: per-batch (bucket, half) count combiners
+    → one B-sized exchange; nothing else moves."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        nch = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        b = np.minimum(nch // bucket_chars, n_buckets - 1).astype(np.int64)
+        half = (doc % 2).astype(np.int64)
+        key = b * 2 + half
+        cnt = np.bincount(key, minlength=n_buckets * 2).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(np.arange(n_buckets * 2, dtype=np.int64)),
+                "cnt": pa.array(cnt),
+            }
+        )
+
+    agg = (
+        documents.select_columns(["doc_id", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .sum("cnt")
+    )
+
+    counts = np.zeros(n_buckets * 2, np.int64)
+    for ref in agg.to_arrow_refs():
+        t = ray.get(ref)
+        if not len(t) or "key" not in t.column_names:
+            continue
+        k = t.column("key").to_numpy(zero_copy_only=False)
+        counts[k] += t.column("sum(cnt)").to_numpy(zero_copy_only=False)
+
+    n_a = counts[0::2].astype(np.float64)
+    n_b = counts[1::2].astype(np.float64)
+    pa_ = (n_a + 1.0) / (n_a.sum() + n_buckets)
+    pb_ = (n_b + 1.0) / (n_b.sum() + n_buckets)
+    contrib = (pa_ - pb_) * np.log(pa_ / pb_)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "bucket": pa.array(np.arange(n_buckets, dtype=np.int64)),
+                "n_a": pa.array(n_a.astype(np.int64)),
+                "n_b": pa.array(n_b.astype(np.int64)),
+                "contrib": pa.array(np.round(contrib, 6), pa.float64()),
+            }
+        )
+    )

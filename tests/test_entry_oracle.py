@@ -325,6 +325,8 @@ def test_oracle_keys_subset(entry_mod):
     "rel_market_share", "link_ppr",
     # round 4 session 9: windowed leaders + normalization rewrite
     "window_leaders", "normalize_text",
+    # round 4 session 9: clarity QPP + PSI drift monitor
+    "query_clarity", "psi_drift",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))

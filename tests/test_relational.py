@@ -478,3 +478,19 @@ def test_market_share_distributed_matches_fastpath(ray_session, monkeypatch):
         dist.reset_index(drop=True),
         check_dtype=False,
     )
+
+
+@requires_solo_ray
+def test_big_orders_distributed_matches_fastpath(ray_session, monkeypatch):
+    from search_engine_skillbox_ray import config
+    from search_engine_skillbox_ray.pipelines import relational
+
+    c, o, li = _tables()
+    fast = relational.big_volume_orders(c, o, li, min_qty=250, k=100)
+    monkeypatch.setattr(config, "DRIVER_FASTPATH_ROWS", 0)
+    dist = relational.big_volume_orders(c, o, li, min_qty=250, k=100)
+    pd.testing.assert_frame_equal(
+        fast.reset_index(drop=True),
+        dist.reset_index(drop=True),
+        check_dtype=False,
+    )
