@@ -1043,6 +1043,21 @@ def q_psi_drift(sf_dir: str):
     )
 
 
+SWEEP_THRESHOLDS = (50, 60, 70, 80, 90)
+
+
+def q_dedup_sweep(sf_dir: str):
+    """Dedup operating-point sweep: pairs + touched docs surviving each
+    candidate MinHash threshold — the calibration table a curation team
+    reads before fixing the near-dup cutoff."""
+    from search_engine_skillbox_ray.pipelines.dedup import dedup_threshold_sweep
+
+    return dedup_threshold_sweep(
+        _documents(sf_dir), thresholds_pct=SWEEP_THRESHOLDS,
+        num_perm=MINHASH_PERM, bands=MINHASH_BANDS, seed=MINHASH_SEED,
+    )
+
+
 def q_rel_nation_trade(sf_dir: str):
     """TPC-H Q7-shaped bilateral trade volume: per (supp nation, cust
     nation, ship year) revenue between two nations — dimension
@@ -3375,6 +3390,7 @@ _DRIVER_PRIORITY = [
     "normalize_text",
     "query_clarity",
     "psi_drift",
+    "dedup_sweep",
 ]
 
 
@@ -3516,6 +3532,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "normalize_text": q_normalize_text,
         "query_clarity": q_query_clarity,
         "psi_drift": q_psi_drift,
+        "dedup_sweep": q_dedup_sweep,
         "rel_returned_items": q_rel_returned_items,
         "rel_big_orders": q_rel_big_orders,
         "rel_small_qty": q_rel_small_qty,
@@ -6845,6 +6862,19 @@ assign AS (SELECT vec_id, c AS lst, dist FROM (
 SELECT lst::BIGINT AS lst, count(*)::BIGINT AS n_vecs,
        ROUND(SUM(dist * dist), 6) AS inertia
 FROM assign GROUP BY lst
+""",
+        # dedup sweep: the threshold=0 pair mirror aggregated per cutoff
+        "dedup_sweep": f"""
+WITH p AS ({_minhash_pairs_sql(threshold=0.0)}),
+t(tp) AS (VALUES {", ".join(f"({x})" for x in SWEEP_THRESHOLDS)})
+SELECT t.tp::BIGINT AS threshold_pct,
+       count(p.doc_a)::BIGINT AS n_pairs,
+       (SELECT count(DISTINCT d) FROM (
+          SELECT doc_a AS d FROM p WHERE p.est_jaccard >= t.tp / 100.0
+          UNION SELECT doc_b FROM p WHERE p.est_jaccard >= t.tp / 100.0) u
+       )::BIGINT AS n_docs
+FROM t LEFT JOIN p ON p.est_jaccard >= t.tp / 100.0
+GROUP BY t.tp
 """,
         # clarity: KL(result LM || corpus LM) over the rounded top-k
         "query_clarity": tfidf_scores

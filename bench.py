@@ -430,6 +430,7 @@ def bench_sf_queries() -> dict:
         "normalize_text",
         "query_clarity",
         "psi_drift",
+        "dedup_sweep",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

@@ -2955,3 +2955,60 @@ def tfidf_cosine_pairs(
         )
 
     return summed.map_batches(finish, batch_format="pyarrow")
+
+
+def dedup_threshold_sweep(
+    documents: rd.Dataset,
+    *,
+    thresholds_pct: tuple[int, ...] = (50, 60, 70, 80, 90),
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> "pd.DataFrame":
+    """→ (threshold_pct, n_pairs, n_docs): operating-point calibration
+    for the MinHash near-dup stage — at each candidate threshold, how
+    many pairs survive and how many distinct documents they touch.
+    This is the sweep a curation team runs before fixing the dedup
+    threshold for a 100 TB pass (too low deletes content, too high
+    leaves templates).
+
+    The estimate compares ROUNDed(est, 6) ≥ t on both sides, so no
+    float boundary can flip a pair between buckets.  Scale shape: one
+    MinHash-LSH pass with ``threshold=0`` (every band-sharing candidate
+    keeps its estimate — the pair table is pair-sized by construction);
+    the sweep folds that table (collected under the pair-sized-result
+    convention) with vectorized threshold masks."""
+    import pandas as pd
+
+    pairs = minhash_lsh_pairs(
+        documents, num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+        threshold=0.0, seed=seed,
+    )
+    a_l: list[int] = []
+    b_l: list[int] = []
+    e_l: list[float] = []
+    for ref in pairs.to_arrow_refs():
+        t = ray.get(ref)
+        if not len(t) or "doc_a" not in t.column_names:
+            continue
+        a_l.extend(t.column("doc_a").to_pylist())
+        b_l.extend(t.column("doc_b").to_pylist())
+        e_l.extend(t.column("est_jaccard").to_pylist())
+    a = np.array(a_l, np.int64)
+    b = np.array(b_l, np.int64)
+    est = np.round(np.array(e_l, np.float64), 6)
+
+    rows = []
+    for tp in thresholds_pct:
+        keep = est >= tp / 100.0
+        n_pairs = int(keep.sum())
+        n_docs = int(np.union1d(a[keep], b[keep]).size) if n_pairs else 0
+        rows.append((int(tp), n_pairs, n_docs))
+    return pd.DataFrame(
+        {
+            "threshold_pct": [r[0] for r in rows],
+            "n_pairs": [r[1] for r in rows],
+            "n_docs": [r[2] for r in rows],
+        }
+    )

@@ -327,6 +327,8 @@ def test_oracle_keys_subset(entry_mod):
     "window_leaders", "normalize_text",
     # round 4 session 9: clarity QPP + PSI drift monitor
     "query_clarity", "psi_drift",
+    # round 4 session 9: dedup threshold calibration sweep
+    "dedup_sweep",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
