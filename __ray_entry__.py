@@ -1046,6 +1046,24 @@ def q_psi_drift(sf_dir: str):
 SWEEP_THRESHOLDS = (50, 60, 70, 80, 90)
 
 
+BLOOM_M_BITS, BLOOM_K_HASH = 8192, 3
+
+
+def q_bloom_decontaminate(sf_dir: str):
+    """Bloom-filter decontamination: the probe windows broadcast as an
+    m-bit bitset (constant memory at any eval-suite size); per-doc
+    window totals + Bloom hit counts, false positives deterministic
+    and oracle-checked."""
+    from search_engine_skillbox_ray.pipelines.dedup import (
+        bloom_decontaminate_stats,
+    )
+
+    return bloom_decontaminate_stats(
+        _documents(sf_dir), DECON_PROBES, k=DECON_K,
+        m_bits=BLOOM_M_BITS, k_hash=BLOOM_K_HASH,
+    )
+
+
 def q_dedup_sweep(sf_dir: str):
     """Dedup operating-point sweep: pairs + touched docs surviving each
     candidate MinHash threshold — the calibration table a curation team
@@ -3391,6 +3409,7 @@ _DRIVER_PRIORITY = [
     "query_clarity",
     "psi_drift",
     "dedup_sweep",
+    "bloom_decontaminate",
 ]
 
 
@@ -3533,6 +3552,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "query_clarity": q_query_clarity,
         "psi_drift": q_psi_drift,
         "dedup_sweep": q_dedup_sweep,
+        "bloom_decontaminate": q_bloom_decontaminate,
         "rel_returned_items": q_rel_returned_items,
         "rel_big_orders": q_rel_big_orders,
         "rel_small_qty": q_rel_small_qty,
@@ -3622,6 +3642,12 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "streaming_ingest": q_streaming_ingest,
     }
+
+
+def _decon_probe_values() -> str:
+    """The DECON_PROBES texts as SQL VALUES (shared by the exact and
+    Bloom decontamination oracles)."""
+    return ", ".join("('{}')".format(p.replace("'", "''")) for p in DECON_PROBES)
 
 
 def _terms_values() -> str:
@@ -6862,6 +6888,36 @@ assign AS (SELECT vec_id, c AS lst, dist FROM (
 SELECT lst::BIGINT AS lst, count(*)::BIGINT AS n_vecs,
        ROUND(SUM(dist * dist), 6) AS inertia
 FROM assign GROUP BY lst
+""",
+        # Bloom decontamination: bit positions md5-derived on both
+        # sides — even false positives are deterministic and hash-checked
+        "bloom_decontaminate": f"""
+WITH tl AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+            '[^\\p{{L}}]+'), x -> x <> '') AS toks FROM documents),
+w AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= {DECON_K} THEN
+        list_transform(range(1, len(toks) - {DECON_K} + 2), i ->
+          md5_number_lower(array_to_string(toks[i:i+{DECON_K - 1}], ' ')) % {_M61})
+      ELSE CAST([] AS UBIGINT[]) END) AS wh FROM tl),
+pt AS (SELECT list_filter(regexp_split_to_array(lower(txt), '[^\\p{{L}}]+'),
+        x -> x <> '') AS toks FROM (VALUES {_decon_probe_values()}) p(txt)),
+pw AS (SELECT DISTINCT unnest(CASE WHEN len(toks) >= {DECON_K} THEN
+        list_transform(range(1, len(toks) - {DECON_K} + 2), i ->
+          md5_number_lower(array_to_string(toks[i:i+{DECON_K - 1}], ' ')) % {_M61})
+      ELSE CAST([] AS UBIGINT[]) END) AS wh FROM pt),
+ks AS (SELECT unnest(generate_series(0, {BLOOM_K_HASH - 1})) AS i),
+bits AS (SELECT DISTINCT md5_number_lower(pw.wh::VARCHAR || ':bloom:' || ks.i)
+                % {BLOOM_M_BITS} AS b
+         FROM pw CROSS JOIN ks),
+tot AS (SELECT doc_id, count(*)::BIGINT AS n_windows FROM w GROUP BY doc_id),
+hit AS (SELECT doc_id, count(*)::BIGINT AS n_bloom_hits FROM w
+        WHERE (md5_number_lower(w.wh::VARCHAR || ':bloom:' || '0') % {BLOOM_M_BITS}) IN (SELECT b FROM bits) AND (md5_number_lower(w.wh::VARCHAR || ':bloom:' || '1') % {BLOOM_M_BITS}) IN (SELECT b FROM bits) AND (md5_number_lower(w.wh::VARCHAR || ':bloom:' || '2') % {BLOOM_M_BITS}) IN (SELECT b FROM bits)
+        GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(t.n_windows, 0)::BIGINT AS n_windows,
+       COALESCE(h.n_bloom_hits, 0)::BIGINT AS n_bloom_hits
+FROM documents d
+LEFT JOIN tot t ON d.doc_id = t.doc_id
+LEFT JOIN hit h ON h.doc_id = d.doc_id
 """,
         # dedup sweep: the threshold=0 pair mirror aggregated per cutoff
         "dedup_sweep": f"""

@@ -431,6 +431,7 @@ def bench_sf_queries() -> dict:
         "query_clarity",
         "psi_drift",
         "dedup_sweep",
+        "bloom_decontaminate",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

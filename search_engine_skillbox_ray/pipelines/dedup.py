@@ -3012,3 +3012,87 @@ def dedup_threshold_sweep(
             "n_docs": [r[2] for r in rows],
         }
     )
+
+
+def bloom_decontaminate_stats(
+    documents: rd.Dataset,
+    probe_texts: list[str],
+    *,
+    k: int = 5,
+    m_bits: int = 8192,
+    k_hash: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """→ (doc_id, n_windows, n_bloom_hits): Bloom-filter
+    decontamination — the memory-bounded sibling of
+    :func:`decontaminate_stats`.  The probe set's k-token windows set
+    ``k_hash`` md5-derived positions each in an ``m_bits`` bitset; a
+    document window "hits" when ALL its positions are set (the usual
+    Bloom contract: supersets the exact hit set by deterministic false
+    positives, never misses).  At 100 TB this is THE shape: a
+    billion-window eval suite broadcasts as m_bits/8 bytes instead of
+    8 B per window — the filter rides ``ray.put`` to every task at
+    constant memory, and flagged docs go to the exact verifier.
+
+    Positions are ``md5_u64(str(win_hash) + ':bloom:' + str(i)) %
+    m_bits`` — replicated bit-for-bit by the DuckDB oracle, so even the
+    false positives are deterministic and hash-checked.  Scale shape:
+    shuffle-free single pass, bitset broadcast once."""
+    import ray
+
+    from ..functions.hashing import md5_u64
+
+    probe_tbl = pa.table(
+        {
+            id_col: pa.array(np.arange(len(probe_texts), dtype=np.int64)),
+            text_col: pa.array(list(probe_texts), pa.string()),
+        }
+    )
+    probe_hashes = np.unique(
+        _window_hash_stage(probe_tbl, k, text_col=text_col, id_col=id_col)
+        .column("win_hash")
+        .to_numpy()
+    )
+    bits = np.zeros(m_bits, bool)
+    for i in range(k_hash):
+        pos = md5_u64([f"{int(h)}:bloom:{i}" for h in probe_hashes]) % m_bits
+        bits[pos.astype(np.int64)] = True
+    bits_ref = ray.put(bits)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        bs = _ray.get(bits_ref)
+        doc_ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        wins = _window_hash_stage(batch, k, text_col=text_col, id_col=id_col)
+        n = len(doc_ids)
+        tot = np.zeros(n, np.int64)
+        hit = np.zeros(n, np.int64)
+        if len(wins):
+            wdoc = wins.column("doc_id").to_numpy()
+            whash = wins.column("win_hash").to_numpy()
+            wcnt = wins.column("cnt").to_numpy()
+            order = np.argsort(doc_ids, kind="stable")
+            pos = order[np.searchsorted(doc_ids[order], wdoc)]
+            np.add.at(tot, pos, wcnt)
+            # hash DISTINCT window values only (repeated windows across
+            # docs pay one md5), then map membership back via inverse
+            uniq, inv = np.unique(whash, return_inverse=True)
+            umem = np.ones(len(uniq), bool)
+            for i in range(k_hash):
+                bp = md5_u64([f"{int(h)}:bloom:{i}" for h in uniq]) % m_bits
+                umem &= bs[bp.astype(np.int64)]
+            member = umem[inv]
+            np.add.at(hit, pos[member], wcnt[member])
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "n_windows": pa.array(tot, pa.int64()),
+                "n_bloom_hits": pa.array(hit, pa.int64()),
+            }
+        )
+
+    return documents.select_columns([id_col, text_col]).map_batches(
+        stage, batch_format="pyarrow"
+    )

@@ -343,3 +343,31 @@ def test_boilerplate_strip_paths(corpus, monkeypatch, force_distributed):
         assert stripped.loc[did, "text_clean"] == ""
     # and non-duplicated docs keep text: at least one doc survives intact
     assert (got["n_removed"] == 0).any()
+
+
+def test_bloom_supersets_exact_decontaminate(ray_session):
+    """Bloom hits must be a superset of exact hits per doc (no false
+    negatives), and totals must agree with the exact operator."""
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.dedup import (
+        bloom_decontaminate_stats,
+        decontaminate_stats,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    docs = rd.read_parquet(f"{SF}/documents.parquet")
+    probes = [
+        "small big order scan fast sort a value stream",
+        "merge group part scan row value column batch",
+    ]
+    exact = decontaminate_stats(docs, probes, k=5).to_pandas().set_index("doc_id")
+    bloom = (
+        bloom_decontaminate_stats(docs, probes, k=5, m_bits=8192, k_hash=3)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert (exact["n_windows"] == bloom.loc[exact.index, "n_windows"]).all()
+    assert (
+        bloom.loc[exact.index, "n_bloom_hits"] >= exact["n_hit_windows"]
+    ).all()

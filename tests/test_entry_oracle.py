@@ -329,6 +329,8 @@ def test_oracle_keys_subset(entry_mod):
     "query_clarity", "psi_drift",
     # round 4 session 9: dedup threshold calibration sweep
     "dedup_sweep",
+    # round 4 session 9: Bloom-filter decontamination (bitset broadcast)
+    "bloom_decontaminate",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
