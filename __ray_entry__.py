@@ -1064,6 +1064,90 @@ def q_bloom_decontaminate(sf_dir: str):
     )
 
 
+RM3_LAMBDA = 0.6  # original-query mass in the interpolated model
+
+
+def q_prf_rm3(sf_dir: str):
+    """RM3 interpolated feedback model (Abdul-Jaleel et al. 2004): the
+    final query model λ·P_mle(t|q) + (1−λ)·P_rm(t|R) over query terms ∪
+    the RM1 top-M expansion — what a two-pass frontend actually runs
+    with.  RM1 weights round to 6 dp BEFORE normalizing on both sides,
+    so the interpolation is float-order-proof."""
+    from search_engine_skillbox_ray.pipelines.textstats import prf_expansion_ds
+    from search_engine_skillbox_ray.stages.tokenizer import token_lists
+
+    rm1 = prf_expansion_ds(_documents(sf_dir), PRF_QUERY, PRF_N, PRF_M)
+    terms = rm1.column("term").to_pylist()
+    w6 = np.round(
+        rm1.column("weight").to_numpy(zero_copy_only=False).astype(np.float64), 6
+    )
+    wsum = float(w6.sum())
+
+    norm = token_lists(pa.array([PRF_QUERY], pa.string()))
+    if isinstance(norm, pa.ChunkedArray):
+        norm = norm.combine_chunks()
+    q_toks = [t for t in norm.to_pylist()[0] if t]
+    n_q = len(q_toks)
+    qtf: dict[str, int] = {}
+    for t in q_toks:
+        qtf[t] = qtf.get(t, 0) + 1
+
+    probs: dict[str, float] = {}
+    for t, c in qtf.items():
+        probs[t] = RM3_LAMBDA * (c / n_q)
+    if wsum > 0:
+        for t, w in zip(terms, w6):
+            probs[t] = probs.get(t, 0.0) + (1.0 - RM3_LAMBDA) * (float(w) / wsum)
+    keys = sorted(probs)
+    return pd.DataFrame(
+        {"term": keys, "prob": [round(probs[k], 6) for k in keys]}
+    )
+
+
+CRAWL_HL = 30.0  # crawl scheduling: authority x staleness half-life
+
+
+def q_crawl_priority(sf_dir: str):
+    """Recrawl prioritization: PageRank authority × rational freshness
+    decay (age from the page's /p/<i> position, i % 365 days) — the
+    crawl-budget scheduler of a continuously-refreshed index."""
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.functions.links import extract_links_ds
+    from search_engine_skillbox_ray.pipelines.graph import pagerank
+    from search_engine_skillbox_ray.sources.fixtures import generate_pages_table
+    from search_engine_skillbox_ray.sources.pages import derive_sites
+
+    pages = rd.from_arrow(generate_pages_table(300, n_sites=2, seed=13))
+    sites = derive_sites(pages)
+    pr = pagerank(
+        extract_links_ds(pages, sites), iterations=PR_ITERS,
+        damping_num=PR_DAMP_NUM, damping_den=PR_DAMP_DEN, scale=PR_SCALE,
+    )
+
+    def prio(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        rank = batch.column("pagerank").to_numpy(zero_copy_only=False)
+        age = np.array(
+            [int(u.rsplit("/p/", 1)[1]) % 365 for u in urls], np.float64
+        )
+        fresh = CRAWL_HL / (CRAWL_HL + age)
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                # rank normalized to unit scale BEFORE the product: at
+                # raw 1e12 fixed-point magnitude the 6th decimal sits at
+                # the float64 ulp edge and rounding modes can disagree
+                "priority": pa.array(
+                    np.round(rank.astype(np.float64) / PR_SCALE * fresh, 6),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return pr.map_batches(prio, batch_format="pyarrow")
+
+
 def q_dedup_sweep(sf_dir: str):
     """Dedup operating-point sweep: pairs + touched docs surviving each
     candidate MinHash threshold — the calibration table a curation team
@@ -3410,6 +3494,8 @@ _DRIVER_PRIORITY = [
     "psi_drift",
     "dedup_sweep",
     "bloom_decontaminate",
+    "prf_rm3",
+    "crawl_priority",
 ]
 
 
@@ -3553,6 +3639,8 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "psi_drift": q_psi_drift,
         "dedup_sweep": q_dedup_sweep,
         "bloom_decontaminate": q_bloom_decontaminate,
+        "prf_rm3": q_prf_rm3,
+        "crawl_priority": q_crawl_priority,
         "rel_returned_items": q_rel_returned_items,
         "rel_big_orders": q_rel_big_orders,
         "rel_small_qty": q_rel_small_qty,
@@ -6889,6 +6977,49 @@ SELECT lst::BIGINT AS lst, count(*)::BIGINT AS n_vecs,
        ROUND(SUM(dist * dist), 6) AS inertia
 FROM assign GROUP BY lst
 """,
+        # RM3: interpolate the (rounded, normalized) RM1 model with the
+        # query MLE — reuses the RM1 CTE chain verbatim
+        "prf_rm3": f"""
+WITH tl AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+            '[^\\p{{L}}]+'), x -> x <> '') AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM tl),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+q(term) AS (VALUES {", ".join(f"('{t}')" for t in dict.fromkeys(PRF_QUERY.split()))}),
+dfq AS (SELECT q.term, count(DISTINCT tf.doc_id)::BIGINT AS df
+        FROM q LEFT JOIN tf ON tf.term = q.term GROUP BY q.term),
+sc AS (SELECT tf.doc_id, SUM(tf.tf * ln((nn.n + 1.0) / (dfq.df + 1.0))) AS s
+       FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN nn GROUP BY tf.doc_id),
+fb AS (SELECT doc_id FROM sc
+       QUALIFY row_number() OVER (ORDER BY ROUND(s, 6) DESC, doc_id) <= {PRF_N}),
+fbt AS (SELECT tf.term, SUM(tf.tf)::BIGINT AS tf FROM tf JOIN fb USING (doc_id)
+        WHERE tf.term NOT IN (SELECT term FROM q) GROUP BY tf.term),
+cdf AS (SELECT tf.term, count(DISTINCT tf.doc_id)::BIGINT AS df FROM tf
+        WHERE tf.term IN (SELECT term FROM fbt) GROUP BY tf.term),
+w AS (SELECT fbt.term, fbt.tf * ln((nn.n + 1.0) / (COALESCE(cdf.df, 0) + 1.0)) AS weight
+      FROM fbt LEFT JOIN cdf USING (term) CROSS JOIN nn),
+rm AS (SELECT term, ROUND(weight, 6) AS w FROM w
+       QUALIFY row_number() OVER (ORDER BY ROUND(weight, 6) DESC, term) <= {PRF_M}),
+rs AS (SELECT sum(w) AS s FROM rm),
+qt(term) AS (VALUES {", ".join(f"('{t}')" for t in PRF_QUERY.split())}),
+qn AS (SELECT count(*)::DOUBLE AS n FROM qt),
+parts AS (
+  SELECT term, {RM3_LAMBDA} * (count(*) / qn.n) AS p
+  FROM qt CROSS JOIN qn GROUP BY term, qn.n
+  UNION ALL
+  SELECT term, (1.0 - {RM3_LAMBDA}) * (w / rs.s) AS p FROM rm CROSS JOIN rs)
+SELECT term, ROUND(SUM(p), 6) AS prob FROM parts GROUP BY term
+""",
+        # crawl priority: the unrolled PageRank mirror with the final
+        # select swapped for authority x rational-freshness decay
+        "crawl_priority": _pagerank_sql().replace(
+            f"SELECT u AS url, r AS pagerank FROM r{PR_ITERS}",
+            f"""SELECT u AS url,
+       ROUND(CAST(r AS DOUBLE) / {PR_SCALE} * ({CRAWL_HL} / ({CRAWL_HL}
+             + (CAST(regexp_extract(u, '/p/(\\d+)$', 1) AS BIGINT) % 365))), 6)
+         AS priority
+FROM r{PR_ITERS}""",
+        ),
         # Bloom decontamination: bit positions md5-derived on both
         # sides — even false positives are deterministic and hash-checked
         "bloom_decontaminate": f"""

@@ -432,6 +432,8 @@ def bench_sf_queries() -> dict:
         "psi_drift",
         "dedup_sweep",
         "bloom_decontaminate",
+        "prf_rm3",
+        "crawl_priority",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

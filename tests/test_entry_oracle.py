@@ -331,6 +331,8 @@ def test_oracle_keys_subset(entry_mod):
     "dedup_sweep",
     # round 4 session 9: Bloom-filter decontamination (bitset broadcast)
     "bloom_decontaminate",
+    # round 4 session 9: RM3 interpolated feedback + crawl prioritization
+    "prf_rm3", "crawl_priority",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
