@@ -1148,6 +1148,15 @@ def q_crawl_priority(sf_dir: str):
     return pr.map_batches(prio, batch_format="pyarrow")
 
 
+def q_value_mad(sf_dir: str):
+    """Robust (median/MAD) outlier gate over the event values — exact
+    integer cents, percentile_disc semantics, ONE corpus pass (median,
+    MAD and the outlier count all fold from one value histogram)."""
+    from search_engine_skillbox_ray.pipelines.windows import value_mad_outliers
+
+    return value_mad_outliers(_events(sf_dir))
+
+
 def q_dedup_sweep(sf_dir: str):
     """Dedup operating-point sweep: pairs + touched docs surviving each
     candidate MinHash threshold — the calibration table a curation team
@@ -3496,6 +3505,7 @@ _DRIVER_PRIORITY = [
     "bloom_decontaminate",
     "prf_rm3",
     "crawl_priority",
+    "value_mad",
 ]
 
 
@@ -3641,6 +3651,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "bloom_decontaminate": q_bloom_decontaminate,
         "prf_rm3": q_prf_rm3,
         "crawl_priority": q_crawl_priority,
+        "value_mad": q_value_mad,
         "rel_returned_items": q_rel_returned_items,
         "rel_big_orders": q_rel_big_orders,
         "rel_small_qty": q_rel_small_qty,
@@ -6976,6 +6987,17 @@ assign AS (SELECT vec_id, c AS lst, dist FROM (
 SELECT lst::BIGINT AS lst, count(*)::BIGINT AS n_vecs,
        ROUND(SUM(dist * dist), 6) AS inertia
 FROM assign GROUP BY lst
+""",
+        # MAD outliers: exact-integer percentile_disc on both sides
+        "value_mad": """
+WITH c AS (SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v_c FROM events),
+m AS (SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY v_c) AS med FROM c),
+d AS (SELECT abs(c.v_c - m.med) AS dv FROM c CROSS JOIN m),
+md AS (SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY dv) AS mad FROM d)
+SELECT m.med::BIGINT AS median_c, md.mad::BIGINT AS mad_c,
+       (SELECT count(*) FROM d CROSS JOIN md WHERE d.dv > 3 * md.mad)::BIGINT
+         AS n_outliers
+FROM m CROSS JOIN md
 """,
         # RM3: interpolate the (rounded, normalized) RM1 model with the
         # query MLE — reuses the RM1 CTE chain verbatim

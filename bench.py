@@ -434,6 +434,7 @@ def bench_sf_queries() -> dict:
         "bloom_decontaminate",
         "prf_rm3",
         "crawl_priority",
+        "value_mad",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

@@ -19,6 +19,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data as rd
 
 
@@ -1133,4 +1134,71 @@ def window_topk_users(
         agg.map_batches(decode, batch_format="pyarrow")
         .groupby("window_start")
         .map_groups(topk_group, batch_format="pandas")
+    )
+
+
+def value_mad_outliers(events: rd.Dataset) -> "pd.DataFrame":
+    """→ one row (median_c, mad_c, n_outliers): ROBUST outlier gate over
+    the event value stream — median / median-absolute-deviation instead
+    of mean / σ (``value_outliers``' z-score is itself dragged by the
+    outliers it hunts; MAD is the breakdown-resistant version a
+    monitoring pipeline prefers).  Outlier rule: |v − med| > 3·MAD in
+    exact integer cents.
+
+    percentile_disc semantics (value at 1-based position ceil(q·n))
+    match DuckDB exactly — no interpolation, no floats anywhere.
+
+    Scale shape: ONE corpus pass of per-batch (cents → count)
+    combiners → a value-domain-sized exchange (the histogram); median,
+    MAD (a re-aggregation of the SAME histogram under |v−med|) and the
+    outlier count all fold from the histogram — the corpus is read
+    once."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = np.floor(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        uv, cnt = np.unique(vc, return_counts=True)
+        return pa.table(
+            {"v_c": pa.array(uv, pa.int64()), "cnt": pa.array(cnt.astype(np.int64))}
+        )
+
+    agg = (
+        events.select_columns(["value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("v_c")
+        .sum("cnt")
+    )
+    hist: dict[int, int] = {}
+    for ref in agg.to_arrow_refs():
+        t = ray.get(ref)
+        if not len(t) or "v_c" not in t.column_names:
+            continue
+        for v, c in zip(
+            t.column("v_c").to_pylist(), t.column("sum(cnt)").to_pylist()
+        ):
+            hist[v] = hist.get(v, 0) + c
+    if not hist:
+        return pd.DataFrame({"median_c": [0], "mad_c": [0], "n_outliers": [0]})
+
+    def disc_median(h: dict[int, int]) -> int:
+        n = sum(h.values())
+        target = -(-n // 2)  # ceil(n/2), 1-based position
+        run = 0
+        for v in sorted(h):
+            run += h[v]
+            if run >= target:
+                return v
+        return max(h)
+
+    med = disc_median(hist)
+    dev: dict[int, int] = {}
+    for v, c in hist.items():
+        d = abs(v - med)
+        dev[d] = dev.get(d, 0) + c
+    mad = disc_median(dev)
+    n_out = sum(c for d, c in dev.items() if d > 3 * mad)
+    return pd.DataFrame(
+        {"median_c": [med], "mad_c": [mad], "n_outliers": [n_out]}
     )

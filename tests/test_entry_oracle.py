@@ -333,6 +333,8 @@ def test_oracle_keys_subset(entry_mod):
     "bloom_decontaminate",
     # round 4 session 9: RM3 interpolated feedback + crawl prioritization
     "prf_rm3", "crawl_priority",
+    # round 4 session 9: robust median/MAD outlier gate
+    "value_mad",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
