@@ -1148,6 +1148,31 @@ def q_crawl_priority(sf_dir: str):
     return pr.map_batches(prio, batch_format="pyarrow")
 
 
+INFIX_QUERY, INFIX_MAX_EXP = "erg", 50  # infix wildcard *erg*
+
+
+def q_search_infix(sf_dir: str):
+    """Infix wildcard (``*erg*``) retrieval: contains-expansion over the
+    live vocabulary (honest vectorized metadata scan — no dictionary
+    range answers an infix), disjunctive tf·idf with per-term idf —
+    completes the prefix/suffix/fuzzy wildcard family."""
+    eng = _engine(sf_dir, float32_scores=False)
+    doc_ids, scores, _ = eng.search_infix_scores(
+        INFIX_QUERY, max_expansions=INFIX_MAX_EXP
+    )
+    return pd.DataFrame(
+        {"doc_id": doc_ids.astype(np.int64), "score": np.round(scores, 6)}
+    )
+
+
+def q_df_histogram(sf_dir: str):
+    """Vocabulary df histogram in power-of-two buckets — the Zipf
+    head/tail profile that sizes posting compression and salting."""
+    from search_engine_skillbox_ray.pipelines.textstats import df_histogram_ds
+
+    return df_histogram_ds(_documents(sf_dir))
+
+
 def q_value_mad(sf_dir: str):
     """Robust (median/MAD) outlier gate over the event values — exact
     integer cents, percentile_disc semantics, ONE corpus pass (median,
@@ -3506,6 +3531,8 @@ _DRIVER_PRIORITY = [
     "prf_rm3",
     "crawl_priority",
     "value_mad",
+    "search_infix",
+    "df_histogram",
 ]
 
 
@@ -3652,6 +3679,8 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "prf_rm3": q_prf_rm3,
         "crawl_priority": q_crawl_priority,
         "value_mad": q_value_mad,
+        "search_infix": q_search_infix,
+        "df_histogram": q_df_histogram,
         "rel_returned_items": q_rel_returned_items,
         "rel_big_orders": q_rel_big_orders,
         "rel_small_qty": q_rel_small_qty,
@@ -6987,6 +7016,28 @@ assign AS (SELECT vec_id, c AS lst, dist FROM (
 SELECT lst::BIGINT AS lst, count(*)::BIGINT AS n_vecs,
        ROUND(SUM(dist * dist), 6) AS inertia
 FROM assign GROUP BY lst
+""",
+        # infix wildcard: contains-expansion mirror of search_suffix
+        "search_infix": f"""
+WITH tf AS ({_TF}),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+q AS (SELECT term FROM (SELECT DISTINCT term FROM ({_TOK}))
+      WHERE term LIKE '%{INFIX_QUERY}%' ORDER BY term LIMIT {INFIX_MAX_EXP}),
+df AS (SELECT q.term, count(DISTINCT tf.doc_id)::BIGINT AS df
+       FROM q LEFT JOIN tf ON tf.term = q.term GROUP BY q.term),
+scores AS (
+  SELECT tf.doc_id, SUM(tf.tf * ln((n.n + 1.0) / (df.df + 1.0))) AS score
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+  GROUP BY tf.doc_id)
+SELECT doc_id, ROUND(score, 6) AS score FROM scores
+""",
+        # df histogram: floor(log2(df)) buckets over the vocabulary
+        "df_histogram": f"""
+WITH tf AS ({_TF}),
+d AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tf GROUP BY term)
+SELECT CAST(FLOOR(log2(df)) AS BIGINT) AS bucket,
+       count(*)::BIGINT AS n_terms, sum(df)::BIGINT AS sum_df
+FROM d GROUP BY 1
 """,
         # MAD outliers: exact-integer percentile_disc on both sides
         "value_mad": """

@@ -435,6 +435,8 @@ def bench_sf_queries() -> dict:
         "prf_rm3",
         "crawl_priority",
         "value_mad",
+        "search_infix",
+        "df_histogram",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

@@ -4014,3 +4014,83 @@ def psi_drift_ds(
             }
         )
     )
+
+
+def df_histogram_ds(documents: rd.Dataset) -> rd.Dataset:
+    """→ (bucket, n_terms, sum_df): document-frequency histogram of the
+    vocabulary in power-of-two buckets (bucket = floor(log2(df))) — the
+    index-introspection profile that drives posting-compression and
+    salting decisions (how heavy is the Zipf head, how long the
+    singleton tail).
+
+    Scale shape: per-batch per-doc distinct-term combiners → ONE
+    term-grain exchange for df, then a log2-bucket combiner whose
+    exchange is ~60 rows; the vocabulary never reaches the driver."""
+    from ..functions.hashing import flat_nonempty_tokens
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        toks, parents, _ = flat_nonempty_tokens(batch.column("text"))
+        if not len(toks):
+            return pa.table(
+                {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+            )
+        pairs = pa.table({"term": toks, "p": pa.array(parents, pa.int64())})
+        dis = pairs.group_by(["term", "p"]).aggregate([])
+        g = dis.group_by("term").aggregate([("p", "count")])
+        return pa.table(
+            {"term": g.column("term"), "df": pc.cast(g.column("p_count"), pa.int64())}
+        )
+
+    per_term = (
+        documents.select_columns(["text"])
+        .map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .sum("df")
+    )
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        if not len(t) or "term" not in t.column_names:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "n_terms": pa.array([], pa.int64()),
+                    "sum_df": pa.array([], pa.int64()),
+                }
+            )
+        df = t.column("sum(df)").to_numpy(zero_copy_only=False)
+        b = np.floor(np.log2(df.astype(np.float64))).astype(np.int64)
+        ub, inv = np.unique(b, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        s = np.zeros(len(ub), np.int64)
+        np.add.at(s, inv, df)
+        return pa.table(
+            {
+                "bucket": pa.array(ub),
+                "n_terms": pa.array(n),
+                "sum_df": pa.array(s),
+            }
+        )
+
+    return (
+        per_term.map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .sum(["n_terms", "sum_df"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "bucket": t["bucket"],
+                    "n_terms": pc.cast(t["sum(n_terms)"], pa.int64()),
+                    "sum_df": pc.cast(t["sum(sum_df)"], pa.int64()),
+                }
+            )
+            if len(t) and "bucket" in t.column_names
+            else pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "n_terms": pa.array([], pa.int64()),
+                    "sum_df": pa.array([], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )

@@ -592,6 +592,33 @@ class SearchEngine:
         hi = np.searchsorted(rev_arr, key + "\U0010ffff", side="left")
         return sorted(orig[lo:hi].tolist())[:max_expansions]
 
+    def expand_infix(self, needle: str, max_expansions: int = 50) -> list[str]:
+        """Infix wildcard (``*needle*``) expansion: every live vocabulary
+        term CONTAINING ``needle`` — the WildcardQuery case neither the
+        prefix dictionary nor the reversed dictionary can range-answer,
+        so it is an honest vectorized vocabulary scan
+        (``pc.match_substring`` over the term column — vocabulary-sized
+        metadata, never postings).  Sorted, capped (MultiTermQuery
+        rule)."""
+        if not needle:
+            return []
+        vocab = self._vocab()
+        arr = pa.array(vocab.tolist(), pa.string())
+        hit = pc.match_substring(arr, needle).to_numpy(zero_copy_only=False)
+        return sorted(vocab[hit].tolist())[:max_expansions]
+
+    def search_infix_scores(
+        self, needle: str, *, max_expansions: int = 50, site: str | None = None
+    ) -> tuple[np.ndarray, np.ndarray, list[str]]:
+        """Infix wildcard (``*needle*``) retrieval: contains-expansion
+        against the vocabulary, then the standard disjunctive ranking —
+        each expanded term with its OWN df/idf (scoring-rewrite
+        semantics, completing the prefix/suffix/fuzzy wildcard family)."""
+        terms = self.expand_infix(needle, max_expansions)
+        if not terms:
+            return np.empty(0, np.int64), np.empty(0, np.float64), []
+        return self.search_scores(" ".join(terms), site=site)
+
     def expand_fuzzy(self, term: str, max_expansions: int = 50) -> list[str]:
         """Edit-distance-≤1 expansion against the live vocabulary
         (Lucene FuzzyQuery with maxEdits=1): exact match, one

@@ -335,6 +335,8 @@ def test_oracle_keys_subset(entry_mod):
     "prf_rm3", "crawl_priority",
     # round 4 session 9: robust median/MAD outlier gate
     "value_mad",
+    # round 4 session 9: infix wildcard + vocabulary df histogram
+    "search_infix", "df_histogram",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
