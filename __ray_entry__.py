@@ -1173,6 +1173,18 @@ def q_df_histogram(sf_dir: str):
     return df_histogram_ds(_documents(sf_dir))
 
 
+BURST_MIN_DF = 5
+
+
+def q_term_burstiness(sf_dir: str):
+    """Term burstiness (Church & Gale VMR): Poisson-like glue vs bursty
+    content vocabulary — one (term → Σtf, Σtf², df) combiner exchange,
+    exact integer sums."""
+    from search_engine_skillbox_ray.pipelines.textstats import term_burstiness_ds
+
+    return term_burstiness_ds(_documents(sf_dir), min_df=BURST_MIN_DF)
+
+
 def q_value_mad(sf_dir: str):
     """Robust (median/MAD) outlier gate over the event values — exact
     integer cents, percentile_disc semantics, ONE corpus pass (median,
@@ -3533,6 +3545,7 @@ _DRIVER_PRIORITY = [
     "value_mad",
     "search_infix",
     "df_histogram",
+    "term_burstiness",
 ]
 
 
@@ -3681,6 +3694,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "value_mad": q_value_mad,
         "search_infix": q_search_infix,
         "df_histogram": q_df_histogram,
+        "term_burstiness": q_term_burstiness,
         "rel_returned_items": q_rel_returned_items,
         "rel_big_orders": q_rel_big_orders,
         "rel_small_qty": q_rel_small_qty,
@@ -7038,6 +7052,19 @@ d AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tf GROUP BY term)
 SELECT CAST(FLOOR(log2(df)) AS BIGINT) AS bucket,
        count(*)::BIGINT AS n_terms, sum(df)::BIGINT AS sum_df
 FROM d GROUP BY 1
+""",
+        # burstiness: same division shapes, round 6 on both sides
+        "term_burstiness": f"""
+WITH tf AS ({_TF}),
+a AS (SELECT term, sum(tf)::BIGINT AS s1, sum(tf * tf)::BIGINT AS s2,
+             count(*)::BIGINT AS df
+      FROM tf GROUP BY term HAVING count(*) >= {BURST_MIN_DF})
+SELECT term, df,
+       ROUND(CAST(s1 AS DOUBLE) / df, 6) AS mean_tf,
+       ROUND((CAST(s2 AS DOUBLE) / df
+              - (CAST(s1 AS DOUBLE) / df) * (CAST(s1 AS DOUBLE) / df))
+             / (CAST(s1 AS DOUBLE) / df), 6) AS vmr
+FROM a
 """,
         # MAD outliers: exact-integer percentile_disc on both sides
         "value_mad": """

@@ -437,6 +437,7 @@ def bench_sf_queries() -> dict:
         "value_mad",
         "search_infix",
         "df_histogram",
+        "term_burstiness",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

@@ -4094,3 +4094,86 @@ def df_histogram_ds(documents: rd.Dataset) -> rd.Dataset:
             batch_format="pyarrow",
         )
     )
+
+
+def term_burstiness_ds(documents: rd.Dataset, *, min_df: int = 5) -> rd.Dataset:
+    """→ (term, df, mean_tf, vmr): term burstiness — the
+    variance-to-mean ratio of a term's within-document frequency over
+    the documents that contain it (Church & Gale 1995).  VMR ≈ 1 means
+    Poisson-like function words; VMR ≫ 1 means bursty content words —
+    the signal that separates topical vocabulary from glue when
+    building keyword extractors and stoplists.
+
+    mean = Σtf/df, vmr = (Σtf²/df − mean²) / mean, both from ONE
+    (term → Σtf, Σtf², df) combiner exchange; ``min_df`` trims the
+    unstable singleton tail.  Exact integer sums; two float divisions
+    at the end, rounded 6 on both sides."""
+    from ..functions.hashing import flat_nonempty_tokens
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks, parents, _ = flat_nonempty_tokens(batch.column("text"))
+        if not len(toks):
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "s1": pa.array([], pa.int64()),
+                    "s2": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                }
+            )
+        t = pa.table({"term": toks, "p": pa.array(parents, pa.int64())})
+        g = t.group_by(["term", "p"]).aggregate([([], "count_all")])
+        tf = g.column("count_all").to_numpy(zero_copy_only=False).astype(np.int64)
+        terms = g.column("term")
+        agg = pa.table(
+            {
+                "term": terms,
+                "s1": pa.array(tf),
+                "s2": pa.array(tf * tf),
+                "df": pa.array(np.ones(len(tf), np.int64)),
+            }
+        ).group_by("term").aggregate([("s1", "sum"), ("s2", "sum"), ("df", "sum")])
+        return pa.table(
+            {
+                "term": agg.column("term"),
+                "s1": pc.cast(agg.column("s1_sum"), pa.int64()),
+                "s2": pc.cast(agg.column("s2_sum"), pa.int64()),
+                "df": pc.cast(agg.column("df_sum"), pa.int64()),
+            }
+        )
+
+    agg = (
+        documents.select_columns(["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .sum(["s1", "s2", "df"])
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                "df": pa.array([], pa.int64()),
+                "mean_tf": pa.array([], pa.float64()),
+                "vmr": pa.array([], pa.float64()),
+            }
+        )
+        if not len(t) or "term" not in t.column_names:
+            return empty
+        s1 = t.column("sum(s1)").to_numpy(zero_copy_only=False).astype(np.float64)
+        s2 = t.column("sum(s2)").to_numpy(zero_copy_only=False).astype(np.float64)
+        df = t.column("sum(df)").to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = df >= min_df
+        s1, s2, df = s1[keep], s2[keep], df[keep]
+        mean = s1 / df
+        vmr = (s2 / df - mean * mean) / mean
+        return pa.table(
+            {
+                "term": t.column("term").filter(pa.array(keep)),
+                "df": pa.array(df.astype(np.int64)),
+                "mean_tf": pa.array(np.round(mean, 6), pa.float64()),
+                "vmr": pa.array(np.round(vmr, 6), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
