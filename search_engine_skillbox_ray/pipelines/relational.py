@@ -1912,39 +1912,55 @@ def supplier_variety(
         pair = np.unique(pk * (1 << 20) + sk)
         return pa.table({"pair": pa.array(pair, pa.int64())})
 
-    pairs = (
-        lineitem.select_columns(["l_partkey", "l_suppkey"])
-        .map_batches(pair_partial, batch_format="pyarrow", batch_size=65536)
-        .groupby("pair")
-        .count()
+    pair_partials = lineitem.select_columns(["l_partkey", "l_suppkey"]).map_batches(
+        pair_partial, batch_format="pyarrow", batch_size=65536
     )
 
     # second distinct: (group, suppkey) — a same-group supplier serving
-    # two parts must count once.  Map pair → composite (group id,
-    # suppkey) key, per-batch unique, ONE more keyed exchange; the
-    # driver then folds distinct group-supplier rows with a vectorized
-    # bincount over the group-grain result.
-    def gs_partial(batch: pa.Table) -> pa.Table:
-        pv = batch.column("pair").to_numpy(zero_copy_only=False)
+    # two parts must count once.
+    def _gs_from_pairs(pv: np.ndarray) -> np.ndarray:
         pk = pv >> 20
         sk = pv & ((1 << 20) - 1)
         pos = np.searchsorted(pk_arr, pk)
         pos[pos == len(pk_arr)] = 0
         hit = (pk_arr[pos] == pk) if len(pk_arr) else np.zeros(len(pk), bool)
-        gs = np.unique(gid_arr[pos[hit]] * (1 << 20) + sk[hit])
-        return pa.table({"gs": pa.array(gs, pa.int64())})
+        return np.unique(gid_arr[pos[hit]] * (1 << 20) + sk[hit])
 
-    gs_ds = pairs.map_batches(
-        gs_partial, batch_format="pyarrow"
-    ).groupby("gs").count()
+    # gated dual path (repo convention): the pair table is the observed
+    # partsupp relation — below the gate the driver unions the per-batch
+    # distinct-pair partials directly (two ~200k-key groupby shuffles
+    # cost ~4 s at sf0.1 for nothing); above it the same partials run
+    # through the two keyed exchanges.
+    from ..config import DRIVER_FASTPATH_ROWS
 
     per_group = np.zeros(len(groups), np.int64)
-    for ref in gs_ds.to_arrow_refs():
-        t = ray.get(ref)
-        if not len(t) or "gs" not in t.column_names:
-            continue
-        g = t.column("gs").to_numpy(zero_copy_only=False) >> 20
-        per_group += np.bincount(g, minlength=len(groups))
+    if lineitem.count() <= DRIVER_FASTPATH_ROWS:
+        chunks: list[np.ndarray] = []
+        for ref in pair_partials.to_arrow_refs():
+            t = ray.get(ref)
+            if len(t):
+                chunks.append(t.column("pair").to_numpy(zero_copy_only=False))
+        pv = np.unique(np.concatenate(chunks)) if chunks else np.empty(0, np.int64)
+        gs = _gs_from_pairs(pv)
+        if gs.size:
+            per_group += np.bincount(gs >> 20, minlength=len(groups))
+    else:
+        pairs = pair_partials.groupby("pair").count()
+
+        def gs_partial(batch: pa.Table) -> pa.Table:
+            pv = batch.column("pair").to_numpy(zero_copy_only=False)
+            return pa.table({"gs": pa.array(_gs_from_pairs(pv), pa.int64())})
+
+        gs_ds = pairs.map_batches(
+            gs_partial, batch_format="pyarrow"
+        ).groupby("gs").count()
+
+        for ref in gs_ds.to_arrow_refs():
+            t = ray.get(ref)
+            if not len(t) or "gs" not in t.column_names:
+                continue
+            g = t.column("gs").to_numpy(zero_copy_only=False) >> 20
+            per_group += np.bincount(g, minlength=len(groups))
 
     rows = sorted(
         ((groups[i][0], groups[i][1], groups[i][2], int(c))

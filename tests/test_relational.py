@@ -494,3 +494,24 @@ def test_big_orders_distributed_matches_fastpath(ray_session, monkeypatch):
         dist.reset_index(drop=True),
         check_dtype=False,
     )
+
+
+@requires_solo_ray
+def test_supplier_variety_distributed_matches_fastpath(ray_session, monkeypatch):
+    import ray.data as rd
+
+    from search_engine_skillbox_ray import config
+    from search_engine_skillbox_ray.pipelines import relational
+
+    _, _, li = _tables()
+    p = rd.read_parquet(f"{SF}/part.parquet")
+    s = rd.read_parquet(f"{SF}/supplier.parquet")
+    kw = dict(exclude_brand="Brand#13", sizes=(1, 5, 9, 13, 17, 21, 25, 29))
+    fast = relational.supplier_variety(li, p, s, **kw)
+    monkeypatch.setattr(config, "DRIVER_FASTPATH_ROWS", 0)
+    dist = relational.supplier_variety(li, p, s, **kw)
+    pd.testing.assert_frame_equal(
+        fast.reset_index(drop=True),
+        dist.reset_index(drop=True),
+        check_dtype=False,
+    )
