@@ -515,3 +515,103 @@ def test_supplier_variety_distributed_matches_fastpath(ray_session, monkeypatch)
         dist.reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_brackets_and_promo_match_pandas_recount(ray_session):
+    """Q19/Q14 shapes recomputed naively in pandas on randomized frames:
+    the broadcast-bitmask and is-promo paths must agree exactly."""
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.relational import (
+        bracket_revenue,
+        promo_revenue_share,
+    )
+
+    rng = np.random.default_rng(11)
+    n_parts, n_rows = 60, 4000
+    part = pd.DataFrame(
+        {
+            "p_partkey": np.arange(n_parts, dtype=np.int64),
+            "p_brand": rng.choice(["Brand#13", "Brand#22", "Brand#25"], n_parts),
+            "p_type": rng.choice(["PROMO", "ECONOMY"], n_parts),
+            "p_size": rng.integers(1, 30, n_parts).astype(np.int32),
+            "p_name": ["p"] * n_parts,
+            "p_retailprice": np.ones(n_parts),
+        }
+    )
+    li = pd.DataFrame(
+        {
+            "l_partkey": rng.integers(0, n_parts, n_rows).astype(np.int64),
+            "l_quantity": np.round(rng.uniform(1, 50, n_rows), 2),
+            "l_extendedprice": np.round(rng.uniform(10, 1000, n_rows), 2),
+            "l_discount": np.round(rng.uniform(0, 0.1, n_rows), 2),
+            "l_shipdate": pd.to_datetime(
+                rng.integers(0, 2000, n_rows), unit="D", origin="1995-01-01"
+            ),
+            "l_orderkey": np.arange(n_rows, dtype=np.int64),
+            "l_suppkey": rng.integers(0, 10, n_rows).astype(np.int64),
+        }
+    )
+    brackets = [("Brand#13", 1, 15, 1, 10), ("Brand#22", 10, 25, 1, 20)]
+    out = bracket_revenue(
+        rd.from_pandas(li), rd.from_pandas(part), brackets=brackets
+    )["revenue"].iloc[0]
+
+    m = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    qc = np.floor(m["l_quantity"] * 100 + 0.5).astype(np.int64)
+    pc_ = np.floor(m["l_extendedprice"] * 100 + 0.5).astype(np.int64)
+    dc = np.floor(m["l_discount"] * 100 + 0.5).astype(np.int64)
+    keep = np.zeros(len(m), bool)
+    for b, q0, q1, s0, s1 in brackets:
+        keep |= (
+            (m["p_brand"] == b).to_numpy()
+            & (qc >= q0 * 100) & (qc <= q1 * 100)
+            & (m["p_size"].to_numpy() >= s0) & (m["p_size"].to_numpy() <= s1)
+        )
+    expect = round(int((pc_[keep] * (100 - dc[keep])).sum()) / 10_000.0, 6)
+    assert abs(out - expect) < 1e-9
+
+    share = promo_revenue_share(
+        rd.from_pandas(li), rd.from_pandas(part),
+        promo_type="PROMO", from_iso="1995-01-01", to_iso="2001-01-01",
+    )["promo_revenue"].iloc[0]
+    win = (m["l_shipdate"] >= "1995-01-01") & (m["l_shipdate"] < "2001-01-01")
+    rev = pc_ * (100 - dc)
+    denom = int(rev[win.to_numpy()].sum())
+    num = int(rev[(win & (m["p_type"] == "PROMO")).to_numpy()].sum())
+    assert abs(share - round(100.0 * num / denom, 6)) < 1e-9
+
+
+def test_supplier_variety_same_group_supplier_counts_once(ray_session):
+    """A supplier serving TWO parts of the same (brand,type,size) group
+    must count once — the group-id composite regression case."""
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.relational import supplier_variety
+
+    part = pd.DataFrame(
+        {
+            "p_partkey": np.array([1, 2, 3], np.int64),
+            "p_brand": ["Brand#22"] * 3,
+            "p_type": ["ECONOMY"] * 3,
+            "p_size": np.array([5, 5, 5], np.int32),
+        }
+    )
+    li = pd.DataFrame(
+        {
+            "l_partkey": np.array([1, 2, 3, 1], np.int64),
+            "l_suppkey": np.array([7, 7, 8, 7], np.int64),  # supp 7 serves 2 parts
+        }
+    )
+    sup = pd.DataFrame(
+        {
+            "s_suppkey": np.array([7, 8], np.int64),
+            "s_acctbal": np.array([10.0, 10.0]),
+        }
+    )
+    out = supplier_variety(
+        rd.from_pandas(li), rd.from_pandas(part), rd.from_pandas(sup),
+        exclude_brand="Brand#13", sizes=(5,),
+    )
+    assert len(out) == 1
+    assert out["supplier_cnt"].iloc[0] == 2  # supp 7 once + supp 8
