@@ -967,6 +967,28 @@ def q_rel_market_share(sf_dir: str):
     )
 
 
+KATZ_A_NUM, KATZ_A_DEN, KATZ_SCALE = 15, 100, 10**9
+
+
+def q_link_katz(sf_dir: str):
+    """Katz centrality over the link fixture's in-site graph —
+    attenuated all-walks influence in associative int64 fixed point,
+    bit-exact vs the unrolled SQL mirror."""
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.functions.links import extract_links_ds
+    from search_engine_skillbox_ray.pipelines.graph import katz_centrality
+    from search_engine_skillbox_ray.sources.fixtures import generate_pages_table
+    from search_engine_skillbox_ray.sources.pages import derive_sites
+
+    pages = rd.from_arrow(generate_pages_table(300, n_sites=2, seed=13))
+    sites = derive_sites(pages)
+    return katz_centrality(
+        extract_links_ds(pages, sites), iterations=PR_ITERS,
+        alpha_num=KATZ_A_NUM, alpha_den=KATZ_A_DEN, scale=KATZ_SCALE,
+    )
+
+
 def q_link_ppr(sf_dir: str):
     """Personalized PageRank from the '/p/0' seed pages over the link
     fixture's in-site graph — random-walk-with-restart related-page
@@ -3546,6 +3568,7 @@ _DRIVER_PRIORITY = [
     "search_infix",
     "df_histogram",
     "term_burstiness",
+    "link_katz",
 ]
 
 
@@ -3695,6 +3718,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "search_infix": q_search_infix,
         "df_histogram": q_df_histogram,
         "term_burstiness": q_term_burstiness,
+        "link_katz": q_link_katz,
         "rel_returned_items": q_rel_returned_items,
         "rel_big_orders": q_rel_big_orders,
         "rel_small_qty": q_rel_small_qty,
@@ -4208,6 +4232,31 @@ def _link_graph_values() -> str:
             rows.append(f"('{nu}', '{base}/p/{i - 1}')")
         rows.append(f"('{nu}', '{base}/p/{i + 1}')")
     return ", ".join(rows)
+
+
+def _katz_sql() -> str:
+    """Unrolled fixed-point Katz mirror over the structural link VALUES
+    — per iteration one contrib/rank CTE pair, pure BIGINT floor
+    arithmetic, no out-degree normalization."""
+    scale, an, ad, iters = KATZ_SCALE, KATZ_A_NUM, KATZ_A_DEN, PR_ITERS
+    ctes = [f"""edges AS (
+  SELECT DISTINCT src_url AS s, dst_url AS d
+  FROM (VALUES {_link_graph_values()}) t(src_url, dst_url)),
+nodes AS (SELECT s AS u FROM edges UNION SELECT d FROM edges),
+k0 AS (SELECT u, CAST({scale} AS BIGINT) AS r FROM nodes)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""kc{i} AS (
+  SELECT e.d AS u, SUM(r.r) AS c
+  FROM edges e JOIN k{i - 1} r ON r.u = e.s
+  GROUP BY e.d),
+k{i} AS (
+  SELECT n.u,
+         CAST({scale} + ({an} * COALESCE(c.c, 0)) // {ad} AS BIGINT) AS r
+  FROM nodes n LEFT JOIN kc{i} c ON c.u = n.u)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT u AS url, r AS katz FROM k{iters}"
+    )
 
 
 def _ppr_sql() -> str:
@@ -7247,6 +7296,8 @@ FROM li GROUP BY o_year
 """,
         # personalized PageRank: unrolled integer mirror, seed teleport
         "link_ppr": _ppr_sql(),
+        # Katz centrality: unrolled integer mirror, no degree division
+        "link_katz": _katz_sql(),
         # Q7 shape: bilateral trade, exact cent·pct revenue per
         # (supp nation, cust nation, ship year)
         "rel_nation_trade": f"""

@@ -438,6 +438,7 @@ def bench_sf_queries() -> dict:
         "search_infix",
         "df_histogram",
         "term_burstiness",
+        "link_katz",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

@@ -339,6 +339,8 @@ def test_oracle_keys_subset(entry_mod):
     "search_infix", "df_histogram",
     # round 4 session 9: term burstiness (Church-Gale VMR)
     "term_burstiness",
+    # round 4 session 9: Katz centrality (attenuated all-walks)
+    "link_katz",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))

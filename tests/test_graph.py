@@ -347,3 +347,34 @@ def test_ppr_seed_outside_graph_is_empty(ray_session):
     edges = rd.from_items([{"src_url": "a", "dst_url": "b"}])
     out = personalized_pagerank(edges, ["zzz"]).to_pandas()
     assert (out["ppr"] == 0).all()
+
+
+@requires_solo_ray
+def test_katz_distributed_matches_fastpath(ray_session, monkeypatch):
+    import ray.data as rd
+
+    from search_engine_skillbox_ray import config
+    from search_engine_skillbox_ray.pipelines.graph import katz_centrality
+
+    edges = rd.from_items(
+        [
+            {"src_url": "a", "dst_url": "b"},
+            {"src_url": "b", "dst_url": "c"},
+            {"src_url": "c", "dst_url": "a"},
+            {"src_url": "a", "dst_url": "c"},
+            {"src_url": "d", "dst_url": "c"},
+        ]
+    )
+    fast = (
+        katz_centrality(edges, iterations=4)
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    monkeypatch.setattr(config, "DRIVER_FASTPATH_ROWS", 0)
+    dist = (
+        katz_centrality(edges, iterations=4)
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    assert fast.equals(dist)
+    r = dict(zip(fast["url"], fast["katz"]))
+    # c has two inbound edges incl. from the well-fed a — highest; d has none
+    assert r["c"] > r["b"] and r["d"] == min(r.values())
