@@ -1216,6 +1216,18 @@ def q_value_mad(sf_dir: str):
     return value_mad_outliers(_events(sf_dir))
 
 
+def q_minhash_calibration(sf_dir: str):
+    """MinHash estimator calibration: per est-Jaccard decile the mean
+    signature estimate vs the mean EXACT shingle Jaccard of the same
+    candidate pairs — the bias table behind any est >= t deletion rule."""
+    from search_engine_skillbox_ray.pipelines.dedup import minhash_calibration
+
+    return minhash_calibration(
+        _documents(sf_dir), num_perm=MINHASH_PERM, bands=MINHASH_BANDS,
+        seed=MINHASH_SEED,
+    )
+
+
 def q_dedup_sweep(sf_dir: str):
     """Dedup operating-point sweep: pairs + touched docs surviving each
     candidate MinHash threshold — the calibration table a curation team
@@ -3569,6 +3581,7 @@ _DRIVER_PRIORITY = [
     "df_histogram",
     "term_burstiness",
     "link_katz",
+    "minhash_calibration",
 ]
 
 
@@ -3719,6 +3732,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "df_histogram": q_df_histogram,
         "term_burstiness": q_term_burstiness,
         "link_katz": q_link_katz,
+        "minhash_calibration": q_minhash_calibration,
         "rel_returned_items": q_rel_returned_items,
         "rel_big_orders": q_rel_big_orders,
         "rel_small_qty": q_rel_small_qty,
@@ -7198,6 +7212,30 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN tot t ON d.doc_id = t.doc_id
 LEFT JOIN hit h ON h.doc_id = d.doc_id
+""",
+        # calibration: est (k/num_perm, binary-exact) vs exact shingle
+        # Jaccard of the same candidates, decile buckets
+        "minhash_calibration": f"""
+WITH p AS ({_minhash_pairs_sql(threshold=0.0)}),
+{_shingles_cte()},
+g AS (SELECT DISTINCT doc_id, CAST(x AS BIGINT) AS gh FROM sh),
+sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+ints AS (SELECT p.doc_a, p.doc_b, count(*) AS isz
+         FROM p JOIN g x ON x.doc_id = p.doc_a
+         JOIN g y ON y.doc_id = p.doc_b AND y.gh = x.gh
+         GROUP BY p.doc_a, p.doc_b),
+ex AS (SELECT p.doc_a, p.doc_b, p.est_jaccard,
+              CAST(COALESCE(i.isz, 0) AS DOUBLE)
+                / (sa.sz + sb.sz - COALESCE(i.isz, 0)) AS ej
+       FROM p
+       JOIN sz sa ON sa.doc_id = p.doc_a
+       JOIN sz sb ON sb.doc_id = p.doc_b
+       LEFT JOIN ints i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b)
+SELECT CAST(FLOOR(est_jaccard * 10) AS BIGINT) AS bucket,
+       count(*)::BIGINT AS n_pairs,
+       ROUND(avg(est_jaccard), 6) AS mean_est,
+       ROUND(avg(ej), 6) AS mean_exact
+FROM ex GROUP BY 1
 """,
         # dedup sweep: the threshold=0 pair mirror aggregated per cutoff
         "dedup_sweep": f"""

@@ -439,6 +439,7 @@ def bench_sf_queries() -> dict:
         "df_histogram",
         "term_burstiness",
         "link_katz",
+        "minhash_calibration",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

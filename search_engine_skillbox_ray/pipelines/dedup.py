@@ -3096,3 +3096,112 @@ def bloom_decontaminate_stats(
     return documents.select_columns([id_col, text_col]).map_batches(
         stage, batch_format="pyarrow"
     )
+
+
+def minhash_calibration(
+    documents: rd.Dataset,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> "pd.DataFrame":
+    """→ (bucket, n_pairs, mean_est, mean_exact): estimator-quality
+    calibration of the MinHash near-dup stage — per est-Jaccard decile
+    (bucket = floor(est·10)), how the signature estimate tracks the
+    EXACT shingle Jaccard of the same candidate pairs.  The bias/spread
+    table a curation team reads before trusting est ≥ t as a deletion
+    rule at 100 TB (complements ``dedup_threshold_sweep``'s volume
+    view).
+
+    Scale shape: one threshold-0 MinHash-LSH pass (pair-sized
+    candidates), then the ngram verify recipe — gram sets re-derived
+    ONLY for referenced docs (candidate-pruned second corpus pass),
+    exact |∩|/|∪| per pair, a ≤10-row aggregate.  est is k/num_perm
+    (binary-exact), so the decile bucketing cannot sit on a float
+    boundary."""
+    import pandas as pd
+
+    pairs = minhash_lsh_pairs(
+        documents, num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+        threshold=0.0, seed=seed,
+    )
+    a_l: list[int] = []
+    b_l: list[int] = []
+    e_l: list[float] = []
+    for ref in pairs.to_arrow_refs():
+        t = ray.get(ref)
+        if not len(t) or "doc_a" not in t.column_names:
+            continue
+        a_l.extend(t.column("doc_a").to_pylist())
+        b_l.extend(t.column("doc_b").to_pylist())
+        e_l.extend(t.column("est_jaccard").to_pylist())
+    if not a_l:
+        return pd.DataFrame(
+            {"bucket": [], "n_pairs": [], "mean_est": [], "mean_exact": []}
+        )
+    a = np.array(a_l, np.int64)
+    b = np.array(b_l, np.int64)
+    est = np.round(np.array(e_l, np.float64), 6)
+
+    referenced = np.unique(np.concatenate([a, b]))
+    ref_ref = ray.put(referenced)
+    helper = _NgramBuckets(shingle_k, 4)
+
+    def gather_sets(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ref = ray.get(ref_ref)
+        mask = pc.is_in(batch.column("doc_id"), value_set=pa.array(ref))
+        sub = batch.filter(mask)
+        if not len(sub):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "grams": pa.array([], pa.list_(pa.int64())),
+                }
+            )
+        sets = helper.doc_gram_sets(sub)
+        return pa.table(
+            {
+                "doc_id": sub.column("doc_id"),
+                "grams": pa.array([s.tolist() for s in sets], pa.list_(pa.int64())),
+            }
+        )
+
+    sets_by_doc: dict[int, set] = {}
+    for ref in documents.map_batches(
+        gather_sets, batch_format="pyarrow"
+    ).to_arrow_refs():
+        t = ray.get(ref)
+        for did, gs in zip(
+            t.column("doc_id").to_pylist(), t.column("grams").to_pylist()
+        ):
+            sets_by_doc[int(did)] = set(gs)
+
+    exact = np.empty(len(a), np.float64)
+    for i, (da, db) in enumerate(zip(a.tolist(), b.tolist())):
+        s1 = sets_by_doc.get(da, set())
+        s2 = sets_by_doc.get(db, set())
+        exact[i] = len(s1 & s2) / len(s1 | s2) if (s1 or s2) else 0.0
+
+    bucket = np.floor(est * 10.0).astype(np.int64)
+    rows = []
+    for bk in np.unique(bucket):
+        m = bucket == bk
+        rows.append(
+            (
+                int(bk),
+                int(m.sum()),
+                round(float(est[m].mean()), 6),
+                round(float(exact[m].mean()), 6),
+            )
+        )
+    return pd.DataFrame(
+        {
+            "bucket": [r[0] for r in rows],
+            "n_pairs": [r[1] for r in rows],
+            "mean_est": [r[2] for r in rows],
+            "mean_exact": [r[3] for r in rows],
+        }
+    )

@@ -341,6 +341,8 @@ def test_oracle_keys_subset(entry_mod):
     "term_burstiness",
     # round 4 session 9: Katz centrality (attenuated all-walks)
     "link_katz",
+    # round 4 session 9: MinHash estimator calibration (est vs exact)
+    "minhash_calibration",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
