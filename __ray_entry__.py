@@ -1240,6 +1240,18 @@ def q_dedup_sweep(sf_dir: str):
     )
 
 
+RFM_REF = "2001-09-01"  # RFM reference date (after the last order)
+
+
+def q_rel_rfm(sf_dir: str):
+    """RFM customer segmentation: recency/frequency/monetary with exact
+    percentile_disc quartile buckets — customer-grain combiners, three
+    broadcast thresholds, zero float boundaries."""
+    from search_engine_skillbox_ray.pipelines.relational import rfm_segments
+
+    return rfm_segments(_table(sf_dir, "orders"), ref_iso=RFM_REF)
+
+
 def q_rel_nation_trade(sf_dir: str):
     """TPC-H Q7-shaped bilateral trade volume: per (supp nation, cust
     nation, ship year) revenue between two nations — dimension
@@ -3582,6 +3594,7 @@ _DRIVER_PRIORITY = [
     "term_burstiness",
     "link_katz",
     "minhash_calibration",
+    "rel_rfm",
 ]
 
 
@@ -3733,6 +3746,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "term_burstiness": q_term_burstiness,
         "link_katz": q_link_katz,
         "minhash_calibration": q_minhash_calibration,
+        "rel_rfm": q_rel_rfm,
         "rel_returned_items": q_rel_returned_items,
         "rel_big_orders": q_rel_big_orders,
         "rel_small_qty": q_rel_small_qty,
@@ -7336,6 +7350,36 @@ FROM li GROUP BY o_year
         "link_ppr": _ppr_sql(),
         # Katz centrality: unrolled integer mirror, no degree division
         "link_katz": _katz_sql(),
+        # RFM: discrete quartile thresholds (value at ceil(q*n)), bucket
+        # rule <= on exact ints; recency quartile inverted
+        "rel_rfm": f"""
+WITH a AS (
+  SELECT o_custkey AS c_custkey,
+         min(date_diff('day', o_orderdate, TIMESTAMP '{RFM_REF}'))::BIGINT AS rec,
+         count(*)::BIGINT AS freq,
+         sum(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS mon
+  FROM orders GROUP BY o_custkey),
+t AS (SELECT
+  percentile_disc(0.25) WITHIN GROUP (ORDER BY rec) AS r1,
+  percentile_disc(0.5)  WITHIN GROUP (ORDER BY rec) AS r2,
+  percentile_disc(0.75) WITHIN GROUP (ORDER BY rec) AS r3,
+  percentile_disc(0.25) WITHIN GROUP (ORDER BY freq) AS f1,
+  percentile_disc(0.5)  WITHIN GROUP (ORDER BY freq) AS f2,
+  percentile_disc(0.75) WITHIN GROUP (ORDER BY freq) AS f3,
+  percentile_disc(0.25) WITHIN GROUP (ORDER BY mon) AS m1,
+  percentile_disc(0.5)  WITHIN GROUP (ORDER BY mon) AS m2,
+  percentile_disc(0.75) WITHIN GROUP (ORDER BY mon) AS m3
+  FROM a)
+SELECT a.c_custkey, a.rec AS recency_days, a.freq AS frequency,
+       round(CAST(a.mon AS DOUBLE) / 100.0, 6) AS monetary,
+       (5 - CASE WHEN a.rec <= t.r1 THEN 1 WHEN a.rec <= t.r2 THEN 2
+                 WHEN a.rec <= t.r3 THEN 3 ELSE 4 END)::BIGINT AS r_q,
+       (CASE WHEN a.freq <= t.f1 THEN 1 WHEN a.freq <= t.f2 THEN 2
+             WHEN a.freq <= t.f3 THEN 3 ELSE 4 END)::BIGINT AS f_q,
+       (CASE WHEN a.mon <= t.m1 THEN 1 WHEN a.mon <= t.m2 THEN 2
+             WHEN a.mon <= t.m3 THEN 3 ELSE 4 END)::BIGINT AS m_q
+FROM a CROSS JOIN t
+""",
         # Q7 shape: bilateral trade, exact cent·pct revenue per
         # (supp nation, cust nation, ship year)
         "rel_nation_trade": f"""

@@ -440,6 +440,7 @@ def bench_sf_queries() -> dict:
         "term_burstiness",
         "link_katz",
         "minhash_calibration",
+        "rel_rfm",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

@@ -2569,3 +2569,96 @@ def market_share(
             ],
         }
     )
+
+
+def rfm_segments(
+    orders: rd.Dataset,
+    *,
+    ref_iso: str,
+) -> pd.DataFrame:
+    """→ (c_custkey, recency_days, frequency, monetary, r_q, f_q, m_q):
+    RFM customer segmentation — days since last order (vs ``ref``),
+    order count, lifetime value in exact cents, each bucketed into
+    quartiles 1..4 by EXACT percentile_disc thresholds (q1/q2/q3 =
+    values at 1-based positions ceil(0.25/0.5/0.75·n)); bucket rule
+    ``value ≤ threshold`` on integers, so no float boundary exists.
+    Higher quartile = better customer on every axis (recency inverts:
+    fewer days → higher r_q).
+
+    Scale shape: ONE pass of per-batch custkey combiners (min over the
+    negated date = max order date; count; Σ cents) → a customer-grain
+    exchange; the three quartile thresholds fold from value histograms
+    of that customer-grain table (distinct-value-sized); the bucket
+    pass is a stateless broadcast-threshold map."""
+    ref = np.datetime64(ref_iso, "us")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        od = batch.column("o_orderdate").to_numpy(zero_copy_only=False)
+        days = (
+            (ref - od.astype("datetime64[us]")).astype("timedelta64[D]").astype(np.int64)
+        )
+        tot_c = _cents(batch.column("o_totalprice").to_numpy(zero_copy_only=False))
+        uk, inv = np.unique(ck, return_inverse=True)
+        rec = np.full(len(uk), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(rec, inv, days)
+        freq = np.bincount(inv).astype(np.int64)
+        mon = np.zeros(len(uk), np.int64)
+        np.add.at(mon, inv, tot_c)
+        return pa.table(
+            {
+                "c_custkey": pa.array(uk, pa.int64()),
+                "rec": pa.array(rec),
+                "freq": pa.array(freq),
+                "mon": pa.array(mon),
+            }
+        )
+
+    agg = (
+        orders.select_columns(["o_custkey", "o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("c_custkey")
+        .aggregate(
+            rd.aggregate.Min("rec"), rd.aggregate.Sum("freq"), rd.aggregate.Sum("mon")
+        )
+    )
+
+    rows: dict[int, tuple[int, int, int]] = {}
+    for ref_ in agg.to_arrow_refs():
+        t = ray.get(ref_)
+        if not len(t) or "c_custkey" not in t.column_names:
+            continue
+        for r in t.to_pylist():
+            rows[r["c_custkey"]] = (r["min(rec)"], r["sum(freq)"], r["sum(mon)"])
+
+    keys = sorted(rows)
+    rec = np.array([rows[k][0] for k in keys], np.int64)
+    freq = np.array([rows[k][1] for k in keys], np.int64)
+    mon = np.array([rows[k][2] for k in keys], np.int64)
+
+    def disc_q(vals: np.ndarray, q: float) -> int:
+        s = np.sort(vals)
+        pos = int(np.ceil(q * len(s)))  # 1-based
+        return int(s[max(pos, 1) - 1])
+
+    def bucket(vals: np.ndarray, invert: bool) -> np.ndarray:
+        t1, t2, t3 = (disc_q(vals, q) for q in (0.25, 0.5, 0.75))
+        b = np.where(
+            vals <= t1, 1, np.where(vals <= t2, 2, np.where(vals <= t3, 3, 4))
+        ).astype(np.int64)
+        return (5 - b) if invert else b
+
+    r_q = bucket(rec, invert=True)  # fewer days since last order = better
+    f_q = bucket(freq, invert=False)
+    m_q = bucket(mon, invert=False)
+    return pd.DataFrame(
+        {
+            "c_custkey": keys,
+            "recency_days": rec,
+            "frequency": freq,
+            "monetary": np.round(mon.astype(np.float64) / 100.0, 6),
+            "r_q": r_q,
+            "f_q": f_q,
+            "m_q": m_q,
+        }
+    )

@@ -343,6 +343,8 @@ def test_oracle_keys_subset(entry_mod):
     "link_katz",
     # round 4 session 9: MinHash estimator calibration (est vs exact)
     "minhash_calibration",
+    # round 4 session 9: RFM customer segmentation (exact quartiles)
+    "rel_rfm",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
