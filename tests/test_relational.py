@@ -615,3 +615,21 @@ def test_supplier_variety_same_group_supplier_counts_once(ray_session):
     )
     assert len(out) == 1
     assert out["supplier_cnt"].iloc[0] == 2  # supp 7 once + supp 8
+
+
+@requires_solo_ray
+def test_rfm_distributed_matches_fastpath(ray_session, monkeypatch):
+    import ray.data as rd
+
+    from search_engine_skillbox_ray import config
+    from search_engine_skillbox_ray.pipelines import relational
+
+    o = rd.read_parquet(f"{SF}/orders.parquet")
+    fast = relational.rfm_segments(o, ref_iso="2001-09-01")
+    monkeypatch.setattr(config, "DRIVER_FASTPATH_ROWS", 0)
+    dist = relational.rfm_segments(o, ref_iso="2001-09-01")
+    pd.testing.assert_frame_equal(
+        fast.reset_index(drop=True),
+        dist.reset_index(drop=True),
+        check_dtype=False,
+    )
