@@ -1252,6 +1252,25 @@ def q_rel_rfm(sf_dir: str):
     return rfm_segments(_table(sf_dir, "orders"), ref_iso=RFM_REF)
 
 
+def q_rel_discount_elasticity(sf_dir: str):
+    """Demand response per discount band: avg quantity/base price per
+    discount level — exact integer sums, an ~11-key combiner exchange."""
+    from search_engine_skillbox_ray.pipelines.relational import discount_elasticity
+
+    return discount_elasticity(_table(sf_dir, "lineitem"))
+
+
+def q_source_quality_summary(sf_dir: str):
+    """Per-source doc-length quartile summary (exact percentile_disc)
+    — the provider profile of a data-mix dashboard; histogram
+    combiners, group-local quartile folds."""
+    from search_engine_skillbox_ray.pipelines.textstats import (
+        source_quality_summary_ds,
+    )
+
+    return source_quality_summary_ds(_documents(sf_dir))
+
+
 def q_rel_nation_trade(sf_dir: str):
     """TPC-H Q7-shaped bilateral trade volume: per (supp nation, cust
     nation, ship year) revenue between two nations — dimension
@@ -3595,6 +3614,8 @@ _DRIVER_PRIORITY = [
     "link_katz",
     "minhash_calibration",
     "rel_rfm",
+    "rel_discount_elasticity",
+    "source_quality_summary",
 ]
 
 
@@ -3747,6 +3768,8 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "link_katz": q_link_katz,
         "minhash_calibration": q_minhash_calibration,
         "rel_rfm": q_rel_rfm,
+        "rel_discount_elasticity": q_rel_discount_elasticity,
+        "source_quality_summary": q_source_quality_summary,
         "rel_returned_items": q_rel_returned_items,
         "rel_big_orders": q_rel_big_orders,
         "rel_small_qty": q_rel_small_qty,
@@ -7379,6 +7402,26 @@ SELECT a.c_custkey, a.rec AS recency_days, a.freq AS frequency,
        (CASE WHEN a.mon <= t.m1 THEN 1 WHEN a.mon <= t.m2 THEN 2
              WHEN a.mon <= t.m3 THEN 3 ELSE 4 END)::BIGINT AS m_q
 FROM a CROSS JOIN t
+""",
+        # discount elasticity: exact int sums per band, two divisions
+        "rel_discount_elasticity": """
+WITH a AS (SELECT CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS disc_pct,
+                  count(*)::BIGINT AS n,
+                  sum(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS sq,
+                  sum(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sp
+           FROM lineitem GROUP BY 1)
+SELECT disc_pct, n AS n_rows,
+       round(CAST(sq AS DOUBLE) / 100.0 / n, 6) AS avg_qty,
+       round(CAST(sp AS DOUBLE) / 100.0 / n, 6) AS avg_price
+FROM a
+""",
+        # per-source length quartiles: percentile_disc on exact ints
+        "source_quality_summary": """
+SELECT source, count(*)::BIGINT AS n_docs,
+       percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars)::BIGINT AS p25,
+       percentile_disc(0.5)  WITHIN GROUP (ORDER BY n_chars)::BIGINT AS p50,
+       percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars)::BIGINT AS p75
+FROM documents GROUP BY source
 """,
         # Q7 shape: bilateral trade, exact cent·pct revenue per
         # (supp nation, cust nation, ship year)

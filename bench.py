@@ -441,6 +441,8 @@ def bench_sf_queries() -> dict:
         "link_katz",
         "minhash_calibration",
         "rel_rfm",
+        "rel_discount_elasticity",
+        "source_quality_summary",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}

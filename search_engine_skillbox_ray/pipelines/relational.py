@@ -2680,3 +2680,59 @@ def rfm_segments(
             "m_q": m_q,
         }
     )
+
+
+def discount_elasticity(lineitem: rd.Dataset) -> pd.DataFrame:
+    """→ (disc_pct, n_rows, avg_qty, avg_price): demand response per
+    discount band — average quantity and base price at each discount
+    level (the pricing-analytics probe of the warehouse family).
+    Sums are exact integer centi-units; the averages are single
+    divisions at the end, rounded 6 on both sides.
+
+    Scale shape: per-batch (discount-band → n, Σqty_c, Σprice_c)
+    combiners → one ~11-key exchange folded on the driver."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dc = _cents(batch.column("l_discount").to_numpy(zero_copy_only=False))
+        qc = _cents(batch.column("l_quantity").to_numpy(zero_copy_only=False))
+        pc_ = _cents(batch.column("l_extendedprice").to_numpy(zero_copy_only=False))
+        uk, inv = np.unique(dc, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        sq = np.zeros(len(uk), np.int64)
+        sp = np.zeros(len(uk), np.int64)
+        np.add.at(sq, inv, qc)
+        np.add.at(sp, inv, pc_)
+        return pa.table(
+            {
+                "disc_pct": pa.array(uk, pa.int64()),
+                "n": pa.array(n),
+                "sq": pa.array(sq),
+                "sp": pa.array(sp),
+            }
+        )
+
+    acc: dict[int, list[int]] = {}
+    for ref in (
+        lineitem.select_columns(["l_discount", "l_quantity", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .to_arrow_refs()
+    ):
+        t = ray.get(ref)
+        for r in t.to_pylist():
+            row = acc.setdefault(r["disc_pct"], [0, 0, 0])
+            row[0] += r["n"]
+            row[1] += r["sq"]
+            row[2] += r["sp"]
+    keys = sorted(acc)
+    return pd.DataFrame(
+        {
+            "disc_pct": keys,
+            "n_rows": [acc[k][0] for k in keys],
+            "avg_qty": [
+                round(acc[k][1] / 100.0 / acc[k][0], 6) for k in keys
+            ],
+            "avg_price": [
+                round(acc[k][2] / 100.0 / acc[k][0], 6) for k in keys
+            ],
+        }
+    )

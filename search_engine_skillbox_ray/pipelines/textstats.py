@@ -4177,3 +4177,62 @@ def term_burstiness_ds(documents: rd.Dataset, *, min_df: int = 5) -> rd.Dataset:
         )
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def source_quality_summary_ds(documents: rd.Dataset) -> rd.Dataset:
+    """→ (source, n_docs, p25, p50, p75): per-source five-number-style
+    summary of document length (n_chars) with EXACT percentile_disc
+    quartiles — the per-provider profile a data-mix dashboard renders.
+
+    Scale shape: per-batch (source, n_chars) count combiners → ONE
+    (source × distinct-length)-sized exchange; quartiles fold from the
+    per-source histograms inside the group blocks (no full sort, no
+    per-doc rows past the combiner)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "source": batch.column("source"),
+                "n_chars": batch.column("n_chars").cast(pa.int64()),
+            }
+        )
+        g = t.group_by(["source", "n_chars"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "n_chars": g.column("n_chars"),
+                "cnt": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    agg = (
+        documents.select_columns(["source", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "n_chars"])
+        .sum("cnt")
+    )
+
+    def summarize(g):
+        g = g.sort_values("n_chars", kind="mergesort")
+        vals = g["n_chars"].to_numpy()
+        cnts = g["sum(cnt)"].to_numpy().astype(np.int64)
+        n = int(cnts.sum())
+        cum = np.cumsum(cnts)
+
+        def disc(q: float) -> int:
+            target = int(np.ceil(q * n))  # 1-based percentile_disc
+            return int(vals[np.searchsorted(cum, max(target, 1))])
+
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "source": [g["source"].iloc[0]],
+                "n_docs": [n],
+                "p25": [disc(0.25)],
+                "p50": [disc(0.5)],
+                "p75": [disc(0.75)],
+            }
+        )
+
+    return agg.groupby("source").map_groups(summarize, batch_format="pandas")

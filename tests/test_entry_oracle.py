@@ -345,6 +345,8 @@ def test_oracle_keys_subset(entry_mod):
     "minhash_calibration",
     # round 4 session 9: RFM customer segmentation (exact quartiles)
     "rel_rfm",
+    # round 4 session 9: discount elasticity + per-source length quartiles
+    "rel_discount_elasticity", "source_quality_summary",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     ray_df = _normalize(_to_pandas(entry_mod.queries()[name](SF_DIR)))
