@@ -840,8 +840,8 @@ def q_rel_big_orders(sf_dir: str):
     from search_engine_skillbox_ray.pipelines.relational import big_volume_orders
 
     return big_volume_orders(
-        _table(sf_dir, "customer"), _table(sf_dir, "orders"),
-        _table(sf_dir, "lineitem"), min_qty=Q18_MIN_QTY, k=Q18_K,
+        _table(sf_dir, "orders"), _table(sf_dir, "lineitem"),
+        min_qty=Q18_MIN_QTY, k=Q18_K,
     )
 
 
@@ -1148,10 +1148,15 @@ def q_crawl_priority(sf_dir: str):
     )
 
     def prio(batch: pa.Table) -> pa.Table:
+        import re
+
         urls = batch.column("url").to_pylist()
         rank = batch.column("pagerank").to_numpy(zero_copy_only=False)
+        # mirror the oracle's regexp_extract: a node without a /p/<i>
+        # suffix (e.g. a site root) gets a NULL priority, not a crash
+        ms = [re.search(r"/p/(\d+)$", u) for u in urls]
         age = np.array(
-            [int(u.rsplit("/p/", 1)[1]) % 365 for u in urls], np.float64
+            [int(m.group(1)) % 365 if m else 0 for m in ms], np.float64
         )
         fresh = CRAWL_HL / (CRAWL_HL + age)
         return pa.table(
@@ -1161,7 +1166,13 @@ def q_crawl_priority(sf_dir: str):
                 # raw 1e12 fixed-point magnitude the 6th decimal sits at
                 # the float64 ulp edge and rounding modes can disagree
                 "priority": pa.array(
-                    np.round(rank.astype(np.float64) / PR_SCALE * fresh, 6),
+                    [
+                        float(v) if m else None
+                        for v, m in zip(
+                            np.round(rank.astype(np.float64) / PR_SCALE * fresh, 6),
+                            ms,
+                        )
+                    ],
                     pa.float64(),
                 ),
             }
@@ -3454,71 +3465,14 @@ def entry() -> Any:
 # (rows-only "no_oracle" in CORRECTNESS_r02) — they have since gained hard
 # DuckDB oracles and self-check green rows, and must be driver-confirmed.
 _DRIVER_PRIORITY = [
-    "ann_ivf_topk",
-    "media_decode",
-    "media_frames",
-    "search_sum_tf",
-    "search_sum_tf_site",
-    "pii_scrub",
-    "doc_term_tf_lemma",
-    "term_df_lemma",
-    "search_lemma",
-    "boilerplate_strip",
-    "doc_chunks",
-    "proximity",
-    "near_search",
-    "token_count_bpe",
-    "dup_spans",
-    "dup_span_runs",
-    "curation_score",
-    "sample_hash",
-    "repetition",
-    "term_bigrams",
-    "stratified_sample",
-    "top_terms_per_source",
-    "doclen_quantiles",
-    "containment_pairs",
-    "embedding_covariance",
-    "ann_lsh_delete",
-    "ann_lsh_ingest",
-    "mmr_diversify",
-    "window_users",
-    "events_asof",
-    "events_follow",
-    "funnel_counts",
-    "event_transitions",
-    "more_like_this",
-    "search_128bit",
-    "search_128bit_delete",
-    "search_128bit_bm25",
-    "search_128bit_ingest",
-    "anchor_terms",
-    "snapshot_delta",
-    "corpus_export",
-    "doc_keywords",
-    "label_centroids",
-    "bigram_pmi",
-    "source_divergence",
-    "centroid_confusion",
-    "pagerank",
-    "link_degrees",
-    "coupling_pairs",
-    "hits",
-    "dedup_clusters",
-    "dup_triangles",
-    "contrastive_negatives",
-    "dedup_keep_best",
-    "cross_source_pairs",
-    "near_dup_vs_snapshot",
-    "dedup_index_query",
-    "dedup_index_delete",
-    # round-4 session-7 additions (self-check green; driver priority
-    # for round 5 — the 50-sample prefix is already full of
-    # never-driver-verified entries)
+    # Round-5 rotation: the 107 entries with NO driver-side
+    # CORRECTNESS_r1-r4 row lead (judge-computed union; each is
+    # green in the in-repo sf0.001 harness and the sf0.01 sweeps),
+    # so a prefix-drawn driver sample verifies unseen surface first.
     "search_recency",
     "search_prefix",
-    "ccnet_buckets",
     "search_collapse",
+    "ccnet_buckets",
     "textrank_keywords",
     "percolate",
     "search_explain",
@@ -3551,40 +3505,19 @@ _DRIVER_PRIORITY = [
     "media_dedup",
     "media_near_pairs",
     "user_ewma",
-    "zipf_fit",
-    "rel_order_priority",
-    "index_merge_ingest",
-    # round-4 session-8 additions
     "events_range_join",
     "user_moving_avg",
     "nb_classify",
     "dq_checks",
-    "rel_rollup",
     "sif_embeddings",
-    "rel_revenue_filter",
     "search_passages",
     "value_outliers",
-    "window_quantiles",
     "rel_enrich",
     "json_props_stats",
     "rel_top_parts",
     "jsonl_roundtrip",
-    "csv_roundtrip",
-    "partitioned_export",
     "rel_supplier_nations",
-    # round-4 session-9 additions
     "rel_custdist",
-    "rel_value_parts",
-    "rel_idle_customers",
-    "cdc_merge",
-    "link_predict",
-    "search_eval",
-    "rel_returned_items",
-    "rel_big_orders",
-    "rel_small_qty",
-    "rel_brackets",
-    "rel_promo_share",
-    "rel_supplier_variety",
     "search_ql_jm",
     "ltr_features",
     "search_bm25f",
@@ -3616,6 +3549,150 @@ _DRIVER_PRIORITY = [
     "rel_rfm",
     "rel_discount_elasticity",
     "source_quality_summary",
+    "rel_returned_items",
+    "rel_big_orders",
+    "rel_small_qty",
+    "rel_brackets",
+    "rel_promo_share",
+    "rel_supplier_variety",
+    "rel_value_parts",
+    "rel_idle_customers",
+    "cdc_merge",
+    "link_predict",
+    "search_eval",
+    "csv_roundtrip",
+    "partitioned_export",
+    "window_quantiles",
+    "rel_revenue_filter",
+    "rel_rollup",
+    "zipf_fit",
+    "rel_order_priority",
+    "index_merge_ingest",
+    "dedup_clusters",
+    "dup_triangles",
+    "contrastive_negatives",
+    "dedup_keep_best",
+    "cross_source_pairs",
+    "near_dup_vs_snapshot",
+    "dedup_index_query",
+    "dedup_index_delete",
+    "doc_term_tf",
+    "doc_term_tf_lemma",
+    "term_df_lemma",
+    "search_lemma",
+    "term_df",
+    "term_cf",
+    "corpus_stats",
+    "term_idf",
+    "search_disjunctive",
+    "search_conjunctive",
+    "search_site_scoped",
+    "search_bm25",
+    "search_sum_tf",
+    "search_sum_tf_site",
+    "search_rrf",
+    "search_hybrid",
+    "search_count",
+    "stats_by_source",
+    "dedup_exact",
+    "token_count",
+    "quality",
+    "pii_scrub",
+    "fingerprint",
+    "langid",
+    "phrase_scan",
+    "phrase_index",
+    "phrase_index_ingest",
+    "phrase_index_delete",
+    "search_phrase_boost",
+    "search_sdm_bm25",
+    "search_sdm_delete",
+    "term_cooc",
+    "spell_suggest",
+    "complete_prefix",
+    "prf_expansion",
+    "champion_lists",
+    "champion_lists_lsm",
+    "search_champion",
+    "search_not",
+    "search_facets",
+    "search_corrected",
+    "decontaminate",
+    "winnow_fingerprints",
+    "length_gate",
+    "quantize_embeddings",
+    "doc_rank",
+    "source_diversity",
+    "dataset_splits",
+    "source_mix",
+    "pq_codes",
+    "pq_topk",
+    "token_entropy",
+    "cms_counts",
+    "bigram_lm_score",
+    "pack_sequences",
+    "lm_doc_score",
+    "doc_chunks",
+    "proximity",
+    "near_search",
+    "token_count_bpe",
+    "dup_spans",
+    "boilerplate_strip",
+    "dup_span_runs",
+    "curation_score",
+    "sample_hash",
+    "repetition",
+    "term_bigrams",
+    "stratified_sample",
+    "top_terms_per_source",
+    "doclen_quantiles",
+    "hll_distinct_tokens",
+    "minhash_pairs",
+    "minhash_sigs",
+    "simhash",
+    "simhash_near_pairs",
+    "ngram_jaccard_pairs",
+    "containment_pairs",
+    "embedding_near_pairs",
+    "embedding_covariance",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_lsh_delete",
+    "ann_lsh_ingest",
+    "mmr_diversify",
+    "events_window",
+    "window_users",
+    "events_hopping",
+    "sessionize",
+    "events_asof",
+    "events_follow",
+    "funnel_counts",
+    "event_transitions",
+    "docs_with_source_stats",
+    "media_decode",
+    "media_frames",
+    "search_pruned_topk",
+    "batch_search",
+    "more_like_this",
+    "link_graph",
+    "search_128bit",
+    "search_128bit_delete",
+    "search_128bit_bm25",
+    "search_128bit_ingest",
+    "anchor_terms",
+    "snapshot_delta",
+    "corpus_export",
+    "doc_keywords",
+    "label_centroids",
+    "bigram_pmi",
+    "source_divergence",
+    "centroid_confusion",
+    "pagerank",
+    "link_degrees",
+    "coupling_pairs",
+    "hits",
+    "ann_ivf_topk",
+    "streaming_ingest",
 ]
 
 
@@ -7241,7 +7318,7 @@ bits AS (SELECT DISTINCT md5_number_lower(pw.wh::VARCHAR || ':bloom:' || ks.i)
          FROM pw CROSS JOIN ks),
 tot AS (SELECT doc_id, count(*)::BIGINT AS n_windows FROM w GROUP BY doc_id),
 hit AS (SELECT doc_id, count(*)::BIGINT AS n_bloom_hits FROM w
-        WHERE (md5_number_lower(w.wh::VARCHAR || ':bloom:' || '0') % {BLOOM_M_BITS}) IN (SELECT b FROM bits) AND (md5_number_lower(w.wh::VARCHAR || ':bloom:' || '1') % {BLOOM_M_BITS}) IN (SELECT b FROM bits) AND (md5_number_lower(w.wh::VARCHAR || ':bloom:' || '2') % {BLOOM_M_BITS}) IN (SELECT b FROM bits)
+        WHERE {" AND ".join(f"(md5_number_lower(w.wh::VARCHAR || ':bloom:' || '{i}') % {BLOOM_M_BITS}) IN (SELECT b FROM bits)" for i in range(BLOOM_K_HASH))}
         GROUP BY doc_id)
 SELECT d.doc_id,
        COALESCE(t.n_windows, 0)::BIGINT AS n_windows,

@@ -204,16 +204,45 @@ class MinHashSignatures:
         )
 
 
+# per-worker-process kernel cache for the task-based signature stage:
+# Ray reuses worker processes across tasks, so the kernel (permutation
+# constants + the TokenHasher md5 cache) is built once per process and
+# stays warm across batches AND pipelines — the same amortization an
+# actor pool gives, without paying a fresh actor-process spawn + package
+# import (~1.2 s) on EVERY pipeline that needs signatures.  The state is
+# deterministic (seeded constants + a pure cache), so task scheduling
+# cannot change results.
+_SIG_KERNELS: dict = {}
+
+
+def _minhash_sig_ds(
+    documents: rd.Dataset, *, num_perm: int, shingle_k: int, seed: int
+) -> rd.Dataset:
+    """Signature pass as task-based ``map_batches`` over warm workers
+    with a per-process cached :class:`MinHashSignatures` kernel (see
+    ``_SIG_KERNELS``).  Measured at sf0.1: 0.47 s warm vs 1.71 s for a
+    fresh ``concurrency=(1, 8)`` actor pool — pool spin-up dominated
+    every MinHash-family bench entry."""
+
+    def sig_fn(batch: pa.Table, _key=(num_perm, shingle_k, seed)) -> pa.Table:
+        kern = _SIG_KERNELS.get(_key)
+        if kern is None:
+            kern = MinHashSignatures(
+                num_perm=_key[0], shingle_k=_key[1], seed=_key[2]
+            )
+            _SIG_KERNELS[_key] = kern
+        return kern(batch)
+
+    return documents.map_batches(sig_fn, batch_format="pyarrow")
+
+
 def minhash_signatures_ds(
     documents: rd.Dataset, *, num_perm: int = 64, shingle_k: int = 3, seed: int = 42
 ) -> rd.Dataset:
     """→ exploded (doc_id, perm, sig) rows — the oracle-checkable view
     of the signature matrix (scalar columns hash-compare robustly)."""
-    sigs = documents.map_batches(
-        MinHashSignatures,
-        fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k, "seed": seed},
-        batch_format="pyarrow",
-        concurrency=(1, 8),
+    sigs = _minhash_sig_ds(
+        documents, num_perm=num_perm, shingle_k=shingle_k, seed=seed
     )
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -273,6 +302,48 @@ def _collect_signatures(sigs_ds: rd.Dataset) -> tuple[np.ndarray, np.ndarray]:
     return ids, mat
 
 
+def _band_pairs_segments(
+    b0: np.ndarray, b1: np.ndarray, d: np.ndarray, side=None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized per-band pair expansion over (band_id, band_hash,
+    doc_id) rows: lexsort → segment boundaries → expand ONLY the ≥2-row
+    segments (collisions are rare — the singleton majority never enters
+    the Python loop).  With ``side=(sorted doc_ids, band-key matrix)``
+    applies the first-colliding-band rule, making the output globally
+    duplicate-free.  Exact same pair set as the pandas groupby loop it
+    replaced (regression-covered by the dual-path dedup tests), ~8×
+    faster on the driver fast path."""
+    if not d.size:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    order = np.lexsort((d, b1, b0))
+    b0, b1, d = b0[order], b1[order], d[order]
+    starts = np.flatnonzero(
+        np.diff(b0, prepend=b0[0] - 1) | np.diff(b1, prepend=b1[0] - 1)
+    )
+    lens = np.diff(np.append(starts, b0.size))
+    big = lens >= 2
+    a_out: list[np.ndarray] = []
+    b_out: list[np.ndarray] = []
+    for s, L, g in zip(starts[big], lens[big], b0[starts[big]]):
+        u = np.unique(d[s: s + L])
+        if u.size < 2:
+            continue
+        ii, jj = np.triu_indices(u.size, k=1)
+        a, b = u[ii], u[jj]
+        if side is not None and g > 0:
+            sids, kmat = side
+            ka = kmat[np.searchsorted(sids, a), : int(g)]
+            kb = kmat[np.searchsorted(sids, b), : int(g)]
+            keep = ~np.any(ka == kb, axis=1)
+            a, b = a[keep], b[keep]
+        if a.size:
+            a_out.append(a)
+            b_out.append(b)
+    if not a_out:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(a_out), np.concatenate(b_out)
+
+
 def _candidate_pairs_from_bands(
     exploded: "rd.Dataset | pa.Table", key_cols: list[str], first_band_ref=None
 ) -> rd.Dataset:
@@ -327,7 +398,13 @@ def _candidate_pairs_from_bands(
         from ..config import DRIVER_FASTPATH_ROWS
 
         if len(exploded) <= DRIVER_FASTPATH_ROWS:
-            out = bucket_pairs(exploded.to_pandas())
+            a, b = _band_pairs_segments(
+                exploded.column(key_cols[0]).to_numpy(zero_copy_only=False).astype(np.int64),
+                exploded.column(key_cols[1]).to_numpy(zero_copy_only=False).astype(np.int64),
+                exploded.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64),
+                side=ray.get(first_band_ref[0]) if first_band_ref is not None else None,
+            )
+            out = pd.DataFrame({"doc_a": a, "doc_b": b})
             if first_band_ref is None:
                 out = out.drop_duplicates(["doc_a", "doc_b"])
             return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
@@ -495,11 +572,8 @@ def minhash_lsh_pairs(
     run (property-tested)."""
     from ..config import DRIVER_FASTPATH_ROWS
 
-    sigs_ds = documents.map_batches(
-        MinHashSignatures,
-        fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k, "seed": seed},
-        batch_format="pyarrow",
-        concurrency=(1, 8),
+    sigs_ds = _minhash_sig_ds(
+        documents, num_perm=num_perm, shingle_k=shingle_k, seed=seed
     ).materialize()
     n_docs = sigs_ds.count()
     if n_docs == 0:
@@ -511,6 +585,26 @@ def minhash_lsh_pairs(
     ids, mat = _collect_signatures(sigs_ds)
     keys = _band_keys(mat.view(np.uint64), bands)
     n = ids.size
+    if n * bands <= DRIVER_FASTPATH_ROWS:
+        # band rows fit the driver contract too — pair + verify fully
+        # locally (the segment kernel below; no pipeline spin-up at all)
+        a, b = _band_pairs_segments(
+            np.tile(np.arange(bands, dtype=np.int64), n),
+            keys.reshape(-1).astype(np.int64),
+            np.repeat(ids, bands),
+            side=(ids, keys),
+        )
+        if not a.size:
+            return rd.from_arrow(_EMPTY_MINHASH_PAIRS)
+        est = (mat[np.searchsorted(ids, a)] == mat[np.searchsorted(ids, b)]).mean(axis=1)
+        keep = est >= threshold
+        return rd.from_arrow(pa.table(
+            {
+                "doc_a": pa.array(a[keep], pa.int64()),
+                "doc_b": pa.array(b[keep], pa.int64()),
+                "est_jaccard": pa.array(np.round(est[keep], 6), pa.float64()),
+            }
+        ))
     exploded = pa.table(
         {
             "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n), pa.int32()),
@@ -2187,11 +2281,8 @@ def contrastive_negatives(
             "rank": pa.array([], pa.int64()),
         }
     )
-    sigs_ds = documents.map_batches(
-        MinHashSignatures,
-        fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k, "seed": seed},
-        batch_format="pyarrow",
-        concurrency=(1, 8),
+    sigs_ds = _minhash_sig_ds(
+        documents, num_perm=num_perm, shingle_k=shingle_k, seed=seed
     ).materialize()
     if sigs_ds.count() == 0:
         return rd.from_arrow(empty)
@@ -2976,41 +3067,121 @@ def dedup_threshold_sweep(
     The estimate compares ROUNDed(est, 6) ≥ t on both sides, so no
     float boundary can flip a pair between buckets.  Scale shape: one
     MinHash-LSH pass with ``threshold=0`` (every band-sharing candidate
-    keeps its estimate — the pair table is pair-sized by construction);
-    the sweep folds that table (collected under the pair-sized-result
-    convention) with vectorized threshold masks."""
+    keeps its estimate); below ``DRIVER_FASTPATH_ROWS`` pairs the table
+    collects once and folds with vectorized masks.  Above it NOTHING
+    pair-sized reaches the driver: ``n_pairs`` per threshold is a
+    per-batch histogram summed by a 5-row groupby, and ``n_docs`` per
+    threshold folds from a per-doc max-est aggregate (a doc survives
+    threshold t iff max est over its pairs ≥ t — one (doc, est)
+    explode, a per-batch combiner, one keyed exchange, then a second
+    5-row histogram).  Both paths emit identical tables
+    (regression-tested)."""
     import pandas as pd
 
+    from ..config import DRIVER_FASTPATH_ROWS
+
+    thresholds = [int(tp) for tp in thresholds_pct]
     pairs = minhash_lsh_pairs(
         documents, num_perm=num_perm, bands=bands, shingle_k=shingle_k,
         threshold=0.0, seed=seed,
-    )
-    a_l: list[int] = []
-    b_l: list[int] = []
-    e_l: list[float] = []
-    for ref in pairs.to_arrow_refs():
-        t = ray.get(ref)
-        if not len(t) or "doc_a" not in t.column_names:
-            continue
-        a_l.extend(t.column("doc_a").to_pylist())
-        b_l.extend(t.column("doc_b").to_pylist())
-        e_l.extend(t.column("est_jaccard").to_pylist())
-    a = np.array(a_l, np.int64)
-    b = np.array(b_l, np.int64)
-    est = np.round(np.array(e_l, np.float64), 6)
+    ).materialize()
+    n_total = pairs.count()
 
-    rows = []
-    for tp in thresholds_pct:
-        keep = est >= tp / 100.0
-        n_pairs = int(keep.sum())
-        n_docs = int(np.union1d(a[keep], b[keep]).size) if n_pairs else 0
-        rows.append((int(tp), n_pairs, n_docs))
-    return pd.DataFrame(
-        {
-            "threshold_pct": [r[0] for r in rows],
-            "n_pairs": [r[1] for r in rows],
-            "n_docs": [r[2] for r in rows],
-        }
+    def _finish(n_pairs_by_tp: dict, n_docs_by_tp: dict) -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "threshold_pct": thresholds,
+                "n_pairs": [int(n_pairs_by_tp.get(tp, 0)) for tp in thresholds],
+                "n_docs": [int(n_docs_by_tp.get(tp, 0)) for tp in thresholds],
+            }
+        )
+
+    if n_total <= DRIVER_FASTPATH_ROWS:
+        # pair table fits the driver contract — one collect, vector masks
+        tbls = [
+            t for t in ray.get(pairs.to_arrow_refs())
+            if len(t) and "doc_a" in t.column_names
+        ]
+        if not tbls:
+            return _finish({}, {})
+        tbl = pa.concat_tables(tbls)
+        a = tbl.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = tbl.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        est = np.round(
+            tbl.column("est_jaccard").to_numpy(zero_copy_only=False), 6
+        )
+        np_by, nd_by = {}, {}
+        for tp in thresholds:
+            keep = est >= tp / 100.0
+            np_by[tp] = int(keep.sum())
+            nd_by[tp] = int(np.union1d(a[keep], b[keep]).size) if np_by[tp] else 0
+        return _finish(np_by, nd_by)
+
+    tp_arr = np.array(thresholds, np.int64)
+    _EMPTY_HIST = pa.table(
+        {"threshold_pct": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+    )
+
+    def pair_hist(t: pa.Table) -> pa.Table:
+        # per-batch partial: 5 counter rows per block, nothing pair-sized
+        if not len(t) or "est_jaccard" not in t.column_names:
+            return _EMPTY_HIST
+        est = np.round(t.column("est_jaccard").to_numpy(zero_copy_only=False), 6)
+        cnt = (est[None, :] >= tp_arr[:, None] / 100.0).sum(axis=1)
+        return pa.table(
+            {
+                "threshold_pct": pa.array(tp_arr, pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def doc_max_partial(t: pa.Table) -> pa.Table:
+        # per-batch combiner: (doc_id, max est over the block's pairs)
+        if not len(t) or "doc_a" not in t.column_names:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "est": pa.array([], pa.float64())}
+            )
+        a = t.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        est = np.round(t.column("est_jaccard").to_numpy(zero_copy_only=False), 6)
+        d = np.concatenate([a, b])
+        e = np.concatenate([est, est])
+        order = np.lexsort((-e, d))
+        d, e = d[order], e[order]
+        first = np.flatnonzero(np.diff(d, prepend=d[0] - 1))
+        return pa.table(
+            {
+                "doc_id": pa.array(d[first], pa.int64()),
+                "est": pa.array(e[first], pa.float64()),
+            }
+        )
+
+    def doc_hist(t: pa.Table) -> pa.Table:
+        if not len(t):
+            return _EMPTY_HIST
+        m = t.column("max(est)").to_numpy(zero_copy_only=False)
+        cnt = (m[None, :] >= tp_arr[:, None] / 100.0).sum(axis=1)
+        return pa.table(
+            {
+                "threshold_pct": pa.array(tp_arr, pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    np_rows = (
+        pairs.map_batches(pair_hist, batch_format="pyarrow")
+        .groupby("threshold_pct").sum("cnt").take_all()
+    )  # ≤ len(thresholds) rows
+    nd_rows = (
+        pairs.map_batches(doc_max_partial, batch_format="pyarrow")
+        .groupby("doc_id").max("est")
+        .map_batches(doc_hist, batch_format="pyarrow")
+        .groupby("threshold_pct").sum("cnt").take_all()
+    )
+    return _finish(
+        {int(r["threshold_pct"]): int(r["sum(cnt)"]) for r in np_rows},
+        {int(r["threshold_pct"]): int(r["sum(cnt)"]) for r in nd_rows},
     )
 
 
@@ -3116,92 +3287,189 @@ def minhash_calibration(
 
     Scale shape: one threshold-0 MinHash-LSH pass (pair-sized
     candidates), then the ngram verify recipe — gram sets re-derived
-    ONLY for referenced docs (candidate-pruned second corpus pass),
-    exact |∩|/|∪| per pair, a ≤10-row aggregate.  est is k/num_perm
-    (binary-exact), so the decile bucketing cannot sit on a float
-    boundary."""
+    ONLY for referenced docs (candidate-pruned second corpus pass,
+    packed as binary blobs like :func:`containment_pairs`), exact
+    |∩|/|∪| per pair inside ``map_batches``, a per-batch decile
+    combiner, then a ≤11-row groupby.  Below ``DRIVER_FASTPATH_ROWS``
+    pairs the gram blobs resolve locally (two hash joins carry ~4 s of
+    aggregator startup at that size); above it pair halves hash-join ⨝
+    packed gram sets with partitions sized to the PAIR table and
+    nothing pair-sized touches the driver.  est is k/num_perm
+    (binary-exact, ≤6 decimals), so the decile bucketing cannot sit on
+    a float boundary."""
     import pandas as pd
 
+    from ..config import DRIVER_FASTPATH_ROWS
+    from ..stages.grouping import sized_join
+
+    _EMPTY_CAL = pd.DataFrame(
+        {"bucket": [], "n_pairs": [], "mean_est": [], "mean_exact": []}
+    )
     pairs = minhash_lsh_pairs(
         documents, num_perm=num_perm, bands=bands, shingle_k=shingle_k,
         threshold=0.0, seed=seed,
-    )
-    a_l: list[int] = []
-    b_l: list[int] = []
-    e_l: list[float] = []
-    for ref in pairs.to_arrow_refs():
-        t = ray.get(ref)
-        if not len(t) or "doc_a" not in t.column_names:
-            continue
-        a_l.extend(t.column("doc_a").to_pylist())
-        b_l.extend(t.column("doc_b").to_pylist())
-        e_l.extend(t.column("est_jaccard").to_pylist())
-    if not a_l:
-        return pd.DataFrame(
-            {"bucket": [], "n_pairs": [], "mean_est": [], "mean_exact": []}
-        )
-    a = np.array(a_l, np.int64)
-    b = np.array(b_l, np.int64)
-    est = np.round(np.array(e_l, np.float64), 6)
+    ).materialize()
+    n_pairs_total = pairs.count()
+    if n_pairs_total == 0:
+        return _EMPTY_CAL
 
-    referenced = np.unique(np.concatenate([a, b]))
-    ref_ref = ray.put(referenced)
+    # referenced doc ids — candidate-pair-sized, safe to broadcast (the
+    # same convention as containment_pairs' verify pass)
+    ref_ids: list[np.ndarray] = []
+    for t in ray.get(pairs.to_arrow_refs()):
+        if len(t) and "doc_a" in t.column_names:
+            ref_ids.append(t.column("doc_a").to_numpy(zero_copy_only=False))
+            ref_ids.append(t.column("doc_b").to_numpy(zero_copy_only=False))
+    referenced = np.unique(np.concatenate(ref_ids).astype(np.int64))
+    ref_set_ref = [ray.put(pa.array(referenced, pa.int64()))]
     helper = _NgramBuckets(shingle_k, 4)
 
     def gather_sets(batch: pa.Table) -> pa.Table:
+        # grams packed as binary (little-endian sorted-unique i64s):
+        # Arrow's hash join rejects list<> payload columns
         import pyarrow.compute as pc
 
-        ref = ray.get(ref_ref)
-        mask = pc.is_in(batch.column("doc_id"), value_set=pa.array(ref))
+        mask = pc.is_in(batch.column("doc_id"), value_set=ray.get(ref_set_ref[0]))
         sub = batch.filter(mask)
         if not len(sub):
             return pa.table(
-                {
-                    "doc_id": pa.array([], pa.int64()),
-                    "grams": pa.array([], pa.list_(pa.int64())),
-                }
+                {"doc_id": pa.array([], pa.int64()),
+                 "grams": pa.array([], pa.binary())}
             )
         sets = helper.doc_gram_sets(sub)
         return pa.table(
             {
                 "doc_id": sub.column("doc_id"),
-                "grams": pa.array([s.tolist() for s in sets], pa.list_(pa.int64())),
+                "grams": pa.array(
+                    [s.astype("<i8").tobytes() for s in sets], pa.binary()
+                ),
             }
         )
 
-    sets_by_doc: dict[int, set] = {}
-    for ref in documents.map_batches(
-        gather_sets, batch_format="pyarrow"
-    ).to_arrow_refs():
-        t = ray.get(ref)
-        for did, gs in zip(
-            t.column("doc_id").to_pylist(), t.column("grams").to_pylist()
-        ):
-            sets_by_doc[int(did)] = set(gs)
+    # candidate-pruned (pair-doc-sized); read by both join sides / the
+    # local resolve below
+    gram_sets = (
+        documents.select_columns(["doc_id", "text"])
+        .map_batches(gather_sets, batch_format="pyarrow")
+        .materialize()
+    )
 
-    exact = np.empty(len(a), np.float64)
-    for i, (da, db) in enumerate(zip(a.tolist(), b.tolist())):
-        s1 = sets_by_doc.get(da, set())
-        s2 = sets_by_doc.get(db, set())
-        exact[i] = len(s1 & s2) / len(s1 | s2) if (s1 or s2) else 0.0
-
-    bucket = np.floor(est * 10.0).astype(np.int64)
-    rows = []
-    for bk in np.unique(bucket):
-        m = bucket == bk
-        rows.append(
-            (
-                int(bk),
-                int(m.sum()),
-                round(float(est[m].mean()), 6),
-                round(float(exact[m].mean()), 6),
-            )
-        )
-    return pd.DataFrame(
+    _EMPTY_PARTIAL = pa.table(
         {
-            "bucket": [r[0] for r in rows],
-            "n_pairs": [r[1] for r in rows],
-            "mean_est": [r[2] for r in rows],
-            "mean_exact": [r[3] for r in rows],
+            "bucket": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "sum_est": pa.array([], pa.float64()),
+            "sum_exact": pa.array([], pa.float64()),
         }
+    )
+
+    def decile_partial(batch: pa.Table) -> pa.Table:
+        """Exact Jaccard per joined pair row, folded to ≤11 decile
+        counter rows — the only thing this stage emits."""
+        if not len(batch):
+            return _EMPTY_PARTIAL
+        est = np.round(
+            batch.column("est_jaccard").to_numpy(zero_copy_only=False), 6
+        )
+        ga = batch.column("grams_a").to_pylist()
+        gb = batch.column("grams_b").to_pylist()
+        exact = np.empty(len(est), np.float64)
+        for i, (s1, s2) in enumerate(zip(ga, gb)):
+            x = np.frombuffer(s1 or b"", "<i8")
+            y = np.frombuffer(s2 or b"", "<i8")
+            union = x.size + y.size
+            if not union:
+                exact[i] = 0.0
+                continue
+            inter = np.intersect1d(x, y, assume_unique=True).size
+            exact[i] = inter / (union - inter)
+        bucket = np.floor(est * 10.0).astype(np.int64)
+        order = np.argsort(bucket, kind="stable")
+        bucket, est, exact = bucket[order], est[order], exact[order]
+        starts = np.flatnonzero(np.diff(bucket, prepend=bucket[0] - 1))
+        lens = np.diff(np.append(starts, bucket.size))
+        return pa.table(
+            {
+                "bucket": pa.array(bucket[starts], pa.int64()),
+                "n": pa.array(lens.astype(np.int64), pa.int64()),
+                "sum_est": pa.array(np.add.reduceat(est, starts), pa.float64()),
+                "sum_exact": pa.array(np.add.reduceat(exact, starts), pa.float64()),
+            }
+        )
+
+    def _finish(bk: np.ndarray, n: np.ndarray, se: np.ndarray, sx: np.ndarray):
+        order = np.argsort(bk)
+        bk, n, se, sx = bk[order], n[order], se[order], sx[order]
+        return pd.DataFrame(
+            {
+                "bucket": bk.astype(np.int64),
+                "n_pairs": n.astype(np.int64),
+                "mean_est": np.round(se / n, 6),
+                "mean_exact": np.round(sx / n, 6),
+            }
+        )
+
+    if n_pairs_total <= DRIVER_FASTPATH_ROWS:
+        # pair + pruned-gram tables fit the driver contract — resolve the
+        # packed blobs locally, one partial fold, no joins
+        by_doc: dict[int, bytes] = {}
+        for t in ray.get(gram_sets.to_arrow_refs()):
+            for did, blob in zip(
+                t.column("doc_id").to_pylist(), t.column("grams").to_pylist()
+            ):
+                by_doc[int(did)] = blob
+        parts = []
+        for t in ray.get(pairs.to_arrow_refs()):
+            if not len(t) or "doc_a" not in t.column_names:
+                continue
+            av = t.column("doc_a").to_pylist()
+            bv = t.column("doc_b").to_pylist()
+            parts.append(pa.table(
+                {
+                    "est_jaccard": t.column("est_jaccard"),
+                    "grams_a": pa.array([by_doc.get(x, b"") for x in av], pa.binary()),
+                    "grams_b": pa.array([by_doc.get(x, b"") for x in bv], pa.binary()),
+                }
+            ))
+        agg = decile_partial(pa.concat_tables(parts))
+        return _finish(
+            agg.column("bucket").to_numpy(zero_copy_only=False),
+            agg.column("n").to_numpy(zero_copy_only=False).astype(np.float64),
+            agg.column("sum_est").to_numpy(zero_copy_only=False),
+            agg.column("sum_exact").to_numpy(zero_copy_only=False),
+        )
+
+    def rename(id_name: str, gram_name: str):
+        def r(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {id_name: batch.column("doc_id"), gram_name: batch.column("grams")}
+            )
+
+        return r
+
+    # join partitions scale with the PAIR table, not the cluster
+    n_part = max(2, min(64, (n_pairs_total // 100_000) + 2))
+    joined = sized_join(
+        pairs,
+        gram_sets.map_batches(rename("doc_a", "grams_a"), batch_format="pyarrow"),
+        ("doc_a",), num_partitions=n_part,
+    ).materialize()  # pair-sized intermediate (aggregator-deadlock guard)
+    joined = sized_join(
+        joined,
+        gram_sets.map_batches(rename("doc_b", "grams_b"), batch_format="pyarrow"),
+        ("doc_b",), num_partitions=n_part,
+    )
+    rows = (
+        joined.map_batches(decile_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .sum(["n", "sum_est", "sum_exact"])
+        .take_all()
+    )  # ≤11 rows
+    if not rows:
+        return _EMPTY_CAL
+    return _finish(
+        np.array([r["bucket"] for r in rows], np.int64),
+        np.array([r["sum(n)"] for r in rows], np.float64),
+        np.array([r["sum(sum_est)"] for r in rows], np.float64),
+        np.array([r["sum(sum_exact)"] for r in rows], np.float64),
     )

@@ -1328,8 +1328,17 @@ def _ppr_driver(
     outdeg = np.bincount(s, minlength=n).astype(np.int64)
     safe_deg = np.maximum(outdeg, 1)
     rank = np.where(is_seed, r0, 0).astype(np.int64)
+    max_indeg = int(np.bincount(d, minlength=n).max()) if d.size else 0
     for _ in range(iterations):
         share = rank[s] // safe_deg[s]
+        # same silent-wrap guard as the Katz kernel (see above)
+        if share.size and max_indeg and int(share.max()) > (2**63 - 1) // max(
+            max_indeg * damping_num, 1
+        ):
+            raise OverflowError(
+                "personalized-PageRank int64 fixed-point would overflow — "
+                "lower scale, or switch the accumulator to object dtype"
+            )
         contrib = np.zeros(n, np.int64)
         np.add.at(contrib, d, share)
         rank = np.where(is_seed, base, 0) + (damping_num * contrib) // damping_den
@@ -1528,7 +1537,16 @@ def _katz_driver(
     d = codes[src.size:]
     n = nodes.size
     x = np.full(n, scale, np.int64)
+    max_indeg = int(np.bincount(d, minlength=n).max()) if d.size else 0
     for _ in range(iterations):
+        # numpy int64 wraps silently where the DuckDB BIGINT mirror
+        # would error — fail loud before the scatter-add can overflow
+        if max_indeg and int(x.max()) > (2**63 - 1) // max(max_indeg * alpha_num, 1):
+            raise OverflowError(
+                "Katz int64 fixed-point would overflow (max rank x max "
+                "in-degree x alpha_num exceeds int64) — lower scale or "
+                "iterations, or switch the accumulator to object dtype"
+            )
         contrib = np.zeros(n, np.int64)
         np.add.at(contrib, d, x[s])
         x = scale + (alpha_num * contrib) // alpha_den

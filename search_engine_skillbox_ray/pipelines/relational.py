@@ -1495,7 +1495,6 @@ def returned_item_revenue(
 
 
 def big_volume_orders(
-    customer: rd.Dataset,
     orders: rd.Dataset,
     lineitem: rd.Dataset,
     *,
@@ -1503,8 +1502,9 @@ def big_volume_orders(
     k: int = 100,
 ) -> pd.DataFrame:
     """TPC-H Q18-shaped large-volume-order report: orders whose total
-    lineitem quantity exceeds ``min_qty``, hydrated with the customer
-    and order attributes.  → (c_custkey, o_orderkey, o_orderdate,
+    lineitem quantity exceeds ``min_qty``, hydrated with the order
+    attributes (c_custkey rides on orders; no customer-table scan is
+    needed for the Q18 output columns).  → (c_custkey, o_orderkey, o_orderdate,
     total_price, sum_qty) ranked by (total_price desc, o_orderdate asc,
     o_orderkey asc), top ``k``.
 
@@ -1512,8 +1512,8 @@ def big_volume_orders(
     the HAVING compares ints; ranking uses integer price cents.  Scale
     shape: lineitem → per-order qty combiners → ONE order-grain
     exchange; the survivor set (a tail of the distribution) is
-    collected and orders/customer are hydrated by key-set filters —
-    fact tables never shuffle at row grain."""
+    collected and orders are hydrated by a key-set filter — fact tables
+    never shuffle at row grain."""
     thresh_c = int(min_qty) * 100
 
     def q_partial(batch: pa.Table) -> pa.Table:
@@ -1908,7 +1908,13 @@ def supplier_variety(
             bp[bp == len(excl)] = 0
             keep &= ~(excl[bp] == sk)
         pk, sk = pk[keep], sk[keep]
-        # composite pair key (suppkey < 2^20 at any realistic census)
+        # composite pair key; fail loud instead of silently aliasing
+        # once suppkey outgrows the 20-bit packing (TPC-H sf≳100)
+        if sk.size and int(sk.max()) >= (1 << 20):
+            raise ValueError(
+                "l_suppkey >= 2^20 overflows the packed pair key — widen "
+                "to a two-column (l_partkey, l_suppkey) groupby here"
+            )
         pair = np.unique(pk * (1 << 20) + sk)
         return pa.table({"pair": pa.array(pair, pa.int64())})
 
@@ -2401,46 +2407,83 @@ def market_share(
         pks.extend(ray.get(ref).column("p_partkey").to_pylist())
     pk_ref = ray.put(np.array(sorted(pks), np.int64))
 
-    # supplier → is-target-nation flag
-    sk_l = []
+    # supplier → is-target-nation flag (smallest TPC-H dimension after
+    # nation/region — broadcast by construction; vectorized per block)
+    sk_parts: list[np.ndarray] = []
     for ref in supplier.select_columns(["s_suppkey", "s_nationkey"]).to_arrow_refs():
-        for r in ray.get(ref).to_pylist():
-            if r["s_nationkey"] == target_key:
-                sk_l.append(r["s_suppkey"])
-    sk_ref = ray.put(np.array(sorted(sk_l), np.int64))
+        t = ray.get(ref)
+        sk = t.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        nk = t.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        sk_parts.append(sk[nk == target_key])
+    sk_ref = ray.put(np.sort(np.concatenate(sk_parts)) if sk_parts else np.empty(0, np.int64))
 
-    # region customers → orders filter → (orderkey → order-year) map
-    ck_l = []
-    for ref in customer.select_columns(["c_custkey", "c_nationkey"]).to_arrow_refs():
-        for r in ray.get(ref).to_pylist():
-            if r["c_nationkey"] in region_nations:
-                ck_l.append(r["c_custkey"])
-    ck_ref = ray.put(np.array(sorted(ck_l), np.int64))
+    # region customers → orders filter → (orderkey → order-year) rows.
+    # customer is the SECOND-largest dimension: its keyset broadcasts
+    # only below DRIVER_FASTPATH_ROWS; above it the region flag rides a
+    # sized hash join against the date-windowed orders instead.
+    from ..config import DRIVER_FASTPATH_ROWS
 
-    def o_map(batch: pa.Table) -> pa.Table:
-        ck = ray.get(ck_ref)
+    region_nat_arr = np.sort(np.fromiter(region_nations, np.int64, len(region_nations)))
+
+    def ck_filter(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        nk = batch.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.isin(nk, region_nat_arr)
+        return pa.table({"o_custkey": pa.array(ck[keep], pa.int64())})
+
+    region_cust = customer.select_columns(["c_custkey", "c_nationkey"]).map_batches(
+        ck_filter, batch_format="pyarrow"
+    )
+
+    def o_window(batch: pa.Table, ck: "np.ndarray | None") -> pa.Table:
+        """Date-window + year derivation; with a broadcast keyset also
+        applies the region-customer membership filter."""
         keys = batch.column("o_custkey").to_numpy(zero_copy_only=False)
-        od = batch.column("o_orderdate").to_numpy(zero_copy_only=False)
-        odu = od.astype("datetime64[us]")
-        pos = np.searchsorted(ck, keys)
-        pos[pos == len(ck)] = 0
-        keep = ((ck[pos] == keys) if len(ck) else np.zeros(len(keys), bool)) & (
-            odu >= lo
-        ) & (odu < hi)
-        year = odu[keep].astype("datetime64[Y]").astype(np.int64) + 1970
-        return pa.table(
-            {
-                "o_orderkey": pa.array(
-                    batch.column("o_orderkey").to_numpy(zero_copy_only=False)[keep],
-                    pa.int64(),
-                ),
-                "o_year": pa.array(year, pa.int64()),
-            }
+        odu = batch.column("o_orderdate").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
         )
+        keep = (odu >= lo) & (odu < hi)
+        if ck is not None:
+            pos = np.searchsorted(ck, keys)
+            pos[pos == len(ck)] = 0
+            keep &= (ck[pos] == keys) if len(ck) else np.zeros(len(keys), bool)
+        year = odu[keep].astype("datetime64[Y]").astype(np.int64) + 1970
+        out = {
+            "o_orderkey": pa.array(
+                batch.column("o_orderkey").to_numpy(zero_copy_only=False)[keep],
+                pa.int64(),
+            ),
+            "o_year": pa.array(year, pa.int64()),
+        }
+        if ck is None:  # keep the join key for the distributed path
+            out["o_custkey"] = pa.array(keys[keep].astype(np.int64), pa.int64())
+        return pa.table(out)
 
-    sel_orders = orders.select_columns(
-        ["o_orderkey", "o_custkey", "o_orderdate"]
-    ).map_batches(o_map, batch_format="pyarrow")
+    if customer.count() <= DRIVER_FASTPATH_ROWS:
+        ck_parts = [
+            ray.get(r).column("o_custkey").to_numpy(zero_copy_only=False)
+            for r in region_cust.to_arrow_refs()
+        ]
+        ck_arr = np.sort(np.concatenate(ck_parts)) if ck_parts else np.empty(0, np.int64)
+        ck_ref = ray.put(ck_arr)
+
+        def o_map(batch: pa.Table) -> pa.Table:
+            return o_window(batch, ray.get(ck_ref))
+
+        sel_orders = orders.select_columns(
+            ["o_orderkey", "o_custkey", "o_orderdate"]
+        ).map_batches(o_map, batch_format="pyarrow")
+    else:
+        windowed = orders.select_columns(
+            ["o_orderkey", "o_custkey", "o_orderdate"]
+        ).map_batches(lambda b: o_window(b, None), batch_format="pyarrow")
+        # materialized: two chained Dataset.join topologies deadlock on
+        # aggregator CPU reservations in small clusters (NOTES.md), and
+        # the window-sized intermediate feeds both count() and the
+        # second join below
+        sel_orders = sized_join(
+            windowed, region_cust, ("o_custkey",)
+        ).select_columns(["o_orderkey", "o_year"]).materialize()
 
     def li_year_partial(omap_ref):
         def fn(batch: pa.Table) -> pa.Table:
@@ -2509,12 +2552,19 @@ def market_share(
         parts_ds = li_cols.map_batches(
             li_year_partial(omap_ref), batch_format="pyarrow", batch_size=65536
         )
-        for ref in parts_ds.to_arrow_refs():
-            t = ray.get(ref)
-            for r in t.to_pylist():
-                row = acc.setdefault(r["o_year"], [0, 0])
-                row[0] += r["total_c4"]
-                row[1] += r["nat_c4"]
+        # years-sized partials per block → one Arrow concat + numpy fold
+        tbls = [t for t in ray.get(parts_ds.to_arrow_refs()) if len(t)]
+        if tbls:
+            t = pa.concat_tables(tbls)
+            yr = t.column("o_year").to_numpy(zero_copy_only=False)
+            tot = t.column("total_c4").to_numpy(zero_copy_only=False)
+            nat = t.column("nat_c4").to_numpy(zero_copy_only=False)
+            uy, inv = np.unique(yr, return_inverse=True)
+            ts = np.zeros(len(uy), np.int64)
+            ns = np.zeros(len(uy), np.int64)
+            np.add.at(ts, inv, tot)
+            np.add.at(ns, inv, nat)
+            acc = {int(y): [int(a), int(b)] for y, a, b in zip(uy, ts, ns)}
     else:
         # distributed: per-(order, is_nat) partials ⨝ the year map
         def li_order_partial(batch: pa.Table) -> pa.Table:
@@ -2549,15 +2599,50 @@ def market_share(
             li_order_partial, batch_format="pyarrow", batch_size=65536
         )
         joined = sized_join(per_order, sel_orders, ("o_orderkey",))
-        for ref in joined.to_arrow_refs():
-            t = ray.get(ref)
+
+        def year_fold(t: pa.Table) -> pa.Table:
+            # per-batch combiner → years-sized rows only
             if not len(t) or "o_year" not in t.column_names:
-                continue
-            for r in t.to_pylist():
-                row = acc.setdefault(r["o_year"], [0, 0])
-                row[0] += r["rev_c4"]
-                if r["is_nat"]:
-                    row[1] += r["rev_c4"]
+                return pa.table(
+                    {
+                        "o_year": pa.array([], pa.int64()),
+                        "total_c4": pa.array([], pa.int64()),
+                        "nat_c4": pa.array([], pa.int64()),
+                    }
+                )
+            yr = t.column("o_year").to_numpy(zero_copy_only=False)
+            rev = t.column("rev_c4").to_numpy(zero_copy_only=False)
+            isn = t.column("is_nat").to_numpy(zero_copy_only=False).astype(bool)
+            uy, inv = np.unique(yr, return_inverse=True)
+            ts = np.zeros(len(uy), np.int64)
+            ns = np.zeros(len(uy), np.int64)
+            np.add.at(ts, inv, rev)
+            np.add.at(ns, inv, np.where(isn, rev, 0))
+            return pa.table(
+                {
+                    "o_year": pa.array(uy, pa.int64()),
+                    "total_c4": pa.array(ts),
+                    "nat_c4": pa.array(ns),
+                }
+            )
+
+        tbls = [
+            t for t in ray.get(
+                joined.map_batches(year_fold, batch_format="pyarrow").to_arrow_refs()
+            )
+            if len(t)
+        ]
+        if tbls:
+            t = pa.concat_tables(tbls)
+            yr = t.column("o_year").to_numpy(zero_copy_only=False)
+            tot = t.column("total_c4").to_numpy(zero_copy_only=False)
+            nat = t.column("nat_c4").to_numpy(zero_copy_only=False)
+            uy, inv = np.unique(yr, return_inverse=True)
+            ts = np.zeros(len(uy), np.int64)
+            ns = np.zeros(len(uy), np.int64)
+            np.add.at(ts, inv, tot)
+            np.add.at(ns, inv, nat)
+            acc = {int(y): [int(a), int(b)] for y, a, b in zip(uy, ts, ns)}
 
     years = sorted(acc)
     return pd.DataFrame(
@@ -2624,35 +2709,42 @@ def rfm_segments(
     # sf0.1 for nothing); above it the keyed exchange runs.
     from ..config import DRIVER_FASTPATH_ROWS
 
-    rows: dict[int, tuple[int, int, int]] = {}
+    def _concat(ds: rd.Dataset, cols: tuple[str, str, str, str]) -> tuple:
+        # customer-grain result tables → one Arrow concat + numpy arrays
+        tbls = [
+            t for t in ray.get(ds.to_arrow_refs())
+            if len(t) and cols[0] in t.column_names
+        ]
+        if not tbls:
+            z = np.empty(0, np.int64)
+            return z, z, z, z
+        t = pa.concat_tables(tbls)
+        return tuple(
+            t.column(c).to_numpy(zero_copy_only=False).astype(np.int64) for c in cols
+        )
+
     if orders.count() <= DRIVER_FASTPATH_ROWS:
-        for ref_ in partials.to_arrow_refs():
-            t = ray.get(ref_)
-            for r in t.to_pylist():
-                prev = rows.get(r["c_custkey"])
-                if prev is None:
-                    rows[r["c_custkey"]] = (r["rec"], r["freq"], r["mon"])
-                else:
-                    rows[r["c_custkey"]] = (
-                        min(prev[0], r["rec"]),
-                        prev[1] + r["freq"],
-                        prev[2] + r["mon"],
-                    )
+        ck, rec0, freq0, mon0 = _concat(partials, ("c_custkey", "rec", "freq", "mon"))
+        # segment fold over the sorted key view (min / sum / sum)
+        order = np.argsort(ck, kind="stable")
+        ck, rec0, freq0, mon0 = ck[order], rec0[order], freq0[order], mon0[order]
+        starts = (
+            np.flatnonzero(np.diff(ck, prepend=ck[0] - 1)) if ck.size else np.empty(0, np.int64)
+        )
+        keys = ck[starts]
+        rec = np.minimum.reduceat(rec0, starts) if ck.size else rec0
+        freq = np.add.reduceat(freq0, starts) if ck.size else freq0
+        mon = np.add.reduceat(mon0, starts) if ck.size else mon0
     else:
         agg = partials.groupby("c_custkey").aggregate(
             rd.aggregate.Min("rec"), rd.aggregate.Sum("freq"), rd.aggregate.Sum("mon")
         )
-        for ref_ in agg.to_arrow_refs():
-            t = ray.get(ref_)
-            if not len(t) or "c_custkey" not in t.column_names:
-                continue
-            for r in t.to_pylist():
-                rows[r["c_custkey"]] = (r["min(rec)"], r["sum(freq)"], r["sum(mon)"])
-
-    keys = sorted(rows)
-    rec = np.array([rows[k][0] for k in keys], np.int64)
-    freq = np.array([rows[k][1] for k in keys], np.int64)
-    mon = np.array([rows[k][2] for k in keys], np.int64)
+        ck, rec, freq, mon = _concat(
+            agg, ("c_custkey", "min(rec)", "sum(freq)", "sum(mon)")
+        )
+        order = np.argsort(ck, kind="stable")
+        keys, rec, freq, mon = ck[order], rec[order], freq[order], mon[order]
+    keys = keys.tolist()
 
     def disc_q(vals: np.ndarray, q: float) -> int:
         s = np.sort(vals)

@@ -1085,6 +1085,13 @@ def window_topk_users(
         vc = np.floor(
             batch.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
         ).astype(np.int64)
+        # fail loud instead of silently aliasing if user_id ever
+        # outgrows the 20-bit packing
+        if user.size and int(user.max()) >= (1 << 20):
+            raise ValueError(
+                "user_id >= 2^20 overflows the packed (window, user) key — "
+                "widen to a two-column groupby here"
+            )
         key = win * (1 << 20) + user  # user_id < 2^20 in this corpus
         uk, inv = np.unique(key, return_inverse=True)
         sums = np.zeros(len(uk), np.int64)

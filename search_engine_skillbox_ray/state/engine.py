@@ -130,6 +130,10 @@ class SearchEngine:
         # rather than scaling with the corpus.
         self._rg_cache: OrderedDict[tuple[int, int], pa.Table] = OrderedDict()
         self._rg_cache_bytes = 0
+        # per-file ParquetFile handle cache + miss-read thread pool for
+        # the locator hydration path (see _hydrate_located)
+        self._pf_cache: dict[int, pq.ParquetFile] = {}
+        self._rg_pool = None
         self.rg_cache_max_bytes = int(
             os.environ.get("SES_DOC_RG_CACHE_BYTES", 128 << 20)
         )
@@ -212,6 +216,7 @@ class SearchEngine:
         self._docs_locator = None
         self._rg_cache.clear()
         self._rg_cache_bytes = 0
+        self._pf_cache.clear()
         self._term_cache.clear()
         self._bucket_cache.clear()
         self._load_update_log()
@@ -1503,20 +1508,57 @@ class SearchEngine:
                 (int(rloc[p]), did)
             )
         cols = ["doc_id", "site_id", "path", "text"]
-        for (fi, g), rows in by_group.items():
-            tbl = self._rg_cache.get((fi, g))
+        hit: dict[tuple[int, int], pa.Table] = {}
+        missed: list[tuple[int, int]] = []
+        for key in by_group:
+            tbl = self._rg_cache.get(key)
             if tbl is not None:
-                self._rg_cache.move_to_end((fi, g))
+                self._rg_cache.move_to_end(key)
+                hit[key] = tbl
             else:
-                tbl = pq.ParquetFile(files[fi]).read_row_group(g, columns=cols)
+                missed.append(key)
+        if missed:
+            # cold groups decode concurrently (Arrow releases the GIL in
+            # the parquet reader, so a p95-tail query touching ~10 cold
+            # groups pays ~max instead of ~sum of the ~1 ms decodes).
+            # One thread per FILE — a ParquetFile handle is not
+            # thread-safe, so same-file groups read sequentially on the
+            # handle, which is also cached per file (reopening re-parses
+            # a ~100-group footer on every miss otherwise).
+            by_file: dict[int, list[int]] = {}
+            for fi, g in missed:
+                by_file.setdefault(fi, []).append(g)
+
+            def _read_file(item) -> list[tuple[tuple[int, int], pa.Table]]:
+                fi, gs = item
+                pf = self._pf_cache.get(fi)
+                if pf is None:
+                    pf = pq.ParquetFile(files[fi])
+                    self._pf_cache[fi] = pf
+                return [((fi, g), pf.read_row_group(g, columns=cols)) for g in gs]
+
+            if len(by_file) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                if self._rg_pool is None:
+                    self._rg_pool = ThreadPoolExecutor(max_workers=8)
+                read_results = [
+                    kv for part in self._rg_pool.map(_read_file, by_file.items())
+                    for kv in part
+                ]
+            else:
+                read_results = _read_file(next(iter(by_file.items())))
+            for key, tbl in read_results:
+                hit[key] = tbl
                 nb = tbl.nbytes
                 if nb <= self.rg_cache_max_bytes:
-                    self._rg_cache[(fi, g)] = tbl
+                    self._rg_cache[key] = tbl
                     self._rg_cache_bytes += nb
                     while self._rg_cache_bytes > self.rg_cache_max_bytes and self._rg_cache:
                         _, old = self._rg_cache.popitem(last=False)
                         self._rg_cache_bytes -= old.nbytes
-            taken = tbl.take(pa.array([r for r, _ in rows], pa.int64()))
+        for key, rows in by_group.items():
+            taken = hit[key].take(pa.array([r for r, _ in rows], pa.int64()))
             for r in taken.to_pylist():
                 out[int(r["doc_id"])] = r
         return out

@@ -95,7 +95,10 @@ def _write_segment_batch(
     docs_tbl = batch.select(DOCS_SCHEMA.names).cast(DOCS_SCHEMA)
     docs_dir = idx_dir / "docs"
     tmp = docs_dir / f"tmp-delta-seg-{seq:06d}-{sig}.parquet.tmp"
-    pq.write_table(docs_tbl, tmp, compression="zstd")
+    # 128-row groups match the base doc store: the engine's locator
+    # hydrates per row group, so delta shards pay the same ~1 ms
+    # per-miss decode instead of a whole-file decode
+    pq.write_table(docs_tbl, tmp, compression="zstd", row_group_size=128)
     os.replace(tmp, docs_dir / f"tmp-delta-seg-{seq:06d}-{sig}.parquet")
 
     partials = TokenizeExplode(n_buckets=n_buckets, emit_partials=True)(batch)

@@ -371,3 +371,31 @@ def test_bloom_supersets_exact_decontaminate(ray_session):
     assert (
         bloom.loc[exact.index, "n_bloom_hits"] >= exact["n_hit_windows"]
     ).all()
+
+
+@requires_solo_ray
+def test_sweep_distributed_matches_fastpath(corpus, monkeypatch):
+    """dedup_threshold_sweep's distributed path (per-batch threshold
+    histograms + per-doc max-est fold) must equal the gated driver
+    collect row for row."""
+    from search_engine_skillbox_ray.pipelines.dedup import dedup_threshold_sweep
+
+    fast = dedup_threshold_sweep(corpus).reset_index(drop=True)
+    monkeypatch.setattr(config, "DRIVER_FASTPATH_ROWS", 0)
+    dist = dedup_threshold_sweep(corpus).reset_index(drop=True)
+    assert fast["n_pairs"].sum() > 0
+    assert fast.equals(dist)
+
+
+@requires_solo_ray
+def test_calibration_distributed_matches_fastpath(corpus, monkeypatch):
+    """minhash_calibration's distributed path (pair ⨝ packed gram sets
+    ×2, per-batch decile combiner, ≤11-row groupby) must equal the
+    gated local resolve."""
+    from search_engine_skillbox_ray.pipelines.dedup import minhash_calibration
+
+    fast = minhash_calibration(corpus).reset_index(drop=True)
+    monkeypatch.setattr(config, "DRIVER_FASTPATH_ROWS", 0)
+    dist = minhash_calibration(corpus).reset_index(drop=True)
+    assert fast["n_pairs"].sum() > 0
+    assert fast.equals(dist)

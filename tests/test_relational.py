@@ -396,7 +396,7 @@ def test_big_orders_threshold_and_rank(ray_session):
     c, o, li = _tables()
     from search_engine_skillbox_ray.pipelines.relational import big_volume_orders
 
-    out = big_volume_orders(c, o, li, min_qty=250, k=100)
+    out = big_volume_orders(o, li, min_qty=250, k=100)
     ldf = pd.read_parquet(f"{SF}/lineitem.parquet")
     qc = np.floor(ldf["l_quantity"].to_numpy() * 100 + 0.5).astype(np.int64)
     per = pd.DataFrame({"k": ldf["l_orderkey"], "q": qc}).groupby("k")["q"].sum()
@@ -486,9 +486,9 @@ def test_big_orders_distributed_matches_fastpath(ray_session, monkeypatch):
     from search_engine_skillbox_ray.pipelines import relational
 
     c, o, li = _tables()
-    fast = relational.big_volume_orders(c, o, li, min_qty=250, k=100)
+    fast = relational.big_volume_orders(o, li, min_qty=250, k=100)
     monkeypatch.setattr(config, "DRIVER_FASTPATH_ROWS", 0)
-    dist = relational.big_volume_orders(c, o, li, min_qty=250, k=100)
+    dist = relational.big_volume_orders(o, li, min_qty=250, k=100)
     pd.testing.assert_frame_equal(
         fast.reset_index(drop=True),
         dist.reset_index(drop=True),

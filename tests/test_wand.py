@@ -171,6 +171,13 @@ def test_bm25_min_dl_block_bound_prunes_more(seed):
     """The per-block min-doc_len BM25 bound must (a) return the exact
     same top-k as the dl->0 bound and (b) decode no more — and across
     the seeds strictly fewer — blocks."""
+    _bm25_min_dl_decoded(seed)
+
+
+def _bm25_min_dl_decoded(seed):
+    """Shared body for the two min-dl bound tests: asserts top-k parity
+    and per-seed decode dominance, then reports the decode counters (a
+    helper, not a test — pytest forbids tests returning values)."""
     import search_engine_skillbox_ray.stages.wand as wand
 
     rng = np.random.default_rng(seed)
@@ -229,7 +236,7 @@ def test_bm25_min_dl_block_bound_prunes_more(seed):
 def test_bm25_min_dl_bound_strictly_fewer_blocks_overall():
     total = {"loose": 0, "tight": 0}
     for seed in range(4):
-        d = test_bm25_min_dl_block_bound_prunes_more(seed)
+        d = _bm25_min_dl_decoded(seed)
         total["loose"] += d["loose"]
         total["tight"] += d["tight"]
     assert total["tight"] < total["loose"], total
