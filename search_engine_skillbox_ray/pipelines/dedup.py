@@ -204,36 +204,20 @@ class MinHashSignatures:
         )
 
 
-# per-worker-process kernel cache for the task-based signature stage:
-# Ray reuses worker processes across tasks, so the kernel (permutation
-# constants + the TokenHasher md5 cache) is built once per process and
-# stays warm across batches AND pipelines — the same amortization an
-# actor pool gives, without paying a fresh actor-process spawn + package
-# import (~1.2 s) on EVERY pipeline that needs signatures.  The state is
-# deterministic (seeded constants + a pure cache), so task scheduling
-# cannot change results.
-_SIG_KERNELS: dict = {}
-
-
 def _minhash_sig_ds(
     documents: rd.Dataset, *, num_perm: int, shingle_k: int, seed: int
 ) -> rd.Dataset:
     """Signature pass as task-based ``map_batches`` over warm workers
     with a per-process cached :class:`MinHashSignatures` kernel (see
-    ``_SIG_KERNELS``).  Measured at sf0.1: 0.47 s warm vs 1.71 s for a
-    fresh ``concurrency=(1, 8)`` actor pool — pool spin-up dominated
-    every MinHash-family bench entry."""
+    ``stages/taskpool.py``).  Measured at sf0.1: 0.47 s warm vs 1.71 s
+    for a fresh ``concurrency=(1, 8)`` actor pool — pool spin-up
+    dominated every MinHash-family bench entry."""
+    from ..stages.taskpool import cached_kernel_map
 
-    def sig_fn(batch: pa.Table, _key=(num_perm, shingle_k, seed)) -> pa.Table:
-        kern = _SIG_KERNELS.get(_key)
-        if kern is None:
-            kern = MinHashSignatures(
-                num_perm=_key[0], shingle_k=_key[1], seed=_key[2]
-            )
-            _SIG_KERNELS[_key] = kern
-        return kern(batch)
-
-    return documents.map_batches(sig_fn, batch_format="pyarrow")
+    return cached_kernel_map(
+        documents, MinHashSignatures,
+        {"num_perm": num_perm, "shingle_k": shingle_k, "seed": seed},
+    )
 
 
 def minhash_signatures_ds(
@@ -660,8 +644,14 @@ def simhash_stage(batch: pa.Table, seed: int = 42) -> pa.Table:
     return SimHash()(batch)
 
 
-def simhash_ds(documents: rd.Dataset, concurrency=(1, 8)) -> rd.Dataset:
-    return documents.map_batches(SimHash, batch_format="pyarrow", concurrency=concurrency)
+def simhash_ds(documents: rd.Dataset, concurrency=None) -> rd.Dataset:
+    """SimHash pass as cached-kernel tasks (stages/taskpool.py) — the
+    kernel is seeded constants + a token-hash cache, so warm workers
+    beat a per-pipeline actor-pool spawn.  ``concurrency`` is accepted
+    for API compatibility and ignored (tasks autoscale)."""
+    from ..stages.taskpool import cached_kernel_map
+
+    return cached_kernel_map(documents, SimHash)
 
 
 def simhash_near_pairs(documents: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
@@ -971,10 +961,9 @@ def ngram_jaccard_pairs(
     from ..config import DRIVER_FASTPATH_ROWS as _FASTPATH_GATE
 
     stage = {"n": n, "bucket_sample": bucket_sample}
-    bucketed = documents.map_batches(
-        _NgramBuckets, fn_constructor_kwargs=stage, batch_format="pyarrow",
-        concurrency=(1, 8),
-    ).materialize()
+    from ..stages.taskpool import cached_kernel_map
+
+    bucketed = cached_kernel_map(documents, _NgramBuckets, stage).materialize()
     empty = _EMPTY_NGRAM_PAIRS
     n_bucket_rows = bucketed.count()
     if n_bucket_rows == 0:
@@ -1201,12 +1190,10 @@ def containment_pairs(
     pair set (regression-tested). The containment value is an exact
     integer ratio, so DuckDB reproduces it bit-for-bit."""
     from ..stages.grouping import bucketed_group_apply, drop_empty_blocks, sized_join
+    from ..stages.taskpool import cached_kernel_map
 
-    gram_rows_all = documents.map_batches(
-        _ContainmentGramRows,
-        fn_constructor_kwargs={"n": n, "probe_sample": probe_sample},
-        batch_format="pyarrow",
-        concurrency=(1, 8),
+    gram_rows_all = cached_kernel_map(
+        documents, _ContainmentGramRows, {"n": n, "probe_sample": probe_sample}
     )
 
     def bucket_pairs(bucket: pd.DataFrame) -> pd.DataFrame:

@@ -234,12 +234,9 @@ def phrase_scan_ds(
 ) -> rd.Dataset:
     """(doc_id, phrase_id, n_occurrences) for every document containing
     a probe phrase — see :class:`PhraseScan`."""
-    return documents.map_batches(
-        PhraseScan,
-        fn_constructor_kwargs={"phrases": phrases},
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
+    from ..stages.taskpool import cached_kernel_map
+
+    return cached_kernel_map(documents, PhraseScan, {"phrases": tuple(phrases)})
 
 
 def token_counts_ds(documents: rd.Dataset) -> rd.Dataset:
@@ -254,8 +251,13 @@ def fingerprints_ds(documents: rd.Dataset) -> rd.Dataset:
     return documents.map_batches(fingerprint_stage, batch_format="pyarrow")
 
 
-def langid_ds(documents: rd.Dataset, concurrency=(1, 4)) -> rd.Dataset:
-    return documents.map_batches(LangId, batch_format="pyarrow", concurrency=concurrency)
+def langid_ds(documents: rd.Dataset, concurrency=None) -> rd.Dataset:
+    """LangId pass as cached-kernel tasks (stages/taskpool.py): wordlist
+    value sets build once per worker process; ``concurrency`` accepted
+    for API compatibility and ignored (tasks autoscale)."""
+    from ..stages.taskpool import cached_kernel_map
+
+    return cached_kernel_map(documents, LangId)
 
 
 def sample_by_hash_stage(
@@ -485,11 +487,11 @@ def hll_distinct_tokens(
     field = 64 - precision
     alpha = 0.7213 / (1.0 + 1.079 / m)
 
-    partials = documents.map_batches(
-        HllPartial,
-        fn_constructor_kwargs={"precision": precision, "key_col": key_col, "text_col": text_col},
-        batch_format="pyarrow",
-        concurrency=(1, 8),
+    from ..stages.taskpool import cached_kernel_map
+
+    partials = cached_kernel_map(
+        documents, HllPartial,
+        {"precision": precision, "key_col": key_col, "text_col": text_col},
     )
     regs = partials.groupby([key_col, "register"]).max("rho")
 
