@@ -1252,6 +1252,26 @@ def q_dedup_sweep(sf_dir: str):
 
 
 RFM_REF = "2001-09-01"  # RFM reference date (after the last order)
+UNIMAX_BUDGET, UNIMAX_EPOCHS = 1_000_000, 4  # UniMax waterfill params
+
+
+def q_source_fertility(sf_dir: str):
+    """Per-source tokenizer fertility (chars/token, tokens/doc) — the
+    ratio table read before sizing packing or per-source token budgets."""
+    from search_engine_skillbox_ray.pipelines.textstats import source_fertility_ds
+
+    return source_fertility_ds(_documents(sf_dir))
+
+
+def q_unimax_plan(sf_dir: str):
+    """UniMax mixture plan: equal-share token budget waterfill with a
+    per-source max-epochs cap (Chung et al. 2023)."""
+    from search_engine_skillbox_ray.pipelines.selection import unimax_plan_ds
+
+    return unimax_plan_ds(
+        _documents(sf_dir), budget_tokens=UNIMAX_BUDGET, max_epochs=UNIMAX_EPOCHS,
+    )
+
 
 
 def q_rel_rfm(sf_dir: str):
@@ -3469,6 +3489,8 @@ _DRIVER_PRIORITY = [
     # CORRECTNESS_r1-r4 row lead (judge-computed union; each is
     # green in the in-repo sf0.001 harness and the sf0.01 sweeps),
     # so a prefix-drawn driver sample verifies unseen surface first.
+    "source_fertility",
+    "unimax_plan",
     "search_recency",
     "search_prefix",
     "search_collapse",
@@ -3847,6 +3869,8 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "rel_rfm": q_rel_rfm,
         "rel_discount_elasticity": q_rel_discount_elasticity,
         "source_quality_summary": q_source_quality_summary,
+        "source_fertility": q_source_fertility,
+        "unimax_plan": q_unimax_plan,
         "rel_returned_items": q_rel_returned_items,
         "rel_big_orders": q_rel_big_orders,
         "rel_small_qty": q_rel_small_qty,
@@ -7493,6 +7517,50 @@ SELECT disc_pct, n AS n_rows,
 FROM a
 """,
         # per-source length quartiles: percentile_disc on exact ints
+        # per-source tokenizer fertility: same M2 token split + codepoint
+        # length on both sides; ratios are one double division, round-6
+        "source_fertility": """
+WITH per AS (SELECT source,
+       len(list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'),
+           x -> x <> ''))::BIGINT AS n,
+       length(text)::BIGINT AS c
+FROM documents)
+SELECT source, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS n_tokens,
+       sum(c)::BIGINT AS n_chars,
+       ROUND(CAST(sum(c) AS DOUBLE) / GREATEST(sum(n), 1), 6) AS chars_per_token,
+       ROUND(CAST(sum(n) AS DOUBLE) / GREATEST(count(*), 1), 6) AS tokens_per_doc
+FROM per GROUP BY source
+""",
+        # UniMax waterfill: the greedy ascending-cap allocation unrolled
+        # as a recursive CTE — identical IEEE double sequence as the
+        # Python loop, so round-6 epochs match bit-for-bit
+        "unimax_plan": f"""
+WITH RECURSIVE per AS (SELECT source,
+       len(list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}]+'),
+           x -> x <> ''))::BIGINT AS n
+FROM documents),
+src AS (SELECT source, sum(n)::BIGINT AS n_tokens FROM per GROUP BY source),
+caps AS (SELECT source, n_tokens, (n_tokens * {UNIMAX_EPOCHS})::BIGINT AS cap,
+         ROW_NUMBER() OVER (ORDER BY n_tokens * {UNIMAX_EPOCHS}, source) AS rn,
+         (SELECT count(*) FROM src) AS nsrc
+  FROM src),
+rec AS (
+  SELECT 0 AS rn, CAST({UNIMAX_BUDGET} AS DOUBLE) AS left_b
+  UNION ALL
+  SELECT c.rn,
+         rec.left_b - LEAST(CAST(c.cap AS DOUBLE),
+                            rec.left_b / (c.nsrc - c.rn + 1))
+  FROM rec JOIN caps c ON c.rn = rec.rn + 1
+)
+SELECT c.source, c.n_tokens, c.cap AS cap_tokens,
+       ROUND(LEAST(CAST(c.cap AS DOUBLE), r.left_b / (c.nsrc - c.rn + 1)), 6)
+         AS alloc_tokens,
+       CASE WHEN c.n_tokens = 0 THEN 0.0
+            ELSE ROUND(LEAST(CAST(c.cap AS DOUBLE),
+                             r.left_b / (c.nsrc - c.rn + 1)) / c.n_tokens, 6)
+       END AS epochs
+FROM caps c JOIN rec r ON r.rn = c.rn - 1
+""",
         "source_quality_summary": """
 SELECT source, count(*)::BIGINT AS n_docs,
        percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars)::BIGINT AS p25,

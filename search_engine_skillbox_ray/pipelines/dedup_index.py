@@ -318,15 +318,12 @@ def append_minhash_index(
         if marker.exists():
             return json.loads(marker.read_text())
     seq = _mh_next_seq(out)
-    sigs = documents.select_columns(["doc_id", "text"]).map_batches(
-        _SignStage,
-        fn_constructor_kwargs={
-            "num_perm": int(m["num_perm"]),
-            "shingle_k": int(m["shingle_k"]),
-            "seed": int(m["seed"]),
-        },
-        batch_format="pyarrow",
-        concurrency=(1, 8),
+    from ..stages.taskpool import cached_kernel_map
+
+    sigs = cached_kernel_map(
+        documents.select_columns(["doc_id", "text"]), _SignStage,
+        {"num_perm": int(m["num_perm"]), "shingle_k": int(m["shingle_k"]),
+         "seed": int(m["seed"])},
     ).materialize()
     band_rows = sigs.map_batches(
         lambda b: _band_rows_from_sigs(b, int(m["bands"]), int(m["n_band_parts"])),
@@ -382,15 +379,12 @@ def query_minhash_index(
         raise ValueError("no minhash index at " + str(out))
     bands, n_band_parts = int(m["bands"]), int(m["n_band_parts"])
 
-    qsigs = documents.select_columns(["doc_id", "text"]).map_batches(
-        _SignStage,
-        fn_constructor_kwargs={
-            "num_perm": int(m["num_perm"]),
-            "shingle_k": int(m["shingle_k"]),
-            "seed": int(m["seed"]),
-        },
-        batch_format="pyarrow",
-        concurrency=(1, 8),
+    from ..stages.taskpool import cached_kernel_map
+
+    qsigs = cached_kernel_map(
+        documents.select_columns(["doc_id", "text"]), _SignStage,
+        {"num_perm": int(m["num_perm"]), "shingle_k": int(m["shingle_k"]),
+         "seed": int(m["seed"])},
     ).materialize()
     q_bands = qsigs.map_batches(
         lambda b: _band_rows_from_sigs(b, bands, n_band_parts), batch_format="pyarrow"

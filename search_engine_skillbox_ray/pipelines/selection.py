@@ -433,3 +433,76 @@ def mixture_plan_ds(documents: rd.Dataset) -> "pd.DataFrame":
             "sample_factor": np.round(factor, 6),
         }
     )
+
+
+def unimax_plan_ds(
+    documents: rd.Dataset,
+    *,
+    budget_tokens: int,
+    max_epochs: int = 4,
+) -> "pd.DataFrame":
+    """→ (source, n_tokens, cap_tokens, alloc_tokens, epochs): UniMax
+    mixture planning (Chung et al. 2023, "UniMax: Fairer and More
+    Effective Language Sampling") — distribute a total token budget as
+    equally as possible across sources, capping every source at
+    ``max_epochs`` repetitions of its natural token count so small
+    sources are never over-duplicated.
+
+    The allocation is the standard greedy waterfill: visit sources by
+    ascending cap (ties by name); each gets min(cap, remaining budget /
+    remaining sources).  The same sequential arithmetic runs in the
+    DuckDB oracle as a recursive CTE, so the rounded epochs match
+    bit-for-bit.  Scale shape: ONE tokenize pass with per-batch
+    (source, token-count) combiners → a source-grain exchange; the
+    waterfill runs on the source-count-sized result."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, _, counts = flat_nonempty_tokens(batch.column("text"))
+        t = pa.table(
+            {
+                "source": batch.column("source"),
+                "n_tokens": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+        g = t.group_by("source").aggregate([("n_tokens", "sum")])
+        return pa.table(
+            {"source": g.column("source"), "n_tokens": g.column("n_tokens_sum")}
+        )
+
+    agg = (
+        documents.select_columns(["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .sum("n_tokens")
+    )
+    toks: dict[str, int] = {}
+    for ref in agg.to_arrow_refs():
+        t = ray.get(ref)
+        if not len(t) or "source" not in t.column_names:
+            continue
+        for s, n in zip(
+            t.column("source").to_pylist(), t.column("sum(n_tokens)").to_pylist()
+        ):
+            toks[s] = toks.get(s, 0) + int(n)
+
+    rows = sorted(toks.items(), key=lambda kv: (kv[1] * max_epochs, kv[0]))
+    n = len(rows)
+    left = float(budget_tokens)
+    out = []
+    for i, (s, nt) in enumerate(rows):
+        cap = float(nt * max_epochs)
+        fair = left / (n - i)
+        alloc = min(cap, fair)
+        left -= alloc
+        out.append((s, nt, int(nt * max_epochs), alloc))
+    out.sort(key=lambda r: r[0])
+    return pd.DataFrame(
+        {
+            "source": [r[0] for r in out],
+            "n_tokens": [r[1] for r in out],
+            "cap_tokens": [r[2] for r in out],
+            "alloc_tokens": [round(r[3], 6) for r in out],
+            "epochs": [round(r[3] / r[1], 6) if r[1] else 0.0 for r in out],
+        }
+    )

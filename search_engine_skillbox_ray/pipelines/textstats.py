@@ -4238,3 +4238,65 @@ def source_quality_summary_ds(documents: rd.Dataset) -> rd.Dataset:
         )
 
     return agg.groupby("source").map_groups(summarize, batch_format="pandas")
+
+
+def source_fertility_ds(documents: rd.Dataset) -> rd.Dataset:
+    """→ (source, n_docs, n_tokens, n_chars, chars_per_token,
+    tokens_per_doc): per-source tokenizer fertility — the chars/token
+    and tokens/doc ratios a pipeline reads before sizing packing, BPE
+    vocab or per-source token budgets (a source whose chars/token runs
+    high tokenizes expensively; one whose tokens/doc collapses signals
+    boilerplate or truncation).
+
+    Scale shape: per-batch (source, docs, tokens, chars) combiners →
+    ONE source-grain exchange; ratios are one rounded division per
+    source on the result."""
+    from ..functions.hashing import flat_nonempty_tokens
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, _, counts = flat_nonempty_tokens(batch.column("text"))
+        nchars = pc.utf8_length(batch.column("text")).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "source": batch.column("source"),
+                "n_docs": pa.array(np.ones(len(batch), np.int64)),
+                "n_tokens": pa.array(counts.astype(np.int64)),
+                "n_chars": pa.array(nchars.astype(np.int64)),
+            }
+        )
+        g = t.group_by("source").aggregate(
+            [("n_docs", "sum"), ("n_tokens", "sum"), ("n_chars", "sum")]
+        )
+        return g.rename_columns(["source", "n_docs", "n_tokens", "n_chars"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        nd = t.column("sum(n_docs)").to_numpy(zero_copy_only=False).astype(np.int64)
+        nt = t.column("sum(n_tokens)").to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = t.column("sum(n_chars)").to_numpy(zero_copy_only=False).astype(np.int64)
+        safe_nt = np.maximum(nt, 1)
+        safe_nd = np.maximum(nd, 1)
+        return pa.table(
+            {
+                "source": t.column("source"),
+                "n_docs": pa.array(nd),
+                "n_tokens": pa.array(nt),
+                "n_chars": pa.array(nc),
+                "chars_per_token": pa.array(
+                    np.round(nc / safe_nt, 6), pa.float64()
+                ),
+                "tokens_per_doc": pa.array(
+                    np.round(nt / safe_nd, 6), pa.float64()
+                ),
+            }
+        )
+
+    return (
+        documents.select_columns(["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            rd.aggregate.Sum("n_docs"), rd.aggregate.Sum("n_tokens"),
+            rd.aggregate.Sum("n_chars"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -1556,3 +1556,34 @@ def test_search_passages_planted(ray_session):
     assert out.doc_id.iloc[0] == 0            # dense passage wins
     assert 2 not in set(out.doc_id)           # no-hit doc absent
     assert (out.score.to_numpy()[:-1] >= out.score.to_numpy()[1:]).all()
+
+
+def test_unimax_waterfill_caps_and_budget(ray_session):
+    """UniMax plan: small sources cap at max_epochs, the remainder
+    waterfills equally, and total allocation never exceeds the budget
+    (exhausts it when caps allow)."""
+    import numpy as np
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.selection import unimax_plan_ds
+
+    rows = []
+    did = 0
+    for src, n_docs, words in (("a", 2, 5), ("b", 4, 50), ("c", 8, 200)):
+        for i in range(n_docs):
+            rows.append({"doc_id": did, "source": src,
+                         "text": " ".join(f"w{j}" for j in range(words))})
+            did += 1
+    docs = rd.from_items(rows).repartition(3)
+    out = unimax_plan_ds(docs, budget_tokens=2000, max_epochs=4)
+    out = out.set_index("source")
+    # token counts: a=10, b=200, c=1600 → caps 40 / 800 / 6400
+    assert out.loc["a", "n_tokens"] == 10 and out.loc["a", "cap_tokens"] == 40
+    # source a caps (fair share 2000/3 > 40); epochs == max_epochs
+    assert out.loc["a", "epochs"] == 4.0
+    total = out["alloc_tokens"].sum()
+    assert total <= 2000 + 1e-6
+    # budget exhausts: remaining sources can absorb it (c's cap is huge)
+    assert abs(total - 2000) < 1e-6
+    # c gets the residual equal share, more than b
+    assert out.loc["c", "alloc_tokens"] >= out.loc["b", "alloc_tokens"]
