@@ -277,11 +277,14 @@ def build_minhash_index(
     ):
         stale.unlink()
 
-    sigs = documents.select_columns(["doc_id", "text"]).map_batches(
-        _SignStage,
-        fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k, "seed": seed},
-        batch_format="pyarrow",
-        concurrency=(1, 8),
+    from ..stages.taskpool import cached_kernel_map
+
+    # cached-kernel tasks (stages/taskpool.py): deterministic ctor state,
+    # and a fresh actor pool costs ~1.2 s per pipeline — the index
+    # lifecycle entries sign up to three times per run
+    sigs = cached_kernel_map(
+        documents.select_columns(["doc_id", "text"]), _SignStage,
+        {"num_perm": num_perm, "shingle_k": shingle_k, "seed": seed},
     ).materialize()  # signed ONCE; both writers read these blocks
 
     band_rows = sigs.map_batches(

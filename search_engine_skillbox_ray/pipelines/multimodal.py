@@ -186,24 +186,22 @@ class FrameSample:
         )
 
 
-def decode_media_ds(media: rd.Dataset, *, strict: bool = False, concurrency=(1, 4)) -> rd.Dataset:
-    return media.map_batches(
-        DecodeMedia,
-        fn_constructor_kwargs={"strict": strict},
-        batch_format="pyarrow",
-        batch_size=32,  # small: binary payload rows
-        concurrency=concurrency,
-    )
+def decode_media_ds(media: rd.Dataset, *, strict: bool = False, concurrency=None) -> rd.Dataset:
+    """Decode stage as cached-kernel tasks (stages/taskpool.py): the
+    stub codec table is deterministic ctor state.  With REAL codecs an
+    actor pool with per-slot library handles is the right shape — flip
+    back when PIL/ffmpeg exist.  ``concurrency`` kept for API compat."""
+    from ..stages.taskpool import cached_kernel_map
+
+    return cached_kernel_map(
+        media, DecodeMedia, {"strict": strict}, batch_size=32
+    )  # small batches: binary payload rows
 
 
-def frame_sample_ds(media: rd.Dataset, every_k: int = 2, concurrency=(1, 4)) -> rd.Dataset:
-    return media.map_batches(
-        FrameSample,
-        fn_constructor_kwargs={"every_k": every_k},
-        batch_format="pyarrow",
-        batch_size=32,
-        concurrency=concurrency,
-    )
+def frame_sample_ds(media: rd.Dataset, every_k: int = 2, concurrency=None) -> rd.Dataset:
+    from ..stages.taskpool import cached_kernel_map
+
+    return cached_kernel_map(media, FrameSample, {"every_k": every_k}, batch_size=32)
 
 
 def make_media_table_with_dups(

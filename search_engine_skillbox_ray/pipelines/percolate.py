@@ -93,11 +93,12 @@ def percolate_ds(
     documents: rd.Dataset, queries: list[str], *, concurrency=(1, 4)
 ) -> rd.Dataset:
     """→ (query_id, doc_id): every (stored query, document) AND-match.
-    Queries compile once per actor; documents stream through one
-    shuffle-free actor-pool pass."""
-    return documents.select_columns(["doc_id", "text"]).map_batches(
-        PercolateBatch,
-        fn_constructor_kwargs={"queries": queries},
-        batch_format="pyarrow",
-        concurrency=concurrency,
+    Queries compile once per worker process (cached-kernel tasks,
+    stages/taskpool.py); documents stream through one shuffle-free
+    pass.  ``concurrency`` is accepted for API compatibility."""
+    from ..stages.taskpool import cached_kernel_map
+
+    return cached_kernel_map(
+        documents.select_columns(["doc_id", "text"]), PercolateBatch,
+        {"queries": tuple(queries)},
     )
