@@ -1253,6 +1253,22 @@ def q_dedup_sweep(sf_dir: str):
 
 RFM_REF = "2001-09-01"  # RFM reference date (after the last order)
 UNIMAX_BUDGET, UNIMAX_EPOCHS = 1_000_000, 4  # UniMax waterfill params
+CURATE_MIN_TOK, CURATE_MAX_TOK = 25, 90  # curation funnel quality band
+
+
+def q_curation_pipeline(sf_dir: str):
+    """End-to-end curation funnel: quality gate -> exact dedup ->
+    one-shot near-dup drop -> decontaminate, with per-stage survivor
+    counts — the composed pipeline a pretraining data pass runs."""
+    from search_engine_skillbox_ray.pipelines.curation import curation_pipeline_ds
+
+    return curation_pipeline_ds(
+        _documents(sf_dir), DECON_PROBES,
+        min_tokens=CURATE_MIN_TOK, max_tokens=CURATE_MAX_TOK,
+        near_threshold=MINHASH_THRESHOLD, num_perm=MINHASH_PERM,
+        bands=MINHASH_BANDS, seed=MINHASH_SEED, decon_k=DECON_K,
+    )
+
 
 
 def q_source_fertility(sf_dir: str):
@@ -3491,6 +3507,7 @@ _DRIVER_PRIORITY = [
     # so a prefix-drawn driver sample verifies unseen surface first.
     "source_fertility",
     "unimax_plan",
+    "curation_pipeline",
     "search_recency",
     "search_prefix",
     "search_collapse",
@@ -3871,6 +3888,7 @@ def _queries_impl() -> dict[str, Callable[[str], Any]]:
         "source_quality_summary": q_source_quality_summary,
         "source_fertility": q_source_fertility,
         "unimax_plan": q_unimax_plan,
+        "curation_pipeline": q_curation_pipeline,
         "rel_returned_items": q_rel_returned_items,
         "rel_big_orders": q_rel_big_orders,
         "rel_small_qty": q_rel_small_qty,
@@ -7517,6 +7535,46 @@ SELECT disc_pct, n AS n_rows,
 FROM a
 """,
         # per-source length quartiles: percentile_disc on exact ints
+        # curation funnel: each stage is an existing oracled rule; the
+        # near-dup pair set restricts cleanly (a survivor pair exists iff
+        # the two docs share a band, independent of dropped docs), so
+        # pairs compute on the full corpus and filter both endpoints
+        "curation_pipeline": f"""
+WITH tc AS (SELECT doc_id, len(list_filter(regexp_split_to_array(lower(text),
+       '[^\\p{{L}}]+'), x -> x <> '')) AS n FROM documents),
+d1 AS (SELECT doc_id FROM tc
+       WHERE n BETWEEN {CURATE_MIN_TOK} AND {CURATE_MAX_TOK}),
+d2 AS (SELECT min(d.doc_id) AS doc_id FROM documents d
+       JOIN d1 ON d1.doc_id = d.doc_id GROUP BY d.text),
+p AS ({_minhash_pairs_sql()}),
+p2 AS (SELECT doc_b FROM p
+       WHERE doc_a IN (SELECT doc_id FROM d2)
+         AND doc_b IN (SELECT doc_id FROM d2)),
+d3 AS (SELECT doc_id FROM d2
+       WHERE doc_id NOT IN (SELECT doc_b FROM p2)),
+tl3 AS (SELECT d.doc_id, list_filter(regexp_split_to_array(lower(d.text),
+        '[^\\p{{L}}]+'), x -> x <> '') AS toks
+        FROM documents d JOIN d3 ON d3.doc_id = d.doc_id),
+w AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= {DECON_K} THEN
+        list_transform(range(1, len(toks) - {DECON_K} + 2), i ->
+          md5_number_lower(array_to_string(toks[i:i+{DECON_K - 1}], ' ')) % {_M61})
+      ELSE CAST([] AS UBIGINT[]) END) AS wh FROM tl3),
+pt AS (SELECT list_filter(regexp_split_to_array(lower(txt), '[^\\p{{L}}]+'),
+        x -> x <> '') AS toks FROM (VALUES {_decon_probe_values()}) p(txt)),
+pw AS (SELECT DISTINCT unnest(CASE WHEN len(toks) >= {DECON_K} THEN
+        list_transform(range(1, len(toks) - {DECON_K} + 2), i ->
+          md5_number_lower(array_to_string(toks[i:i+{DECON_K - 1}], ' ')) % {_M61})
+      ELSE CAST([] AS UBIGINT[]) END) AS wh FROM pt),
+hits AS (SELECT DISTINCT w.doc_id FROM w JOIN pw ON w.wh = pw.wh),
+d4 AS (SELECT doc_id FROM d3
+       WHERE doc_id NOT IN (SELECT doc_id FROM hits))
+SELECT * FROM (VALUES
+  ('quality', (SELECT count(*) FROM documents), (SELECT count(*) FROM d1)),
+  ('exact_dedup', (SELECT count(*) FROM d1), (SELECT count(*) FROM d2)),
+  ('near_dup', (SELECT count(*) FROM d2), (SELECT count(*) FROM d3)),
+  ('decontaminate', (SELECT count(*) FROM d3), (SELECT count(*) FROM d4))
+) t(stage, n_in, n_out)
+""",
         # per-source tokenizer fertility: same M2 token split + codepoint
         # length on both sides; ratios are one double division, round-6
         "source_fertility": """

@@ -343,8 +343,9 @@ def test_oracle_keys_subset(entry_mod):
     "link_katz",
     # round 4 session 9: MinHash estimator calibration (est vs exact)
     "minhash_calibration",
-    # round 5: tokenizer fertility + UniMax waterfill plan
-    "source_fertility", "unimax_plan",
+    # round 5: tokenizer fertility + UniMax waterfill plan + the
+    # composed curation funnel (quality -> exact -> near-dup -> decon)
+    "source_fertility", "unimax_plan", "curation_pipeline",
     # round 4 session 9: RFM customer segmentation (exact quartiles)
     "rel_rfm",
     # round 4 session 9: discount elasticity + per-source length quartiles

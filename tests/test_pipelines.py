@@ -1587,3 +1587,37 @@ def test_unimax_waterfill_caps_and_budget(ray_session):
     assert abs(total - 2000) < 1e-6
     # c gets the residual equal share, more than b
     assert out.loc["c", "alloc_tokens"] >= out.loc["b", "alloc_tokens"]
+
+
+def test_curation_pipeline_funnel(ray_session):
+    """Curation funnel: stage counts are monotone non-increasing, the
+    quality band / exact-dup / near-dup / contamination plants are each
+    caught by their stage, and chaining is consistent (n_in of stage
+    k+1 == n_out of stage k)."""
+    import ray.data as rd
+
+    from search_engine_skillbox_ray.pipelines.curation import curation_pipeline_ds
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = []
+    for i in range(30):
+        rows.append({"doc_id": i, "text": f"{base} doc{i} " + "filler word " * 5})
+    rows.append({"doc_id": 100, "text": "too short"})                  # quality kill
+    rows.append({"doc_id": 101, "text": rows[0]["text"]})              # exact dup
+    rows.append({"doc_id": 102, "text": rows[1]["text"] + " tail"})    # near dup
+    rows.append({"doc_id": 103, "text": rows[2]["text"].replace(
+        "doc2", "quantum flux capacitor inverts the polarity field")}) # contaminated
+    docs = rd.from_items(rows).repartition(3)
+    out = curation_pipeline_ds(
+        docs, ["quantum flux capacitor inverts the polarity field"],
+        min_tokens=5, max_tokens=100, near_threshold=0.5, decon_k=5,
+    ).to_pandas().set_index("stage")
+    assert out.loc["quality", "n_in"] == 34
+    assert out.loc["quality", "n_out"] == 33          # doc 100 dies
+    assert out.loc["exact_dedup", "n_out"] == 32      # doc 101 dies
+    assert out.loc["near_dup", "n_out"] <= 31         # doc 102 dies (maybe more)
+    assert out.loc["decontaminate", "n_out"] <= out.loc["near_dup", "n_out"] - 1
+    # chaining consistency
+    stages = ["quality", "exact_dedup", "near_dup", "decontaminate"]
+    for a, b in zip(stages, stages[1:]):
+        assert out.loc[b, "n_in"] == out.loc[a, "n_out"]
