@@ -7335,7 +7335,7 @@ SELECT term, ROUND(SUM(p), 6) AS prob FROM parts GROUP BY term
             f"SELECT u AS url, r AS pagerank FROM r{PR_ITERS}",
             f"""SELECT u AS url,
        ROUND(CAST(r AS DOUBLE) / {PR_SCALE} * ({CRAWL_HL} / ({CRAWL_HL}
-             + (CAST(regexp_extract(u, '/p/(\\d+)$', 1) AS BIGINT) % 365))), 6)
+             + (TRY_CAST(regexp_extract(u, '/p/(\\d+)$', 1) AS BIGINT) % 365))), 6)
          AS priority
 FROM r{PR_ITERS}""",
         ),

@@ -2194,6 +2194,7 @@ def nation_trade_volume(
 
         return fn
 
+
     from ..config import DRIVER_FASTPATH_ROWS
 
     n_sel = sel_orders.count()
@@ -2534,6 +2535,25 @@ def market_share(
     from ..config import DRIVER_FASTPATH_ROWS
 
     n_sel = sel_orders.count()
+
+    def _acc_from_year_tables(ds: rd.Dataset) -> dict:
+        """Fold years-sized (o_year, total_c4, nat_c4) partial tables
+        into the {year: [total, target]} accumulator — shared by both
+        gate branches (one Arrow concat + numpy, no row loops)."""
+        tbls = [t for t in ray.get(ds.to_arrow_refs()) if len(t)]
+        if not tbls:
+            return {}
+        t = pa.concat_tables(tbls)
+        yr = t.column("o_year").to_numpy(zero_copy_only=False)
+        tot = t.column("total_c4").to_numpy(zero_copy_only=False)
+        nat = t.column("nat_c4").to_numpy(zero_copy_only=False)
+        uy, inv = np.unique(yr, return_inverse=True)
+        ts = np.zeros(len(uy), np.int64)
+        ns = np.zeros(len(uy), np.int64)
+        np.add.at(ts, inv, tot)
+        np.add.at(ns, inv, nat)
+        return {int(y): [int(a), int(b)] for y, a, b in zip(uy, ts, ns)}
+
     li_cols = lineitem.select_columns(
         ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"]
     )
@@ -2552,19 +2572,7 @@ def market_share(
         parts_ds = li_cols.map_batches(
             li_year_partial(omap_ref), batch_format="pyarrow", batch_size=65536
         )
-        # years-sized partials per block → one Arrow concat + numpy fold
-        tbls = [t for t in ray.get(parts_ds.to_arrow_refs()) if len(t)]
-        if tbls:
-            t = pa.concat_tables(tbls)
-            yr = t.column("o_year").to_numpy(zero_copy_only=False)
-            tot = t.column("total_c4").to_numpy(zero_copy_only=False)
-            nat = t.column("nat_c4").to_numpy(zero_copy_only=False)
-            uy, inv = np.unique(yr, return_inverse=True)
-            ts = np.zeros(len(uy), np.int64)
-            ns = np.zeros(len(uy), np.int64)
-            np.add.at(ts, inv, tot)
-            np.add.at(ns, inv, nat)
-            acc = {int(y): [int(a), int(b)] for y, a, b in zip(uy, ts, ns)}
+        acc = _acc_from_year_tables(parts_ds)
     else:
         # distributed: per-(order, is_nat) partials ⨝ the year map
         def li_order_partial(batch: pa.Table) -> pa.Table:
@@ -2626,23 +2634,9 @@ def market_share(
                 }
             )
 
-        tbls = [
-            t for t in ray.get(
-                joined.map_batches(year_fold, batch_format="pyarrow").to_arrow_refs()
-            )
-            if len(t)
-        ]
-        if tbls:
-            t = pa.concat_tables(tbls)
-            yr = t.column("o_year").to_numpy(zero_copy_only=False)
-            tot = t.column("total_c4").to_numpy(zero_copy_only=False)
-            nat = t.column("nat_c4").to_numpy(zero_copy_only=False)
-            uy, inv = np.unique(yr, return_inverse=True)
-            ts = np.zeros(len(uy), np.int64)
-            ns = np.zeros(len(uy), np.int64)
-            np.add.at(ts, inv, tot)
-            np.add.at(ns, inv, nat)
-            acc = {int(y): [int(a), int(b)] for y, a, b in zip(uy, ts, ns)}
+        acc = _acc_from_year_tables(
+            joined.map_batches(year_fold, batch_format="pyarrow")
+        )
 
     years = sorted(acc)
     return pd.DataFrame(

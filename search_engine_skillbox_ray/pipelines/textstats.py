@@ -4267,7 +4267,16 @@ def source_fertility_ds(documents: rd.Dataset) -> rd.Dataset:
         g = t.group_by("source").aggregate(
             [("n_docs", "sum"), ("n_tokens", "sum"), ("n_chars", "sum")]
         )
-        return g.rename_columns(["source", "n_docs", "n_tokens", "n_chars"])
+        # select by NAME — pyarrow group_by column ORDER is
+        # version-dependent (keys-first vs aggregates-first)
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "n_docs": g.column("n_docs_sum"),
+                "n_tokens": g.column("n_tokens_sum"),
+                "n_chars": g.column("n_chars_sum"),
+            }
+        )
 
     def finish(t: pa.Table) -> pa.Table:
         nd = t.column("sum(n_docs)").to_numpy(zero_copy_only=False).astype(np.int64)

@@ -9,6 +9,13 @@ on every pipeline that uses the stage.  Measured on the sf0.1 MinHash
 signature stage: 0.47 s warm as cached tasks vs 1.71 s as a fresh
 ``concurrency=(1, 8)`` actor pool.
 
+The cache must be reached through the IMPORTED module at call time
+(``import ... as _tp; _tp._KERNEL_CACHE``): cloudpickle serializes the
+nested ``kernel_fn`` by value with its own captured globals, so a bare
+module-global reference would deserialize into a per-closure dict and
+silently reduce the cache to per-pipeline scope (empirically verified —
+the constructor re-ran per pipeline before this binding).
+
 Use this ONLY for kernels whose state is deterministic from the
 constructor kwargs (seeded constants and pure caches): task scheduling
 must not be able to change results.  Heavyweight state that should be
@@ -45,10 +52,14 @@ def cached_kernel_map(
     key = (cls.__module__, cls.__qualname__, tuple(sorted(kwargs.items())))
 
     def kernel_fn(batch: pa.Table, _key=key, _cls=cls, _kw=tuple(sorted(kwargs.items()))):
-        kern = _KERNEL_CACHE.get(_key)
+        # resolve the cache through the worker's imported module — see
+        # the module docstring for why a bare global won't do
+        from search_engine_skillbox_ray.stages import taskpool as _tp
+
+        kern = _tp._KERNEL_CACHE.get(_key)
         if kern is None:
             kern = _cls(**dict(_kw))
-            _KERNEL_CACHE[_key] = kern
+            _tp._KERNEL_CACHE[_key] = kern
         return kern(batch)
 
     mb_kwargs: dict[str, Any] = {"batch_format": batch_format}

@@ -130,9 +130,10 @@ class SearchEngine:
         # rather than scaling with the corpus.
         self._rg_cache: OrderedDict[tuple[int, int], pa.Table] = OrderedDict()
         self._rg_cache_bytes = 0
-        # per-file ParquetFile handle cache + miss-read thread pool for
-        # the locator hydration path (see _hydrate_located)
-        self._pf_cache: dict[int, pq.ParquetFile] = {}
+        # per-file parquet FOOTER METADATA cache (immutable, thread-safe)
+        # + miss-read thread pool for the locator hydration path (see
+        # _hydrate_located)
+        self._pf_cache: dict[int, object] = {}
         self._rg_pool = None
         self.rg_cache_max_bytes = int(
             os.environ.get("SES_DOC_RG_CACHE_BYTES", 128 << 20)
@@ -153,6 +154,11 @@ class SearchEngine:
                 raise ValueError(f"docs_shard {docs_shard}: need 0 <= k < n")
             self.docs_in_memory = False
         self._load_update_log()
+
+    def __del__(self) -> None:  # release hydration threads on teardown
+        pool = getattr(self, "_rg_pool", None)
+        if pool is not None:
+            pool.shutdown(wait=False)
 
     def _load_update_log(self) -> None:
         """Tombstones + kill map + delta postings/docs from the update
@@ -1521,20 +1527,24 @@ class SearchEngine:
             # cold groups decode concurrently (Arrow releases the GIL in
             # the parquet reader, so a p95-tail query touching ~10 cold
             # groups pays ~max instead of ~sum of the ~1 ms decodes).
-            # One thread per FILE — a ParquetFile handle is not
-            # thread-safe, so same-file groups read sequentially on the
-            # handle, which is also cached per file (reopening re-parses
-            # a ~100-group footer on every miss otherwise).
+            # One thread per FILE, and each call opens its OWN reader —
+            # a ParquetFile handle is not thread-safe, and sharing a
+            # cached handle would race if the engine is ever queried
+            # from two threads. What IS cached is the parsed footer
+            # metadata (immutable, thread-safe): reopening with
+            # ``metadata=`` skips the ~100-group footer re-parse that
+            # dominated the open cost.
             by_file: dict[int, list[int]] = {}
             for fi, g in missed:
                 by_file.setdefault(fi, []).append(g)
 
             def _read_file(item) -> list[tuple[tuple[int, int], pa.Table]]:
                 fi, gs = item
-                pf = self._pf_cache.get(fi)
-                if pf is None:
-                    pf = pq.ParquetFile(files[fi])
-                    self._pf_cache[fi] = pf
+                md = self._pf_cache.get(fi)
+                if md is None:
+                    md = pq.ParquetFile(files[fi]).metadata
+                    self._pf_cache[fi] = md
+                pf = pq.ParquetFile(files[fi], metadata=md)
                 return [((fi, g), pf.read_row_group(g, columns=cols)) for g in gs]
 
             if len(by_file) > 1:
