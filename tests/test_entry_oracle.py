@@ -370,3 +370,19 @@ def test_every_query_has_an_oracle(entry_mod):
     """Round 3: zero rows-only queries — every queries() entry carries
     DuckDB-equivalent SQL."""
     assert set(entry_mod.oracle_sql()) == set(entry_mod.queries())
+
+
+def test_harness_parametrization_is_complete(entry_mod):
+    """Round 5: the oracle harness must cover the WHOLE registry — a
+    new queries() entry that skips the parametrize list above fails
+    here instead of silently going unchecked."""
+    import re
+
+    src = open(__file__).read()
+    m = re.search(
+        r'@pytest\.mark\.parametrize\("name", \[(.*?)\]\)\n'
+        r"def test_query_matches_oracle", src, re.S,
+    )
+    names = set(re.findall(r'"([^"]+)"', m.group(1)))
+    missing = set(entry_mod.queries()) - names
+    assert not missing, f"registry entries absent from the harness: {sorted(missing)}"
