@@ -491,3 +491,38 @@ def test_boolean_query_algebra(built):
                 f"({a}", f"{a} )", "AND"):
         with pytest.raises(ValueError):
             eng.search_boolean_scores(bad)
+
+
+def test_memory_light_concurrent_queries(built):
+    """The threaded cold-row-group hydration path must be safe under
+    CONCURRENT searches on one engine (regression for the shared
+    ParquetFile-handle race): four threads replay the same query mix
+    and every result must equal the single-threaded answer."""
+    import threading
+
+    import search_engine_skillbox_ray as ses
+
+    res, eng, oracle, sites = built
+    light = ses.SearchEngine(str(res.index_dir), docs_in_memory=False)
+    # small cache so cold-group reads (the threaded path) keep firing
+    light.rg_cache_max_bytes = 1 << 20
+    light._rg_cache.clear()
+    light._rg_cache_bytes = 0
+    queries = ["слово", "страница ва", "kagra ponpon", "денrespond", "lus mar"]
+    expected = {q: light.search(q, limit=10) for q in queries}
+
+    errors: list[str] = []
+
+    def worker():
+        for _ in range(5):
+            for q in queries:
+                r = light.search(q, limit=10)
+                if r != expected[q]:
+                    errors.append(q)
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, f"concurrent results diverged for: {sorted(set(errors))}"
