@@ -443,6 +443,10 @@ def bench_sf_queries() -> dict:
         "rel_rfm",
         "rel_discount_elasticity",
         "source_quality_summary",
+        # round-5 additions
+        "source_fertility",
+        "unimax_plan",
+        "curation_pipeline",
     ]
     qs = entry.queries()
     out: dict[str, float] = {}
