@@ -706,11 +706,20 @@ def q_cosine_text_pairs(sf_dir: str):
     """All-pairs sparse tf-idf cosine join over the rare vocabulary
     (Bayardo-style, df-capped) — lexical near-dup pairs with exact
     per-pair cosine."""
-    from search_engine_skillbox_ray.pipelines.dedup import tfidf_cosine_pairs
+    from search_engine_skillbox_ray.pipelines.dedup import (
+        _EMPTY_COSINE_PAIRS,
+        tfidf_cosine_pairs,
+    )
 
-    return tfidf_cosine_pairs(
+    ds = tfidf_cosine_pairs(
         _documents(sf_dir), threshold=COSPAIR_THRESHOLD, max_df=COSPAIR_MAX_DF
     )
+    # Dataset.to_pandas() drops the schema of a 0-row result (caught by
+    # the sf0.1 sweep, where no pair clears the 0.8 threshold) — hand
+    # the driver the schema'd Arrow table instead
+    if ds.count() == 0:
+        return _EMPTY_COSINE_PAIRS
+    return ds
 
 
 def _media_dup_table():

@@ -2875,6 +2875,12 @@ def source_ngram_leakage_ds(
 # --------------------------------------------------------------------------
 
 
+_EMPTY_COSINE_PAIRS = pa.table(
+    {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+     "cosine": pa.array([], pa.float64())}
+)
+
+
 def tfidf_cosine_pairs(
     documents: rd.Dataset,
     *,
@@ -3022,6 +3028,8 @@ def tfidf_cosine_pairs(
     summed = pairs.groupby(["doc_a", "doc_b"]).sum("prod")
 
     def finish(t: pa.Table) -> pa.Table:
+        if not len(t) or "sum(prod)" not in t.column_names:
+            return _EMPTY_COSINE_PAIRS
         cos = np.round(t.column("sum(prod)").to_numpy(zero_copy_only=False), 6)
         keep = cos >= threshold
         return pa.table(
@@ -3032,7 +3040,13 @@ def tfidf_cosine_pairs(
             }
         )
 
-    return summed.map_batches(finish, batch_format="pyarrow")
+    out = summed.map_batches(finish, batch_format="pyarrow").materialize()
+    if out.count() == 0:
+        # zero matches must still carry the (doc_a, doc_b, cosine)
+        # schema — an all-empty-block dataset loses its columns
+        # (caught by the sf0.1 full sweep, where no pair clears 0.8)
+        return rd.from_arrow(_EMPTY_COSINE_PAIRS)
+    return out
 
 
 def dedup_threshold_sweep(
